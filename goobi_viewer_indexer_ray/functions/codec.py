@@ -1,0 +1,143 @@
+"""Posting-list compression: delta + LEB128 varint, fixed-size blocks.
+
+The reference ships postings to Solr and lets Lucene encode them; here
+we own the codec (SURVEY.md §2.6 A8).  Layout per term::
+
+    term row = (term, df, cf, blocks)
+    block    = struct(n:int32, first_doc:int64, max_doc:int64,
+                      max_impact:float32, docs:binary, tfs:binary,
+                      dls:binary)
+
+- ``docs``: LEB128 varints — first value absolute, then gaps
+  (``doc_id[i] - doc_id[i-1]``, always ≥ 1 since ids are strictly
+  increasing within a term).
+- ``tfs`` / ``dls``: LEB128 varints of the raw term frequency and the
+  document token length (so query-time scoring is exact float64 — no
+  quantized impacts; ``max_impact`` is only a pruning *upper bound*
+  for block-max WAND and is rounded up to float32).
+- Blocks hold at most ``BLOCK_SIZE`` postings and are independently
+  decodable, so pre-compressed runs from the salted two-stage merge
+  (SURVEY.md §4.1) concatenate without re-encoding.
+
+All encode/decode paths are numpy-vectorized (no per-int Python loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .scoring import K1, B, impact_upper_bound_f32
+
+__all__ = [
+    "BLOCK_SIZE",
+    "encode_varints",
+    "decode_varints",
+    "encode_term_blocks",
+    "decode_block",
+    "decode_term",
+]
+
+BLOCK_SIZE = 128
+
+_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Vectorized unsigned LEB128 encoding of a 1-D array of ints ≥ 0."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    lengths = np.ones(a.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        lengths += a >= t
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_len = int(lengths.max())
+    for k in range(max_len):
+        mask = lengths > k
+        chunk = (a[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (lengths[mask] > k + 1).astype(np.uint8) << 7
+        out[starts[mask] + k] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes | memoryview) -> np.ndarray:
+    """Vectorized LEB128 decode → uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (raw & 0x80) == 0
+    # index of the value each byte belongs to
+    vi = np.zeros(raw.shape, dtype=np.int64)
+    np.cumsum(is_end[:-1], out=vi[1:])
+    # position of each byte within its value
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    pos = np.arange(raw.size, dtype=np.int64) - starts[vi]
+    contrib = (raw & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
+    values = np.zeros(ends.size, dtype=np.uint64)
+    np.add.at(values, vi, contrib)
+    return values
+
+
+def encode_term_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+) -> list[dict]:
+    """Sorted per-term postings → list of block structs (Arrow-ready dicts).
+
+    ``doc_ids`` must be strictly increasing int64; ``tfs``/``dls``
+    positive ints.  Returns ``[{n, max_doc, max_impact, docs, tfs,
+    dls}, ...]`` with ≤ ``BLOCK_SIZE`` postings per block.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    blocks: list[dict] = []
+    for s in range(0, doc_ids.size, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, doc_ids.size)
+        d = doc_ids[s:e]
+        gaps = np.empty(d.shape, dtype=np.uint64)
+        gaps[0] = np.uint64(d[0])
+        np.subtract(d[1:], d[:-1], out=gaps[1:], casting="unsafe")
+        blocks.append(
+            {
+                "n": np.int32(e - s),
+                "first_doc": np.int64(d[0]),
+                "max_doc": np.int64(d[-1]),
+                "max_impact": impact_upper_bound_f32(tfs[s:e], dls[s:e], avgdl, k1, b),
+                "docs": encode_varints(gaps),
+                "tfs": encode_varints(tfs[s:e]),
+                "dls": encode_varints(dls[s:e]),
+            }
+        )
+    return blocks
+
+
+def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Block struct → (doc_ids:int64, tfs:int64, dls:int64)."""
+    gaps = decode_varints(block["docs"]).astype(np.int64)
+    doc_ids = np.cumsum(gaps)
+    tfs = decode_varints(block["tfs"]).astype(np.int64)
+    dls = decode_varints(block["dls"]).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+def decode_term(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All blocks of a term → concatenated (doc_ids, tfs, dls)."""
+    if not blocks:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    parts = [decode_block(b) for b in blocks]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )

@@ -1,0 +1,1 @@
+"""Corpus synthesis and parquet readers (SURVEY.md §2.1 S1–S5)."""

@@ -1,0 +1,71 @@
+"""Extract stage: ``pages(html:binary) → docs_raw(text, doc_len, part)``.
+
+The actor-pool transposition of the reference's per-page full-text
+chain (``helper/FulltextAugmentor.java:78-238``; ALTO converters held
+as per-process objects, ``helper/TextHelper.java:139-151`` — our ST4):
+a callable class so per-worker setup happens once in ``__init__`` and
+``__call__`` handles one zero-copy Arrow batch.
+
+Drops ``html`` immediately on output (SURVEY.md §7.4.6: binary blobs
+must not travel further down the pipeline).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.extract import extract_text
+from ..functions.hashing import part_array
+from ..functions.tokenize import tokenize
+
+__all__ = ["ExtractPages", "DOCS_RAW_SCHEMA"]
+
+DOCS_RAW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("lang", pa.string()),
+        ("text", pa.string()),
+        ("doc_len", pa.int32()),
+        ("part", pa.int32()),
+    ]
+)
+
+
+class ExtractPages:
+    """html → canonical text + token count + url-hash partition id.
+
+    Engine policy for the optional pre-extracted ``text`` input column:
+    it is *ignored* — text is always re-derived from ``html`` so the
+    byte-identical invariant has a single source of truth (mirrors the
+    reference's priority chain always re-reading source files rather
+    than trusting stale index state).
+    """
+
+    def __init__(self, num_parts: int):
+        self.num_parts = num_parts
+        # touch the module-level compiled regexes once per actor
+        self._extract = extract_text
+        self._tokenize = tokenize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html")
+        texts: list[str] = []
+        doc_lens: list[int] = []
+        extract = self._extract
+        tok = self._tokenize
+        for v in htmls:
+            t = extract(v.as_py())
+            texts.append(t)
+            doc_lens.append(len(tok(t)))
+        urls = batch.column("url")
+        return pa.table(
+            {
+                "url": urls,
+                "warc_ts": batch.column("warc_ts"),
+                "lang": batch.column("lang"),
+                "text": pa.array(texts, pa.string()),
+                "doc_len": pa.array(doc_lens, pa.int32()),
+                "part": pa.array(part_array(urls.to_pylist(), self.num_parts)),
+            }
+        )
