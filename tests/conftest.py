@@ -1,0 +1,61 @@
+"""Session-scoped Ray + tiny-corpus fixtures (one ray.init per session)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TINY_N = 200
+TINY_SEED = 42
+NUM_PARTS = 4
+NUM_SHARDS = 4
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def tiny_paths(tmp_path_factory):
+    """Tiny pages corpus on disk (no Ray needed)."""
+    from goobi_viewer_indexer_ray.sources.corpus import write_pages
+
+    d = tmp_path_factory.mktemp("corpus") / "pages"
+    write_pages(str(d), TINY_N, seed=TINY_SEED, rows_per_file=64)
+    return str(d)
+
+
+@pytest.fixture(scope="session")
+def tiny_build(ray_session, tiny_paths, tmp_path_factory):
+    """Full engine build over the tiny corpus; returns the out_dir."""
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+
+    out = str(tmp_path_factory.mktemp("engine") / "out")
+    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS, bucket_bits=5)
+    return out
+
+
+@pytest.fixture(scope="session")
+def tiny_oracle():
+    from goobi_viewer_indexer_ray.pipelines.oracle import build_oracle
+    from goobi_viewer_indexer_ray.sources.corpus import gen_pages
+
+    return build_oracle(gen_pages(TINY_N, TINY_SEED).to_pylist(), num_parts=NUM_PARTS)

@@ -1,0 +1,53 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from goobi_viewer_indexer_ray.functions.codec import (
+    BLOCK_SIZE,
+    decode_block,
+    decode_term,
+    decode_varints,
+    encode_term_blocks,
+    encode_varints,
+)
+from goobi_viewer_indexer_ray.functions.scoring import impact
+
+
+def test_varint_edges():
+    vals = [0, 1, 127, 128, 129, 16383, 16384, 2**32 - 1, 2**63, 2**64 - 1]
+    arr = np.array(vals, dtype=np.uint64)
+    assert decode_varints(encode_varints(arr)).tolist() == vals
+    assert encode_varints(np.empty(0, np.uint64)) == b""
+    assert decode_varints(b"").size == 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    out = decode_varints(encode_varints(arr))
+    assert out.tolist() == vals
+
+
+def test_block_roundtrip_and_metadata():
+    rng = np.random.default_rng(7)
+    docs = np.sort(rng.choice(10**7, 1000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 40, 1000).astype(np.int64)
+    dls = rng.integers(5, 3000, 1000).astype(np.int64)
+    avgdl = 387.5
+    blocks = encode_term_blocks(docs, tfs, dls, avgdl)
+    assert len(blocks) == (1000 + BLOCK_SIZE - 1) // BLOCK_SIZE
+    d, t, l = decode_term(blocks)
+    assert (d == docs).all() and (t == tfs).all() and (l == dls).all()
+    for b in blocks:
+        bd, bt, bl = decode_block(b)
+        assert b["first_doc"] == bd[0] and b["max_doc"] == bd[-1] and b["n"] == bd.size
+        # max_impact is an admissible (>=) float32 upper bound
+        true_max = float(np.max(impact(bt, bl, avgdl)))
+        assert float(b["max_impact"]) >= true_max
+
+
+def test_single_posting():
+    blocks = encode_term_blocks(np.array([5]), np.array([2]), np.array([10]), 10.0)
+    d, t, l = decode_term(blocks)
+    assert d.tolist() == [5] and t.tolist() == [2] and l.tolist() == [10]
