@@ -297,6 +297,77 @@ def build_index(
     return manifest
 
 
+def build_text_index(
+    ds_docs,
+    out_dir: str,
+    fingerprint: str,
+    *,
+    num_shards: int = 4,
+    bucket_bits: int = 10,
+    resume: bool = True,
+) -> dict:
+    """Index a pre-extracted text table ``(doc_id:int64, text:string)``.
+
+    The adapter for corpora that arrive as text rather than HTML (e.g.
+    the driver's ``documents`` table) — skips the extract/dedup stages
+    and reuses the tokenize → salted-merge shuffle.  The input is
+    materialized once for the stats pass; callers use this for
+    small/medium side corpora — the full pages pipeline (build_docs +
+    build_index) is the streaming 100 TB path.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.tokenize import tokenize as _tok
+
+    fp = _job_fp(fingerprint, num_shards=num_shards, bucket_bits=bucket_bits)
+    man_path = os.path.join(out_dir, "index_manifest.json")
+    if resume and (m := manifest_valid(man_path, fp)):
+        return m
+
+    def with_len(t: pa.Table) -> pa.Table:
+        lens = [len(_tok(x)) for x in t.column("text").to_pylist()]
+        return t.append_column("doc_len", pa.array(lens, pa.int32()))
+
+    docs = ds_docs.map_batches(with_len, batch_format="pyarrow").materialize()
+    agg = docs.aggregate(Count(), Sum("doc_len", alias_name="total_tokens"))
+    n_docs = int(agg["count()"])
+    total_tokens = int(agg["total_tokens"])
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+
+    atomic_write_json(
+        os.path.join(out_dir, "stats.json"),
+        {"n_docs": n_docs, "total_tokens": total_tokens, "avgdl": avgdl,
+         "num_shards": num_shards},
+    )
+    index_dir = os.path.join(out_dir, "index")
+    postings = docs.map_batches(
+        TokenizePostings(num_shards, bucket_bits), batch_format="pyarrow"
+    )
+    encoder = EncodeRuns(avgdl)
+    shard_writer = ShardWriter(index_dir, fp)
+
+    def encode_runs(g: pa.Table) -> pa.Table:
+        return encoder(g)
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        return shard_writer(g)
+
+    runs = postings.groupby(["shard", "bucket"]).map_groups(encode_runs, batch_format="pyarrow")
+    shard_rows = runs.groupby("shard").map_groups(write_shard, batch_format="pyarrow").to_pandas()
+    return write_manifest(
+        man_path,
+        stage="text_index",
+        fingerprint=fp,
+        extra={
+            "num_shards": num_shards,
+            "bucket_bits": bucket_bits,
+            "n_terms": int(shard_rows["n_terms"].sum()),
+            "n_postings": int(shard_rows["n_postings"].sum()),
+            "shards": shard_rows.drop(columns=["seconds"]).to_dict("records"),
+        },
+    )
+
+
 def build_all(
     pages: str | list[str],
     out_dir: str,

@@ -1,0 +1,660 @@
+"""Driver-facing operator catalog: ``queries()`` / ``oracle_sql()``.
+
+One entry per implemented operator/pipeline (SURVEY.md §2 + the
+training-data operators), each runnable over an ``sf_dir`` of driver
+test tables and — where ANSI-SQL-expressible — paired with a DuckDB
+oracle producing identical rows.
+
+Cross-engine float policy (numpy rounds half-even, DuckDB half-away):
+
+- quantities that are ratios of small integers are emitted as raw
+  integer numerators/denominators (exact compare);
+- money sums round to 2 dp (sums sit on the 2 dp grid, never near a
+  boundary); transcendental quantities (BM25 scores, cosines) round to
+  4-6 dp where the 1e-15 cross-engine noise cannot straddle a decimal
+  boundary except with negligible probability;
+- ranking always tie-breaks on an integer id over the *rounded* score
+  so both engines order identically.
+
+SQL tokenizer parity: the engine tokenizer (NFC → lower → unicode
+alnum runs) equals ``regexp_extract_all(lower(text), '[a-z0-9]+')``
+for ASCII corpora; the driver's ``documents`` table is ASCII (checked).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.scoring import B, K1
+from ..functions.tokenize import tokenize
+from ..stages import ann, dedup, text_ops
+
+__all__ = ["QUERIES", "ORACLE_SQL", "DOC_QUERIES", "documents_bm25_topk", "ensure_documents_index"]
+
+# ---------------------------------------------------------------- helpers
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_K1 = repr(K1)
+_B = repr(B)
+_K1P1 = repr(K1 + 1.0)
+_1MB = repr(1.0 - B)
+
+DOC_QUERIES: list[dict] = [
+    {"query_id": 0, "query": "hash join", "k": 10},
+    {"query_id": 1, "query": "vector", "k": 10},
+    {"query_id": 2, "query": "the", "k": 10},
+    {"query_id": 3, "query": "slow query", "k": 10},
+    {"query_id": 4, "query": "zzznope", "k": 10},
+    {"query_id": 5, "query": "customer order stream", "k": 10},
+    {"query_id": 6, "query": "spark window agg", "k": 10},
+    {"query_id": 7, "query": "Merge BATCH", "k": 10},
+]
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _rd():
+    import ray.data
+
+    return ray.data
+
+
+def _documents(sf_dir: str, columns=("doc_id", "text")):
+    return _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
+
+
+def _cache_dir(sf_dir: str, tag: str) -> tuple[str, str]:
+    """(/tmp cache dir, fingerprint) keyed by file identity + tag."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = f"{os.path.realpath(path)}:{os.path.getsize(path)}:{tag}"
+    h = hashlib.blake2b(key.encode(), digest_size=10).hexdigest()
+    return os.path.join("/tmp/gvi_catalog", h), key
+
+
+def ensure_documents_index(sf_dir: str) -> str:
+    """Build (once, resumable) the compressed index over `documents`."""
+    from .build import build_text_index
+
+    out, key = _cache_dir(sf_dir, "docidx_v1")
+    os.makedirs(out, exist_ok=True)
+    build_text_index(_documents(sf_dir), out, key, num_shards=4, bucket_bits=10)
+    return out
+
+
+# ---------------------------------------------------------------- fulltext
+
+def q_index_stats(sf_dir: str):
+    """Global index stats (N, total tokens, avgdl) — SURVEY.md A8 stats."""
+    from ray.data.aggregate import Count, Sum
+
+    tc = _documents(sf_dir).map_batches(text_ops.token_count_batch, batch_format="pyarrow")
+    agg = tc.aggregate(Count(), Sum("n_tokens", alias_name="total_tokens"))
+    n = int(agg["count()"])
+    total = int(agg["total_tokens"])
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+            "avgdl_r": pa.array([float(np.round(total / n, 6))], pa.float64()),
+        }
+    )
+
+
+_SQL_INDEX_STATS = f"""
+SELECT count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS total_tokens,
+       round(sum(n)::DOUBLE / count(*), 6) AS avgdl_r
+FROM (SELECT len({_TOKS}) AS n FROM documents)
+"""
+
+
+def q_term_df_top100(sf_dir: str):
+    """Per-term document/collection frequency, top 100 by df."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1, bucket_bits=62), batch_format="pyarrow"
+    )
+    agg = postings.groupby("term").aggregate(
+        Count(alias_name="df"), Sum("tf", alias_name="cf")
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "df": pc.cast(t.column("df"), pa.int64()),
+                "cf": pc.cast(t.column("cf"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pyarrow").sort(
+        ["df", "term"], descending=[True, False]
+    ).limit(100)
+
+
+_SQL_TERM_DF = f"""
+WITH posting AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM posting GROUP BY term
+ORDER BY df DESC, term LIMIT 100
+"""
+
+
+def documents_bm25_topk(sf_dir: str, queries: list[dict] | None = None, k: int = 10):
+    """BM25 top-k over `documents` via the compressed index engine.
+
+    Exact float64 scoring; final ranking by (round(score,4) desc,
+    doc_id asc) for cross-engine determinism.
+    """
+    from .query import LocalIndex, topk_exact
+
+    out = ensure_documents_index(sf_dir)
+    idx = LocalIndex(out)
+    rows_q, rows_d, rows_s, rows_r = [], [], [], []
+    for q in queries or DOC_QUERIES:
+        d, s = topk_exact(idx, q["query"], idx.n_docs)  # full ranking
+        if d.size == 0:
+            continue
+        s_r = np.round(s, 4)
+        order = np.lexsort((d, -s_r))[:k]
+        for r, i in enumerate(order, 1):
+            rows_q.append(q["query_id"])
+            rows_d.append(int(d[i]))
+            rows_s.append(float(s_r[i]))
+            rows_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "score_r": pa.array(rows_s, pa.float64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
+def _bm25_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------- text analysis
+
+def q_doc_token_count(sf_dir: str):
+    return _documents(sf_dir).map_batches(text_ops.token_count_batch, batch_format="pyarrow")
+
+
+_SQL_TOKEN_COUNT = f"SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents"
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return _documents(sf_dir).map_batches(text_ops.fingerprint_batch, batch_format="pyarrow")
+
+
+_SQL_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp_md5 FROM documents
+"""
+
+
+def q_langid(sf_dir: str):
+    return _documents(sf_dir).map_batches(text_ops.langid_batch, batch_format="pyarrow")
+
+
+def _langid_sql() -> str:
+    lists = {
+        lang: ", ".join(f"'{w}'" for w in sorted(ws)) for lang, ws in text_ops.STOPWORDS.items()
+    }
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+h AS (
+  SELECT doc_id,
+         len(list_filter(ts, x -> x IN ({lists['en']})))::BIGINT AS en_hits,
+         len(list_filter(ts, x -> x IN ({lists['de']})))::BIGINT AS de_hits,
+         len(list_filter(ts, x -> x IN ({lists['fr']})))::BIGINT AS fr_hits
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       en_hits, de_hits, fr_hits
+FROM h
+"""
+
+
+def q_quality(sf_dir: str):
+    return _documents(sf_dir).map_batches(text_ops.quality_batch, batch_format="pyarrow")
+
+
+def _quality_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in sorted(text_ops.STOPWORDS["en"]))
+    return f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_c,
+       len({_TOKS})::BIGINT AS n_tokens,
+       len(list_distinct({_TOKS}))::BIGINT AS n_distinct,
+       len(list_filter({_TOKS}, x -> x IN ({en})))::BIGINT AS stopword_hits,
+       length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::BIGINT AS punct_hits
+FROM documents
+"""
+
+
+# ----------------------------------------------------------------- dedup
+
+def q_dedup_exact(sf_dir: str):
+    ds = dedup.exact_dedup_groups(_documents(sf_dir))
+
+    def cast(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "text_md5": t.column("text_md5"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "min_doc_id": pc.cast(t.column("min_doc_id"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_jaccard(sf_dir: str):
+    ds = dedup.jaccard_pairs(_documents(sf_dir), n=5, threshold=0.1)
+
+    def cast(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_a": pc.cast(t.column("doc_a"), pa.int64()),
+                "doc_b": pc.cast(t.column("doc_b"), pa.int64()),
+                "inter": pc.cast(t.column("inter"), pa.int64()),
+                "uni": pc.cast(t.column("uni"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+_SQL_DEDUP_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, (sa.n + sb.n - inter)::BIGINT AS uni
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
+"""
+
+
+def q_dedup_minhash_lsh(sf_dir: str):
+    return dedup.minhash_lsh_pairs(_documents(sf_dir), n=5, num_perm=64, bands=16, threshold=0.1)
+
+
+def q_dedup_simhash(sf_dir: str):
+    return dedup.simhash_pairs(_documents(sf_dir), max_hamming=3)
+
+
+# ------------------------------------------------------------------- ann
+
+def _embeddings(sf_dir: str):
+    return _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_ann_cosine(sf_dir: str):
+    return ann.brute_force_topk(_embeddings(sf_dir), _ANN_QUERY_IDS, k=10)
+
+
+_SQL_ANN = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})
+),
+s AS (
+  SELECT q.qid AS query_vec_id, e.vec_id,
+         round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 4) AS cos_r
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY cos_r DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_vec_id::BIGINT AS query_vec_id, vec_id::BIGINT AS vec_id,
+       cos_r, rank::BIGINT AS rank
+FROM r WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    return ann.lsh_topk(_embeddings(sf_dir), _ANN_QUERY_IDS, k=10)
+
+
+# ----------------------------------------------- flagship pages pipeline
+
+def q_pages_engine_e2e(sf_dir: str):
+    """Full pages pipeline on a deterministic synthetic corpus: extract →
+    dedup → doc ids → compressed index → BM25 search (rows-only check;
+    the pytest oracle pins correctness)."""
+    import pandas as pd
+
+    from ..pipelines.oracle import REFERENCE_QUERIES
+    from ..sources.corpus import ensure_pages
+    from .build import build_all
+    from .query import LocalIndex, topk_wand
+
+    pages_dir = ensure_pages(240, seed=42)
+    out = os.path.join("/tmp/gvi_catalog", "pages_e2e_v1")
+    build_all(pages_dir, out, num_parts=4, num_shards=4, bucket_bits=6)
+    idx = LocalIndex(out)
+    rows = []
+    for q in REFERENCE_QUERIES:
+        d, s = topk_wand(idx, q["query"], q["k"])
+        for r, (di, si) in enumerate(zip(d, s), 1):
+            rows.append((q["query_id"], r, int(di), float(si)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+
+
+# --------------------------------------------------- general relational
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate (pruned read, partial-friendly)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Count(alias_name="n"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pa.array(np.round(t.column("sum_qty").to_numpy(), 2)),
+                "sum_price": pa.array(np.round(t.column("sum_price").to_numpy(), 2)),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_customer_order_revenue(sf_dir: str):
+    """Broadcast hash join (small side via ray.put) + grouped aggregate."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = (
+        _rd()
+        .read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
+        .to_pandas()
+    )
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def join(t: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        keys = t.column("o_custkey").to_numpy()
+        mask = np.array([int(k) in names for k in keys])
+        t = t.filter(pa.array(mask))
+        keys = t.column("o_custkey").to_numpy()
+        return t.append_column(
+            "c_name", pa.array([names[int(k)] for k in keys], pa.string())
+        )
+
+    agg = (
+        orders.map_batches(join, batch_format="pyarrow")
+        .groupby(["o_custkey", "c_name"])
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "c_name": t.column("c_name"),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "sum_total": pa.array(np.round(t.column("sum_total").to_numpy(), 2)),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_CUSTOMER_ORDER_REVENUE = """
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS sum_total
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_top_orders(sf_dir: str):
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "total_r": pa.array(np.round(t.column("o_totalprice").to_numpy(), 2)),
+            }
+        )
+
+    return (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(20)
+        .map_batches(fin, batch_format="pyarrow")
+    )
+
+
+_SQL_TOP_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total_r
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (1 h windows)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "hour_id": pa.array(us // 3_600_000_000, pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["user_id", "hour_id"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "hour_id": pc.cast(t.column("hour_id"), pa.int64()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "sum_value_r": pa.array(np.round(t.column("sum_value").to_numpy(), 4)),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT user_id::BIGINT AS user_id,
+       floor(epoch(ts) / 3600)::BIGINT AS hour_id,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value_r
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lang_source_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"])
+    agg = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_LANG_SOURCE = """
+SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- export
+
+QUERIES = {
+    "index_stats": q_index_stats,
+    "term_df_top100": q_term_df_top100,
+    "bm25_topk": documents_bm25_topk,
+    "doc_token_count": q_doc_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "langid": q_langid,
+    "quality_signals": q_quality,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard_pairs": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine,
+    "ann_lsh_topk": q_ann_lsh,
+    "pages_engine_e2e": q_pages_engine_e2e,
+    "lineitem_agg": q_lineitem_agg,
+    "customer_order_revenue": q_customer_order_revenue,
+    "top_orders": q_top_orders,
+    "events_hourly": q_events_hourly,
+    "lang_source_counts": q_lang_source_counts,
+}
+
+ORACLE_SQL = {
+    "index_stats": _SQL_INDEX_STATS,
+    "term_df_top100": _SQL_TERM_DF,
+    "bm25_topk": _bm25_sql(),
+    "doc_token_count": _SQL_TOKEN_COUNT,
+    "doc_fingerprint": _SQL_FINGERPRINT,
+    "langid": _langid_sql(),
+    "quality_signals": _quality_sql(),
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "dedup_jaccard_pairs": _SQL_DEDUP_JACCARD,
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / pages_engine_e2e:
+    # intentionally no SQL oracle (probabilistic blocking or non-SQL
+    # pipeline) → driver records the weaker rows-only check.
+    "ann_cosine_topk": _SQL_ANN,
+    "lineitem_agg": _SQL_LINEITEM_AGG,
+    "customer_order_revenue": _SQL_CUSTOMER_ORDER_REVENUE,
+    "top_orders": _SQL_TOP_ORDERS,
+    "events_hourly": _SQL_EVENTS_HOURLY,
+    "lang_source_counts": _SQL_LANG_SOURCE,
+}

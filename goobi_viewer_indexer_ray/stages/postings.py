@@ -44,7 +44,11 @@ class TokenizePostings:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
-        doc_lens = batch.column("doc_len").to_numpy()
+        doc_lens = (
+            batch.column("doc_len").to_numpy()
+            if "doc_len" in batch.column_names
+            else None
+        )
         texts = batch.column("text").to_pylist()
 
         findall = TOKEN_RE.findall
@@ -57,6 +61,8 @@ class TokenizePostings:
             all_tokens.extend(toks)
         if not all_tokens:
             return POSTINGS_SCHEMA.empty_table()
+        if doc_lens is None:  # dl = token count when no doc_len column
+            doc_lens = counts
 
         codes, uniques = pd.factorize(np.asarray(all_tokens, dtype=object))
         row_of_token = np.repeat(np.arange(len(texts), dtype=np.int64), counts)

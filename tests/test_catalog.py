@@ -1,0 +1,116 @@
+"""Mirror of the driver's correctness gate: every ``queries()`` entry
+vs its DuckDB ``oracle_sql()`` (row count + schema names + sorted
+value hash), at sf0.001 for speed.  The driver runs the same protocol
+at sf0.01.
+"""
+
+import hashlib
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata missing")
+
+
+def _to_df(x):
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"create view {t} as select * from '{SF}/{t}.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+def test_entry_smoke(contract):
+    res = _to_df(contract.entry())
+    assert len(res) >= 0
+    assert list(res.columns) == ["query_id", "doc_id", "score_r", "rank"]
+
+
+def test_oracle_keys_subset(contract):
+    qs, sqls = contract.queries(), contract.oracle_sql()
+    assert set(sqls) <= set(qs)
+    # the non-SQL ops are the documented probabilistic/pipeline ones
+    assert set(qs) - set(sqls) == {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_lsh_topk",
+        "pages_engine_e2e",
+    }
+
+
+def _check(contract, con, name):
+    got = _canon(_to_df(contract.queries()[name](SF)))
+    want = _canon(con.execute(contract.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), name
+    assert _vhash(got) == _vhash(want), name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "index_stats",
+        "term_df_top100",
+        "bm25_topk",
+        "doc_token_count",
+        "doc_fingerprint",
+        "langid",
+        "quality_signals",
+        "dedup_exact",
+        "dedup_jaccard_pairs",
+        "ann_cosine_topk",
+        "lineitem_agg",
+        "customer_order_revenue",
+        "top_orders",
+        "events_hourly",
+        "lang_source_counts",
+    ],
+)
+def test_vs_duckdb(contract, con, name):
+    _check(contract, con, name)
+
+
+def test_minhash_lsh_recall(contract):
+    """LSH candidates must reproduce the exact-Jaccard pairs on this
+    corpus (recall check at threshold 0.1 with 64 perms / 16 bands)."""
+    exact = _canon(_to_df(contract.queries()["dedup_jaccard_pairs"](SF)))
+    lsh = _canon(_to_df(contract.queries()["dedup_minhash_lsh"](SF)))
+    e = set(zip(exact["doc_a"], exact["doc_b"]))
+    l = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    assert l <= e  # verified pairs are never false positives
+    assert len(l) >= 0.9 * len(e)  # high recall on the gate corpus
+
+
+def test_ann_lsh_overlap(contract):
+    """LSH ANN must be a reasonable approximation of brute force."""
+    bf = _to_df(contract.queries()["ann_cosine_topk"](SF))
+    ls = _to_df(contract.queries()["ann_lsh_topk"](SF))
+    for qid in bf["query_vec_id"].unique():
+        top_bf = set(bf[bf["query_vec_id"] == qid]["vec_id"])
+        top_ls = set(ls[ls["query_vec_id"] == qid]["vec_id"])
+        assert len(top_bf & top_ls) >= 3  # @10, modest recall floor
