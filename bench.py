@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+Headline = full pages pipeline (synthesize-once cached corpus →
+extract → dedup → doc ids → compressed inverted index) + a BM25 query
+throughput/latency pass, sized from the sf dir's lineitem row count.
+
+``--scaling``: runs the same bench twice in fresh interpreters at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the north
+rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+
+
+def _bench_queries(n: int = 200) -> list[dict]:
+    """Deterministic query mix: head/mid/tail/absent, 1-3 terms."""
+    from goobi_viewer_indexer_ray.sources.corpus import _VOCAB
+
+    ranks = [0, 1, 2, 3, 5, 8, 13, 21, 50, 100, 200, 500, 1000, 2000, 5000, 9999]
+    out = []
+    for i in range(n):
+        k = 1 + (i % 3)
+        terms = [str(_VOCAB[ranks[(i * 7 + j * 13) % len(ranks)]]) for j in range(k)]
+        if i % 17 == 0:
+            terms.append("zzzabsent")
+        out.append({"query_id": i, "query": " ".join(terms), "k": 10})
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.pipelines import catalog
+    from goobi_viewer_indexer_ray.pipelines.build import build_all, load_stats
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, search, topk_wand
+    from goobi_viewer_indexer_ray.sources.corpus import ensure_pages
+
+    import duckdb
+
+    lineitem_rows = duckdb.sql(
+        f"select count(*) from '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    scale = int(os.environ.get("GRAFT_BENCH_SCALE", "1"))
+    n_pages = max(500, int(lineitem_rows) // 15) * scale
+
+    # corpus synthesis + OS cache warm are untimed (we measure the engine)
+    pages_dir = ensure_pages(n_pages, seed=SEED)
+    for f in sorted(os.listdir(pages_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(pages_dir, f), "rb") as fh:
+                fh.read()
+
+    # untimed warmup: spawn Ray's worker pool + import our modules in
+    # the workers (one-time per-cluster cost, not per-job throughput)
+    warm_dir = f"/tmp/gvi_bench/warm_{os.getpid()}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_all(ensure_pages(512, seed=SEED), warm_dir, num_parts=4, num_shards=4)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    out_dir = f"/tmp/gvi_bench/run_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    timings: dict[str, float] = {}
+
+    # partition counts scale with the corpus (≥ cores, ≤ ~5k docs/part)
+    # — low key cardinality skews Ray's sort-based shuffle
+    num_parts = max(32, n_pages // 5000)
+    t0 = time.perf_counter()
+    build_all(
+        pages_dir,
+        out_dir,
+        num_parts=num_parts,
+        num_shards=num_parts,
+        concurrency=max(1, NUM_CPUS - 2),
+    )
+    t_build = time.perf_counter() - t0
+    stats = load_stats(out_dir)
+    timings["pages_index_build"] = round(t_build, 3)
+
+    # query throughput through the actor-pool stage
+    queries = _bench_queries(200)
+    t0 = time.perf_counter()
+    res = search(out_dir, queries, use_wand=True, concurrency=max(2, NUM_CPUS // 2))
+    n_res = res.count()
+    t_q = time.perf_counter() - t0
+    timings["bm25_query_batch"] = round(t_q, 3)
+
+    # per-query latency on a loaded index (p50)
+    idx = LocalIndex(out_dir)
+    lat = []
+    for q in queries[:100]:
+        t0 = time.perf_counter()
+        topk_wand(idx, q["query"], q["k"])
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1000)
+
+    # catalog pipelines over the sf tables (cold: drop the doc-index cache)
+    shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)
+    for name in [
+        "bm25_topk",
+        "term_df_top100",
+        "dedup_exact",
+        "dedup_jaccard_pairs",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "lineitem_agg",
+        "customer_order_revenue",
+        "events_hourly",
+    ]:
+        t0 = time.perf_counter()
+        r = catalog.QUERIES[name](SF_DIR)
+        if hasattr(r, "map_batches"):  # a Ray Dataset → force execution
+            r.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    headline = timings["pages_index_build"] + timings["bm25_query_batch"]
+    return {
+        "metric": "pages_index_build+bm25_query_batch",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "n_docs": stats["n_docs"],
+        "docs_per_sec": round(stats["n_docs"] / t_build, 1),
+        "queries_per_sec": round(len(queries) / t_q, 1),
+        "query_p50_ms": round(p50_ms, 2),
+        "n_results": int(n_res),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        # 16× corpus for the scaling comparison so per-core work
+        # dominates fixed costs (same input at BOTH levels)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_SCALE=os.environ.get("GRAFT_BENCH_SCALE", "16"))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff_build = (r_lo["queries"]["pages_index_build"] / r_hi["queries"]["pages_index_build"]) / (hi / lo)
+    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "queries_per_sec_lo": r_lo["queries_per_sec"],
+        "queries_per_sec_hi": r_hi["queries_per_sec"],
+        "build_scaling_efficiency": round(eff_build, 3),
+        "total_scaling_efficiency": round(eff_total, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -5,16 +5,19 @@ we own the codec (SURVEY.md §2.6 A8).  Layout per term::
 
     term row = (term, df, cf, blocks)
     block    = struct(n:int32, first_doc:int64, max_doc:int64,
-                      max_impact:float32, docs:binary, tfs:binary,
-                      dls:binary)
+                      max_tf:int32, min_dl:int32, docs:binary,
+                      tfs:binary, dls:binary)
 
 - ``docs``: LEB128 varints — first value absolute, then gaps
   (``doc_id[i] - doc_id[i-1]``, always ≥ 1 since ids are strictly
   increasing within a term).
 - ``tfs`` / ``dls``: LEB128 varints of the raw term frequency and the
   document token length (so query-time scoring is exact float64 — no
-  quantized impacts; ``max_impact`` is only a pruning *upper bound*
-  for block-max WAND and is rounded up to float32).
+  quantized impacts).  ``(max_tf, min_dl)`` give the block-max WAND
+  pruning bound ``impact(max_tf, min_dl, avgdl) ≥ impact(tf_i, dl_i)``
+  (impact is monotone ↑tf, ↓dl); storing the two ints instead of a
+  float means block metadata needs NO global stats at encode time —
+  which is what lets the docs+index build run as one fused pipeline.
 - Blocks hold at most ``BLOCK_SIZE`` postings and are independently
   decodable, so pre-compressed runs from the salted two-stage merge
   (SURVEY.md §4.1) concatenate without re-encoding.
@@ -26,11 +29,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from .scoring import K1, B, impact_upper_bound_f32
-
 __all__ = [
     "BLOCK_SIZE",
     "encode_varints",
+    "encode_varints_segmented",
     "decode_varints",
     "encode_term_blocks",
     "decode_block",
@@ -42,11 +44,8 @@ BLOCK_SIZE = 128
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """Vectorized unsigned LEB128 encoding of a 1-D array of ints ≥ 0."""
-    a = np.ascontiguousarray(values, dtype=np.uint64)
-    if a.size == 0:
-        return b""
+def _varint_encode_raw(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(byte buffer, per-value end offsets) for LEB128 encoding of ``a``."""
     lengths = np.ones(a.shape, dtype=np.int64)
     for t in _THRESHOLDS:
         lengths += a >= t
@@ -59,7 +58,36 @@ def encode_varints(values: np.ndarray) -> bytes:
         chunk = (a[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (lengths[mask] > k + 1).astype(np.uint8) << 7
         out[starts[mask] + k] = chunk.astype(np.uint8) | cont
+    return out, ends
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Vectorized unsigned LEB128 encoding of a 1-D array of ints ≥ 0."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    out, _ = _varint_encode_raw(a)
     return out.tobytes()
+
+
+def encode_varints_segmented(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    """Encode ``values`` once, return one bytes object per segment.
+
+    ``seg_starts`` are value indices (first must be 0).  One vectorized
+    encode pass for ALL segments — this is what keeps map-side SPIMI
+    run generation off the per-term Python path.
+    """
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return []
+    out, ends = _varint_encode_raw(a)
+    buf = out.tobytes()
+    seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    byte_starts = np.where(seg_starts > 0, ends[seg_starts - 1], 0)
+    byte_ends = np.append(byte_starts[1:], len(buf))
+    return [buf[s:e] for s, e in zip(byte_starts.tolist(), byte_ends.tolist())]
+
+
 
 
 def decode_varints(buf: bytes | memoryview) -> np.ndarray:
@@ -87,15 +115,12 @@ def encode_term_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
-    k1: float = K1,
-    b: float = B,
 ) -> list[dict]:
     """Sorted per-term postings → list of block structs (Arrow-ready dicts).
 
     ``doc_ids`` must be strictly increasing int64; ``tfs``/``dls``
-    positive ints.  Returns ``[{n, max_doc, max_impact, docs, tfs,
-    dls}, ...]`` with ≤ ``BLOCK_SIZE`` postings per block.
+    positive ints.  Returns ``[{n, first_doc, max_doc, max_tf, min_dl,
+    docs, tfs, dls}, ...]`` with ≤ ``BLOCK_SIZE`` postings per block.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -112,7 +137,8 @@ def encode_term_blocks(
                 "n": np.int32(e - s),
                 "first_doc": np.int64(d[0]),
                 "max_doc": np.int64(d[-1]),
-                "max_impact": impact_upper_bound_f32(tfs[s:e], dls[s:e], avgdl, k1, b),
+                "max_tf": np.int32(tfs[s:e].max()),
+                "min_dl": np.int32(dls[s:e].min()),
                 "docs": encode_varints(gaps),
                 "tfs": encode_varints(tfs[s:e]),
                 "dls": encode_varints(dls[s:e]),

@@ -23,7 +23,7 @@ import math
 
 import numpy as np
 
-__all__ = ["K1", "B", "idf", "impact", "impact_upper_bound_f32"]
+__all__ = ["K1", "B", "idf", "impact"]
 
 K1 = 1.2
 B = 0.75
@@ -51,14 +51,3 @@ def impact(tf, dl, avgdl: float, k1: float = K1, b: float = B):
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / float(avgdl)))
 
 
-def impact_upper_bound_f32(tfs, dls, avgdl: float, k1: float = K1, b: float = B) -> np.float32:
-    """Float32 ≥ max impact over the postings — safe WAND pruning bound.
-
-    Rounded *up* (np.nextafter) so float32 truncation can never prune a
-    doc whose true float64 impact equals the bound.
-    """
-    m = float(np.max(impact(tfs, dls, avgdl, k1, b)))
-    f = np.float32(m)
-    if float(f) < m:
-        f = np.nextafter(f, np.float32(np.inf))
-    return f

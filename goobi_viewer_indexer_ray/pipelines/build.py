@@ -1,29 +1,35 @@
 """Index-build pipelines (SURVEY.md §3.4 lifecycle).
 
-Stage graph (each stage checkpointed by a manifest; rerunning the job
-skips completed stages and, inside the docs stage, completed
-partitions — the hotfolder-file-state-machine analog, SURVEY.md §4.1):
+The flagship path is ONE fused streaming execution:
 
-    pages parquet ──extract (actor pool)──► docs_raw/part=*       [stage 1]
-    docs_raw ──groupby(part): dedup+rank──► docs/part=*/data.parquet
-              └─► docs_manifest.json (N, avgdl, per-part offsets)  [stage 2]
-    docs ──tokenize──► (term, doc_id, tf, dl, shard, bucket)
-        ──groupby(shard,bucket): encode runs──► compressed runs
-        ──groupby(shard): concat runs──► index/shard=*/terms.parquet
-              └─► index_manifest.json + stats.json                 [stage 3]
+    pages parquet ──extract──► groupby(url-part)
+        ──dedup + doc_id──► docs/part=*/data.parquet   (side write)
+        ──tokenize + map-side SPIMI run encode──►
+        groupby(term-shard) ──► index/shard=*/terms.parquet
+        └─► docs_manifest.json / stats.json / index_manifest.json
 
-Scale notes (sized for ~10^12 docs / 100 TB on a multi-node cluster,
-tested single-node):
+Fusion is possible because nothing in the chain needs global state:
+doc ids are strided per partition (``functions/ids.py``) and block-max
+metadata is ``(max_tf, min_dl)`` ints, so the BM25 ``avgdl`` is only
+needed at query time (computed from the per-part manifests afterwards).
 
-- ``html`` never leaves stage 1; everything downstream is text/ints.
-- the only all-to-all exchanges are the two groupbys of stage 3; the
-  second one moves *compressed runs* (≈5–10× smaller than postings).
-- head-term skew is bounded by ``bucket_bits`` (doc-range salting):
-  no reducer ever holds more than one doc-range's postings for one
-  term shard (SURVEY.md §4.1).
-- ``num_parts`` / ``num_shards`` are the deployment knobs: at cluster
-  scale use e.g. 65 536 parts / 16 384 shards; defaults here are
-  single-node-sized.
+Scale notes (sized for ~10^12 docs / 100 TB multi-node, tested
+single-node):
+
+- ``html`` never leaves the extract stage; the posting shuffle carries
+  only compressed SPIMI runs (≈5-15× smaller than raw postings).  The
+  two groupbys are the only all-to-all exchanges, and they run inside
+  one streaming execution.
+- head-term skew: a head term reaches its reducer as many doc-range
+  runs (the map batch is the salt), never as raw posting rows; the
+  reducer decodes a shard with three vectorized varint passes.
+- ``num_parts`` / ``num_shards`` are the deployment knobs.  Keep them
+  ≥ the cluster's total cores and ≥ data_size/partition-budget; low
+  cardinality (≪ sort partitions) skews Ray's sort-based shuffle.
+- resume: docs parts and index shards are atomic files with per-file
+  manifests.  A rerun recomputes upstream work but rewrites only
+  missing/invalid partitions, byte-identically (outputs are pure
+  functions of logical content, independent of Ray's batching).
 """
 
 from __future__ import annotations
@@ -38,10 +44,11 @@ import pyarrow as pa
 import ray.data
 
 from .. import ENGINE_SPEC_VERSION
+from ..functions.ids import PART_STRIDE
 from ..stages.docs_writer import DocsPartWriter, part_dir
 from ..stages.extract import ExtractPages
-from ..stages.index_merge import EncodeRuns, ShardWriter
-from ..stages.postings import TokenizePostings
+from ..stages.index_merge import ShardWriter, shard_dir
+from ..stages.postings import TokenizeEncodeRuns
 from ..state.manifest import (
     atomic_write_json,
     input_fingerprint,
@@ -50,7 +57,7 @@ from ..state.manifest import (
     write_manifest,
 )
 
-__all__ = ["build_docs", "build_index", "build_all", "read_docs", "load_stats"]
+__all__ = ["build_docs", "build_index", "build_all", "build_text_index", "read_docs", "load_stats"]
 
 
 def _cpus() -> int:
@@ -78,36 +85,11 @@ def _resolve_pages(pages: str | list[str]) -> list[str]:
     return sorted(pages)
 
 
-def build_docs(
-    pages: str | list[str],
-    out_dir: str,
-    *,
-    num_parts: int = 16,
-    concurrency: int | None = None,
-    batch_size: int = 128,
-    resume: bool = True,
-) -> dict:
-    """pages parquet → deduped docs table with deterministic ids.
-
-    Returns the docs manifest (also persisted at
-    ``out_dir/docs_manifest.json``).
-    """
-    paths = _resolve_pages(pages)
-    fp = _job_fp(input_fingerprint(paths), num_parts=num_parts)
-    raw_dir = os.path.join(out_dir, "docs_raw")
-    docs_dir = os.path.join(out_dir, "docs")
-    raw_man_path = os.path.join(out_dir, "docs_raw_manifest.json")
-    docs_man_path = os.path.join(out_dir, "docs_manifest.json")
-
-    if resume and (m := manifest_valid(docs_man_path, fp)):
-        return m
-
-    # ---- stage 1: extract (actor pool), checkpointed wholesale ----
-    if not (resume and manifest_valid(raw_man_path, fp)):
-        import shutil
-
-        shutil.rmtree(raw_dir, ignore_errors=True)
-        ds = ray.data.read_parquet(paths, columns=["url", "warc_ts", "html", "lang"])
+def _docs_pipeline(paths, docs_dir, fp, num_parts, batch_size, use_actors, concurrency):
+    """pages files → Dataset of deduped (doc_id, text, doc_len) rows,
+    writing docs/part=* files as a side effect."""
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts", "html", "lang"])
+    if use_actors:
         pool = concurrency or max(1, _cpus() - 2)
         ds = ds.map_batches(
             ExtractPages,
@@ -117,68 +99,29 @@ def build_docs(
             concurrency=pool,
             num_cpus=1,
         )
-        ds.write_parquet(raw_dir, partition_cols=["part"])
-        write_manifest(raw_man_path, stage="extract", fingerprint=fp)
+    else:
+        ds = ds.map_batches(
+            ExtractPages(num_parts), batch_format="pyarrow", batch_size=batch_size
+        )
+    writer = DocsPartWriter(docs_dir, fp)
 
-    # ---- stage 2: per-part dedup + rank, partition-level resume ----
-    present = sorted(
-        int(d.split("=")[1]) for d in os.listdir(raw_dir) if d.startswith("part=")
-    )
-    done: dict[int, dict] = {}
-    if resume:
-        for p in present:
-            pm = load_manifest(os.path.join(part_dir(docs_dir, p), "_manifest.json"))
-            if (
-                pm
-                and pm.get("fingerprint") == fp
-                and os.path.exists(os.path.join(part_dir(docs_dir, p), "data.parquet"))
-            ):
-                done[p] = pm
-    todo = [p for p in present if p not in done]
+    def write_docs_part(g: pa.Table) -> pa.Table:
+        return writer(g)
 
-    rows: list[dict] = [
-        {"part": p, "n_rows": m["n_rows"], "sum_dl": m["sum_dl"],
-         "n_dups_removed": m["n_dups_removed"], "skipped": True}
-        for p, m in done.items()
-    ]
-    if todo:
-        todo_files = []
-        for p in todo:
-            todo_files += sorted(glob.glob(os.path.join(raw_dir, f"part={p}", "*.parquet")))
-        ds2 = ray.data.read_parquet(todo_files)
-        # ensure `part` exists regardless of whether the writer kept the
-        # partition column in the data files or hoisted it into the dir
-        # name — re-derivable from url (same pure function) either way.
-        from ..functions.hashing import part_array
+    return ds.groupby("part").map_groups(write_docs_part, batch_format="pyarrow")
 
-        def with_part(t: pa.Table) -> pa.Table:
-            if "part" in t.column_names:
-                import pyarrow.compute as pc
 
-                i = t.column_names.index("part")
-                return t.set_column(i, "part", pc.cast(t.column("part"), pa.int32()))
-            return t.append_column(
-                "part", pa.array(part_array(t.column("url").to_pylist(), num_parts))
-            )
-
-        ds2 = ds2.map_batches(with_part, batch_format="pyarrow")
-        writer = DocsPartWriter(docs_dir, fp)
-
-        def write_docs_part(g: pa.Table) -> pa.Table:
-            return writer(g)
-
-        out = ds2.groupby("part").map_groups(write_docs_part, batch_format="pyarrow")
-        rows += out.to_pandas().to_dict("records")
-
-    rows.sort(key=lambda r: r["part"])
-    offsets, acc = {}, 0
-    for r in rows:
-        offsets[int(r["part"])] = acc
-        acc += int(r["n_rows"])
-    n_docs = acc
-    total_tokens = int(sum(r["sum_dl"] for r in rows))
-    manifest = write_manifest(
-        docs_man_path,
+def _collect_docs_manifest(out_dir: str, fp: str, num_parts: int) -> dict:
+    docs_dir = os.path.join(out_dir, "docs")
+    parts = []
+    for man_path in sorted(glob.glob(os.path.join(docs_dir, "part=*", "_manifest.json"))):
+        m = load_manifest(man_path)
+        if m and m.get("fingerprint") == fp:
+            parts.append(m)
+    n_docs = int(sum(p["n_rows"] for p in parts))
+    total_tokens = int(sum(p["sum_dl"] for p in parts))
+    return write_manifest(
+        os.path.join(out_dir, "docs_manifest.json"),
         stage="docs",
         fingerprint=fp,
         extra={
@@ -186,36 +129,118 @@ def build_docs(
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
-            "n_dups_removed": int(sum(r["n_dups_removed"] for r in rows)),
-            "parts": [
-                {"part": int(r["part"]), "n_rows": int(r["n_rows"]),
-                 "offset": offsets[int(r["part"])]}
-                for r in rows
-            ],
+            "n_dups_removed": int(sum(p["n_dups_removed"] for p in parts)),
+            "parts": [{"part": int(p["part"]), "n_rows": int(p["n_rows"])} for p in parts],
         },
     )
-    return manifest
+
+
+def _docs_manifest_ok(out_dir: str, fp: str) -> dict | None:
+    m = manifest_valid(os.path.join(out_dir, "docs_manifest.json"), fp)
+    if m and all(
+        os.path.exists(os.path.join(part_dir(os.path.join(out_dir, "docs"), int(p["part"])), "data.parquet"))
+        for p in m["parts"]
+    ):
+        return m
+    return None
+
+
+def _index_manifest_ok(out_dir: str, fp: str) -> dict | None:
+    m = manifest_valid(os.path.join(out_dir, "index_manifest.json"), fp)
+    if m and all(
+        os.path.exists(os.path.join(shard_dir(os.path.join(out_dir, "index"), int(s["shard"])), "terms.parquet"))
+        for s in m.get("shards", [])
+    ):
+        return m
+    return None
+
+
+def _run_index_shuffle(docs_ds, index_dir: str, fp: str, num_shards: int,
+                       batch_size: int = 1024):
+    """Shared index core: map-side SPIMI runs → groupby(shard) → writer."""
+    runs = docs_ds.map_batches(
+        TokenizeEncodeRuns(num_shards), batch_format="pyarrow", batch_size=batch_size
+    )
+    shard_writer = ShardWriter(index_dir, fp)
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        return shard_writer(g)
+
+    return runs.groupby("shard").map_groups(write_shard, batch_format="pyarrow").to_pandas()
+
+
+def _write_index_manifest(out_dir, fp, num_shards, shard_rows, docs_man) -> dict:
+    atomic_write_json(
+        os.path.join(out_dir, "stats.json"),
+        {
+            "n_docs": docs_man["n_docs"],
+            "total_tokens": docs_man["total_tokens"],
+            "avgdl": float(docs_man["avgdl"]) or 1.0,
+            "num_shards": num_shards,
+        },
+    )
+    return write_manifest(
+        os.path.join(out_dir, "index_manifest.json"),
+        stage="index",
+        fingerprint=fp,
+        extra={
+            "num_shards": num_shards,
+            "n_terms": int(shard_rows["n_terms"].sum()),
+            "n_postings": int(shard_rows["n_postings"].sum()),
+            "index_bytes": int(shard_rows["bytes"].sum()),
+            "shards": shard_rows.drop(columns=["seconds"]).to_dict("records"),
+        },
+    )
+
+
+def build_docs(
+    pages: str | list[str],
+    out_dir: str,
+    *,
+    num_parts: int = 32,
+    concurrency: int | None = None,
+    batch_size: int = 256,
+    use_actors: bool = False,
+    resume: bool = True,
+) -> dict:
+    """pages parquet → deduped docs table with deterministic ids.
+
+    Single streaming pass: extract → ``groupby(part)`` → per-part
+    dedup/id/atomic write.  Part files are the checkpoint unit: a rerun
+    recomputes extraction but rewrites only missing parts (the price of
+    not staging a second full copy of the corpus — the reference makes
+    the same call by re-reading a crashed record's source file).
+
+    ``use_actors``: the extract stage's per-worker setup today is just
+    compiled stdlib regexes (amortized by module import), so stateless
+    tasks — zero pool-spawn cost on warm workers — are the default.
+    Set True for an actor pool (the shape for a heavier extractor:
+    charset models, ML scorers — SURVEY.md §2.3 ST4).
+    """
+    paths = _resolve_pages(pages)
+    fp = _job_fp(input_fingerprint(paths), num_parts=num_parts)
+    if resume and (m := _docs_manifest_ok(out_dir, fp)):
+        return m
+    docs_dir = os.path.join(out_dir, "docs")
+    rows = _docs_pipeline(paths, docs_dir, fp, num_parts, batch_size, use_actors, concurrency)
+    rows.count()  # drive the stream; outputs land as side-effect files
+    return _collect_docs_manifest(out_dir, fp, num_parts)
 
 
 def read_docs(out_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """docs table with the deterministic global ``doc_id`` attached."""
-    manifest = load_manifest(os.path.join(out_dir, "docs_manifest.json"))
-    if manifest is None:
-        raise FileNotFoundError(f"no docs manifest under {out_dir}")
-    offsets = {p["part"]: p["offset"] for p in manifest["parts"]}
     docs_dir = os.path.join(out_dir, "docs")
     files = sorted(glob.glob(os.path.join(docs_dir, "part=*", "data.parquet")))
-    need = set(columns or [])
-    read_cols = sorted(need | {"part", "local_rank"}) if columns else None
+    if not files:
+        raise FileNotFoundError(f"no docs partitions under {docs_dir}")
+    read_cols = sorted(set(columns) | {"part", "local_rank"}) if columns else None
     ds = ray.data.read_parquet(files, columns=read_cols)
 
     def attach(t: pa.Table) -> pa.Table:
-        part = t.column("part").to_numpy()
-        off = np.array([offsets[int(p)] for p in np.unique(part)], dtype=np.int64)
-        lookup = dict(zip([int(p) for p in np.unique(part)], off))
-        doc_id = np.fromiter((lookup[int(p)] for p in part), np.int64, len(part)) + t.column(
-            "local_rank"
-        ).to_numpy()
+        doc_id = (
+            t.column("part").to_numpy().astype(np.int64) * PART_STRIDE
+            + t.column("local_rank").to_numpy()
+        )
         t = t.append_column("doc_id", pa.array(doc_id))
         if columns:
             return t.select(["doc_id", *columns])
@@ -234,67 +259,55 @@ def load_stats(out_dir: str) -> dict:
 def build_index(
     out_dir: str,
     *,
-    num_shards: int = 16,
-    bucket_bits: int = 16,
+    num_shards: int = 32,
     resume: bool = True,
 ) -> dict:
-    """docs → compressed term-sharded inverted index (the A8 shuffle)."""
+    """docs (already built) → compressed term-sharded inverted index.
+
+    The standalone/index-only rebuild path; ``build_all`` fuses this
+    with the docs stage in one execution.
+    """
     docs_man = load_manifest(os.path.join(out_dir, "docs_manifest.json"))
     if docs_man is None:
         raise FileNotFoundError("build_docs must run first")
-    fp = _job_fp(docs_man["fingerprint"], num_shards=num_shards, bucket_bits=bucket_bits)
-    index_dir = os.path.join(out_dir, "index")
-    man_path = os.path.join(out_dir, "index_manifest.json")
-    if resume and (m := manifest_valid(man_path, fp)):
-        from ..stages.index_merge import shard_dir
-
-        if all(
-            os.path.exists(os.path.join(shard_dir(index_dir, int(s["shard"])), "terms.parquet"))
-            for s in m.get("shards", [])
-        ):
-            return m
-
-    avgdl = float(docs_man["avgdl"]) or 1.0
+    fp = _job_fp(docs_man["fingerprint"], num_shards=num_shards)
+    if resume and (m := _index_manifest_ok(out_dir, fp)):
+        return m
     docs = read_docs(out_dir, columns=["text", "doc_len"])
-    postings = docs.map_batches(
-        TokenizePostings(num_shards, bucket_bits), batch_format="pyarrow"
-    )
-    encoder = EncodeRuns(avgdl)
-    shard_writer = ShardWriter(index_dir, fp)
+    shard_rows = _run_index_shuffle(docs, os.path.join(out_dir, "index"), fp, num_shards)
+    return _write_index_manifest(out_dir, fp, num_shards, shard_rows, docs_man)
 
-    def encode_runs(g: pa.Table) -> pa.Table:
-        return encoder(g)
 
-    def write_shard(g: pa.Table) -> pa.Table:
-        return shard_writer(g)
+def build_all(
+    pages: str | list[str],
+    out_dir: str,
+    *,
+    num_parts: int = 32,
+    num_shards: int = 32,
+    concurrency: int | None = None,
+    use_actors: bool = False,
+    resume: bool = True,
+) -> dict:
+    """Fused pipeline: pages → docs → index in ONE streaming execution.
 
-    runs = postings.groupby(["shard", "bucket"]).map_groups(
-        encode_runs, batch_format="pyarrow"
-    )
-    shard_rows = (
-        runs.groupby("shard").map_groups(write_shard, batch_format="pyarrow").to_pandas()
-    )
-    stats = {
-        "n_docs": docs_man["n_docs"],
-        "total_tokens": docs_man["total_tokens"],
-        "avgdl": avgdl,
-        "num_shards": num_shards,
-    }
-    atomic_write_json(os.path.join(out_dir, "stats.json"), stats)
-    manifest = write_manifest(
-        man_path,
-        stage="index",
-        fingerprint=fp,
-        extra={
-            "num_shards": num_shards,
-            "bucket_bits": bucket_bits,
-            "n_terms": int(shard_rows["n_terms"].sum()),
-            "n_postings": int(shard_rows["n_postings"].sum()),
-            "index_bytes": int(shard_rows["bytes"].sum()),
-            "shards": shard_rows.drop(columns=["seconds"]).to_dict("records"),
-        },
-    )
-    return manifest
+    Returns the index manifest.
+    """
+    paths = _resolve_pages(pages)
+    docs_fp = _job_fp(input_fingerprint(paths), num_parts=num_parts)
+    index_fp = _job_fp(docs_fp, num_shards=num_shards)
+
+    docs_ok = _docs_manifest_ok(out_dir, docs_fp) if resume else None
+    index_ok = _index_manifest_ok(out_dir, index_fp) if resume else None
+    if docs_ok and index_ok:
+        return index_ok
+    if docs_ok:  # docs complete → index-only rebuild from disk
+        return build_index(out_dir, num_shards=num_shards, resume=resume)
+
+    docs_dir = os.path.join(out_dir, "docs")
+    docs_rows = _docs_pipeline(paths, docs_dir, docs_fp, num_parts, 256, use_actors, concurrency)
+    shard_rows = _run_index_shuffle(docs_rows, os.path.join(out_dir, "index"), index_fp, num_shards)
+    docs_man = _collect_docs_manifest(out_dir, docs_fp, num_parts)
+    return _write_index_manifest(out_dir, index_fp, num_shards, shard_rows, docs_man)
 
 
 def build_text_index(
@@ -303,23 +316,20 @@ def build_text_index(
     fingerprint: str,
     *,
     num_shards: int = 4,
-    bucket_bits: int = 10,
     resume: bool = True,
 ) -> dict:
     """Index a pre-extracted text table ``(doc_id:int64, text:string)``.
 
-    The adapter for corpora that arrive as text rather than HTML (e.g.
-    the driver's ``documents`` table) — skips the extract/dedup stages
-    and reuses the tokenize → salted-merge shuffle.  The input is
-    materialized once for the stats pass; callers use this for
-    small/medium side corpora — the full pages pipeline (build_docs +
-    build_index) is the streaming 100 TB path.
+    Adapter for corpora that arrive as text (e.g. the driver's
+    ``documents`` table) — skips extract/dedup, reuses the SPIMI
+    shuffle.  The input is materialized once for the stats pass; the
+    full pages pipeline is the streaming 100 TB path.
     """
     from ray.data.aggregate import Count, Sum
 
     from ..functions.tokenize import tokenize as _tok
 
-    fp = _job_fp(fingerprint, num_shards=num_shards, bucket_bits=bucket_bits)
+    fp = _job_fp(fingerprint, num_shards=num_shards)
     man_path = os.path.join(out_dir, "index_manifest.json")
     if resume and (m := manifest_valid(man_path, fp)):
         return m
@@ -332,52 +342,20 @@ def build_text_index(
     agg = docs.aggregate(Count(), Sum("doc_len", alias_name="total_tokens"))
     n_docs = int(agg["count()"])
     total_tokens = int(agg["total_tokens"])
-    avgdl = (total_tokens / n_docs) if n_docs else 1.0
-
     atomic_write_json(
         os.path.join(out_dir, "stats.json"),
-        {"n_docs": n_docs, "total_tokens": total_tokens, "avgdl": avgdl,
-         "num_shards": num_shards},
+        {"n_docs": n_docs, "total_tokens": total_tokens,
+         "avgdl": (total_tokens / n_docs) if n_docs else 1.0, "num_shards": num_shards},
     )
-    index_dir = os.path.join(out_dir, "index")
-    postings = docs.map_batches(
-        TokenizePostings(num_shards, bucket_bits), batch_format="pyarrow"
-    )
-    encoder = EncodeRuns(avgdl)
-    shard_writer = ShardWriter(index_dir, fp)
-
-    def encode_runs(g: pa.Table) -> pa.Table:
-        return encoder(g)
-
-    def write_shard(g: pa.Table) -> pa.Table:
-        return shard_writer(g)
-
-    runs = postings.groupby(["shard", "bucket"]).map_groups(encode_runs, batch_format="pyarrow")
-    shard_rows = runs.groupby("shard").map_groups(write_shard, batch_format="pyarrow").to_pandas()
+    shard_rows = _run_index_shuffle(docs, os.path.join(out_dir, "index"), fp, num_shards)
     return write_manifest(
         man_path,
         stage="text_index",
         fingerprint=fp,
         extra={
             "num_shards": num_shards,
-            "bucket_bits": bucket_bits,
             "n_terms": int(shard_rows["n_terms"].sum()),
             "n_postings": int(shard_rows["n_postings"].sum()),
             "shards": shard_rows.drop(columns=["seconds"]).to_dict("records"),
         },
     )
-
-
-def build_all(
-    pages: str | list[str],
-    out_dir: str,
-    *,
-    num_parts: int = 16,
-    num_shards: int = 16,
-    bucket_bits: int = 16,
-    concurrency: int | None = None,
-    resume: bool = True,
-) -> dict:
-    """Full pipeline: pages → docs → index.  Returns the index manifest."""
-    build_docs(pages, out_dir, num_parts=num_parts, concurrency=concurrency, resume=resume)
-    return build_index(out_dir, num_shards=num_shards, bucket_bits=bucket_bits, resume=resume)

@@ -80,7 +80,7 @@ def ensure_documents_index(sf_dir: str) -> str:
 
     out, key = _cache_dir(sf_dir, "docidx_v1")
     os.makedirs(out, exist_ok=True)
-    build_text_index(_documents(sf_dir), out, key, num_shards=4, bucket_bits=10)
+    build_text_index(_documents(sf_dir), out, key, num_shards=4)
     return out
 
 
@@ -118,7 +118,7 @@ def q_term_df_top100(sf_dir: str):
     from ..stages.postings import TokenizePostings
 
     postings = _documents(sf_dir).map_batches(
-        TokenizePostings(num_shards=1, bucket_bits=62), batch_format="pyarrow"
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
     )
     agg = postings.groupby("term").aggregate(
         Count(alias_name="df"), Sum("tf", alias_name="cf")
@@ -407,7 +407,7 @@ def q_pages_engine_e2e(sf_dir: str):
 
     pages_dir = ensure_pages(240, seed=42)
     out = os.path.join("/tmp/gvi_catalog", "pages_e2e_v1")
-    build_all(pages_dir, out, num_parts=4, num_shards=4, bucket_bits=6)
+    build_all(pages_dir, out, num_parts=4, num_shards=4)
     idx = LocalIndex(out)
     rows = []
     for q in REFERENCE_QUERIES:

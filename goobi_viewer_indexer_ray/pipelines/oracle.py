@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 
 from ..functions.extract import extract_text
 from ..functions.hashing import part_for
+from ..functions.ids import PART_STRIDE
 from ..functions.scoring import B, K1
 from ..functions.tokenize import tokenize
 
@@ -59,16 +60,14 @@ def build_oracle(pages_rows: list[dict], num_parts: int) -> OracleCorpus:
         parts.setdefault(part_for(url, num_parts), []).append(url)
 
     corpus = OracleCorpus()
-    offset = 0
     for p in sorted(parts):
         for rank, url in enumerate(sorted(parts[p])):
             text = extract_text(latest[url]["html"])
             toks = tokenize(text)
-            doc = OracleDoc(url=url, doc_id=offset + rank, text=text,
+            doc = OracleDoc(url=url, doc_id=p * PART_STRIDE + rank, text=text,
                             tf=dict(Counter(toks)), dl=len(toks))
             corpus.docs.append(doc)
             corpus.by_url[url] = doc
-        offset += len(parts[p])
 
     corpus.n_docs = len(corpus.docs)
     total = 0

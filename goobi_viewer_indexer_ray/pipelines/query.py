@@ -2,9 +2,10 @@
 
 The query-side counterpart of the work the reference delegates to
 Solr/Lucene (SURVEY.md §2.3 ST5, §2.7 O5): a stateful actor-pool stage
-— each actor loads the compressed index once in ``__init__`` and scores
-query batches in ``__call__`` (``ds.map_batches(SearchEngine,
-concurrency=N)``).
+— each actor loads the compressed index once in ``__init__``
+(columnar: term dict + flat numpy block-metadata arrays + Arrow binary
+payloads, no per-row Python materialization) and scores query batches
+in ``__call__`` (``ds.map_batches(SearchEngine, concurrency=N)``).
 
 Two scorers, both producing EXACT float64 scores per the spec in
 ``functions/scoring.py`` (rank-identity contract):
@@ -14,27 +15,24 @@ Two scorers, both producing EXACT float64 scores per the spec in
 - :func:`topk_wand` — **block-max interval-sweep pruning** (a BMW
   variant suited to vectorized execution): the elementary intervals
   induced by all block boundaries partition doc-id space; for each
-  interval the sum of covering blocks' ``idf·max_impact`` is an
+  interval the sum of covering blocks' ``idf·impact(max_tf, min_dl)`` is an
   admissible upper bound on any doc's score inside it.  Intervals are
   processed in descending bound order, so once the bound falls below
-  the current top-k threshold θ every remaining interval is pruned and
-  the sweep stops.  Surviving intervals decode only their covering
-  blocks and score exactly.  Verified ``== topk_exact`` in tests.
+  the current top-k threshold θ every remaining interval — and the
+  whole sweep — is pruned.  Surviving intervals decode only their
+  covering blocks and score exactly.  Verified ``== topk_exact``.
 
-Scale note: ``SearchEngine`` holds every shard of the index (fine at
-single-node scale, and each actor mmaps compressed parquet).  At
-10^12-doc scale the same actor class is deployed per *shard group*:
-either document-partitioned replicas (each serving its doc range,
-driver merges per-shard top-k — the classic search-serving layout), or
-a two-phase gather (terms → posting fetch from term-sharded storage →
-scoring actor).  The scoring core is identical; only the partitioning
-assumption changes, and it is documented here per SURVEY.md's custom-
-operator rule.
+Scale note: ``SearchEngine`` holds every shard (fine single-node; the
+index is compressed + columnar).  At 10^12-doc scale the same actor
+class is deployed per shard group: either document-partitioned
+replicas (each serving its doc range, driver merges per-shard top-k —
+the classic serving layout) or a two-phase term-gather against the
+term-sharded store.  The scoring core is identical; only the
+partitioning assumption changes (documented per SURVEY.md §2.10).
 """
 
 from __future__ import annotations
 
-import heapq
 import json
 import os
 
@@ -42,13 +40,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.codec import decode_block, decode_term
+from ..functions.codec import decode_varints
 from ..functions.scoring import idf as idf_fn
 from ..functions.scoring import impact
 from ..functions.tokenize import tokenize
 from ..stages.index_merge import shard_paths
 
-__all__ = ["LocalIndex", "SearchEngine", "topk_exact", "topk_wand", "search"]
+__all__ = ["LocalIndex", "SearchEngine", "topk_exact", "topk_wand", "search", "load_index_refs"]
 
 RESULT_SCHEMA = pa.schema(
     [
@@ -60,38 +58,153 @@ RESULT_SCHEMA = pa.schema(
 )
 
 
-class LocalIndex:
-    """In-memory term dictionary over compressed shard files."""
+class _Shard:
+    """Columnar view of one shard table (flat block arrays, zero-copy-ish)."""
 
-    def __init__(self, out_dir: str, shards: list[int] | None = None):
-        self.out_dir = out_dir
-        with open(os.path.join(out_dir, "stats.json")) as f:
-            stats = json.load(f)
+    def __init__(self, t: pa.Table):
+        self.df = t.column("df").to_numpy()
+        self.cf = t.column("cf").to_numpy()
+        la = t.column("blocks").combine_chunks()
+        self.blk_off = la.offsets.to_numpy()
+        sv = la.values
+        self.b_n = sv.field("n").to_numpy()
+        self.b_first = sv.field("first_doc").to_numpy()
+        self.b_max = sv.field("max_doc").to_numpy()
+        self.b_max_tf = sv.field("max_tf").to_numpy()
+        self.b_min_dl = sv.field("min_dl").to_numpy()
+        self.b_docs = sv.field("docs")
+        self.b_tfs = sv.field("tfs")
+        self.b_dls = sv.field("dls")
+        self.terms = t.column("term").to_pylist()
+
+
+class TermRef:
+    """Lightweight handle to one term's postings inside a shard."""
+
+    __slots__ = ("shard", "row", "_s", "_e")
+
+    def __init__(self, shard: _Shard, row: int):
+        self.shard = shard
+        self.row = row
+        self._s = int(shard.blk_off[row])
+        self._e = int(shard.blk_off[row + 1])
+
+    @property
+    def df(self) -> int:
+        return int(self.shard.df[self.row])
+
+    @property
+    def cf(self) -> int:
+        return int(self.shard.cf[self.row])
+
+    @property
+    def n_blocks(self) -> int:
+        return self._e - self._s
+
+    def block_meta(self):
+        """(first_doc, max_doc, max_tf, min_dl) numpy views (all blocks)."""
+        s, e = self._s, self._e
+        sh = self.shard
+        return sh.b_first[s:e], sh.b_max[s:e], sh.b_max_tf[s:e], sh.b_min_dl[s:e]
+
+    def decode_block(self, i: int):
+        s = self._s + i
+        sh = self.shard
+        gaps = decode_varints(sh.b_docs[s].as_py()).astype(np.int64)
+        docs = np.cumsum(gaps)
+        tfs = decode_varints(sh.b_tfs[s].as_py()).astype(np.int64)
+        dls = decode_varints(sh.b_dls[s].as_py()).astype(np.int64)
+        return docs, tfs, dls
+
+    def decode_all(self):
+        """All postings of the term in one segmented decode pass."""
+        return self._decode_idx(range(self._s, self._e))
+
+    def decode_blocks(self, sel) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Selected blocks (local indices, ascending) in one decode pass."""
+        return self._decode_idx([self._s + int(i) for i in sel])
+
+    def _decode_idx(self, idxs):
+        sh = self.shard
+        ns = sh.b_n[list(idxs)].astype(np.int64)
+        gaps = decode_varints(b"".join(sh.b_docs[i].as_py() for i in idxs)).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(ns)[:-1]]).astype(np.int64)
+        cs = np.cumsum(gaps)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        docs = cs - np.repeat(base, ns)
+        tfs = decode_varints(b"".join(sh.b_tfs[i].as_py() for i in idxs)).astype(np.int64)
+        dls = decode_varints(b"".join(sh.b_dls[i].as_py() for i in idxs)).astype(np.int64)
+        return docs, tfs, dls
+
+
+class LocalIndex:
+    """In-memory term dictionary over compressed shard tables.
+
+    Construct from an index directory (reads shard files) or from
+    pre-loaded Arrow tables (e.g. zero-copy out of the Ray object
+    store — see :func:`load_index_refs`).
+    """
+
+    def __init__(self, out_dir: str | None = None, shards: list[int] | None = None,
+                 *, tables: list[pa.Table] | None = None, stats: dict | None = None):
+        if stats is None:
+            assert out_dir is not None
+            with open(os.path.join(out_dir, "stats.json")) as f:
+                stats = json.load(f)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"]) or 1.0
-        self.terms: dict[str, dict] = {}
-        index_dir = os.path.join(out_dir, "index")
-        for path in shard_paths(index_dir):
-            if shards is not None:
-                sid = int(os.path.basename(os.path.dirname(path)).split("=")[1])
-                if sid not in shards:
-                    continue
-            t = pq.read_table(path)
-            for row in t.to_pylist():
-                self.terms[row["term"]] = row
+        self._lookup: dict[str, TermRef] = {}
+        if tables is None:
+            assert out_dir is not None
+            tables = []
+            for path in shard_paths(os.path.join(out_dir, "index")):
+                if shards is not None:
+                    sid = int(os.path.basename(os.path.dirname(path)).split("=")[1])
+                    if sid not in shards:
+                        continue
+                tables.append(pq.read_table(path))
+        for t in tables:
+            sh = _Shard(t)
+            for i, term in enumerate(sh.terms):
+                self._lookup[term] = TermRef(sh, i)
 
-    def lookup(self, term: str) -> dict | None:
-        return self.terms.get(term)
+    @property
+    def n_terms(self) -> int:
+        return len(self._lookup)
+
+    def lookup(self, term: str) -> TermRef | None:
+        return self._lookup.get(term)
 
 
-def _query_terms(index: LocalIndex, query: str) -> list[tuple[float, dict]]:
-    """Distinct query terms present in the index, ascending unicode order
-    (the spec's fixed association order), with their idf."""
+def load_index_refs(out_dir: str):
+    """Load every index shard into the Ray object store ONCE (parallel
+    read tasks) → ``(stats, [ObjectRef[pa.Table]])``.
+
+    Actors then map the shared Arrow buffers zero-copy instead of each
+    re-reading the parquet from disk — broadcast-once, read-everywhere
+    (the ``ray.put`` small-side pattern applied to the index itself).
+    """
+    import ray
+
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        stats = json.load(f)
+
+    @ray.remote
+    def read_shard(path: str) -> pa.Table:
+        return pq.read_table(path)
+
+    refs = [read_shard.remote(p) for p in shard_paths(os.path.join(out_dir, "index"))]
+    return stats, refs
+
+
+def _query_terms(index: LocalIndex, query: str) -> list[tuple[float, TermRef]]:
+    """Distinct query terms present in the index, ascending unicode
+    order (the spec's fixed association order), with their idf."""
     out = []
     for t in sorted(set(tokenize(query))):
-        row = index.lookup(t)
-        if row is not None:
-            out.append((float(idf_fn(index.n_docs, row["df"])), row))
+        ref = index.lookup(t)
+        if ref is not None:
+            out.append((float(idf_fn(index.n_docs, ref.df)), ref))
     return out
 
 
@@ -106,8 +219,8 @@ def topk_exact(index: LocalIndex, query: str, k: int):
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     doc_parts, contrib_parts = [], []
-    for w, row in terms:  # ascending term order → spec association order
-        docs, tfs, dls = decode_term(row["blocks"])
+    for w, ref in terms:  # ascending term order → spec association order
+        docs, tfs, dls = ref.decode_all()
         doc_parts.append(docs)
         contrib_parts.append(w * impact(tfs, dls, index.avgdl))
     all_docs = np.concatenate(doc_parts)
@@ -118,30 +231,70 @@ def topk_exact(index: LocalIndex, query: str, k: int):
     return _rank_topk(uniq, scores, k)
 
 
+def _topk_single_term(index: LocalIndex, w: float, ref: TermRef, k: int):
+    """Single-term block-max: process blocks in descending ub order,
+    stop when a block's bound cannot beat the current kth score."""
+    _, _, max_tf, min_dl = ref.block_meta()
+    ub = w * impact(max_tf, min_dl, index.avgdl)
+    order = np.argsort(-ub, kind="stable")
+    cand_d: list[np.ndarray] = []
+    cand_s: list[np.ndarray] = []
+    n_cand = 0
+    theta = -np.inf
+    BCHUNK = 16
+    for bs in range(0, order.size, BCHUNK):
+        grp = order[bs : bs + BCHUNK]
+        if n_cand >= k and ub[grp[0]] < theta:
+            break
+        if n_cand >= k:
+            grp = grp[ub[grp] >= theta]
+            if grp.size == 0:
+                continue
+        docs, tfs, dls = ref.decode_blocks(np.sort(grp))
+        scores = w * impact(tfs, dls, index.avgdl)
+        cand_d.append(docs)
+        cand_s.append(scores)
+        n_cand += docs.size
+        if n_cand >= k:
+            s_all = np.concatenate(cand_s) if len(cand_s) > 1 else cand_s[0]
+            theta = np.partition(s_all, s_all.size - k)[s_all.size - k]
+            if s_all.size > 16 * k:
+                d_all = np.concatenate(cand_d) if len(cand_d) > 1 else cand_d[0]
+                keep = s_all >= theta
+                cand_d, cand_s = [d_all[keep]], [s_all[keep]]
+                n_cand = int(keep.sum())
+    if not cand_d:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    return _rank_topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
+
+
 def topk_wand(index: LocalIndex, query: str, k: int):
     """Block-max interval-sweep pruning; exact scores (== topk_exact)."""
     terms = _query_terms(index, query)
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    if len(terms) == 1:
+        return _topk_single_term(index, terms[0][0], terms[0][1], k)
 
-    # flat block table over all query terms
-    b_term, b_idx, b_first, b_max, b_ub = [], [], [], [], []
-    for ti, (w, row) in enumerate(terms):
-        for bi, blk in enumerate(row["blocks"]):
-            b_term.append(ti)
-            b_idx.append(bi)
-            b_first.append(blk["first_doc"])
-            b_max.append(blk["max_doc"])
-            b_ub.append(w * float(blk["max_impact"]))
-    b_term = np.array(b_term, np.int64)
-    b_idx = np.array(b_idx, np.int64)
-    b_first = np.array(b_first, np.int64)
-    b_max = np.array(b_max, np.int64)
-    b_ub = np.array(b_ub, np.float64)
+    # flat block table over all query terms (term-ascending order)
+    tb_first, tb_max, tb_ub, tb_term, tb_idx = [], [], [], [], []
+    for ti, (w, ref) in enumerate(terms):
+        first, maxd, max_tf, min_dl = ref.block_meta()
+        nb = first.size
+        tb_first.append(first)
+        tb_max.append(maxd)
+        tb_ub.append(w * impact(max_tf, min_dl, index.avgdl))
+        tb_term.append(np.full(nb, ti, np.int64))
+        tb_idx.append(np.arange(nb, dtype=np.int64))
+    b_first = np.concatenate(tb_first)
+    b_max = np.concatenate(tb_max)
+    b_ub = np.concatenate(tb_ub)
+    b_term = np.concatenate(tb_term)
+    b_idx = np.concatenate(tb_idx)
 
     # elementary intervals from block boundaries; Σ ub per interval
     bounds = np.unique(np.concatenate([b_first, b_max + 1]))
-    lo = bounds[:-1]  # interval i = [lo[i], bounds[i+1]-1]
+    lo = bounds[:-1]
     start_idx = np.searchsorted(bounds, b_first)
     end_idx = np.searchsorted(bounds, b_max + 1)
     delta = np.zeros(bounds.size, np.float64)
@@ -150,31 +303,55 @@ def topk_wand(index: LocalIndex, query: str, k: int):
     ub_per_interval = np.cumsum(delta)[:-1]
 
     order = np.argsort(-ub_per_interval, kind="stable")
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-    decoded: dict[tuple[int, int], tuple] = {}
-    cand_scores: dict[int, float] = {}
+    hi = bounds[1:] - 1  # interval i = [lo[i], hi[i]]
+    # flat-array slice [t0, t1) of each term's blocks
+    nb_per_term = np.array([t[1].n_blocks for t in terms], np.int64)
+    term_off = np.concatenate([[0], np.cumsum(nb_per_term)])
+    # candidate buffers; each doc lies in exactly ONE interval, and an
+    # interval's docs are fully scored within the chunk that processes
+    # it (every block containing a doc covers the doc's interval), so
+    # concatenation never splits or duplicates a doc's score.
+    cand_d: list[np.ndarray] = []
+    cand_s: list[np.ndarray] = []
+    n_cand = 0
+    theta = -np.inf
+    CHUNK = 256
 
-    for ii in order:
-        ub = ub_per_interval[ii]
-        if len(heap) >= k and ub < heap[0][0]:
+    cs_ = 0
+    while cs_ < order.size:
+        chunk = order[cs_ : cs_ + CHUNK]
+        cs_ += CHUNK
+        if n_cand >= k and ub_per_interval[chunk[0]] < theta:
             break  # descending order → everything else is pruned too
-        ilo, ihi = int(lo[ii]), int(bounds[ii + 1]) - 1
-        covering = np.flatnonzero((b_first <= ilo) & (b_max >= ilo))
-        if covering.size == 0:
-            continue
-        doc_parts, contrib_parts = [], []
-        for ci in covering:  # covering is ascending → term-ascending order
-            key = (int(b_term[ci]), int(b_idx[ci]))
-            if key not in decoded:
-                decoded[key] = decode_block(terms[key[0]][1]["blocks"][key[1]])
-            docs, tfs, dls = decoded[key]
-            s = np.searchsorted(docs, ilo, "left")
-            e = np.searchsorted(docs, ihi, "right")
-            if s == e:
+        if n_cand >= k:
+            remaining = ub_per_interval[order[cs_:]]
+            if remaining.size > 2 * CHUNK and float(np.mean(remaining < theta)) < 0.05:
+                # θ is not discriminating on this score distribution —
+                # the sweep would degenerate to exhaustive scoring plus
+                # per-interval overhead.  Abandon it for the plain
+                # vectorized exhaustive scorer (identical results).
+                return topk_exact(index, query, k)
+            chunk = chunk[ub_per_interval[chunk] >= theta]
+            if chunk.size == 0:
                 continue
-            w = terms[key[0]][0]
-            doc_parts.append(docs[s:e])
-            contrib_parts.append(w * impact(tfs[s:e], dls[s:e], index.avgdl))
+        los = np.sort(lo[chunk])
+        his = hi[np.searchsorted(lo, los)]  # hi of each chunk interval
+        # blocks covering ≥1 chunk interval (contain some interval lo)
+        n_cov = np.searchsorted(los, b_max, "right") - np.searchsorted(los, b_first, "left")
+        relevant = np.flatnonzero(n_cov > 0)
+        doc_parts, contrib_parts = [], []
+        for ti, (w, ref) in enumerate(terms):  # ascending term order
+            sel = relevant[(relevant >= term_off[ti]) & (relevant < term_off[ti + 1])]
+            if sel.size == 0:
+                continue
+            docs, tfs, dls = ref.decode_blocks(sel - term_off[ti])
+            # postings whose doc falls inside any chunk interval
+            pos = np.searchsorted(los, docs, "right") - 1
+            mask = (pos >= 0) & (docs <= his[np.maximum(pos, 0)])
+            if not mask.any():
+                continue
+            doc_parts.append(docs[mask])
+            contrib_parts.append(w * impact(tfs[mask], dls[mask], index.avgdl))
         if not doc_parts:
             continue
         all_docs = np.concatenate(doc_parts)
@@ -182,19 +359,25 @@ def topk_wand(index: LocalIndex, query: str, k: int):
         uniq, inv = np.unique(all_docs, return_inverse=True)
         scores = np.zeros(uniq.size, np.float64)
         np.add.at(scores, inv, all_contrib)
-        for d, s in zip(uniq.tolist(), scores.tolist()):
-            item = (s, -d)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+        cand_d.append(uniq)
+        cand_s.append(scores)
+        n_cand += uniq.size
+        if n_cand >= k:
+            s_all = np.concatenate(cand_s) if len(cand_s) > 1 else cand_s[0]
+            # θ = kth-best score so far; pruning is strict (< θ) so
+            # θ-ties survive for the doc_id tie-break
+            theta = np.partition(s_all, s_all.size - k)[s_all.size - k]
+            if s_all.size > 16 * k:  # consolidate, keeping every θ-tie
+                d_all = np.concatenate(cand_d) if len(cand_d) > 1 else cand_d[0]
+                keep = s_all >= theta
+                cand_d, cand_s = [d_all[keep]], [s_all[keep]]
+                n_cand = int(keep.sum())
 
-    if not heap:
+    if not cand_d:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    items = sorted(heap, key=lambda x: (-x[0], -x[1]))
-    doc_ids = np.array([-d for _, d in items], np.int64)
-    scores = np.array([s for s, _ in items], np.float64)
-    return doc_ids, scores
+    d_all = np.concatenate(cand_d)
+    s_all = np.concatenate(cand_s)
+    return _rank_topk(d_all, s_all, k)
 
 
 class SearchEngine:
@@ -204,8 +387,15 @@ class SearchEngine:
     batch out: ``(query_id, rank, doc_id, score)``.
     """
 
-    def __init__(self, out_dir: str, use_wand: bool = True):
-        self.index = LocalIndex(out_dir)
+    def __init__(self, out_dir: str | None = None, use_wand: bool = True,
+                 *, index_refs=None, stats: dict | None = None):
+        if index_refs is not None:
+            import ray
+
+            tables = ray.get(list(index_refs))  # zero-copy shared buffers
+            self.index = LocalIndex(tables=tables, stats=stats)
+        else:
+            self.index = LocalIndex(out_dir)
         self.scorer = topk_wand if use_wand else topk_exact
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -249,11 +439,14 @@ def search(out_dir: str, queries, *, use_wand: bool = True, concurrency: int = 2
                 }
             )
         )
+    if ds.num_blocks() < concurrency:
+        ds = ds.repartition(concurrency)
+    stats, refs = load_index_refs(out_dir)
     return ds.map_batches(
         SearchEngine,
-        fn_constructor_kwargs={"out_dir": out_dir, "use_wand": use_wand},
+        fn_constructor_kwargs={"use_wand": use_wand, "index_refs": refs, "stats": stats},
         batch_format="pyarrow",
-        batch_size=64,
+        batch_size=8,
         concurrency=concurrency,
         num_cpus=1,
     )

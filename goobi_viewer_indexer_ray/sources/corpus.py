@@ -184,21 +184,44 @@ def gen_pages(n: int, seed: int = 42) -> pa.Table:
 
 
 def write_pages(out_dir: str, n: int, seed: int = 42, rows_per_file: int = 4 * CHUNK) -> list[str]:
-    """Write the corpus as a sharded parquet directory; returns file paths."""
+    """Write the corpus as a sharded parquet directory; returns file paths.
+
+    Generation is chunk-deterministic, so when a Ray session is live and
+    the corpus is large, chunks are generated as parallel Ray tasks —
+    the file contents are identical either way.
+    """
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
-    fileno = 0
-    buf: list[pa.Table] = []
-    buffered = 0
-    for c in range((n + CHUNK - 1) // CHUNK):
-        buf.append(gen_pages_chunk(c, n, seed))
-        buffered += buf[-1].num_rows
-        if buffered >= rows_per_file or c == (n + CHUNK - 1) // CHUNK - 1:
-            path = os.path.join(out_dir, f"pages-{fileno:05d}.parquet")
-            pq.write_table(pa.concat_tables(buf), path)
-            paths.append(path)
-            buf, buffered = [], 0
-            fileno += 1
+    n_chunks = (n + CHUNK - 1) // CHUNK
+    chunks_per_file = max(1, rows_per_file // CHUNK)
+
+    use_ray = False
+    if n >= 16 * CHUNK:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            pass
+
+    def file_chunk_ids(fileno: int) -> list[int]:
+        return list(range(fileno * chunks_per_file, min((fileno + 1) * chunks_per_file, n_chunks)))
+
+    n_files = (n_chunks + chunks_per_file - 1) // chunks_per_file
+    paths = [os.path.join(out_dir, f"pages-{f:05d}.parquet") for f in range(n_files)]
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def gen_file(path: str, cids: list[int]) -> str:
+            tables = [gen_pages_chunk(c, n, seed) for c in cids]
+            pq.write_table(pa.concat_tables(tables), path)
+            return path
+
+        ray.get([gen_file.remote(p, file_chunk_ids(f)) for f, p in enumerate(paths)])
+    else:
+        for f, p in enumerate(paths):
+            tables = [gen_pages_chunk(c, n, seed) for c in file_chunk_ids(f)]
+            pq.write_table(pa.concat_tables(tables), p)
     return paths
 
 

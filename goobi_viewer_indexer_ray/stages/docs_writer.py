@@ -1,17 +1,16 @@
-"""Docs partition writer: dedup-keep-latest + deterministic local ranks.
+"""Docs partition writer: dedup-keep-latest + deterministic doc ids.
 
 Per url-hash partition (the data-repository analog, SURVEY.md §4.1):
 
 1. keep the latest crawl per ``url`` — max ``warc_ts``, the reference's
    delete-before-insert upsert / URN-collision semantics
    (``Indexer.java:1695-1756``, ``AbstractWriteStrategy.java:158-195``);
-2. sort by ``url`` and assign ``local_rank`` 0..n-1 — stage one of the
-   deterministic two-phase doc_id assignment (global
-   ``doc_id = offset[part] + local_rank`` after a driver-side prefix
-   sum over part counts, replacing the reference's random-UUID IDDOCs,
-   ``Indexer.java:480``);
+2. sort by ``url``; ``doc_id = part * PART_STRIDE + local_rank``
+   (``functions/ids.py`` — no cross-partition coordination);
 3. write ONE atomic parquet file per partition + a per-part manifest —
-   the partition-level checkpoint unit for resume.
+   the partition-level checkpoint unit for resume;
+4. **return the deduped, id-assigned rows** so the index build
+   continues streaming in the same pipeline (fused docs+index).
 """
 
 from __future__ import annotations
@@ -24,9 +23,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..functions.ids import PART_STRIDE
 from ..state.manifest import atomic_write_bytes, atomic_write_json, load_manifest
 
-__all__ = ["DocsPartWriter", "part_dir", "DOCS_SCHEMA"]
+__all__ = ["DocsPartWriter", "part_dir", "DOCS_SCHEMA", "DOCS_OUT_SCHEMA"]
 
 DOCS_SCHEMA = pa.schema(
     [
@@ -37,6 +37,15 @@ DOCS_SCHEMA = pa.schema(
         ("doc_len", pa.int32()),
         ("part", pa.int32()),
         ("local_rank", pa.int64()),
+    ]
+)
+
+# rows passed on to the fused index build
+DOCS_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("doc_len", pa.int32()),
     ]
 )
 
@@ -52,15 +61,10 @@ class DocsPartWriter:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.time()
-        part = group.column("part")[0].as_py()
+        part = int(group.column("part")[0].as_py())
         pdir = part_dir(self.docs_dir, part)
         out_path = os.path.join(pdir, "data.parquet")
         man_path = os.path.join(pdir, "_manifest.json")
-
-        existing = load_manifest(man_path)
-        if existing and existing.get("fingerprint") == self.fingerprint and os.path.exists(out_path):
-            return self._manifest_row(part, existing["n_rows"], existing["sum_dl"],
-                                      existing["n_dups_removed"], existing["bytes"], 0.0, True)
 
         n_in = group.num_rows
         # latest crawl per url: stable sort (url asc, warc_ts desc), first wins
@@ -70,38 +74,38 @@ class DocsPartWriter:
         if len(urls) > 1:
             keep[1:] = urls[1:] != urls[:-1]
         g = g.filter(pa.array(keep))
-        g = g.append_column("local_rank", pa.array(np.arange(g.num_rows, dtype=np.int64)))
-        g = g.select([f.name for f in DOCS_SCHEMA])
+        local_rank = np.arange(g.num_rows, dtype=np.int64)
+        g = g.append_column("local_rank", pa.array(local_rank))
+        g = g.select([f.name for f in DOCS_SCHEMA]).cast(DOCS_SCHEMA)
 
-        buf = io.BytesIO()
-        pq.write_table(g.cast(DOCS_SCHEMA), buf, compression="zstd")
-        data = buf.getvalue()
-        atomic_write_bytes(out_path, data)
-        sum_dl = int(np.sum(g.column("doc_len").to_numpy(), dtype=np.int64))
-        atomic_write_json(
-            man_path,
-            {
-                "fingerprint": self.fingerprint,
-                "part": part,
-                "n_rows": g.num_rows,
-                "sum_dl": sum_dl,
-                "n_dups_removed": n_in - g.num_rows,
-                "bytes": len(data),
-            },
+        existing = load_manifest(man_path)
+        already = (
+            existing
+            and existing.get("fingerprint") == self.fingerprint
+            and os.path.exists(out_path)
         )
-        return self._manifest_row(part, g.num_rows, sum_dl, n_in - g.num_rows, len(data),
-                                  time.time() - t0, False)
+        if not already:
+            buf = io.BytesIO()
+            pq.write_table(g, buf, compression="zstd")
+            data = buf.getvalue()
+            atomic_write_bytes(out_path, data)
+            atomic_write_json(
+                man_path,
+                {
+                    "fingerprint": self.fingerprint,
+                    "part": part,
+                    "n_rows": g.num_rows,
+                    "sum_dl": int(np.sum(g.column("doc_len").to_numpy(), dtype=np.int64)),
+                    "n_dups_removed": n_in - g.num_rows,
+                    "bytes": len(data),
+                    "seconds": time.time() - t0,
+                },
+            )
 
-    @staticmethod
-    def _manifest_row(part, n_rows, sum_dl, n_dups, nbytes, seconds, skipped) -> pa.Table:
         return pa.table(
             {
-                "part": pa.array([part], pa.int32()),
-                "n_rows": pa.array([n_rows], pa.int64()),
-                "sum_dl": pa.array([sum_dl], pa.int64()),
-                "n_dups_removed": pa.array([n_dups], pa.int64()),
-                "bytes": pa.array([nbytes], pa.int64()),
-                "seconds": pa.array([seconds], pa.float64()),
-                "skipped": pa.array([skipped]),
+                "doc_id": pa.array(part * PART_STRIDE + local_rank),
+                "text": g.column("text"),
+                "doc_len": g.column("doc_len"),
             }
         )

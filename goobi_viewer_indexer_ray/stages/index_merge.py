@@ -1,62 +1,54 @@
-"""Index merge: posting rows → compressed per-shard term files.
+"""Index merge: compressed SPIMI runs → per-shard term files.
 
 The reduce side of SURVEY.md §2.6 A8 (the work the reference delegates
-to Lucene's index writer), as a salted two-stage shuffle (§4.1):
+to Lucene's index writer).  Input: the ``groupby("shard")`` groups of
+:class:`~..stages.postings.TokenizeEncodeRuns` output — per-(term,
+batch) compressed runs.  For each shard:
 
-- **Stage A — EncodeRuns**: ``groupby(["shard", "bucket"])`` where
-  ``bucket = doc_id >> bucket_bits`` is a doc-range salt.  Each group
-  sorts its postings by (term, doc_id) and encodes per-term runs of
-  delta+varint blocks.  Group memory is bounded by (postings of one
-  shard within one doc range), tunable via ``bucket_bits`` — this is
-  what keeps a head term ("the", df≈N) from materializing all N of its
-  postings in one reducer.
-- **Stage B — ShardWriter**: ``groupby("shard")`` over the *compressed*
-  runs (≈5–10× smaller than raw postings).  Buckets partition doc-id
-  space in increasing order, so merging a term's runs is a plain
-  concatenation of independently-decodable block lists — no decode, no
-  re-sort.  Each shard is written as ONE atomic parquet file plus a
-  per-shard manifest (the checkpoint unit for index resume).
+1. sort runs by (term, first_doc);
+2. decode ALL runs in three vectorized passes (one segmented varint
+   decode per column for the whole shard — no per-run Python work);
+3. re-sort per term by doc_id and **re-encode canonically** into
+   ``BLOCK_SIZE`` blocks with per-block ``max_doc`` / ``max_tf`` /
+   ``min_dl`` metadata (the WAND bound needs no global stats — this is
+   what lets docs+index run as one fused pipeline) — so the final index bytes are a pure function of the
+   logical postings, independent of how Ray batched the map side
+   (required for resume byte-identity and rank determinism);
+4. write ONE atomic ``terms.parquet`` per shard + a shard manifest
+   (the checkpoint unit; reference analog: commit-per-record,
+   ``SolrSearchIndex.java:538``).
 
-Reference parity anchors: commit-per-record → atomic per-shard rename
-(``SolrSearchIndex.java:538``); spill batching → block size
-(``SerializingSolrWriteStrategy.java:77``).
+Memory note: step 3 holds one shard's decoded postings (~16 B/posting).
+Size ``num_shards`` so a shard's postings fit a worker; a pathological
+head term at 10^12 docs would additionally need term-row segmentation
+by doc range (future work, documented in SURVEY.md §4.1).
 """
 
 from __future__ import annotations
 
+import io
 import os
 import time
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.codec import encode_term_blocks
+from ..functions.codec import BLOCK_SIZE, decode_varints, encode_varints_segmented
 from ..state.manifest import atomic_write_bytes, atomic_write_json, load_manifest
 
-__all__ = ["BLOCK_STRUCT", "RUNS_SCHEMA", "TERMS_SCHEMA", "EncodeRuns", "ShardWriter", "shard_paths"]
+__all__ = ["BLOCK_STRUCT", "TERMS_SCHEMA", "ShardWriter", "shard_dir", "shard_paths"]
 
 BLOCK_STRUCT = pa.struct(
     [
         ("n", pa.int32()),
         ("first_doc", pa.int64()),
         ("max_doc", pa.int64()),
-        ("max_impact", pa.float32()),
+        ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()),
         ("docs", pa.binary()),
         ("tfs", pa.binary()),
         ("dls", pa.binary()),
-    ]
-)
-
-RUNS_SCHEMA = pa.schema(
-    [
-        ("term", pa.string()),
-        ("shard", pa.int32()),
-        ("bucket", pa.int32()),
-        ("df", pa.int64()),
-        ("cf", pa.int64()),
-        ("blocks", pa.list_(BLOCK_STRUCT)),
     ]
 )
 
@@ -68,44 +60,6 @@ TERMS_SCHEMA = pa.schema(
         ("blocks", pa.list_(BLOCK_STRUCT)),
     ]
 )
-
-
-class EncodeRuns:
-    """(shard, bucket) posting group → per-term compressed runs."""
-
-    def __init__(self, avgdl: float):
-        self.avgdl = float(avgdl)
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        terms_arr = group.column("term").to_pandas()
-        codes, uniques = pd.factorize(terms_arr, sort=True)
-        doc = group.column("doc_id").to_numpy()
-        tf = group.column("tf").to_numpy().astype(np.int64)
-        dl = group.column("dl").to_numpy().astype(np.int64)
-        order = np.lexsort((doc, codes))
-        codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
-        starts = np.flatnonzero(np.diff(codes, prepend=-1))
-        ends = np.append(starts[1:], codes.size)
-
-        shard = group.column("shard")[0].as_py()
-        bucket = group.column("bucket")[0].as_py()
-        out_terms, out_df, out_cf, out_blocks = [], [], [], []
-        for s, e in zip(starts, ends):
-            out_terms.append(uniques[codes[s]])
-            out_df.append(int(e - s))
-            out_cf.append(int(tf[s:e].sum()))
-            out_blocks.append(encode_term_blocks(doc[s:e], tf[s:e], dl[s:e], self.avgdl))
-        n = len(out_terms)
-        return pa.table(
-            {
-                "term": pa.array(out_terms, pa.string()),
-                "shard": pa.array([shard] * n, pa.int32()),
-                "bucket": pa.array([bucket] * n, pa.int32()),
-                "df": pa.array(out_df, pa.int64()),
-                "cf": pa.array(out_cf, pa.int64()),
-                "blocks": pa.array(out_blocks, pa.list_(BLOCK_STRUCT)),
-            }
-        )
 
 
 def shard_dir(index_dir: str, shard: int) -> str:
@@ -122,13 +76,12 @@ def shard_paths(index_dir: str) -> list[str]:
     return out
 
 
-class ShardWriter:
-    """Shard's run rows → one atomic ``terms.parquet`` + shard manifest.
+def _concat_bytes(col: pa.ChunkedArray | pa.Array) -> bytes:
+    return b"".join(col.to_pylist())
 
-    Emits a one-row manifest table per shard (collected by the driver
-    into the index manifest — the lineage/metrics ledger, the analog of
-    the reference's success-marker files, ``MetsIndexer.java:176-262``).
-    """
+
+class ShardWriter:
+    """One shard's run rows → atomic ``terms.parquet`` + manifest row."""
 
     def __init__(self, index_dir: str, fingerprint: str):
         self.index_dir = index_dir
@@ -143,70 +96,114 @@ class ShardWriter:
 
         existing = load_manifest(man_path)
         if existing and existing.get("fingerprint") == self.fingerprint and os.path.exists(out_path):
-            return pa.table(
-                {
-                    "shard": pa.array([shard], pa.int32()),
-                    "n_terms": pa.array([existing["n_terms"]], pa.int64()),
-                    "n_postings": pa.array([existing["n_postings"]], pa.int64()),
-                    "bytes": pa.array([existing["bytes"]], pa.int64()),
-                    "seconds": pa.array([0.0], pa.float64()),
-                    "skipped": pa.array([True]),
-                }
-            )
+            return self._row(shard, existing["n_terms"], existing["n_postings"],
+                             existing["bytes"], 0.0, True)
 
-        # merge runs per term: buckets are disjoint, increasing doc ranges
-        # → concatenation of block lists, no re-encode.
-        sorted_g = group.sort_by([("term", "ascending"), ("bucket", "ascending")])
-        terms = sorted_g.column("term")
-        codes, uniques = pd.factorize(terms.to_pandas(), sort=False)  # already sorted
-        df = sorted_g.column("df").to_numpy()
-        cf = sorted_g.column("cf").to_numpy()
-        blocks_col = sorted_g.column("blocks").to_pylist()
-        starts = np.flatnonzero(np.diff(codes, prepend=-1))
-        ends = np.append(starts[1:], codes.size)
+        if group.num_rows == 0:
+            return self._row(shard, 0, 0, 0, 0.0, False)
+        g = group.sort_by([("term", "ascending"), ("first_doc", "ascending")])
+        run_df = g.column("df").to_numpy()
+        run_tf_sum = g.column("cf").to_numpy()
 
-        m_terms, m_df, m_cf, m_blocks = [], [], [], []
-        for s, e in zip(starts, ends):
-            m_terms.append(uniques[codes[s]])
-            m_df.append(int(df[s:e].sum()))
-            m_cf.append(int(cf[s:e].sum()))
-            merged: list = []
-            for b in blocks_col[s:e]:
-                merged.extend(b)
-            m_blocks.append(merged)
+        # ---- one vectorized decode for the whole shard ----
+        gaps = decode_varints(_concat_bytes(g.column("docs"))).astype(np.int64)
+        tfs = decode_varints(_concat_bytes(g.column("tfs"))).astype(np.int64)
+        dls = decode_varints(_concat_bytes(g.column("dls"))).astype(np.int64)
+        n_post = gaps.size
+
+        run_starts = np.concatenate([[0], np.cumsum(run_df)[:-1]]).astype(np.int64)
+        # absolute doc ids: per-run cumsum via global cumsum minus run base
+        cs = np.cumsum(gaps)
+        base = np.where(run_starts > 0, cs[run_starts - 1], 0)
+        doc_abs = cs - np.repeat(base, run_df)
+
+        # term id per run (runs sorted by term)
+        terms_np = np.asarray(g.column("term").to_pylist(), dtype=object)
+        new_term = np.ones(terms_np.size, dtype=bool)
+        if terms_np.size > 1:
+            new_term[1:] = terms_np[1:] != terms_np[:-1]
+        run_term_idx = np.cumsum(new_term) - 1
+        post_term_idx = np.repeat(run_term_idx, run_df)
+
+        # canonical per-term doc order (robust to any map-side batching)
+        order = np.lexsort((doc_abs, post_term_idx))
+        doc_abs, tfs, dls, post_term_idx = (
+            doc_abs[order], tfs[order], dls[order], post_term_idx[order]
+        )
+
+        uniq_terms = terms_np[new_term]
+        term_starts = np.flatnonzero(np.diff(post_term_idx, prepend=-1))
+        term_df = np.diff(np.append(term_starts, n_post))
+        term_cf = np.add.reduceat(run_tf_sum, np.flatnonzero(new_term))
+
+        # ---- canonical block encode, fully vectorized across terms ----
+        # (byte-identical to functions.codec.encode_term_blocks per term)
+        pos_in_term = np.arange(n_post, dtype=np.int64) - np.repeat(term_starts, term_df)
+        block_starts = np.flatnonzero(pos_in_term % BLOCK_SIZE == 0)
+        block_ends = np.append(block_starts[1:], n_post)
+        blocks_per_term = np.bincount(
+            post_term_idx[block_starts], minlength=uniq_terms.size
+        )
+        out_gaps = np.empty(n_post, dtype=np.uint64)
+        np.subtract(doc_abs[1:], doc_abs[:-1], out=out_gaps[1:], casting="unsafe")
+        out_gaps[block_starts] = doc_abs[block_starts].astype(np.uint64)
+        docs_b = encode_varints_segmented(out_gaps, block_starts)
+        tfs_b = encode_varints_segmented(tfs.astype(np.uint64), block_starts)
+        dls_b = encode_varints_segmented(dls.astype(np.uint64), block_starts)
+        b_max_tf = np.maximum.reduceat(tfs, block_starts).astype(np.int32)
+        b_min_dl = np.minimum.reduceat(dls, block_starts).astype(np.int32)
+
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array((block_ends - block_starts).astype(np.int32), pa.int32()),
+                pa.array(doc_abs[block_starts], pa.int64()),
+                pa.array(doc_abs[block_ends - 1], pa.int64()),
+                pa.array(b_max_tf, pa.int32()),
+                pa.array(b_min_dl, pa.int32()),
+                pa.array(docs_b, pa.binary()),
+                pa.array(tfs_b, pa.binary()),
+                pa.array(dls_b, pa.binary()),
+            ],
+            fields=list(BLOCK_STRUCT),
+        )
+        offsets = np.concatenate([[0], np.cumsum(blocks_per_term)]).astype(np.int32)
+        blocks_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
 
         table = pa.table(
             {
-                "term": pa.array(m_terms, pa.string()),
-                "df": pa.array(m_df, pa.int64()),
-                "cf": pa.array(m_cf, pa.int64()),
-                "blocks": pa.array(m_blocks, pa.list_(BLOCK_STRUCT)),
+                "term": pa.array(uniq_terms, pa.string()),
+                "df": pa.array(term_df, pa.int64()),
+                "cf": pa.array(term_cf, pa.int64()),
+                "blocks": blocks_col,
             }
         )
-        import io
-
         buf = io.BytesIO()
         pq.write_table(table, buf, compression="zstd")
         data = buf.getvalue()
         atomic_write_bytes(out_path, data)
-        n_postings = int(np.sum(m_df, dtype=np.int64))
         atomic_write_json(
             man_path,
             {
                 "fingerprint": self.fingerprint,
                 "shard": shard,
-                "n_terms": len(m_terms),
-                "n_postings": n_postings,
+                "n_terms": int(uniq_terms.size),
+                "n_postings": int(n_post),
                 "bytes": len(data),
             },
         )
+        return self._row(shard, int(uniq_terms.size), int(n_post), len(data),
+                         time.time() - t0, False)
+
+    @staticmethod
+    def _row(shard, n_terms, n_postings, nbytes, seconds, skipped) -> pa.Table:
         return pa.table(
             {
                 "shard": pa.array([shard], pa.int32()),
-                "n_terms": pa.array([len(m_terms)], pa.int64()),
+                "n_terms": pa.array([n_terms], pa.int64()),
                 "n_postings": pa.array([n_postings], pa.int64()),
-                "bytes": pa.array([len(data)], pa.int64()),
-                "seconds": pa.array([time.time() - t0], pa.float64()),
-                "skipped": pa.array([False]),
+                "bytes": pa.array([nbytes], pa.int64()),
+                "seconds": pa.array([seconds], pa.float64()),
+                "skipped": pa.array([skipped]),
             }
         )
+

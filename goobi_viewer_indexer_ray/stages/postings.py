@@ -1,27 +1,39 @@
-"""Posting generation: ``docs(doc_id, text, doc_len) → (term, doc_id, tf, dl)``.
+"""Posting generation (SURVEY.md §2.6 A8 map side).
 
-The map side of SURVEY.md §2.6 A8 — the work the reference hands to
-Lucene's analyzer.  Stateless ``map_batches`` function; the per-batch
-term counting is vectorized (regex scan in C, then one factorize + one
-unique over the whole batch — no per-row Python counting).
+Two stages are provided:
 
-Also computes the term-shard and salt-bucket keys for the two-stage
-merge (SURVEY.md §4.1 skew plan): ``shard = hash64(term) % Q``;
-``bucket = doc_id >> bucket_bits`` so a head term's postings split into
-doc-range-disjoint runs that later concatenate without re-encoding.
+- :class:`TokenizePostings` — raw ``(term, doc_id, tf, dl)`` rows; used
+  by catalog operators that need the posting relation itself (term-df
+  aggregation etc.).
+- :class:`TokenizeEncodeRuns` — **map-side SPIMI**: each Arrow batch of
+  docs is tokenized, counted, sorted by (term, doc_id) and immediately
+  delta+varint-encoded into one compressed *run* per term
+  (``BASELINE.json:north_star``: "build per-partition SPIMI-style
+  posting lists as Arrow batches, then a groupby-term shuffle ...").
+  Only these compressed runs — ≈5-15× smaller and ≈15× fewer rows than
+  raw postings — enter the ``groupby(shard)`` shuffle, and a head
+  term's postings arrive at its reducer as many doc-range-bounded runs
+  rather than one giant raw group (this IS the skew salt: the salt key
+  is the batch's doc range, assigned map-side for free).
+
+Everything is vectorized: one regex scan per doc (C), one factorize +
+one lexsort + segmented varint encode per batch — no per-term Python
+loops in the hot path.
 """
 
 from __future__ import annotations
+
+import unicodedata
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.codec import encode_varints_segmented
 from ..functions.hashing import hash64_array
 from ..functions.tokenize import TOKEN_RE
-import unicodedata
 
-__all__ = ["TokenizePostings", "POSTINGS_SCHEMA"]
+__all__ = ["TokenizePostings", "TokenizeEncodeRuns", "POSTINGS_SCHEMA", "RUNS_SCHEMA"]
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -30,58 +42,129 @@ POSTINGS_SCHEMA = pa.schema(
         ("tf", pa.int32()),
         ("dl", pa.int32()),
         ("shard", pa.int32()),
-        ("bucket", pa.int32()),
+    ]
+)
+
+RUNS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("first_doc", pa.int64()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
     ]
 )
 
 
-class TokenizePostings:
-    """Batch fn (usable as plain function or actor): docs → posting rows."""
+def _count_batch(batch: pa.Table):
+    """Shared per-batch counting: returns (uniq-pair arrays) or None.
 
-    def __init__(self, num_shards: int, bucket_bits: int = 62):
+    Output postings are sorted by (term_code, doc_id) with terms
+    factorized in sorted order.
+    """
+    doc_ids = batch.column("doc_id").to_numpy()
+    doc_lens = (
+        batch.column("doc_len").to_numpy() if "doc_len" in batch.column_names else None
+    )
+    texts = batch.column("text").to_pylist()
+
+    findall = TOKEN_RE.findall
+    norm = unicodedata.normalize
+    all_tokens: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = findall(norm("NFC", t).lower()) if t else []
+        counts[i] = len(toks)
+        all_tokens.extend(toks)
+    if not all_tokens:
+        return None
+    if doc_lens is None:
+        doc_lens = counts
+
+    codes, uniques = pd.factorize(np.asarray(all_tokens, dtype=object), sort=True)
+    row_of_token = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    key = codes.astype(np.int64) * np.int64(len(texts)) + row_of_token
+    uniq_key, tf = np.unique(key, return_counts=True)
+    u_code = uniq_key // len(texts)
+    u_row = uniq_key % len(texts)
+    # np.unique sorts keys → output is ordered by (term_code, row);
+    # rows within a batch are in doc_id order only if the batch is a
+    # contiguous slice — enforce true doc order explicitly:
+    doc = doc_ids[u_row]
+    order = np.lexsort((doc, u_code))
+    return (
+        uniques,
+        u_code[order],
+        doc[order],
+        tf[order].astype(np.int64),
+        doc_lens[u_row][order].astype(np.int64),
+    )
+
+
+class TokenizePostings:
+    """docs → raw posting rows (term, doc_id, tf, dl, shard)."""
+
+    def __init__(self, num_shards: int, bucket_bits: int | None = None):
         self.num_shards = num_shards
-        self.bucket_bits = bucket_bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_numpy()
-        doc_lens = (
-            batch.column("doc_len").to_numpy()
-            if "doc_len" in batch.column_names
-            else None
-        )
-        texts = batch.column("text").to_pylist()
-
-        findall = TOKEN_RE.findall
-        norm = unicodedata.normalize
-        all_tokens: list[str] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = findall(norm("NFC", t).lower()) if t else []
-            counts[i] = len(toks)
-            all_tokens.extend(toks)
-        if not all_tokens:
+        res = _count_batch(batch)
+        if res is None:
             return POSTINGS_SCHEMA.empty_table()
-        if doc_lens is None:  # dl = token count when no doc_len column
-            doc_lens = counts
-
-        codes, uniques = pd.factorize(np.asarray(all_tokens, dtype=object))
-        row_of_token = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
-        # (doc, term) → tf via one unique over a combined key
-        key = row_of_token * np.int64(len(uniques)) + codes
-        uniq_key, tf = np.unique(key, return_counts=True)
-        u_row = uniq_key // len(uniques)
-        u_code = (uniq_key % len(uniques)).astype(np.int64)
-
-        terms = uniques[u_code]
+        uniques, codes, doc, tf, dl = res
+        terms = uniques[codes]
         shard = (hash64_array(terms) % np.uint64(self.num_shards)).astype(np.int32)
-        out_doc = doc_ids[u_row]
         return pa.table(
             {
                 "term": pa.array(terms, pa.string()),
-                "doc_id": pa.array(out_doc, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
                 "tf": pa.array(tf.astype(np.int32)),
-                "dl": pa.array(doc_lens[u_row].astype(np.int32)),
+                "dl": pa.array(dl.astype(np.int32)),
                 "shard": pa.array(shard),
-                "bucket": pa.array((out_doc >> np.int64(self.bucket_bits)).astype(np.int32)),
+            }
+        )
+
+
+class TokenizeEncodeRuns:
+    """docs → one compressed posting run per (term, batch)."""
+
+    def __init__(self, num_shards: int):
+        self.num_shards = num_shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = _count_batch(batch)
+        if res is None:
+            return RUNS_SCHEMA.empty_table()
+        uniques, codes, doc, tf, dl = res
+
+        # run boundaries: one run per distinct term code (codes sorted)
+        starts = np.flatnonzero(np.diff(codes, prepend=-1))
+        lengths = np.diff(np.append(starts, codes.size))
+
+        # per-run delta gaps: first value absolute, then doc deltas
+        gaps = np.empty(doc.shape, dtype=np.uint64)
+        np.subtract(doc[1:], doc[:-1], out=gaps[1:], casting="unsafe")
+        gaps[starts] = doc[starts].astype(np.uint64)
+
+        docs_b = encode_varints_segmented(gaps, starts)
+        tfs_b = encode_varints_segmented(tf.astype(np.uint64), starts)
+        dls_b = encode_varints_segmented(dl.astype(np.uint64), starts)
+
+        run_terms = uniques[codes[starts]]
+        shard = (hash64_array(run_terms) % np.uint64(self.num_shards)).astype(np.int32)
+        cf = np.add.reduceat(tf, starts)
+        return pa.table(
+            {
+                "term": pa.array(run_terms, pa.string()),
+                "shard": pa.array(shard),
+                "first_doc": pa.array(doc[starts], pa.int64()),
+                "df": pa.array(lengths, pa.int64()),
+                "cf": pa.array(cf, pa.int64()),
+                "docs": pa.array(docs_b, pa.binary()),
+                "tfs": pa.array(tfs_b, pa.binary()),
+                "dls": pa.array(dls_b, pa.binary()),
             }
         )

@@ -49,7 +49,7 @@ def tiny_build(ray_session, tiny_paths, tmp_path_factory):
     from goobi_viewer_indexer_ray.pipelines.build import build_all
 
     out = str(tmp_path_factory.mktemp("engine") / "out")
-    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS, bucket_bits=5)
+    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS)
     return out
 
 

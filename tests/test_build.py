@@ -34,8 +34,12 @@ def test_docs_match_oracle(tiny_build, tiny_oracle):
         assert od.doc_id == r.doc_id
         assert od.text == r.text  # byte-identical invariant
         assert od.dl == r.doc_len
-    # doc_ids dense 0..N-1
-    assert sorted(docs["doc_id"]) == list(range(len(docs)))
+    # doc_id = part*PART_STRIDE + local_rank: unique, strided
+    from goobi_viewer_indexer_ray.functions.ids import PART_STRIDE
+
+    assert docs["doc_id"].is_unique
+    assert (docs["doc_id"] // PART_STRIDE == docs["part"]).all()
+    assert (docs["doc_id"] % PART_STRIDE == docs["local_rank"]).all()
 
 
 def test_dedup_keep_latest(tiny_build, tiny_oracle):
@@ -67,28 +71,28 @@ def test_stats_and_df_match_oracle(tiny_build, tiny_oracle):
     assert stats["n_docs"] == tiny_oracle.n_docs
     assert stats["avgdl"] == tiny_oracle.avgdl
     idx = LocalIndex(tiny_build)
-    assert set(idx.terms) == set(tiny_oracle.df)
+    assert idx.n_terms == len(tiny_oracle.df)
     for t, df in tiny_oracle.df.items():
-        assert idx.terms[t]["df"] == df, t
+        assert idx.lookup(t).df == df, t
     # cf parity on a few heavy terms
     for t in ["baba", "beba"]:
         cf = sum(d.tf.get(t, 0) for d in tiny_oracle.docs)
-        assert idx.terms[t]["cf"] == cf
+        assert idx.lookup(t).cf == cf
 
 
-def test_postings_sorted_and_blocked(tiny_build):
+def test_postings_sorted_and_blocked(tiny_build, tiny_oracle):
     import numpy as np
 
-    from goobi_viewer_indexer_ray.functions.codec import BLOCK_SIZE, decode_term
+    from goobi_viewer_indexer_ray.functions.codec import BLOCK_SIZE
     from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
 
     idx = LocalIndex(tiny_build)
-    for row in list(idx.terms.values())[:200]:
-        docs, tfs, dls = decode_term(row["blocks"])
+    for t in list(tiny_oracle.df)[:200]:
+        ref = idx.lookup(t)
+        docs, tfs, dls = ref.decode_all()
         assert (np.diff(docs) > 0).all()  # strictly increasing doc ids
-        assert docs.size == row["df"]
-        for b in row["blocks"]:
-            assert b["n"] <= BLOCK_SIZE
+        assert docs.size == ref.df
+        assert (ref.shard.b_n[ref._s : ref._e] <= BLOCK_SIZE).all()
 
 
 def test_full_resume_noop(tiny_build, tiny_paths):
@@ -96,7 +100,7 @@ def test_full_resume_noop(tiny_build, tiny_paths):
 
     h_docs = _dirhash(os.path.join(tiny_build, "docs"))
     h_idx = _dirhash(os.path.join(tiny_build, "index"))
-    build_all(tiny_paths, tiny_build, num_parts=NUM_PARTS, num_shards=NUM_SHARDS, bucket_bits=5)
+    build_all(tiny_paths, tiny_build, num_parts=NUM_PARTS, num_shards=NUM_SHARDS)
     assert _dirhash(os.path.join(tiny_build, "docs")) == h_docs
     assert _dirhash(os.path.join(tiny_build, "index")) == h_idx
 
@@ -116,7 +120,7 @@ def test_partition_level_resume(tiny_build, tiny_paths):
     assert _dirhash(docs_dir) == h_docs
 
     os.remove(os.path.join(idx_dir, "shard=00001", "terms.parquet"))
-    build_index(tiny_build, num_shards=NUM_SHARDS, bucket_bits=5)
+    build_index(tiny_build, num_shards=NUM_SHARDS)
     assert _dirhash(idx_dir) == h_idx
 
 

@@ -35,19 +35,20 @@ def test_block_roundtrip_and_metadata():
     tfs = rng.integers(1, 40, 1000).astype(np.int64)
     dls = rng.integers(5, 3000, 1000).astype(np.int64)
     avgdl = 387.5
-    blocks = encode_term_blocks(docs, tfs, dls, avgdl)
+    blocks = encode_term_blocks(docs, tfs, dls)
     assert len(blocks) == (1000 + BLOCK_SIZE - 1) // BLOCK_SIZE
     d, t, l = decode_term(blocks)
     assert (d == docs).all() and (t == tfs).all() and (l == dls).all()
     for b in blocks:
         bd, bt, bl = decode_block(b)
         assert b["first_doc"] == bd[0] and b["max_doc"] == bd[-1] and b["n"] == bd.size
-        # max_impact is an admissible (>=) float32 upper bound
+        # impact(max_tf, min_dl) is an admissible (>=) pruning bound
         true_max = float(np.max(impact(bt, bl, avgdl)))
-        assert float(b["max_impact"]) >= true_max
+        bound = float(impact(np.array([b["max_tf"]]), np.array([b["min_dl"]]), avgdl)[0])
+        assert bound >= true_max
 
 
 def test_single_posting():
-    blocks = encode_term_blocks(np.array([5]), np.array([2]), np.array([10]), 10.0)
+    blocks = encode_term_blocks(np.array([5]), np.array([2]), np.array([10]))
     d, t, l = decode_term(blocks)
     assert d.tolist() == [5] and t.tolist() == [2] and l.tolist() == [10]

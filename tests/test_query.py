@@ -72,28 +72,21 @@ def test_ray_search_stage(ray_session, tiny_build, tiny_oracle):
 
 
 def test_wand_prunes(index):
-    """The sweep must actually skip work on a selective query (not just
-    degenerate to exhaustive scoring)."""
-    from goobi_viewer_indexer_ray.pipelines import query as qmod
+    """The sweep must never decode more blocks than exist, and results
+    stay correct while pruning (equality already covered above)."""
+    from goobi_viewer_indexer_ray.pipelines.query import TermRef, topk_wand
 
     calls = {"n": 0}
-    orig = qmod.decode_block
+    orig = TermRef.decode_blocks
 
-    def counting(block):
-        calls["n"] += 1
-        return orig(block)
+    def counting(self, sel):
+        calls["n"] += len(list(sel))
+        return orig(self, sel)
 
-    qmod.decode_block = counting
+    TermRef.decode_blocks = counting
     try:
-        qmod.topk_wand(index, "baba beba", 1)
-        pruned_calls = calls["n"]
-        calls["n"] = 0
-        qmod.topk_exact(index, "baba beba", 1)
+        topk_wand(index, "baba beba", 1)
     finally:
-        qmod.decode_block = orig
-    # exact decodes nothing through decode_block (uses decode_term), so
-    # compare against total block count instead
-    total_blocks = sum(
-        len(r["blocks"]) for r in [index.lookup("baba"), index.lookup("beba")]
-    )
-    assert pruned_calls <= total_blocks
+        TermRef.decode_blocks = orig
+    total_blocks = index.lookup("baba").n_blocks + index.lookup("beba").n_blocks
+    assert 0 < calls["n"] <= total_blocks
