@@ -45,7 +45,7 @@ import ray.data
 
 from .. import ENGINE_SPEC_VERSION
 from ..functions.ids import PART_STRIDE
-from ..stages.docs_writer import DocsPartWriter, part_dir
+from ..stages.docs_writer import DocsPartWriter, part_dir, runs_part_path
 from ..stages.extract import ExtractPages
 from ..stages.index_merge import ShardWriter, shard_dir
 from ..stages.postings import TokenizeEncodeRuns
@@ -85,9 +85,9 @@ def _resolve_pages(pages: str | list[str]) -> list[str]:
     return sorted(pages)
 
 
-def _docs_pipeline(paths, docs_dir, fp, num_parts, batch_size, use_actors, concurrency):
-    """pages files → Dataset of deduped (doc_id, text, doc_len) rows,
-    writing docs/part=* files as a side effect."""
+def _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size, use_actors, concurrency):
+    """pages files → Dataset of compressed per-part SPIMI run rows,
+    writing docs/part=* and runs/part=* files as side effects."""
     ds = ray.data.read_parquet(paths, columns=["url", "warc_ts", "html", "lang"])
     if use_actors:
         pool = concurrency or max(1, _cpus() - 2)
@@ -103,7 +103,9 @@ def _docs_pipeline(paths, docs_dir, fp, num_parts, batch_size, use_actors, concu
         ds = ds.map_batches(
             ExtractPages(num_parts), batch_format="pyarrow", batch_size=batch_size
         )
-    writer = DocsPartWriter(docs_dir, fp)
+    writer = DocsPartWriter(
+        os.path.join(out_dir, "docs"), os.path.join(out_dir, "runs"), fp, num_shards
+    )
 
     def write_docs_part(g: pa.Table) -> pa.Table:
         return writer(g)
@@ -111,12 +113,16 @@ def _docs_pipeline(paths, docs_dir, fp, num_parts, batch_size, use_actors, concu
     return ds.groupby("part").map_groups(write_docs_part, batch_format="pyarrow")
 
 
-def _collect_docs_manifest(out_dir: str, fp: str, num_parts: int) -> dict:
+def _collect_docs_manifest(out_dir: str, fp: str, num_parts: int, num_shards: int,
+                           accept_any: bool = False) -> dict:
+    """Fold per-part manifests into the docs manifest.  ``accept_any``
+    is for the incremental-update path, where clean parts keep their
+    original build fingerprint."""
     docs_dir = os.path.join(out_dir, "docs")
     parts = []
     for man_path in sorted(glob.glob(os.path.join(docs_dir, "part=*", "_manifest.json"))):
         m = load_manifest(man_path)
-        if m and m.get("fingerprint") == fp:
+        if m and (accept_any or m.get("fingerprint") == fp):
             parts.append(m)
     n_docs = int(sum(p["n_rows"] for p in parts))
     total_tokens = int(sum(p["sum_dl"] for p in parts))
@@ -126,6 +132,7 @@ def _collect_docs_manifest(out_dir: str, fp: str, num_parts: int) -> dict:
         fingerprint=fp,
         extra={
             "num_parts": num_parts,
+            "num_shards": num_shards,
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
@@ -155,18 +162,23 @@ def _index_manifest_ok(out_dir: str, fp: str) -> dict | None:
     return None
 
 
-def _run_index_shuffle(docs_ds, index_dir: str, fp: str, num_shards: int,
-                       batch_size: int = 1024):
-    """Shared index core: map-side SPIMI runs → groupby(shard) → writer."""
-    runs = docs_ds.map_batches(
-        TokenizeEncodeRuns(num_shards), batch_format="pyarrow", batch_size=batch_size
-    )
+def _merge_runs(runs_ds, index_dir: str, fp: str):
+    """groupby(term-shard) merge of compressed SPIMI runs → shard files."""
     shard_writer = ShardWriter(index_dir, fp)
 
     def write_shard(g: pa.Table) -> pa.Table:
         return shard_writer(g)
 
-    return runs.groupby("shard").map_groups(write_shard, batch_format="pyarrow").to_pandas()
+    return runs_ds.groupby("shard").map_groups(write_shard, batch_format="pyarrow").to_pandas()
+
+
+def _run_index_shuffle(docs_ds, index_dir: str, fp: str, num_shards: int,
+                       batch_size: int = 1024):
+    """Tokenize + map-side SPIMI encode + shard merge (text-table path)."""
+    runs = docs_ds.map_batches(
+        TokenizeEncodeRuns(num_shards), batch_format="pyarrow", batch_size=batch_size
+    )
+    return _merge_runs(runs, index_dir, fp)
 
 
 def _write_index_manifest(out_dir, fp, num_shards, shard_rows, docs_man) -> dict:
@@ -198,12 +210,13 @@ def build_docs(
     out_dir: str,
     *,
     num_parts: int = 32,
+    num_shards: int = 32,
     concurrency: int | None = None,
     batch_size: int = 256,
     use_actors: bool = False,
     resume: bool = True,
 ) -> dict:
-    """pages parquet → deduped docs table with deterministic ids.
+    """pages parquet → deduped docs table + per-part SPIMI run cache.
 
     Single streaming pass: extract → ``groupby(part)`` → per-part
     dedup/id/atomic write.  Part files are the checkpoint unit: a rerun
@@ -218,13 +231,13 @@ def build_docs(
     charset models, ML scorers — SURVEY.md §2.3 ST4).
     """
     paths = _resolve_pages(pages)
-    fp = _job_fp(input_fingerprint(paths), num_parts=num_parts)
+    fp = _job_fp(input_fingerprint(paths), num_parts=num_parts, num_shards=num_shards)
     if resume and (m := _docs_manifest_ok(out_dir, fp)):
         return m
-    docs_dir = os.path.join(out_dir, "docs")
-    rows = _docs_pipeline(paths, docs_dir, fp, num_parts, batch_size, use_actors, concurrency)
+    rows = _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size,
+                          use_actors, concurrency)
     rows.count()  # drive the stream; outputs land as side-effect files
-    return _collect_docs_manifest(out_dir, fp, num_parts)
+    return _collect_docs_manifest(out_dir, fp, num_parts, num_shards)
 
 
 def read_docs(out_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
@@ -270,11 +283,17 @@ def build_index(
     docs_man = load_manifest(os.path.join(out_dir, "docs_manifest.json"))
     if docs_man is None:
         raise FileNotFoundError("build_docs must run first")
+    if docs_man.get("num_shards") not in (None, num_shards):
+        raise ValueError(
+            f"runs were encoded for num_shards={docs_man['num_shards']}; "
+            "rebuild docs to change the shard count"
+        )
     fp = _job_fp(docs_man["fingerprint"], num_shards=num_shards)
     if resume and (m := _index_manifest_ok(out_dir, fp)):
         return m
-    docs = read_docs(out_dir, columns=["text", "doc_len"])
-    shard_rows = _run_index_shuffle(docs, os.path.join(out_dir, "index"), fp, num_shards)
+    runs_files = sorted(glob.glob(os.path.join(out_dir, "runs", "part=*", "runs.parquet")))
+    runs = ray.data.read_parquet(runs_files)
+    shard_rows = _merge_runs(runs, os.path.join(out_dir, "index"), fp)
     return _write_index_manifest(out_dir, fp, num_shards, shard_rows, docs_man)
 
 
@@ -293,7 +312,7 @@ def build_all(
     Returns the index manifest.
     """
     paths = _resolve_pages(pages)
-    docs_fp = _job_fp(input_fingerprint(paths), num_parts=num_parts)
+    docs_fp = _job_fp(input_fingerprint(paths), num_parts=num_parts, num_shards=num_shards)
     index_fp = _job_fp(docs_fp, num_shards=num_shards)
 
     docs_ok = _docs_manifest_ok(out_dir, docs_fp) if resume else None
@@ -303,10 +322,10 @@ def build_all(
     if docs_ok:  # docs complete → index-only rebuild from disk
         return build_index(out_dir, num_shards=num_shards, resume=resume)
 
-    docs_dir = os.path.join(out_dir, "docs")
-    docs_rows = _docs_pipeline(paths, docs_dir, docs_fp, num_parts, 256, use_actors, concurrency)
-    shard_rows = _run_index_shuffle(docs_rows, os.path.join(out_dir, "index"), index_fp, num_shards)
-    docs_man = _collect_docs_manifest(out_dir, docs_fp, num_parts)
+    runs_rows = _docs_pipeline(paths, out_dir, docs_fp, num_parts, num_shards, 256,
+                               use_actors, concurrency)
+    shard_rows = _merge_runs(runs_rows, os.path.join(out_dir, "index"), index_fp)
+    docs_man = _collect_docs_manifest(out_dir, docs_fp, num_parts, num_shards)
     return _write_index_manifest(out_dir, index_fp, num_shards, shard_rows, docs_man)
 
 

@@ -46,7 +46,8 @@ from ..functions.scoring import impact
 from ..functions.tokenize import tokenize
 from ..stages.index_merge import shard_paths
 
-__all__ = ["LocalIndex", "SearchEngine", "topk_exact", "topk_wand", "search", "load_index_refs"]
+__all__ = ["LocalIndex", "SearchEngine", "SearchService", "topk_exact", "topk_wand",
+           "search", "load_index_refs"]
 
 RESULT_SCHEMA = pa.schema(
     [
@@ -388,7 +389,7 @@ class SearchEngine:
     """
 
     def __init__(self, out_dir: str | None = None, use_wand: bool = True,
-                 *, index_refs=None, stats: dict | None = None):
+                 *, index_refs=None, stats: dict | None = None, warmup: bool = False):
         if index_refs is not None:
             import ray
 
@@ -397,6 +398,24 @@ class SearchEngine:
         else:
             self.index = LocalIndex(out_dir)
         self.scorer = topk_wand if use_wand else topk_exact
+        if warmup:
+            self.warm()
+
+    def warm(self) -> bool:
+        """Touch the heavy paths once (decode + score the largest term).
+
+        First-touch of large buffers/allocations is expensive on some
+        hosts (lazy-paged VMs); a serving actor pays it in __init__,
+        not on its first user query.
+        """
+        biggest, best_df = None, 0
+        for term, ref in self.index._lookup.items():
+            if ref.df > best_df:
+                biggest, best_df = term, ref.df
+        if biggest is not None:
+            topk_exact(self.index, biggest, 10)
+            topk_wand(self.index, biggest, 10)
+        return True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
@@ -419,6 +438,50 @@ class SearchEngine:
                 "score": pa.array(scores, pa.float64()),
             }
         )
+
+
+class SearchService:
+    """Persistent warm query-serving pool (the production query path).
+
+    ``search()`` below spins an actor pool per Dataset execution, which
+    is right for batch scoring jobs; a serving workload instead keeps
+    long-lived actors, each holding the zero-copy shared index and
+    pre-warmed in ``__init__``.  Queries are scored by round-robining
+    batches over the pool.  At cluster scale the same actors are
+    deployed per doc-range replica group (see module docstring).
+    """
+
+    def __init__(self, out_dir: str, n_actors: int = 4, use_wand: bool = True):
+        import ray
+
+        stats, refs = load_index_refs(out_dir)
+        engine = ray.remote(SearchEngine)
+        self.actors = [
+            engine.remote(use_wand=use_wand, index_refs=refs, stats=stats, warmup=True)
+            for _ in range(n_actors)
+        ]
+        ray.get([a.warm.remote() for a in self.actors])  # block until warm
+
+    def query_table(self, queries: list[dict], batch_size: int = 8) -> pa.Table:
+        import ray
+
+        batches = []
+        for i in range(0, len(queries), batch_size):
+            chunk = queries[i : i + batch_size]
+            batches.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([int(q["query_id"]) for q in chunk], pa.int64()),
+                        "query": pa.array([q["query"] for q in chunk], pa.string()),
+                        "k": pa.array([int(q.get("k", 10)) for q in chunk], pa.int32()),
+                    }
+                )
+            )
+        futs = [
+            self.actors[i % len(self.actors)].__call__.remote(b)
+            for i, b in enumerate(batches)
+        ]
+        return pa.concat_tables(ray.get(futs))
 
 
 def search(out_dir: str, queries, *, use_wand: bool = True, concurrency: int = 2):

@@ -1,4 +1,5 @@
-"""Docs partition writer: dedup-keep-latest + deterministic doc ids.
+"""Docs partition writer: dedup-keep-latest + deterministic doc ids +
+per-partition SPIMI run cache.
 
 Per url-hash partition (the data-repository analog, SURVEY.md §4.1):
 
@@ -7,10 +8,13 @@ Per url-hash partition (the data-repository analog, SURVEY.md §4.1):
    (``Indexer.java:1695-1756``, ``AbstractWriteStrategy.java:158-195``);
 2. sort by ``url``; ``doc_id = part * PART_STRIDE + local_rank``
    (``functions/ids.py`` — no cross-partition coordination);
-3. write ONE atomic parquet file per partition + a per-part manifest —
-   the partition-level checkpoint unit for resume;
-4. **return the deduped, id-assigned rows** so the index build
-   continues streaming in the same pipeline (fused docs+index).
+3. write the docs part file AND the partition's compressed SPIMI runs
+   (``runs/part=*/runs.parquet``) — both atomic, both manifested.
+   The run cache is what makes index rebuilds and incremental updates
+   partition-level: only dirty partitions re-extract/re-tokenize; the
+   term-shard shuffle re-reads cheap compressed runs;
+4. **return the run rows** so the fused build streams straight into
+   the ``groupby(shard)`` merge.
 """
 
 from __future__ import annotations
@@ -25,8 +29,9 @@ import pyarrow.parquet as pq
 
 from ..functions.ids import PART_STRIDE
 from ..state.manifest import atomic_write_bytes, atomic_write_json, load_manifest
+from .postings import RUNS_SCHEMA, TokenizeEncodeRuns
 
-__all__ = ["DocsPartWriter", "part_dir", "DOCS_SCHEMA", "DOCS_OUT_SCHEMA"]
+__all__ = ["DocsPartWriter", "dedup_and_rank", "part_dir", "runs_part_path", "DOCS_SCHEMA"]
 
 DOCS_SCHEMA = pa.schema(
     [
@@ -40,72 +45,100 @@ DOCS_SCHEMA = pa.schema(
     ]
 )
 
-# rows passed on to the fused index build
-DOCS_OUT_SCHEMA = pa.schema(
-    [
-        ("doc_id", pa.int64()),
-        ("text", pa.string()),
-        ("doc_len", pa.int32()),
-    ]
-)
-
 
 def part_dir(docs_dir: str, part: int) -> str:
     return os.path.join(docs_dir, f"part={part:05d}")
 
 
+def runs_part_path(runs_dir: str, part: int) -> str:
+    return os.path.join(runs_dir, f"part={part:05d}", "runs.parquet")
+
+
+def dedup_and_rank(group: pa.Table) -> pa.Table:
+    """Rows of one part → deduped (latest warc_ts per url), url-sorted,
+    with ``local_rank`` — the pure partition semantics."""
+    g = group.sort_by([("url", "ascending"), ("warc_ts", "descending")])
+    urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+    keep = np.ones(len(urls), dtype=bool)
+    if len(urls) > 1:
+        keep[1:] = urls[1:] != urls[:-1]
+    g = g.filter(pa.array(keep))
+    g = g.append_column("local_rank", pa.array(np.arange(g.num_rows, dtype=np.int64)))
+    return g.select([f.name for f in DOCS_SCHEMA]).cast(DOCS_SCHEMA)
+
+
 class DocsPartWriter:
-    def __init__(self, docs_dir: str, fingerprint: str):
+    def __init__(self, docs_dir: str, runs_dir: str, fingerprint: str, num_shards: int):
         self.docs_dir = docs_dir
+        self.runs_dir = runs_dir
         self.fingerprint = fingerprint
+        self.tokenizer = TokenizeEncodeRuns(num_shards)
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, group: pa.Table, part: int | None = None) -> pa.Table:
         t0 = time.time()
-        part = int(group.column("part")[0].as_py())
+        if part is None:
+            part = int(group.column("part")[0].as_py())
         pdir = part_dir(self.docs_dir, part)
-        out_path = os.path.join(pdir, "data.parquet")
-        man_path = os.path.join(pdir, "_manifest.json")
+        docs_path = os.path.join(pdir, "data.parquet")
+        docs_man = os.path.join(pdir, "_manifest.json")
+        runs_path = runs_part_path(self.runs_dir, part)
+        runs_man = os.path.join(os.path.dirname(runs_path), "_manifest.json")
 
+        em_docs = load_manifest(docs_man)
+        em_runs = load_manifest(runs_man)
+        if (
+            em_docs
+            and em_runs
+            and em_docs.get("fingerprint") == self.fingerprint
+            and em_runs.get("fingerprint") == self.fingerprint
+            and os.path.exists(docs_path)
+            and os.path.exists(runs_path)
+        ):
+            return pq.read_table(runs_path)  # resume: reuse cached runs
+
+    # ---- compute part content ----
         n_in = group.num_rows
-        # latest crawl per url: stable sort (url asc, warc_ts desc), first wins
-        g = group.sort_by([("url", "ascending"), ("warc_ts", "descending")])
-        urls = np.asarray(g.column("url").to_pylist(), dtype=object)
-        keep = np.ones(len(urls), dtype=bool)
-        if len(urls) > 1:
-            keep[1:] = urls[1:] != urls[:-1]
-        g = g.filter(pa.array(keep))
-        local_rank = np.arange(g.num_rows, dtype=np.int64)
-        g = g.append_column("local_rank", pa.array(local_rank))
-        g = g.select([f.name for f in DOCS_SCHEMA]).cast(DOCS_SCHEMA)
-
-        existing = load_manifest(man_path)
-        already = (
-            existing
-            and existing.get("fingerprint") == self.fingerprint
-            and os.path.exists(out_path)
-        )
-        if not already:
-            buf = io.BytesIO()
-            pq.write_table(g, buf, compression="zstd")
-            data = buf.getvalue()
-            atomic_write_bytes(out_path, data)
-            atomic_write_json(
-                man_path,
-                {
-                    "fingerprint": self.fingerprint,
-                    "part": part,
-                    "n_rows": g.num_rows,
-                    "sum_dl": int(np.sum(g.column("doc_len").to_numpy(), dtype=np.int64)),
-                    "n_dups_removed": n_in - g.num_rows,
-                    "bytes": len(data),
-                    "seconds": time.time() - t0,
-                },
-            )
-
-        return pa.table(
+        g = dedup_and_rank(group)
+        doc_rows = pa.table(
             {
-                "doc_id": pa.array(part * PART_STRIDE + local_rank),
+                "doc_id": pa.array(
+                    part * PART_STRIDE + np.arange(g.num_rows, dtype=np.int64)
+                ),
                 "text": g.column("text"),
                 "doc_len": g.column("doc_len"),
             }
         )
+        runs = self.tokenizer(doc_rows) if g.num_rows else RUNS_SCHEMA.empty_table()
+
+        buf = io.BytesIO()
+        pq.write_table(g, buf, compression="zstd")
+        data = buf.getvalue()
+        atomic_write_bytes(docs_path, data)
+        atomic_write_json(
+            docs_man,
+            {
+                "fingerprint": self.fingerprint,
+                "part": part,
+                "n_rows": g.num_rows,
+                "sum_dl": int(np.sum(g.column("doc_len").to_numpy(), dtype=np.int64))
+                if g.num_rows
+                else 0,
+                "n_dups_removed": n_in - g.num_rows,
+                "bytes": len(data),
+                "seconds": time.time() - t0,
+            },
+        )
+        rbuf = io.BytesIO()
+        pq.write_table(runs, rbuf, compression="zstd")
+        rdata = rbuf.getvalue()
+        atomic_write_bytes(runs_path, rdata)
+        atomic_write_json(
+            runs_man,
+            {
+                "fingerprint": self.fingerprint,
+                "part": part,
+                "n_runs": runs.num_rows,
+                "bytes": len(rdata),
+            },
+        )
+        return runs

@@ -116,7 +116,7 @@ def test_partition_level_resume(tiny_build, tiny_paths):
     os.remove(os.path.join(tiny_build, "docs_manifest.json"))
     os.remove(os.path.join(docs_dir, "part=00001", "_manifest.json"))
     os.remove(os.path.join(docs_dir, "part=00002", "data.parquet"))
-    build_docs(tiny_paths, tiny_build, num_parts=NUM_PARTS)
+    build_docs(tiny_paths, tiny_build, num_parts=NUM_PARTS, num_shards=NUM_SHARDS)
     assert _dirhash(docs_dir) == h_docs
 
     os.remove(os.path.join(idx_dir, "shard=00001", "terms.parquet"))

@@ -1,0 +1,167 @@
+"""Incremental upsert/delete (prepareUpdate / .delete analog) tests:
+dirty-partition rebuild, clean partitions byte-untouched, tombstones,
+and post-update rank-identity against a freshly computed oracle."""
+
+import glob
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from goobi_viewer_indexer_ray.functions.hashing import part_for
+from tests.conftest import NUM_PARTS, NUM_SHARDS, TINY_N, TINY_SEED
+
+DELTA_TS = 1893456000_000_000  # 2030-01-01, later than every original row
+
+
+def _filehash(path):
+    return hashlib.blake2b(open(path, "rb").read(), digest_size=12).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def upd(ray_session, tiny_paths, tmp_path_factory):
+    """Fresh build + one update round; returns all the bits to assert on."""
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+    from goobi_viewer_indexer_ray.pipelines.updates import apply_updates
+    from goobi_viewer_indexer_ray.sources.corpus import gen_pages, url_for
+
+    out = str(tmp_path_factory.mktemp("upd") / "out")
+    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS)
+
+    orig = gen_pages(TINY_N, TINY_SEED).to_pylist()
+    orig_urls = sorted({r["url"] for r in orig})
+
+    updated_urls = [url_for(20), url_for(21), url_for(22)]
+    new_urls = ["https://new.example/a", "https://new.example/b"]
+    deleted_urls = [url_for(30), url_for(31)]
+
+    import datetime
+
+    ts = datetime.datetime.fromtimestamp(DELTA_TS / 1e6, datetime.timezone.utc)
+    delta_rows = []
+    for i, u in enumerate(updated_urls + new_urls):
+        delta_rows.append(
+            {
+                "url": u,
+                "warc_ts": ts + datetime.timedelta(seconds=i),
+                "html": f"<html><title>fresh {i}</title><body><p>updated content {i} zelda</p></body></html>".encode(),
+                "text": None,
+                "lang": "en",
+            }
+        )
+    delta_dir = str(tmp_path_factory.mktemp("delta"))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r["url"] for r in delta_rows], pa.string()),
+                "warc_ts": pa.array([r["warc_ts"] for r in delta_rows],
+                                    pa.timestamp("us", tz="UTC")),
+                "html": pa.array([r["html"] for r in delta_rows], pa.binary()),
+                "text": pa.array([r["text"] for r in delta_rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in delta_rows], pa.string()),
+            }
+        ),
+        os.path.join(delta_dir, "delta.parquet"),
+    )
+
+    dirty = {part_for(u, NUM_PARTS) for u in updated_urls + new_urls + deleted_urls}
+    clean = [p for p in range(NUM_PARTS) if p not in dirty]
+    pre_hashes = {
+        p: (
+            _filehash(os.path.join(out, "docs", f"part={p:05d}", "data.parquet")),
+            _filehash(os.path.join(out, "runs", f"part={p:05d}", "runs.parquet")),
+        )
+        for p in clean
+    }
+
+    apply_updates(out, delta_dir, deleted_urls)
+
+    # the updated logical corpus for the oracle
+    combined = [r for r in orig if r["url"] not in set(deleted_urls)] + [
+        {"url": r["url"], "warc_ts": r["warc_ts"], "html": r["html"]} for r in delta_rows
+    ]
+    from goobi_viewer_indexer_ray.pipelines.oracle import build_oracle
+
+    oracle = build_oracle(combined, num_parts=NUM_PARTS)
+    return {
+        "out": out,
+        "oracle": oracle,
+        "clean": clean,
+        "pre_hashes": pre_hashes,
+        "deleted": deleted_urls,
+        "new": new_urls,
+        "updated": updated_urls,
+        "orig_urls": orig_urls,
+    }
+
+
+def test_docs_after_update_match_oracle(upd):
+    from goobi_viewer_indexer_ray.pipelines.build import read_docs
+
+    docs = read_docs(upd["out"]).to_pandas()
+    oc = upd["oracle"]
+    assert len(docs) == oc.n_docs
+    for r in docs.itertuples():
+        od = oc.by_url[r.url]
+        assert (od.doc_id, od.text) == (r.doc_id, r.text), r.url
+    got_urls = set(docs["url"])
+    assert not (set(upd["deleted"]) & got_urls)
+    assert set(upd["new"]) <= got_urls
+    # updated pages carry the fresh content
+    row = docs[docs["url"] == upd["updated"][0]].iloc[0]
+    assert "updated content" in row["text"]
+
+
+def test_clean_partitions_untouched(upd):
+    for p in upd["clean"]:
+        d = _filehash(os.path.join(upd["out"], "docs", f"part={p:05d}", "data.parquet"))
+        r = _filehash(os.path.join(upd["out"], "runs", f"part={p:05d}", "runs.parquet"))
+        assert (d, r) == upd["pre_hashes"][p], f"part {p} was rewritten"
+
+
+def test_query_rank_identity_after_update(upd):
+    from goobi_viewer_indexer_ray.pipelines.oracle import oracle_topk
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, topk_exact, topk_wand
+
+    idx = LocalIndex(upd["out"])
+    oc = upd["oracle"]
+    assert idx.n_docs == oc.n_docs
+    for q in ["zelda", "baba", "updated content", "fresh", "kuna mule baba"]:
+        want = oracle_topk(oc, q, 20)
+        d, s = topk_exact(idx, q, 20)
+        assert [(int(a), float(b)) for a, b in zip(d, s)] == want, q
+        dw, sw = topk_wand(idx, q, 20)
+        assert d.tolist() == dw.tolist() and s.tolist() == sw.tolist(), q
+    # deleted docs are truly gone from the index
+    deleted_ids = set()
+    for u in upd["deleted"]:
+        assert u not in oc.by_url
+    d, _ = topk_exact(idx, "zelda", 100)
+    assert len(d) == len(upd["updated"]) + len(upd["new"])  # only delta docs contain it
+
+
+def test_tombstone_ledger(upd):
+    import json
+
+    path = os.path.join(upd["out"], "tombstones.jsonl")
+    rows = [json.loads(line) for line in open(path)]
+    assert {r["url"] for r in rows} == set(upd["deleted"])
+    for r in rows:
+        assert r["part"] == part_for(r["url"], NUM_PARTS)
+
+
+def test_delete_only_second_round(upd):
+    """A second update round with only deletions (the .purge analog)."""
+    from goobi_viewer_indexer_ray.pipelines.build import read_docs
+    from goobi_viewer_indexer_ray.pipelines.updates import apply_updates
+
+    victim = upd["new"][0]
+    before = read_docs(upd["out"]).to_pandas()
+    assert victim in set(before["url"])
+    apply_updates(upd["out"], None, [victim], reason="purge")
+    after = read_docs(upd["out"]).to_pandas()
+    assert victim not in set(after["url"])
+    assert len(after) == len(before) - 1
