@@ -589,6 +589,165 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_date_parts(sf_dir: str):
+    """Year/century derivation (A5 analog: MetadataHelper
+    parseDatesAndCenturies, ``:1053-1123``) over the event stream."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts = pd.to_datetime(t.column("ts").to_pandas())
+        year = ts.dt.year.to_numpy(np.int64)
+        month = ts.dt.month.to_numpy(np.int64)
+        day = ts.dt.day.to_numpy(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "year": pa.array(year),
+                "yearmonth": pa.array(year * 100 + month),
+                "yearmonthday": pa.array(year * 10000 + month * 100 + day),
+                "century": pa.array((year - 1) // 100 + 1),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+_SQL_EVENTS_DATE_PARTS = """
+SELECT event_id,
+       year(ts)::BIGINT AS year,
+       (year(ts) * 100 + month(ts))::BIGINT AS yearmonth,
+       (year(ts) * 10000 + month(ts) * 100 + day(ts))::BIGINT AS yearmonthday,
+       (floor((year(ts) - 1) / 100) + 1)::BIGINT AS century
+FROM events
+"""
+
+
+def q_region_customer_counts(sf_dir: str):
+    """Three-way broadcast join: customer → nation → region roll-up."""
+    import ray
+    from ray.data.aggregate import Count
+
+    nation = _rd().read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = _rd().read_parquet(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lut_ref = ray.put({int(k): r2name[int(v)] for k, v in n2r.items() if int(v) in r2name})
+    cust = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey"])
+
+    def join(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        names = [lut.get(int(k)) for k in t.column("c_nationkey").to_pylist()]
+        return pa.table({"r_name": pa.array(names, pa.string())})
+
+    agg = cust.map_batches(join, batch_format="pyarrow").groupby("r_name").aggregate(
+        Count(alias_name="n_customers")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "r_name": t.column("r_name"),
+                "n_customers": pc.cast(t.column("n_customers"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_REGION_CUSTOMER_COUNTS = """
+SELECT r.r_name, count(*)::BIGINT AS n_customers
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    """Session windows per user (30-min inactivity gap) — the
+    streaming-shaped operator (SURVEY.md §2.9): ordered-log groupby +
+    per-group windowing over sorted timestamps."""
+    import pandas as pd
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0)
+        n_sessions = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "n_sessions": pc.cast(t.column("n_sessions"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_EVENTS_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id::BIGINT AS user_id,
+       count(*)::BIGINT AS n_events,
+       (1 + sum(CASE WHEN prev_ts IS NOT NULL
+                      AND epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END))::BIGINT
+         AS n_sessions
+FROM ordered GROUP BY user_id
+"""
+
+
+def q_event_type_users(sf_dir: str):
+    """Distinct count per key (two-level groupby — `unique` analog)."""
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    # distinct pairs first (pre-aggregation), then count per type
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_EVENT_TYPE_USERS = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_lang_source_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -635,6 +794,10 @@ QUERIES = {
     "customer_order_revenue": q_customer_order_revenue,
     "top_orders": q_top_orders,
     "events_hourly": q_events_hourly,
+    "events_date_parts": q_events_date_parts,
+    "events_sessions": q_events_sessions,
+    "event_type_users": q_event_type_users,
+    "region_customer_counts": q_region_customer_counts,
     "lang_source_counts": q_lang_source_counts,
 }
 
@@ -656,5 +819,9 @@ ORACLE_SQL = {
     "customer_order_revenue": _SQL_CUSTOMER_ORDER_REVENUE,
     "top_orders": _SQL_TOP_ORDERS,
     "events_hourly": _SQL_EVENTS_HOURLY,
+    "events_date_parts": _SQL_EVENTS_DATE_PARTS,
+    "events_sessions": _SQL_EVENTS_SESSIONS,
+    "event_type_users": _SQL_EVENT_TYPE_USERS,
+    "region_customer_counts": _SQL_REGION_CUSTOMER_COUNTS,
     "lang_source_counts": _SQL_LANG_SOURCE,
 }

@@ -88,6 +88,10 @@ def _check(contract, con, name):
         "customer_order_revenue",
         "top_orders",
         "events_hourly",
+        "events_date_parts",
+        "events_sessions",
+        "event_type_users",
+        "region_customer_counts",
         "lang_source_counts",
     ],
 )
