@@ -1,0 +1,97 @@
+"""Job entry points (`ray job submit -- python -m goobi_viewer_indexer_ray.cli ...`).
+
+The only module that owns a Ray session (besides bench.py and the test
+fixture): the driver contract in ``__ray_entry__.py`` and the library
+never call ``ray.init``.
+
+Commands::
+
+    build  --pages DIR --out DIR [--num-parts N] [--num-shards N]
+    update --out DIR [--delta DIR] [--delete URL ...]
+    query  --out DIR --q "terms" [--k K] [--exact]
+    bench-corpus --out DIR --n N [--seed S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="goobi_viewer_indexer_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="pages parquet → docs + inverted index")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--num-parts", type=int, default=32)
+    b.add_argument("--num-shards", type=int, default=32)
+    b.add_argument("--no-resume", action="store_true")
+
+    u = sub.add_parser("update", help="incremental upsert / delete")
+    u.add_argument("--out", required=True)
+    u.add_argument("--delta", default=None)
+    u.add_argument("--delete", action="append", default=[])
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--out", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--exact", action="store_true")
+
+    c = sub.add_parser("bench-corpus", help="synthesize a deterministic pages corpus")
+    c.add_argument("--out", required=True)
+    c.add_argument("--n", type=int, required=True)
+    c.add_argument("--seed", type=int, default=42)
+
+    args = ap.parse_args(argv)
+    ray = _init_ray()
+    try:
+        if args.cmd == "build":
+            from .pipelines.build import build_all
+
+            m = build_all(args.pages, args.out, num_parts=args.num_parts,
+                          num_shards=args.num_shards, resume=not args.no_resume)
+            print(json.dumps({"n_terms": m["n_terms"], "n_postings": m["n_postings"],
+                              "index_bytes": m["index_bytes"]}))
+        elif args.cmd == "update":
+            from .pipelines.updates import apply_updates
+
+            m = apply_updates(args.out, args.delta, args.delete)
+            print(json.dumps({"n_terms": m["n_terms"], "n_postings": m["n_postings"]}))
+        elif args.cmd == "query":
+            from .pipelines.query import LocalIndex, topk_exact, topk_wand
+
+            idx = LocalIndex(args.out)
+            scorer = topk_exact if args.exact else topk_wand
+            d, s = scorer(idx, args.q, args.k)
+            print(json.dumps({"hits": [
+                {"rank": i + 1, "doc_id": int(di), "score": float(si)}
+                for i, (di, si) in enumerate(zip(d, s))
+            ]}))
+        elif args.cmd == "bench-corpus":
+            from .sources.corpus import write_pages
+
+            paths = write_pages(args.out, args.n, seed=args.seed)
+            print(json.dumps({"files": len(paths), "rows": args.n}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -91,23 +91,31 @@ def encode_varints_segmented(values: np.ndarray, seg_starts: np.ndarray) -> list
 
 
 def decode_varints(buf: bytes | memoryview) -> np.ndarray:
-    """Vectorized LEB128 decode → uint64 array."""
+    """Vectorized LEB128 decode → uint64 array.
+
+    No scatter-add: values are assembled with ≤10 masked gathers (one
+    per byte position), which is several times faster than
+    ``np.add.at`` on large posting lists.
+    """
     raw = np.frombuffer(buf, dtype=np.uint8)
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (raw & 0x80) == 0
-    # index of the value each byte belongs to
-    vi = np.zeros(raw.shape, dtype=np.int64)
-    np.cumsum(is_end[:-1], out=vi[1:])
-    # position of each byte within its value
     ends = np.flatnonzero(is_end)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    pos = np.arange(raw.size, dtype=np.int64) - starts[vi]
-    contrib = (raw & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
+    lengths = ends - starts + 1
+    payload = (raw & 0x7F).astype(np.uint64)
     values = np.zeros(ends.size, dtype=np.uint64)
-    np.add.at(values, vi, contrib)
+    max_len = int(lengths.max())
+    if max_len == 1:  # fast path: every value is a single byte
+        return payload
+    mask = np.ones(ends.size, dtype=bool)
+    for k in range(max_len):
+        if k:
+            mask = lengths > k
+        values[mask] |= payload[starts[mask] + k] << np.uint64(7 * k)
     return values
 
 

@@ -402,12 +402,25 @@ class SearchEngine:
             self.warm()
 
     def warm(self) -> bool:
-        """Touch the heavy paths once (decode + score the largest term).
+        """Fault-in every index buffer + exercise the scoring paths.
 
-        First-touch of large buffers/allocations is expensive on some
-        hosts (lazy-paged VMs); a serving actor pays it in __init__,
-        not on its first user query.
+        The index is shared zero-copy through the object store; each
+        actor process still page-faults those shared pages on first
+        touch (expensive on lazy-paged VM hosts).  A serving actor
+        pays the whole cost in ``__init__``, not across its first
+        thousand user queries.
         """
+        seen: set[int] = set()
+        total = 0
+        for ref in self.index._lookup.values():
+            sh = ref.shard
+            if id(sh) in seen:
+                continue
+            seen.add(id(sh))
+            for col in (sh.b_docs, sh.b_tfs, sh.b_dls):
+                for buf in col.buffers():
+                    if buf is not None:
+                        total += int(np.frombuffer(buf, np.uint8).sum(dtype=np.int64))
         biggest, best_df = None, 0
         for term, ref in self.index._lookup.items():
             if ref.df > best_df:
