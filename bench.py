@@ -186,8 +186,11 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # host timing variance on this sandbox is ±20-30%; min-of-N per leg
+    # is the standard noise-robust estimator (N=1 by default for time)
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "1"))
+    r_lo = min((run(lo) for _ in range(trials)), key=lambda r: r["value"])
+    r_hi = min((run(hi) for _ in range(trials)), key=lambda r: r["value"])
     eff_build = (r_lo["queries"]["pages_index_build"] / r_hi["queries"]["pages_index_build"]) / (hi / lo)
     eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {

@@ -748,6 +748,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_props_json(sf_dir: str):
+    """JSON payload parsing (S5 reader analog): extract `k` from the
+    events `props` JSON column, aggregate per event type."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = []
+        for s in t.column("props").to_pylist():
+            try:
+                ks.append(int(_json.loads(s).get("k", 0)) if s else 0)
+            except (ValueError, TypeError):
+                ks.append(0)
+        return pa.table(
+            {"event_type": t.column("event_type"), "k": pa.array(ks, pa.int64())}
+        )
+
+    agg = ds.map_batches(parse, batch_format="pyarrow").groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"), Count(alias_name="n")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "sum_k": pc.cast(t.column("sum_k"), pa.int64()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_EVENTS_PROPS_JSON = """
+SELECT event_type,
+       sum(coalesce(json_extract(props, '$.k')::BIGINT, 0))::BIGINT AS sum_k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_lang_source_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -797,6 +845,7 @@ QUERIES = {
     "events_date_parts": q_events_date_parts,
     "events_sessions": q_events_sessions,
     "event_type_users": q_event_type_users,
+    "events_props_json": q_events_props_json,
     "region_customer_counts": q_region_customer_counts,
     "lang_source_counts": q_lang_source_counts,
 }
@@ -822,6 +871,7 @@ ORACLE_SQL = {
     "events_date_parts": _SQL_EVENTS_DATE_PARTS,
     "events_sessions": _SQL_EVENTS_SESSIONS,
     "event_type_users": _SQL_EVENT_TYPE_USERS,
+    "events_props_json": _SQL_EVENTS_PROPS_JSON,
     "region_customer_counts": _SQL_REGION_CUSTOMER_COUNTS,
     "lang_source_counts": _SQL_LANG_SOURCE,
 }

@@ -91,6 +91,7 @@ def _check(contract, con, name):
         "events_date_parts",
         "events_sessions",
         "event_type_users",
+        "events_props_json",
         "region_customer_counts",
         "lang_source_counts",
     ],
