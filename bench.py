@@ -186,6 +186,19 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    # pre-generate the shared corpus at full parallelism (untimed) so
+    # the first (8-cpu) leg doesn't pay slow corpus synthesis
+    scale = int(os.environ.get("GRAFT_BENCH_SCALE", "16"))
+    gen_code = (
+        "import ray, duckdb, os;"
+        "ray.init(address='local', num_cpus=32, include_dashboard=False, logging_level='ERROR');"
+        "from goobi_viewer_indexer_ray.sources.corpus import ensure_pages;"
+        f"rows = duckdb.sql(\"select count(*) from '{SF_DIR}/lineitem.parquet'\").fetchone()[0];"
+        f"ensure_pages(max(500, int(rows) // 15) * {scale}, seed={SEED});"
+        "ensure_pages(512, seed=%d);" % SEED + "ray.shutdown()"
+    )
+    subprocess.run([sys.executable, "-c", gen_code], check=True, capture_output=True)
+
     # host timing variance on this sandbox is ±20-30%; min-of-N per leg
     # is the standard noise-robust estimator (N=1 by default for time)
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "1"))

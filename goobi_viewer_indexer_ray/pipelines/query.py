@@ -118,11 +118,62 @@ class TermRef:
         return docs, tfs, dls
 
     def decode_all(self):
-        """All postings of the term in one segmented decode pass."""
-        return self._decode_idx(range(self._s, self._e))
+        """All postings of the term (one segmented decode pass, LRU-cached).
+
+        Query term frequencies are Zipfian, so head terms recur across
+        queries; caching their decoded arrays converts the dominant
+        per-query cost (varint decode of ~10^5-10^6 postings) into a
+        dict hit.  The cache lives on the owning LocalIndex with a
+        postings budget (classic posting-list cache).
+        """
+        cache = getattr(self.shard, "cache", None)
+        if cache is None:
+            return self._decode_idx(range(self._s, self._e))
+        key = (id(self.shard), self.row)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._decode_idx(range(self._s, self._e))
+        cache.put(key, out, out[0].size)
+        return out
+
+    def impacts(self, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, float64 impact array) — impact is query-independent
+        (idf excluded), so it caches alongside the decoded postings."""
+        cache = getattr(self.shard, "imp_cache", None)
+        key = (id(self.shard), self.row)
+        if cache is not None:
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
+        docs, tfs, dls = self.decode_all()
+        out = (docs, impact(tfs, dls, avgdl))
+        if cache is not None:
+            cache.put(key, out, docs.size)
+        return out
+
+    def cached_all(self):
+        """Peek the full-term cache (None if not resident) — lets the
+        pruned scorer slice already-decoded arrays for free without
+        forcing a full decode of cold terms."""
+        cache = getattr(self.shard, "cache", None)
+        if cache is None:
+            return None
+        return cache.get((id(self.shard), self.row))
 
     def decode_blocks(self, sel) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Selected blocks (local indices, ascending) in one decode pass."""
+        full = self.cached_all()
+        if full is not None:
+            sh = self.shard
+            ns = sh.b_n[self._s : self._e].astype(np.int64)
+            offs = np.concatenate([[0], np.cumsum(ns)])
+            sel = np.asarray(list(sel), dtype=np.int64)
+            take = np.concatenate(
+                [np.arange(offs[i], offs[i + 1]) for i in sel.tolist()]
+            ) if sel.size else np.empty(0, np.int64)
+            docs, tfs, dls = full
+            return docs[take], tfs[take], dls[take]
         return self._decode_idx([self._s + int(i) for i in sel])
 
     def _decode_idx(self, idxs):
@@ -136,6 +187,33 @@ class TermRef:
         tfs = decode_varints(b"".join(sh.b_tfs[i].as_py() for i in idxs)).astype(np.int64)
         dls = decode_varints(b"".join(sh.b_dls[i].as_py() for i in idxs)).astype(np.int64)
         return docs, tfs, dls
+
+
+class _PostingCache:
+    """LRU of decoded posting arrays, bounded by total postings held."""
+
+    def __init__(self, budget_postings: int):
+        from collections import OrderedDict
+
+        self.budget = budget_postings
+        self.held = 0
+        self._d: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+    def get(self, key):
+        hit = self._d.get(key)
+        if hit is not None:
+            self._d.move_to_end(key)
+            return hit[0]
+        return None
+
+    def put(self, key, value, n_postings: int) -> None:
+        if n_postings > self.budget:
+            return
+        self._d[key] = (value, n_postings)
+        self.held += n_postings
+        while self.held > self.budget:
+            _, (_, n) = self._d.popitem(last=False)
+            self.held -= n
 
 
 class LocalIndex:
@@ -164,8 +242,12 @@ class LocalIndex:
                     if sid not in shards:
                         continue
                 tables.append(pq.read_table(path))
+        cache = _PostingCache(budget_postings=8_000_000)  # ≈200 MB decoded
+        imp_cache = _PostingCache(budget_postings=8_000_000)
         for t in tables:
             sh = _Shard(t)
+            sh.cache = cache  # shared LRUs across the index's shards
+            sh.imp_cache = imp_cache
             for i, term in enumerate(sh.terms):
                 self._lookup[term] = TermRef(sh, i)
 
@@ -221,9 +303,9 @@ def topk_exact(index: LocalIndex, query: str, k: int):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     doc_parts, contrib_parts = [], []
     for w, ref in terms:  # ascending term order → spec association order
-        docs, tfs, dls = ref.decode_all()
+        docs, imp = ref.impacts(index.avgdl)
         doc_parts.append(docs)
-        contrib_parts.append(w * impact(tfs, dls, index.avgdl))
+        contrib_parts.append(w * imp)
     all_docs = np.concatenate(doc_parts)
     all_contrib = np.concatenate(contrib_parts)
     uniq, inv = np.unique(all_docs, return_inverse=True)
