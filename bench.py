@@ -112,7 +112,9 @@ def run_bench() -> dict:
     queries = _bench_queries(200)
     from goobi_viewer_indexer_ray.pipelines.query import SearchService
 
-    service = SearchService(out_dir, n_actors=max(2, NUM_CPUS // 2))
+    # query throughput saturates on memory bandwidth well below one
+    # actor per core on this host; 8 actors is the knee
+    service = SearchService(out_dir, n_actors=max(2, min(8, NUM_CPUS // 2)))
     t0 = time.perf_counter()
     res = service.query_table(queries)
     n_res = res.num_rows

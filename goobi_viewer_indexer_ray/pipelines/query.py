@@ -242,8 +242,9 @@ class LocalIndex:
                     if sid not in shards:
                         continue
                 tables.append(pq.read_table(path))
-        cache = _PostingCache(budget_postings=8_000_000)  # ≈200 MB decoded
-        imp_cache = _PostingCache(budget_postings=8_000_000)
+        self.cache_budget = 8_000_000  # postings (≈200 MB decoded)
+        cache = _PostingCache(budget_postings=self.cache_budget)
+        imp_cache = _PostingCache(budget_postings=self.cache_budget)
         for t in tables:
             sh = _Shard(t)
             sh.cache = cache  # shared LRUs across the index's shards
@@ -503,13 +504,21 @@ class SearchEngine:
                 for buf in col.buffers():
                     if buf is not None:
                         total += int(np.frombuffer(buf, np.uint8).sum(dtype=np.int64))
-        biggest, best_df = None, 0
-        for term, ref in self.index._lookup.items():
-            if ref.df > best_df:
-                biggest, best_df = term, ref.df
-        if biggest is not None:
-            topk_exact(self.index, biggest, 10)
-            topk_wand(self.index, biggest, 10)
+        # pre-fill the posting/impact LRUs with the heaviest terms (the
+        # ones queries will hit, Zipf) — this also faults in the cache
+        # allocations themselves, so steady-state queries never pay it
+        by_df = sorted(self.index._lookup.values(), key=lambda r: -r.df)
+        budget = self.index.cache_budget // 4  # prefill the head only
+        filled = 0
+        for ref in by_df:
+            if filled >= budget or ref.df < 1000:
+                break
+            ref.impacts(self.index.avgdl)
+            filled += ref.df
+        if by_df:
+            biggest_term = next(t for t, r in self.index._lookup.items() if r is by_df[0])
+            topk_exact(self.index, biggest_term, 10)
+            topk_wand(self.index, biggest_term, 10)
         return True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
