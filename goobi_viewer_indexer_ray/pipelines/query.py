@@ -555,15 +555,29 @@ class SearchService:
     deployed per doc-range replica group (see module docstring).
     """
 
-    def __init__(self, out_dir: str, n_actors: int = 4, use_wand: bool = True):
+    def __init__(self, out_dir: str, n_actors: int = 4, use_wand: bool = True,
+                 share_via_object_store: bool = False):
+        """``share_via_object_store``: True shares one copy of the index
+        through Ray's object store (zero-copy mmap — the multi-node /
+        RAM-constrained mode); False (default) has each actor load the
+        compressed shards into its own heap.  On hosts where shared-
+        memory pages fault slowly (lazy-paged VMs like this sandbox),
+        heap mode scores ~2-3× faster; pick per deployment.
+        """
         import ray
 
-        stats, refs = load_index_refs(out_dir)
         engine = ray.remote(SearchEngine)
-        self.actors = [
-            engine.remote(use_wand=use_wand, index_refs=refs, stats=stats, warmup=True)
-            for _ in range(n_actors)
-        ]
+        if share_via_object_store:
+            stats, refs = load_index_refs(out_dir)
+            self.actors = [
+                engine.remote(use_wand=use_wand, index_refs=refs, stats=stats, warmup=True)
+                for _ in range(n_actors)
+            ]
+        else:
+            self.actors = [
+                engine.remote(out_dir=out_dir, use_wand=use_wand, warmup=True)
+                for _ in range(n_actors)
+            ]
         ray.get([a.warm.remote() for a in self.actors])  # block until warm
 
     def query_table(self, queries: list[dict], batch_size: int = 8) -> pa.Table:
