@@ -114,15 +114,22 @@ def _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size, use_ac
 
 
 def _collect_docs_manifest(out_dir: str, fp: str, num_parts: int, num_shards: int,
-                           accept_any: bool = False) -> dict:
-    """Fold per-part manifests into the docs manifest.  ``accept_any``
-    is for the incremental-update path, where clean parts keep their
-    original build fingerprint."""
+                           part_fps: dict[int, str] | None = None) -> dict:
+    """Fold per-part manifests into the docs manifest.
+
+    Enumerates part ids ``0..num_parts-1`` (NEVER a ``part=*`` glob —
+    stale directories from an earlier build with different num_parts
+    must not leak phantom docs into the manifest) and accepts a part
+    only when its manifest fingerprint matches the expected one:
+    ``fp`` for a fresh build, or ``part_fps[part]`` on the incremental
+    path, where clean parts keep their original build fingerprint.
+    """
     docs_dir = os.path.join(out_dir, "docs")
     parts = []
-    for man_path in sorted(glob.glob(os.path.join(docs_dir, "part=*", "_manifest.json"))):
-        m = load_manifest(man_path)
-        if m and (accept_any or m.get("fingerprint") == fp):
+    for p in range(num_parts):
+        m = load_manifest(os.path.join(part_dir(docs_dir, p), "_manifest.json"))
+        expected = (part_fps or {}).get(p, fp)
+        if m and m.get("fingerprint") == expected:
             parts.append(m)
     n_docs = int(sum(p["n_rows"] for p in parts))
     total_tokens = int(sum(p["sum_dl"] for p in parts))
@@ -137,9 +144,31 @@ def _collect_docs_manifest(out_dir: str, fp: str, num_parts: int, num_shards: in
             "total_tokens": total_tokens,
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "n_dups_removed": int(sum(p["n_dups_removed"] for p in parts)),
-            "parts": [{"part": int(p["part"]), "n_rows": int(p["n_rows"])} for p in parts],
+            "parts": [
+                {"part": int(p["part"]), "n_rows": int(p["n_rows"]),
+                 "fp": p["fingerprint"]}
+                for p in parts
+            ],
         },
     )
+
+
+def _manifest_runs_files(out_dir: str, docs_man: dict) -> list[str]:
+    """Run-cache files for exactly the parts in the docs manifest,
+    validated against each part's recorded fingerprint (stale
+    ``part=*`` dirs from an earlier layout are never merged)."""
+    runs_dir = os.path.join(out_dir, "runs")
+    files = []
+    for p in docs_man["parts"]:
+        path = runs_part_path(runs_dir, int(p["part"]))
+        rm = load_manifest(os.path.join(os.path.dirname(path), "_manifest.json"))
+        if rm is None or rm.get("fingerprint") != p.get("fp", docs_man["fingerprint"]):
+            raise FileNotFoundError(
+                f"run cache for part {p['part']} is missing or stale ({path}); "
+                "rebuild docs"
+            )
+        files.append(path)
+    return files
 
 
 def _docs_manifest_ok(out_dir: str, fp: str) -> dict | None:
@@ -241,9 +270,21 @@ def build_docs(
 
 
 def read_docs(out_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    """docs table with the deterministic global ``doc_id`` attached."""
+    """docs table with the deterministic global ``doc_id`` attached.
+
+    Partition discovery goes through the docs manifest (never a
+    ``part=*`` glob), so stale directories from an earlier build with a
+    different ``num_parts`` are ignored rather than read as phantom docs.
+    """
     docs_dir = os.path.join(out_dir, "docs")
-    files = sorted(glob.glob(os.path.join(docs_dir, "part=*", "data.parquet")))
+    man = load_manifest(os.path.join(out_dir, "docs_manifest.json"))
+    if man is None:
+        raise FileNotFoundError(f"no docs manifest under {out_dir}")
+    files = [
+        os.path.join(part_dir(docs_dir, int(p["part"])), "data.parquet")
+        for p in man["parts"]
+        if int(p["n_rows"]) > 0
+    ]
     if not files:
         raise FileNotFoundError(f"no docs partitions under {docs_dir}")
     read_cols = sorted(set(columns) | {"part", "local_rank"}) if columns else None
@@ -291,7 +332,7 @@ def build_index(
     fp = _job_fp(docs_man["fingerprint"], num_shards=num_shards)
     if resume and (m := _index_manifest_ok(out_dir, fp)):
         return m
-    runs_files = sorted(glob.glob(os.path.join(out_dir, "runs", "part=*", "runs.parquet")))
+    runs_files = _manifest_runs_files(out_dir, docs_man)
     runs = ray.data.read_parquet(runs_files)
     shard_rows = _merge_runs(runs, os.path.join(out_dir, "index"), fp)
     return _write_index_manifest(out_dir, fp, num_shards, shard_rows, docs_man)

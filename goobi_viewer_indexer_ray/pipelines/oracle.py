@@ -49,10 +49,19 @@ def build_oracle(pages_rows: list[dict], num_parts: int) -> OracleCorpus:
     Reproduces the engine's dedup-keep-latest and two-phase doc_id
     assignment with independent plain-Python code.
     """
+    from ..functions.hashing import hash64
+
+    def _tie_key(row: dict) -> tuple:
+        # mirrors dedup_and_rank's deterministic survivor rule:
+        # (warc_ts, hash64(extracted text), lang) — max wins
+        return (row["warc_ts"], hash64(extract_text(row["html"])), row.get("lang") or "")
+
     latest: dict[str, dict] = {}
     for row in pages_rows:
         cur = latest.get(row["url"])
         if cur is None or row["warc_ts"] > cur["warc_ts"]:
+            latest[row["url"]] = row
+        elif row["warc_ts"] == cur["warc_ts"] and _tie_key(row) > _tie_key(cur):
             latest[row["url"]] = row
 
     parts: dict[int, list[str]] = {}

@@ -29,7 +29,6 @@ full run merge is cheap relative to extraction.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import time
@@ -43,7 +42,14 @@ from ..functions.hashing import part_for
 from ..stages.docs_writer import DOCS_SCHEMA, DocsPartWriter, part_dir
 from ..stages.extract import ExtractPages
 from ..state.manifest import load_manifest
-from .build import _collect_docs_manifest, _job_fp, _merge_runs, _resolve_pages, _write_index_manifest
+from .build import (
+    _collect_docs_manifest,
+    _job_fp,
+    _manifest_runs_files,
+    _merge_runs,
+    _resolve_pages,
+    _write_index_manifest,
+)
 
 __all__ = ["apply_updates"]
 
@@ -102,7 +108,9 @@ def apply_updates(
     delta_id = ""
     if delta_pages is not None:
         paths = _resolve_pages(delta_pages)
-        delta_id = ";".join(f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in paths)
+        from ..state.manifest import input_fingerprint
+
+        delta_id = input_fingerprint(paths)
         from ..stages.extract import DOCS_RAW_SCHEMA
 
         ds = rd.read_parquet(paths, columns=["url", "warc_ts", "html", "lang"])
@@ -151,9 +159,18 @@ def apply_updates(
                 f.write(json.dumps({"url": u, "part": part_for(u, num_parts),
                                     "reason": reason, "deleted_at": time.time()}) + "\n")
 
-    # index rebuild from ALL run caches (clean parts reused untouched)
-    runs_files = sorted(glob.glob(os.path.join(out_dir, "runs", "part=*", "runs.parquet")))
+    # expected per-part fingerprints: dirty parts carry the update fp,
+    # clean parts keep whatever fp the current manifest recorded — so a
+    # stale part=* dir from an older layout can never re-enter the index
+    part_fps = {int(p["part"]): p.get("fp", docs_man["fingerprint"])
+                for p in docs_man["parts"]}
+    for p in dirty:
+        part_fps[int(p)] = fp
+    new_docs_man = _collect_docs_manifest(out_dir, fp, num_parts, num_shards,
+                                          part_fps=part_fps)
+
+    # index rebuild from the manifest's run caches (clean parts reused untouched)
+    runs_files = _manifest_runs_files(out_dir, new_docs_man)
     index_fp = _job_fp(fp, num_shards=num_shards)
     shard_rows = _merge_runs(rd.read_parquet(runs_files), os.path.join(out_dir, "index"), index_fp)
-    new_docs_man = _collect_docs_manifest(out_dir, fp, num_parts, num_shards, accept_any=True)
     return _write_index_manifest(out_dir, index_fp, num_shards, shard_rows, new_docs_man)

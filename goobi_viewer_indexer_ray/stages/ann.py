@@ -19,7 +19,60 @@ __all__ = ["brute_force_topk", "lsh_topk"]
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float64)
+    """list<float> column → (n, dim) float64 matrix, zero-copy flatten.
+
+    Fixed-size lists and uniform-length variable lists reshape the
+    underlying values buffer directly; the pylist fallback only fires
+    for ragged input (invalid for an embedding column anyway).
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        return (
+            arr.values.to_numpy(zero_copy_only=False)
+            .reshape(-1, dim)
+            .astype(np.float64, copy=False)
+        )
+    if arr.null_count == 0:
+        offs = arr.offsets.to_numpy()
+        widths = np.diff(offs)
+        if widths.size and (widths == widths[0]).all():
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            return (
+                vals[offs[0] : offs[-1]]
+                .reshape(-1, int(widths[0]))
+                .astype(np.float64, copy=False)
+            )
+    return np.array(arr.to_pylist(), dtype=np.float64)
+
+
+def _fetch_queries(ds, query_ids: list[int]):
+    """(vec_id asc sorted query matrix) via a vectorized batch filter —
+    no per-row ``ds.filter`` lambda for a handful of query vectors."""
+    import pyarrow.compute as pc
+
+    wanted = pa.array(sorted(set(int(q) for q in query_ids)), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("vec_id"), value_set=wanted))
+
+    picked = ds.map_batches(pick, batch_format="pyarrow")
+    qt = pa.concat_tables(
+        picked.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("vec_id")
+    return qt.column("vec_id").to_numpy().astype(np.int64), _as_matrix(qt.column("embedding"))
+
+
+def _topk_tied(cos: np.ndarray, k: int) -> np.ndarray:
+    """Indices whose 4-dp-rounded cosine ties or beats the kth best —
+    batch-local pruning that keeps every rounded tie so the driver
+    merge's (cos_r desc, vec_id asc) ranking never loses a survivor."""
+    r = np.round(cos, 4)
+    kk = min(k, r.size)
+    if kk == 0:
+        return np.empty(0, np.int64)
+    kth = -np.partition(-r, kk - 1)[kk - 1]
+    return np.flatnonzero(r >= kth)
 
 
 def _final_merge(parts: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -44,14 +97,9 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
     """
     import ray
 
-    qdf = (
-        ds.filter(lambda r: r["vec_id"] in set(query_ids))
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    q = np.array(list(qdf["embedding"]), dtype=np.float64)
+    qids_np, q = _fetch_queries(ds, query_ids)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    q_ref = ray.put((qdf["vec_id"].to_numpy(np.int64), qn))
+    q_ref = ray.put((qids_np, qn))
 
     def score(t: pa.Table) -> pa.Table:
         qids, qm = ray.get(q_ref)
@@ -60,10 +108,11 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
         cos = qm @ vn.T  # (nq, batch)
         vids = t.column("vec_id").to_numpy()
         rows_q, rows_v, rows_c = [], [], []
-        kk = min(k, cos.shape[1])
         for qi in range(cos.shape[0]):
-            # batch-local prune: keep top-k of this batch only
-            idx = np.argpartition(-cos[qi], kk - 1)[:kk]
+            # batch-local prune keeping rounded ties (final ranking is
+            # by (round(cos,4) desc, vec_id asc) — a tied candidate with
+            # lower raw cosine must survive to the driver merge)
+            idx = _topk_tied(cos[qi], k)
             rows_q.extend([int(qids[qi])] * len(idx))
             rows_v.extend(vids[idx].tolist())
             rows_c.extend(np.round(cos[qi][idx], 4).tolist())
@@ -91,13 +140,10 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, *, planes: int = 8,
     """
     import ray
 
-    first = ds.take(1)[0]
-    dim = len(first["embedding"])
+    qids_np, q = _fetch_queries(ds, query_ids)
+    dim = q.shape[1]
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((planes, dim))
-
-    qdf = ds.filter(lambda r: r["vec_id"] in set(query_ids)).to_pandas().sort_values("vec_id")
-    q = np.array(list(qdf["embedding"]), dtype=np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     qsig = (q @ H.T > 0).astype(np.uint32)
     qbuckets = []
@@ -106,7 +152,7 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, *, planes: int = 8,
         probe = {base} | {base ^ (1 << j) for j in range(planes)}
         probe |= {base ^ (1 << i) ^ (1 << j) for i in range(planes) for j in range(i + 1, planes)}
         qbuckets.append(probe)
-    q_ref = ray.put((qdf["vec_id"].to_numpy(np.int64), qn, qbuckets, H))
+    q_ref = ray.put((qids_np, qn, qbuckets, H))
 
     def score(t: pa.Table) -> pa.Table:
         qids, qm, probes, planes_m = ray.get(q_ref)
@@ -124,8 +170,7 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, *, planes: int = 8,
                 continue
             cos = qm[qi] @ vn[mask].T
             sel_ids = vids[mask]
-            kk = min(k, cos.size)
-            idx = np.argpartition(-cos, kk - 1)[:kk]
+            idx = _topk_tied(cos, k)
             rows_q.extend([int(qids[qi])] * len(idx))
             rows_v.extend(sel_ids[idx].tolist())
             rows_c.extend(np.round(cos[idx], 4).tolist())

@@ -56,8 +56,27 @@ def runs_part_path(runs_dir: str, part: int) -> str:
 
 def dedup_and_rank(group: pa.Table) -> pa.Table:
     """Rows of one part → deduped (latest warc_ts per url), url-sorted,
-    with ``local_rank`` — the pure partition semantics."""
-    g = group.sort_by([("url", "ascending"), ("warc_ts", "descending")])
+    with ``local_rank`` — the pure partition semantics.
+
+    Tie-break on equal (url, warc_ts): descending content hash of the
+    extracted text, then descending lang — so the survivor is a pure
+    function of logical content, independent of Ray's arrival order
+    (byte-identity invariant; mirrored by the oracle's selection rule).
+    """
+    from ..functions.hashing import hash64_array
+
+    th = hash64_array(
+        [t or "" for t in group.column("text").to_pylist()]
+    ).astype(np.uint64)
+    group = group.append_column("_th", pa.array(th, pa.uint64()))
+    g = group.sort_by(
+        [
+            ("url", "ascending"),
+            ("warc_ts", "descending"),
+            ("_th", "descending"),
+            ("lang", "descending"),
+        ]
+    )
     urls = np.asarray(g.column("url").to_pylist(), dtype=object)
     keep = np.ones(len(urls), dtype=bool)
     if len(urls) > 1:

@@ -67,6 +67,24 @@ def shard_dir(index_dir: str, shard: int) -> str:
 
 
 def shard_paths(index_dir: str) -> list[str]:
+    """Term-file paths for an index directory.
+
+    When the sibling ``index_manifest.json`` exists, only the shards it
+    lists are returned — a stale ``shard=*`` directory left behind by
+    an earlier build with a different ``num_shards`` must never be
+    silently merged into the live index (it would surface phantom docs
+    inconsistent with the docs manifest).  The directory listing is the
+    fallback for manifest-less ad-hoc index dirs.
+    """
+    man = load_manifest(os.path.join(os.path.dirname(index_dir.rstrip("/")),
+                                     "index_manifest.json"))
+    if man and "shards" in man:
+        out = []
+        for s in man["shards"]:
+            p = os.path.join(shard_dir(index_dir, int(s["shard"])), "terms.parquet")
+            if os.path.exists(p):
+                out.append(p)
+        return out
     out = []
     if os.path.isdir(index_dir):
         for d in sorted(os.listdir(index_dir)):

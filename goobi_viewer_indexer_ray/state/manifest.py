@@ -53,13 +53,21 @@ def atomic_write_json(path: str, obj: Any) -> None:
 
 
 def input_fingerprint(paths: list[str]) -> str:
-    """Cheap, stable fingerprint of a set of input files: path + size."""
-    items = sorted((os.path.basename(p), os.path.getsize(p)) for p in paths)
+    """Cheap, stable fingerprint of a set of input files.
+
+    basename + size + mtime_ns — mtime catches same-size in-place edits
+    (an edited input must invalidate resume; content hashing a 100 TB
+    input is not an option, so mtime is the standard proxy).
+    """
+    items = []
+    for p in paths:
+        st = os.stat(p)
+        items.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    for name, size in items:
-        h.update(f"{name}:{size};".encode())
+    for name, size, mtime in sorted(items):
+        h.update(f"{name}:{size}:{mtime};".encode())
     return h.hexdigest()
 
 
