@@ -1,7 +1,8 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
 
 Training-data-pipeline first-class operators (driver brief).  All are
-Ray-Data-native compositions:
+Ray-Data-native compositions with **no corpus-sized driver
+materialization** anywhere:
 
 - **exact**: content hash per batch → ``groupby(hash)`` keep first
   (the URN-collision / prepareUpdate analog,
@@ -9,13 +10,21 @@ Ray-Data-native compositions:
 - **jaccard pairs (exact)**: shingle blocking has full recall for any
   J > 0 (two docs with a common shingle share a block), so
   shingle-join + exact verify reproduces ALL pairs with J ≥ t —
-  SQL-checkable.  Cost grows with shingle co-occurrence; the scale
-  path is the MinHash-LSH variant below.
+  SQL-checkable.  Per-doc set sizes ride along on the shingle rows
+  (``shingles_batch`` emits ``n``) and through the pair shuffle, so
+  the union size is available at the reducer with zero extra joins
+  and zero driver-side lookups.  Cost grows with shingle
+  co-occurrence (O(bucket²) per hot shingle); the scale path is the
+  MinHash-LSH variant below.
 - **MinHash-LSH**: signature → banded buckets → ``groupby(band)`` →
-  candidate pairs → exact-Jaccard verify.  Probabilistic recall,
-  tunable via (num_perm, bands).
-- **SimHash**: 64-bit fingerprints + 16-bit band blocking for
-  near-pairs by Hamming distance.
+  candidate pairs → exact-Jaccard verify *restricted to candidate
+  docs* (a distributed re-run of the shingle join over the candidate
+  subset).  The only driver-side object is the candidate PAIR list —
+  small by LSH design (documented partitioning assumption); shingle
+  sets never leave the cluster.
+- **SimHash**: 64-bit fingerprints + 16-bit band blocking →
+  ``groupby(band, key)`` pair emission with vectorized SWAR popcount
+  → ``groupby(pair)`` cross-band dedup.  Fully distributed.
 """
 
 from __future__ import annotations
@@ -26,7 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64_array
 from .text_ops import shingles_batch, simhash_batch
 
 __all__ = [
@@ -38,6 +47,15 @@ __all__ = [
 ]
 
 _MERSENNE = (1 << 61) - 1
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("n_a", pa.int64()),
+        ("n_b", pa.int64()),
+    ]
+)
 
 
 def content_hash_batch(batch: pa.Table) -> pa.Table:
@@ -65,43 +83,53 @@ def exact_dedup_groups(ds):
 def jaccard_pairs(ds, *, n: int = 5, threshold: float = 0.1):
     """All doc pairs with shingle-set Jaccard ≥ threshold (exact).
 
-    shingle → groupby(sh) pair generation → groupby(pair) intersection
-    count → broadcast set-size lookup → exact J filter.  Returns
-    (doc_a, doc_b, inter, uni) with integer set algebra (exact compare
-    vs the SQL oracle — no float rounding in the output).
+    shingle rows (with per-doc set size ``n``) → groupby(sh) pair
+    generation carrying (n_a, n_b) → groupby(pair) intersection count
+    → per-batch exact J filter.  Returns (doc_a, doc_b, inter, uni)
+    with integer set algebra (exact compare vs the SQL oracle — no
+    float rounding in the output) and NO driver-side state.
     """
-    import ray
     from ray.data.aggregate import Count
 
     sh = ds.map_batches(lambda t: shingles_batch(t, n), batch_format="pyarrow")
-    sizes_df = sh.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
     def emit_pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column("doc_id").to_numpy())
+        ids = g.column("doc_id").to_numpy()
         if ids.size < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+            return _PAIR_SCHEMA.empty_table()
+        ns = g.column("n").to_numpy()
+        order = np.argsort(ids)
+        ids, ns = ids[order], ns[order]
         a, b = np.triu_indices(ids.size, k=1)
-        return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[a], pa.int64()),
+                "doc_b": pa.array(ids[b], pa.int64()),
+                "n_a": pa.array(ns[a], pa.int64()),
+                "n_b": pa.array(ns[b], pa.int64()),
+            }
+        )
 
     pairs = sh.groupby("sh").map_groups(emit_pairs, batch_format="pyarrow")
-    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
+    # (n_a, n_b) are functionally dependent on (doc_a, doc_b), so the
+    # 4-key groupby groups exactly like the 2-key one — sizes arrive
+    # at the reducer for free.
+    inter = pairs.groupby(["doc_a", "doc_b", "n_a", "n_b"]).aggregate(
+        Count(alias_name="inter")
+    )
 
     def finalize(t: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
-        da = t.column("doc_a").to_numpy()
-        db = t.column("doc_b").to_numpy()
         it = t.column("inter").to_numpy().astype(np.int64)
-        na = np.array([sizes[int(x)] for x in da], dtype=np.int64)
-        nb = np.array([sizes[int(x)] for x in db], dtype=np.int64)
+        na = t.column("n_a").to_numpy().astype(np.int64)
+        nb = t.column("n_b").to_numpy().astype(np.int64)
         uni = na + nb - it
         keep = (it.astype(np.float64) / uni) >= threshold
         return pa.table(
             {
-                "doc_a": pa.array(da[keep]),
-                "doc_b": pa.array(db[keep]),
-                "inter": pa.array(it[keep]),
-                "uni": pa.array(uni[keep]),
+                "doc_a": pa.array(t.column("doc_a").to_numpy()[keep], pa.int64()),
+                "doc_b": pa.array(t.column("doc_b").to_numpy()[keep], pa.int64()),
+                "inter": pa.array(it[keep], pa.int64()),
+                "uni": pa.array(uni[keep], pa.int64()),
             }
         )
 
@@ -116,66 +144,103 @@ def _minhash_params(num_perm: int, seed: int = 1234567):
 
 
 def minhash_signatures(ds, *, n: int = 5, num_perm: int = 64):
-    """(doc_id, sig:list<uint64>) MinHash signatures over n-gram shingles."""
+    """(doc_id, sig:list<uint64>) MinHash signatures over n-gram shingles.
+
+    Vectorized per batch: one ``hash64_array`` over ALL shingles, one
+    (num_perm × n_shingles) affine map, one segmented min per doc.
+    """
     a, b = _minhash_params(num_perm)
 
     def sig_batch(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
         from ..functions.tokenize import tokenize
 
-        out_ids, out_sigs = [], []
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_ids: list[int] = []
+        flat: list[str] = []
+        counts: list[int] = []
         for did, txt in zip(ids, texts):
             ts = tokenize(txt or "")
             sh = {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
             if not sh:
                 continue
-            hv = np.array([hash64(s) % _MERSENNE for s in sh], dtype=np.uint64)
-            # sig_i = min over shingles of (a_i * h + b_i) mod p
-            prods = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)
             out_ids.append(did)
-            out_sigs.append(prods.min(axis=1).tolist())
+            counts.append(len(sh))
+            flat.extend(sh)
+        if not out_ids:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sig": pa.array([], pa.list_(pa.uint64()))}
+            )
+        hv = hash64_array(flat) % np.uint64(_MERSENNE)
+        # sig_i = min over shingles of (a_i * h + b_i) mod p
+        prods = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        mins = np.minimum.reduceat(prods, starts, axis=1)  # (num_perm, n_docs)
+        sigs = mins.T  # (n_docs, num_perm)
+        flat_vals = pa.array(sigs.reshape(-1), pa.uint64())
+        offsets = pa.array(
+            np.arange(0, (len(out_ids) + 1) * num_perm, num_perm, dtype=np.int32)
+        )
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, pa.int64()),
-                "sig": pa.array(out_sigs, pa.list_(pa.uint64())),
+                "sig": pa.ListArray.from_arrays(offsets, flat_vals),
             }
         )
 
     return ds.map_batches(sig_batch, batch_format="pyarrow")
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def minhash_lsh_pairs(ds, *, n: int = 5, num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.5):
-    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified — distributed.
 
     Scale path of :func:`jaccard_pairs`: candidates only from docs
-    sharing an LSH band bucket.  Verification joins candidate doc ids
-    back to their shingle sets (driver-side pandas for the final small
-    candidate set — documented partitioning assumption: candidates ≪
-    corpus; at cluster scale verify via a bucketed join instead).
-    Returns (doc_a, doc_b, inter, uni).
+    sharing an LSH band bucket.  Verification re-runs the exact
+    shingle join over the candidate docs ONLY (a vectorized batch
+    filter on doc_id — no shuffle of the full corpus), then inner-
+    joins the verified pairs with the candidate pair list.  The sole
+    driver-side object is that candidate pair list — small by LSH
+    design (the documented small-side broadcast assumption).
+    Returns (doc_a, doc_b, inter, uni), sorted.
     """
-    from ray.data.aggregate import Count  # noqa: F401  (parallel import path warm)
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
 
     r = num_perm // bands
     sigs = minhash_signatures(ds, n=n, num_perm=num_perm)
 
     def band_rows(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        sigs_l = t.column("sig").to_pylist()
+        la = t.column("sig").combine_chunks()
+        if len(la) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "bhash": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        offs = la.offsets.to_numpy()
+        vals = la.values.to_numpy(zero_copy_only=False)
+        m = vals[offs[0] : offs[-1]].reshape(-1, num_perm)
+        ids = t.column("doc_id").to_numpy()
         b_ids, b_hash, b_doc = [], [], []
-        for did, sig in zip(ids, sigs_l):
-            for bi in range(bands):
-                chunk = tuple(sig[bi * r : (bi + 1) * r])
-                b_ids.append(bi)
-                b_hash.append(hash64(repr(chunk)))
-                b_doc.append(did)
+        for bi in range(bands):
+            chunk = m[:, bi * r : (bi + 1) * r].astype(np.uint64)
+            h = np.full(len(ids), np.uint64(bi + 1))
+            for j in range(r):  # wrapping multiply-xor mix per lane
+                h = (h ^ chunk[:, j]) * _MIX
+            b_ids.append(np.full(len(ids), bi, np.int32))
+            b_hash.append(h)
+            b_doc.append(ids)
         return pa.table(
             {
-                "band": pa.array(b_ids, pa.int32()),
-                "bhash": pa.array(b_hash, pa.uint64()),
-                "doc_id": pa.array(b_doc, pa.int64()),
+                "band": pa.array(np.concatenate(b_ids), pa.int32()),
+                "bhash": pa.array(np.concatenate(b_hash), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(b_doc), pa.int64()),
             }
         )
 
@@ -190,32 +255,49 @@ def minhash_lsh_pairs(ds, *, n: int = 5, num_perm: int = 64, bands: int = 16,
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bhash"])
         .map_groups(emit, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+        .groupby(["doc_a", "doc_b"])  # cross-band dedup, distributed
+        .aggregate(Count(alias_name="_nb"))
+        .to_pandas()  # candidate PAIRS only — the small side
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "inter": pd.Series([], dtype="int64"),
+            "uni": pd.Series([], dtype="int64"),
+        }
     )
     if cands.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "inter": pd.Series([], dtype="int64"),
-                             "uni": pd.Series([], dtype="int64")})
+        return empty
 
-    needed = set(cands["doc_a"]) | set(cands["doc_b"])
-    sh = (
-        ds.map_batches(lambda t: shingles_batch(t, n), batch_format="pyarrow")
-        .to_pandas()
+    needed = pa.array(
+        sorted(set(cands["doc_a"].astype(int)) | set(cands["doc_b"].astype(int))),
+        pa.int64(),
     )
-    sets = {did: set(g["sh"]) for did, g in sh[sh["doc_id"].isin(needed)].groupby("doc_id")}
-    rows = []
-    for a_, b_ in zip(cands["doc_a"], cands["doc_b"]):
-        sa, sb = sets.get(int(a_), set()), sets.get(int(b_), set())
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        uni = len(sa | sb)
-        if inter / uni >= threshold:
-            rows.append((int(a_), int(b_), inter, uni))
-    rows.sort()
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "inter", "uni"]).astype("int64")
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=needed))
+
+    sub = ds.map_batches(pick, batch_format="pyarrow")
+    verified = jaccard_pairs(sub, n=n, threshold=threshold).to_pandas()
+    if verified.empty:
+        return empty
+    out = verified.merge(cands[["doc_a", "doc_b"]], on=["doc_a", "doc_b"], how="inner")
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return out[["doc_a", "doc_b", "inter", "uni"]].astype("int64")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — no Python bit loops."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h) >> np.uint64(56)).astype(np.int64)
 
 
 def simhash_pairs(ds, *, max_hamming: int = 3):
@@ -224,27 +306,75 @@ def simhash_pairs(ds, *, max_hamming: int = 3):
     Returns (doc_a, doc_b, hamming).  A pair with Hamming distance ≤ 3
     over 64 bits must agree on at least one of the 4 16-bit bands
     (pigeonhole), so band blocking has full recall for the cutoff.
+    Fully distributed: ``groupby(band, key)`` pair emission with SWAR
+    popcount verify, then ``groupby(pair)`` cross-band dedup — the
+    driver only ever sees the final near-pair rows.
     """
-    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
-    sigs["sig"] = sigs["simhash_hex"].apply(lambda h: int(h, 16))
-    buckets: dict[tuple[int, int], list[int]] = {}
-    by_id = dict(zip(sigs["doc_id"].astype(int), sigs["sig"]))
-    for did, sig in by_id.items():
-        for b in range(4):
-            key = (b, (sig >> (16 * b)) & 0xFFFF)
-            buckets.setdefault(key, []).append(did)
-    seen = set()
-    rows = []
-    for ids in buckets.values():
-        ids = sorted(ids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                p = (ids[i], ids[j])
-                if p in seen:
-                    continue
-                seen.add(p)
-                h = bin(by_id[p[0]] ^ by_id[p[1]]).count("1")
-                if h <= max_hamming:
-                    rows.append((p[0], p[1], h))
-    rows.sort()
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype("int64")
+    from ray.data.aggregate import Min
+
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        hexes = t.column("simhash_hex").to_pylist()
+        sig = np.array([int(h, 16) for h in hexes], dtype=np.uint64)
+        ids = t.column("doc_id").to_numpy()
+        parts = []
+        for b_ in range(4):
+            key = ((sig >> np.uint64(16 * b_)) & np.uint64(0xFFFF)).astype(np.int32)
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(ids), b_, np.int32)),
+                        "key": pa.array(key),
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "sig": pa.array(sig, pa.uint64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def emit(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        if ids.size < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        sig = g.column("sig").to_numpy()
+        order = np.argsort(ids)
+        ids, sig = ids[order], sig[order]
+        a, b = np.triu_indices(ids.size, k=1)
+        ham = _popcount64(sig[a] ^ sig[b])
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[a][keep], pa.int64()),
+                "doc_b": pa.array(ids[b][keep], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(emit, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])  # same pair found by ≤4 bands
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .to_pandas()  # final near-pair rows only
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        pairs.sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)[["doc_a", "doc_b", "hamming"]]
+        .astype("int64")
+    )

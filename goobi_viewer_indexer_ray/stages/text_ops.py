@@ -15,7 +15,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64_array
 from ..functions.tokenize import tokenize
 
 __all__ = [
@@ -116,17 +116,27 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 
 def shingles_batch(batch: pa.Table, n: int = 5) -> pa.Table:
-    """Distinct token n-gram shingles per doc → (doc_id, sh)."""
+    """Distinct token n-gram shingles per doc → (doc_id, sh, n).
+
+    ``n`` (the doc's distinct-shingle count) rides along on every
+    shingle row so downstream pair generation can carry set sizes
+    through the shuffle instead of a driver-side size lookup.
+    """
     ids, toks = _tokens_of(batch)
-    out_ids, out_sh = [], []
+    out_ids, out_sh, out_n = [], [], []
     for did, ts in zip(ids, toks):
         seen = set()
         for i in range(len(ts) - n + 1):
             seen.add(" ".join(ts[i : i + n]))
         out_ids.extend([did] * len(seen))
         out_sh.extend(sorted(seen))
+        out_n.extend([len(seen)] * len(seen))
     return pa.table(
-        {"doc_id": pa.array(out_ids, pa.int64()), "sh": pa.array(out_sh, pa.string())}
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "sh": pa.array(out_sh, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        }
     )
 
 
@@ -134,23 +144,35 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     """64-bit SimHash over the token multiset → (doc_id, simhash_hex).
 
     bit_j(doc) = sign( Σ_tokens tf(t) * (bit_j(hash64(t)) ? +1 : -1) ).
+    Vectorized: one factorize + one (uniq_tokens × 64) bit matrix +
+    one segmented reduce per batch — no per-doc Python bit loops.
     """
+    import pandas as pd
+
     ids, toks = _tokens_of(batch)
-    out = []
-    for ts in toks:
-        v = np.zeros(64, dtype=np.int64)
-        counts: dict[str, int] = {}
-        for t in ts:
-            counts[t] = counts.get(t, 0) + 1
-        for t, tf in counts.items():
-            h = hash64(t)
-            bits = np.array([(h >> j) & 1 for j in range(64)], dtype=np.int64)
-            v += tf * (2 * bits - 1)
-        sig = 0
+    n_docs = len(ids)
+    counts = np.array([len(ts) for ts in toks], dtype=np.int64)
+    flat: list[str] = [t for ts in toks for t in ts]
+    sigs = np.zeros(n_docs, dtype=np.uint64)
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        rows = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        key = rows * np.int64(len(uniques)) + codes
+        uk, tf = np.unique(key, return_counts=True)
+        urow = uk // len(uniques)
+        ucode = uk % len(uniques)
+        h = hash64_array(uniques)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        contrib = tf[:, None] * (2 * bits[ucode] - 1)  # (n_pairs, 64)
+        starts = np.flatnonzero(np.diff(urow, prepend=-1))
+        v = np.add.reduceat(contrib, starts, axis=0)  # (docs_with_tokens, 64)
+        present = urow[starts]
+        sig_bits = (v > 0).astype(np.uint64)
+        part = np.zeros(present.size, dtype=np.uint64)
         for j in range(64):
-            if v[j] > 0:
-                sig |= 1 << j
-        out.append(f"{sig:016x}")
+            part |= sig_bits[:, j] << np.uint64(j)
+        sigs[present] = part
+    out = [f"{int(s):016x}" for s in sigs]
     return pa.table(
         {"doc_id": pa.array(ids, pa.int64()), "simhash_hex": pa.array(out, pa.string())}
     )
