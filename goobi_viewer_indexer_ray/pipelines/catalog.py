@@ -389,7 +389,24 @@ FROM r WHERE rank <= 10
 
 
 def q_ann_lsh(sf_dir: str):
-    return ann.lsh_topk(_embeddings(sf_dir), _ANN_QUERY_IDS, k=10)
+    """LSH ANN over the bucket-partitioned store (IO pruning: only the
+    probed buckets' files are read).  Identical output to
+    ``ann.lsh_topk`` on the same table (same probes / rounding)."""
+    import shutil
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = f"{os.path.realpath(path)}:{os.path.getsize(path)}:lshparts_v1"
+    out = os.path.join(
+        "/tmp/gvi_catalog", hashlib.blake2b(key.encode(), digest_size=10).hexdigest()
+    )
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        ann.write_lsh_partitions(_embeddings(sf_dir), out)
+        with open(marker, "w") as f:
+            f.write(key)
+    return ann.lsh_topk_partitioned(out, _embeddings(sf_dir), _ANN_QUERY_IDS, k=10)
 
 
 # ----------------------------------------------- flagship pages pipeline
@@ -461,29 +478,35 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_customer_order_revenue(sf_dir: str):
-    """Broadcast hash join (small side via ray.put) + grouped aggregate."""
+    """Broadcast hash join (small side via ray.put) + grouped aggregate.
+
+    The probe is fully vectorized: one ``pc.index_in`` against the
+    broadcast key array + one ``pc.take`` of the payload column — no
+    per-row Python in the hot path.
+    """
+    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = (
+    cust_t = pa.concat_tables(
         _rd()
         .read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
-        .to_pandas()
+        .iter_batches(batch_size=None, batch_format="pyarrow")
     )
-    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    side_ref = ray.put(
+        (cust_t.column("c_custkey").cast(pa.int64()).combine_chunks(),
+         cust_t.column("c_name").combine_chunks())
+    )
     orders = _rd().read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
     def join(t: pa.Table) -> pa.Table:
-        names = ray.get(name_ref)
-        keys = t.column("o_custkey").to_numpy()
-        mask = np.array([int(k) in names for k in keys])
-        t = t.filter(pa.array(mask))
-        keys = t.column("o_custkey").to_numpy()
-        return t.append_column(
-            "c_name", pa.array([names[int(k)] for k in keys], pa.string())
-        )
+        keys, names = ray.get(side_ref)
+        idx = pc.index_in(t.column("o_custkey").cast(pa.int64()), value_set=keys)
+        mask = pc.is_valid(idx)
+        t = t.filter(mask)
+        return t.append_column("c_name", pc.take(names, idx.filter(mask)))
 
     agg = (
         orders.map_batches(join, batch_format="pyarrow")
@@ -629,17 +652,22 @@ def q_region_customer_counts(sf_dir: str):
     import ray
     from ray.data.aggregate import Count
 
+    import pyarrow.compute as pc
+
     nation = _rd().read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     region = _rd().read_parquet(os.path.join(sf_dir, "region.parquet")).to_pandas()
-    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    lut_ref = ray.put({int(k): r2name[int(v)] for k, v in n2r.items() if int(v) in r2name})
+    # pre-join the two tiny dims driver-side → one broadcast lookup
+    nk = nation["n_nationkey"].astype("int64")
+    rn = [r2name.get(int(v)) for v in nation["n_regionkey"]]
+    lut_ref = ray.put((pa.array(nk, pa.int64()), pa.array(rn, pa.string())))
     cust = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey"])
 
     def join(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        names = [lut.get(int(k)) for k in t.column("c_nationkey").to_pylist()]
-        return pa.table({"r_name": pa.array(names, pa.string())})
+        keys, names = ray.get(lut_ref)
+        idx = pc.index_in(t.column("c_nationkey").cast(pa.int64()), value_set=keys)
+        mask = pc.is_valid(idx)
+        return pa.table({"r_name": pc.take(names, idx.filter(mask))})
 
     agg = cust.map_batches(join, batch_format="pyarrow").groupby("r_name").aggregate(
         Count(alias_name="n_customers")
@@ -669,25 +697,67 @@ GROUP BY r.r_name
 
 def q_events_sessions(sf_dir: str):
     """Session windows per user (30-min inactivity gap) — the
-    streaming-shaped operator (SURVEY.md §2.9): ordered-log groupby +
-    per-group windowing over sorted timestamps."""
+    streaming-shaped operator (SURVEY.md §2.9).
+
+    Scale shape: ONE global sort by (user_id, ts), then fully
+    vectorized per-batch partials (segmented diff — n_events,
+    within-batch session breaks, boundary timestamps per user), then a
+    tiny ``groupby(user)`` combine over the few partials per user that
+    stitches batch boundaries.  No per-event Python, no 1-row-per-call
+    group lambdas over the event log.
+    """
     import pandas as pd
+
+    GAP_US = 1_800_000_000  # 30 min in microseconds
 
     ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0)
-        n_sessions = int((gaps > 1800).sum()) + 1
-        return pd.DataFrame(
+    def partials(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_breaks": pa.array([], pa.int64()),
+                    "first_ts": pa.array([], pa.int64()),
+                    "last_ts": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").cast(pa.int64()).to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        new_u = np.ones(n, dtype=bool)
+        new_u[1:] = uid[1:] != uid[:-1]
+        seg = np.flatnonzero(new_u)
+        brk = np.zeros(n, dtype=np.int64)
+        brk[1:] = (~new_u[1:]) & ((ts[1:] - ts[:-1]) > GAP_US)
+        ends = np.append(seg[1:], n)
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
+                "user_id": pa.array(uid[seg], pa.int64()),
+                "n_events": pa.array(ends - seg, pa.int64()),
+                "n_breaks": pa.array(np.add.reduceat(brk, seg), pa.int64()),
+                "first_ts": pa.array(ts[seg], pa.int64()),
+                "last_ts": pa.array(ts[ends - 1], pa.int64()),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    parts = ds.sort(["user_id", "ts"]).map_batches(partials, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("first_ts")
+        boundary = (
+            (g["first_ts"].to_numpy()[1:] - g["last_ts"].to_numpy()[:-1]) > GAP_US
+        ).sum()
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [int(g["n_events"].sum())],
+                "n_sessions": [int(g["n_breaks"].sum() + boundary) + 1],
+            }
+        )
+
+    out = parts.groupby("user_id").map_groups(combine, batch_format="pandas")
 
     def fin(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "lsh_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "write_lsh_partitions", "lsh_topk_partitioned"]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -128,40 +128,45 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
     return _final_merge(parts, k)
 
 
-def lsh_topk(ds, query_ids: list[int], k: int = 10, *, planes: int = 8,
-             seed: int = 97) -> pd.DataFrame:
-    """Approximate cosine top-k via random-hyperplane bucketing.
-
-    Vectors are bucketed by the sign pattern of ``planes`` seeded
-    hyperplanes; each query multiprobes its own bucket plus all
-    Hamming-≤2 neighbors (≈15% of buckets at 8 planes).  Output shape
-    identical to :func:`brute_force_topk` (rows-only correctness
-    check; recall floor measured in tests).
-    """
-    import ray
-
-    qids_np, q = _fetch_queries(ds, query_ids)
-    dim = q.shape[1]
+def _planes(planes: int, dim: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    H = rng.standard_normal((planes, dim))
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    return rng.standard_normal((planes, dim))
+
+
+def _buckets_of(m: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """(n, dim) vectors → int64 bucket id (sign pattern of ``H``)."""
+    planes = H.shape[0]
+    sig = (m @ H.T > 0).astype(np.uint32)
+    bucket = np.zeros(len(m), dtype=np.int64)
+    for j in range(planes):
+        bucket |= sig[:, j].astype(np.int64) << (planes - 1 - j)
+    return bucket
+
+
+def _query_probes(q: np.ndarray, H: np.ndarray) -> list[set[int]]:
+    """Multiprobe sets per query: own bucket + all Hamming-≤2 neighbors
+    (≈15% of buckets at 8 planes)."""
+    planes = H.shape[0]
     qsig = (q @ H.T > 0).astype(np.uint32)
-    qbuckets = []
+    out = []
     for s in qsig:
         base = int(sum(int(s[j]) << (planes - 1 - j) for j in range(planes)))
         probe = {base} | {base ^ (1 << j) for j in range(planes)}
         probe |= {base ^ (1 << i) ^ (1 << j) for i in range(planes) for j in range(i + 1, planes)}
-        qbuckets.append(probe)
-    q_ref = ray.put((qids_np, qn, qbuckets, H))
+        out.append(probe)
+    return out
+
+
+def _lsh_score_fn(q_ref, k: int):
+    """Shared per-batch scorer for the LSH variants (bucket recomputed
+    per batch from the broadcast plane matrix)."""
+    import ray
 
     def score(t: pa.Table) -> pa.Table:
         qids, qm, probes, planes_m = ray.get(q_ref)
         m = _as_matrix(t.column("embedding"))
         vn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        sig = (m @ planes_m.T > 0).astype(np.uint32)
-        bucket = np.zeros(len(m), dtype=np.int64)
-        for j in range(planes_m.shape[0]):
-            bucket |= sig[:, j].astype(np.int64) << (planes_m.shape[0] - 1 - j)
+        bucket = _buckets_of(m, planes_m)
         vids = t.column("vec_id").to_numpy()
         rows_q, rows_v, rows_c = [], [], []
         for qi in range(qm.shape[0]):
@@ -182,5 +187,83 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, *, planes: int = 8,
             }
         )
 
+    return score
+
+
+def lsh_topk(ds, query_ids: list[int], k: int = 10, *, planes: int = 8,
+             seed: int = 97) -> pd.DataFrame:
+    """Approximate cosine top-k via random-hyperplane bucketing.
+
+    Vectors are bucketed by the sign pattern of ``planes`` seeded
+    hyperplanes; each query multiprobes its own bucket plus all
+    Hamming-≤2 neighbors.  Output shape identical to
+    :func:`brute_force_topk` (rows-only correctness check; recall
+    floor measured in tests).  This variant scans every batch (compute
+    pruning only); :func:`lsh_topk_partitioned` adds IO pruning over a
+    bucket-partitioned store.
+    """
+    import ray
+
+    qids_np, q = _fetch_queries(ds, query_ids)
+    H = _planes(planes, q.shape[1], seed)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put((qids_np, qn, _query_probes(q, H), H))
+    score = _lsh_score_fn(q_ref, k)
     parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return _final_merge(parts, k)
+
+
+def write_lsh_partitions(ds, out_dir: str, *, planes: int = 8, seed: int = 97) -> None:
+    """Embeddings → parquet partitioned by LSH bucket (``bucket=<b>/``).
+
+    The scale path's storage layout: a probe then READS only its
+    probed buckets' files (IO pruning), instead of scanning every
+    vector batch and pruning in compute.  One pass, no shuffle (each
+    input block writes its own per-bucket files)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column("embedding"))
+        H = _planes(planes, m.shape[1], seed)
+        return t.append_column("bucket", pa.array(_buckets_of(m, H), pa.int64()))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+
+
+def lsh_topk_partitioned(part_dir: str, ds, query_ids: list[int], k: int = 10, *,
+                         planes: int = 8, seed: int = 97) -> pd.DataFrame:
+    """LSH top-k over a bucket-partitioned store written by
+    :func:`write_lsh_partitions` — only the union of the queries'
+    probed buckets is READ from storage (IO pruning, not just compute
+    pruning).  Identical output to :func:`lsh_topk` on the same data
+    (same probes, same candidates, same rounding)."""
+    import os
+
+    import ray
+    import ray.data
+
+    qids_np, q = _fetch_queries(ds, query_ids)
+    H = _planes(planes, q.shape[1], seed)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probes = _query_probes(q, H)
+    union: set[int] = set()
+    for p in probes:
+        union |= p
+    import glob as _glob
+
+    paths = [
+        f
+        for d in sorted(os.listdir(part_dir))
+        if d.startswith("bucket=") and int(d.split("=")[1]) in union
+        for f in sorted(_glob.glob(os.path.join(part_dir, d, "*.parquet")))
+    ]
+    if not paths:
+        return _final_merge(
+            pd.DataFrame({"query_vec_id": [], "vec_id": [], "cos_r": []}), k
+        )
+    sub = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    q_ref = ray.put((qids_np, qn, probes, H))
+    score = _lsh_score_fn(q_ref, k)
+    parts = sub.map_batches(score, batch_format="pyarrow").to_pandas()
     return _final_merge(parts, k)
