@@ -47,7 +47,7 @@ from .. import ENGINE_SPEC_VERSION
 from ..functions.ids import PART_STRIDE
 from ..stages.docs_writer import DocsPartWriter, part_dir, runs_part_path
 from ..stages.extract import ExtractPages
-from ..stages.index_merge import ShardWriter, shard_dir
+from ..stages.index_merge import SegmentWriter, segment_dir
 from ..stages.postings import TokenizeEncodeRuns
 from ..state.manifest import (
     atomic_write_json,
@@ -59,6 +59,12 @@ from ..state.manifest import (
 
 __all__ = ["build_docs", "build_index", "build_all", "build_text_index", "read_docs", "load_stats"]
 
+# deployment sizing budgets (SURVEY.md "memory-aware"): one docs
+# partition per ~PART_BUDGET of compressed input, so a groupby(part)
+# task's working set is bounded regardless of corpus size
+PART_INPUT_BUDGET = 128 << 20  # compressed input bytes per docs partition
+DEFAULT_RANGE_BUCKETS = 8  # segments per shard (see _bucketing)
+
 
 def _cpus() -> int:
     import ray
@@ -67,6 +73,54 @@ def _cpus() -> int:
         return max(1, int(ray.cluster_resources().get("CPU", 4)))
     except Exception:
         return 4
+
+
+def _auto_parts(paths: list[str], num_parts: int | None) -> int:
+    """Derive ``num_parts`` from input bytes when not given: ≥ cores
+    (shuffle parallelism) and ≥ bytes/budget (bounded per-task state).
+    A fixed default invites 3 TB groups at 100 TB — the knob must
+    follow the data."""
+    if num_parts is not None:
+        return num_parts
+    total = sum(os.path.getsize(p) for p in paths)
+    return max(_cpus(), -(-total // PART_INPUT_BUDGET))
+
+
+def _bucketing(num_parts: int, num_range_buckets: int | None) -> tuple[int, int]:
+    """(parts_per_bucket, bucket_size_docs) for the segmented merge.
+
+    ``bucket = doc_id // bucket_size_docs`` groups ``parts_per_bucket``
+    consecutive url-hash partitions (doc ids are strided per part, so
+    contiguous parts = contiguous doc ranges).  No reduce task then
+    holds more than ``corpus / (num_shards × num_buckets)`` postings —
+    the head-term guarantee.  Default 8 buckets balances that bound
+    against segment-file count; raise it for bigger corpora."""
+    nrb = num_range_buckets or min(num_parts, DEFAULT_RANGE_BUCKETS)
+    ppb = max(1, -(-num_parts // nrb))
+    return ppb, ppb * PART_STRIDE
+
+
+def _part_fp_map(docs_man: dict) -> dict[int, str]:
+    return {int(p["part"]): p.get("fp", docs_man["fingerprint"])
+            for p in docs_man["parts"]}
+
+
+def _segment_fps(num_parts: int, parts_per_bucket: int, num_shards: int,
+                 part_fps: dict[int, str]) -> dict[int, str]:
+    """bucket → fingerprint, derived from the run fingerprints of the
+    bucket's parts — an update that dirties one part changes ONLY its
+    bucket's segment fingerprints, so every other segment resumes
+    (skips) untouched.  Only parts present in ``part_fps`` (i.e.
+    listed in the docs manifest) contribute."""
+    out = {}
+    for b in range(-(-num_parts // parts_per_bucket)):
+        h = blake2b(digest_size=16)
+        for p in range(b * parts_per_bucket, min((b + 1) * parts_per_bucket, num_parts)):
+            if p in part_fps:
+                h.update(f"{p}:{part_fps[p]};".encode())
+        h.update(f"s{num_shards}v{ENGINE_SPEC_VERSION}".encode())
+        out[b] = h.hexdigest()
+    return out
 
 
 def _job_fp(input_fp: str, **params) -> str:
@@ -184,33 +238,43 @@ def _docs_manifest_ok(out_dir: str, fp: str) -> dict | None:
 def _index_manifest_ok(out_dir: str, fp: str) -> dict | None:
     m = manifest_valid(os.path.join(out_dir, "index_manifest.json"), fp)
     if m and all(
-        os.path.exists(os.path.join(shard_dir(os.path.join(out_dir, "index"), int(s["shard"])), "terms.parquet"))
-        for s in m.get("shards", [])
+        os.path.exists(
+            os.path.join(
+                segment_dir(os.path.join(out_dir, "index"), int(s["shard"]), int(s["bucket"])),
+                "terms.parquet",
+            )
+        )
+        for s in m.get("segments", [])
     ):
         return m
     return None
 
 
-def _merge_runs(runs_ds, index_dir: str, fp: str):
-    """groupby(term-shard) merge of compressed SPIMI runs → shard files."""
-    shard_writer = ShardWriter(index_dir, fp)
+def _merge_runs(runs_ds, index_dir: str, default_fp: str, *, bucket_size_docs: int,
+                seg_fps: dict[int, str] | None = None):
+    """groupby(term-shard, doc-range-bucket) merge of compressed SPIMI
+    runs → segment files.  The two-key reduce is the head-term
+    defense: one term's postings land on ``num_range_buckets``
+    independent tasks instead of one."""
+    writer = SegmentWriter(index_dir, default_fp, seg_fps)
 
-    def write_shard(g: pa.Table) -> pa.Table:
-        return shard_writer(g)
+    def attach_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("first_doc").to_numpy() // bucket_size_docs).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
 
-    return runs_ds.groupby("shard").map_groups(write_shard, batch_format="pyarrow").to_pandas()
+    def write_segment(g: pa.Table) -> pa.Table:
+        return writer(g)
 
-
-def _run_index_shuffle(docs_ds, index_dir: str, fp: str, num_shards: int,
-                       batch_size: int = 1024):
-    """Tokenize + map-side SPIMI encode + shard merge (text-table path)."""
-    runs = docs_ds.map_batches(
-        TokenizeEncodeRuns(num_shards), batch_format="pyarrow", batch_size=batch_size
+    return (
+        runs_ds.map_batches(attach_bucket, batch_format="pyarrow")
+        .groupby(["shard", "bucket"])
+        .map_groups(write_segment, batch_format="pyarrow")
+        .to_pandas()
     )
-    return _merge_runs(runs, index_dir, fp)
 
 
-def _write_index_manifest(out_dir, fp, num_shards, shard_rows, docs_man) -> dict:
+def _write_index_manifest(out_dir, fp, num_shards, bucket_size_docs, seg_rows,
+                          docs_man, extra_segments: list[dict] | None = None) -> dict:
     atomic_write_json(
         os.path.join(out_dir, "stats.json"),
         {
@@ -220,16 +284,20 @@ def _write_index_manifest(out_dir, fp, num_shards, shard_rows, docs_man) -> dict
             "num_shards": num_shards,
         },
     )
+    segments = seg_rows.drop(columns=["seconds", "skipped"], errors="ignore").to_dict("records")
+    segments += list(extra_segments or [])
+    segments.sort(key=lambda s: (int(s["shard"]), int(s["bucket"])))
     return write_manifest(
         os.path.join(out_dir, "index_manifest.json"),
         stage="index",
         fingerprint=fp,
         extra={
             "num_shards": num_shards,
-            "n_terms": int(shard_rows["n_terms"].sum()),
-            "n_postings": int(shard_rows["n_postings"].sum()),
-            "index_bytes": int(shard_rows["bytes"].sum()),
-            "shards": shard_rows.drop(columns=["seconds"]).to_dict("records"),
+            "bucket_size_docs": int(bucket_size_docs),
+            "n_terms": int(sum(s["n_terms"] for s in segments)),
+            "n_postings": int(sum(s["n_postings"] for s in segments)),
+            "index_bytes": int(sum(s["bytes"] for s in segments)),
+            "segments": segments,
         },
     )
 
@@ -238,8 +306,8 @@ def build_docs(
     pages: str | list[str],
     out_dir: str,
     *,
-    num_parts: int = 32,
-    num_shards: int = 32,
+    num_parts: int | None = None,
+    num_shards: int | None = None,
     concurrency: int | None = None,
     batch_size: int = 256,
     use_actors: bool = False,
@@ -260,6 +328,8 @@ def build_docs(
     charset models, ML scorers — SURVEY.md §2.3 ST4).
     """
     paths = _resolve_pages(pages)
+    num_parts = _auto_parts(paths, num_parts)
+    num_shards = num_shards or num_parts
     fp = _job_fp(input_fingerprint(paths), num_parts=num_parts, num_shards=num_shards)
     if resume and (m := _docs_manifest_ok(out_dir, fp)):
         return m
@@ -314,9 +384,11 @@ def build_index(
     out_dir: str,
     *,
     num_shards: int = 32,
+    num_range_buckets: int | None = None,
     resume: bool = True,
 ) -> dict:
-    """docs (already built) → compressed term-sharded inverted index.
+    """docs (already built) → compressed term-sharded, doc-range-
+    segmented inverted index.
 
     The standalone/index-only rebuild path; ``build_all`` fuses this
     with the docs stage in one execution.
@@ -329,21 +401,27 @@ def build_index(
             f"runs were encoded for num_shards={docs_man['num_shards']}; "
             "rebuild docs to change the shard count"
         )
-    fp = _job_fp(docs_man["fingerprint"], num_shards=num_shards)
+    num_parts = int(docs_man["num_parts"])
+    ppb, bucket_size_docs = _bucketing(num_parts, num_range_buckets)
+    fp = _job_fp(docs_man["fingerprint"], num_shards=num_shards, ppb=ppb)
     if resume and (m := _index_manifest_ok(out_dir, fp)):
         return m
+    seg_fps = _segment_fps(num_parts, ppb, num_shards, _part_fp_map(docs_man))
     runs_files = _manifest_runs_files(out_dir, docs_man)
     runs = ray.data.read_parquet(runs_files)
-    shard_rows = _merge_runs(runs, os.path.join(out_dir, "index"), fp)
-    return _write_index_manifest(out_dir, fp, num_shards, shard_rows, docs_man)
+    seg_rows = _merge_runs(runs, os.path.join(out_dir, "index"), fp,
+                           bucket_size_docs=bucket_size_docs, seg_fps=seg_fps)
+    return _write_index_manifest(out_dir, fp, num_shards, bucket_size_docs,
+                                 seg_rows, docs_man)
 
 
 def build_all(
     pages: str | list[str],
     out_dir: str,
     *,
-    num_parts: int = 32,
-    num_shards: int = 32,
+    num_parts: int | None = None,
+    num_shards: int | None = None,
+    num_range_buckets: int | None = None,
     concurrency: int | None = None,
     use_actors: bool = False,
     resume: bool = True,
@@ -353,21 +431,29 @@ def build_all(
     Returns the index manifest.
     """
     paths = _resolve_pages(pages)
+    num_parts = _auto_parts(paths, num_parts)
+    num_shards = num_shards or num_parts
+    ppb, bucket_size_docs = _bucketing(num_parts, num_range_buckets)
     docs_fp = _job_fp(input_fingerprint(paths), num_parts=num_parts, num_shards=num_shards)
-    index_fp = _job_fp(docs_fp, num_shards=num_shards)
+    index_fp = _job_fp(docs_fp, num_shards=num_shards, ppb=ppb)
 
     docs_ok = _docs_manifest_ok(out_dir, docs_fp) if resume else None
     index_ok = _index_manifest_ok(out_dir, index_fp) if resume else None
     if docs_ok and index_ok:
         return index_ok
     if docs_ok:  # docs complete → index-only rebuild from disk
-        return build_index(out_dir, num_shards=num_shards, resume=resume)
+        return build_index(out_dir, num_shards=num_shards,
+                           num_range_buckets=num_range_buckets, resume=resume)
 
+    seg_fps = _segment_fps(num_parts, ppb, num_shards,
+                           {p: docs_fp for p in range(num_parts)})
     runs_rows = _docs_pipeline(paths, out_dir, docs_fp, num_parts, num_shards, 256,
                                use_actors, concurrency)
-    shard_rows = _merge_runs(runs_rows, os.path.join(out_dir, "index"), index_fp)
+    seg_rows = _merge_runs(runs_rows, os.path.join(out_dir, "index"), index_fp,
+                           bucket_size_docs=bucket_size_docs, seg_fps=seg_fps)
     docs_man = _collect_docs_manifest(out_dir, docs_fp, num_parts, num_shards)
-    return _write_index_manifest(out_dir, index_fp, num_shards, shard_rows, docs_man)
+    return _write_index_manifest(out_dir, index_fp, num_shards, bucket_size_docs,
+                                 seg_rows, docs_man)
 
 
 def build_text_index(
@@ -376,30 +462,34 @@ def build_text_index(
     fingerprint: str,
     *,
     num_shards: int = 4,
+    bucket_size: int = 1 << 18,
     resume: bool = True,
 ) -> dict:
     """Index a pre-extracted text table ``(doc_id:int64, text:string)``.
 
     Adapter for corpora that arrive as text (e.g. the driver's
     ``documents`` table) — skips extract/dedup, reuses the SPIMI
-    shuffle.  The input is materialized once for the stats pass; the
-    full pages pipeline is the streaming 100 TB path.
+    shuffle.  Two streaming passes over the input (stats aggregate,
+    then the run shuffle) — nothing materializes the corpus.
+    ``bucket_size`` is the doc-range segment width (docs per bucket
+    per shard); runs are split at bucket boundaries map-side.
     """
     from ray.data.aggregate import Count, Sum
 
     from ..functions.tokenize import tokenize as _tok
 
-    fp = _job_fp(fingerprint, num_shards=num_shards)
+    fp = _job_fp(fingerprint, num_shards=num_shards, bucket=bucket_size)
     man_path = os.path.join(out_dir, "index_manifest.json")
     if resume and (m := manifest_valid(man_path, fp)):
         return m
 
-    def with_len(t: pa.Table) -> pa.Table:
+    def count_tokens(t: pa.Table) -> pa.Table:
         lens = [len(_tok(x)) for x in t.column("text").to_pylist()]
-        return t.append_column("doc_len", pa.array(lens, pa.int32()))
+        return pa.table({"doc_len": pa.array(lens, pa.int64())})
 
-    docs = ds_docs.map_batches(with_len, batch_format="pyarrow").materialize()
-    agg = docs.aggregate(Count(), Sum("doc_len", alias_name="total_tokens"))
+    agg = ds_docs.map_batches(count_tokens, batch_format="pyarrow").aggregate(
+        Count(), Sum("doc_len", alias_name="total_tokens")
+    )
     n_docs = int(agg["count()"])
     total_tokens = int(agg["total_tokens"])
     atomic_write_json(
@@ -407,15 +497,22 @@ def build_text_index(
         {"n_docs": n_docs, "total_tokens": total_tokens,
          "avgdl": (total_tokens / n_docs) if n_docs else 1.0, "num_shards": num_shards},
     )
-    shard_rows = _run_index_shuffle(docs, os.path.join(out_dir, "index"), fp, num_shards)
+    runs = ds_docs.map_batches(
+        TokenizeEncodeRuns(num_shards, bucket_size=bucket_size),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    seg_rows = _merge_runs(runs, os.path.join(out_dir, "index"), fp,
+                           bucket_size_docs=bucket_size)
     return write_manifest(
         man_path,
         stage="text_index",
         fingerprint=fp,
         extra={
             "num_shards": num_shards,
-            "n_terms": int(shard_rows["n_terms"].sum()),
-            "n_postings": int(shard_rows["n_postings"].sum()),
-            "shards": shard_rows.drop(columns=["seconds"]).to_dict("records"),
+            "bucket_size_docs": int(bucket_size),
+            "n_terms": int(seg_rows["n_terms"].sum()),
+            "n_postings": int(seg_rows["n_postings"].sum()),
+            "segments": seg_rows.drop(columns=["seconds", "skipped"], errors="ignore").to_dict("records"),
         },
     )

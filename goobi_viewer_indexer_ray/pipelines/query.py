@@ -44,7 +44,7 @@ from ..functions.codec import decode_varints
 from ..functions.scoring import idf as idf_fn
 from ..functions.scoring import impact
 from ..functions.tokenize import tokenize
-from ..stages.index_merge import shard_paths
+from ..stages.index_merge import segment_paths
 
 __all__ = ["LocalIndex", "SearchEngine", "SearchService", "topk_exact", "topk_wand",
            "search", "load_index_refs"]
@@ -60,11 +60,19 @@ RESULT_SCHEMA = pa.schema(
 
 
 class _Shard:
-    """Columnar view of one shard table (flat block arrays, zero-copy-ish)."""
+    """Columnar merged view of one shard's segment tables.
+
+    Input rows are sorted by (term, bucket); a term present in several
+    doc-range segments spans consecutive rows, and — because bucket
+    order IS doc order — its blocks are contiguous and doc-ascending
+    in the flat values arrays.  The merge is therefore just per-term
+    row-range bookkeeping (sums for df/cf, offsets for blocks): no
+    postings are decoded or re-encoded at load time.
+    """
 
     def __init__(self, t: pa.Table):
-        self.df = t.column("df").to_numpy()
-        self.cf = t.column("cf").to_numpy()
+        row_df = t.column("df").to_numpy()
+        row_cf = t.column("cf").to_numpy()
         la = t.column("blocks").combine_chunks()
         self.blk_off = la.offsets.to_numpy()
         sv = la.values
@@ -76,7 +84,21 @@ class _Shard:
         self.b_docs = sv.field("docs")
         self.b_tfs = sv.field("tfs")
         self.b_dls = sv.field("dls")
-        self.terms = t.column("term").to_pylist()
+        terms_np = np.asarray(t.column("term").to_pylist(), dtype=object)
+        if terms_np.size:
+            new_term = np.ones(terms_np.size, dtype=bool)
+            new_term[1:] = terms_np[1:] != terms_np[:-1]
+            row_start = np.flatnonzero(new_term)
+            row_end = np.append(row_start[1:], terms_np.size)
+            self.m_df = np.add.reduceat(row_df, row_start)
+            self.m_cf = np.add.reduceat(row_cf, row_start)
+            self.t_blk_s = self.blk_off[row_start]
+            self.t_blk_e = self.blk_off[row_end]
+            self.terms = terms_np[new_term].tolist()
+        else:
+            self.m_df = self.m_cf = np.empty(0, np.int64)
+            self.t_blk_s = self.t_blk_e = np.empty(0, np.int64)
+            self.terms = []
 
 
 class TermRef:
@@ -87,16 +109,16 @@ class TermRef:
     def __init__(self, shard: _Shard, row: int):
         self.shard = shard
         self.row = row
-        self._s = int(shard.blk_off[row])
-        self._e = int(shard.blk_off[row + 1])
+        self._s = int(shard.t_blk_s[row])
+        self._e = int(shard.t_blk_e[row])
 
     @property
     def df(self) -> int:
-        return int(self.shard.df[self.row])
+        return int(self.shard.m_df[self.row])
 
     @property
     def cf(self) -> int:
-        return int(self.shard.cf[self.row])
+        return int(self.shard.m_cf[self.row])
 
     @property
     def n_blocks(self) -> int:
@@ -216,16 +238,37 @@ class _PostingCache:
             self.held -= n
 
 
-class LocalIndex:
-    """In-memory term dictionary over compressed shard tables.
+def _merge_segments(segs: list[tuple[int, pa.Table]]) -> pa.Table:
+    """[(bucket, seg_table)] → one table sorted by (term, bucket).
 
-    Construct from an index directory (reads shard files) or from
-    pre-loaded Arrow tables (e.g. zero-copy out of the Ray object
-    store — see :func:`load_index_refs`).
+    Bucket ascending = doc-range ascending, so a term's per-segment
+    block lists concatenate into doc order with zero re-encoding.
+    """
+    segs = sorted(segs, key=lambda x: x[0])
+    parts = []
+    for b, tab in segs:
+        parts.append(
+            tab.append_column("bucket", pa.array(np.full(tab.num_rows, b, np.int32)))
+        )
+    t = pa.concat_tables(parts)
+    if len(parts) > 1:
+        t = t.sort_by([("term", "ascending"), ("bucket", "ascending")])
+    return t
+
+
+class LocalIndex:
+    """In-memory term dictionary over compressed segment tables.
+
+    Construct from an index directory (reads ``shard=*/seg=*`` files
+    listed in the index manifest) or from pre-loaded Arrow tables
+    (e.g. zero-copy out of the Ray object store — see
+    :func:`load_index_refs`, which yields (shard, bucket, ref)
+    triples).
     """
 
     def __init__(self, out_dir: str | None = None, shards: list[int] | None = None,
-                 *, tables: list[pa.Table] | None = None, stats: dict | None = None):
+                 *, tables: list[tuple[int, int, pa.Table]] | None = None,
+                 stats: dict | None = None):
         if stats is None:
             assert out_dir is not None
             with open(os.path.join(out_dir, "stats.json")) as f:
@@ -236,17 +279,18 @@ class LocalIndex:
         if tables is None:
             assert out_dir is not None
             tables = []
-            for path in shard_paths(os.path.join(out_dir, "index")):
-                if shards is not None:
-                    sid = int(os.path.basename(os.path.dirname(path)).split("=")[1])
-                    if sid not in shards:
-                        continue
-                tables.append(pq.read_table(path))
+            for seg in segment_paths(os.path.join(out_dir, "index")):
+                if shards is not None and seg["shard"] not in shards:
+                    continue
+                tables.append((seg["shard"], seg["bucket"], pq.read_table(seg["path"])))
         self.cache_budget = 8_000_000  # postings (≈200 MB decoded)
         cache = _PostingCache(budget_postings=self.cache_budget)
         imp_cache = _PostingCache(budget_postings=self.cache_budget)
-        for t in tables:
-            sh = _Shard(t)
+        by_shard: dict[int, list[tuple[int, pa.Table]]] = {}
+        for sid, bucket, tab in tables:
+            by_shard.setdefault(sid, []).append((bucket, tab))
+        for sid in sorted(by_shard):
+            sh = _Shard(_merge_segments(by_shard[sid]))
             sh.cache = cache  # shared LRUs across the index's shards
             sh.imp_cache = imp_cache
             for i, term in enumerate(sh.terms):
@@ -261,8 +305,8 @@ class LocalIndex:
 
 
 def load_index_refs(out_dir: str):
-    """Load every index shard into the Ray object store ONCE (parallel
-    read tasks) → ``(stats, [ObjectRef[pa.Table]])``.
+    """Load every index segment into the Ray object store ONCE
+    (parallel read tasks) → ``(stats, [(shard, bucket, ObjectRef)])``.
 
     Actors then map the shared Arrow buffers zero-copy instead of each
     re-reading the parquet from disk — broadcast-once, read-everywhere
@@ -274,10 +318,13 @@ def load_index_refs(out_dir: str):
         stats = json.load(f)
 
     @ray.remote
-    def read_shard(path: str) -> pa.Table:
+    def read_seg(path: str) -> pa.Table:
         return pq.read_table(path)
 
-    refs = [read_shard.remote(p) for p in shard_paths(os.path.join(out_dir, "index"))]
+    refs = [
+        (seg["shard"], seg["bucket"], read_seg.remote(seg["path"]))
+        for seg in segment_paths(os.path.join(out_dir, "index"))
+    ]
     return stats, refs
 
 
@@ -476,7 +523,8 @@ class SearchEngine:
         if index_refs is not None:
             import ray
 
-            tables = ray.get(list(index_refs))  # zero-copy shared buffers
+            tabs = ray.get([r for _, _, r in index_refs])  # zero-copy shared buffers
+            tables = [(s, b, t) for (s, b, _), t in zip(index_refs, tabs)]
             self.index = LocalIndex(tables=tables, stats=stats)
         else:
             self.index = LocalIndex(out_dir)

@@ -10,21 +10,18 @@ Our transposition is partition-level incremental rebuild (SURVEY.md
 only the url-hash partitions it touches.
 
     dirty parts = hash(urls in delta ∪ deletes) % num_parts
-    per dirty part (parallel Ray tasks):
+    delta path (streaming — the delta NEVER concatenates on the
+    driver): extract → groupby(part) → per-dirty-part merge task:
         old docs part rows − deleted urls + extracted delta rows
         → dedup-keep-latest → rank → rewrite docs + SPIMI runs
-    index: groupby(shard) merge over ALL per-part run caches
-        (clean parts' run files are reused byte-for-byte — no
-        re-extraction, no re-tokenization; only the cheap
-        compressed-run shuffle reruns)
+    delete-only parts run the same merge as individual Ray tasks.
+    index: dirty parts map to dirty doc-range BUCKETS; only those
+        buckets' runs re-enter the ``groupby(shard, bucket)`` merge
+        and only their ``shard=*/seg=*`` files are rewritten — every
+        clean segment is untouched on disk (Lucene-segment analog).
 
 Deletes are recorded in a tombstone ledger
 (``out_dir/tombstones.jsonl`` — the DATEDELETED trace-doc analog).
-
-Scale note: the run-merge shuffle rewrites all shards, because a dirty
-doc's terms hash anywhere.  At 10^12 docs the same layout supports
-segment-per-update with query-time merge; at the scales tested the
-full run merge is cheap relative to extraction.
 """
 
 from __future__ import annotations
@@ -39,26 +36,29 @@ import pyarrow.parquet as pq
 import ray
 
 from ..functions.hashing import part_for
+from ..functions.ids import PART_STRIDE
 from ..stages.docs_writer import DOCS_SCHEMA, DocsPartWriter, part_dir
 from ..stages.extract import ExtractPages
 from ..state.manifest import load_manifest
 from .build import (
+    _bucketing,
     _collect_docs_manifest,
     _job_fp,
-    _manifest_runs_files,
     _merge_runs,
+    _part_fp_map,
     _resolve_pages,
+    _segment_fps,
     _write_index_manifest,
+    runs_part_path,
 )
 
-__all__ = ["apply_updates"]
+__all__ = ["apply_updates", "update_doc"]
 
 _DELTA_COLS = [f.name for f in DOCS_SCHEMA if f.name != "local_rank"]
 
 
-@ray.remote
-def _rebuild_part(part: int, out_dir: str, fp: str, num_shards: int,
-                  delta_rows: pa.Table | None, deleted_urls: list[str]) -> int:
+def _merge_one_part(part: int, out_dir: str, fp: str, num_shards: int,
+                    delta_rows: pa.Table | None, deleted_urls: list[str]) -> int:
     """Merge one dirty partition: old rows − deletes + delta → rewrite."""
     docs_dir = os.path.join(out_dir, "docs")
     old_path = os.path.join(part_dir(docs_dir, part), "data.parquet")
@@ -72,7 +72,8 @@ def _rebuild_part(part: int, out_dir: str, fp: str, num_shards: int,
         if old.num_rows:
             pieces.append(old)
     if delta_rows is not None and delta_rows.num_rows:
-        pieces.append(delta_rows.select(_DELTA_COLS))
+        pieces.append(delta_rows.select(_DELTA_COLS).cast(
+            pa.schema([f for f in DOCS_SCHEMA if f.name != "local_rank"])))
 
     writer = DocsPartWriter(docs_dir, os.path.join(out_dir, "runs"), fp, num_shards)
     if pieces:
@@ -81,6 +82,28 @@ def _rebuild_part(part: int, out_dir: str, fp: str, num_shards: int,
         writer(pa.table({f.name: pa.array([], f.type) for f in DOCS_SCHEMA
                          if f.name != "local_rank"}), part=part)
     return part
+
+
+_merge_part_task = ray.remote(_merge_one_part)
+
+
+class _DeltaPartMerger:
+    """groupby(part) group fn: one dirty part's extracted delta rows →
+    merged part rewrite (runs inside the group task — the delta
+    streams through the shuffle, never through the driver)."""
+
+    def __init__(self, out_dir: str, fp: str, num_shards: int,
+                 deletes_by_part: dict[int, list[str]]):
+        self.out_dir = out_dir
+        self.fp = fp
+        self.num_shards = num_shards
+        self.deletes_by_part = deletes_by_part
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        part = int(g.column("part")[0].as_py())
+        _merge_one_part(part, self.out_dir, self.fp, self.num_shards, g,
+                        self.deletes_by_part.get(part, []))
+        return pa.table({"part": pa.array([part], pa.int32())})
 
 
 def apply_updates(
@@ -93,7 +116,8 @@ def apply_updates(
     """Apply new/updated pages and url deletions to an existing build.
 
     Returns the new index manifest.  Clean partitions' docs and run
-    files are untouched on disk (byte-identical, verified in tests).
+    files AND clean index segments are untouched on disk
+    (byte-identical, verified in tests).
     """
     import ray.data as rd
 
@@ -103,24 +127,19 @@ def apply_updates(
         raise FileNotFoundError("no existing build under out_dir")
     num_parts = int(docs_man["num_parts"])
     num_shards = int(docs_man["num_shards"])
+    old_index_man = load_manifest(os.path.join(out_dir, "index_manifest.json"))
+    if old_index_man and "bucket_size_docs" in old_index_man:
+        bucket_size_docs = int(old_index_man["bucket_size_docs"])
+        ppb = max(1, bucket_size_docs // PART_STRIDE)
+    else:
+        ppb, bucket_size_docs = _bucketing(num_parts, None)
 
-    delta_tbl = None
     delta_id = ""
     if delta_pages is not None:
         paths = _resolve_pages(delta_pages)
         from ..state.manifest import input_fingerprint
 
         delta_id = input_fingerprint(paths)
-        from ..stages.extract import DOCS_RAW_SCHEMA
-
-        ds = rd.read_parquet(paths, columns=["url", "warc_ts", "html", "lang"])
-        ds = ds.map_batches(ExtractPages(num_parts), batch_format="pyarrow")
-        tables = [
-            t.select(DOCS_RAW_SCHEMA.names).cast(DOCS_RAW_SCHEMA)
-            for t in (ray.get(r) for r in ds.to_arrow_refs())
-            if t.num_rows
-        ]
-        delta_tbl = pa.concat_tables(tables) if tables else None
 
     fp = _job_fp(
         docs_man["fingerprint"],
@@ -129,29 +148,33 @@ def apply_updates(
         op="update",
     )
 
-    dirty: set[int] = {part_for(u, num_parts) for u in deleted_urls}
-    delta_by_part: dict[int, pa.Table] = {}
-    if delta_tbl is not None and delta_tbl.num_rows:
-        import pyarrow.compute as pc
-
-        for p in sorted(set(delta_tbl.column("part").to_pylist())):
-            delta_by_part[int(p)] = delta_tbl.filter(
-                pc.equal(delta_tbl.column("part"), pa.scalar(p, pa.int32()))
-            )
-        dirty |= set(delta_by_part)
-
     deletes_by_part: dict[int, list[str]] = {}
     for u in deleted_urls:
         deletes_by_part.setdefault(part_for(u, num_parts), []).append(u)
 
-    ray.get(
-        [
-            _rebuild_part.remote(
-                p, out_dir, fp, num_shards, delta_by_part.get(p), deletes_by_part.get(p, [])
-            )
-            for p in sorted(dirty)
-        ]
-    )
+    dirty: set[int] = set()
+    if delta_pages is not None:
+        # streaming delta: extract → shuffle by part → merge in-place
+        ds = rd.read_parquet(_resolve_pages(delta_pages),
+                             columns=["url", "warc_ts", "html", "lang"])
+        ds = ds.map_batches(ExtractPages(num_parts), batch_format="pyarrow")
+        merger = _DeltaPartMerger(out_dir, fp, num_shards, deletes_by_part)
+
+        def merge_delta_part(g: pa.Table) -> pa.Table:
+            return merger(g)
+
+        done = ds.groupby("part").map_groups(merge_delta_part, batch_format="pyarrow").to_pandas()
+        dirty |= {int(p) for p in done["part"]}
+
+    # delete-only parts (no delta rows → no shuffle group): parallel tasks
+    pending = [p for p in sorted(deletes_by_part) if p not in dirty]
+    if pending:
+        ray.get([
+            _merge_part_task.remote(p, out_dir, fp, num_shards, None,
+                                    deletes_by_part.get(p, []))
+            for p in pending
+        ])
+        dirty |= set(pending)
 
     if deleted_urls:  # tombstone ledger (DATEDELETED trace-doc analog)
         with open(os.path.join(out_dir, "tombstones.jsonl"), "a") as f:
@@ -162,15 +185,82 @@ def apply_updates(
     # expected per-part fingerprints: dirty parts carry the update fp,
     # clean parts keep whatever fp the current manifest recorded — so a
     # stale part=* dir from an older layout can never re-enter the index
-    part_fps = {int(p["part"]): p.get("fp", docs_man["fingerprint"])
-                for p in docs_man["parts"]}
+    part_fps = _part_fp_map(docs_man)
     for p in dirty:
         part_fps[int(p)] = fp
     new_docs_man = _collect_docs_manifest(out_dir, fp, num_parts, num_shards,
                                           part_fps=part_fps)
 
-    # index rebuild from the manifest's run caches (clean parts reused untouched)
-    runs_files = _manifest_runs_files(out_dir, new_docs_man)
-    index_fp = _job_fp(fp, num_shards=num_shards)
-    shard_rows = _merge_runs(rd.read_parquet(runs_files), os.path.join(out_dir, "index"), index_fp)
-    return _write_index_manifest(out_dir, index_fp, num_shards, shard_rows, new_docs_man)
+    # ---- index: re-merge ONLY the dirty doc-range buckets ----
+    seg_fps = _segment_fps(num_parts, ppb, num_shards, _part_fp_map(new_docs_man))
+    dirty_buckets = {int(p) // ppb for p in dirty}
+    runs_dir = os.path.join(out_dir, "runs")
+    new_part_fp = _part_fp_map(new_docs_man)
+    dirty_runs = []
+    for p in new_docs_man["parts"]:
+        pid = int(p["part"])
+        if pid // ppb not in dirty_buckets:
+            continue
+        path = runs_part_path(runs_dir, pid)
+        rm = load_manifest(os.path.join(os.path.dirname(path), "_manifest.json"))
+        if rm is None or rm.get("fingerprint") != new_part_fp[pid]:
+            raise FileNotFoundError(f"run cache for part {pid} missing/stale ({path})")
+        dirty_runs.append(path)
+
+    index_fp = _job_fp(fp, num_shards=num_shards, ppb=ppb)
+    index_dir = os.path.join(out_dir, "index")
+    if dirty_runs:
+        seg_rows = _merge_runs(rd.read_parquet(dirty_runs), index_dir, index_fp,
+                               bucket_size_docs=bucket_size_docs, seg_fps=seg_fps)
+    else:
+        import pandas as pd
+
+        seg_rows = pd.DataFrame(columns=["shard", "bucket", "fp", "n_terms",
+                                         "n_postings", "bytes", "seconds", "skipped"])
+
+    # clean segments carry over from the previous index manifest
+    preserved = [
+        s for s in (old_index_man or {}).get("segments", [])
+        if int(s["bucket"]) not in dirty_buckets
+    ]
+    # a dirty bucket whose parts all emptied produces no new segments —
+    # its old segment files are dead; they are excluded from the
+    # manifest (and thus invisible to segment_paths/LocalIndex)
+    return _write_index_manifest(out_dir, index_fp, num_shards, bucket_size_docs,
+                                 seg_rows, new_docs_man, extra_segments=preserved)
+
+
+def update_doc(out_dir: str, url: str, html: bytes,
+               warc_ts=None, lang: str = "") -> dict:
+    """Single-document upsert (the ``.docupdate`` analog,
+    ``DocUpdateIndexer.java:78``): wraps :func:`apply_updates` with a
+    one-row in-memory delta — rewrites exactly one docs partition and
+    its doc-range bucket's index segments."""
+    import datetime
+
+    import pyarrow.parquet as _pq
+
+    if warc_ts is None:
+        warc_ts = datetime.datetime.now(datetime.timezone.utc)
+    tmp = os.path.join(out_dir, "_docupdate_delta")
+    os.makedirs(tmp, exist_ok=True)
+    path = os.path.join(tmp, "delta.parquet")
+    _pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([url], pa.string()),
+                "warc_ts": pa.array([warc_ts], pa.timestamp("us", tz="UTC")),
+                "html": pa.array([html], pa.binary()),
+                "lang": pa.array([lang], pa.string()),
+            }
+        ),
+        path,
+    )
+    try:
+        return apply_updates(out_dir, [path], None, reason="docupdate")
+    finally:
+        try:
+            os.remove(path)
+            os.rmdir(tmp)
+        except OSError:
+            pass

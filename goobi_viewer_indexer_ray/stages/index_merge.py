@@ -1,27 +1,40 @@
-"""Index merge: compressed SPIMI runs → per-shard term files.
+"""Index merge: compressed SPIMI runs → per-(shard, doc-range) segments.
 
 The reduce side of SURVEY.md §2.6 A8 (the work the reference delegates
-to Lucene's index writer).  Input: the ``groupby("shard")`` groups of
+to Lucene's index writer — its segment model is also the reference
+analog for this layout, ``helper/SolrSearchIndex.java:388``).  Input:
+the ``groupby(shard, bucket)`` groups of
 :class:`~..stages.postings.TokenizeEncodeRuns` output — per-(term,
-batch) compressed runs.  For each shard:
+batch) compressed runs, where ``bucket = first_doc //
+bucket_size_docs`` is a doc-range bucket (every run lies entirely in
+one bucket by construction).  For each (shard, bucket) group:
 
 1. sort runs by (term, first_doc);
 2. decode ALL runs in three vectorized passes (one segmented varint
-   decode per column for the whole shard — no per-run Python work);
+   decode per column for the whole segment — no per-run Python work);
 3. re-sort per term by doc_id and **re-encode canonically** into
    ``BLOCK_SIZE`` blocks with per-block ``max_doc`` / ``max_tf`` /
-   ``min_dl`` metadata (the WAND bound needs no global stats — this is
-   what lets docs+index run as one fused pipeline) — so the final index bytes are a pure function of the
-   logical postings, independent of how Ray batched the map side
-   (required for resume byte-identity and rank determinism);
-4. write ONE atomic ``terms.parquet`` per shard + a shard manifest
+   ``min_dl`` metadata.  Blocks restart at every segment boundary, so
+   a segment's bytes are a pure function of the logical postings in
+   its doc range — independent of Ray's batching (resume
+   byte-identity / rank determinism) AND independent of which other
+   segments exist;
+4. write ONE atomic ``index/shard=S/seg=B/terms.parquet`` + manifest
    (the checkpoint unit; reference analog: commit-per-record,
    ``SolrSearchIndex.java:538``).
 
-Memory note: step 3 holds one shard's decoded postings (~16 B/posting).
-Size ``num_shards`` so a shard's postings fit a worker; a pathological
-head term at 10^12 docs would additionally need term-row segmentation
-by doc range (future work, documented in SURVEY.md §4.1).
+Scale property (the head-term guarantee): NO single reduce task ever
+holds one term's full postings — a term's postings are split across
+``num_range_buckets`` independent segments, each bounded by
+``corpus / (num_shards × num_range_buckets)``.  Query-side,
+:class:`~..pipelines.query.LocalIndex` concatenates a term's
+per-segment block lists in bucket order (doc order) — blocks are
+independently decodable, so no re-encoding happens at read time.
+
+The segment is also the incremental-update unit: a segment's
+fingerprint derives from the run fingerprints of the parts in its
+bucket, so an update that dirties one part re-merges only that
+bucket's segments and leaves every other segment untouched on disk.
 """
 
 from __future__ import annotations
@@ -37,7 +50,8 @@ import pyarrow.parquet as pq
 from ..functions.codec import BLOCK_SIZE, decode_varints, encode_varints_segmented
 from ..state.manifest import atomic_write_bytes, atomic_write_json, load_manifest
 
-__all__ = ["BLOCK_STRUCT", "TERMS_SCHEMA", "ShardWriter", "shard_dir", "shard_paths"]
+__all__ = ["BLOCK_STRUCT", "TERMS_SCHEMA", "SegmentWriter", "segment_dir",
+           "segment_paths"]
 
 BLOCK_STRUCT = pa.struct(
     [
@@ -62,35 +76,45 @@ TERMS_SCHEMA = pa.schema(
 )
 
 
-def shard_dir(index_dir: str, shard: int) -> str:
-    return os.path.join(index_dir, f"shard={shard:05d}")
+def segment_dir(index_dir: str, shard: int, bucket: int) -> str:
+    return os.path.join(index_dir, f"shard={shard:05d}", f"seg={bucket:05d}")
 
 
-def shard_paths(index_dir: str) -> list[str]:
-    """Term-file paths for an index directory.
+def segment_paths(index_dir: str) -> list[dict]:
+    """``[{shard, bucket, path}, ...]`` for an index directory.
 
-    When the sibling ``index_manifest.json`` exists, only the shards it
-    lists are returned — a stale ``shard=*`` directory left behind by
-    an earlier build with a different ``num_shards`` must never be
-    silently merged into the live index (it would surface phantom docs
-    inconsistent with the docs manifest).  The directory listing is the
-    fallback for manifest-less ad-hoc index dirs.
+    When the sibling ``index_manifest.json`` exists, only the segments
+    it lists are returned — a stale ``shard=*/seg=*`` directory left
+    behind by an earlier build with different ``num_shards`` /
+    ``num_range_buckets`` must never be silently merged into the live
+    index (it would surface phantom docs inconsistent with the docs
+    manifest).  The directory walk is the fallback for manifest-less
+    ad-hoc index dirs.
     """
     man = load_manifest(os.path.join(os.path.dirname(index_dir.rstrip("/")),
                                      "index_manifest.json"))
-    if man and "shards" in man:
-        out = []
-        for s in man["shards"]:
-            p = os.path.join(shard_dir(index_dir, int(s["shard"])), "terms.parquet")
-            if os.path.exists(p):
-                out.append(p)
-        return out
     out = []
+    if man and "segments" in man:
+        for s in man["segments"]:
+            p = os.path.join(segment_dir(index_dir, int(s["shard"]), int(s["bucket"])),
+                             "terms.parquet")
+            if os.path.exists(p):
+                out.append({"shard": int(s["shard"]), "bucket": int(s["bucket"]), "path": p})
+        return out
     if os.path.isdir(index_dir):
         for d in sorted(os.listdir(index_dir)):
-            p = os.path.join(index_dir, d, "terms.parquet")
-            if d.startswith("shard=") and os.path.exists(p):
-                out.append(p)
+            if not d.startswith("shard="):
+                continue
+            for seg in sorted(os.listdir(os.path.join(index_dir, d))):
+                p = os.path.join(index_dir, d, seg, "terms.parquet")
+                if seg.startswith("seg=") and os.path.exists(p):
+                    out.append(
+                        {
+                            "shard": int(d.split("=")[1]),
+                            "bucket": int(seg.split("=")[1]),
+                            "path": p,
+                        }
+                    )
     return out
 
 
@@ -98,32 +122,41 @@ def _concat_bytes(col: pa.ChunkedArray | pa.Array) -> bytes:
     return b"".join(col.to_pylist())
 
 
-class ShardWriter:
-    """One shard's run rows → atomic ``terms.parquet`` + manifest row."""
+class SegmentWriter:
+    """One (shard, bucket) group's run rows → atomic segment file.
 
-    def __init__(self, index_dir: str, fingerprint: str):
+    ``seg_fps`` maps bucket → expected fingerprint (per-bucket, so an
+    incremental update re-merges only dirty buckets); ``default_fp``
+    covers buckets not in the map (fresh single-fingerprint builds).
+    """
+
+    def __init__(self, index_dir: str, default_fp: str,
+                 seg_fps: dict[int, str] | None = None):
         self.index_dir = index_dir
-        self.fingerprint = fingerprint
+        self.default_fp = default_fp
+        self.seg_fps = seg_fps or {}
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.time()
-        shard = group.column("shard")[0].as_py()
-        sdir = shard_dir(self.index_dir, shard)
+        shard = int(group.column("shard")[0].as_py())
+        bucket = int(group.column("bucket")[0].as_py())
+        fp = self.seg_fps.get(bucket, self.default_fp)
+        sdir = segment_dir(self.index_dir, shard, bucket)
         out_path = os.path.join(sdir, "terms.parquet")
         man_path = os.path.join(sdir, "_manifest.json")
 
         existing = load_manifest(man_path)
-        if existing and existing.get("fingerprint") == self.fingerprint and os.path.exists(out_path):
-            return self._row(shard, existing["n_terms"], existing["n_postings"],
-                             existing["bytes"], 0.0, True)
+        if existing and existing.get("fingerprint") == fp and os.path.exists(out_path):
+            return self._row(shard, bucket, fp, existing["n_terms"],
+                             existing["n_postings"], existing["bytes"], 0.0, True)
 
         if group.num_rows == 0:
-            return self._row(shard, 0, 0, 0, 0.0, False)
+            return self._row(shard, bucket, fp, 0, 0, 0, 0.0, False)
         g = group.sort_by([("term", "ascending"), ("first_doc", "ascending")])
         run_df = g.column("df").to_numpy()
         run_tf_sum = g.column("cf").to_numpy()
 
-        # ---- one vectorized decode for the whole shard ----
+        # ---- one vectorized decode for the whole segment ----
         gaps = decode_varints(_concat_bytes(g.column("docs"))).astype(np.int64)
         tfs = decode_varints(_concat_bytes(g.column("tfs"))).astype(np.int64)
         dls = decode_varints(_concat_bytes(g.column("dls"))).astype(np.int64)
@@ -202,21 +235,24 @@ class ShardWriter:
         atomic_write_json(
             man_path,
             {
-                "fingerprint": self.fingerprint,
+                "fingerprint": fp,
                 "shard": shard,
+                "bucket": bucket,
                 "n_terms": int(uniq_terms.size),
                 "n_postings": int(n_post),
                 "bytes": len(data),
             },
         )
-        return self._row(shard, int(uniq_terms.size), int(n_post), len(data),
-                         time.time() - t0, False)
+        return self._row(shard, bucket, fp, int(uniq_terms.size), int(n_post),
+                         len(data), time.time() - t0, False)
 
     @staticmethod
-    def _row(shard, n_terms, n_postings, nbytes, seconds, skipped) -> pa.Table:
+    def _row(shard, bucket, fp, n_terms, n_postings, nbytes, seconds, skipped) -> pa.Table:
         return pa.table(
             {
                 "shard": pa.array([shard], pa.int32()),
+                "bucket": pa.array([bucket], pa.int32()),
+                "fp": pa.array([fp], pa.string()),
                 "n_terms": pa.array([n_terms], pa.int64()),
                 "n_postings": pa.array([n_postings], pa.int64()),
                 "bytes": pa.array([nbytes], pa.int64()),
@@ -224,4 +260,3 @@ class ShardWriter:
                 "skipped": pa.array([skipped]),
             }
         )
-

@@ -129,10 +129,19 @@ class TokenizePostings:
 
 
 class TokenizeEncodeRuns:
-    """docs → one compressed posting run per (term, batch)."""
+    """docs → one compressed posting run per (term, batch).
 
-    def __init__(self, num_shards: int):
+    ``bucket_size`` (optional): additionally split runs at doc-range
+    bucket boundaries (``doc_id // bucket_size``), so every run lies
+    entirely inside ONE bucket — the invariant the segmented
+    ``(shard, bucket)`` index merge relies on.  The pages pipeline
+    doesn't need it (each part's docs already share a bucket); the
+    text-table adapter, whose doc ids are dense, does.
+    """
+
+    def __init__(self, num_shards: int, bucket_size: int | None = None):
         self.num_shards = num_shards
+        self.bucket_size = bucket_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         res = _count_batch(batch)
@@ -140,8 +149,15 @@ class TokenizeEncodeRuns:
             return RUNS_SCHEMA.empty_table()
         uniques, codes, doc, tf, dl = res
 
-        # run boundaries: one run per distinct term code (codes sorted)
-        starts = np.flatnonzero(np.diff(codes, prepend=-1))
+        # run boundaries: one run per distinct term code (codes sorted);
+        # with bucket_size also break where the doc-range bucket changes
+        # (doc asc within a term code → buckets monotone within a run)
+        new_run = np.ones(codes.size, dtype=bool)
+        new_run[1:] = codes[1:] != codes[:-1]
+        if self.bucket_size:
+            bkt = doc // self.bucket_size
+            new_run[1:] |= bkt[1:] != bkt[:-1]
+        starts = np.flatnonzero(new_run)
         lengths = np.diff(np.append(starts, codes.size))
 
         # per-run delta gaps: first value absolute, then doc deltas

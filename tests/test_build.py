@@ -119,7 +119,7 @@ def test_partition_level_resume(tiny_build, tiny_paths):
     build_docs(tiny_paths, tiny_build, num_parts=NUM_PARTS, num_shards=NUM_SHARDS)
     assert _dirhash(docs_dir) == h_docs
 
-    os.remove(os.path.join(idx_dir, "shard=00001", "terms.parquet"))
+    os.remove(os.path.join(idx_dir, "shard=00001", "seg=00001", "terms.parquet"))
     build_index(tiny_build, num_shards=NUM_SHARDS)
     assert _dirhash(idx_dir) == h_idx
 

@@ -34,7 +34,10 @@ def upd(ray_session, tiny_paths, tmp_path_factory):
     orig = gen_pages(TINY_N, TINY_SEED).to_pylist()
     orig_urls = sorted({r["url"] for r in orig})
 
-    updated_urls = [url_for(20), url_for(21), url_for(22)]
+    # chosen so part 0 stays CLEAN (url parts: 20→2, 22→3, 23→1,
+    # a→1, b→3, 30→1, 31→2) — the clean-part/segment byte-identity
+    # assertions below must not be vacuous
+    updated_urls = [url_for(20), url_for(22), url_for(23)]
     new_urls = ["https://new.example/a", "https://new.example/b"]
     deleted_urls = [url_for(30), url_for(31)]
 
@@ -76,6 +79,13 @@ def upd(ray_session, tiny_paths, tmp_path_factory):
         )
         for p in clean
     }
+    # clean index segments (NUM_PARTS=4 → one part per doc-range bucket)
+    pre_seg = {
+        f: _filehash(f)
+        for p in clean
+        for f in glob.glob(os.path.join(out, "index", "shard=*", f"seg={p:05d}", "terms.parquet"))
+    }
+    assert pre_seg, "expected clean segments on disk"
 
     apply_updates(out, delta_dir, deleted_urls)
 
@@ -91,6 +101,7 @@ def upd(ray_session, tiny_paths, tmp_path_factory):
         "oracle": oracle,
         "clean": clean,
         "pre_hashes": pre_hashes,
+        "pre_seg": pre_seg,
         "deleted": deleted_urls,
         "new": new_urls,
         "updated": updated_urls,
@@ -120,6 +131,22 @@ def test_clean_partitions_untouched(upd):
         d = _filehash(os.path.join(upd["out"], "docs", f"part={p:05d}", "data.parquet"))
         r = _filehash(os.path.join(upd["out"], "runs", f"part={p:05d}", "runs.parquet"))
         assert (d, r) == upd["pre_hashes"][p], f"part {p} was rewritten"
+
+
+def test_clean_index_segments_untouched(upd):
+    """Segment-per-update: an update rewrites ONLY the dirty doc-range
+    buckets' segments; every clean segment file is byte-untouched."""
+    import json
+
+    for f, h in upd["pre_seg"].items():
+        assert _filehash(f) == h, f"clean segment {f} was rewritten"
+    # and the new manifest still lists those clean segments
+    man = json.load(open(os.path.join(upd["out"], "index_manifest.json")))
+    listed = {(int(s["shard"]), int(s["bucket"])) for s in man["segments"]}
+    for f in upd["pre_seg"]:
+        shard = int(f.split("shard=")[1][:5])
+        seg = int(f.split("seg=")[1][:5])
+        assert (shard, seg) in listed
 
 
 def test_query_rank_identity_after_update(upd):
