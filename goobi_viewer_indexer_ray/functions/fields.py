@@ -40,7 +40,9 @@ import unicodedata
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
-__all__ = ["FieldRule", "extract_landmarks", "apply_rules", "DEFAULT_RULES"]
+__all__ = ["FieldRule", "EntitySpec", "extract_landmarks", "apply_rules",
+           "apply_rules_with_entities", "extract_entities", "interpolate_years",
+           "DEFAULT_RULES"]
 
 _WS = re.compile(r"\s+")
 
@@ -106,6 +108,23 @@ def extract_landmarks(html_text: str) -> dict:
 
 
 @dataclass
+class EntitySpec:
+    """``group_entity`` config (GroupedMetadata.java analog): a regex
+    whose named groups become the sub-entity's own fields.
+
+    The reference emits a separate METADATA doc per grouped entity
+    (person/event) with its own subfields, linked to the owner record
+    (``model/GroupedMetadata.java:143-227``, ``Indexer.java:1335``).
+    Transposed: each pattern match over a rule's values yields one
+    child entity record ``{ENTITY_TYPE, MD_VALUE, <GROUP>: ...}``; the
+    owner keeps ``MD_VALUE`` as its flat field value.
+    """
+
+    pattern: str
+    type_name: str = "METADATA"
+
+
+@dataclass
 class FieldRule:
     """One configured output field (the FieldConfig.java analog)."""
 
@@ -114,6 +133,7 @@ class FieldRule:
     constant_value: str | None = None
     multivalued: bool = True
     allow_duplicate_values: bool = False
+    split_separator: str | None = None  # the {SPLIT} option (MetadataHelper.java:745-753)
     replace_rules: list[tuple[str, str]] = field(default_factory=list)
     lowercase: bool = False
     one_token: bool = False
@@ -125,6 +145,8 @@ class FieldRule:
     normalize_length: int | None = None  # ValueNormalizer: pad/truncate
     normalize_filler: str = "0"
     normalize_position: str = "front"  # or "rear"
+    interpolate_years: bool = False  # fill year gaps (MetadataHelper.java:429-435)
+    group_entity: EntitySpec | None = None
     add_sort_field: bool = False
     add_untokenized: bool = False
     add_existence_bool: bool = False
@@ -168,18 +190,56 @@ def _normalize_value(value: str, rule: FieldRule) -> str:
     return pad + value if rule.normalize_position == "front" else value + pad
 
 
+def interpolate_years(values: list[str]) -> list[str]:
+    """Fill gaps between the min and max numeric year
+    (``MetadataHelper.java:429-435``): ["1990", "1993"] →
+    ["1990", "1991", "1992", "1993"].  Non-numeric values pass
+    through unchanged, appended after the interpolated range."""
+    years = sorted({int(v) for v in values if v.lstrip("-").isdigit()})
+    rest = [v for v in values if not v.lstrip("-").isdigit()]
+    if len(years) < 2:
+        return [str(y) for y in years] + rest
+    return [str(y) for y in range(years[0], years[-1] + 1)] + rest
+
+
+def extract_entities(value: str, spec: EntitySpec) -> list[dict[str, str]]:
+    """One value → child entity records per pattern match; named groups
+    become subfields (uppercased, ``MD_`` style left to the pattern
+    author).  The GroupedMetadata transposition's core."""
+    out = []
+    for m in re.finditer(spec.pattern, value):
+        ent = {"ENTITY_TYPE": spec.type_name, "MD_VALUE": m.group(0)}
+        for k, g in (m.groupdict() or {}).items():
+            if g is not None:
+                ent[k.upper()] = g
+        out.append(ent)
+    return out
+
+
 def apply_rules(html_text: str, rules: list[FieldRule]) -> dict[str, list[str]]:
-    """Decoded HTML + rule set → ``{field: [values]}`` (+ derived fields).
+    """Decoded HTML + rule set → ``{field: [values]}`` (entity records
+    dropped — see :func:`apply_rules_with_entities`)."""
+    return apply_rules_with_entities(html_text, rules)[0]
+
+
+def apply_rules_with_entities(
+    html_text: str, rules: list[FieldRule]
+) -> tuple[dict[str, list[str]], list[dict[str, str]]]:
+    """Decoded HTML + rule set → (``{field: [values]}``, entity records).
 
     Mirrors ``MetadataHelper.retrieveElementMetadata`` semantics: per
     rule, first non-empty selector wins; transforms in the reference's
-    order (unescape happened at parse; replace rules → non-sort →
-    prefix/postfix → lowercase → one_token → normalize → one_field);
-    dedup unless allowed; then the derived SORT_/UNTOKENIZED/BOOL_/
-    DEFAULT outputs.
+    order (unescape happened at parse; {SPLIT} → replace rules →
+    non-sort → prefix/postfix → lowercase → one_token → normalize);
+    dedup unless allowed; year interpolation; then the derived
+    SORT_/UNTOKENIZED/BOOL_/DEFAULT outputs.  Rules with
+    ``group_entity`` additionally emit one child record per pattern
+    match (owner keeps the match text as its flat value — the
+    GroupedMetadata METADATA-doc analog).
     """
     landmarks = extract_landmarks(unicodedata.normalize("NFC", html_text))
     out: dict[str, list[str]] = {}
+    entities: list[dict[str, str]] = []
     default_bag: list[str] = []
 
     for rule in rules:
@@ -191,6 +251,9 @@ def apply_rules(html_text: str, rules: list[FieldRule]) -> dict[str, list[str]]:
                 values = list(landmarks.get(sel, []))
                 if values:
                     break
+        if rule.split_separator:  # the {SPLIT} option
+            values = [p.strip() for v in values for p in v.split(rule.split_separator)
+                      if p.strip()]
         cooked: list[str] = []
         for v in values:
             v = _apply_replace_rules(v, rule.replace_rules)
@@ -203,6 +266,17 @@ def apply_rules(html_text: str, rules: list[FieldRule]) -> dict[str, list[str]]:
             v = _normalize_value(v, rule)
             if v:
                 cooked.append(v)
+        if rule.group_entity is not None:
+            ents: list[dict[str, str]] = []
+            for v in cooked:
+                ents.extend(extract_entities(v, rule.group_entity))
+            for i, e in enumerate(ents):
+                e["OWNER_FIELD"] = rule.name
+                e["POS"] = str(i)
+            entities.extend(ents)
+            cooked = [e["MD_VALUE"] for e in ents]
+        if rule.interpolate_years:
+            cooked = interpolate_years(cooked)
         if not rule.allow_duplicate_values:  # dedup keep-first (IndexObject:388)
             seen: set[str] = set()
             cooked = [v for v in cooked if not (v in seen or seen.add(v))]
@@ -225,7 +299,7 @@ def apply_rules(html_text: str, rules: list[FieldRule]) -> dict[str, list[str]]:
 
     if default_bag:
         out["DEFAULT"] = [" ".join(default_bag)]
-    return out
+    return out, entities
 
 
 # A representative default rule set (config_indexer.xml analog).

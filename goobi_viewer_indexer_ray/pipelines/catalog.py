@@ -436,6 +436,37 @@ def q_pages_engine_e2e(sf_dir: str):
     )
 
 
+# ----------------------------------------------------- grouped entities
+
+_ENTITY_PATTERN = r"(?P<op>hash|sort|merge) (?P<arg>[a-z0-9]+)"
+
+
+def q_grouped_entities(sf_dir: str):
+    """Grouped-entity extraction (the ``group_entity`` DSL option /
+    GroupedMetadata METADATA-doc analog, ``model/GroupedMetadata.java:143``):
+    child entity rows (doc_id, pos, value, op, arg) from pattern
+    matches over the documents table."""
+    from ..stages.fields import ExtractTextEntities
+    from ..functions.fields import EntitySpec
+
+    spec = EntitySpec(pattern=_ENTITY_PATTERN, type_name="OP")
+    return _documents(sf_dir).map_batches(
+        ExtractTextEntities(spec), batch_format="pyarrow"
+    )
+
+
+_SQL_GROUPED_ENTITIES = """
+WITH m AS (
+  SELECT doc_id, regexp_extract_all(text, '(hash|sort|merge) ([a-z0-9]+)') AS arr
+  FROM documents
+)
+SELECT doc_id, (i - 1)::BIGINT AS pos, arr[i] AS value,
+       split_part(arr[i], ' ', 1) AS op,
+       split_part(arr[i], ' ', 2) AS arg
+FROM m, unnest(generate_series(1, len(arr))) AS g(i)
+"""
+
+
 # --------------------------------------------------- general relational
 
 def q_lineitem_agg(sf_dir: str):
@@ -901,6 +932,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "langid": q_langid,
     "quality_signals": q_quality,
+    "grouped_entities": q_grouped_entities,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -928,6 +960,7 @@ ORACLE_SQL = {
     "doc_fingerprint": _SQL_FINGERPRINT,
     "langid": _langid_sql(),
     "quality_signals": _quality_sql(),
+    "grouped_entities": _SQL_GROUPED_ENTITIES,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_jaccard_pairs": _SQL_DEDUP_JACCARD,
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / pages_engine_e2e:

@@ -16,9 +16,9 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.extract import decode_html
-from ..functions.fields import DEFAULT_RULES, FieldRule, apply_rules
+from ..functions.fields import DEFAULT_RULES, EntitySpec, FieldRule, apply_rules
 
-__all__ = ["ExtractFields", "FIELDS_SCHEMA"]
+__all__ = ["ExtractFields", "ExtractTextEntities", "FIELDS_SCHEMA"]
 
 FIELDS_SCHEMA = pa.schema(
     [
@@ -54,3 +54,48 @@ class ExtractFields:
                 "value": pa.array(values_out, pa.string()),
             }
         )
+
+
+class ExtractTextEntities:
+    """Grouped-entity extraction over a text table (the
+    ``group_entity`` / GroupedMetadata analog for corpora that arrive
+    as plain text): one child entity row per pattern match, named
+    groups as columns, linked to the owner by ``doc_id`` + ``pos``
+    (the reference links METADATA docs to their owner record,
+    ``model/GroupedMetadata.java:143-227``).
+
+    Callable-class actor/task stage — the pattern compiles once per
+    worker in ``__init__``; ``__call__`` scans each batch with the
+    compiled regex (C-level ``finditer``).
+    """
+
+    def __init__(self, spec: EntitySpec):
+        import re
+
+        self.spec = spec
+        self._re = re.compile(spec.pattern)
+        self._groups = sorted(self._re.groupindex)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        pos_out: list[int] = []
+        val_out: list[str] = []
+        grp_out: dict[str, list[str]] = {g: [] for g in self._groups}
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for i, m in enumerate(self._re.finditer(text or "")):
+                ids_out.append(did)
+                pos_out.append(i)
+                val_out.append(m.group(0))
+                gd = m.groupdict()
+                for g in self._groups:
+                    grp_out[g].append(gd.get(g) or "")
+        cols = {
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "pos": pa.array(pos_out, pa.int64()),
+            "value": pa.array(val_out, pa.string()),
+        }
+        for g in self._groups:
+            cols[g] = pa.array(grp_out[g], pa.string())
+        return pa.table(cols)

@@ -28,13 +28,10 @@ __all__ = [
     "simhash_batch",
 ]
 
-# Marker stopword lists for the n-gram-free language-ID heuristic.
-# Order of _LANG_ORDER is the deterministic tie-break (first wins).
-STOPWORDS: dict[str, frozenset[str]] = {
-    "en": frozenset("the a and of to in is for on with data".split()),
-    "de": frozenset("der die das und ist ein zu mit von nicht".split()),
-    "fr": frozenset("le la les et est un une pour dans avec".split()),
-}
+# Marker stopword lists for the n-gram-free language-ID heuristic —
+# shared with the per-language analyzers (functions/tokenize.py).
+from ..functions.tokenize import STOPWORDS  # noqa: F401  (re-export)
+
 _LANG_ORDER = ("en", "de", "fr")
 
 

@@ -81,6 +81,7 @@ def _check(contract, con, name):
         "doc_fingerprint",
         "langid",
         "quality_signals",
+        "grouped_entities",
         "dedup_exact",
         "dedup_jaccard_pairs",
         "ann_cosine_topk",

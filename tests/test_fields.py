@@ -101,3 +101,73 @@ def test_ray_stage(ray_session, tiny_paths):
     assert titles["url"].nunique() > 150
     # DEFAULT bag present for pages with extracted metadata
     assert (out["field"] == "DEFAULT").any()
+
+
+def test_split_separator():
+    """The {SPLIT} option (MetadataHelper.java:745-753)."""
+    from goobi_viewer_indexer_ray.functions.fields import FieldRule, apply_rules
+
+    html = "<html><head><title>alpha; beta; alpha</title></head></html>"
+    rules = [FieldRule(name="MD_A", selectors=["title"], split_separator=";")]
+    out = apply_rules(html, rules)
+    assert out["MD_A"] == ["alpha", "beta"]  # split + keep-first dedup
+
+
+def test_interpolate_years():
+    """Year-gap interpolation (MetadataHelper.java:429-435)."""
+    from goobi_viewer_indexer_ray.functions.fields import (
+        FieldRule, apply_rules, interpolate_years,
+    )
+
+    assert interpolate_years(["1990", "1993"]) == ["1990", "1991", "1992", "1993"]
+    assert interpolate_years(["1990"]) == ["1990"]
+    assert interpolate_years(["n/a", "2001", "1999"]) == ["1999", "2000", "2001", "n/a"]
+    html = "<html><body><h2>1990</h2><h2>1992</h2></body></html>"
+    rules = [FieldRule(name="MD_YEAR", selectors=["h2"], interpolate_years=True)]
+    assert apply_rules(html, rules)["MD_YEAR"] == ["1990", "1991", "1992"]
+
+
+def test_group_entity_records():
+    """group_entity → child entity records linked to the owner field
+    (GroupedMetadata.java:143-227; MetsIndexerTest METADATA-doc asserts)."""
+    from goobi_viewer_indexer_ray.functions.fields import (
+        EntitySpec, FieldRule, apply_rules_with_entities,
+    )
+
+    html = ("<html><body><p>by Ada Lovelace and Alan Turing</p>"
+            "<p>with Grace Hopper</p></body></html>")
+    rules = [
+        FieldRule(
+            name="MD_PERSON",
+            selectors=["p"],
+            group_entity=EntitySpec(
+                pattern=r"(?P<first>[A-Z][a-z]+) (?P<last>[A-Z][a-z]+)",
+                type_name="PERSON",
+            ),
+        )
+    ]
+    fields, ents = apply_rules_with_entities(html, rules)
+    assert fields["MD_PERSON"] == ["Ada Lovelace", "Alan Turing", "Grace Hopper"]
+    assert [e["LAST"] for e in ents] == ["Lovelace", "Turing", "Hopper"]
+    assert all(e["ENTITY_TYPE"] == "PERSON" for e in ents)
+    assert all(e["OWNER_FIELD"] == "MD_PERSON" for e in ents)
+    assert [e["POS"] for e in ents] == ["0", "1", "2"]
+
+
+def test_lang_analyzers():
+    """Per-language analyzer registry (*_LANG_XX / LanguageHelper analog)."""
+    from goobi_viewer_indexer_ray.functions.tokenize import (
+        analyzer_for, register_analyzer, tokenize, tokenize_lang,
+    )
+
+    assert tokenize_lang("the quick fox", "en") == ["quick", "fox"]
+    assert tokenize_lang("der schnelle Fuchs", "de") == ["schnelle", "fuchs"]
+    assert tokenize_lang("the quick fox", "xx") == ["the", "quick", "fox"]
+    assert analyzer_for(None) is tokenize
+    register_analyzer("xx", lambda t: ["custom"])
+    try:
+        assert tokenize_lang("whatever", "xx") == ["custom"]
+    finally:
+        from goobi_viewer_indexer_ray.functions import tokenize as _m
+
+        _m._ANALYZERS.pop("xx", None)
