@@ -3,11 +3,15 @@
 Driver-brief first-class operator family: treat media payloads as
 ``binary`` columns with typed metadata, and run decode / feature
 extraction / resize / frame-sampling as actor-pool ``map_batches``
-stages.  The decode kernels themselves are STUBBED (no image/audio
-libraries in this environment — ``NotImplementedError`` behind an
-import-try, plus a deterministic fake for tests), but everything
-Ray-side is real and tested: schema, batch sizing for large payloads,
-actor signature, zero-copy binary handling, and output layout.
+stages.  REAL stdlib-only decode kernels cover PCM WAV (``wave``),
+uncompressed 24-bit BMP and binary PPM (numpy header parsing) — with a
+block-mean ``resize_gray`` kernel; compressed formats (JPEG/PNG/MP3/
+WebM) have no codec in this environment and raise
+``NotImplementedError`` at the documented integration point (swap in
+PIL/soundfile there), with a deterministic fake fallback in ``auto``
+mode.  Everything Ray-side is real and tested: schema, batch sizing
+for large payloads, actor signature, zero-copy binary handling, and
+output layout.
 
 Batch-size note (SURVEY.md "memory-aware"): media rows are wide —
 size ``batch_size`` so ``batch_size × avg_payload × concurrency``
@@ -47,6 +51,8 @@ _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"P6", "image/x-portable-pixmap"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
@@ -63,17 +69,114 @@ def sniff_mime(payload: bytes) -> str:
     return "application/octet-stream"
 
 
-def _real_decode(payload: bytes, mime: str) -> np.ndarray:
-    """Real decoder hook — requires PIL/soundfile, absent here."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as err:
-        raise NotImplementedError(
-            "media decoding requires an image/audio library not present in "
-            "this environment; use deterministic_fake=True for the tested "
-            "plumbing path"
-        ) from err
-    raise NotImplementedError("real decoder integration point")
+# ------------------------------------------------ stdlib-only decoders
+# No image/audio libraries exist in this environment, so the REAL
+# decode path covers the formats decodable with stdlib + numpy alone:
+# PCM WAV (``wave``), uncompressed 24-bit BMP, and binary PPM (P6).
+# Compressed formats (JPEG/PNG/GIF/MP3/WebM) still raise
+# NotImplementedError from ``_real_decode`` — swap in PIL/soundfile
+# at the same integration point when available.
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (mono float64 samples in [-1, 1], sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n, ch, width, rate = w.getnframes(), w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(n)
+    if width == 1:
+        a = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        a = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        a = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        a = a.reshape(-1, ch).mean(axis=1)
+    return a, rate
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP bytes → (h, w, 3) uint8 RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr = struct.unpack_from("<iihh I", payload, 18)  # w, h, planes, bpp, compression
+    w, h, _planes, bpp, comp = hdr
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp}, comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if flip else img
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) bytes → (h, w, 3) uint8 RGB."""
+    parts = payload.split(maxsplit=4)
+    if parts[0] != b"P6":
+        raise ValueError("not a P6 PPM")
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    head = payload.index(parts[3]) + len(parts[3]) + 1  # single whitespace after maxval
+    return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=head).reshape(h, w, 3)
+
+
+def resize_gray(img: np.ndarray, out_h: int = 4, out_w: int = 4) -> np.ndarray:
+    """(h, w[, 3]) image → (out_h, out_w) block-mean grayscale in [0, 1]
+    (the resize kernel; vectorized bucketed mean, no interpolation lib)."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    h, w = img.shape
+    ys = (np.arange(h) * out_h) // max(h, 1)
+    xs = (np.arange(w) * out_w) // max(w, 1)
+    out = np.zeros((out_h, out_w), np.float64)
+    cnt = np.zeros((out_h, out_w), np.float64)
+    np.add.at(out, (ys[:, None], xs[None, :]), img)
+    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+    return out / np.maximum(cnt, 1.0) / 255.0
+
+
+def _pad(v: np.ndarray, dim: int) -> np.ndarray:
+    out = np.zeros(dim, np.float32)
+    out[: min(dim, v.size)] = v[:dim]
+    return out
+
+
+def _real_decode(payload: bytes, mime: str, dim: int) -> np.ndarray:
+    """Decode + featurize the stdlib-decodable formats.
+
+    Features are deterministic hand-rolled descriptors (4×4 mean-pool
+    grayscale for images; duration/rate/energy stats for audio) —
+    the model-embedding integration point at cluster scale, with the
+    same actor signature.
+    """
+    if mime == "audio/wav":
+        a, rate = decode_wav(payload)
+        n = a.size
+        zc = float(np.mean(np.signbit(a[1:]) != np.signbit(a[:-1]))) if n > 1 else 0.0
+        v = np.array(
+            [n / max(rate, 1), rate / 1e5, float(np.sqrt(np.mean(a**2))) if n else 0.0,
+             float(np.mean(np.abs(a))) if n else 0.0, zc,
+             float(np.max(np.abs(a))) if n else 0.0],
+            np.float64,
+        )
+        return _pad(v, dim)
+    if mime in ("image/bmp", "image/x-portable-pixmap"):
+        img = decode_bmp(payload) if mime == "image/bmp" else decode_ppm(payload)
+        return _pad(resize_gray(img, 4, 4).reshape(-1), dim)
+    raise NotImplementedError(
+        f"no stdlib decoder for {mime}; plug a codec library into "
+        "_real_decode (or use the deterministic fake for plumbing tests)"
+    )
 
 
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
@@ -95,9 +198,15 @@ class MediaFeatureExtractor:
     in ``__init__`` (ST4 pattern).
     """
 
-    def __init__(self, dim: int = 16, deterministic_fake: bool = True):
+    def __init__(self, dim: int = 16, deterministic_fake: bool = True,
+                 mode: str | None = None):
+        """``mode``: "fake" (deterministic stand-in features), "real"
+        (stdlib decoders; raises for undecodable formats), or "auto"
+        (real where a decoder exists, fake fallback otherwise — the
+        robust pipeline default).  ``deterministic_fake`` is the
+        back-compat boolean alias for fake/real."""
         self.dim = dim
-        self.fake = deterministic_fake
+        self.mode = mode or ("fake" if deterministic_fake else "real")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -107,10 +216,15 @@ class MediaFeatureExtractor:
             mimes.append(sniff_mime(payload))
             sizes.append(len(payload))
             shas.append(hashlib.sha1(payload).hexdigest())
-            if self.fake:
+            if self.mode == "fake":
                 feats.append(_fake_feature(payload, self.dim).tolist())
-            else:
-                feats.append(_real_decode(payload, mimes[-1]).tolist())
+            elif self.mode == "real":
+                feats.append(_real_decode(payload, mimes[-1], self.dim).tolist())
+            else:  # auto
+                try:
+                    feats.append(_real_decode(payload, mimes[-1], self.dim).tolist())
+                except Exception:  # undecodable/corrupt → stand-in feature
+                    feats.append(_fake_feature(payload, self.dim).tolist())
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

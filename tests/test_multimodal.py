@@ -71,3 +71,85 @@ def test_actor_pool_stage(ray_session):
     assert len(out) == 64
     assert set(out["mime_sniffed"]) == {"image/png", "image/jpeg", "audio/wav"}
     assert out["payload_sha1"].nunique() == 64
+
+
+def _wav_bytes(freq=440.0, rate=8000, secs=0.25):
+    import io
+    import wave
+
+    import numpy as _np
+
+    t = _np.arange(int(rate * secs)) / rate
+    samples = (_np.sin(2 * _np.pi * freq * t) * 32000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _bmp_bytes(w=8, h=6):
+    import struct
+
+    import numpy as _np
+
+    img = _np.zeros((h, w, 3), _np.uint8)
+    img[:, : w // 2] = (255, 0, 0)  # left half red
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y][:, ::-1].tobytes()  # RGB→BGR
+        rows += row + b"\x00" * (stride - len(row))
+    pix_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(rows), 0, 0, pix_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + dib + rows
+
+
+def test_real_wav_decode():
+    from goobi_viewer_indexer_ray.stages.multimodal import decode_wav
+
+    a, rate = decode_wav(_wav_bytes())
+    assert rate == 8000 and a.size == 2000
+    assert 0.6 < np.sqrt(np.mean(a**2)) < 0.8  # sine RMS ≈ 0.69
+
+
+def test_real_bmp_ppm_decode():
+    from goobi_viewer_indexer_ray.stages.multimodal import decode_bmp, decode_ppm, resize_gray
+
+    img = decode_bmp(_bmp_bytes())
+    assert img.shape == (6, 8, 3)
+    assert (img[0, 0] == [255, 0, 0]).all() and (img[0, 7] == [0, 0, 0]).all()
+    ppm = b"P6 8 6 255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(ppm), img)
+    g = resize_gray(img, 4, 4)
+    assert g.shape == (4, 4)
+    assert g[0, 0] > g[0, 3]  # red half brighter than black half
+
+
+def test_real_mode_features():
+    from goobi_viewer_indexer_ray.stages.multimodal import MediaFeatureExtractor
+
+    wav, bmp = _wav_bytes(), _bmp_bytes()
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "uri": pa.array(["w", "b", "p"], pa.string()),
+            "payload": pa.array([wav, bmp, PNG], pa.binary()),
+            "mime": pa.array(["", "", ""], pa.string()),
+        }
+    )
+    out = MediaFeatureExtractor(dim=8, mode="auto")(t)
+    assert out.column("mime_sniffed").to_pylist() == [
+        "audio/wav", "image/bmp", "image/png",
+    ]
+    feats = np.array(out.column("feature").to_pylist())
+    assert abs(feats[0][0] - 0.25) < 1e-6  # wav duration seconds
+    assert 0.6 < feats[0][2] < 0.8  # rms
+    # bmp: first pooled cell bright (red half), last dark
+    assert feats[1][0] > 0.2 and feats[1][3] < 0.05
+    # png has no stdlib decoder → real mode raises, auto falls back
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(dim=8, mode="real")(t.slice(2, 1))
