@@ -80,11 +80,14 @@ def run_bench() -> dict:
             with open(os.path.join(pages_dir, f), "rb") as fh:
                 fh.read()
 
-    # untimed warmup: spawn Ray's worker pool + import our modules in
-    # the workers (one-time per-cluster cost, not per-job throughput)
+    # untimed warmup: spawn Ray's FULL worker pool + import our modules
+    # in every worker (one-time per-cluster cost, not per-job
+    # throughput) — a tiny low-parallelism build leaves most workers
+    # cold and the first timed build pays their spawn+import cost
     warm_dir = f"/tmp/gvi_bench/warm_{os.getpid()}"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    build_all(ensure_pages(512, seed=SEED), warm_dir, num_parts=4, num_shards=4)
+    build_all(ensure_pages(4096, seed=SEED), warm_dir,
+              num_parts=max(4, NUM_CPUS), num_shards=max(4, NUM_CPUS))
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     out_dir = f"/tmp/gvi_bench/run_{os.getpid()}"
