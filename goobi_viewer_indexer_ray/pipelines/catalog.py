@@ -388,6 +388,20 @@ FROM r WHERE rank <= 10
 """
 
 
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact, SQL-checked)."""
+    return ann.embedding_dup_pairs(_embeddings(sf_dir), threshold=0.45)
+
+
+_SQL_DEDUP_EMBEDDING = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.45
+"""
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH ANN over the bucket-partitioned store (IO pruning: only the
     probed buckets' files are read).  Identical output to
@@ -937,6 +951,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_pairs": q_dedup_embedding,
     "ann_cosine_topk": q_ann_cosine,
     "ann_lsh_topk": q_ann_lsh,
     "pages_engine_e2e": q_pages_engine_e2e,
@@ -966,6 +981,7 @@ ORACLE_SQL = {
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / pages_engine_e2e:
     # intentionally no SQL oracle (probabilistic blocking or non-SQL
     # pipeline) → driver records the weaker rows-only check.
+    "dedup_embedding_pairs": _SQL_DEDUP_EMBEDDING,
     "ann_cosine_topk": _SQL_ANN,
     "lineitem_agg": _SQL_LINEITEM_AGG,
     "customer_order_revenue": _SQL_CUSTOMER_ORDER_REVENUE,

@@ -15,7 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "lsh_topk", "write_lsh_partitions", "lsh_topk_partitioned"]
+__all__ = ["brute_force_topk", "lsh_topk", "write_lsh_partitions",
+           "lsh_topk_partitioned", "embedding_dup_pairs"]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -267,3 +268,52 @@ def lsh_topk_partitioned(part_dir: str, ds, query_ids: list[int], k: int = 10, *
     score = _lsh_score_fn(q_ref, k)
     parts = sub.map_batches(score, batch_format="pyarrow").to_pandas()
     return _final_merge(parts, k)
+
+
+def embedding_dup_pairs(ds, *, threshold: float = 0.45, round_dp: int = 4) -> pd.DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a < b) with
+    ``round(cos, round_dp) ≥ threshold`` — the embedding leg of the
+    dedup family (driver brief), with a full SQL oracle.
+
+    The normalized matrix is broadcast once (``ray.put``); each batch
+    computes ONE ``batch × N`` matmul and emits only the pairs whose
+    LOWER vec_id lives in the batch — each unordered pair is produced
+    by exactly one task, so no dedup shuffle is needed.  Documented
+    partitioning assumption: the broadcast side fits worker memory
+    (all-pairs exact dedup is quadratic by definition); at 10^9
+    vectors run the same kernel over row-block × column-block tiles,
+    or prefilter candidates with the LSH buckets
+    (:func:`lsh_topk_partitioned`'s layout) and verify exactly.
+    """
+    import ray
+
+    full = pa.concat_tables(
+        ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("vec_id")
+    ids_all = full.column("vec_id").to_numpy().astype(np.int64)
+    m = _as_matrix(full.column("embedding"))
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    ref = ray.put((ids_all, mn))
+
+    def score(t: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        v = _as_matrix(t.column("embedding"))
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        r = np.round(vn @ all_m.T, round_dp)  # (batch, N)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        bi, aj = np.nonzero(r >= threshold)
+        keep = ids[bi] < all_ids[aj]  # lower id owns the pair
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[bi][keep], pa.int64()),
+                "vec_b": pa.array(all_ids[aj][keep], pa.int64()),
+                "cos_r": pa.array(r[bi, aj][keep], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+        .astype({"vec_a": "int64", "vec_b": "int64", "cos_r": "float64"})
+    )

@@ -133,3 +133,31 @@ def test_docs_parquet_layout(tiny_build):
         assert os.path.exists(os.path.join(p, "_manifest.json"))
         t = pq.read_table(os.path.join(p, "data.parquet"))
         assert t.column("local_rank").to_pylist() == list(range(t.num_rows))
+
+
+def test_auto_sizing_helpers():
+    """num_parts derives from input bytes when not given; bucketing maps
+    contiguous parts to doc-range buckets."""
+    from goobi_viewer_indexer_ray.functions.ids import PART_STRIDE
+    from goobi_viewer_indexer_ray.pipelines.build import (
+        PART_INPUT_BUDGET, _auto_parts, _bucketing,
+    )
+
+    # explicit value passes through untouched
+    assert _auto_parts(["/nonexistent"], 7) == 7
+    # derived: >= ceil(bytes/budget); tmp files to measure
+    import tempfile
+
+    with tempfile.NamedTemporaryFile() as f:
+        f.write(b"x" * 1024)
+        f.flush()
+        n = _auto_parts([f.name], None)
+        assert n >= 1  # tiny input → floor at cpu count
+
+    ppb, width = _bucketing(32, None)
+    assert ppb == 4 and width == 4 * PART_STRIDE  # 8 default buckets
+    ppb, width = _bucketing(4, None)
+    assert ppb == 1 and width == PART_STRIDE  # fewer parts than buckets
+    ppb, width = _bucketing(100, 8)
+    assert ppb == 13  # ceil(100/8)
+    assert PART_INPUT_BUDGET == 128 << 20

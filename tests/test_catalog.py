@@ -84,6 +84,7 @@ def _check(contract, con, name):
         "grouped_entities",
         "dedup_exact",
         "dedup_jaccard_pairs",
+        "dedup_embedding_pairs",
         "ann_cosine_topk",
         "lineitem_agg",
         "customer_order_revenue",
