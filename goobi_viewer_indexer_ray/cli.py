@@ -38,8 +38,11 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="pages parquet → docs + inverted index")
     b.add_argument("--pages", required=True)
     b.add_argument("--out", required=True)
-    b.add_argument("--num-parts", type=int, default=32)
-    b.add_argument("--num-shards", type=int, default=32)
+    b.add_argument("--num-parts", type=int, default=None,
+                   help="default: derived from input bytes (128 MiB/part)")
+    b.add_argument("--num-shards", type=int, default=None)
+    b.add_argument("--num-range-buckets", type=int, default=None,
+                   help="doc-range segments per shard (default 8)")
     b.add_argument("--no-resume", action="store_true")
 
     u = sub.add_parser("update", help="incremental upsert / delete")
@@ -65,7 +68,9 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.build import build_all
 
             m = build_all(args.pages, args.out, num_parts=args.num_parts,
-                          num_shards=args.num_shards, resume=not args.no_resume)
+                          num_shards=args.num_shards,
+                          num_range_buckets=args.num_range_buckets,
+                          resume=not args.no_resume)
             print(json.dumps({"n_terms": m["n_terms"], "n_postings": m["n_postings"],
                               "index_bytes": m["index_bytes"]}))
         elif args.cmd == "update":
