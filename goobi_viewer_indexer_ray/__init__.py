@@ -22,7 +22,7 @@ Layout
 
 __version__ = "0.1.0"
 
-ENGINE_SPEC_VERSION = 2
+ENGINE_SPEC_VERSION = 3
 """Bump whenever extractor/tokenizer/codec/scoring semantics change;
 recorded in every partition manifest (reference analog: the Solr schema
 version gate, ``SolrIndexerDaemon.java:48``)."""

@@ -473,30 +473,17 @@ def build_text_index(
     then the run shuffle) — nothing materializes the corpus.
     ``bucket_size`` is the doc-range segment width (docs per bucket
     per shard); runs are split at bucket boundaries map-side.
+
+    ONE tokenize pass: global stats come for free from the merge
+    (``total_tokens = Σ segment cf``) plus a metadata-only row count —
+    no separate stats scan of the corpus.
     """
-    from ray.data.aggregate import Count, Sum
-
-    from ..functions.tokenize import tokenize as _tok
-
     fp = _job_fp(fingerprint, num_shards=num_shards, bucket=bucket_size)
     man_path = os.path.join(out_dir, "index_manifest.json")
     if resume and (m := manifest_valid(man_path, fp)):
         return m
 
-    def count_tokens(t: pa.Table) -> pa.Table:
-        lens = [len(_tok(x)) for x in t.column("text").to_pylist()]
-        return pa.table({"doc_len": pa.array(lens, pa.int64())})
-
-    agg = ds_docs.map_batches(count_tokens, batch_format="pyarrow").aggregate(
-        Count(), Sum("doc_len", alias_name="total_tokens")
-    )
-    n_docs = int(agg["count()"])
-    total_tokens = int(agg["total_tokens"])
-    atomic_write_json(
-        os.path.join(out_dir, "stats.json"),
-        {"n_docs": n_docs, "total_tokens": total_tokens,
-         "avgdl": (total_tokens / n_docs) if n_docs else 1.0, "num_shards": num_shards},
-    )
+    n_docs = ds_docs.count()  # parquet-metadata count: no data scan
     runs = ds_docs.map_batches(
         TokenizeEncodeRuns(num_shards, bucket_size=bucket_size),
         batch_format="pyarrow",
@@ -504,6 +491,12 @@ def build_text_index(
     )
     seg_rows = _merge_runs(runs, os.path.join(out_dir, "index"), fp,
                            bucket_size_docs=bucket_size)
+    total_tokens = int(seg_rows["sum_cf"].sum())
+    atomic_write_json(
+        os.path.join(out_dir, "stats.json"),
+        {"n_docs": n_docs, "total_tokens": total_tokens,
+         "avgdl": (total_tokens / n_docs) if n_docs else 1.0, "num_shards": num_shards},
+    )
     return write_manifest(
         man_path,
         stage="text_index",

@@ -148,10 +148,11 @@ class SegmentWriter:
         existing = load_manifest(man_path)
         if existing and existing.get("fingerprint") == fp and os.path.exists(out_path):
             return self._row(shard, bucket, fp, existing["n_terms"],
-                             existing["n_postings"], existing["bytes"], 0.0, True)
+                             existing["n_postings"], existing.get("sum_cf", 0),
+                             existing["bytes"], 0.0, True)
 
         if group.num_rows == 0:
-            return self._row(shard, bucket, fp, 0, 0, 0, 0.0, False)
+            return self._row(shard, bucket, fp, 0, 0, 0, 0, 0.0, False)
         g = group.sort_by([("term", "ascending"), ("first_doc", "ascending")])
         run_df = g.column("df").to_numpy()
         run_tf_sum = g.column("cf").to_numpy()
@@ -232,6 +233,7 @@ class SegmentWriter:
         pq.write_table(table, buf, compression="zstd")
         data = buf.getvalue()
         atomic_write_bytes(out_path, data)
+        sum_cf = int(term_cf.sum())
         atomic_write_json(
             man_path,
             {
@@ -240,14 +242,16 @@ class SegmentWriter:
                 "bucket": bucket,
                 "n_terms": int(uniq_terms.size),
                 "n_postings": int(n_post),
+                "sum_cf": sum_cf,
                 "bytes": len(data),
             },
         )
         return self._row(shard, bucket, fp, int(uniq_terms.size), int(n_post),
-                         len(data), time.time() - t0, False)
+                         sum_cf, len(data), time.time() - t0, False)
 
     @staticmethod
-    def _row(shard, bucket, fp, n_terms, n_postings, nbytes, seconds, skipped) -> pa.Table:
+    def _row(shard, bucket, fp, n_terms, n_postings, sum_cf, nbytes, seconds,
+             skipped) -> pa.Table:
         return pa.table(
             {
                 "shard": pa.array([shard], pa.int32()),
@@ -255,6 +259,7 @@ class SegmentWriter:
                 "fp": pa.array([fp], pa.string()),
                 "n_terms": pa.array([n_terms], pa.int64()),
                 "n_postings": pa.array([n_postings], pa.int64()),
+                "sum_cf": pa.array([sum_cf], pa.int64()),
                 "bytes": pa.array([nbytes], pa.int64()),
                 "seconds": pa.array([seconds], pa.float64()),
                 "skipped": pa.array([skipped]),
