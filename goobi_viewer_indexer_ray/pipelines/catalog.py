@@ -833,6 +833,100 @@ FROM ordered GROUP BY user_id
 """
 
 
+def q_events_asof_click(sf_dir: str):
+    """As-of join (brief's "operator Ray Data lacks"): for every event,
+    the latest STRICTLY-earlier 'click' event of the same user — probe
+    stream × build stream via :func:`stages.joins.asof_join` (tagged
+    union + one groupby(key) + vectorized searchsorted)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import asof_join
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def clicks(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("event_type"), "click"))
+
+    out = asof_join(
+        ds, ds.map_batches(clicks, batch_format="pyarrow"),
+        on="user_id", ts_col="ts", probe_id="event_id", build_id="event_id",
+        strict=True,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("probe_id"),
+                "prev_click_id": t.column("build_id"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_EVENTS_ASOF = """
+SELECT e.event_id, c.event_id AS prev_click_id
+FROM events e JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts < e.ts
+QUALIFY row_number() OVER (PARTITION BY e.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) = 1
+"""
+
+
+def q_events_sliding_windows(sf_dir: str):
+    """Hopping-window aggregate (1 h windows, 15 min hop): each event
+    lands in exactly 4 windows — vectorized 4-way fan-out per batch,
+    then one groupby.  The sliding-window member of §2.9 next to the
+    tumbling (`events_hourly`) and session (`events_sessions`) ops."""
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        uid = t.column("user_id").cast(pa.int64()).to_numpy()
+        base = (us // 900_000_000) * 900  # epoch seconds, 15-min grid
+        k = np.tile(np.arange(4, dtype=np.int64), us.size)
+        ws = np.repeat(base, 4) - 900 * k
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, 4)),
+                "win_start": pa.array(ws, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["user_id", "win_start"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "win_start": pc.cast(t.column("win_start"), pa.int64()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_EVENTS_SLIDING = """
+SELECT user_id::BIGINT AS user_id,
+       (floor(epoch(ts) / 900) * 900 - 900 * k)::BIGINT AS win_start,
+       count(*)::BIGINT AS n
+FROM events, unnest([0, 1, 2, 3]) AS t(k)
+GROUP BY 1, 2
+"""
+
+
 def q_event_type_users(sf_dir: str):
     """Distinct count per key (two-level groupby — `unique` analog)."""
     from ray.data.aggregate import Count
@@ -961,6 +1055,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_date_parts": q_events_date_parts,
     "events_sessions": q_events_sessions,
+    "events_asof_click": q_events_asof_click,
+    "events_sliding_windows": q_events_sliding_windows,
     "event_type_users": q_event_type_users,
     "events_props_json": q_events_props_json,
     "region_customer_counts": q_region_customer_counts,
@@ -989,6 +1085,8 @@ ORACLE_SQL = {
     "events_hourly": _SQL_EVENTS_HOURLY,
     "events_date_parts": _SQL_EVENTS_DATE_PARTS,
     "events_sessions": _SQL_EVENTS_SESSIONS,
+    "events_asof_click": _SQL_EVENTS_ASOF,
+    "events_sliding_windows": _SQL_EVENTS_SLIDING,
     "event_type_users": _SQL_EVENT_TYPE_USERS,
     "events_props_json": _SQL_EVENTS_PROPS_JSON,
     "region_customer_counts": _SQL_REGION_CUSTOMER_COUNTS,

@@ -92,6 +92,8 @@ def _check(contract, con, name):
         "events_hourly",
         "events_date_parts",
         "events_sessions",
+        "events_asof_click",
+        "events_sliding_windows",
         "event_type_users",
         "events_props_json",
         "region_customer_counts",
