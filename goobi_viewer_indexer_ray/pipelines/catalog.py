@@ -927,6 +927,99 @@ GROUP BY 1, 2
 """
 
 
+def q_part_price_band_pairs(sf_dir: str):
+    """Range (band) join (brief's custom-operator family): all part
+    pairs within ±0.55 retail price — bucket blocking + one
+    groupby(bucket), ownership rule instead of a dedup shuffle.
+    Width 0.55 sits off the data's 0.1-decimal grid, so no pair lands
+    on the float boundary (cross-engine-safe predicate)."""
+    from ..stages.joins import band_join
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_retailprice"]
+    )
+    out = band_join(ds, value_col="p_retailprice", id_col="p_partkey", width=0.55)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"part_a": t.column("id_a"), "part_b": t.column("id_b")})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_PART_PRICE_BAND = """
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+FROM part a JOIN part b
+  ON b.p_retailprice BETWEEN a.p_retailprice - 0.55 AND a.p_retailprice + 0.55
+ AND a.p_partkey < b.p_partkey
+"""
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Grouped top-k (window-function analog): top-3 orders by price
+    per customer.  Map-side partial top-3 per key per batch prunes the
+    shuffle; a per-key final pass ranks."""
+    import pandas as pd
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").cast(pa.int64()).to_numpy()
+        okey = t.column("o_orderkey").cast(pa.int64()).to_numpy()
+        price = t.column("o_totalprice").to_numpy()
+        order = np.lexsort((okey, -price, cust))
+        cust, okey, price = cust[order], okey[order], price[order]
+        new = np.ones(cust.size, dtype=bool)
+        new[1:] = cust[1:] != cust[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(cust.size) - np.repeat(starts, np.diff(np.append(starts, cust.size)))
+        keep = rank < 3
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[keep]),
+                "o_orderkey": pa.array(okey[keep]),
+                "o_totalprice": pa.array(price[keep]),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    out = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "price_r": pa.array(np.round(t.column("o_totalprice").to_numpy(), 2)),
+                "rank": pc.cast(t.column("rank"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey::BIGINT AS o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS price_r,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rank
+FROM orders
+QUALIFY rank <= 3
+"""
+
+
 def q_event_type_users(sf_dir: str):
     """Distinct count per key (two-level groupby — `unique` analog)."""
     from ray.data.aggregate import Count
@@ -1057,6 +1150,8 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_asof_click": q_events_asof_click,
     "events_sliding_windows": q_events_sliding_windows,
+    "part_price_band_pairs": q_part_price_band_pairs,
+    "top_orders_per_customer": q_top_orders_per_customer,
     "event_type_users": q_event_type_users,
     "events_props_json": q_events_props_json,
     "region_customer_counts": q_region_customer_counts,
@@ -1087,6 +1182,8 @@ ORACLE_SQL = {
     "events_sessions": _SQL_EVENTS_SESSIONS,
     "events_asof_click": _SQL_EVENTS_ASOF,
     "events_sliding_windows": _SQL_EVENTS_SLIDING,
+    "part_price_band_pairs": _SQL_PART_PRICE_BAND,
+    "top_orders_per_customer": _SQL_TOP_ORDERS_PER_CUSTOMER,
     "event_type_users": _SQL_EVENT_TYPE_USERS,
     "events_props_json": _SQL_EVENTS_PROPS_JSON,
     "region_customer_counts": _SQL_REGION_CUSTOMER_COUNTS,

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "band_join"]
 
 
 def _tag_side(key: str, ts_col: str, id_col: str, side: int):
@@ -72,3 +72,60 @@ def asof_join(probe, build, *, on: str, ts_col: str, probe_id: str,
         )
 
     return p.union(b).groupby("key").map_groups(join_group, batch_format="pyarrow")
+
+
+def band_join(ds, *, value_col: str, id_col: str, width: float):
+    """Range (band) self-join: all id pairs (a < b) with
+    ``|v_a − v_b| ≤ width`` — the brief's "range join" expressed as
+    bucket blocking + one ``groupby(bucket)``.
+
+    Each row replicates to buckets ``⌊v/width⌋`` and ``⌊v/width⌋+1``;
+    a qualifying pair's own-buckets differ by ≤ 1, so the pair is
+    co-located in exactly one OWNED group (``max(own_a, own_b)``) —
+    no dedup shuffle.  Per group: sort by value, sliding-window pair
+    ranges via ``searchsorted`` (vectorized, no O(n²) scan when the
+    band is selective).  Skew note: a band with k rows emits O(k·m)
+    pairs (m = matches per row) in one task — pick ``width`` so bands
+    are selective, exactly like choosing an LSH band count.
+    """
+
+    def replicate(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy().astype(np.float64)
+        rid = t.column(id_col).cast(pa.int64()).to_numpy()
+        own = np.floor(v / width).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate([own, own + 1])),
+                "v": pa.array(np.concatenate([v, v])),
+                "rid": pa.array(np.concatenate([rid, rid])),
+                "own": pa.array(np.concatenate([own, own])),
+            }
+        )
+
+    def emit(g: pa.Table) -> pa.Table:
+        gb = int(g.column("bucket")[0].as_py())
+        v = g.column("v").to_numpy()
+        rid = g.column("rid").to_numpy()
+        own = g.column("own").to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, rid, own = v[order], rid[order], own[order]
+        hi = np.searchsorted(v, v + width, side="right")
+        counts = hi - np.arange(v.size) - 1
+        if counts.sum() <= 0:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        i = np.repeat(np.arange(v.size), counts)
+        j = np.concatenate([np.arange(k + 1, h) for k, h in enumerate(hi)]) if v.size else i
+        keep = np.maximum(own[i], own[j]) == gb  # ownership → global uniqueness
+        i, j = i[keep], j[keep]
+        a = np.minimum(rid[i], rid[j])
+        b = np.maximum(rid[i], rid[j])
+        keep2 = a != b
+        return pa.table(
+            {"id_a": pa.array(a[keep2], pa.int64()), "id_b": pa.array(b[keep2], pa.int64())}
+        )
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pyarrow")
+    )

@@ -94,6 +94,8 @@ def _check(contract, con, name):
         "events_sessions",
         "events_asof_click",
         "events_sliding_windows",
+        "part_price_band_pairs",
+        "top_orders_per_customer",
         "event_type_users",
         "events_props_json",
         "region_customer_counts",
