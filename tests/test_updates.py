@@ -192,3 +192,54 @@ def test_delete_only_second_round(upd):
     after = read_docs(upd["out"]).to_pandas()
     assert victim not in set(after["url"])
     assert len(after) == len(before) - 1
+
+
+def test_update_doc_single(ray_session, tmp_path_factory):
+    """`.docupdate` analog: one-doc upsert rewrites exactly one docs
+    partition and only its doc-range bucket's index segments."""
+    import json
+
+    from goobi_viewer_indexer_ray.pipelines.build import build_all, read_docs
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, topk_exact
+    from goobi_viewer_indexer_ray.pipelines.updates import update_doc
+    from goobi_viewer_indexer_ray.sources.corpus import url_for, write_pages
+
+    base = tmp_path_factory.mktemp("docupd")
+    pages = str(base / "pages")
+    out = str(base / "out")
+    write_pages(pages, 60, seed=7, rows_per_file=32)
+    build_all(pages, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS)
+
+    url = url_for(5)
+    part = part_for(url, NUM_PARTS)
+    clean = [p for p in range(NUM_PARTS) if p != part]
+    pre_docs = {
+        p: _filehash(os.path.join(out, "docs", f"part={p:05d}", "data.parquet"))
+        for p in clean
+    }
+    pre_seg = {
+        f: _filehash(f)
+        for p in clean
+        for f in glob.glob(os.path.join(out, "index", "shard=*", f"seg={p:05d}", "terms.parquet"))
+    }
+    assert pre_seg
+
+    ts = __import__("datetime").datetime(2031, 1, 1,
+                                         tzinfo=__import__("datetime").timezone.utc)
+    update_doc(out, url,
+               b"<html><title>patched</title><body><p>xyzzy plugh</p></body></html>",
+               warc_ts=ts)
+
+    docs = read_docs(out).to_pandas()
+    row = docs[docs["url"] == url].iloc[0]
+    assert "xyzzy" in row["text"]
+    for p in clean:  # only the target's partition was rewritten
+        assert _filehash(os.path.join(out, "docs", f"part={p:05d}", "data.parquet")) == pre_docs[p]
+    for f, h in pre_seg.items():
+        assert _filehash(f) == h
+    # the new content is queryable; stats are coherent
+    idx = LocalIndex(out)
+    d, s = topk_exact(idx, "xyzzy", 5)
+    assert d.size == 1 and int(d[0]) == int(row["doc_id"])
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert stats["n_docs"] == len(docs)
