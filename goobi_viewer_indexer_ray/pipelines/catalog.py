@@ -1050,6 +1050,37 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_value_median(sf_dir: str):
+    """Exact per-group median (holistic aggregate — not expressible as
+    a partial/combine pair): ``groupby(type).map_groups`` with a
+    vectorized percentile kernel.  Scale note: a holistic aggregate
+    needs the group's values in one task (or a t-digest sketch for the
+    approximate path); event-type groups are bounded by event-space
+    cardinality, the documented assumption."""
+    import pandas as pd
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_r": [float(np.round(np.median(g["value"].to_numpy()), 6))],
+                "n": [np.int64(len(g))],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+_SQL_EVENTS_VALUE_MEDIAN = """
+SELECT event_type, round(median(value), 6) AS median_r, count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_props_json(sf_dir: str):
     """JSON payload parsing (S5 reader analog): extract `k` from the
     events `props` JSON column, aggregate per event type."""
@@ -1153,6 +1184,7 @@ QUERIES = {
     "part_price_band_pairs": q_part_price_band_pairs,
     "top_orders_per_customer": q_top_orders_per_customer,
     "event_type_users": q_event_type_users,
+    "events_value_median": q_events_value_median,
     "events_props_json": q_events_props_json,
     "region_customer_counts": q_region_customer_counts,
     "lang_source_counts": q_lang_source_counts,
@@ -1185,6 +1217,7 @@ ORACLE_SQL = {
     "part_price_band_pairs": _SQL_PART_PRICE_BAND,
     "top_orders_per_customer": _SQL_TOP_ORDERS_PER_CUSTOMER,
     "event_type_users": _SQL_EVENT_TYPE_USERS,
+    "events_value_median": _SQL_EVENTS_VALUE_MEDIAN,
     "events_props_json": _SQL_EVENTS_PROPS_JSON,
     "region_customer_counts": _SQL_REGION_CUSTOMER_COUNTS,
     "lang_source_counts": _SQL_LANG_SOURCE,

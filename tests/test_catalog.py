@@ -97,6 +97,7 @@ def _check(contract, con, name):
         "part_price_band_pairs",
         "top_orders_per_customer",
         "event_type_users",
+        "events_value_median",
         "events_props_json",
         "region_customer_counts",
         "lang_source_counts",
