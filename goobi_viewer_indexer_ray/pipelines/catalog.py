@@ -546,26 +546,26 @@ def q_customer_order_revenue(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
-    def join(t: pa.Table) -> pa.Table:
-        keys, names = ray.get(side_ref)
-        idx = pc.index_in(t.column("o_custkey").cast(pa.int64()), value_set=keys)
-        mask = pc.is_valid(idx)
-        t = t.filter(mask)
-        return t.append_column("c_name", pc.take(names, idx.filter(mask)))
+    def semi(t: pa.Table) -> pa.Table:
+        keys, _ = ray.get(side_ref)
+        return t.filter(pc.is_in(t.column("o_custkey").cast(pa.int64()), value_set=keys))
 
+    # group on the INT key only; the (functionally dependent) name is
+    # attached after the aggregate — the shuffle never carries strings
     agg = (
-        orders.map_batches(join, batch_format="pyarrow")
-        .groupby(["o_custkey", "c_name"])
+        orders.map_batches(semi, batch_format="pyarrow")
+        .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total"))
     )
 
     def fin(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+        keys, names = ray.get(side_ref)
+        ck = pc.cast(t.column("o_custkey"), pa.int64())
+        idx = pc.index_in(ck, value_set=keys)
         return pa.table(
             {
-                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
-                "c_name": t.column("c_name"),
+                "c_custkey": ck,
+                "c_name": pc.take(names, idx),
                 "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
                 "sum_total": pa.array(np.round(t.column("sum_total").to_numpy(), 2)),
             }
