@@ -143,12 +143,21 @@ def _minhash_params(num_perm: int, seed: int = 1234567):
     return a, b
 
 
+_POLY = np.uint64(0x100000001B3)  # FNV-prime rolling mix
+
+
 def minhash_signatures(ds, *, n: int = 5, num_perm: int = 64):
     """(doc_id, sig:list<uint64>) MinHash signatures over n-gram shingles.
 
-    Vectorized per batch: one ``hash64_array`` over ALL shingles, one
-    (num_perm × n_shingles) affine map, one segmented min per doc.
+    Shingles are never materialized as strings: unique tokens are
+    hashed once (``hash64_array`` over the factorized vocabulary), and
+    every n-token window's hash is a vectorized polynomial mix of the
+    token hashes.  Per batch: one factorize, one window mix, one
+    per-doc distinct pass, one (num_perm × n_shingles) affine map, one
+    segmented min — no per-shingle Python.
     """
+    import pandas as pd
+
     a, b = _minhash_params(num_perm)
 
     def sig_batch(t: pa.Table) -> pa.Table:
@@ -156,27 +165,43 @@ def minhash_signatures(ds, *, n: int = 5, num_perm: int = 64):
 
         ids = t.column("doc_id").to_pylist()
         texts = t.column("text").to_pylist()
-        out_ids: list[int] = []
-        flat: list[str] = []
-        counts: list[int] = []
-        for did, txt in zip(ids, texts):
-            ts = tokenize(txt or "")
-            sh = {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
-            if not sh:
-                continue
-            out_ids.append(did)
-            counts.append(len(sh))
-            flat.extend(sh)
-        if not out_ids:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "sig": pa.array([], pa.list_(pa.uint64()))}
-            )
-        hv = hash64_array(flat) % np.uint64(_MERSENNE)
-        # sig_i = min over shingles of (a_i * h + b_i) mod p
+        toks = [tokenize(x or "") for x in texts]
+        counts = np.array([len(ts) for ts in toks], dtype=np.int64)
+        flat = [tok for ts in toks for tok in ts]
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "sig": pa.array([], pa.list_(pa.uint64()))}
+        )
+        if not flat:
+            return empty
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        tok_h = hash64_array(uniques)[codes]  # per-position token hash
+        rows = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        if tok_h.size < n:
+            return empty
+        # window hash: Σ_j tok_h[i+j] · POLY^j  (wrapping uint64)
+        w = tok_h[: tok_h.size - n + 1].copy()
+        mult = _POLY
+        for j in range(1, n):
+            w = w + tok_h[j : tok_h.size - n + 1 + j] * mult
+            mult = mult * _POLY
+        in_doc = rows[: w.size] == rows[n - 1 :]  # window fully inside one doc
+        if not in_doc.any():
+            return empty
+        w_rows = rows[: w.size][in_doc]
+        hv_all = w[in_doc] % np.uint64(_MERSENNE)
+        # per-doc distinct shingle hashes
+        order = np.lexsort((hv_all, w_rows))
+        w_rows, hv_all = w_rows[order], hv_all[order]
+        first = np.ones(hv_all.size, dtype=bool)
+        first[1:] = (hv_all[1:] != hv_all[:-1]) | (w_rows[1:] != w_rows[:-1])
+        w_rows, hv = w_rows[first], hv_all[first]
+        doc_starts = np.flatnonzero(np.diff(w_rows, prepend=-1))
+        out_rows = w_rows[doc_starts]
+        # sig_i = min over shingles of (a_i · h + b_i) mod p
         prods = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-        mins = np.minimum.reduceat(prods, starts, axis=1)  # (num_perm, n_docs)
-        sigs = mins.T  # (n_docs, num_perm)
+        mins = np.minimum.reduceat(prods, doc_starts, axis=1)  # (P, docs)
+        sigs = mins.T
+        out_ids = [ids[int(r)] for r in out_rows]
         flat_vals = pa.array(sigs.reshape(-1), pa.uint64())
         offsets = pa.array(
             np.arange(0, (len(out_ids) + 1) * num_perm, num_perm, dtype=np.int32)
