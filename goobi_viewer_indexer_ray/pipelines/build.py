@@ -452,6 +452,26 @@ def build_all(
     seg_rows = _merge_runs(runs_rows, os.path.join(out_dir, "index"), index_fp,
                            bucket_size_docs=bucket_size_docs, seg_fps=seg_fps)
     docs_man = _collect_docs_manifest(out_dir, docs_fp, num_parts, num_shards)
+    # reconcile: the fused path seeded segment fps assuming every part
+    # produces docs; if any part came up empty, the canonical fp (from
+    # the collected manifest's part list — what build_index/apply_updates
+    # recompute later) differs.  Patch those segment manifests so the
+    # segment-level resume/skip invariant holds across paths (content is
+    # identical — an absent part contributes no postings).
+    canon = _segment_fps(num_parts, ppb, num_shards, _part_fp_map(docs_man))
+    index_dir = os.path.join(out_dir, "index")
+    for i, rec in seg_rows.iterrows():
+        want = canon[int(rec["bucket"])]
+        if rec["fp"] != want:
+            man_path = os.path.join(
+                segment_dir(index_dir, int(rec["shard"]), int(rec["bucket"])),
+                "_manifest.json",
+            )
+            m = load_manifest(man_path)
+            if m is not None:
+                m["fingerprint"] = want
+                atomic_write_json(man_path, m)
+            seg_rows.at[i, "fp"] = want
     return _write_index_manifest(out_dir, index_fp, num_shards, bucket_size_docs,
                                  seg_rows, docs_man)
 

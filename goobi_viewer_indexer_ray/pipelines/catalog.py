@@ -66,10 +66,17 @@ def _documents(sf_dir: str, columns=("doc_id", "text")):
     return _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
 
 
+def _file_key(path: str, tag: str) -> str:
+    """Cache key: realpath + size + mtime_ns + tag — a regenerated
+    same-size input must never serve a stale cache (same rule as
+    ``state.manifest.input_fingerprint``)."""
+    st = os.stat(path)
+    return f"{os.path.realpath(path)}:{st.st_size}:{st.st_mtime_ns}:{tag}"
+
+
 def _cache_dir(sf_dir: str, tag: str) -> tuple[str, str]:
     """(/tmp cache dir, fingerprint) keyed by file identity + tag."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    key = f"{os.path.realpath(path)}:{os.path.getsize(path)}:{tag}"
+    key = _file_key(os.path.join(sf_dir, "documents.parquet"), tag)
     h = hashlib.blake2b(key.encode(), digest_size=10).hexdigest()
     return os.path.join("/tmp/gvi_catalog", h), key
 
@@ -409,7 +416,7 @@ def q_ann_lsh(sf_dir: str):
     import shutil
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    key = f"{os.path.realpath(path)}:{os.path.getsize(path)}:lshparts_v1"
+    key = _file_key(path, "lshparts_v1")
     out = os.path.join(
         "/tmp/gvi_catalog", hashlib.blake2b(key.encode(), digest_size=10).hexdigest()
     )
@@ -420,7 +427,15 @@ def q_ann_lsh(sf_dir: str):
         ann.write_lsh_partitions(_embeddings(sf_dir), out)
         with open(marker, "w") as f:
             f.write(key)
-    return ann.lsh_topk_partitioned(out, _embeddings(sf_dir), _ANN_QUERY_IDS, k=10)
+    # query vectors via parquet predicate pushdown — the probe must not
+    # full-scan the corpus it exists to avoid scanning
+    import pyarrow.compute as pc
+
+    qds = _rd().read_parquet(
+        path, columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(_ANN_QUERY_IDS),
+    )
+    return ann.lsh_topk_partitioned(out, qds, _ANN_QUERY_IDS, k=10)
 
 
 # ----------------------------------------------- flagship pages pipeline

@@ -128,10 +128,16 @@ def apply_updates(
     num_parts = int(docs_man["num_parts"])
     num_shards = int(docs_man["num_shards"])
     old_index_man = load_manifest(os.path.join(out_dir, "index_manifest.json"))
-    if old_index_man and "bucket_size_docs" in old_index_man:
+    index_man_usable = bool(old_index_man and "segments" in old_index_man
+                            and "bucket_size_docs" in old_index_man)
+    if index_man_usable:
         bucket_size_docs = int(old_index_man["bucket_size_docs"])
         ppb = max(1, bucket_size_docs // PART_STRIDE)
     else:
+        # missing/corrupt/pre-v3 manifest: the clean-segment records it
+        # would contribute are unavailable — fall back to a FULL
+        # re-merge (all buckets dirty) rather than silently serving an
+        # index that lists only the delta's buckets
         ppb, bucket_size_docs = _bucketing(num_parts, None)
 
     delta_id = ""
@@ -164,7 +170,8 @@ def apply_updates(
             return merger(g)
 
         done = ds.groupby("part").map_groups(merge_delta_part, batch_format="pyarrow").to_pandas()
-        dirty |= {int(p) for p in done["part"]}
+        if "part" in done.columns:  # empty delta → empty, column-less frame
+            dirty |= {int(p) for p in done["part"]}
 
     # delete-only parts (no delta rows → no shuffle group): parallel tasks
     pending = [p for p in sorted(deletes_by_part) if p not in dirty]
@@ -194,6 +201,8 @@ def apply_updates(
     # ---- index: re-merge ONLY the dirty doc-range buckets ----
     seg_fps = _segment_fps(num_parts, ppb, num_shards, _part_fp_map(new_docs_man))
     dirty_buckets = {int(p) // ppb for p in dirty}
+    if not index_man_usable:  # no trustworthy clean-segment records
+        dirty_buckets = {int(p["part"]) // ppb for p in new_docs_man["parts"]}
     runs_dir = os.path.join(out_dir, "runs")
     new_part_fp = _part_fp_map(new_docs_man)
     dirty_runs = []
@@ -242,7 +251,9 @@ def update_doc(out_dir: str, url: str, html: bytes,
 
     if warc_ts is None:
         warc_ts = datetime.datetime.now(datetime.timezone.utc)
-    tmp = os.path.join(out_dir, "_docupdate_delta")
+    # unique per call: concurrent update_doc invocations on the same
+    # build must not clobber each other's delta file
+    tmp = os.path.join(out_dir, f"_docupdate_{os.getpid()}_{time.time_ns()}")
     os.makedirs(tmp, exist_ok=True)
     path = os.path.join(tmp, "delta.parquet")
     _pq.write_table(

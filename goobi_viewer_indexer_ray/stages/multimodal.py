@@ -119,14 +119,29 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6, maxval ≤ 255) bytes → (h, w, 3) uint8 RGB."""
-    parts = payload.split(maxsplit=4)
-    if parts[0] != b"P6":
+    """Binary PPM (P6, maxval ≤ 255) bytes → (h, w, 3) uint8 RGB.
+
+    The header is parsed POSITIONALLY (walk 4 whitespace-separated
+    tokens, then exactly one whitespace byte) — never by searching for
+    the maxval's byte string, which can match the width/height token
+    first (e.g. width 255, maxval 255) and shift every pixel.
+    """
+    if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM")
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
     if maxval > 255:
         raise NotImplementedError("16-bit PPM unsupported")
-    head = payload.index(parts[3]) + len(parts[3]) + 1  # single whitespace after maxval
+    head = pos + 1  # exactly ONE whitespace byte after maxval per spec
     return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=head).reshape(h, w, 3)
 
 
@@ -221,9 +236,15 @@ class MediaFeatureExtractor:
             elif self.mode == "real":
                 feats.append(_real_decode(payload, mimes[-1], self.dim).tolist())
             else:  # auto
+                import struct
+                import wave
+
                 try:
                     feats.append(_real_decode(payload, mimes[-1], self.dim).tolist())
-                except Exception:  # undecodable/corrupt → stand-in feature
+                except (NotImplementedError, ValueError, EOFError, OSError,
+                        IndexError, struct.error, wave.Error):
+                    # undecodable format or corrupt payload → stand-in
+                    # feature; genuine programming errors still propagate
                     feats.append(_fake_feature(payload, self.dim).tolist())
         return pa.table(
             {

@@ -243,3 +243,62 @@ def test_update_doc_single(ray_session, tmp_path_factory):
     assert d.size == 1 and int(d[0]) == int(row["doc_id"])
     stats = json.load(open(os.path.join(out, "stats.json")))
     assert stats["n_docs"] == len(docs)
+
+
+def test_empty_delta_noop(ray_session, tiny_paths, tmp_path_factory):
+    """An update with an EMPTY delta and no deletes must not corrupt or
+    rewrite anything (0-row delta file → no dirty parts)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from goobi_viewer_indexer_ray.pipelines.build import build_all, read_docs
+    from goobi_viewer_indexer_ray.pipelines.updates import apply_updates
+
+    out = str(tmp_path_factory.mktemp("emptyd") / "out")
+    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS)
+    n_before = len(read_docs(out).to_pandas())
+
+    delta_dir = str(tmp_path_factory.mktemp("emptydelta"))
+    _pq.write_table(
+        _pa.table(
+            {
+                "url": _pa.array([], _pa.string()),
+                "warc_ts": _pa.array([], _pa.timestamp("us", tz="UTC")),
+                "html": _pa.array([], _pa.binary()),
+                "lang": _pa.array([], _pa.string()),
+            }
+        ),
+        os.path.join(delta_dir, "empty.parquet"),
+    )
+    man = apply_updates(out, delta_dir, [])
+    assert len(read_docs(out).to_pandas()) == n_before
+    assert man["segments"], "index manifest must still list all segments"
+
+
+def test_update_with_missing_index_manifest(ray_session, tiny_paths, tmp_path_factory):
+    """Damage scenario: index_manifest.json lost before an update → the
+    update must fall back to a FULL re-merge (never serve an index
+    listing only the delta's buckets)."""
+    import json
+
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
+    from goobi_viewer_indexer_ray.pipelines.updates import update_doc
+    from goobi_viewer_indexer_ray.sources.corpus import url_for
+
+    out = str(tmp_path_factory.mktemp("noman") / "out")
+    man0 = build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS)
+    n_segments = len(man0["segments"])
+    n_terms_before = LocalIndex(out).n_terms
+
+    os.remove(os.path.join(out, "index_manifest.json"))
+    man1 = update_doc(out, url_for(3),
+                      b"<html><title>t</title><body><p>qwertyzap</p></body></html>")
+    # all buckets re-merged: the new manifest covers the full index
+    assert len(man1["segments"]) >= n_segments - 1  # (a bucket could empty, not here)
+    idx = LocalIndex(out)
+    # the replaced doc's old unique terms legitimately vanish; everything
+    # else must survive the fallback re-merge
+    assert idx.n_terms >= n_terms_before - 50
+    assert idx.lookup("baba") is not None  # corpus-wide head term intact
+    assert idx.lookup("qwertyzap") is not None
