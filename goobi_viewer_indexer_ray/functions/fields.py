@@ -190,14 +190,23 @@ def _normalize_value(value: str, rule: FieldRule) -> str:
     return pad + value if rule.normalize_position == "front" else value + pad
 
 
+MAX_YEAR_SPAN = 2000  # refuse to range wider than two millennia
+
+
 def interpolate_years(values: list[str]) -> list[str]:
     """Fill gaps between the min and max numeric year
     (``MetadataHelper.java:429-435``): ["1990", "1993"] →
     ["1990", "1991", "1992", "1993"].  Non-numeric values pass
-    through unchanged, appended after the interpolated range."""
+    through unchanged, appended after the interpolated range.
+
+    The span is capped at :data:`MAX_YEAR_SPAN`: the reference only
+    applies completeYears to the YEAR field, but any rule here can
+    enable it, so a field containing two far-apart numbers (an ID next
+    to a year) must not explode into a multi-million-element list —
+    wider ranges pass through un-interpolated (sorted, deduped)."""
     years = sorted({int(v) for v in values if v.lstrip("-").isdigit()})
     rest = [v for v in values if not v.lstrip("-").isdigit()]
-    if len(years) < 2:
+    if len(years) < 2 or years[-1] - years[0] > MAX_YEAR_SPAN:
         return [str(y) for y in years] + rest
     return [str(y) for y in range(years[0], years[-1] + 1)] + rest
 
@@ -228,10 +237,17 @@ def apply_rules_with_entities(
     """Decoded HTML + rule set → (``{field: [values]}``, entity records).
 
     Mirrors ``MetadataHelper.retrieveElementMetadata`` semantics: per
-    rule, first non-empty selector wins; transforms in the reference's
-    order (unescape happened at parse; {SPLIT} → replace rules →
-    non-sort → prefix/postfix → lowercase → one_token → normalize);
-    dedup unless allowed; year interpolation; then the derived
+    rule, first non-empty selector wins; transform chain: {SPLIT} →
+    replace rules → non-sort → prefix/postfix → lowercase → one_token
+    → normalize (unescape happened at parse).  DELIBERATE ordering
+    divergence from the reference: it splits at addToLucene time AFTER
+    all transforms (``MetadataHelper.java:745-753``), i.e. per-whole-
+    value; here {SPLIT} runs FIRST so prefixes/normalization apply
+    per-fragment — the more useful semantics for multi-value web
+    fields, documented rather than hidden.  ``interpolate_years`` also
+    re-sorts the numeric values (the reference only appends missing
+    in-between values); both behaviors are pinned by tests.
+    Then dedup unless allowed; year interpolation; then the derived
     SORT_/UNTOKENIZED/BOOL_/DEFAULT outputs.  Rules with
     ``group_entity`` additionally emit one child record per pattern
     match (owner keeps the match text as its flat value — the

@@ -13,7 +13,8 @@ from hashlib import blake2b
 
 import numpy as np
 
-__all__ = ["hash64", "hash64_array", "part_for", "part_array", "shard_for"]
+__all__ = ["hash64", "hash64_array", "md5_hash64_array", "part_for", "part_array",
+           "shard_for"]
 
 
 def hash64(s: str | bytes) -> int:
@@ -28,6 +29,24 @@ def hash64_array(values) -> np.ndarray:
     h = blake2b  # local bind for the tight loop
     return np.fromiter(
         (int.from_bytes(h(v.encode("utf-8"), digest_size=8).digest(), "little") for v in values),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def md5_hash64_array(values) -> np.ndarray:
+    """64-bit hashes from the md5 prefix → uint64 array.
+
+    Big-endian first 8 digest bytes == ``hexdigest()[:16]`` parsed as
+    hex — exactly reproducible in ANSI SQL as
+    ``('0x' || substr(md5(t), 1, 16))::UBIGINT``, which is what lets
+    SimHash fingerprints be value-checked by the DuckDB oracle
+    (blake2b has no SQL equivalent).
+    """
+    from hashlib import md5
+
+    return np.fromiter(
+        (int.from_bytes(md5(v.encode("utf-8")).digest()[:8], "big") for v in values),
         dtype=np.uint64,
         count=len(values),
     )

@@ -364,6 +364,44 @@ def q_dedup_simhash(sf_dir: str):
     return dedup.simhash_pairs(_documents(sf_dir), max_hamming=3)
 
 
+# SimHash IS deterministic (md5-prefix token hashes + integer sign
+# sums), so the banded engine output is value-checked against a full
+# O(n²) DuckDB bit-ops oracle: same fingerprints via
+# ('0x'||substr(md5(t),1,16))::UBIGINT, pairs via xor + bit_count.
+# Band blocking has full recall at hamming ≤ 3 (pigeonhole over 4×16
+# bits), so engine == exact all-pairs.
+_SQL_DEDUP_SIMHASH = f"""
+WITH tf AS (
+  SELECT doc_id, t, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY 1, 2
+),
+th AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tf
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(tf * (CASE WHEN ((h >> j) & 1::UBIGINT) = 1::UBIGINT
+                        THEN 1 ELSE -1 END)) AS v
+  FROM th, unnest(generate_series(0, 63)) AS g(j)
+  GROUP BY 1, 2
+),
+sig0 AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS sig
+  FROM bits GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 # ------------------------------------------------------------------- ann
 
 def _embeddings(sf_dir: str):
@@ -422,11 +460,21 @@ def q_ann_lsh(sf_dir: str):
     )
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
-        ann.write_lsh_partitions(_embeddings(sf_dir), out)
-        with open(marker, "w") as f:
+        # concurrency-safe: build into a unique temp dir, then one
+        # atomic rename into place — two racing processes can never
+        # interleave bucket files into one directory; the loser's
+        # rename fails and its finished tree is discarded
+        tmp = f"{out}.tmp.{os.getpid()}.{os.urandom(4).hex()}"
+        os.makedirs(tmp, exist_ok=True)
+        ann.write_lsh_partitions(_embeddings(sf_dir), tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write(key)
+        if os.path.isdir(out) and not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)  # stale partial tree
+        try:
+            os.rename(tmp, out)
+        except OSError:  # a concurrent builder won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
     # query vectors via parquet predicate pushdown — the probe must not
     # full-scan the corpus it exists to avoid scanning
     import pyarrow.compute as pc
@@ -442,14 +490,18 @@ def q_ann_lsh(sf_dir: str):
 
 def q_pages_engine_e2e(sf_dir: str):
     """Full pages pipeline on a deterministic synthetic corpus: extract →
-    dedup → doc ids → compressed index → BM25 search (rows-only check;
-    the pytest oracle pins correctness)."""
+    dedup → doc ids → compressed index → BM25 search.
+
+    No SQL oracle is possible (the corpus is the pipeline's own), so
+    the entry SELF-CHECKS: every WAND result is asserted rank- and
+    score-identical to the exhaustive exact scorer over the same index
+    before being returned (plus the pytest golden oracle)."""
     import pandas as pd
 
     from ..pipelines.oracle import REFERENCE_QUERIES
     from ..sources.corpus import ensure_pages
     from .build import build_all
-    from .query import LocalIndex, topk_wand
+    from .query import LocalIndex, topk_exact, topk_wand
 
     pages_dir = ensure_pages(240, seed=42)
     out = os.path.join("/tmp/gvi_catalog", "pages_e2e_v1")
@@ -458,6 +510,11 @@ def q_pages_engine_e2e(sf_dir: str):
     rows = []
     for q in REFERENCE_QUERIES:
         d, s = topk_wand(idx, q["query"], q["k"])
+        de, se = topk_exact(idx, q["query"], q["k"])
+        if not (np.array_equal(d, de) and np.allclose(s, se, rtol=0, atol=0)):
+            raise AssertionError(
+                f"pages_engine_e2e: WAND != exact for query {q['query_id']!r}"
+            )
         for r, (di, si) in enumerate(zip(d, s), 1):
             rows.append((q["query_id"], r, int(di), float(si)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
@@ -1216,9 +1273,12 @@ ORACLE_SQL = {
     "grouped_entities": _SQL_GROUPED_ENTITIES,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_jaccard_pairs": _SQL_DEDUP_JACCARD,
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / pages_engine_e2e:
-    # intentionally no SQL oracle (probabilistic blocking or non-SQL
-    # pipeline) → driver records the weaker rows-only check.
+    "dedup_simhash": _SQL_DEDUP_SIMHASH,
+    # dedup_minhash_lsh / ann_lsh_topk: intentionally no SQL oracle
+    # (probabilistic LSH blocking) → driver records the weaker
+    # rows-only check.  pages_engine_e2e: non-SQL pipeline over its own
+    # synthetic corpus — rows-only to the driver, but the entry itself
+    # asserts WAND == exhaustive-exact rank identity in-process.
     "dedup_embedding_pairs": _SQL_DEDUP_EMBEDDING,
     "ann_cosine_topk": _SQL_ANN,
     "lineitem_agg": _SQL_LINEITEM_AGG,

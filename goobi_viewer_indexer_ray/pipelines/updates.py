@@ -57,6 +57,53 @@ __all__ = ["apply_updates", "update_doc"]
 _DELTA_COLS = [f.name for f in DOCS_SCHEMA if f.name != "local_rank"]
 
 
+class _BuildLock:
+    """Exclusive per-build-dir lock for updates.
+
+    Two concurrent ``apply_updates`` on one build would interleave
+    part rewrites and manifest writes (the reference serializes
+    records globally via the ``currentIndexer`` guard,
+    ``helper/Hotfolder.java:479``, and warns against multiple daemon
+    instances, ``Indexer.java:377-380``).  ``os.open(O_CREAT|O_EXCL)``
+    is atomic on POSIX; a stale lock older than ``timeout`` seconds is
+    broken (crashed holder).  Waiters block with a short poll —
+    updates are rare, delta-sized operations.
+    """
+
+    def __init__(self, out_dir: str, timeout: float = 600.0, poll: float = 0.05):
+        self.path = os.path.join(out_dir, ".update_lock")
+        self.timeout = timeout
+        self.poll = poll
+        self._fd: int | None = None
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout
+        while True:
+            try:
+                self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(self._fd, f"{os.getpid()} {time.time()}".encode())
+                return self
+            except FileExistsError:
+                try:  # break stale locks from crashed holders
+                    if time.time() - os.stat(self.path).st_mtime > self.timeout:
+                        os.unlink(self.path)
+                        continue
+                except OSError:
+                    continue  # holder released between stat and unlink
+                if time.time() > deadline:
+                    raise TimeoutError(f"update lock busy: {self.path}")
+                time.sleep(self.poll)
+
+    def __exit__(self, *exc):
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
 def _merge_one_part(part: int, out_dir: str, fp: str, num_shards: int,
                     delta_rows: pa.Table | None, deleted_urls: list[str]) -> int:
     """Merge one dirty partition: old rows − deletes + delta → rewrite."""
@@ -66,9 +113,11 @@ def _merge_one_part(part: int, out_dir: str, fp: str, num_shards: int,
     if os.path.exists(old_path):
         old = pq.read_table(old_path, columns=_DELTA_COLS)
         if deleted_urls:
-            gone = set(deleted_urls)
-            mask = [u not in gone for u in old.column("url").to_pylist()]
-            old = old.filter(pa.array(mask))
+            import pyarrow.compute as pc
+
+            gone = pc.is_in(old.column("url"),
+                            value_set=pa.array(deleted_urls, pa.string()))
+            old = old.filter(pc.invert(pc.fill_null(gone, False)))
         if old.num_rows:
             pieces.append(old)
     if delta_rows is not None and delta_rows.num_rows:
@@ -117,8 +166,23 @@ def apply_updates(
 
     Returns the new index manifest.  Clean partitions' docs and run
     files AND clean index segments are untouched on disk
-    (byte-identical, verified in tests).
+    (byte-identical, verified in tests).  Concurrent updates on one
+    build are serialized by an exclusive build-dir lockfile
+    (:class:`_BuildLock`) — racing calls queue, they never interleave
+    manifest writes.
     """
+    with _BuildLock(out_dir):
+        return _apply_updates_locked(out_dir, delta_pages, deleted_urls,
+                                     reason=reason)
+
+
+def _apply_updates_locked(
+    out_dir: str,
+    delta_pages: str | list[str] | None = None,
+    deleted_urls: list[str] | None = None,
+    *,
+    reason: str = "update",
+) -> dict:
     import ray.data as rd
 
     deleted_urls = list(deleted_urls or [])

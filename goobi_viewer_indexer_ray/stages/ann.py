@@ -270,50 +270,121 @@ def lsh_topk_partitioned(part_dir: str, ds, query_ids: list[int], k: int = 10, *
     return _final_merge(parts, k)
 
 
-def embedding_dup_pairs(ds, *, threshold: float = 0.45, round_dp: int = 4) -> pd.DataFrame:
+def embedding_dup_pairs(ds, *, threshold: float = 0.45, round_dp: int = 4,
+                        block_target: int = 2048) -> pd.DataFrame:
     """Exact embedding-cosine near-duplicate pairs: all (a < b) with
     ``round(cos, round_dp) ≥ threshold`` — the embedding leg of the
     dedup family (driver brief), with a full SQL oracle.
 
-    The normalized matrix is broadcast once (``ray.put``); each batch
-    computes ONE ``batch × N`` matmul and emits only the pairs whose
-    LOWER vec_id lives in the batch — each unordered pair is produced
-    by exactly one task, so no dedup shuffle is needed.  Documented
-    partitioning assumption: the broadcast side fits worker memory
-    (all-pairs exact dedup is quadratic by definition); at 10^9
-    vectors run the same kernel over row-block × column-block tiles,
-    or prefilter candidates with the LSH buckets
-    (:func:`lsh_topk_partitioned`'s layout) and verify exactly.
+    Distributed block×block tiling — the corpus is NEVER materialized
+    on the driver and no task ever holds more than two blocks:
+
+    1. each vector gets a block id ``blk = vec_id % B`` (``B`` sized so
+       a block ≈ ``block_target`` vectors from the dataset's metadata
+       count — no data scan);
+    2. every row is fanned out once per block it must meet:
+       ``(min(blk, other), max(blk, other))`` for each ``other`` —
+       each unordered block pair is a distinct shuffle key, so each
+       unordered VECTOR pair is computed by exactly one reduce task;
+    3. ``groupby(blk_a, blk_b)`` → one vectorized tile kernel per
+       group: a (≤2-block) × (≤2-block) float64 matmul emitting only
+       the over-threshold pairs.
+
+    Communication is ``N·B`` rows — the inherent cost of exact
+    all-pairs; per-task memory is bounded by ``block_target``
+    regardless of N.  The only driver-side object is the (small)
+    near-dup pair output.  LSH-bucket prefiltering
+    (:func:`write_lsh_partitions`) remains the sub-quadratic
+    approximate path when exactness is not required.
     """
-    import ray
+    n = ds.count()  # parquet metadata count — no scan
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cos_r": pd.Series([], dtype="float64"),
+        }
+    )
+    if not n:
+        return empty
+    num_blocks = max(1, -(-int(n) // block_target))
 
-    full = pa.concat_tables(
-        ds.iter_batches(batch_size=None, batch_format="pyarrow")
-    ).sort_by("vec_id")
-    ids_all = full.column("vec_id").to_numpy().astype(np.int64)
-    m = _as_matrix(full.column("embedding"))
-    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-    ref = ray.put((ids_all, mn))
-
-    def score(t: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(ref)
-        v = _as_matrix(t.column("embedding"))
-        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
-        r = np.round(vn @ all_m.T, round_dp)  # (batch, N)
+    def fan_out(t: pa.Table) -> pa.Table:
         ids = t.column("vec_id").to_numpy().astype(np.int64)
-        bi, aj = np.nonzero(r >= threshold)
-        keep = ids[bi] < all_ids[aj]  # lower id owns the pair
+        m = _as_matrix(t.column("embedding"))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        blk = (ids % num_blocks).astype(np.int64)
+        others = np.arange(num_blocks, dtype=np.int64)
+        rep_blk = np.repeat(blk, num_blocks)
+        rep_other = np.tile(others, ids.size)
+        flat = pa.array(np.repeat(mn, num_blocks, axis=0).reshape(-1), pa.float64())
+        offs = pa.array(
+            np.arange(0, (ids.size * num_blocks + 1) * mn.shape[1], mn.shape[1],
+                      dtype=np.int64)
+        )
         return pa.table(
             {
-                "vec_a": pa.array(ids[bi][keep], pa.int64()),
-                "vec_b": pa.array(all_ids[aj][keep], pa.int64()),
-                "cos_r": pa.array(r[bi, aj][keep], pa.float64()),
+                "blk_a": pa.array(np.minimum(rep_blk, rep_other), pa.int64()),
+                "blk_b": pa.array(np.maximum(rep_blk, rep_other), pa.int64()),
+                "blk": pa.array(rep_blk, pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, num_blocks), pa.int64()),
+                "emb_n": pa.LargeListArray.from_arrays(offs, flat),
             }
         )
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    def tile_kernel(g: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cos_r": pa.array([], pa.float64()),
+            }
+        )
+        ids = g.column("vec_id").to_numpy().astype(np.int64)
+        if ids.size < 2:
+            return out_empty
+        blk = g.column("blk").to_numpy().astype(np.int64)
+        la = g.column("emb_n").combine_chunks()
+        offs = la.offsets.to_numpy()
+        vals = la.values.to_numpy(zero_copy_only=False)
+        dim = int(offs[1] - offs[0])
+        mn = vals[offs[0]: offs[-1]].reshape(-1, dim)
+        ba = int(g.column("blk_a")[0].as_py())
+        bb = int(g.column("blk_b")[0].as_py())
+        if ba == bb:  # diagonal tile: triangular within one block
+            r = np.round(mn @ mn.T, round_dp)
+            ai, bj = np.nonzero(r >= threshold)
+            keep = ids[ai] < ids[bj]
+            va, vb, cr = ids[ai][keep], ids[bj][keep], r[ai, bj][keep]
+        else:  # off-diagonal tile: cross product of the two blocks
+            in_a = blk == ba
+            ids_a, ids_b = ids[in_a], ids[~in_a]
+            if ids_a.size == 0 or ids_b.size == 0:
+                return out_empty
+            r = np.round(mn[in_a] @ mn[~in_a].T, round_dp)
+            ai, bj = np.nonzero(r >= threshold)
+            xa, xb = ids_a[ai], ids_b[bj]
+            va, vb = np.minimum(xa, xb), np.maximum(xa, xb)
+            cr = r[ai, bj]
+        return pa.table(
+            {
+                "vec_a": pa.array(va, pa.int64()),
+                "vec_b": pa.array(vb, pa.int64()),
+                "cos_r": pa.array(cr, pa.float64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["blk_a", "blk_b"])
+        .map_groups(tile_kernel, batch_format="pyarrow")
+        .to_pandas()  # near-dup pair rows only — the small output
+    )
+    if parts.empty:
+        return empty
     return (
-        parts.sort_values(["vec_a", "vec_b"])
+        parts[["vec_a", "vec_b", "cos_r"]]
+        .sort_values(["vec_a", "vec_b"])
         .reset_index(drop=True)
         .astype({"vec_a": "int64", "vec_b": "int64", "cos_r": "float64"})
     )

@@ -80,18 +80,18 @@ def exact_dedup_groups(ds):
     )
 
 
-def jaccard_pairs(ds, *, n: int = 5, threshold: float = 0.1):
-    """All doc pairs with shingle-set Jaccard ≥ threshold (exact).
+def _verify_pairs(sh, threshold: float):
+    """Shared shingle-join verify: shingle rows ``(doc_id, sh, n)`` →
+    exact-Jaccard pairs ``(doc_a, doc_b, inter, uni)``.
 
-    shingle rows (with per-doc set size ``n``) → groupby(sh) pair
-    generation carrying (n_a, n_b) → groupby(pair) intersection count
-    → per-batch exact J filter.  Returns (doc_a, doc_b, inter, uni)
-    with integer set algebra (exact compare vs the SQL oracle — no
-    float rounding in the output) and NO driver-side state.
+    Works for ANY shingle key type (string shingles for the
+    SQL-oracled :func:`jaccard_pairs`; uint64 hashed shingles for the
+    MinHash-LSH verify — int keys keep strings out of both shuffles).
+    groupby(sh) pair generation carrying (n_a, n_b) → groupby(pair)
+    intersection count → per-batch exact J filter; integer set algebra
+    only, NO driver-side state.
     """
     from ray.data.aggregate import Count
-
-    sh = ds.map_batches(lambda t: shingles_batch(t, n), batch_format="pyarrow")
 
     def emit_pairs(g: pa.Table) -> pa.Table:
         ids = g.column("doc_id").to_numpy()
@@ -136,68 +136,126 @@ def jaccard_pairs(ds, *, n: int = 5, threshold: float = 0.1):
     return inter.map_batches(finalize, batch_format="pyarrow")
 
 
+def jaccard_pairs(ds, *, n: int = 5, threshold: float = 0.1):
+    """All doc pairs with shingle-set Jaccard ≥ threshold (exact).
+
+    String n-gram shingles (SQL-oracle-comparable) through the shared
+    :func:`_verify_pairs` join.  Shingle blocking has full recall for
+    any J > 0 (two docs with a common shingle share a block)."""
+    sh = ds.map_batches(lambda t: shingles_batch(t, n), batch_format="pyarrow")
+    return _verify_pairs(sh, threshold)
+
+
 def _minhash_params(num_perm: int, seed: int = 1234567):
+    """Affine-map coefficients over a 32-bit domain: with
+    ``a, b < 2^32`` and 32-bit shingle hashes, ``a*h + b`` fits uint64
+    exactly ((2^32-1)² + (2^32-1) < 2^64), so ``% _MERSENNE`` is the
+    true universal-hash family mod p — no silent 2^64 wrap."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, 1 << 32, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, 1 << 32, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
 _POLY = np.uint64(0x100000001B3)  # FNV-prime rolling mix
 
 
+def _hashed_shingle_arrays(t: pa.Table, n: int):
+    """Batch → (doc_ids, w_rows, hv): per-doc DISTINCT hashed n-gram
+    shingles, never materialized as strings.
+
+    Unique tokens are hashed once (``hash64_array`` over the
+    factorized vocabulary); every n-token window's hash is a
+    vectorized polynomial mix of the token hashes, reduced to a 32-bit
+    domain (so the MinHash affine map ``a*h + b`` with ``a, b < 2^32``
+    fits uint64 exactly — see :func:`_minhash_params`; per-doc 32-bit
+    collisions are ~len²/2^33, negligible, and the downstream verify
+    is exact).  ``w_rows``/``hv`` are sorted by (row, hash); returns
+    ``(ids, None, None)`` for an empty/short batch.
+    """
+    from ..functions.tokenize import tokenize
+
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    toks = [tokenize(x or "") for x in texts]
+    counts = np.array([len(ts) for ts in toks], dtype=np.int64)
+    flat = [tok for ts in toks for tok in ts]
+    if not flat:
+        return ids, None, None
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    tok_h = hash64_array(uniques)[codes]  # per-position token hash
+    rows = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    if tok_h.size < n:
+        return ids, None, None
+    # window hash: Σ_j tok_h[i+j] · POLY^j  (wrapping uint64)
+    w = tok_h[: tok_h.size - n + 1].copy()
+    mult = _POLY
+    for j in range(1, n):
+        w = w + tok_h[j : tok_h.size - n + 1 + j] * mult
+        mult = mult * _POLY
+    in_doc = rows[: w.size] == rows[n - 1 :]  # window fully inside one doc
+    if not in_doc.any():
+        return ids, None, None
+    w_rows = rows[: w.size][in_doc]
+    hv_all = w[in_doc] & np.uint64(0xFFFFFFFF)  # 32-bit shingle-hash domain
+    # per-doc distinct shingle hashes
+    order = np.lexsort((hv_all, w_rows))
+    w_rows, hv_all = w_rows[order], hv_all[order]
+    first = np.ones(hv_all.size, dtype=bool)
+    first[1:] = (hv_all[1:] != hv_all[:-1]) | (w_rows[1:] != w_rows[:-1])
+    return ids, w_rows[first], hv_all[first]
+
+
+def hashed_shingle_rows(ds, *, n: int = 5):
+    """(doc_id, sh:uint64, n:int64) — the hashed analog of
+    :func:`..stages.text_ops.shingles_batch`: one row per distinct
+    hashed shingle per doc, with the doc's distinct-shingle count
+    riding along (so :func:`_verify_pairs` needs no size join)."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.uint64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def sh_batch(t: pa.Table) -> pa.Table:
+        ids, w_rows, hv = _hashed_shingle_arrays(t, n)
+        if hv is None:
+            return empty
+        doc_starts = np.flatnonzero(np.diff(w_rows, prepend=-1))
+        per_doc = np.diff(np.append(doc_starts, w_rows.size))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)[w_rows], pa.int64()),
+                "sh": pa.array(hv, pa.uint64()),
+                "n": pa.array(np.repeat(per_doc, per_doc), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sh_batch, batch_format="pyarrow")
+
+
 def minhash_signatures(ds, *, n: int = 5, num_perm: int = 64):
     """(doc_id, sig:list<uint64>) MinHash signatures over n-gram shingles.
 
-    Shingles are never materialized as strings: unique tokens are
-    hashed once (``hash64_array`` over the factorized vocabulary), and
-    every n-token window's hash is a vectorized polynomial mix of the
-    token hashes.  Per batch: one factorize, one window mix, one
-    per-doc distinct pass, one (num_perm × n_shingles) affine map, one
-    segmented min — no per-shingle Python.
+    Per batch: one factorize, one window mix
+    (:func:`_hashed_shingle_arrays`), one (num_perm × n_shingles)
+    affine map, one segmented min — no per-shingle Python.
     """
-    import pandas as pd
-
     a, b = _minhash_params(num_perm)
 
     def sig_batch(t: pa.Table) -> pa.Table:
-        from ..functions.tokenize import tokenize
-
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        toks = [tokenize(x or "") for x in texts]
-        counts = np.array([len(ts) for ts in toks], dtype=np.int64)
-        flat = [tok for ts in toks for tok in ts]
         empty = pa.table(
             {"doc_id": pa.array([], pa.int64()), "sig": pa.array([], pa.list_(pa.uint64()))}
         )
-        if not flat:
+        ids, w_rows, hv = _hashed_shingle_arrays(t, n)
+        if hv is None:
             return empty
-        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-        tok_h = hash64_array(uniques)[codes]  # per-position token hash
-        rows = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
-        if tok_h.size < n:
-            return empty
-        # window hash: Σ_j tok_h[i+j] · POLY^j  (wrapping uint64)
-        w = tok_h[: tok_h.size - n + 1].copy()
-        mult = _POLY
-        for j in range(1, n):
-            w = w + tok_h[j : tok_h.size - n + 1 + j] * mult
-            mult = mult * _POLY
-        in_doc = rows[: w.size] == rows[n - 1 :]  # window fully inside one doc
-        if not in_doc.any():
-            return empty
-        w_rows = rows[: w.size][in_doc]
-        hv_all = w[in_doc] % np.uint64(_MERSENNE)
-        # per-doc distinct shingle hashes
-        order = np.lexsort((hv_all, w_rows))
-        w_rows, hv_all = w_rows[order], hv_all[order]
-        first = np.ones(hv_all.size, dtype=bool)
-        first[1:] = (hv_all[1:] != hv_all[:-1]) | (w_rows[1:] != w_rows[:-1])
-        w_rows, hv = w_rows[first], hv_all[first]
         doc_starts = np.flatnonzero(np.diff(w_rows, prepend=-1))
         out_rows = w_rows[doc_starts]
-        # sig_i = min over shingles of (a_i · h + b_i) mod p
+        # sig_i = min over shingles of (a_i · h + b_i) mod p — exact
+        # universal hash: a, b, h all < 2^32, product fits uint64
         prods = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)
         mins = np.minimum.reduceat(prods, doc_starts, axis=1)  # (P, docs)
         sigs = mins.T
@@ -224,12 +282,13 @@ def minhash_lsh_pairs(ds, *, n: int = 5, num_perm: int = 64, bands: int = 16,
     """MinHash-LSH near-dup pairs, exact-Jaccard verified — distributed.
 
     Scale path of :func:`jaccard_pairs`: candidates only from docs
-    sharing an LSH band bucket.  Verification re-runs the exact
-    shingle join over the candidate docs ONLY (a vectorized batch
-    filter on doc_id — no shuffle of the full corpus), then inner-
-    joins the verified pairs with the candidate pair list.  The sole
-    driver-side object is that candidate pair list — small by LSH
-    design (the documented small-side broadcast assumption).
+    sharing an LSH band bucket.  Verification runs the HASHED shingle
+    join (:func:`hashed_shingle_rows` + :func:`_verify_pairs`) over
+    the candidate docs ONLY (a vectorized batch filter on doc_id — no
+    shuffle of the full corpus, no string shingles anywhere), then
+    inner-joins the verified pairs with the candidate pair list.  The
+    sole driver-side object is that candidate pair list — small by
+    LSH design (the documented small-side broadcast assumption).
     Returns (doc_a, doc_b, inter, uni), sorted.
     """
     import pyarrow.compute as pc
@@ -304,7 +363,7 @@ def minhash_lsh_pairs(ds, *, n: int = 5, num_perm: int = 64, bands: int = 16,
         return t.filter(pc.is_in(t.column("doc_id"), value_set=needed))
 
     sub = ds.map_batches(pick, batch_format="pyarrow")
-    verified = jaccard_pairs(sub, n=n, threshold=threshold).to_pandas()
+    verified = _verify_pairs(hashed_shingle_rows(sub, n=n), threshold).to_pandas()
     if verified.empty:
         return empty
     out = verified.merge(cands[["doc_a", "doc_b"]], on=["doc_a", "doc_b"], how="inner")

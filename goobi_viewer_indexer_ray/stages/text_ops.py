@@ -11,12 +11,14 @@ numpy — half-even — and DuckDB — half-away; integers sidestep it).
 from __future__ import annotations
 
 import hashlib
+import unicodedata
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import hash64_array
-from ..functions.tokenize import tokenize
+from ..functions.hashing import md5_hash64_array
+from ..functions.tokenize import TOKEN_RE, tokenize
 
 __all__ = [
     "STOPWORDS",
@@ -41,64 +43,125 @@ def _tokens_of(batch: pa.Table) -> tuple[list[int], list[list[str]]]:
     return ids, toks
 
 
+def _flat_token_codes(batch: pa.Table):
+    """Batch → (doc_ids, per-doc token counts, flat token codes, vocab).
+
+    One C-regex scan per doc + ONE ``pd.factorize`` over the batch's
+    flat token stream — the same vectorized shape as
+    ``postings._count_batch``.  All per-token work downstream operates
+    on the integer ``codes`` array (never on Python strings)."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    findall = TOKEN_RE.findall
+    norm = unicodedata.normalize
+    counts = np.empty(len(texts), dtype=np.int64)
+    flat: list[str] = []
+    for i, t in enumerate(texts):
+        toks = findall(norm("NFC", t).lower()) if t else []
+        counts[i] = len(toks)
+        flat.extend(toks)
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+    return ids, counts, codes.astype(np.int64, copy=False), uniques
+
+
+def _seg_sums(per_token: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-doc sums of a per-token array (prefix-sum difference — safe
+    for zero-token docs, unlike ``np.add.reduceat``)."""
+    cs = np.concatenate([[0], np.cumsum(per_token, dtype=np.int64)])
+    ends = np.cumsum(counts)
+    return cs[ends] - cs[ends - counts]
+
+
+def _vocab_hits(uniques: np.ndarray, codes: np.ndarray, counts: np.ndarray,
+                words: frozenset[str]) -> np.ndarray:
+    """Per-doc count of tokens in ``words``: one ``np.isin`` over the
+    (tiny) batch vocabulary, gathered through the code array."""
+    if uniques.size == 0:
+        return np.zeros(counts.size, dtype=np.int64)
+    vocab_mask = np.isin(uniques, np.asarray(sorted(words), dtype=object))
+    return _seg_sums(vocab_mask[codes], counts)
+
+
 def langid_batch(batch: pa.Table) -> pa.Table:
     """Stopword-hit language ID → (doc_id, lang_pred, en_hits, de_hits, fr_hits).
 
     ``lang_pred`` = language with the most stopword hits, ties broken
     by en > de > fr; 'und' (undetermined) when all counts are zero.
+    Fully vectorized: factorize + ``np.isin`` on the batch vocabulary +
+    segmented sums — no per-row/per-token Python loops.
     """
-    ids, toks = _tokens_of(batch)
-    hits = {lang: [] for lang in _LANG_ORDER}
-    preds = []
-    for ts in toks:
-        counts = {}
-        for lang in _LANG_ORDER:
-            sw = STOPWORDS[lang]
-            counts[lang] = sum(1 for t in ts if t in sw)
-            hits[lang].append(counts[lang])
-        best = max(_LANG_ORDER, key=lambda lang: (counts[lang], -_LANG_ORDER.index(lang)))
-        preds.append(best if counts[best] > 0 else "und")
+    ids, counts, codes, uniques = _flat_token_codes(batch)
+    mat = np.zeros((ids.size, len(_LANG_ORDER)), dtype=np.int64)
+    for li, lang in enumerate(_LANG_ORDER):
+        mat[:, li] = _vocab_hits(uniques, codes, counts, STOPWORDS[lang])
+    # argmax returns the FIRST max → exactly the en > de > fr tie rule
+    best = np.argmax(mat, axis=1)
+    langs = np.asarray(_LANG_ORDER, dtype=object)
+    preds = np.where(mat.max(axis=1, initial=0) > 0, langs[best], "und")
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
             "lang_pred": pa.array(preds, pa.string()),
-            "en_hits": pa.array(hits["en"], pa.int64()),
-            "de_hits": pa.array(hits["de"], pa.int64()),
-            "fr_hits": pa.array(hits["fr"], pa.int64()),
+            "en_hits": pa.array(mat[:, 0], pa.int64()),
+            "de_hits": pa.array(mat[:, 1], pa.int64()),
+            "fr_hits": pa.array(mat[:, 2], pa.int64()),
         }
     )
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals as raw integer counts (ratios left to consumers):
-    (doc_id, n_chars_c, n_tokens, n_distinct, stopword_hits, punct_hits)."""
-    ids, toks = _tokens_of(batch)
-    texts = batch.column("text").to_pylist()
-    sw = STOPWORDS["en"]
-    alnum_sp = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ")
+    (doc_id, n_chars_c, n_tokens, n_distinct, stopword_hits, punct_hits).
+
+    Vectorized: token work through ``_flat_token_codes`` codes;
+    char-level counts via Arrow C++ kernels (``utf8_length`` +
+    ``replace_substring_regex``) on the raw column."""
+    import pyarrow.compute as pc
+
+    ids, counts, codes, uniques = _flat_token_codes(batch)
+    # distinct tokens per doc: unique (row, code) pairs → bincount rows
+    if codes.size:
+        rows = np.repeat(np.arange(ids.size, dtype=np.int64), counts)
+        key = rows * np.int64(max(1, uniques.size)) + codes
+        u_rows = np.unique(key) // max(1, uniques.size)
+        n_distinct = np.bincount(u_rows, minlength=ids.size).astype(np.int64)
+    else:
+        n_distinct = np.zeros(ids.size, dtype=np.int64)
+    txt = pc.fill_null(batch.column("text"), "")
+    n_chars = pc.utf8_length(txt)
+    # punct = chars remaining after deleting [a-zA-Z0-9 ] (codepoint
+    # count == Python len — matches the per-char set-membership rule)
+    punct = pc.utf8_length(pc.replace_substring_regex(txt, pattern="[a-zA-Z0-9 ]+", replacement=""))
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
-            "n_chars_c": pa.array([len(t or "") for t in texts], pa.int64()),
-            "n_tokens": pa.array([len(ts) for ts in toks], pa.int64()),
-            "n_distinct": pa.array([len(set(ts)) for ts in toks], pa.int64()),
+            "n_chars_c": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
             "stopword_hits": pa.array(
-                [sum(1 for t in ts if t in sw) for ts in toks], pa.int64()
+                _vocab_hits(uniques, codes, counts, STOPWORDS["en"]), pa.int64()
             ),
-            "punct_hits": pa.array(
-                [sum(1 for c in (t or "") if c not in alnum_sp) for t in texts], pa.int64()
-            ),
+            "punct_hits": pc.cast(punct, pa.int64()),
         }
     )
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    ids, toks = _tokens_of(batch)
+    ids = batch.column("doc_id").to_numpy()
+    findall = TOKEN_RE.findall
+    norm = unicodedata.normalize
+    counts = np.fromiter(
+        (len(findall(norm("NFC", t).lower())) if t else 0
+         for t in batch.column("text").to_pylist()),
+        dtype=np.int64,
+        count=len(batch),
+    )
     return pa.table(
-        {
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_tokens": pa.array([len(ts) for ts in toks], pa.int64()),
-        }
+        {"doc_id": pa.array(ids, pa.int64()), "n_tokens": pa.array(counts, pa.int64())}
     )
 
 
@@ -140,12 +203,12 @@ def shingles_batch(batch: pa.Table, n: int = 5) -> pa.Table:
 def simhash_batch(batch: pa.Table) -> pa.Table:
     """64-bit SimHash over the token multiset → (doc_id, simhash_hex).
 
-    bit_j(doc) = sign( Σ_tokens tf(t) * (bit_j(hash64(t)) ? +1 : -1) ).
+    bit_j(doc) = sign( Σ_tokens tf(t) * (bit_j(h64(t)) ? +1 : -1) )
+    with ``h64`` = the md5-prefix hash (``md5_hash64_array``) so the
+    fingerprint is reproducible by the DuckDB bit-ops oracle.
     Vectorized: one factorize + one (uniq_tokens × 64) bit matrix +
     one segmented reduce per batch — no per-doc Python bit loops.
     """
-    import pandas as pd
-
     ids, toks = _tokens_of(batch)
     n_docs = len(ids)
     counts = np.array([len(ts) for ts in toks], dtype=np.int64)
@@ -158,7 +221,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         uk, tf = np.unique(key, return_counts=True)
         urow = uk // len(uniques)
         ucode = uk % len(uniques)
-        h = hash64_array(uniques)
+        h = md5_hash64_array(uniques)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         contrib = tf[:, None] * (2 * bits[ucode] - 1)  # (n_pairs, 64)
         starts = np.flatnonzero(np.diff(urow, prepend=-1))

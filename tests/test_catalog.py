@@ -57,7 +57,6 @@ def test_oracle_keys_subset(contract):
     # the non-SQL ops are the documented probabilistic/pipeline ones
     assert set(qs) - set(sqls) == {
         "dedup_minhash_lsh",
-        "dedup_simhash",
         "ann_lsh_topk",
         "pages_engine_e2e",
     }
@@ -84,6 +83,7 @@ def _check(contract, con, name):
         "grouped_entities",
         "dedup_exact",
         "dedup_jaccard_pairs",
+        "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",
         "lineitem_agg",

@@ -275,6 +275,60 @@ def test_empty_delta_noop(ray_session, tiny_paths, tmp_path_factory):
     assert man["segments"], "index manifest must still list all segments"
 
 
+def test_concurrent_updates_serialized(ray_session, tmp_path_factory):
+    """Two racing ``update_doc`` calls on one build must serialize via
+    the build-dir lockfile and BOTH land: the final docs/manifest state
+    is exactly the two-sequential-updates state (no interleaved
+    manifest writes, no lost update)."""
+    import json
+    import threading
+
+    from goobi_viewer_indexer_ray.pipelines.build import build_all, read_docs
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, topk_exact
+    from goobi_viewer_indexer_ray.pipelines.updates import update_doc
+    from goobi_viewer_indexer_ray.sources.corpus import url_for, write_pages
+
+    base = tmp_path_factory.mktemp("race")
+    pages = str(base / "pages")
+    out = str(base / "out")
+    write_pages(pages, 60, seed=7, rows_per_file=32)
+    build_all(pages, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS)
+    n_before = len(read_docs(out).to_pandas())
+
+    ts = __import__("datetime").datetime(2031, 6, 1,
+                                         tzinfo=__import__("datetime").timezone.utc)
+    errs = []
+
+    def upd(url, marker):
+        try:
+            update_doc(out, url,
+                       f"<html><title>r</title><body><p>{marker}</p></body></html>".encode(),
+                       warc_ts=ts)
+        except Exception as e:  # noqa: BLE001 — collected and re-raised below
+            errs.append(e)
+
+    t1 = threading.Thread(target=upd, args=(url_for(5), "racertokena"))
+    t2 = threading.Thread(target=upd, args=(url_for(6), "racertokenb"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    docs = read_docs(out).to_pandas()
+    assert len(docs) == n_before  # both were upserts of existing urls
+    assert "racertokena" in docs[docs["url"] == url_for(5)].iloc[0]["text"]
+    assert "racertokenb" in docs[docs["url"] == url_for(6)].iloc[0]["text"]
+    # manifest is coherent: every docs part listed once, with a valid fp
+    man = json.load(open(os.path.join(out, "docs_manifest.json")))
+    parts = [int(p["part"]) for p in man["parts"]]
+    assert sorted(parts) == list(range(NUM_PARTS))
+    # both updates queryable through a fresh index view
+    idx = LocalIndex(out)
+    for tok in ("racertokena", "racertokenb"):
+        d, _ = topk_exact(idx, tok, 5)
+        assert d.size == 1, tok
+    # lock released
+    assert not os.path.exists(os.path.join(out, ".update_lock"))
+
+
 def test_update_with_missing_index_manifest(ray_session, tiny_paths, tmp_path_factory):
     """Damage scenario: index_manifest.json lost before an update → the
     update must fall back to a FULL re-merge (never serve an index
