@@ -22,6 +22,30 @@ Layout
 
 __version__ = "0.1.0"
 
+
+def _silence_known_ray_noise() -> None:
+    """Filter one known-harmless Ray Data warning out of worker logs.
+
+    ``transform_pyarrow.unify_schemas`` logs "Failed to hash the
+    schemas (for deduplication): unhashable type: 'dict'" on every
+    reduce task whose schemas carry dict metadata — cosmetic (it falls
+    back to full unification) but it floods bench/driver output.  This
+    module is imported in every Ray worker that deserializes our
+    callables, so installing the filter here covers the whole pool.
+    """
+    import logging
+
+    class _Drop(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_Drop())
+
+
+_silence_known_ray_noise()
+
 ENGINE_SPEC_VERSION = 3
 """Bump whenever extractor/tokenizer/codec/scoring semantics change;
 recorded in every partition manifest (reference analog: the Solr schema

@@ -1201,6 +1201,197 @@ FROM events GROUP BY event_type
 """
 
 
+def q_parent_rollup(sf_dir: str):
+    """Hierarchical parent roll-up (J2/A2 analog — anchorMerge +
+    addSuperSearchFields + NUMVOLUMES transposed): orders are the
+    "volumes", customers the "anchors"; per customer the volume count,
+    the volume keys sorted by numeric key, and the rolled-up SUPER
+    field, via :func:`stages.rollup.parent_rollup`."""
+    from ..stages.rollup import parent_rollup
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderpriority"],
+    )
+    out = parent_rollup(
+        ds, parent_col="o_custkey", order_col="o_orderkey",
+        rollup_col="o_orderpriority",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.column("parent"), pa.int64()),
+                "num_volumes": pc.cast(t.column("num_children"), pa.int64()),
+                "first_key": pc.cast(t.column("first_key"), pa.int64()),
+                "last_key": pc.cast(t.column("last_key"), pa.int64()),
+                "volume_keys": t.column("child_keys"),
+                "super_default": t.column("super_rollup"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_PARENT_ROLLUP = """
+SELECT o_custkey::BIGINT AS c_custkey,
+       count(*)::BIGINT AS num_volumes,
+       min(o_orderkey)::BIGINT AS first_key,
+       max(o_orderkey)::BIGINT AS last_key,
+       string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS volume_keys,
+       string_agg(o_orderpriority, ' ' ORDER BY o_orderkey) AS super_default
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_geo_wkt(sf_dir: str):
+    """GeoJSON/WKT conversion (M13 — GeoJSONTools.convert transposed):
+    deterministic coordinate strings derived from the supplier key
+    (point / polygon / deliberately-invalid by key residue) are parsed
+    and converted to WKT + bbox + BOOL_WKT_COORDS by
+    :class:`stages.geo.GeoConvert`; the oracle string-builds the same
+    WKT in SQL."""
+    from ..stages.geo import GeoConvert
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
+
+    def synth_coords(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").cast(pa.int64()).to_numpy()
+        x0 = (k * 37) % 360 - 180
+        y0 = (k * 53) % 180 - 90
+        x1 = (k * 37 + 11) % 360 - 180
+        y1 = (k * 53 + 7) % 180 - 90
+        x2 = (k * 37 + 22) % 360 - 180
+        y2 = (k * 53 + 14) % 180 - 90
+        vals = []
+        for i, kk in enumerate(k):
+            if kk % 7 == 0:
+                vals.append("not coordinates")
+            elif kk % 2 == 0:
+                vals.append(f"{x0[i]} {y0[i]}")
+            else:
+                vals.append(f"{x0[i]} {y0[i]} {x1[i]} {y1[i]} {x2[i]} {y2[i]}")
+        return pa.table(
+            {
+                "s_suppkey": pa.array(k, pa.int64()),
+                "coords": pa.array(vals, pa.string()),
+            }
+        )
+
+    return ds.map_batches(synth_coords, batch_format="pyarrow").map_batches(
+        GeoConvert("coords", "s_suppkey"), batch_format="pyarrow"
+    )
+
+
+_SQL_GEO_WKT = """
+WITH c AS (
+  SELECT s_suppkey::BIGINT AS s_suppkey,
+         ((s_suppkey * 37) % 360 - 180)::BIGINT AS x0,
+         ((s_suppkey * 53) % 180 - 90)::BIGINT  AS y0,
+         ((s_suppkey * 37 + 11) % 360 - 180)::BIGINT AS x1,
+         ((s_suppkey * 53 + 7) % 180 - 90)::BIGINT   AS y1,
+         ((s_suppkey * 37 + 22) % 360 - 180)::BIGINT AS x2,
+         ((s_suppkey * 53 + 14) % 180 - 90)::BIGINT  AS y2,
+         CASE WHEN s_suppkey % 7 = 0 THEN 'unknown'
+              WHEN s_suppkey % 2 = 0 THEN 'point'
+              ELSE 'polygon' END AS geo_type
+  FROM supplier
+)
+SELECT s_suppkey, geo_type,
+       CASE geo_type
+         WHEN 'point' THEN 'POINT (' || x0 || ' ' || y0 || ')'
+         WHEN 'polygon' THEN 'POLYGON ((' || x0 || ' ' || y0 || ', '
+              || x1 || ' ' || y1 || ', ' || x2 || ' ' || y2 || ', '
+              || x0 || ' ' || y0 || '))'
+         ELSE '' END AS wkt,
+       CASE geo_type WHEN 'point' THEN 1 WHEN 'polygon' THEN 4 ELSE 0 END::BIGINT
+         AS n_points,
+       CASE geo_type WHEN 'point' THEN x0 WHEN 'polygon' THEN least(x0, x1, x2)
+            ELSE 0 END::DOUBLE AS bbox_minx,
+       CASE geo_type WHEN 'point' THEN y0 WHEN 'polygon' THEN least(y0, y1, y2)
+            ELSE 0 END::DOUBLE AS bbox_miny,
+       CASE geo_type WHEN 'point' THEN x0 WHEN 'polygon' THEN greatest(x0, x1, x2)
+            ELSE 0 END::DOUBLE AS bbox_maxx,
+       CASE geo_type WHEN 'point' THEN y0 WHEN 'polygon' THEN greatest(y0, y1, y2)
+            ELSE 0 END::DOUBLE AS bbox_maxy,
+       CASE WHEN geo_type = 'unknown' THEN 'false' ELSE 'true' END AS bool_wkt
+FROM c
+"""
+
+
+def q_mixed_format_ingest(sf_dir: str):
+    """Multi-format ingest (S2 analog): the documents table is
+    re-materialized (cached) as a mixed directory of Parquet + JSONL +
+    XML files (+ an unreadable decoy); :func:`sources.multiformat.read_any`
+    sniffs each file's CONTENT and routes it into one Dataset.  The
+    aggregate proves both the routing (``fmt`` must equal the
+    ``doc_id % 3`` writer rule) and the byte-exact text round-trip
+    through all three formats (md5-derived content checksum)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import md5_hash64_array
+    from ..sources.multiformat import read_any, write_mixed_corpus
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out, _key = _cache_dir(sf_dir, "mixedfmt_v1")
+    write_mixed_corpus(src, out)
+    ds, skipped = read_any(out)
+    assert skipped, "the decoy file must be sniffed out and skipped"
+
+    def digest(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        h = (md5_hash64_array(texts) % np.uint64(2147483647)).astype(np.int64)
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "fmt": t.column("fmt"),
+                "lang": t.column("lang"),
+                "n_chars_c": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+                "text_h": pa.array(h, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby(["fmt", "lang"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars_c", alias_name="sum_chars"),
+            Sum("text_h", alias_name="sum_text_h"),
+        )
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "fmt": t.column("fmt"),
+                "lang": t.column("lang"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "sum_chars": pc.cast(t.column("sum_chars"), pa.int64()),
+                "sum_text_h": pc.cast(t.column("sum_text_h"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_MIXED_FORMAT = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'parquet' WHEN 1 THEN 'jsonl'
+            ELSE 'xml' END AS fmt,
+       lang,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS sum_chars,
+       sum(('0x' || substr(md5(text), 1, 16))::UBIGINT % 2147483647)::BIGINT
+         AS sum_text_h
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_lang_source_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1260,6 +1451,9 @@ QUERIES = {
     "events_props_json": q_events_props_json,
     "region_customer_counts": q_region_customer_counts,
     "lang_source_counts": q_lang_source_counts,
+    "parent_rollup": q_parent_rollup,
+    "geo_wkt": q_geo_wkt,
+    "mixed_format_ingest": q_mixed_format_ingest,
 }
 
 ORACLE_SQL = {
@@ -1296,4 +1490,7 @@ ORACLE_SQL = {
     "events_props_json": _SQL_EVENTS_PROPS_JSON,
     "region_customer_counts": _SQL_REGION_CUSTOMER_COUNTS,
     "lang_source_counts": _SQL_LANG_SOURCE,
+    "parent_rollup": _SQL_PARENT_ROLLUP,
+    "geo_wkt": _SQL_GEO_WKT,
+    "mixed_format_ingest": _SQL_MIXED_FORMAT,
 }

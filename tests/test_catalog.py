@@ -101,6 +101,9 @@ def _check(contract, con, name):
         "events_props_json",
         "region_customer_counts",
         "lang_source_counts",
+        "parent_rollup",
+        "geo_wkt",
+        "mixed_format_ingest",
     ],
 )
 def test_vs_duckdb(contract, con, name):

@@ -1,0 +1,134 @@
+"""Unit tests for the round-3 operators: GeoJSON/WKT conversion (M13),
+multi-format sniffing ingest (S2), and the hierarchical parent roll-up
+(J2/A2)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from goobi_viewer_indexer_ray.stages.geo import convert_coords, coords_type
+from goobi_viewer_indexer_ray.sources.multiformat import sniff_format
+
+# ----------------------------------------------------------------- geo
+
+
+def test_coords_type_sniffing():
+    # GeoJSONTools.getCoordinatesType analog
+    assert coords_type("12 34") == "point"
+    assert coords_type("0 0 10 0 10 10") == "polygon"
+    assert coords_type("0 0 10 0 10 10 0 10") == "polygon"
+    assert coords_type("1 2 3") == "unknown"  # odd count
+    assert coords_type("1 2 3 4") == "unknown"  # 4 numbers: neither
+    assert coords_type("not coordinates") == "unknown"
+    assert coords_type("") == "unknown"
+
+
+def test_convert_point():
+    kind, wkt, n, minx, miny, maxx, maxy, flag = convert_coords("12 -34")
+    assert (kind, wkt, n, flag) == ("point", "POINT (12 -34)", 1, "true")
+    assert (minx, miny, maxx, maxy) == (12.0, -34.0, 12.0, -34.0)
+
+
+def test_convert_polygon_closes_ring():
+    kind, wkt, n, minx, miny, maxx, maxy, flag = convert_coords("0 0 10 0 10 10")
+    assert kind == "polygon"
+    assert wkt == "POLYGON ((0 0, 10 0, 10 10, 0 0))"
+    assert n == 4  # ring closed by the converter
+    assert (minx, miny, maxx, maxy) == (0.0, 0.0, 10.0, 10.0)
+    # pre-closed ring is not double-closed
+    _, wkt2, n2, *_ = convert_coords("0 0 10 0 10 10 0 0")
+    assert wkt2 == wkt and n2 == 4
+
+
+def test_convert_floats_and_unknown():
+    _, wkt, *_ = convert_coords("1.5 -2.25")
+    assert wkt == "POINT (1.5 -2.25)"
+    kind, wkt, n, *_rest, flag = convert_coords("garbage")
+    assert (kind, wkt, n, flag) == ("unknown", "", 0, "false")
+
+
+# --------------------------------------------------------- multiformat
+
+
+def test_sniff_format_magic():
+    assert sniff_format(b"PAR1\x00\x00") == "parquet"
+    assert sniff_format(b'{"doc_id"') == "jsonl"
+    assert sniff_format(b"<?xml ve") == "xml"
+    assert sniff_format(b"  <docs>") == "xml"  # leading whitespace ok
+    assert sniff_format(b"\x00\x01junk") == "unknown"
+    assert sniff_format(b"plain text") == "unknown"
+
+
+def test_read_any_roundtrip(ray_session, tmp_path):
+    """Mixed dir round-trips every row (content-routed, decoy skipped)."""
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.sources.multiformat import (
+        read_any,
+        write_mixed_corpus,
+    )
+
+    rows = [
+        {"doc_id": i, "text": f"text <&> 'q' {i}\nline2", "lang": "en",
+         "source": f"s{i % 2}", "n_chars": 10 + i}
+        for i in range(12)
+    ]
+    src = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = write_mixed_corpus(src, str(tmp_path / "mixed"), files_per_format=2)
+    ds, skipped = read_any(out)
+    assert len(skipped) == 1 and skipped[0].endswith("decoy.bin")
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 12
+    for r in rows:
+        g = got[got["doc_id"] == r["doc_id"]].iloc[0]
+        assert g["text"] == r["text"], r["doc_id"]  # escaping round-trip
+        assert g["fmt"] == {0: "parquet", 1: "jsonl", 2: "xml"}[r["doc_id"] % 3]
+        assert g["n_chars"] == r["n_chars"]
+
+
+# -------------------------------------------------------------- rollup
+
+
+def test_parent_rollup_matches_pandas(ray_session):
+    """Roll-up over multi-batch input == the single-process reference
+    computation (ordered joins stitched across batch boundaries)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.rollup import parent_rollup
+
+    rng = np.random.default_rng(5)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "p": rng.integers(0, 23, n),
+            "k": rng.permutation(n),
+            "lab": [f"L{i % 7}" for i in range(n)],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)  # force cross-batch parents
+    got = (
+        parent_rollup(ds, parent_col="p", order_col="k", rollup_col="lab")
+        .to_pandas()
+        .sort_values("parent")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["p", "k"])
+        .groupby("p")
+        .agg(
+            num_children=("k", "size"),
+            first_key=("k", "min"),
+            last_key=("k", "max"),
+            child_keys=("k", lambda s: ",".join(str(v) for v in s)),
+            super_rollup=("lab", " ".join),
+        )
+        .reset_index()
+        .rename(columns={"p": "parent"})
+    )
+    for col in ["num_children", "first_key", "last_key", "child_keys", "super_rollup"]:
+        assert got[col].tolist() == want[col].tolist(), col
