@@ -161,6 +161,10 @@ def run_bench() -> dict:
         "events_asof_click",
         "grouped_entities",
         "part_price_band_pairs",
+        "dedup_simhash",
+        "parent_rollup",
+        "geo_wkt",
+        "mixed_format_ingest",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -46,6 +46,9 @@ __all__ = ["FieldRule", "EntitySpec", "extract_landmarks", "apply_rules",
 
 _WS = re.compile(r"\s+")
 
+ACCESS_FIELD = "ACCESSCONDITION"
+OPENACCESS = "OPENACCESS"  # the reference's open-access default value
+
 
 class _LandmarkParser(HTMLParser):
     """Collects the selector-addressable landmarks of a page."""
@@ -315,6 +318,16 @@ def apply_rules_with_entities(
 
     if default_bag:
         out["DEFAULT"] = [" ".join(default_bag)]
+
+    # M15 access-condition propagation: every record carries an
+    # ACCESSCONDITION (default OPENACCESS — IndexObject.java:184-202,
+    # AbstractWriteStrategy.java:113-117); child entity records inherit
+    # the owner's conditions unless they declared their own
+    # (MetsIndexer.addAccessConditionToPage, :989-1017).
+    if not out.get(ACCESS_FIELD):
+        out[ACCESS_FIELD] = [OPENACCESS]
+    for e in entities:
+        e.setdefault(ACCESS_FIELD, out[ACCESS_FIELD][0])
     return out, entities
 
 
@@ -330,4 +343,7 @@ DEFAULT_RULES: list[FieldRule] = [
     FieldRule(name="MD_LANGUAGE", selectors=["html.lang", "meta.language"],
               multivalued=False, lowercase=True, add_existence_bool=True),
     FieldRule(name="MD_SOURCE", constant_value="web"),
+    # records may declare restrictions via a meta tag; absent → the
+    # engine-level OPENACCESS default (M15)
+    FieldRule(name=ACCESS_FIELD, selectors=["meta.access", "meta.rights"]),
 ]

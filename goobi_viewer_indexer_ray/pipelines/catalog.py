@@ -1392,6 +1392,111 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_ugc_annotations(sf_dir: str):
+    """UGC/annotation docs (M11 — ``Indexer.java:516-799`` transposed):
+    typed annotation matches in the text become child UGC records, each
+    carrying the owner's UGCTERMS aggregate (all annotation values,
+    space-joined in order), via :class:`stages.ugc.ExtractUgc`."""
+    from ..stages.ugc import ExtractUgc
+
+    return _documents(sf_dir).map_batches(ExtractUgc(), batch_format="pyarrow")
+
+
+_SQL_UGC = """
+WITH m AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '(slow|fast|big|small) (query|scan|join)') AS arr
+  FROM documents
+)
+SELECT doc_id, (i - 1)::BIGINT AS pos, arr[i] AS value,
+       split_part(arr[i], ' ', 1) AS ugc_type,
+       split_part(arr[i], ' ', 2) AS ugc_target,
+       array_to_string(arr, ' ') AS ugcterms
+FROM m, unnest(generate_series(1, len(arr))) AS g(i)
+"""
+
+
+def q_usage_stats(sf_dir: str):
+    """Usage-statistics indexer (A7 — ``UsageStatisticsIndexer.java:107-176``
+    transposed): the JSON request log (events + props payload) rolls up
+    to per-(day, user) counter records — total requests, one counter
+    per request kind (the reference's six per-PI counters), and the
+    summed JSON metric.  Map-side: vectorized day derivation + JSON
+    parse + indicator columns; ONE groupby does all eight aggregates."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type", "props"],
+    )
+    kinds = ["view", "click", "signup", "error", "purchase"]
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        dt = pd.to_datetime(t.column("ts").to_pandas())
+        day = (
+            dt.dt.year.to_numpy(np.int64) * 10000
+            + dt.dt.month.to_numpy(np.int64) * 100
+            + dt.dt.day.to_numpy(np.int64)
+        )
+        et = t.column("event_type").to_pylist()
+        ks = []
+        for s in t.column("props").to_pylist():
+            try:
+                ks.append(int(_json.loads(s).get("k", 0)) if s else 0)
+            except (ValueError, TypeError):
+                ks.append(0)
+        cols = {
+            "usage_day": pa.array(day, pa.int64()),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "k": pa.array(ks, pa.int64()),
+        }
+        et_np = np.asarray(et, dtype=object)
+        for kind in kinds:
+            cols[f"is_{kind}"] = pa.array((et_np == kind).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    agg = ds.map_batches(derive, batch_format="pyarrow").groupby(
+        ["usage_day", "user_id"]
+    ).aggregate(
+        Count(alias_name="n_requests"),
+        *[Sum(f"is_{k}", alias_name=f"n_{k}") for k in kinds],
+        Sum("k", alias_name="sum_k"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {
+            "usage_day": pc.cast(t.column("usage_day"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "n_requests": pc.cast(t.column("n_requests"), pa.int64()),
+        }
+        for k in kinds:
+            cols[f"n_{k}"] = pc.cast(t.column(f"n_{k}"), pa.int64())
+        cols["sum_k"] = pc.cast(t.column("sum_k"), pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_USAGE_STATS = """
+SELECT (year(ts) * 10000 + month(ts) * 100 + day(ts))::BIGINT AS usage_day,
+       user_id::BIGINT AS user_id,
+       count(*)::BIGINT AS n_requests,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(coalesce(json_extract(props, '$.k')::BIGINT, 0))::BIGINT AS sum_k
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_lang_source_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1454,6 +1559,8 @@ QUERIES = {
     "parent_rollup": q_parent_rollup,
     "geo_wkt": q_geo_wkt,
     "mixed_format_ingest": q_mixed_format_ingest,
+    "ugc_annotations": q_ugc_annotations,
+    "usage_stats": q_usage_stats,
 }
 
 ORACLE_SQL = {
@@ -1493,4 +1600,6 @@ ORACLE_SQL = {
     "parent_rollup": _SQL_PARENT_ROLLUP,
     "geo_wkt": _SQL_GEO_WKT,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
+    "ugc_annotations": _SQL_UGC,
+    "usage_stats": _SQL_USAGE_STATS,
 }

@@ -576,24 +576,27 @@ class SearchEngine:
         return True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        qids, ranks, docs, scores = [], [], [], []
+        # per-query scorer calls (inherent — each query is one WAND
+        # run), but result assembly is one numpy concat, not k×batch
+        # Python appends
+        qid_parts, d_parts, s_parts, r_parts = [], [], [], []
         ks = batch.column("k").to_pylist() if "k" in batch.column_names else None
         for i, (qid, q) in enumerate(
             zip(batch.column("query_id").to_pylist(), batch.column("query").to_pylist())
         ):
             k = int(ks[i]) if ks else 10
             d, s = self.scorer(self.index, q, k)
-            for r in range(len(d)):
-                qids.append(qid)
-                ranks.append(r + 1)
-                docs.append(int(d[r]))
-                scores.append(float(s[r]))
+            qid_parts.append(np.full(d.size, qid, dtype=np.int64))
+            r_parts.append(np.arange(1, d.size + 1, dtype=np.int32))
+            d_parts.append(d.astype(np.int64, copy=False))
+            s_parts.append(s.astype(np.float64, copy=False))
+        cat = lambda ps, dt: np.concatenate(ps) if ps else np.empty(0, dt)  # noqa: E731
         return pa.table(
             {
-                "query_id": pa.array(qids, pa.int64()),
-                "rank": pa.array(ranks, pa.int32()),
-                "doc_id": pa.array(docs, pa.int64()),
-                "score": pa.array(scores, pa.float64()),
+                "query_id": pa.array(cat(qid_parts, np.int64)),
+                "rank": pa.array(cat(r_parts, np.int32)),
+                "doc_id": pa.array(cat(d_parts, np.int64)),
+                "score": pa.array(cat(s_parts, np.float64)),
             }
         )
 

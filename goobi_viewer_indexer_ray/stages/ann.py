@@ -307,7 +307,15 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.45, round_dp: int = 4,
     )
     if not n:
         return empty
-    num_blocks = max(1, -(-int(n) // block_target))
+    # blocks sized for BOTH bounds: per-task memory (≤ block_target
+    # vectors per block) AND reduce parallelism — a near-constant
+    # shuffle key is pathological for the sort-based groupby (key
+    # cardinality must comfortably exceed the partition count), so
+    # small corpora still get ≥~8 blocks → ≥36 tile groups.
+    num_blocks = max(
+        -(-int(n) // block_target),
+        min(8, max(1, int(n) // 64)),
+    )
 
     def fan_out(t: pa.Table) -> pa.Table:
         ids = t.column("vec_id").to_numpy().astype(np.int64)

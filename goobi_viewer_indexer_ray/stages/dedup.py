@@ -187,12 +187,15 @@ def _hashed_shingle_arrays(t: pa.Table, n: int):
     rows = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
     if tok_h.size < n:
         return ids, None, None
-    # window hash: Σ_j tok_h[i+j] · POLY^j  (wrapping uint64)
+    # window hash: Σ_j tok_h[i+j] · POLY^j  (wrapping uint64; the
+    # multiplier table is built in Python ints mod 2^64 — numpy warns
+    # on *scalar* uint64 overflow even though wrapping is intended)
+    mults = [1]
+    for _ in range(1, n):
+        mults.append((mults[-1] * int(_POLY)) & 0xFFFFFFFFFFFFFFFF)
     w = tok_h[: tok_h.size - n + 1].copy()
-    mult = _POLY
     for j in range(1, n):
-        w = w + tok_h[j : tok_h.size - n + 1 + j] * mult
-        mult = mult * _POLY
+        w = w + tok_h[j : tok_h.size - n + 1 + j] * np.uint64(mults[j])
     in_doc = rows[: w.size] == rows[n - 1 :]  # window fully inside one doc
     if not in_doc.any():
         return ids, None, None
@@ -282,17 +285,28 @@ def minhash_lsh_pairs(ds, *, n: int = 5, num_perm: int = 64, bands: int = 16,
     """MinHash-LSH near-dup pairs, exact-Jaccard verified — distributed.
 
     Scale path of :func:`jaccard_pairs`: candidates only from docs
-    sharing an LSH band bucket.  Verification runs the HASHED shingle
-    join (:func:`hashed_shingle_rows` + :func:`_verify_pairs`) over
-    the candidate docs ONLY (a vectorized batch filter on doc_id — no
-    shuffle of the full corpus, no string shingles anywhere), then
-    inner-joins the verified pairs with the candidate pair list.  The
-    sole driver-side object is that candidate pair list — small by
-    LSH design (the documented small-side broadcast assumption).
+    sharing an LSH band bucket.  TWO shuffles total:
+
+    1. band rows → ``groupby(band, bhash)`` pair emission; the
+       candidate pair list goes to the driver and is deduped there
+       (pandas ``drop_duplicates`` — the pre-dedup list is at most
+       ``bands``× the deduped one, still the documented LSH small
+       side; a cluster-side dedup shuffle would cost more than it
+       saves).
+    2. exact verify: each candidate doc's DISTINCT hashed-shingle set
+       is computed once per pair it participates in and shipped as ONE
+       compact row ``(pair_id, side, n, sh_set)``; ``groupby(pair_id)``
+       intersects the two sides vectorized (``np.intersect1d``).  No
+       shingle-row shuffle, no string shingles anywhere, and the full
+       corpus is never re-scanned — a vectorized ``pc.is_in`` filter
+       restricts the pass to candidate docs.
+
+    The sole driver-side object is the candidate pair list.
     Returns (doc_a, doc_b, inter, uni), sorted.
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+
+    import ray
 
     r = num_perm // bands
     sigs = minhash_signatures(ds, n=n, num_perm=num_perm)
@@ -339,9 +353,9 @@ def minhash_lsh_pairs(ds, *, n: int = 5, num_perm: int = 64, bands: int = 16,
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bhash"])
         .map_groups(emit, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])  # cross-band dedup, distributed
-        .aggregate(Count(alias_name="_nb"))
         .to_pandas()  # candidate PAIRS only — the small side
+        .drop_duplicates(["doc_a", "doc_b"])  # cross-band dedup
+        .reset_index(drop=True)
     )
     empty = pd.DataFrame(
         {
@@ -354,19 +368,91 @@ def minhash_lsh_pairs(ds, *, n: int = 5, num_perm: int = 64, bands: int = 16,
     if cands.empty:
         return empty
 
-    needed = pa.array(
-        sorted(set(cands["doc_a"].astype(int)) | set(cands["doc_b"].astype(int))),
-        pa.int64(),
+    # doc → [(pair_id, side)] routing table, broadcast once
+    pair_a = cands["doc_a"].to_numpy(dtype=np.int64)
+    pair_b = cands["doc_b"].to_numpy(dtype=np.int64)
+    routes: dict[int, list[tuple[int, int]]] = {}
+    for pid in range(pair_a.size):
+        routes.setdefault(int(pair_a[pid]), []).append((pid, 0))
+        routes.setdefault(int(pair_b[pid]), []).append((pid, 1))
+    routes_ref = ray.put(routes)
+    needed = pa.array(sorted(routes), pa.int64())
+
+    def pair_side_rows(t: pa.Table) -> pa.Table:
+        """Candidate docs' distinct shingle-hash SETS, one row per
+        (pair, side) the doc participates in."""
+        rt = ray.get(routes_ref)
+        sub_t = t.filter(pc.is_in(t.column("doc_id"), value_set=needed))
+        out_pid, out_side, out_n, sets = [], [], [], []
+        if sub_t.num_rows:
+            ids, w_rows, hv = _hashed_shingle_arrays(sub_t, n)
+            if hv is not None:
+                doc_starts = np.flatnonzero(np.diff(w_rows, prepend=-1))
+                ends = np.append(doc_starts[1:], w_rows.size)
+                for s, e in zip(doc_starts, ends):
+                    did = int(ids[int(w_rows[s])])
+                    for pid, side in rt.get(did, ()):
+                        out_pid.append(pid)
+                        out_side.append(side)
+                        out_n.append(e - s)
+                        sets.append(hv[s:e])
+        flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+        offs = np.zeros(len(sets) + 1, dtype=np.int64)
+        if sets:
+            np.cumsum([len(x) for x in sets], out=offs[1:])
+        return pa.table(
+            {
+                "pair_id": pa.array(out_pid, pa.int64()),
+                "side": pa.array(out_side, pa.int32()),
+                "n": pa.array(out_n, pa.int64()),
+                "sh_set": pa.LargeListArray.from_arrays(
+                    pa.array(offs, pa.int64()), pa.array(flat, pa.uint64())
+                ),
+            }
+        )
+
+    def intersect(g: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {
+                "pair_id": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "uni": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows != 2:  # a side with zero shingles can't verify
+            return out_empty
+        la = g.column("sh_set").combine_chunks()
+        a = la[0].values.to_numpy(zero_copy_only=False)
+        b = la[1].values.to_numpy(zero_copy_only=False)
+        inter = int(np.intersect1d(a, b, assume_unique=True).size)
+        ns = g.column("n").to_numpy()
+        uni = int(ns[0] + ns[1] - inter)
+        if inter / uni < threshold:
+            return out_empty
+        return pa.table(
+            {
+                "pair_id": pa.array([int(g.column("pair_id")[0].as_py())], pa.int64()),
+                "inter": pa.array([inter], pa.int64()),
+                "uni": pa.array([uni], pa.int64()),
+            }
+        )
+
+    verified = (
+        ds.map_batches(pair_side_rows, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(intersect, batch_format="pyarrow")
+        .to_pandas()
     )
-
-    def pick(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("doc_id"), value_set=needed))
-
-    sub = ds.map_batches(pick, batch_format="pyarrow")
-    verified = _verify_pairs(hashed_shingle_rows(sub, n=n), threshold).to_pandas()
     if verified.empty:
         return empty
-    out = verified.merge(cands[["doc_a", "doc_b"]], on=["doc_a", "doc_b"], how="inner")
+    out = pd.DataFrame(
+        {
+            "doc_a": pair_a[verified["pair_id"].to_numpy()],
+            "doc_b": pair_b[verified["pair_id"].to_numpy()],
+            "inter": verified["inter"].to_numpy(),
+            "uni": verified["uni"].to_numpy(),
+        }
+    )
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return out[["doc_a", "doc_b", "inter", "uni"]].astype("int64")
 

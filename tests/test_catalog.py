@@ -104,6 +104,8 @@ def _check(contract, con, name):
         "parent_rollup",
         "geo_wkt",
         "mixed_format_ingest",
+        "ugc_annotations",
+        "usage_stats",
     ],
 )
 def test_vs_duckdb(contract, con, name):

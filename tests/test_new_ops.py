@@ -89,6 +89,42 @@ def test_read_any_roundtrip(ray_session, tmp_path):
         assert g["n_chars"] == r["n_chars"]
 
 
+# ---------------------------------------------------- access conditions
+
+
+def test_access_condition_default_and_inherit():
+    """M15: records default to OPENACCESS; declared conditions win;
+    grouped entities inherit the owner's condition."""
+    from goobi_viewer_indexer_ray.functions.fields import (
+        ACCESS_FIELD,
+        DEFAULT_RULES,
+        EntitySpec,
+        FieldRule,
+        apply_rules,
+        apply_rules_with_entities,
+    )
+
+    out = apply_rules("<html><title>t</title></html>", DEFAULT_RULES)
+    assert out[ACCESS_FIELD] == ["OPENACCESS"]
+
+    restricted = apply_rules(
+        '<html><meta name="access" content="RESTRICTED"><title>t</title></html>',
+        DEFAULT_RULES,
+    )
+    assert restricted[ACCESS_FIELD] == ["RESTRICTED"]
+
+    rules = DEFAULT_RULES + [
+        FieldRule(name="MD_OPS", selectors=["p"],
+                  group_entity=EntitySpec(pattern=r"hash \w+", type_name="OP"))
+    ]
+    _, ents = apply_rules_with_entities(
+        '<html><meta name="access" content="CAMPUS"><body>'
+        "<p>hash join here</p></body></html>",
+        rules,
+    )
+    assert ents and all(e[ACCESS_FIELD] == "CAMPUS" for e in ents)
+
+
 # -------------------------------------------------------------- rollup
 
 
