@@ -322,12 +322,15 @@ def apply_rules_with_entities(
     # M15 access-condition propagation: every record carries an
     # ACCESSCONDITION (default OPENACCESS — IndexObject.java:184-202,
     # AbstractWriteStrategy.java:113-117); child entity records inherit
-    # the owner's conditions unless they declared their own
-    # (MetsIndexer.addAccessConditionToPage, :989-1017).
+    # ALL the owner's conditions unless they declared their own
+    # (MetsIndexer.addAccessConditionToPage copies the full set,
+    # :989-1017) — joined with "; " because entity subfields are flat
+    # strings here, where the reference emits one field instance per
+    # condition.
     if not out.get(ACCESS_FIELD):
         out[ACCESS_FIELD] = [OPENACCESS]
     for e in entities:
-        e.setdefault(ACCESS_FIELD, out[ACCESS_FIELD][0])
+        e.setdefault(ACCESS_FIELD, "; ".join(out[ACCESS_FIELD]))
     return out, entities
 
 

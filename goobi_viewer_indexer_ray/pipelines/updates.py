@@ -64,10 +64,14 @@ class _BuildLock:
     part rewrites and manifest writes (the reference serializes
     records globally via the ``currentIndexer`` guard,
     ``helper/Hotfolder.java:479``, and warns against multiple daemon
-    instances, ``Indexer.java:377-380``).  ``os.open(O_CREAT|O_EXCL)``
-    is atomic on POSIX; a stale lock older than ``timeout`` seconds is
-    broken (crashed holder).  Waiters block with a short poll —
-    updates are rare, delta-sized operations.
+    instances, ``Indexer.java:377-380``).  ``fcntl.flock`` on a
+    persistent lockfile: kernel-released on process death (no stale-
+    lock breaking races), exclusive across processes AND threads (each
+    holder has its own fd).  Waiters poll ``LOCK_NB`` until
+    ``timeout``.  Single-filesystem scope — on a multi-node cluster
+    the build dir lives on shared storage and updates are routed
+    through one coordinator, exactly as the reference mandates one
+    daemon instance.
     """
 
     def __init__(self, out_dir: str, timeout: float = 600.0, poll: float = 0.05):
@@ -77,31 +81,34 @@ class _BuildLock:
         self._fd: int | None = None
 
     def __enter__(self):
+        import fcntl
+
         deadline = time.time() + self.timeout
+        fd = os.open(self.path, os.O_CREAT | os.O_WRONLY)
         while True:
-            try:
-                self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(self._fd, f"{os.getpid()} {time.time()}".encode())
-                return self
-            except FileExistsError:
-                try:  # break stale locks from crashed holders
-                    if time.time() - os.stat(self.path).st_mtime > self.timeout:
-                        os.unlink(self.path)
-                        continue
-                except OSError:
-                    continue  # holder released between stat and unlink
+            try:  # ONLY contention is retried; any other error propagates
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
                 if time.time() > deadline:
+                    os.close(fd)
                     raise TimeoutError(f"update lock busy: {self.path}")
                 time.sleep(self.poll)
+                continue
+            try:  # holder stamp is best-effort diagnostics (may ENOSPC)
+                os.truncate(fd, 0)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            except OSError:
+                pass
+            self._fd = fd
+            return self
 
     def __exit__(self, *exc):
+        import fcntl
+
         if self._fd is not None:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
             os.close(self._fd)
             self._fd = None
-        try:
-            os.unlink(self.path)
-        except OSError:
-            pass
 
 
 def _merge_one_part(part: int, out_dir: str, fp: str, num_shards: int,

@@ -31,8 +31,8 @@ in memory, ``MetsIndexer.collectVolumeInfo``).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["parent_rollup"]
 
@@ -51,19 +51,22 @@ def parent_rollup(ds, *, parent_col: str, order_col: str, rollup_col: str,
     ``rollup_col`` is a string column.
     """
 
+    empty = pa.table(
+        {
+            "parent": pa.array([], pa.int64()),
+            "n_children": pa.array([], pa.int64()),
+            "first_key": pa.array([], pa.int64()),
+            "last_key": pa.array([], pa.int64()),
+            "child_keys": pa.array([], pa.string()),
+            "super_rollup": pa.array([], pa.string()),
+            "edge": pa.array([], pa.bool_()),
+        }
+    )
+
     def partials(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
-            return pa.table(
-                {
-                    "parent": pa.array([], pa.int64()),
-                    "n_children": pa.array([], pa.int64()),
-                    "first_key": pa.array([], pa.int64()),
-                    "last_key": pa.array([], pa.int64()),
-                    "child_keys": pa.array([], pa.string()),
-                    "super_rollup": pa.array([], pa.string()),
-                }
-            )
+            return empty
         parent = t.column(parent_col).cast(pa.int64()).to_numpy()
         key = t.column(order_col).cast(pa.int64()).to_numpy()
         labels = t.column(rollup_col).to_pylist()
@@ -72,6 +75,12 @@ def parent_rollup(ds, *, parent_col: str, order_col: str, rollup_col: str,
         starts = np.flatnonzero(new_p)
         ends = np.append(starts[1:], n)
         key_strs = key.astype(np.str_)  # vectorized int→str
+        # after the global (parent, key) sort each batch is a contiguous
+        # slice, so ONLY the batch's first and last parents can straddle
+        # a batch boundary — every interior parent is already complete
+        edge = np.zeros(starts.size, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
         return pa.table(
             {
                 "parent": pa.array(parent[starts], pa.int64()),
@@ -86,22 +95,59 @@ def parent_rollup(ds, *, parent_col: str, order_col: str, rollup_col: str,
                     [rollup_sep.join(labels[s:e]) for s, e in zip(starts, ends)],
                     pa.string(),
                 ),
+                "edge": pa.array(edge, pa.bool_()),
             }
         )
 
-    parts = ds.sort([parent_col, order_col]).map_batches(partials, batch_format="pyarrow")
+    # materialize ONLY the partial rows (one row per (parent, batch) —
+    # tiny vs the child table) so the interior/edge split below doesn't
+    # recompute the sort twice
+    parts = (
+        ds.sort([parent_col, order_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .materialize()
+    )
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("first_key")
-        return pd.DataFrame(
+    def finalize_interior(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t.column("edge")))
+        return pa.table(
             {
-                "parent": [int(g["parent"].iloc[0])],
-                "num_children": [int(g["n_children"].sum())],
-                "first_key": [int(g["first_key"].iloc[0])],
-                "last_key": [int(g["last_key"].iloc[-1])],
-                "child_keys": [key_sep.join(g["child_keys"])],
-                "super_rollup": [rollup_sep.join(g["super_rollup"])],
+                "parent": t.column("parent"),
+                "num_children": t.column("n_children"),
+                "first_key": t.column("first_key"),
+                "last_key": t.column("last_key"),
+                "child_keys": t.column("child_keys"),
+                "super_rollup": t.column("super_rollup"),
             }
         )
 
-    return parts.groupby("parent").map_groups(combine, batch_format="pandas")
+    def pick_edges(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("edge"))
+
+    def combine(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g.column("first_key"))
+        g = g.take(order)
+        keys = g.column("child_keys").to_pylist()
+        sups = g.column("super_rollup").to_pylist()
+        return pa.table(
+            {
+                "parent": pa.array([g.column("parent")[0].as_py()], pa.int64()),
+                "num_children": pa.array(
+                    [pc.sum(g.column("n_children")).as_py()], pa.int64()
+                ),
+                "first_key": pa.array([g.column("first_key")[0].as_py()], pa.int64()),
+                "last_key": pa.array([g.column("last_key")[-1].as_py()], pa.int64()),
+                "child_keys": pa.array([key_sep.join(keys)], pa.string()),
+                "super_rollup": pa.array([rollup_sep.join(sups)], pa.string()),
+            }
+        )
+
+    # interior parents bypass the combine shuffle entirely; only the
+    # ≤2-per-batch edge partials enter the per-parent combine
+    interior = parts.map_batches(finalize_interior, batch_format="pyarrow")
+    edges = (
+        parts.map_batches(pick_edges, batch_format="pyarrow")
+        .groupby("parent")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    return interior.union(edges)

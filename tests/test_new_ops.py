@@ -124,6 +124,19 @@ def test_access_condition_default_and_inherit():
     )
     assert ents and all(e[ACCESS_FIELD] == "CAMPUS" for e in ents)
 
+    # multiple owner conditions (via {SPLIT}) all propagate to children
+    rules_mv = [
+        FieldRule(name=ACCESS_FIELD, selectors=["meta.access"], split_separator=","),
+        FieldRule(name="MD_OPS", selectors=["p"],
+                  group_entity=EntitySpec(pattern=r"hash \w+", type_name="OP")),
+    ]
+    _, ents_mv = apply_rules_with_entities(
+        '<html><meta name="access" content="CAMPUS,STAFF"><body>'
+        "<p>hash join here</p></body></html>",
+        rules_mv,
+    )
+    assert ents_mv and all(e[ACCESS_FIELD] == "CAMPUS; STAFF" for e in ents_mv)
+
 
 # -------------------------------------------------------------- rollup
 

@@ -325,8 +325,11 @@ def test_concurrent_updates_serialized(ray_session, tmp_path_factory):
     for tok in ("racertokena", "racertokenb"):
         d, _ = topk_exact(idx, tok, 5)
         assert d.size == 1, tok
-    # lock released
-    assert not os.path.exists(os.path.join(out, ".update_lock"))
+    # lock released: a follow-up update acquires it immediately
+    from goobi_viewer_indexer_ray.pipelines.updates import _BuildLock
+
+    with _BuildLock(out, timeout=1.0):
+        pass
 
 
 def test_update_with_missing_index_manifest(ray_session, tiny_paths, tmp_path_factory):
