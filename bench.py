@@ -165,6 +165,8 @@ def run_bench() -> dict:
         "parent_rollup",
         "geo_wkt",
         "mixed_format_ingest",
+        "ugc_annotations",
+        "usage_stats",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -1,0 +1,301 @@
+"""Header-only image tech-metadata: (width, height) without decoding.
+
+Transposes the reference's ``ImageSizeReader.java`` (229 LoC: reads
+image dimensions for WIDTH/HEIGHT tech fields by parsing container
+headers — via content-type-specific readers — rather than decoding
+pixels).  Here the same capability is a pure stdlib/struct parse over
+the payload's leading bytes, so it stays cheap inside a
+``map_batches`` stage even for multi-MB payloads: only the header
+region is touched, the Arrow binary buffer is never copied.
+
+Formats covered (all parseable without any codec library):
+
+- PNG   — IHDR chunk, big-endian u32 pair at offset 16
+- JPEG  — marker walk to the first SOF0-SOF15 frame header
+- GIF   — logical screen descriptor, little-endian u16 pair
+- BMP   — BITMAPINFOHEADER, little-endian i32 pair (height signed:
+  top-down BMPs store it negative)
+- PPM   — P6 whitespace-token header (comments allowed)
+- TIFF  — IFD walk for tags 256/257 (+ 274 orientation), both byte
+  orders; this is also the EXIF container format, so the same walker
+  reads EXIF-style IFDs
+- JP2   — box scan for the ``ihdr`` image-header box (big-endian
+  height then width)
+
+``image_dims`` returns ``None`` (never raises) for unparseable or
+non-image payloads, so the batch kernel can route unknowns to null
+columns without per-row try/except in the hot path.
+
+Writers (``encode_png`` etc.) build minimal VALID files for the same
+formats; they exist so the ``media_dims`` catalog operator and the
+tests can synthesize deterministic payloads whose expected dimensions
+an independent SQL oracle can recompute from the row id alone.
+Parser and writer deliberately share no code: the writers emit bytes
+by spec-constant layout, the parsers re-derive offsets by walking the
+container structure, so a layout bug in either side breaks the
+round-trip check.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = [
+    "image_dims",
+    "image_orientation",
+    "encode_png",
+    "encode_jpeg_shell",
+    "encode_gif_shell",
+    "encode_bmp",
+    "encode_ppm",
+    "encode_tiff_shell",
+    "encode_jp2_shell",
+]
+
+
+# --------------------------------------------------------------- parsers
+
+
+def _dims_png(p: bytes) -> tuple[int, int] | None:
+    # 8-byte signature, then the IHDR chunk MUST be first:
+    # len(4) + b"IHDR" + width(4 BE) + height(4 BE)
+    if len(p) < 24 or p[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack_from(">II", p, 16)
+    return (w, h) or None
+
+
+def _dims_jpeg(p: bytes) -> tuple[int, int] | None:
+    # Walk marker segments from after SOI until a frame header (SOFn).
+    # SOF payload: length(2) precision(1) height(2 BE) width(2 BE).
+    i, n = 2, len(p)
+    while i + 3 < n:
+        if p[i] != 0xFF:  # desynchronized — not a well-formed stream
+            return None
+        while i < n and p[i] == 0xFF:  # fill bytes are legal padding
+            i += 1
+        if i >= n:
+            return None
+        marker = p[i]
+        i += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if i + 1 >= n:
+            return None
+        seglen = struct.unpack_from(">H", p, i)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 6 >= n:
+                return None
+            h, w = struct.unpack_from(">HH", p, i + 3)
+            return (w, h)
+        i += seglen
+    return None
+
+
+def _dims_gif(p: bytes) -> tuple[int, int] | None:
+    if len(p) < 10:
+        return None
+    w, h = struct.unpack_from("<HH", p, 6)
+    return (w, h)
+
+
+def _dims_bmp(p: bytes) -> tuple[int, int] | None:
+    if len(p) < 26:
+        return None
+    w, h = struct.unpack_from("<ii", p, 18)
+    return (w, abs(h))  # negative height = top-down row order
+
+
+def _dims_ppm(p: bytes) -> tuple[int, int] | None:
+    # P6 header: three whitespace-separated ints, '#' comments allowed.
+    pos, vals = 2, []
+    while len(vals) < 2 and pos < len(p):
+        while pos < len(p):
+            c = p[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                while pos < len(p) and p[pos : pos + 1] not in (b"\n", b"\r"):
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(p) and not p[pos : pos + 1].isspace():
+            pos += 1
+        tok = p[start:pos]
+        if not tok.isdigit():
+            return None
+        vals.append(int(tok))
+    return (vals[0], vals[1]) if len(vals) == 2 else None
+
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+
+
+def _tiff_ifd_tags(p: bytes, want: set[int]) -> dict[int, int] | None:
+    """Walk the first IFD of a TIFF/EXIF container, return inline
+    integer values for the requested tags (SHORT/LONG only)."""
+    if len(p) < 8:
+        return None
+    if p[:4] == b"II*\x00":
+        end = "<"
+    elif p[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack_from(end + "I", p, 4)
+    if ifd_off + 2 > len(p):
+        return None
+    (n_entries,) = struct.unpack_from(end + "H", p, ifd_off)
+    out: dict[int, int] = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(p):
+            return None
+        tag, typ = struct.unpack_from(end + "HH", p, off)
+        if tag in want and typ in (3, 4):
+            if typ == 3:  # SHORT — value left-justified in the 4-byte slot
+                out[tag] = struct.unpack_from(end + "H", p, off + 8)[0]
+            else:
+                out[tag] = struct.unpack_from(end + "I", p, off + 8)[0]
+    return out
+
+
+def _dims_tiff(p: bytes) -> tuple[int, int] | None:
+    tags = _tiff_ifd_tags(p, {256, 257})
+    if not tags or 256 not in tags or 257 not in tags:
+        return None
+    return (tags[256], tags[257])
+
+
+def _dims_jp2(p: bytes) -> tuple[int, int] | None:
+    # JP2 is an ISO box container; the image-header box payload is
+    # height(4 BE) then width(4 BE) right after the 'ihdr' type tag.
+    if p[:12] != b"\x00\x00\x00\x0cjP  \r\n\x87\n":
+        return None
+    idx = p.find(b"ihdr")
+    if idx < 0 or idx + 12 > len(p):
+        return None
+    h, w = struct.unpack_from(">II", p, idx + 4)
+    return (w, h)
+
+
+def image_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from container headers only; None if unknown.
+
+    Dispatches on magic bytes (the ``sniff_mime`` rule set), then
+    parses the format's own header structure — no pixel decode, no
+    codec dependency (``ImageSizeReader.java`` transposed)."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return _dims_png(payload)
+    if payload.startswith(b"\xff\xd8\xff"):
+        return _dims_jpeg(payload)
+    if payload.startswith(b"GIF8"):
+        return _dims_gif(payload)
+    if payload.startswith(b"BM"):
+        return _dims_bmp(payload)
+    if payload.startswith(b"P6"):
+        return _dims_ppm(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _dims_tiff(payload)
+    if payload.startswith(b"\x00\x00\x00\x0cjP  "):
+        return _dims_jp2(payload)
+    return None
+
+
+def image_orientation(payload: bytes) -> int | None:
+    """EXIF/TIFF orientation (tag 274) for TIFF-container payloads;
+    None when absent or not a TIFF."""
+    tags = _tiff_ifd_tags(payload, {274})
+    return tags.get(274) if tags else None
+
+
+# --------------------------------------------------------------- writers
+# Minimal VALID files per format.  Layouts are written out
+# spec-constant-by-spec-constant (no shared helpers with the parsers
+# above) so the catalog round-trip actually exercises both sides.
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(w: int, h: int) -> bytes:
+    """Valid zero-pixel-row PNG (8-bit RGB, empty zlib IDAT)."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"")
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_jpeg_shell(w: int, h: int) -> bytes:
+    """JPEG shell: SOI + JFIF APP0 + SOF0 frame header + EOI (no scan
+    data — dimensions live entirely in SOF0)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 72, 72
+    ) + b"\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def encode_gif_shell(w: int, h: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HHBBB", w, h, 0x00, 0, 0) + b"\x3b"
+
+
+def encode_bmp(w: int, h: int) -> bytes:
+    """Complete uncompressed 24-bit BMP with zeroed pixel rows (the
+    only writer that emits real pixel data — ``decode_bmp`` can read
+    it back)."""
+    stride = (w * 3 + 3) & ~3
+    pixels = b"\x00" * (stride * h)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    hdr_len = 14 + 40
+    file_hdr = b"BM" + struct.pack("<IHHI", hdr_len + len(pixels), 0, 0, hdr_len)
+    return file_hdr + info + pixels
+
+
+def encode_ppm(w: int, h: int) -> bytes:
+    """Binary P6 PPM with a comment line and zeroed pixels."""
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + b"\x00" * (w * h * 3)
+
+
+def encode_tiff_shell(w: int, h: int, orientation: int = 1, big_endian: bool = False) -> bytes:
+    """TIFF header + one IFD carrying ImageWidth/ImageLength (LONG)
+    and Orientation (SHORT); no strip data."""
+    end = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    entries = [
+        (256, 4, 1, struct.pack(end + "I", w)),
+        (257, 4, 1, struct.pack(end + "I", h)),
+        (274, 3, 1, struct.pack(end + "H", orientation) + b"\x00\x00"),
+    ]
+    ifd = struct.pack(end + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(end + "HHI", tag, typ, cnt) + val
+    ifd += struct.pack(end + "I", 0)  # next-IFD pointer: none
+    return magic + struct.pack(end + "I", 8) + ifd
+
+
+def encode_jp2_shell(w: int, h: int) -> bytes:
+    """JP2 signature + ftyp + jp2h(ihdr) box chain (no codestream)."""
+    sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    ftyp = struct.pack(">I", 20) + b"ftypjp2 " + struct.pack(">I", 0) + b"jp2 "
+    ihdr_body = struct.pack(">IIHBBBB", h, w, 3, 7, 7, 0, 0)
+    ihdr = struct.pack(">I", 8 + len(ihdr_body)) + b"ihdr" + ihdr_body
+    jp2h = struct.pack(">I", 8 + len(ihdr)) + b"jp2h" + ihdr
+    return sig + ftyp + jp2h

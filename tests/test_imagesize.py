@@ -1,0 +1,87 @@
+"""Header-only image dims (ImageSizeReader.java transposition)."""
+
+import struct
+
+import pytest
+
+from goobi_viewer_indexer_ray.stages.imagesize import (
+    encode_bmp,
+    encode_gif_shell,
+    encode_jp2_shell,
+    encode_jpeg_shell,
+    encode_png,
+    encode_ppm,
+    encode_tiff_shell,
+    image_dims,
+    image_orientation,
+)
+from goobi_viewer_indexer_ray.stages.multimodal import decode_bmp, sniff_mime
+
+ENCODERS = {
+    "png": encode_png,
+    "jpeg": encode_jpeg_shell,
+    "gif": encode_gif_shell,
+    "bmp": encode_bmp,
+    "ppm": encode_ppm,
+    "tiff": encode_tiff_shell,
+    "jp2": encode_jp2_shell,
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(ENCODERS))
+@pytest.mark.parametrize("w,h", [(1, 1), (16, 9), (640, 480), (33, 257)])
+def test_roundtrip_dims(fmt, w, h):
+    assert image_dims(ENCODERS[fmt](w, h)) == (w, h)
+
+
+def test_bmp_writer_is_decodable():
+    img = decode_bmp(encode_bmp(7, 5))
+    assert img.shape == (5, 7, 3)
+
+
+def test_bmp_topdown_negative_height():
+    p = bytearray(encode_bmp(6, 4))
+    struct.pack_into("<i", p, 22, -4)
+    assert image_dims(bytes(p)) == (6, 4)
+
+
+def test_jpeg_skips_non_sof_segments():
+    # writer already inserts APP0 before SOF0; add a COM segment too
+    p = encode_jpeg_shell(100, 50)
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    p = p[:2] + com + p[2:]
+    assert image_dims(p) == (100, 50)
+
+
+def test_jpeg_progressive_sof2():
+    p = bytearray(encode_jpeg_shell(31, 17))
+    i = bytes(p).find(b"\xff\xc0")
+    p[i + 1] = 0xC2  # progressive DCT frame marker
+    assert image_dims(bytes(p)) == (31, 17)
+
+
+def test_tiff_both_byte_orders_and_orientation():
+    for be in (False, True):
+        p = encode_tiff_shell(123, 45, orientation=6, big_endian=be)
+        assert image_dims(p) == (123, 45)
+        assert image_orientation(p) == 6
+
+
+def test_ppm_comment_header():
+    assert image_dims(b"P6 # c\n# more\n12 8 255 " + b"\x00" * (12 * 8 * 3)) == (12, 8)
+
+
+def test_unknown_and_truncated_return_none():
+    assert image_dims(b"") is None
+    assert image_dims(b"not an image at all") is None
+    assert image_dims(b"\x89PNG\r\n\x1a\n\x00\x00") is None  # truncated PNG
+    assert image_dims(b"\xff\xd8\xff\xe0\x00") is None  # truncated JPEG
+    assert image_orientation(b"GIF89a") is None
+
+
+def test_writers_sniff_as_expected():
+    assert sniff_mime(encode_png(2, 2)) == "image/png"
+    assert sniff_mime(encode_jpeg_shell(2, 2)) == "image/jpeg"
+    assert sniff_mime(encode_gif_shell(2, 2)) == "image/gif"
+    assert sniff_mime(encode_bmp(2, 2)) == "image/bmp"
+    assert sniff_mime(encode_ppm(2, 2)) == "image/x-portable-pixmap"
