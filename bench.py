@@ -167,6 +167,8 @@ def run_bench() -> dict:
         "mixed_format_ingest",
         "ugc_annotations",
         "usage_stats",
+        "media_dims",
+        "merge_sources",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

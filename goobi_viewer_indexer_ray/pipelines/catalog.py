@@ -28,6 +28,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.scoring import B, K1
 from ..functions.tokenize import tokenize
@@ -1497,6 +1498,188 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_media_dims(sf_dir: str):
+    """Image tech-metadata (M12 full — ``ImageSizeReader.java`` 1-229
+    transposed): deterministic image payloads (7 container formats
+    chosen by key residue, plus corrupt decoys at ``key % 13 == 0``)
+    are synthesized from the part key by the spec-constant writers in
+    :mod:`stages.imagesize`, then format / dimensions / EXIF
+    orientation are re-derived HEADER-ONLY by the independent parsers
+    (writers and parsers deliberately share no code, so the entry is a
+    true round-trip).  The oracle recomputes the expectation from key
+    arithmetic alone — a parser or writer layout bug breaks the hash.
+
+    Per-row Python is intentional here: each parse touches only the
+    leading header bytes of an opaque binary payload (no vectorizable
+    structure), exactly the reference's per-file header read."""
+    from ..stages.imagesize import (
+        encode_bmp,
+        encode_gif_shell,
+        encode_jp2_shell,
+        encode_jpeg_shell,
+        encode_png,
+        encode_ppm,
+        encode_tiff_shell,
+        image_dims,
+        image_format,
+        image_orientation,
+    )
+
+    encoders = [
+        encode_png,
+        encode_jpeg_shell,
+        encode_gif_shell,
+        encode_bmp,
+        encode_ppm,
+        None,  # 5 = tiff, handled separately (orientation + byte order)
+        encode_jp2_shell,
+    ]
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+
+    def synth_and_parse(t: pa.Table) -> pa.Table:
+        keys = t.column("p_partkey").cast(pa.int64()).to_numpy()
+        fmts, ws, hs, orients = [], [], [], []
+        for k in keys:
+            k = int(k)
+            if k % 13 == 0:
+                payload = b"\x00corrupt" + k.to_bytes(8, "big")
+            else:
+                w, h, i = k % 64 + 1, (k * 7) % 48 + 1, k % 7
+                if i == 5:
+                    payload = encode_tiff_shell(
+                        w, h, orientation=k % 8 + 1, big_endian=bool(k % 2)
+                    )
+                else:
+                    payload = encoders[i](w, h)
+            fmt = image_format(payload)
+            dims = image_dims(payload)
+            fmts.append(fmt or "unknown")
+            ws.append(dims[0] if dims else None)
+            hs.append(dims[1] if dims else None)
+            orients.append(image_orientation(payload))
+        return pa.table(
+            {
+                "p_partkey": pa.array(keys, pa.int64()),
+                "fmt": pa.array(fmts, pa.string()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "orientation": pa.array(orients, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(synth_and_parse, batch_format="pyarrow")
+
+
+_SQL_MEDIA_DIMS = """
+SELECT p_partkey::BIGINT AS p_partkey,
+       CASE WHEN p_partkey % 13 = 0 THEN 'unknown'
+            ELSE CASE p_partkey % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                 WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' WHEN 4 THEN 'ppm'
+                 WHEN 5 THEN 'tiff' ELSE 'jp2' END END AS fmt,
+       CASE WHEN p_partkey % 13 = 0 THEN NULL
+            ELSE p_partkey % 64 + 1 END::BIGINT AS width,
+       CASE WHEN p_partkey % 13 = 0 THEN NULL
+            ELSE (p_partkey * 7) % 48 + 1 END::BIGINT AS height,
+       CASE WHEN p_partkey % 13 <> 0 AND p_partkey % 7 = 5
+            THEN p_partkey % 8 + 1 END::BIGINT AS orientation
+FROM part
+"""
+
+
+def q_merge_sources(sf_dir: str):
+    """Multi-source union-merge (D4 — the re-index overlay merge of
+    ``Indexer`` + the ``DataRepository`` migration merge transposed):
+    three synthetic sources over the customer key — a sparse
+    high-precedence delta (every 3rd key, with deliberate per-field
+    nulls), a medium overlay (every 2nd key), and a full base — are
+    merged field-wise by :func:`stages.merge_sources.union_merge`
+    (first non-null in precedence order, per field).  The oracle
+    recomputes the precedence decision per field in SQL."""
+    from ..stages.merge_sources import union_merge
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"],
+    )
+
+    def _prefixed(tag: str, col: pa.ChunkedArray):
+        return pc.binary_join_element_wise(tag, col.cast(pa.string()), "")
+
+    def src_delta(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").cast(pa.int64()).to_numpy()
+        sel = np.flatnonzero(k % 3 == 0)
+        tt, kk = t.take(pa.array(sel)), k[sel]
+        name = pc.if_else(
+            pa.array(kk % 7 != 0),
+            _prefixed("D:", tt.column("c_name")),
+            pa.scalar(None, pa.string()),
+        )
+        return pa.table(
+            {
+                "key": pa.array(kk, pa.int64()),
+                "name": name,
+                "seg": pa.nulls(len(kk), pa.string()),
+                "nat": _prefixed("D:", tt.column("c_nationkey")),
+            }
+        )
+
+    def src_overlay(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").cast(pa.int64()).to_numpy()
+        sel = np.flatnonzero(k % 2 == 0)
+        tt, kk = t.take(pa.array(sel)), k[sel]
+        seg = pc.if_else(
+            pa.array(kk % 5 != 0),
+            _prefixed("B:", tt.column("c_mktsegment")),
+            pa.scalar(None, pa.string()),
+        )
+        return pa.table(
+            {
+                "key": pa.array(kk, pa.int64()),
+                "name": _prefixed("B:", tt.column("c_name")),
+                "seg": seg,
+                "nat": pa.nulls(len(kk), pa.string()),
+            }
+        )
+
+    def src_base(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("c_custkey").cast(pa.int64()),
+                "name": _prefixed("A:", t.column("c_name")),
+                "seg": _prefixed("A:", t.column("c_mktsegment")),
+                "nat": _prefixed("A:", t.column("c_nationkey")),
+            }
+        )
+
+    sources = [
+        ds.map_batches(fn, batch_format="pyarrow")
+        for fn in (src_delta, src_overlay, src_base)
+    ]
+    return union_merge(sources, key_col="key", merge_cols=["name", "seg", "nat"])
+
+
+_SQL_MERGE_SOURCES = """
+SELECT c_custkey::BIGINT AS key,
+       (1 + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END
+          + CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_records,
+       CASE WHEN c_custkey % 3 = 0 AND c_custkey % 7 <> 0 THEN 'D:' || c_name
+            WHEN c_custkey % 2 = 0 THEN 'B:' || c_name
+            ELSE 'A:' || c_name END AS name,
+       CASE WHEN c_custkey % 3 = 0 AND c_custkey % 7 <> 0 THEN 0
+            WHEN c_custkey % 2 = 0 THEN 1 ELSE 2 END::BIGINT AS name_src,
+       CASE WHEN c_custkey % 2 = 0 AND c_custkey % 5 <> 0
+            THEN 'B:' || c_mktsegment
+            ELSE 'A:' || c_mktsegment END AS seg,
+       CASE WHEN c_custkey % 2 = 0 AND c_custkey % 5 <> 0 THEN 1
+            ELSE 2 END::BIGINT AS seg_src,
+       CASE WHEN c_custkey % 3 = 0 THEN 'D:' || c_nationkey::VARCHAR
+            ELSE 'A:' || c_nationkey::VARCHAR END AS nat,
+       CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE 2 END::BIGINT AS nat_src
+FROM customer
+"""
+
+
 def q_lang_source_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1561,6 +1744,8 @@ QUERIES = {
     "mixed_format_ingest": q_mixed_format_ingest,
     "ugc_annotations": q_ugc_annotations,
     "usage_stats": q_usage_stats,
+    "media_dims": q_media_dims,
+    "merge_sources": q_merge_sources,
 }
 
 ORACLE_SQL = {
@@ -1602,4 +1787,6 @@ ORACLE_SQL = {
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,
+    "media_dims": _SQL_MEDIA_DIMS,
+    "merge_sources": _SQL_MERGE_SOURCES,
 }

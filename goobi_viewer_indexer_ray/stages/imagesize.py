@@ -43,6 +43,7 @@ import zlib
 
 __all__ = [
     "image_dims",
+    "image_format",
     "image_orientation",
     "encode_png",
     "encode_jpeg_shell",
@@ -181,27 +182,45 @@ def _dims_jp2(p: bytes) -> tuple[int, int] | None:
     return (w, h)
 
 
+def image_format(payload: bytes) -> str | None:
+    """Container format name from magic bytes (the ``sniff_mime``
+    rule set); None for non-image payloads."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if payload.startswith(b"GIF8"):
+        return "gif"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    if payload.startswith(b"P6"):
+        return "ppm"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if payload.startswith(b"\x00\x00\x00\x0cjP  "):
+        return "jp2"
+    return None
+
+
+_DIMS_BY_FORMAT = {
+    "png": _dims_png,
+    "jpeg": _dims_jpeg,
+    "gif": _dims_gif,
+    "bmp": _dims_bmp,
+    "ppm": _dims_ppm,
+    "tiff": _dims_tiff,
+    "jp2": _dims_jp2,
+}
+
+
 def image_dims(payload: bytes) -> tuple[int, int] | None:
     """(width, height) from container headers only; None if unknown.
 
     Dispatches on magic bytes (the ``sniff_mime`` rule set), then
     parses the format's own header structure — no pixel decode, no
     codec dependency (``ImageSizeReader.java`` transposed)."""
-    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
-        return _dims_png(payload)
-    if payload.startswith(b"\xff\xd8\xff"):
-        return _dims_jpeg(payload)
-    if payload.startswith(b"GIF8"):
-        return _dims_gif(payload)
-    if payload.startswith(b"BM"):
-        return _dims_bmp(payload)
-    if payload.startswith(b"P6"):
-        return _dims_ppm(payload)
-    if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        return _dims_tiff(payload)
-    if payload.startswith(b"\x00\x00\x00\x0cjP  "):
-        return _dims_jp2(payload)
-    return None
+    fmt = image_format(payload)
+    return _DIMS_BY_FORMAT[fmt](payload) if fmt else None
 
 
 def image_orientation(payload: bytes) -> int | None:

@@ -106,6 +106,8 @@ def _check(contract, con, name):
         "mixed_format_ingest",
         "ugc_annotations",
         "usage_stats",
+        "media_dims",
+        "merge_sources",
     ],
 )
 def test_vs_duckdb(contract, con, name):
