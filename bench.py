@@ -169,6 +169,7 @@ def run_bench() -> dict:
         "usage_stats",
         "media_dims",
         "merge_sources",
+        "dedup_clusters",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

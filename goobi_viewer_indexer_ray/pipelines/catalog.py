@@ -1498,6 +1498,77 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment: the Jaccard pair graph's
+    transitive closure via distributed min-label propagation
+    (:func:`stages.cluster.connected_components` — hash join +
+    groupby-min per round, monotone-sum convergence).  Every document
+    gets ``cluster_id = min(doc_id over its component)`` plus the
+    component size; singletons label themselves.  The oracle computes
+    the same closure with a recursive CTE over the same edge rule."""
+    from ..stages.cluster import connected_components
+
+    docs = _documents(sf_dir)
+    edges = dedup.jaccard_pairs(docs, n=5, threshold=0.1)
+    nodes = _documents(sf_dir, columns=("doc_id",))
+    cc = connected_components(
+        nodes, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    sizes = cc.groupby("cluster_id").count()
+    out = cc.join(
+        sizes,
+        join_type="inner",
+        num_partitions=4,
+        on=("cluster_id",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("node").cast(pa.int64()),
+                "cluster_id": t.column("cluster_id").cast(pa.int64()),
+                "cluster_size": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+flt AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
+),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM flt
+      UNION ALL SELECT doc_b, doc_a FROM flt),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node
+),
+lab AS (SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
+        FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+FROM lab
+"""
+
+
 def q_media_dims(sf_dir: str):
     """Image tech-metadata (M12 full — ``ImageSizeReader.java`` 1-229
     transposed): deterministic image payloads (7 container formats
@@ -1593,70 +1664,76 @@ def q_merge_sources(sf_dir: str):
     three synthetic sources over the customer key — a sparse
     high-precedence delta (every 3rd key, with deliberate per-field
     nulls), a medium overlay (every 2nd key), and a full base — are
-    merged field-wise by :func:`stages.merge_sources.union_merge`
+    merged field-wise by :func:`stages.merge_sources.union_merge_tagged`
     (first non-null in precedence order, per field).  The oracle
-    recomputes the precedence decision per field in SQL."""
-    from ..stages.merge_sources import union_merge
+    recomputes the precedence decision per field in SQL.
 
+    All three sources derive from one table, so a single map_batches
+    emits every source's rows pre-tagged with its precedence rank —
+    one read, no 3-branch union multiplying the sort's fixed per-block
+    cost (the N-dataset general form is :func:`union_merge`)."""
+    from ..stages.merge_sources import union_merge_tagged
+
+    # a ~15 k-row side table: cap the read fan-out — the default
+    # CPU-proportional split would feed ~64 near-empty blocks into the
+    # sort, whose fixed per-block orchestration cost then dominates
     ds = _rd().read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"],
+        override_num_blocks=8,
     )
 
-    def _prefixed(tag: str, col: pa.ChunkedArray):
+    def _prefixed(tag: str, col):
         return pc.binary_join_element_wise(tag, col.cast(pa.string()), "")
 
-    def src_delta(t: pa.Table) -> pa.Table:
+    def emit_sources(t: pa.Table) -> pa.Table:
         k = t.column("c_custkey").cast(pa.int64()).to_numpy()
-        sel = np.flatnonzero(k % 3 == 0)
-        tt, kk = t.take(pa.array(sel)), k[sel]
-        name = pc.if_else(
-            pa.array(kk % 7 != 0),
-            _prefixed("D:", tt.column("c_name")),
-            pa.scalar(None, pa.string()),
-        )
-        return pa.table(
+
+        sel_d = np.flatnonzero(k % 3 == 0)
+        td, kd = t.take(pa.array(sel_d)), k[sel_d]
+        delta = pa.table(
             {
-                "key": pa.array(kk, pa.int64()),
-                "name": name,
-                "seg": pa.nulls(len(kk), pa.string()),
-                "nat": _prefixed("D:", tt.column("c_nationkey")),
+                "key": pa.array(kd, pa.int64()),
+                "name": pc.if_else(
+                    pa.array(kd % 7 != 0),
+                    _prefixed("D:", td.column("c_name")),
+                    pa.scalar(None, pa.string()),
+                ),
+                "seg": pa.nulls(len(kd), pa.string()),
+                "nat": _prefixed("D:", td.column("c_nationkey")),
+                "rank": pa.array(np.zeros(len(kd), np.int64)),
             }
         )
 
-    def src_overlay(t: pa.Table) -> pa.Table:
-        k = t.column("c_custkey").cast(pa.int64()).to_numpy()
-        sel = np.flatnonzero(k % 2 == 0)
-        tt, kk = t.take(pa.array(sel)), k[sel]
-        seg = pc.if_else(
-            pa.array(kk % 5 != 0),
-            _prefixed("B:", tt.column("c_mktsegment")),
-            pa.scalar(None, pa.string()),
-        )
-        return pa.table(
+        sel_o = np.flatnonzero(k % 2 == 0)
+        to, ko = t.take(pa.array(sel_o)), k[sel_o]
+        overlay = pa.table(
             {
-                "key": pa.array(kk, pa.int64()),
-                "name": _prefixed("B:", tt.column("c_name")),
-                "seg": seg,
-                "nat": pa.nulls(len(kk), pa.string()),
+                "key": pa.array(ko, pa.int64()),
+                "name": _prefixed("B:", to.column("c_name")),
+                "seg": pc.if_else(
+                    pa.array(ko % 5 != 0),
+                    _prefixed("B:", to.column("c_mktsegment")),
+                    pa.scalar(None, pa.string()),
+                ),
+                "nat": pa.nulls(len(ko), pa.string()),
+                "rank": pa.array(np.ones(len(ko), np.int64)),
             }
         )
 
-    def src_base(t: pa.Table) -> pa.Table:
-        return pa.table(
+        base = pa.table(
             {
-                "key": t.column("c_custkey").cast(pa.int64()),
+                "key": pa.array(k, pa.int64()),
                 "name": _prefixed("A:", t.column("c_name")),
                 "seg": _prefixed("A:", t.column("c_mktsegment")),
                 "nat": _prefixed("A:", t.column("c_nationkey")),
+                "rank": pa.array(np.full(len(k), 2, np.int64)),
             }
         )
+        return pa.concat_tables([delta, overlay, base])
 
-    sources = [
-        ds.map_batches(fn, batch_format="pyarrow")
-        for fn in (src_delta, src_overlay, src_base)
-    ]
-    return union_merge(sources, key_col="key", merge_cols=["name", "seg", "nat"])
+    tagged = ds.map_batches(emit_sources, batch_format="pyarrow")
+    return union_merge_tagged(tagged, merge_cols=["name", "seg", "nat"])
 
 
 _SQL_MERGE_SOURCES = """
@@ -1746,6 +1823,7 @@ QUERIES = {
     "usage_stats": q_usage_stats,
     "media_dims": q_media_dims,
     "merge_sources": q_merge_sources,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLE_SQL = {
@@ -1789,4 +1867,5 @@ ORACLE_SQL = {
     "usage_stats": _SQL_USAGE_STATS,
     "media_dims": _SQL_MEDIA_DIMS,
     "merge_sources": _SQL_MERGE_SOURCES,
+    "dedup_clusters": _SQL_DEDUP_CLUSTERS,
 }

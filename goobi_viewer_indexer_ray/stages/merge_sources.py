@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["union_merge"]
+__all__ = ["union_merge", "union_merge_tagged"]
 
 
 def union_merge(sources, *, key_col: str, merge_cols: list[str]):
@@ -44,6 +44,12 @@ def union_merge(sources, *, key_col: str, merge_cols: list[str]):
 
     Merge columns are cast to string (the reference's Solr fields are
     stringly typed); the key must be integer-valued.
+
+    When all sources derive from ONE upstream dataset, prefer
+    :func:`union_merge_tagged` with a single map_batches that emits
+    every source's rows pre-tagged — one read and no N-branch union
+    in front of the sort (N small reads each fan out into tiny blocks
+    that multiply the sort's fixed orchestration cost).
     """
     if not sources:
         raise ValueError("union_merge needs at least one source")
@@ -63,6 +69,13 @@ def union_merge(sources, *, key_col: str, merge_cols: list[str]):
 
     tagged = [s.map_batches(tag(i), batch_format="pyarrow") for i, s in enumerate(sources)]
     u = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
+    return union_merge_tagged(u, merge_cols=merge_cols)
+
+
+def union_merge_tagged(u, *, merge_cols: list[str]):
+    """Core of :func:`union_merge` over an already-tagged dataset:
+    ``u`` has columns ``(key int64, <merge_cols...> string, rank
+    int64)`` with rank 0 = highest precedence."""
 
     part_fields = [("key", pa.int64()), ("n_records", pa.int64())]
     for c in merge_cols:

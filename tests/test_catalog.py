@@ -108,6 +108,7 @@ def _check(contract, con, name):
         "usage_stats",
         "media_dims",
         "merge_sources",
+        "dedup_clusters",
     ],
 )
 def test_vs_duckdb(contract, con, name):
