@@ -170,6 +170,8 @@ def run_bench() -> dict:
         "media_dims",
         "merge_sources",
         "dedup_clusters",
+        "quality_repetition",
+        "url_normalize",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -1498,6 +1498,121 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_quality_repetition(sf_dir: str):
+    """Within-doc repetition signals (Gopher-family repetition
+    filters: modal token / bigram occupancy) —
+    :func:`stages.text_ops.repetition_batch`, one vectorized
+    map_batches, no shuffle."""
+    return _documents(sf_dir).map_batches(
+        text_ops.repetition_batch, batch_format="pyarrow"
+    )
+
+
+_SQL_QUALITY_REPETITION = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+tok AS (SELECT doc_id, arr[i] AS tk
+        FROM d, unnest(generate_series(1, len(arr))) AS g(i)),
+tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+tstats AS (SELECT doc_id, count(*)::BIGINT AS n_distinct,
+                  max(c)::BIGINT AS top_tok FROM tc GROUP BY 1),
+big AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+        FROM d, unnest(generate_series(1, len(arr) - 1)) AS g(i)),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+bstats AS (SELECT doc_id, max(c)::BIGINT AS top_bg FROM bc GROUP BY 1)
+SELECT d.doc_id, len(arr)::BIGINT AS n_tokens,
+       coalesce(t.n_distinct, 0)::BIGINT AS n_distinct_tokens,
+       coalesce(t.top_tok, 0)::BIGINT AS top_token_n,
+       greatest(len(arr) - 1, 0)::BIGINT AS n_bigrams,
+       coalesce(b.top_bg, 0)::BIGINT AS top_bigram_n
+FROM d LEFT JOIN tstats t USING (doc_id) LEFT JOIN bstats b USING (doc_id)
+"""
+
+
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization (M1 analog — PI normalization transposed
+    to web keys): deterministic messy URLs built from the doc key
+    (mixed-case scheme/host, www., default ports, utm_* tracking
+    params, fragments) are normalized by
+    :func:`functions.urls.normalize_urls` (vectorized pandas C-regex
+    kernels).  The oracle derives BOTH the raw URL and the expected
+    canonical form from key arithmetic alone — independent of the
+    normalizer's regexes."""
+    import pandas as pd
+
+    from ..functions.urls import normalize_urls
+
+    def synth_and_norm(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        sk = pd.Series(k).astype(str)
+        h50 = pd.Series(k % 50).astype(str)
+        h7 = pd.Series(k % 7).astype(str)
+        scheme_raw = pd.Series(np.where(k % 2 == 0, "HTTP", "https"))
+        host_raw = pd.Series(
+            np.where(
+                k % 3 == 0,
+                "WWW.Example-" + h50 + ".COM",
+                "cdn" + h7 + ".example-" + h50 + ".com",
+            )
+        )
+        port = pd.Series(np.where(k % 5 == 0, ":80", ""))
+        q4 = k % 4
+        query = pd.Series(
+            np.where(
+                q4 == 0,
+                "?utm_source=feed&id=" + sk,
+                np.where(
+                    q4 == 1,
+                    "?id=" + sk + "&utm_campaign=x",
+                    np.where(q4 == 2, "?utm_a=1", ""),
+                ),
+            )
+        )
+        frag = pd.Series(np.where(k % 6 == 0, "#sec" + sk, ""))
+        url = scheme_raw + "://" + host_raw + port + "/Page/" + sk + query + frag
+        out = normalize_urls(url)
+        out.insert(0, "doc_id", k)
+        out.insert(1, "url", url)
+        return out
+
+    return _documents(sf_dir, columns=("doc_id",)).map_batches(
+        synth_and_norm, batch_format="pandas"
+    )
+
+
+_SQL_URL_NORMALIZE = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) AS scheme_raw,
+         (CASE WHEN doc_id % 3 = 0
+               THEN 'WWW.Example-' || (doc_id % 50) || '.COM'
+               ELSE 'cdn' || (doc_id % 7) || '.example-' || (doc_id % 50) || '.com'
+          END) AS host_raw,
+         (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) AS port,
+         (CASE doc_id % 4
+               WHEN 0 THEN '?utm_source=feed&id=' || doc_id
+               WHEN 1 THEN '?id=' || doc_id || '&utm_campaign=x'
+               WHEN 2 THEN '?utm_a=1' ELSE '' END) AS query,
+         (CASE WHEN doc_id % 6 = 0 THEN '#sec' || doc_id ELSE '' END) AS frag
+  FROM documents
+)
+SELECT doc_id,
+       scheme_raw || '://' || host_raw || port || '/Page/' || doc_id
+         || query || frag AS url,
+       lower(scheme_raw) AS scheme,
+       CASE WHEN doc_id % 3 = 0 THEN 'example-' || (doc_id % 50) || '.com'
+            ELSE 'cdn' || (doc_id % 7) || '.example-' || (doc_id % 50) || '.com'
+       END AS host,
+       lower(scheme_raw) || '://'
+         || CASE WHEN doc_id % 3 = 0 THEN 'example-' || (doc_id % 50) || '.com'
+                 ELSE 'cdn' || (doc_id % 7) || '.example-' || (doc_id % 50) || '.com'
+            END
+         || '/Page/' || doc_id
+         || CASE WHEN doc_id % 4 IN (0, 1) THEN '?id=' || doc_id ELSE '' END
+         AS url_canon
+FROM raw
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup cluster assignment: the Jaccard pair graph's
     transitive closure via distributed min-label propagation
@@ -1824,6 +1939,8 @@ QUERIES = {
     "media_dims": q_media_dims,
     "merge_sources": q_merge_sources,
     "dedup_clusters": q_dedup_clusters,
+    "quality_repetition": q_quality_repetition,
+    "url_normalize": q_url_normalize,
 }
 
 ORACLE_SQL = {
@@ -1868,4 +1985,6 @@ ORACLE_SQL = {
     "media_dims": _SQL_MEDIA_DIMS,
     "merge_sources": _SQL_MERGE_SOURCES,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+    "quality_repetition": _SQL_QUALITY_REPETITION,
+    "url_normalize": _SQL_URL_NORMALIZE,
 }

@@ -24,6 +24,7 @@ __all__ = [
     "STOPWORDS",
     "langid_batch",
     "quality_batch",
+    "repetition_batch",
     "token_count_batch",
     "fingerprint_batch",
     "shingles_batch",
@@ -162,6 +163,59 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
     return pa.table(
         {"doc_id": pa.array(ids, pa.int64()), "n_tokens": pa.array(counts, pa.int64())}
+    )
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Within-document repetition signals (the Gopher-rules family —
+    Rae et al. 2021's repetition filters, adapted to token/bigram
+    modality since this corpus has no line structure):
+
+    ``(doc_id, n_tokens, n_distinct_tokens, top_token_n, n_bigrams,
+    top_bigram_n)`` — the modal token/bigram count over the total is
+    the repeated-n-gram fraction; emitted as exact integers (the
+    engine's cross-engine float policy).
+
+    Fully vectorized: per-token work happens on the batch's integer
+    code array — (doc, token) and (doc, bigram) occurrences become
+    composite integer keys, ONE ``np.unique`` per modality counts
+    them, and a segmented ``np.maximum.reduceat`` takes the per-doc
+    mode.  No Python token loops."""
+    ids, counts, codes, uniques = _flat_token_codes(batch)
+    ndocs = len(ids)
+    V = np.int64(max(uniques.size, 1))
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+
+    def per_doc_stats(keys: np.ndarray, key_doc_div: np.int64):
+        """distinct count + modal occurrence count per doc from a
+        sorted-unique composite key array whose doc = key // div."""
+        distinct = np.zeros(ndocs, dtype=np.int64)
+        top = np.zeros(ndocs, dtype=np.int64)
+        if keys.size:
+            uk, uc = np.unique(keys, return_counts=True)
+            udoc = uk // key_doc_div
+            distinct += np.bincount(udoc, minlength=ndocs).astype(np.int64)
+            starts = np.flatnonzero(np.concatenate([[True], udoc[1:] != udoc[:-1]]))
+            top[udoc[starts]] = np.maximum.reduceat(uc, starts)
+        return distinct, top
+
+    tok_keys = doc_idx * V + codes
+    n_distinct, top_token = per_doc_stats(tok_keys, V)
+
+    same_doc = doc_idx[1:] == doc_idx[:-1] if doc_idx.size else np.empty(0, bool)
+    bg_doc = doc_idx[1:][same_doc]
+    bg_keys = (bg_doc * V + codes[:-1][same_doc]) * V + codes[1:][same_doc]
+    _, top_bigram = per_doc_stats(bg_keys, V * V)
+
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+            "top_token_n": pa.array(top_token, pa.int64()),
+            "n_bigrams": pa.array(np.maximum(counts - 1, 0), pa.int64()),
+            "top_bigram_n": pa.array(top_bigram, pa.int64()),
+        }
     )
 
 

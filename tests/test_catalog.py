@@ -109,6 +109,8 @@ def _check(contract, con, name):
         "media_dims",
         "merge_sources",
         "dedup_clusters",
+        "quality_repetition",
+        "url_normalize",
     ],
 )
 def test_vs_duckdb(contract, con, name):

@@ -1,0 +1,54 @@
+"""URL canonicalization kernel (functions/urls.py) — pure pandas, no Ray."""
+
+import pandas as pd
+
+from goobi_viewer_indexer_ray.functions.urls import normalize_urls
+
+
+def _one(u: str) -> dict:
+    df = normalize_urls(pd.Series([u]))
+    return {c: df[c][0] for c in df.columns}
+
+
+def test_case_port_www():
+    r = _one("HTTP://WWW.Example.COM:80/Path/File?id=3")
+    assert r["scheme"] == "http"
+    assert r["host"] == "example.com"
+    assert r["url_canon"] == "http://example.com/Path/File?id=3"
+
+
+def test_https_default_port():
+    assert _one("https://a.b:443/x")["url_canon"] == "https://a.b/x"
+
+
+def test_non_default_port_kept():
+    assert _one("https://a.b:8443/x")["host"] == "a.b:8443"
+
+
+def test_fragment_dropped():
+    assert _one("https://a.b/x#frag?not=query")["url_canon"] == "https://a.b/x"
+
+
+def test_utm_leading_param():
+    assert _one("https://a.b/x?utm_s=1&id=2")["url_canon"] == "https://a.b/x?id=2"
+
+
+def test_utm_trailing_param():
+    assert _one("https://a.b/x?id=2&utm_s=1")["url_canon"] == "https://a.b/x?id=2"
+
+
+def test_utm_only_param():
+    assert _one("https://a.b/x?utm_s=1")["url_canon"] == "https://a.b/x"
+
+
+def test_path_case_preserved():
+    assert _one("https://A.B/CaSe")["url_canon"] == "https://a.b/CaSe"
+
+
+def test_unparseable_is_null():
+    r = _one("not a url")
+    assert pd.isna(r["scheme"]) and pd.isna(r["url_canon"])
+
+
+def test_www_only_stripped_at_start():
+    assert _one("https://cdn.www.example.com/")["host"] == "cdn.www.example.com"
