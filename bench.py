@@ -172,6 +172,7 @@ def run_bench() -> dict:
         "dedup_clusters",
         "quality_repetition",
         "url_normalize",
+        "fetch_docs",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

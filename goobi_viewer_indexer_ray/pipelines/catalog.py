@@ -1613,6 +1613,76 @@ FROM raw
 """
 
 
+def q_fetch_docs(sf_dir: str):
+    """External-fetch stage (S6 — ``HttpConnector.downloadFile`` +
+    ``SsrfProtection.isUrlAllowed`` transposed): deterministic URLs
+    from the doc key (a mix of public, private/loopback/metadata and
+    bad-scheme targets) run through :class:`stages.fetch.FetchDocs`
+    as an actor pool with a deterministic fake transport (no network
+    in this sandbox — the validate→cache→transport→cap control flow
+    is the real part).  The oracle recomputes status and byte counts
+    from key arithmetic alone."""
+    from ..stages.fetch import FetchDocs
+
+    def synth_urls(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").cast(pa.int64()).to_numpy()
+        urls = []
+        for kk in k:
+            kk = int(kk)
+            r = kk % 11
+            if r == 0:
+                urls.append("http://127.0.0.1/admin")
+            elif r == 1:
+                urls.append(f"http://10.1.2.{kk % 250}/x")
+            elif r == 2:
+                urls.append(f"ftp://files.example.org/{kk}")
+            elif r == 3:
+                urls.append("http://169.254.169.254/latest/meta-data")
+            else:
+                urls.append(f"https://pub{kk % 20}.example.org/doc/{kk}")
+        return pa.table(
+            {"doc_id": pa.array(k, pa.int64()), "url": pa.array(urls, pa.string())}
+        )
+
+    def fake_transport(url: str) -> bytes:
+        kk = int(url.rsplit("/", 1)[1])
+        n = 5000 if kk % 13 == 0 else (kk % 1000) + 16
+        return bytes([kk % 251]) * n
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "url", "status", "n_bytes"])
+
+    return (
+        _documents(sf_dir, columns=("doc_id",))
+        .map_batches(synth_urls, batch_format="pyarrow")
+        .map_batches(
+            FetchDocs,
+            fn_constructor_kwargs={"transport": fake_transport, "max_bytes": 4096},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .map_batches(fin, batch_format="pyarrow")
+    )
+
+
+_SQL_FETCH_DOCS = """
+SELECT doc_id,
+       CASE doc_id % 11
+            WHEN 0 THEN 'http://127.0.0.1/admin'
+            WHEN 1 THEN 'http://10.1.2.' || (doc_id % 250) || '/x'
+            WHEN 2 THEN 'ftp://files.example.org/' || doc_id
+            WHEN 3 THEN 'http://169.254.169.254/latest/meta-data'
+            ELSE 'https://pub' || (doc_id % 20) || '.example.org/doc/' || doc_id
+       END AS url,
+       CASE WHEN doc_id % 11 IN (0, 1, 2, 3) THEN 'blocked'
+            WHEN doc_id % 13 = 0 THEN 'too_large'
+            ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 11 IN (0, 1, 2, 3) OR doc_id % 13 = 0 THEN 0
+            ELSE (doc_id % 1000) + 16 END::BIGINT AS n_bytes
+FROM documents
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup cluster assignment: the Jaccard pair graph's
     transitive closure via distributed min-label propagation
@@ -1941,6 +2011,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "quality_repetition": q_quality_repetition,
     "url_normalize": q_url_normalize,
+    "fetch_docs": q_fetch_docs,
 }
 
 ORACLE_SQL = {
@@ -1987,4 +2058,5 @@ ORACLE_SQL = {
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "quality_repetition": _SQL_QUALITY_REPETITION,
     "url_normalize": _SQL_URL_NORMALIZE,
+    "fetch_docs": _SQL_FETCH_DOCS,
 }

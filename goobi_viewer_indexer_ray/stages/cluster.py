@@ -11,7 +11,12 @@ is not given but *derived* from the pair graph.
 
 Algorithm — iterative min-label propagation, fully distributed:
 
-- state: a ``(node, lbl)`` Dataset, initialized ``lbl = node``;
+- state: a ``(node, lbl)`` Dataset over edge ENDPOINTS only,
+  initialized ``lbl = node`` — nodes touching no edge are singletons
+  whose label can never change, so they skip the loop entirely and
+  rejoin through one final left-outer join (at corpus scale most
+  documents are not near-dups: each round shuffles O(|E|), not
+  O(|V|));
 - per round: symmetric edges hash-JOIN labels on ``src`` (Ray Data's
   ``Dataset.join``, an all-to-all on the join key), every edge
   forwards its source's label to ``dst``, the forwarded messages
@@ -64,10 +69,6 @@ def connected_components(
     Returns a Dataset ``(node, cluster_id)``, one row per input node.
     """
 
-    def to_labels(t: pa.Table) -> pa.Table:
-        n = t.column(node_col).cast(pa.int64())
-        return pa.table({"node": n, "lbl": n})
-
     def to_sym(t: pa.Table) -> pa.Table:
         a = t.column(src_col).cast(pa.int64())
         b = t.column(dst_col).cast(pa.int64())
@@ -78,8 +79,30 @@ def connected_components(
             }
         )
 
-    labels = nodes.map_batches(to_labels, batch_format="pyarrow").materialize()
     sym = edges.map_batches(to_sym, batch_format="pyarrow").materialize()
+
+    # Only edge ENDPOINTS enter the propagation loop: nodes touching no
+    # edge are singletons whose label never changes, so at corpus scale
+    # (most documents are not near-dups) every round shuffles O(|E|)
+    # rows, not O(|V|); singletons rejoin once at the end.
+    def seed(t: pa.Table) -> pa.Table:
+        n = t.column("src").cast(pa.int64())
+        return pa.table({"node": n, "lbl": n})
+
+    labels = (
+        sym.groupby("src")
+        .min("dst")  # distinct-endpoints pass; the min(dst) is discarded
+        .map_batches(seed, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    def self_labels(t: pa.Table) -> pa.Table:
+        n = t.column(node_col).cast(pa.int64())
+        return pa.table({"node": n, "cluster_id": n})
+
+    if labels.count() == 0:  # no edges at all — every node a singleton
+        return nodes.map_batches(self_labels, batch_format="pyarrow")
 
     def fwd(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("dst"), "lbl": t.column("lbl")})
@@ -121,12 +144,26 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
+    # singletons rejoin: one left-outer join of the full node set
+    # against the (edge-endpoint-only) fixpoint labels
+    def node_key(t: pa.Table) -> pa.Table:
+        return pa.table({"n_": t.column(node_col).cast(pa.int64())})
+
+    joined = nodes.map_batches(node_key, batch_format="pyarrow").join(
+        labels,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("n_",),
+        right_on=("node",),
+    )
+
     def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_").cast(pa.int64())
         return pa.table(
             {
-                "node": t.column("node"),
-                "cluster_id": t.column("lbl"),
+                "node": n,
+                "cluster_id": pc.coalesce(t.column("lbl").cast(pa.int64()), n),
             }
         )
 
-    return labels.map_batches(finalize, batch_format="pyarrow")
+    return joined.map_batches(finalize, batch_format="pyarrow")

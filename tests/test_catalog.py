@@ -111,6 +111,7 @@ def _check(contract, con, name):
         "dedup_clusters",
         "quality_repetition",
         "url_normalize",
+        "fetch_docs",
     ],
 )
 def test_vs_duckdb(contract, con, name):

@@ -44,6 +44,11 @@ def test_duplicate_and_reversed_edges():
     assert lbl == {5: 5, 6: 5, 7: 5}
 
 
+def test_no_edges_all_singletons():
+    lbl = _run([3, 8, 12], [])
+    assert lbl == {3: 3, 8: 8, 12: 12}
+
+
 def test_round_cap_raises():
     nodes = list(range(40))
     edges = [(i, i + 1) for i in range(39)]

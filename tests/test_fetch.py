@@ -1,0 +1,112 @@
+"""SSRF policy + fetch stage (stages/fetch.py) — mirrors the reference's
+``SsrfProtection`` ``@should`` contract list plus the fetch control flow.
+Pure logic; no Ray needed."""
+
+import pyarrow as pa
+
+from goobi_viewer_indexer_ray.stages.fetch import FetchDocs, is_url_allowed
+
+
+def fake_resolver(mapping):
+    return lambda host: mapping.get(host, [])
+
+
+# --- the reference's @should list, case by case ---
+
+
+def test_reject_null_and_blank():
+    assert is_url_allowed(None)[1] == "blank"
+    assert is_url_allowed("   ")[1] == "blank"
+
+
+def test_reject_non_http_scheme():
+    assert is_url_allowed("ftp://example.com/x")[1] == "scheme"
+    assert is_url_allowed("file:///etc/passwd")[1] == "scheme"
+
+
+def test_reject_localhost():
+    assert is_url_allowed("http://127.0.0.1/x")[1] == "private_host"
+    r = fake_resolver({"localhost": ["127.0.0.1"]})
+    assert is_url_allowed("http://localhost/x", resolver=r)[1] == "private_host"
+
+
+def test_reject_private_ip_ranges():
+    for ip in ("10.0.0.1", "172.16.5.5", "192.168.1.1"):
+        assert is_url_allowed(f"http://{ip}/x")[1] == "private_host"
+
+
+def test_reject_aws_metadata_endpoint():
+    assert is_url_allowed("http://169.254.169.254/latest/meta-data")[1] == "private_host"
+
+
+def test_allow_public_url_with_empty_or_null_allowlist():
+    assert is_url_allowed("https://example.org/x", [])[0] is True
+    assert is_url_allowed("https://example.org/x", None)[0] is True
+    assert is_url_allowed("http://93.184.216.34/x")[0] is True
+
+
+def test_reject_url_not_in_allowlist():
+    ok, reason = is_url_allowed("https://evil.org/x", ["https://good.org/"])
+    assert not ok and reason == "not_in_allowlist"
+
+
+def test_allow_url_matching_allowlist():
+    assert is_url_allowed("https://good.org/a/b", ["https://good.org/"])[0]
+
+
+def test_reject_private_ip_even_if_in_allowlist():
+    ok, reason = is_url_allowed("http://10.0.0.1/x", ["http://10.0.0.1/"])
+    assert not ok and reason == "private_host"
+
+
+def test_reject_loopback_and_link_local_resolved_hosts():
+    r = fake_resolver({"h.example": ["169.254.3.4"]})
+    assert is_url_allowed("http://h.example/x", resolver=r)[1] == "private_host"
+    r = fake_resolver({"h.example": ["::1"]})
+    assert is_url_allowed("http://h.example/x", resolver=r)[1] == "private_host"
+
+
+def test_one_private_address_taints_host():
+    # DNS-rebinding shape: one public + one private A record → reject
+    r = fake_resolver({"h.example": ["93.184.216.34", "10.0.0.1"]})
+    assert not is_url_allowed("http://h.example/x", resolver=r)[0]
+
+
+def test_ipv6_literal_and_port_parsing():
+    assert is_url_allowed("http://[::1]:8080/x")[1] == "private_host"
+    assert is_url_allowed("http://93.184.216.34:8080/x")[0]
+    assert is_url_allowed("http://user:pw@127.0.0.1/x")[1] == "private_host"
+
+
+# --- FetchDocs control flow (fake transport, no network) ---
+
+
+def _batch(urls):
+    return pa.table({"url": pa.array(urls, pa.string())})
+
+
+def test_fetch_validates_caps_and_caches():
+    calls = []
+
+    def transport(u):
+        calls.append(u)
+        return b"x" * (10_000 if "big" in u else 8)
+
+    f = FetchDocs(transport, max_bytes=4096)
+    out = f(_batch([
+        "https://a.org/doc", "http://10.0.0.1/secret",
+        "https://a.org/big", "https://a.org/doc",  # repeat → cache hit
+    ]))
+    assert out.column("status").to_pylist() == ["ok", "blocked", "too_large", "ok"]
+    assert out.column("n_bytes").to_pylist() == [8, 0, 0, 8]
+    assert out.column("payload").to_pylist()[1] is None
+    assert calls == ["https://a.org/doc", "https://a.org/big"]  # blocked never fetched
+    assert f.cache.hits == 1
+
+
+def test_fetch_transport_error_is_row_status():
+    def transport(u):
+        raise IOError("boom")
+
+    out = FetchDocs(transport)(_batch(["https://a.org/x"]))
+    assert out.column("status").to_pylist() == ["error"]
