@@ -1696,15 +1696,17 @@ def q_dedup_clusters(sf_dir: str):
     docs = _documents(sf_dir)
     edges = dedup.jaccard_pairs(docs, n=5, threshold=0.1)
     nodes = _documents(sf_dir, columns=("doc_id",))
+    # broadcast assignment: the dup-pair label map is the documented
+    # small side (one row per edge endpoint, not per document), so the
+    # final labeling and the cluster sizes are zero-shuffle lookups
     cc = connected_components(
-        nodes, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
-    )
-    sizes = cc.groupby("cluster_id").count()
-    out = cc.join(
-        sizes,
-        join_type="inner",
-        num_partitions=4,
-        on=("cluster_id",),
+        nodes,
+        edges,
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        assign="broadcast",
+        with_size=True,
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -1712,11 +1714,11 @@ def q_dedup_clusters(sf_dir: str):
             {
                 "doc_id": t.column("node").cast(pa.int64()),
                 "cluster_id": t.column("cluster_id").cast(pa.int64()),
-                "cluster_size": t.column("count()").cast(pa.int64()),
+                "cluster_size": t.column("cluster_size").cast(pa.int64()),
             }
         )
 
-    return out.map_batches(fin, batch_format="pyarrow")
+    return cc.map_batches(fin, batch_format="pyarrow")
 
 
 _SQL_DEDUP_CLUSTERS = f"""
