@@ -35,15 +35,20 @@ def normalize_urls(urls: pd.Series) -> pd.DataFrame:
     s = urls.astype("string")
     scheme = s.str.extract(_SCHEME, expand=False).str.lower()
     hostport = s.str.extract(_SCHEME_NC + r"([^/?#]+)", expand=False).str.lower()
-    host = hostport.str.replace(r":(80|443)$", "", regex=True).str.replace(
-        r"^www\.", "", regex=True
+    # default-port stripping is SCHEME-AWARE: https://h:80 is a real
+    # non-default origin and must keep its port (and vice versa)
+    host = hostport.str.replace(r"^www\.", "", regex=True)
+    host = host.str.replace(r":80$", "", regex=True).where(
+        scheme == "http", host.str.replace(r":443$", "", regex=True)
     )
     rest = s.str.extract(_SCHEME_NC + r"[^/?#]+([/?#].*)?$", expand=False).fillna("")
     rest = rest.str.replace(r"#.*$", "", regex=True)
-    # tracking params: first the "followed by another param" form
-    # (keeps the later param's separator), then a trailing/lone one
-    # (takes its own separator with it)
-    rest = rest.str.replace(r"utm_[^&#]*&", "", regex=True)
-    rest = rest.str.replace(r"[?&]utm_[^&#]*", "", regex=True)
+    # tracking params: each utm_* param collapses to its own separator
+    # (ANCHORED on [?&] — `q=my_utm_tag` must not match), then
+    # separator runs left by adjacent removals collapse, then a
+    # trailing lone ?/& drops
+    rest = rest.str.replace(r"([?&])utm_[^&#]*", r"\1", regex=True)
+    rest = rest.str.replace(r"([?&])[?&]+", r"\1", regex=True)
+    rest = rest.str.replace(r"[?&]+$", "", regex=True)
     canon = scheme + "://" + host + rest
     return pd.DataFrame({"scheme": scheme, "host": host, "url_canon": canon})

@@ -1599,13 +1599,17 @@ SELECT doc_id,
        scheme_raw || '://' || host_raw || port || '/Page/' || doc_id
          || query || frag AS url,
        lower(scheme_raw) AS scheme,
+       -- :80 is only the default port for http; the odd-key (https)
+       -- rows that carry :80 keep it in the canonical host
        CASE WHEN doc_id % 3 = 0 THEN 'example-' || (doc_id % 50) || '.com'
             ELSE 'cdn' || (doc_id % 7) || '.example-' || (doc_id % 50) || '.com'
-       END AS host,
+       END || CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80' ELSE '' END
+         AS host,
        lower(scheme_raw) || '://'
          || CASE WHEN doc_id % 3 = 0 THEN 'example-' || (doc_id % 50) || '.com'
                  ELSE 'cdn' || (doc_id % 7) || '.example-' || (doc_id % 50) || '.com'
             END
+         || CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80' ELSE '' END
          || '/Page/' || doc_id
          || CASE WHEN doc_id % 4 IN (0, 1) THEN '?id=' || doc_id ELSE '' END
          AS url_canon

@@ -88,12 +88,15 @@ class _BuildLock:
         while True:
             try:  # ONLY contention is retried; any other error propagates
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
+            except BlockingIOError:  # EWOULDBLOCK = held by someone else
                 if time.time() > deadline:
                     os.close(fd)
                     raise TimeoutError(f"update lock busy: {self.path}")
                 time.sleep(self.poll)
                 continue
+            except OSError:  # ENOLCK/EINVAL etc: locking itself broken
+                os.close(fd)
+                raise
             try:  # holder stamp is best-effort diagnostics (may ENOSPC)
                 os.truncate(fd, 0)
                 os.write(fd, f"{os.getpid()} {time.time()}".encode())

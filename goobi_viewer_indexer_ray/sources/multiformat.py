@@ -108,7 +108,13 @@ def read_any(dir_path: str):
 
         parts.append(
             rd.read_parquet(
-                by_fmt["parquet"], columns=DOC_COLUMNS, file_extensions=None
+                by_fmt["parquet"],
+                columns=DOC_COLUMNS,
+                file_extensions=None,
+                # hotfolder batches are small files: one block per file
+                # keeps the downstream union/groupby off the pathological
+                # many-near-empty-blocks regime (see merge_sources note)
+                override_num_blocks=len(by_fmt["parquet"]),
             ).map_batches(tag_parquet, batch_format="pyarrow")
         )
     if "jsonl" in by_fmt:
@@ -118,7 +124,9 @@ def read_any(dir_path: str):
             return _rows_table(rows, "jsonl")
 
         parts.append(
-            rd.read_text(by_fmt["jsonl"]).map_batches(parse_jsonl, batch_format="pyarrow")
+            rd.read_text(
+                by_fmt["jsonl"], override_num_blocks=len(by_fmt["jsonl"])
+            ).map_batches(parse_jsonl, batch_format="pyarrow")
         )
     if "xml" in by_fmt:
 
@@ -199,10 +207,14 @@ def write_mixed_corpus(documents_parquet: str, out_dir: str, *,
         f.write(b"\x00\x01garbage not a record file")
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(documents_parquet)
+    import shutil
+
+    # a marker-less out_dir is a crashed builder's partial tree: clear
+    # it so the rename can land (same guard as the catalog LSH cache)
+    if os.path.isdir(out_dir) and not os.path.exists(os.path.join(out_dir, "_DONE")):
+        shutil.rmtree(out_dir, ignore_errors=True)
     try:
         os.rename(tmp, out_dir)
-    except OSError:
-        import shutil
-
+    except OSError:  # a concurrent builder won the rename
         shutil.rmtree(tmp, ignore_errors=True)
     return out_dir

@@ -321,7 +321,14 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.45, round_dp: int = 4,
         ids = t.column("vec_id").to_numpy().astype(np.int64)
         m = _as_matrix(t.column("embedding"))
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        blk = (ids % num_blocks).astype(np.int64)
+        # splitmix64 finalizer, not raw id residue: structured id
+        # spaces (strided, clustered) must still spread uniformly or a
+        # tile can exceed the documented block_target memory bound
+        x = ids.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        blk = (x % np.uint64(num_blocks)).astype(np.int64)
         others = np.arange(num_blocks, dtype=np.int64)
         rep_blk = np.repeat(blk, num_blocks)
         rep_other = np.tile(others, ids.size)

@@ -104,10 +104,14 @@ def connected_components(
     orientation, duplicates tolerated).
 
     Returns a Dataset ``(node, cluster_id[, cluster_size])``, one row
-    per input node.  ``with_size`` requires a broadcastable label map
-    (small graph, or ``assign="broadcast"``).
+    per input node.  ``with_size`` needs the label map on the driver,
+    so it IMPLIES ``assign="broadcast"`` (validated here, up front —
+    not after the propagation loop has burned its rounds).
     """
     import ray
+
+    if with_size:
+        assign = "broadcast"
 
     def to_sym(t: pa.Table) -> pa.Table:
         a = t.column(src_col).cast(pa.int64())
@@ -235,9 +239,6 @@ def connected_components(
         return assign_broadcast(
             lbl_tbl.column("node").to_numpy(), lbl_tbl.column("lbl").to_numpy()
         )
-
-    if with_size:
-        raise ValueError("with_size requires a broadcastable label map")
 
     def node_key(t: pa.Table) -> pa.Table:
         return pa.table({"n_": t.column(node_col).cast(pa.int64())})

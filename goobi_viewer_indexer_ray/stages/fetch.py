@@ -43,11 +43,23 @@ __all__ = ["is_url_allowed", "host_addresses", "FetchDocs"]
 
 def host_addresses(host: str) -> list[str]:
     """Default resolver: literal IPs resolve to themselves; symbolic
-    hostnames resolve to nothing (no DNS in this environment)."""
+    hostnames resolve to nothing (no DNS in this environment).
+
+    Covers the LEGACY numeric forms too (``2130706433``, ``127.1``,
+    ``0x7f000001``): ``inet_aton`` parses those without any DNS, so a
+    real transport would reach loopback through them — they must hit
+    the address checks, not slip past as "hostnames"."""
+    h = host.strip("[]")
     try:
-        ipaddress.ip_address(host.strip("[]"))
-        return [host.strip("[]")]
+        ipaddress.ip_address(h)
+        return [h]
     except ValueError:
+        pass
+    import socket
+
+    try:
+        return [socket.inet_ntoa(socket.inet_aton(h))]
+    except OSError:
         return []
 
 
@@ -145,7 +157,8 @@ class FetchDocs:
                     sizes.append(0)
                     payloads.append(None)
                     continue
-                self.cache.put(u, cached)
+                if len(cached) <= self.max_bytes:  # never cache over-cap blobs
+                    self.cache.put(u, cached)
             if len(cached) > self.max_bytes:
                 status.append("too_large")
                 sizes.append(0)

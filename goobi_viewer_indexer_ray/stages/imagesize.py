@@ -45,6 +45,7 @@ __all__ = [
     "image_dims",
     "image_format",
     "image_orientation",
+    "ppm_header_ints",
     "encode_png",
     "encode_jpeg_shell",
     "encode_gif_shell",
@@ -64,7 +65,7 @@ def _dims_png(p: bytes) -> tuple[int, int] | None:
     if len(p) < 24 or p[12:16] != b"IHDR":
         return None
     w, h = struct.unpack_from(">II", p, 16)
-    return (w, h) or None
+    return (w, h) if w and h else None  # 0-dim IHDR is not a real image
 
 
 def _dims_jpeg(p: bytes) -> tuple[int, int] | None:
@@ -108,15 +109,21 @@ def _dims_bmp(p: bytes) -> tuple[int, int] | None:
     return (w, abs(h))  # negative height = top-down row order
 
 
-def _dims_ppm(p: bytes) -> tuple[int, int] | None:
-    # P6 header: three whitespace-separated ints, '#' comments allowed.
+def ppm_header_ints(p: bytes, count: int) -> tuple[list[int], int]:
+    """Walk ``count`` whitespace-separated integer tokens after the
+    ``P6`` magic, skipping ``#`` comment lines (allowed anywhere in
+    the header per the netpbm spec); returns ``(values, position just
+    past the last token)``.  Raises ``ValueError`` on truncation or a
+    non-numeric token.  Shared by the dims probe here and the pixel
+    decoder in ``stages/multimodal.py`` — ONE tokenizer, so a header
+    parsing fix cannot silently diverge between them."""
     pos, vals = 2, []
-    while len(vals) < 2 and pos < len(p):
+    while len(vals) < count:
         while pos < len(p):
             c = p[pos : pos + 1]
             if c.isspace():
                 pos += 1
-            elif c == b"#":
+            elif c == b"#":  # comment runs to EOL
                 while pos < len(p) and p[pos : pos + 1] not in (b"\n", b"\r"):
                     pos += 1
             else:
@@ -124,11 +131,21 @@ def _dims_ppm(p: bytes) -> tuple[int, int] | None:
         start = pos
         while pos < len(p) and not p[pos : pos + 1].isspace():
             pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
         tok = p[start:pos]
         if not tok.isdigit():
-            return None
+            raise ValueError(f"bad PPM header token {tok!r}")
         vals.append(int(tok))
-    return (vals[0], vals[1]) if len(vals) == 2 else None
+    return vals, pos
+
+
+def _dims_ppm(p: bytes) -> tuple[int, int] | None:
+    try:
+        vals, _ = ppm_header_ints(p, 2)
+    except ValueError:
+        return None
+    return (vals[0], vals[1])
 
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}

@@ -130,25 +130,9 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     """
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM")
-    pos, vals = 2, []
-    while len(vals) < 3:
-        while pos < len(payload):
-            if payload[pos : pos + 1].isspace():
-                pos += 1
-            elif payload[pos : pos + 1] == b"#":  # comment runs to EOL
-                while pos < len(payload) and payload[pos : pos + 1] not in (b"\n", b"\r"):
-                    pos += 1
-            else:
-                break
-        start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
-            pos += 1
-        if start == pos:
-            raise ValueError("truncated PPM header")
-        tok = payload[start:pos]
-        if not tok.isdigit():
-            raise ValueError(f"bad PPM header token {tok!r}")
-        vals.append(int(tok))
+    from .imagesize import ppm_header_ints  # the ONE header tokenizer
+
+    vals, pos = ppm_header_ints(payload, 3)
     w, h, maxval = vals
     if maxval > 255:
         raise NotImplementedError("16-bit PPM unsupported")

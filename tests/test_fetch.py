@@ -72,6 +72,14 @@ def test_one_private_address_taints_host():
     assert not is_url_allowed("http://h.example/x", resolver=r)[0]
 
 
+def test_reject_legacy_numeric_ip_forms():
+    # inet_aton parses these to loopback WITHOUT DNS — must be blocked
+    assert is_url_allowed("http://2130706433/x")[1] == "private_host"  # decimal
+    assert is_url_allowed("http://127.1/x")[1] == "private_host"  # short form
+    assert is_url_allowed("http://0x7f000001/x")[1] == "private_host"  # hex
+    assert is_url_allowed("http://0177.0.0.1/x")[1] == "private_host"  # octal
+
+
 def test_ipv6_literal_and_port_parsing():
     assert is_url_allowed("http://[::1]:8080/x")[1] == "private_host"
     assert is_url_allowed("http://93.184.216.34:8080/x")[0]

@@ -25,6 +25,23 @@ def test_non_default_port_kept():
     assert _one("https://a.b:8443/x")["host"] == "a.b:8443"
 
 
+def test_default_port_is_scheme_aware():
+    # :80 is only default for http; :443 only for https
+    assert _one("https://a.b:80/x")["host"] == "a.b:80"
+    assert _one("http://a.b:443/x")["host"] == "a.b:443"
+
+
+def test_multiple_utm_params():
+    assert _one("https://a.b/x?utm_a=1&utm_b=2&id=3")["url_canon"] == "https://a.b/x?id=3"
+    assert _one("https://a.b/x?utm_a=1&utm_b=2")["url_canon"] == "https://a.b/x"
+
+
+def test_utm_substring_in_other_param_untouched():
+    # 'utm_' inside a value or a non-utm param name must NOT match
+    assert _one("http://a.com/?q=my_utm_tag&b=2")["url_canon"] == "http://a.com/?q=my_utm_tag&b=2"
+    assert _one("http://a.com/p?a=1&xutm_b=2&c=3")["url_canon"] == "http://a.com/p?a=1&xutm_b=2&c=3"
+
+
 def test_fragment_dropped():
     assert _one("https://a.b/x#frag?not=query")["url_canon"] == "https://a.b/x"
 
