@@ -173,6 +173,7 @@ def run_bench() -> dict:
         "quality_repetition",
         "url_normalize",
         "fetch_docs",
+        "dedup_keep_canonical",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -1498,6 +1498,76 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_dedup_keep_canonical(sf_dir: str):
+    """End-to-end dedup: near-dup clusters → ONE surviving document
+    per cluster (the minimum doc_id, this engine's deterministic
+    keep-first rule — ``stages/docs_writer.py``'s URN keep-latest
+    analog over derived groups).  Output is the surviving corpus
+    with its cluster size (1 = was unique).  Chains
+    ``jaccard_pairs`` → ``connected_components`` → a zero-shuffle
+    canonical filter on the broadcast label map."""
+    from ..stages.cluster import connected_components
+
+    docs = _documents(sf_dir)
+    edges = dedup.jaccard_pairs(docs, n=5, threshold=0.1)
+    nodes = _documents(sf_dir, columns=("doc_id", "n_chars"))
+    cc = connected_components(
+        nodes,
+        edges,
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        assign="broadcast",
+        with_size=True,
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("node"), t.column("cluster_id")))
+        return pa.table(
+            {
+                "doc_id": t.column("node").cast(pa.int64()),
+                "cluster_size": t.column("cluster_size").cast(pa.int64()),
+            }
+        )
+
+    return cc.map_batches(keep, batch_format="pyarrow")
+
+
+_SQL_DEDUP_KEEP_CANONICAL = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+flt AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
+),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM flt
+      UNION ALL SELECT doc_b, doc_a FROM flt),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node
+),
+lab AS (SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
+        FROM reach GROUP BY node)
+SELECT doc_id, (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+FROM lab
+QUALIFY doc_id = cluster_id
+"""
+
+
 def q_quality_repetition(sf_dir: str):
     """Within-doc repetition signals (Gopher-family repetition
     filters: modal token / bigram occupancy) —
@@ -2018,6 +2088,7 @@ QUERIES = {
     "quality_repetition": q_quality_repetition,
     "url_normalize": q_url_normalize,
     "fetch_docs": q_fetch_docs,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
 }
 
 ORACLE_SQL = {
@@ -2065,4 +2136,5 @@ ORACLE_SQL = {
     "quality_repetition": _SQL_QUALITY_REPETITION,
     "url_normalize": _SQL_URL_NORMALIZE,
     "fetch_docs": _SQL_FETCH_DOCS,
+    "dedup_keep_canonical": _SQL_DEDUP_KEEP_CANONICAL,
 }

@@ -112,6 +112,7 @@ def _check(contract, con, name):
         "quality_repetition",
         "url_normalize",
         "fetch_docs",
+        "dedup_keep_canonical",
     ],
 )
 def test_vs_duckdb(contract, con, name):
