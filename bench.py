@@ -174,6 +174,7 @@ def run_bench() -> dict:
         "url_normalize",
         "fetch_docs",
         "dedup_keep_canonical",
+        "ann_ivf_assign",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -1498,6 +1498,35 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_ann_ivf_assign(sf_dir: str):
+    """IVF coarse quantization (the inverted-file ANN scale path):
+    every vector → nearest deterministic centroid
+    (:func:`stages.ann.ivf_assign`); the oracle recomputes each
+    assignment with DuckDB's ``list_cosine_similarity`` over the same
+    centroid rule."""
+    return ann.ivf_assign(_embeddings(sf_dir), num_cells=16)
+
+
+_SQL_ANN_IVF = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+  WHERE vec_id < 16
+),
+s AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(c.ce, e.embedding::DOUBLE[]), 4) AS cos_r
+  FROM embeddings e CROSS JOIN c
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_r DESC, cid) AS rn
+  FROM s
+)
+SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS cell, cos_r
+FROM r WHERE rn = 1
+"""
+
+
 def q_dedup_keep_canonical(sf_dir: str):
     """End-to-end dedup: near-dup clusters → ONE surviving document
     per cluster (the minimum doc_id, this engine's deterministic
@@ -2089,6 +2118,7 @@ QUERIES = {
     "url_normalize": q_url_normalize,
     "fetch_docs": q_fetch_docs,
     "dedup_keep_canonical": q_dedup_keep_canonical,
+    "ann_ivf_assign": q_ann_ivf_assign,
 }
 
 ORACLE_SQL = {
@@ -2137,4 +2167,5 @@ ORACLE_SQL = {
     "url_normalize": _SQL_URL_NORMALIZE,
     "fetch_docs": _SQL_FETCH_DOCS,
     "dedup_keep_canonical": _SQL_DEDUP_KEEP_CANONICAL,
+    "ann_ivf_assign": _SQL_ANN_IVF,
 }

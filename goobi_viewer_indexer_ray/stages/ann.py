@@ -129,6 +129,95 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
     return _final_merge(parts, k)
 
 
+def ivf_assign(ds, *, num_cells: int = 16):
+    """IVF coarse quantization: every vector → its nearest centroid
+    cell (the inverted-file ANN scale path, alongside the LSH one).
+
+    The quantizer is DETERMINISTIC — centroids are the normalized
+    embeddings of vec_ids ``0..num_cells-1`` (no k-means iterations),
+    so a SQL oracle can recompute every assignment exactly; a k-means
+    refinement is a drop-in replacement since assignment and probing
+    only ever see the centroid matrix.  Ranking key per vector:
+    (round(cos, 4) desc, centroid index asc) — the engine's standard
+    cross-engine float protocol.
+
+    Scale shape: the centroid matrix is broadcast once (``ray.put``),
+    assignment is one zero-shuffle ``map_batches`` matmul; at 10⁹
+    vectors this is the partitioned-write key for cell-pruned probes
+    (mirror of ``write_lsh_partitions``).
+    """
+    import ray
+
+    _, c = _fetch_queries(ds, list(range(num_cells)))
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+    c_ref = ray.put(cn)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        m = _as_matrix(t.column("embedding"))
+        vn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        cos_r = np.round(vn @ cm.T, 4)  # (batch, K)
+        cell = np.argmax(cos_r, axis=1)  # first max = smallest index on ties
+        best = cos_r[np.arange(cell.size), cell]
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "cell": pa.array(cell.astype(np.int64), pa.int64()),
+                "cos_r": pa.array(best, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(ds, query_ids: list[int], k: int = 10, *,
+             num_cells: int = 16, nprobe: int = 4) -> pd.DataFrame:
+    """IVF-probed approximate top-k: each query scores only vectors
+    whose cell is among its ``nprobe`` nearest centroids.  With
+    ``nprobe == num_cells`` this degenerates to exact brute force
+    (pytest pins that identity); smaller nprobe trades recall for a
+    1/num_cells·nprobe candidate fraction."""
+    import ray
+
+    _, c = _fetch_queries(ds, list(range(num_cells)))
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+    qids_np, q = _fetch_queries(ds, query_ids)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qcos = np.round(qn @ cn.T, 4)
+    # stable argsort of -cos: equal (rounded) sims keep ascending cell
+    # order, so the probe set is deterministic under ties
+    probe = np.argsort(-qcos, axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((qids_np, qn, cn, probe))
+
+    def score(t: pa.Table) -> pa.Table:
+        qids, qm, cm, pr = ray.get(ref)
+        m = _as_matrix(t.column("embedding"))
+        vn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        cell = np.argmax(np.round(vn @ cm.T, 4), axis=1)
+        vids = t.column("vec_id").to_numpy()
+        rows_q, rows_v, rows_c = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cell, pr[qi])
+            if not mask.any():
+                continue
+            cos = qm[qi] @ vn[mask].T
+            idx = _topk_tied(cos, k)
+            sel = np.flatnonzero(mask)[idx]
+            rows_q.extend([int(qids[qi])] * len(idx))
+            rows_v.extend(vids[sel].tolist())
+            rows_c.extend(np.round(cos[idx], 4).tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(rows_q, pa.int64()),
+                "vec_id": pa.array(rows_v, pa.int64()),
+                "cos_r": pa.array(rows_c, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return _final_merge(parts, k)
+
+
 def _planes(planes: int, dim: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((planes, dim))

@@ -113,6 +113,7 @@ def _check(contract, con, name):
         "url_normalize",
         "fetch_docs",
         "dedup_keep_canonical",
+        "ann_ivf_assign",
     ],
 )
 def test_vs_duckdb(contract, con, name):
@@ -138,3 +139,22 @@ def test_ann_lsh_overlap(contract):
         top_bf = set(bf[bf["query_vec_id"] == qid]["vec_id"])
         top_ls = set(ls[ls["query_vec_id"] == qid]["vec_id"])
         assert len(top_bf & top_ls) >= 3  # @10, modest recall floor
+
+
+def test_ann_ivf_probe(contract):
+    """IVF with nprobe == num_cells must equal exact brute force;
+    with a partial probe it must keep reasonable overlap."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import _ANN_QUERY_IDS, _embeddings
+    from goobi_viewer_indexer_ray.stages.ann import brute_force_topk, ivf_topk
+
+    ds = _embeddings(SF)
+    bf = brute_force_topk(ds, _ANN_QUERY_IDS, k=10)
+    full = ivf_topk(ds, _ANN_QUERY_IDS, k=10, num_cells=16, nprobe=16)
+    pd.testing.assert_frame_equal(
+        bf.reset_index(drop=True), full.reset_index(drop=True)
+    )
+    part = ivf_topk(ds, _ANN_QUERY_IDS, k=10, num_cells=16, nprobe=4)
+    for qid in bf["query_vec_id"].unique():
+        top_bf = set(bf[bf["query_vec_id"] == qid]["vec_id"])
+        top_iv = set(part[part["query_vec_id"] == qid]["vec_id"])
+        assert len(top_bf & top_iv) >= 3  # @10, modest recall floor
