@@ -359,6 +359,91 @@ def lsh_topk_partitioned(part_dir: str, ds, query_ids: list[int], k: int = 10, *
     return _final_merge(parts, k)
 
 
+def write_ivf_partitions(ds, out_dir: str, *, num_cells: int = 16) -> None:
+    """Embeddings → parquet partitioned by IVF cell (``cell=<c>/``) —
+    the inverted-file storage layout: a probe READS only its probed
+    cells' files (IO pruning), the mirror of
+    :func:`write_lsh_partitions` for the centroid quantizer.  One
+    pass, no shuffle."""
+    import ray
+
+    _, c = _fetch_queries(ds, list(range(num_cells)))
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+    c_ref = ray.put(cn)
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        m = _as_matrix(t.column("embedding"))
+        vn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        cell = np.argmax(np.round(vn @ cm.T, 4), axis=1).astype(np.int64)
+        return t.append_column("cell", pa.array(cell, pa.int64()))
+
+    ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+
+
+def ivf_topk_partitioned(part_dir: str, ds, query_ids: list[int], k: int = 10, *,
+                         num_cells: int = 16, nprobe: int = 4) -> pd.DataFrame:
+    """IVF top-k over a cell-partitioned store written by
+    :func:`write_ivf_partitions` — only the union of the queries'
+    probed cells is READ from storage.  Identical output to
+    :func:`ivf_topk` on the same data (same centroids, same probes,
+    same rounding)."""
+    import glob as _glob
+    import os
+
+    import ray
+    import ray.data
+
+    _, c = _fetch_queries(ds, list(range(num_cells)))
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+    qids_np, q = _fetch_queries(ds, query_ids)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probe = np.argsort(-np.round(qn @ cn.T, 4), axis=1, kind="stable")[:, :nprobe]
+    union = set(int(x) for x in probe.reshape(-1))
+    paths = [
+        f
+        for d in sorted(os.listdir(part_dir))
+        if d.startswith("cell=") and int(d.split("=")[1]) in union
+        for f in sorted(_glob.glob(os.path.join(part_dir, d, "*.parquet")))
+    ]
+    if not paths:
+        return _final_merge(
+            pd.DataFrame({"query_vec_id": [], "vec_id": [], "cos_r": []}), k
+        )
+    sub = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    ref = ray.put((qids_np, qn, cn, probe))
+
+    def score(t: pa.Table) -> pa.Table:
+        qids, qm, cm, pr = ray.get(ref)
+        m = _as_matrix(t.column("embedding"))
+        vn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        cell = np.argmax(np.round(vn @ cm.T, 4), axis=1)
+        vids = t.column("vec_id").to_numpy()
+        rows_q, rows_v, rows_c = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cell, pr[qi])
+            if not mask.any():
+                continue
+            cos = qm[qi] @ vn[mask].T
+            idx = _topk_tied(cos, k)
+            sel = np.flatnonzero(mask)[idx]
+            rows_q.extend([int(qids[qi])] * len(idx))
+            rows_v.extend(vids[sel].tolist())
+            rows_c.extend(np.round(cos[idx], 4).tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(rows_q, pa.int64()),
+                "vec_id": pa.array(rows_v, pa.int64()),
+                "cos_r": pa.array(rows_c, pa.float64()),
+            }
+        )
+
+    parts = sub.map_batches(score, batch_format="pyarrow").to_pandas()
+    return _final_merge(parts, k)
+
+
 def embedding_dup_pairs(ds, *, threshold: float = 0.45, round_dp: int = 4,
                         block_target: int = 2048) -> pd.DataFrame:
     """Exact embedding-cosine near-duplicate pairs: all (a < b) with

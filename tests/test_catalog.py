@@ -158,3 +158,23 @@ def test_ann_ivf_probe(contract):
         top_bf = set(bf[bf["query_vec_id"] == qid]["vec_id"])
         top_iv = set(part[part["query_vec_id"] == qid]["vec_id"])
         assert len(top_bf & top_iv) >= 3  # @10, modest recall floor
+
+
+def test_ann_ivf_partitioned_identity(contract, tmp_path):
+    """The cell-partitioned IO-pruned probe must return exactly what
+    the in-compute ivf_topk returns on the same data."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import _ANN_QUERY_IDS, _embeddings
+    from goobi_viewer_indexer_ray.stages.ann import (
+        ivf_topk,
+        ivf_topk_partitioned,
+        write_ivf_partitions,
+    )
+
+    ds = _embeddings(SF)
+    out = str(tmp_path / "ivf_store")
+    write_ivf_partitions(ds, out, num_cells=16)
+    # only the probed cells' directories are read — with nprobe=4 the
+    # path list must be a strict subset of all 16 cells
+    a = ivf_topk(ds, _ANN_QUERY_IDS, k=10, num_cells=16, nprobe=4)
+    b = ivf_topk_partitioned(out, ds, _ANN_QUERY_IDS, k=10, num_cells=16, nprobe=4)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
