@@ -2072,6 +2072,201 @@ SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------- structured search ops
+# Engine-native transposition of the Solr query surface the reference
+# leans on (SolrSearchIndex.search / conjunctive field queries,
+# SolrSearchIndex.java:175,189-205,636-672; the viewer's facet, prefix
+# and spellcheck requests) — see pipelines/search_ops.py.
+
+BOOL_QUERIES: list[dict] = [
+    {"query_id": 0, "must": ["hash join"]},
+    {"query_id": 1, "must": ["vector"], "must_not": ["slow"]},
+    {"query_id": 2, "should": ["spark", "stream"]},
+    {"query_id": 3, "must": ["Merge BATCH"], "must_not": ["the"]},
+    {"query_id": 4, "must": ["zzznope"]},
+]
+
+
+def q_search_boolean(sf_dir: str):
+    """Boolean (MUST / SHOULD / MUST_NOT) doc matching over the
+    compressed index — Lucene BooleanQuery semantics via vectorized
+    sorted-set algebra on posting lists."""
+    from .query import LocalIndex
+    from .search_ops import boolean_docs
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    qids, dids = [], []
+    for q in BOOL_QUERIES:
+        docs = boolean_docs(
+            idx, must=q.get("must"), should=q.get("should"),
+            must_not=q.get("must_not"),
+        )
+        qids.append(np.full(docs.size, q["query_id"], np.int64))
+        dids.append(docs)
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(qids), pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), pa.int64()),
+        }
+    )
+
+
+def _sql_list(terms: list[str]) -> str:
+    return "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+
+
+def _boolean_sql() -> str:
+    """Built from the SAME fixture list + tokenizer as the engine
+    entry, so query text can never diverge between the two sides."""
+    arms = []
+    for q in BOOL_QUERIES:
+        def toks(key):
+            out = []
+            for s in q.get(key) or ():
+                out.extend(tokenize(s))
+            return sorted(set(out))
+
+        conds = []
+        if toks("must"):
+            conds.append(f"list_has_all(ts, {_sql_list(toks('must'))})")
+        elif toks("should"):
+            conds.append(f"list_has_any(ts, {_sql_list(toks('should'))})")
+        if toks("must_not"):
+            conds.append(f"NOT list_has_any(ts, {_sql_list(toks('must_not'))})")
+        arms.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id\n"
+            f"  FROM toks WHERE {' AND '.join(conds)}"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents)\n"
+        f"{body}\nORDER BY query_id, doc_id"
+    )
+
+
+SEARCH_PREFIXES = ["s", "qu", "val", "zz"]
+
+
+def q_search_prefix(sf_dir: str):
+    """PrefixQuery aggregates: vocab range scan + posting-union stats
+    per prefix (n_terms, df_sum, cf_sum, distinct-doc count)."""
+    from .query import LocalIndex
+    from .search_ops import prefix_stats
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    rows = [dict(prefix=p, **prefix_stats(idx, p)) for p in sorted(SEARCH_PREFIXES)]
+    return pa.table(
+        {
+            "prefix": pa.array([r["prefix"] for r in rows], pa.string()),
+            "n_terms": pa.array([r["n_terms"] for r in rows], pa.int64()),
+            "df_sum": pa.array([r["df_sum"] for r in rows], pa.int64()),
+            "cf_sum": pa.array([r["cf_sum"] for r in rows], pa.int64()),
+            "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _prefix_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in sorted(SEARCH_PREFIXES))
+    return f"""
+WITH posting AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+p(prefix) AS (VALUES {vals}),
+m AS (
+  SELECT p.prefix, posting.term, posting.doc_id, posting.tf
+  FROM p LEFT JOIN posting ON starts_with(posting.term, p.prefix)
+)
+SELECT prefix,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       count(term)::BIGINT AS df_sum,
+       coalesce(sum(tf), 0)::BIGINT AS cf_sum,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM m GROUP BY prefix ORDER BY prefix
+"""
+
+
+FUZZY_QUERIES = ["strem", "vale", "joi", "scan", "zzzzzz"]
+
+
+def q_search_fuzzy(sf_dir: str):
+    """FuzzyQuery(maxEdits=1) / spellcheck: vocab terms within one
+    edit of each query term, with df (closed-form vectorized test)."""
+    from .query import LocalIndex
+    from .search_ops import fuzzy_terms
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    qs, ts, dfs = [], [], []
+    for q in sorted(FUZZY_QUERIES):
+        for term, df in fuzzy_terms(idx, q):
+            qs.append(q)
+            ts.append(term)
+            dfs.append(df)
+    return pa.table(
+        {
+            "query": pa.array(qs, pa.string()),
+            "term": pa.array(ts, pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+        }
+    )
+
+
+def _fuzzy_sql() -> str:
+    vals = ", ".join(f"('{q}')" for q in sorted(FUZZY_QUERIES))
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    GROUP BY doc_id, t
+  ) GROUP BY term
+),
+q(query) AS (VALUES {vals})
+SELECT q.query, v.term, v.df
+FROM q JOIN vocab v ON levenshtein(q.query, v.term) <= 1
+ORDER BY q.query, v.term
+"""
+
+
+FACET_MUST = ["data table"]
+
+
+def q_search_facets(sf_dir: str):
+    """Solr facet analog: docs matching a conjunctive query, counted
+    per (lang, source) — matched-id broadcast + distributed ``pc.is_in``
+    semi-join + small groupby (filter-then-facet)."""
+    from .query import LocalIndex
+    from .search_ops import facet_counts
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    meta = _documents(sf_dir, columns=("doc_id", "lang", "source"))
+    out = facet_counts(idx, meta, must=FACET_MUST, facets=["lang", "source"])
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow").sort(["lang", "source"])
+
+
+def _facets_sql() -> str:
+    toks = sorted({t for s in FACET_MUST for t in tokenize(s)})
+    return f"""
+SELECT lang, source, count(*)::BIGINT AS n_docs
+FROM documents
+WHERE list_has_all({_TOKS}, {_sql_list(toks)})
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 # ---------------------------------------------------------------- export
 
 QUERIES = {
@@ -2119,6 +2314,10 @@ QUERIES = {
     "fetch_docs": q_fetch_docs,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "search_boolean": q_search_boolean,
+    "search_prefix": q_search_prefix,
+    "search_fuzzy": q_search_fuzzy,
+    "search_facets": q_search_facets,
 }
 
 ORACLE_SQL = {
@@ -2168,4 +2367,8 @@ ORACLE_SQL = {
     "fetch_docs": _SQL_FETCH_DOCS,
     "dedup_keep_canonical": _SQL_DEDUP_KEEP_CANONICAL,
     "ann_ivf_assign": _SQL_ANN_IVF,
+    "search_boolean": _boolean_sql(),
+    "search_prefix": _prefix_sql(),
+    "search_fuzzy": _fuzzy_sql(),
+    "search_facets": _facets_sql(),
 }

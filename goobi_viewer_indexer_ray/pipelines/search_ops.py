@@ -1,0 +1,233 @@
+"""Structured (non-scored) query operators over the compressed index.
+
+The reference delegates every structured lookup to Solr/Lucene via
+``SolrSearchIndex.search(query, fields)`` (SolrSearchIndex.java:175,
+189-205) and issues conjunctive / negated field queries throughout the
+pipeline — e.g. ``ISANCHOR:true`` anchor sweeps and ``PI_PARENT:<pi>``
+child checks (SolrSearchIndex.java:636-672), delete-by-query strings
+(Hotfolder.java), and the viewer's facet/prefix/spellcheck requests
+against the fields this indexer writes.  These operators are the
+engine-native transposition of that query surface onto our own
+compressed postings (pipelines/query.py), replacing the Solr
+round-trip exactly like the BM25 scorer replaces Lucene ranking:
+
+- :func:`boolean_docs` — Lucene ``BooleanQuery`` semantics over
+  posting lists: MUST = vectorized sorted-array intersection, SHOULD =
+  union, MUST_NOT = set difference (``np.intersect1d`` /
+  ``np.union1d`` / ``np.setdiff1d`` on the decoded doc arrays; no
+  per-doc Python).
+- :func:`prefix_stats` — ``PrefixQuery`` analog: vocab range scan on
+  the sorted term dictionary (``np.searchsorted`` on the prefix and
+  its successor — O(log V) to locate, O(matches) to aggregate).
+- :func:`fuzzy_terms` — ``FuzzyQuery(maxEdits=1)`` analog with a
+  CLOSED-FORM edit-distance-≤1 test (equal | one substitution | one
+  indel), fully vectorized over the length-bucketed vocab — no DP
+  matrix, no per-candidate Python loop.
+- :func:`facet_counts` — Solr facet analog: matched doc-id set from
+  the index, broadcast once (``ray.put``) into a distributed
+  ``pc.is_in`` semi-join over the metadata table, then a small
+  ``groupby().count()``.  The corpus is never materialized; only the
+  matched-id array (bounded by the query's df) leaves the driver.
+
+Scale notes: boolean/prefix set algebra runs on the serving node per
+shard exactly like BM25 (document-partitioned replicas each intersect
+their own doc range; the driver concatenates disjoint ranges — no
+merge cost).  Facet counting is filter-then-facet: the only
+non-streaming object is the matched-id broadcast, the standard
+small-side pattern everywhere else in this repo.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.tokenize import tokenize
+
+__all__ = ["boolean_docs", "prefix_stats", "fuzzy_terms", "facet_counts"]
+
+
+# ------------------------------------------------------------- boolean
+
+def _term_docs(index, term: str) -> np.ndarray:
+    ref = index.lookup(term)
+    if ref is None:
+        return np.empty(0, np.int64)
+    return ref.decode_all()[0]
+
+
+def boolean_docs(index, *, must: list[str] | None = None,
+                 should: list[str] | None = None,
+                 must_not: list[str] | None = None) -> np.ndarray:
+    """Sorted doc-id array matching a Lucene-style boolean query.
+
+    Semantics (BooleanQuery): with MUST clauses, SHOULD clauses are
+    optional (they only affect scoring, which this operator does not
+    do); with no MUST, at least one SHOULD must match.  MUST_NOT
+    removes.  Terms are tokenized with the index's own analyzer so
+    ``must=["Hash-Join"]`` behaves like the indexed text did.
+    """
+    def toks(qs):
+        out = []
+        for q in qs or ():
+            out.extend(tokenize(q))
+        return sorted(set(out))
+
+    m, s, n = toks(must), toks(should), toks(must_not)
+    if m:
+        docs: np.ndarray | None = None
+        for t in m:  # ascending-df first would be cheaper; order is tiny here
+            d = _term_docs(index, t)
+            docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
+            if docs.size == 0:
+                break
+    elif s:
+        docs = np.empty(0, np.int64)
+    else:
+        return np.empty(0, np.int64)
+    if s and not m:
+        parts = [_term_docs(index, t) for t in s]
+        docs = np.unique(np.concatenate(parts)) if parts else docs
+    for t in n:
+        if docs.size == 0:
+            break
+        docs = np.setdiff1d(docs, _term_docs(index, t), assume_unique=True)
+    return docs
+
+
+# -------------------------------------------------------------- prefix
+
+def _vocab_arrays(index):
+    """(terms sorted unicode-ascending, df, cf) across shards, cached.
+
+    The per-shard dictionaries are already sorted; this merges them
+    once per LocalIndex (vocab is the small side of any index: ~1e6
+    terms for 1e9 docs) and memoizes on the index object.
+    """
+    cached = getattr(index, "_vocab_cache", None)
+    if cached is not None:
+        return cached
+    terms = np.array(sorted(index._lookup), dtype=object)
+    df = np.fromiter((index._lookup[t].df for t in terms), np.int64, len(terms))
+    cf = np.fromiter((index._lookup[t].cf for t in terms), np.int64, len(terms))
+    index._vocab_cache = (terms, df, cf)
+    return index._vocab_cache
+
+
+def prefix_stats(index, prefix: str) -> dict:
+    """PrefixQuery aggregate: vocab terms starting with ``prefix``.
+
+    Returns ``n_terms`` (matching vocab size), ``df_sum`` (sum of
+    per-term df — posting entries touched), ``cf_sum`` (total token
+    occurrences) and ``n_docs`` (DISTINCT docs containing any matching
+    term — the union of the matched posting lists).
+    """
+    terms, df, cf = _vocab_arrays(index)
+    lo = int(np.searchsorted(terms, prefix, side="left"))
+    hi = int(np.searchsorted(terms, prefix + "￿", side="left"))
+    sel = terms[lo:hi]
+    if sel.size == 0:
+        return {"n_terms": 0, "df_sum": 0, "cf_sum": 0, "n_docs": 0}
+    parts = [_term_docs(index, t) for t in sel]
+    n_docs = int(np.unique(np.concatenate(parts)).size)
+    return {
+        "n_terms": int(sel.size),
+        "df_sum": int(df[lo:hi].sum()),
+        "cf_sum": int(cf[lo:hi].sum()),
+        "n_docs": n_docs,
+    }
+
+
+# --------------------------------------------------------------- fuzzy
+
+def _chars_matrix(terms: np.ndarray, width: int) -> np.ndarray:
+    """(n, width) uint32 codepoint matrix, zero-padded (vocab terms are
+    short; one matrix per (query, length-bucket) is tiny)."""
+    out = np.zeros((len(terms), width), np.uint32)
+    for i, t in enumerate(terms):  # driver-side over ≤ vocab-bucket, not corpus
+        out[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+    return out
+
+
+def _one_indel_ok(longer_m: np.ndarray, shorter_m: np.ndarray, ll: int) -> np.ndarray:
+    """Row-wise: does deleting ONE char from ``longer_m[i]`` (length
+    ``ll``) yield ``shorter_m[i]`` (length ``ll-1``)?  Closed form:
+    with p = first mismatch position, require
+    ``longer[p+1:] == shorter[p:]`` — both comparisons fully
+    vectorized (the suffix test via a reversed running-OR so each row
+    reads its own p without a Python loop)."""
+    pre_mism = longer_m[:, :ll] != shorter_m[:, :ll]  # shorter padded at col ll-1
+    p = np.where(pre_mism.any(axis=1), pre_mism.argmax(axis=1), ll - 1)
+    # suf_mism[:, j] = longer[j+1] != shorter[j]; row ok iff no mismatch at j >= p
+    suf_mism = longer_m[:, 1:ll] != shorter_m[:, : ll - 1]
+    bad_from = np.flip(np.logical_or.accumulate(np.flip(suf_mism, 1), 1), 1)
+    bad_from = np.pad(bad_from, ((0, 0), (0, 1)))  # p == ll-1 → empty suffix, ok
+    return ~bad_from[np.arange(len(p)), p]
+
+
+def fuzzy_terms(index, query: str, *, max_edits: int = 1) -> list[tuple[str, int]]:
+    """Vocab terms within Levenshtein distance ``max_edits`` (=1) of
+    ``query``, with df — Lucene ``FuzzyQuery`` / Solr spellcheck analog.
+
+    Distance ≤ 1 has a closed form — strings are within one edit iff
+    they are equal, OR same length with exactly one substitution, OR
+    lengths differ by one and deleting one char from the longer yields
+    the shorter — so the whole test vectorizes over a codepoint
+    matrix; no DP matrix, no per-candidate Python in the compare.
+    """
+    if max_edits != 1:
+        raise NotImplementedError("closed-form path implements max_edits=1")
+    nq = len(query)
+    terms, df, _ = _vocab_arrays(index)
+    lens = np.fromiter((len(t) for t in terms), np.int64, len(terms))
+    keep = np.abs(lens - nq) <= 1
+    cand, clens = terms[keep], lens[keep]
+    if cand.size == 0:
+        return []
+    width = nq + 2
+    m = _chars_matrix(cand, width)
+    qv = np.zeros(width, np.uint32)
+    qv[:nq] = np.frombuffer(query.encode("utf-32-le"), np.uint32)
+
+    out_mask = np.zeros(cand.size, bool)
+    same = clens == nq
+    if same.any():  # equal or one substitution (padded tails compare equal)
+        out_mask[same] = (m[same] != qv).sum(axis=1) <= 1
+    longer = clens == nq + 1
+    if longer.any():
+        qm = np.broadcast_to(qv, (int(longer.sum()), width))
+        out_mask[longer] = _one_indel_ok(m[longer], qm, nq + 1)
+    shorter = clens == nq - 1
+    if shorter.any() and nq >= 1:
+        qm = np.broadcast_to(qv, (int(shorter.sum()), width))
+        out_mask[shorter] = _one_indel_ok(qm, m[shorter], nq)
+    sel_idx = np.flatnonzero(keep)[out_mask]
+    return sorted((str(terms[i]), int(df[i])) for i in sel_idx)
+
+
+# --------------------------------------------------------------- facet
+
+def facet_counts(index, ds, *, must: list[str], facets: list[str],
+                 must_not: list[str] | None = None):
+    """Facet counts over the docs matching a boolean query.
+
+    ``ds`` is the metadata Dataset (``doc_id`` + facet columns).  The
+    matched-id array is broadcast once (``ray.put``); each batch does a
+    zero-copy ``pc.is_in`` semi-join; the counts come from one small
+    ``groupby`` over facet values.  Returns a Dataset of
+    ``(*facets, n_docs)``.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Count
+
+    docs = boolean_docs(index, must=must, must_not=must_not)
+    ids_ref = ray.put(pa.array(docs, pa.int64()))
+
+    def semi(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=ids))
+
+    matched = ds.map_batches(semi, batch_format="pyarrow")
+    return matched.groupby(facets).aggregate(Count(alias_name="n_docs"))

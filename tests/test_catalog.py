@@ -114,6 +114,10 @@ def _check(contract, con, name):
         "fetch_docs",
         "dedup_keep_canonical",
         "ann_ivf_assign",
+        "search_boolean",
+        "search_prefix",
+        "search_fuzzy",
+        "search_facets",
     ],
 )
 def test_vs_duckdb(contract, con, name):

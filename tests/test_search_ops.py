@@ -1,0 +1,120 @@
+"""Unit tests for pipelines/search_ops (the Solr-surface analogs).
+
+The end-to-end oracle comparison lives in test_catalog.py
+(search_boolean / search_prefix / search_fuzzy / search_facets); these
+pin the set-algebra and closed-form-edit-distance semantics directly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from goobi_viewer_indexer_ray.pipelines import search_ops as so
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class _FakeRef:
+    def __init__(self, df, docs):
+        self.df = df
+        self.cf = df
+        self._docs = np.asarray(docs, np.int64)
+
+    def decode_all(self):
+        return self._docs, None, None
+
+
+class _FakeIndex:
+    def __init__(self, postings: dict[str, list[int]]):
+        self._lookup = {
+            t: _FakeRef(len(d), sorted(d)) for t, d in postings.items()
+        }
+
+    def lookup(self, term):
+        return self._lookup.get(term)
+
+
+@pytest.fixture()
+def fake():
+    return _FakeIndex(
+        {
+            "hash": [1, 2, 3, 5],
+            "join": [2, 3, 4],
+            "slow": [3, 9],
+            "spark": [7],
+            "stream": [7, 8],
+        }
+    )
+
+
+def test_boolean_must_intersects(fake):
+    assert so.boolean_docs(fake, must=["hash join"]).tolist() == [2, 3]
+
+
+def test_boolean_must_not_subtracts(fake):
+    assert so.boolean_docs(fake, must=["hash"], must_not=["slow"]).tolist() == [1, 2, 5]
+
+
+def test_boolean_should_unions(fake):
+    assert so.boolean_docs(fake, should=["spark", "stream"]).tolist() == [7, 8]
+
+
+def test_boolean_should_ignored_with_must(fake):
+    # Lucene semantics: SHOULD is optional when a MUST exists
+    got = so.boolean_docs(fake, must=["join"], should=["spark"])
+    assert got.tolist() == [2, 3, 4]
+
+
+def test_boolean_absent_term_and_empty(fake):
+    assert so.boolean_docs(fake, must=["hash", "zzz"]).size == 0
+    assert so.boolean_docs(fake).size == 0
+    assert so.boolean_docs(fake, must_not=["hash"]).size == 0
+
+
+def test_boolean_analyzes_query_text(fake):
+    # tokenizer runs on the clause strings: case + punctuation fold away
+    assert so.boolean_docs(fake, must=["Hash-JOIN!"]).tolist() == [2, 3]
+
+
+def test_prefix_stats_counts(fake):
+    s = so.prefix_stats(fake, "s")
+    # slow, spark, stream
+    assert s["n_terms"] == 3
+    assert s["df_sum"] == 2 + 1 + 2
+    assert s["n_docs"] == len({3, 9, 7, 8})
+    assert so.prefix_stats(fake, "zz") == {
+        "n_terms": 0, "df_sum": 0, "cf_sum": 0, "n_docs": 0
+    }
+
+
+def test_fuzzy_exact_and_one_edit(fake):
+    got = dict(so.fuzzy_terms(fake, "strem"))
+    assert got == {"stream": 2}
+    assert dict(so.fuzzy_terms(fake, "hash")) == {"hash": 4}
+    assert so.fuzzy_terms(fake, "zzzzzz") == []
+
+
+def test_fuzzy_matches_brute_force_levenshtein():
+    rng = random.Random(7)
+    alpha = "abcd"
+    vocab = sorted(
+        {"".join(rng.choice(alpha) for _ in range(rng.randint(1, 6))) for _ in range(600)}
+    )
+    idx = _FakeIndex({t: [i] for i, t in enumerate(vocab)})
+    for q in ["a", "ab", "abca", "dcba", "abcdab", "bbbb", "xyz"]:
+        got = [t for t, _ in so.fuzzy_terms(idx, q)]
+        want = sorted(t for t in vocab if _lev(t, q) <= 1)
+        assert got == want, q
