@@ -2267,6 +2267,112 @@ GROUP BY lang, source ORDER BY lang, source
 """
 
 
+# ------------------------------------------- sampling / exact quantiles
+# Corpus-curation operators (no reference analog — SURVEY.md §2.7 O6
+# "none in reference"); see stages/sampling.py for the 100 TB design
+# rules (hash-predicate sampling, histogram-exact quantiles).
+
+SAMPLE_FRACTION = 0.1
+SAMPLE_SALT = "s0"
+STRATA_FRACTIONS = {"en": 0.5, "de": 0.2, "zh": 0.08}
+STRATA_DEFAULT = 0.03
+QUANTILES_Q = [0.25, 0.5, 0.75, 0.9, 0.99]
+GROUPED_Q = [0.5, 0.9]
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic md5-threshold sample of documents (rate 0.1)."""
+    from ..stages.sampling import hash_sample
+
+    ds = _documents(sf_dir, columns=("doc_id", "lang"))
+    out = hash_sample(ds, key_col="doc_id", fraction=SAMPLE_FRACTION,
+                      salt=SAMPLE_SALT)
+    return out.sort("doc_id")
+
+
+def _sample_sql() -> str:
+    from ..stages.sampling import sample_threshold
+
+    thr = sample_threshold(SAMPLE_FRACTION)
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8) < '{thr}'
+ORDER BY doc_id
+"""
+
+
+def q_sample_stratified(sf_dir: str):
+    """Per-language deterministic sampling rates (corpus rebalancing)."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _documents(sf_dir, columns=("doc_id", "lang"))
+    out = stratified_sample(
+        ds, key_col="doc_id", strata_col="lang",
+        fractions=STRATA_FRACTIONS, default=STRATA_DEFAULT,
+        salt=SAMPLE_SALT,
+    )
+    return out.sort("doc_id")
+
+
+def _sample_stratified_sql() -> str:
+    from ..stages.sampling import sample_threshold
+
+    arms = "".join(
+        f"WHEN '{s}' THEN '{sample_threshold(f)}' "
+        for s, f in sorted(STRATA_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8)
+      < CASE lang {arms}ELSE '{sample_threshold(STRATA_DEFAULT)}' END
+ORDER BY doc_id
+"""
+
+
+def q_token_count_quantiles(sf_dir: str):
+    """Exact corpus token-count quantiles via the histogram shuffle."""
+    from ..stages.sampling import quantiles
+
+    tc = _documents(sf_dir).map_batches(
+        text_ops.token_count_batch, batch_format="pyarrow"
+    )
+    return quantiles(tc, "n_tokens", QUANTILES_Q)
+
+
+def _quantiles_sql() -> str:
+    vals = ", ".join(f"({q})" for q in QUANTILES_Q)
+    return f"""
+WITH tc AS (SELECT len({_TOKS})::BIGINT AS n FROM documents),
+c AS (SELECT n, cume_dist() OVER (ORDER BY n) AS cd FROM tc)
+SELECT v.q::DOUBLE AS q, min(c.n)::BIGINT AS value
+FROM (VALUES {vals}) v(q) JOIN c ON c.cd >= v.q
+GROUP BY v.q ORDER BY v.q
+"""
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Per-language exact n_chars quantiles (grouped histogram fold)."""
+    from ..stages.sampling import grouped_quantiles
+
+    ds = _documents(sf_dir, columns=("lang", "n_chars"))
+    out = grouped_quantiles(ds, group_col="lang", col="n_chars", qs=GROUPED_Q)
+    return out
+
+
+def _grouped_quantiles_sql() -> str:
+    vals = ", ".join(f"({q})" for q in GROUPED_Q)
+    return f"""
+WITH c AS (
+  SELECT lang, n_chars,
+         cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+  FROM documents
+)
+SELECT c.lang, v.q::DOUBLE AS q, min(c.n_chars)::BIGINT AS value
+FROM (VALUES {vals}) v(q) JOIN c ON c.cd >= v.q
+GROUP BY c.lang, v.q ORDER BY c.lang, v.q
+"""
+
+
 # ---------------------------------------------------------------- export
 
 QUERIES = {
@@ -2318,6 +2424,10 @@ QUERIES = {
     "search_prefix": q_search_prefix,
     "search_fuzzy": q_search_fuzzy,
     "search_facets": q_search_facets,
+    "sample_docs": q_sample_docs,
+    "sample_stratified": q_sample_stratified,
+    "token_count_quantiles": q_token_count_quantiles,
+    "grouped_quantiles": q_grouped_quantiles,
 }
 
 ORACLE_SQL = {
@@ -2371,4 +2481,8 @@ ORACLE_SQL = {
     "search_prefix": _prefix_sql(),
     "search_fuzzy": _fuzzy_sql(),
     "search_facets": _facets_sql(),
+    "sample_docs": _sample_sql(),
+    "sample_stratified": _sample_stratified_sql(),
+    "token_count_quantiles": _quantiles_sql(),
+    "grouped_quantiles": _grouped_quantiles_sql(),
 }

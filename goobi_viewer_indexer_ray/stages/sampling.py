@@ -1,0 +1,160 @@
+"""Deterministic sampling + exact distributed quantiles.
+
+Training-data curation operators beyond the reference's own surface
+(the reference has no sampling — SURVEY.md §2.7 O6 "none in
+reference"; large-scale corpus work needs it constantly).
+
+Design rules, 100 TB-first:
+
+- **Sampling is a pure per-row predicate on a content hash**, not a
+  random draw: ``keep ⇔ int(md5(key ‖ ':' ‖ salt)[:8], 16) < ⌊p·2³²⌋``.
+  That makes it (a) embarrassingly parallel — a plain ``map_batches``
+  filter, no coordination, no RNG state, (b) reproducible across
+  retries/resumes (a re-executed block samples identically), and
+  (c) ANSI-SQL-expressible for the oracle (DuckDB ``md5``; the 8-hex
+  prefix compares lexicographically ≡ numerically).  MD5 is the pinned
+  cross-engine hash (same precedent as ``dedup.content_hash_batch``);
+  the per-row ``hashlib`` call is the documented price of oracle
+  parity.
+- **Quantiles are exact via a value histogram**: one
+  ``groupby(col).count()`` shuffle produces the (value, count)
+  relation; the driver folds the CDF over the *distinct-value*
+  histogram (the small side — bounded by the value domain, not the
+  row count) and reads off ``min{v : F(v) ≥ q}`` — the same
+  definition as SQL ``cume_dist``.  For unbounded continuous domains
+  pre-bucket (round/scale) first or swap in a mergeable sketch; the
+  histogram path is exact whenever the domain is enumerable, which
+  covers the corpus-stat use cases (token counts, char counts, status
+  codes, years).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "sample_threshold",
+    "hash_sample",
+    "stratified_sample",
+    "quantiles",
+    "grouped_quantiles",
+]
+
+
+def sample_threshold(fraction: float) -> str:
+    """8-hex-char keep threshold for ``fraction`` ∈ [0, 1]."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction out of range: {fraction}")
+    if fraction == 1.0:
+        return "g"  # lexicographically above every hex digest → keep all
+    return f"{int(fraction * 2**32):08x}"
+
+
+def _keep_mask(keys: pd.Series, thresholds: np.ndarray) -> np.ndarray:
+    """Vector of ``md5(key)[:8] < threshold`` (hex-string compare)."""
+    h = np.fromiter(
+        (hashlib.md5(k.encode()).hexdigest()[:8] for k in keys),
+        dtype="U8",
+        count=len(keys),
+    )
+    return h < thresholds
+
+
+def hash_sample(ds, *, key_col: str, fraction: float, salt: str = "s0"):
+    """Deterministic ``fraction``-rate sample keyed on ``key_col``.
+
+    Rows whose hashed key falls under the threshold are kept — the
+    SAME rows every run, every retry, every engine (oracle:
+    ``substr(md5(key || ':' || salt), 1, 8) < '<threshold>'``).
+    """
+    thr = sample_threshold(fraction)
+    salt_s = str(salt)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].astype(str) + ":" + salt_s
+        return df[_keep_mask(keys, np.array(thr, dtype="U8"))]
+
+    return ds.map_batches(part, batch_format="pandas")
+
+
+def stratified_sample(ds, *, key_col: str, strata_col: str,
+                      fractions: dict[str, float], default: float = 0.0,
+                      salt: str = "s0"):
+    """Per-stratum deterministic sampling (e.g. per-language rates —
+    the classic corpus rebalancing move).  Strata not listed in
+    ``fractions`` keep ``default`` rate.  Same hash rule as
+    :func:`hash_sample`, so a stratum's sample is a superset of any
+    smaller rate's — rates can be tuned without resampling churn.
+    """
+    thr_map = {s: sample_threshold(f) for s, f in fractions.items()}
+    thr_default = sample_threshold(default)
+    salt_s = str(salt)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].astype(str) + ":" + salt_s
+        thr = (
+            df[strata_col].astype(str).map(thr_map).fillna(thr_default)
+            .to_numpy(dtype="U8")
+        )
+        return df[_keep_mask(keys, thr)]
+
+    return ds.map_batches(part, batch_format="pandas")
+
+
+def _cdf_pick(values: np.ndarray, counts: np.ndarray, qs: list[float]):
+    """min{v : F(v) ≥ q} over a sorted value histogram."""
+    order = np.argsort(values, kind="stable")
+    v, c = values[order], counts[order]
+    cum = np.cumsum(c, dtype=np.float64)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        idx = int(np.searchsorted(cum / total, q, side="left"))
+        out.append(v[min(idx, len(v) - 1)])
+    return out
+
+
+def quantiles(ds, col: str, qs: list[float]) -> pa.Table:
+    """Exact quantiles of ``col`` (``cume_dist`` definition:
+    ``min{v : F(v) ≥ q}``).  One count-shuffle over distinct values;
+    driver work is O(|domain|)."""
+    hist = ds.groupby(col).count().to_pandas()
+    v = hist[col].to_numpy()
+    c = hist["count()"].to_numpy()
+    picks = _cdf_pick(v, c, qs)
+    return pa.table(
+        {
+            "q": pa.array([float(q) for q in qs], pa.float64()),
+            "value": pa.array([int(p) for p in picks], pa.int64()),
+        }
+    )
+
+
+def grouped_quantiles(ds, *, group_col: str, col: str, qs: list[float]) -> pa.Table:
+    """Per-group exact quantiles: ``groupby(group, value).count()``
+    histogram shuffle, then a vectorized per-group CDF fold on the
+    (group × distinct-value) small side."""
+    hist = ds.groupby([group_col, col]).count().to_pandas()
+    hist = hist.sort_values([group_col, col], kind="stable")
+    g = hist[group_col].to_numpy()
+    v = hist[col].to_numpy()
+    c = hist["count()"].to_numpy(dtype=np.float64)
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    ends = np.r_[starts[1:], g.size]
+    out_g, out_q, out_v = [], [], []
+    for s, e in zip(starts, ends):  # per GROUP (small side), not per row
+        picks = _cdf_pick(v[s:e], c[s:e], qs)
+        out_g.extend([g[s]] * len(qs))
+        out_q.extend(float(q) for q in qs)
+        out_v.extend(int(p) for p in picks)
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )

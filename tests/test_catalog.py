@@ -118,6 +118,10 @@ def _check(contract, con, name):
         "search_prefix",
         "search_fuzzy",
         "search_facets",
+        "sample_docs",
+        "sample_stratified",
+        "token_count_quantiles",
+        "grouped_quantiles",
     ],
 )
 def test_vs_duckdb(contract, con, name):

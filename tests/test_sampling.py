@@ -1,0 +1,116 @@
+"""Unit pins for stages/sampling (deterministic sampling + quantiles).
+
+Oracle parity is in test_catalog.py (sample_docs / sample_stratified /
+token_count_quantiles / grouped_quantiles); these pin the pure
+semantics without Ray.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from goobi_viewer_indexer_ray.stages import sampling
+
+
+def _kept(ids, fraction, salt="s0"):
+    thr = sampling.sample_threshold(fraction)
+    return {
+        i for i in ids
+        if hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8] < thr
+    }
+
+
+def test_threshold_edges():
+    assert sampling.sample_threshold(0.0) == "00000000"
+    assert sampling.sample_threshold(1.0) == "g"  # above every digest
+    assert sampling.sample_threshold(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        sampling.sample_threshold(1.5)
+
+
+def test_rate_zero_and_one():
+    ids = range(1000)
+    assert _kept(ids, 0.0) == set()
+    assert _kept(ids, 1.0) == set(ids)
+
+
+def test_nested_samples_and_rate():
+    """Smaller rate is a SUBSET of a larger rate (tunable without
+    churn), and the realized rate is near nominal."""
+    ids = range(20_000)
+    small, big = _kept(ids, 0.05), _kept(ids, 0.2)
+    assert small <= big
+    assert abs(len(big) / 20_000 - 0.2) < 0.02
+
+
+def test_salt_decorrelates():
+    ids = range(5000)
+    a = {i for i in ids if hashlib.md5(f"{i}:a".encode()).hexdigest()[:8]
+         < sampling.sample_threshold(0.1)}
+    b = {i for i in ids if hashlib.md5(f"{i}:b".encode()).hexdigest()[:8]
+         < sampling.sample_threshold(0.1)}
+    inter = len(a & b) / max(1, len(a))
+    assert 0.0 < inter < 0.35  # ≈ independent 10% samples overlap ~10%
+
+
+def test_cdf_pick_matches_sorted_definition():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 10_000)
+    uniq, counts = np.unique(vals, return_counts=True)
+    srt = np.sort(vals)
+    for q in [0.01, 0.25, 0.5, 0.9, 0.999, 1.0]:
+        got = sampling._cdf_pick(uniq, counts, [q])[0]
+        # min{v : F(v) >= q} over the sorted sample
+        cd = np.arange(1, srt.size + 1) / srt.size
+        want = srt[int(np.searchsorted(cd, q, side="left"))]
+        assert got == want, q
+
+
+def test_grouped_quantiles_pandas_parity():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 3000),
+            "v": rng.integers(0, 40, 3000),
+        }
+    )
+
+    class FakeGrouped:
+        def __init__(self, frame, keys):
+            self.frame, self.keys = frame, keys
+
+        def count(self):
+            out = (
+                self.frame.groupby(self.keys, as_index=False).size()
+                .rename(columns={"size": "count()"})
+            )
+            outer = self
+
+            class R:
+                def to_pandas(self):
+                    return out
+
+            return R()
+
+    class FakeDs:
+        def __init__(self, frame):
+            self.frame = frame
+
+        def groupby(self, keys):
+            return FakeGrouped(self.frame, keys)
+
+    t = sampling.grouped_quantiles(
+        FakeDs(df), group_col="g", col="v", qs=[0.5, 0.9]
+    ).to_pandas()
+    for g, sub in df.groupby("g"):
+        srt = np.sort(sub["v"].to_numpy())
+        cd = np.arange(1, srt.size + 1) / srt.size
+        for q in [0.5, 0.9]:
+            want = srt[int(np.searchsorted(cd, q, side="left"))]
+            got = t[(t["g"] == g) & (t["q"] == q)]["value"].iloc[0]
+            assert got == want, (g, q)
