@@ -2231,6 +2231,42 @@ ORDER BY q.query, v.term
 """
 
 
+PHRASE_QUERIES = ["hash join", "slow query", "key agg row", "vector zzznope", "the"]
+
+
+def q_search_phrase(sf_dir: str):
+    """PhraseQuery (exact adjacency) — index-pruned candidates +
+    distributed vectorized adjacency verify; per-doc match counts."""
+    from .query import LocalIndex
+    from .search_ops import phrase_docs
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    return phrase_docs(idx, _documents(sf_dir), PHRASE_QUERIES)
+
+
+def _phrase_sql() -> str:
+    arms = []
+    for qid, p in enumerate(PHRASE_QUERIES):
+        terms = tokenize(p)
+        if not terms:
+            continue
+        k = len(terms)
+        conds = " AND ".join(
+            f"ts[i+{j}] = '{t}'" if j else f"ts[i] = '{t}'"
+            for j, t in enumerate(terms)
+        )
+        arms.append(
+            f"SELECT {qid}::BIGINT AS query_id, doc_id, count(*)::BIGINT AS n_matches\n"
+            f"FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - {k} + 2, 1))) AS i FROM toks)\n"
+            f"WHERE {conds} GROUP BY doc_id"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents)\n"
+        f"{body}\nORDER BY query_id, doc_id"
+    )
+
+
 FACET_MUST = ["data table"]
 
 
@@ -2424,6 +2460,7 @@ QUERIES = {
     "search_prefix": q_search_prefix,
     "search_fuzzy": q_search_fuzzy,
     "search_facets": q_search_facets,
+    "search_phrase": q_search_phrase,
     "sample_docs": q_sample_docs,
     "sample_stratified": q_sample_stratified,
     "token_count_quantiles": q_token_count_quantiles,
@@ -2481,6 +2518,7 @@ ORACLE_SQL = {
     "search_prefix": _prefix_sql(),
     "search_fuzzy": _fuzzy_sql(),
     "search_facets": _facets_sql(),
+    "search_phrase": _phrase_sql(),
     "sample_docs": _sample_sql(),
     "sample_stratified": _sample_stratified_sql(),
     "token_count_quantiles": _quantiles_sql(),

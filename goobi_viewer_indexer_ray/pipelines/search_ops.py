@@ -28,6 +28,9 @@ round-trip exactly like the BM25 scorer replaces Lucene ranking:
   ``pc.is_in`` semi-join over the metadata table, then a small
   ``groupby().count()``.  The corpus is never materialized; only the
   matched-id array (bounded by the query's df) leaves the driver.
+- :func:`phrase_docs` — ``PhraseQuery`` (exact adjacency) without a
+  positional index: index-pruned AND candidates + a distributed
+  vectorized adjacency verify over candidate docs only.
 
 Scale notes: boolean/prefix set algebra runs on the serving node per
 shard exactly like BM25 (document-partitioned replicas each intersect
@@ -44,7 +47,8 @@ import pyarrow as pa
 
 from ..functions.tokenize import tokenize
 
-__all__ = ["boolean_docs", "prefix_stats", "fuzzy_terms", "facet_counts"]
+__all__ = ["boolean_docs", "prefix_stats", "fuzzy_terms", "facet_counts",
+           "phrase_docs"]
 
 
 # ------------------------------------------------------------- boolean
@@ -203,6 +207,119 @@ def fuzzy_terms(index, query: str, *, max_edits: int = 1) -> list[tuple[str, int
         out_mask[shorter] = _one_indel_ok(qm, m[shorter], nq)
     sel_idx = np.flatnonzero(keep)[out_mask]
     return sorted((str(terms[i]), int(df[i])) for i in sel_idx)
+
+
+# -------------------------------------------------------------- phrase
+
+def phrase_docs(index, ds, phrases: list[str]):
+    """PhraseQuery (exact adjacency): per phrase, matching docs with
+    occurrence counts — Lucene positional semantics WITHOUT a
+    positional index.
+
+    Two stages (match + verify, the candidate-restricted pattern used
+    by every dedup verify in this repo):
+
+    1. the index prunes: candidates = boolean AND over the phrase's
+       terms (already the *intersection*, so the broadcast set is
+       bounded by the rarest term's df, not the corpus);
+    2. a distributed ``map_batches`` verify re-tokenizes ONLY candidate
+       docs and tests adjacency fully vectorized — factorize the
+       batch's flat token stream once, then one shifted integer
+       compare per phrase position (``codes[i+j] == c_j`` ∧ same doc),
+       count hits per doc with ``bincount``.  No per-token Python.
+
+    Returns an Arrow table ``(query_id, doc_id, n_matches)``,
+    ``n_matches ≥ 1``, sorted.  A doc lives in exactly one batch so
+    per-batch counts are final — no post-aggregation shuffle.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    import unicodedata
+
+    from ..functions.tokenize import TOKEN_RE  # same analyzer as the index
+
+    terms_per: list[list[str]] = [tokenize(p) for p in phrases]
+    cand_union: list[np.ndarray] = []
+    for terms in terms_per:
+        if terms:
+            cand_union.append(boolean_docs(index, must=[" ".join(terms)]))
+    if not cand_union:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64()),
+            }
+        )
+    needed = ray.put(pa.array(np.unique(np.concatenate(cand_union)), pa.int64()))
+    phrases_ref = ray.put(terms_per)
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids_all = ray.get(needed)
+        sub = t.filter(pc.is_in(t.column("doc_id"), value_set=ids_all))
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64()),
+            }
+        )
+        if sub.num_rows == 0:
+            return empty
+        doc_ids = sub.column("doc_id").to_numpy()
+        texts = sub.column("text").to_pylist()
+        findall = TOKEN_RE.findall
+        norm = unicodedata.normalize
+        flat: list[str] = []
+        counts = np.empty(len(texts), np.int64)
+        for i, x in enumerate(texts):
+            toks = findall(norm("NFC", x).lower()) if x else []
+            counts[i] = len(toks)
+            flat.extend(toks)
+        if not flat:
+            return empty
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+        row = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        out_q, out_d, out_n = [], [], []
+        for qid, terms in enumerate(ray.get(phrases_ref)):
+            if not terms:
+                continue
+            tcodes = np.searchsorted(uniq, terms)
+            if (tcodes >= len(uniq)).any() or (uniq[np.minimum(tcodes, len(uniq) - 1)] != terms).any():
+                continue  # a phrase term absent from this batch
+            k = len(terms)
+            n = codes.size - k + 1
+            if n <= 0:
+                continue
+            mask = codes[:n] == tcodes[0]
+            for j in range(1, k):
+                mask &= codes[j : j + n] == tcodes[j]
+            mask &= row[:n] == row[k - 1 : k - 1 + n]  # no doc straddle
+            if not mask.any():
+                continue
+            hit_rows = row[:n][mask]
+            per_doc = np.bincount(hit_rows, minlength=len(texts))
+            nz = np.flatnonzero(per_doc)
+            out_q.append(np.full(nz.size, qid, np.int64))
+            out_d.append(doc_ids[nz])
+            out_n.append(per_doc[nz].astype(np.int64))
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "n_matches": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # --------------------------------------------------------------- facet

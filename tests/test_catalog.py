@@ -118,6 +118,7 @@ def _check(contract, con, name):
         "search_prefix",
         "search_fuzzy",
         "search_facets",
+        "search_phrase",
         "sample_docs",
         "sample_stratified",
         "token_count_quantiles",

@@ -107,6 +107,47 @@ def test_fuzzy_exact_and_one_edit(fake):
     assert so.fuzzy_terms(fake, "zzzzzz") == []
 
 
+def test_phrase_docs_adjacency(ray_session):
+    """Exact adjacency, doc-boundary safety, multi-occurrence counts,
+    single-term phrases, absent terms."""
+    import pyarrow as pa
+    import ray
+
+    corpus = {
+        10: "alpha beta gamma alpha beta",   # "alpha beta" ×2
+        11: "beta alpha",                    # reversed — no match
+        12: "alpha",                         # ends with alpha; next doc starts beta
+        13: "beta alpha beta gamma",         # "alpha beta" ×1, "beta gamma" ×1
+        14: "gamma gamma gamma",             # "gamma gamma" ×2 (overlapping)
+    }
+    postings: dict[str, set[int]] = {}
+    for d, text in corpus.items():
+        for t in text.split():
+            postings.setdefault(t, set()).add(d)
+    idx = _FakeIndex({t: sorted(d) for t, d in postings.items()})
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(corpus), pa.int64()),
+                "text": pa.array(list(corpus.values()), pa.string()),
+            }
+        )
+    )
+    out = so.phrase_docs(
+        idx, ds, ["alpha beta", "beta gamma", "gamma gamma", "alpha", "zzz beta"]
+    ).to_pandas()
+    got = {
+        (int(r.query_id), int(r.doc_id)): int(r.n_matches)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (0, 10): 2, (0, 13): 1,
+        (1, 10): 1, (1, 13): 1,
+        (2, 14): 2,
+        (3, 10): 2, (3, 11): 1, (3, 12): 1, (3, 13): 1,
+    }
+
+
 def test_fuzzy_matches_brute_force_levenshtein():
     rng = random.Random(7)
     alpha = "abcd"
