@@ -2409,6 +2409,45 @@ GROUP BY c.lang, v.q ORDER BY c.lang, v.q
 """
 
 
+SUBWORD_SQL = (
+    "len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}'))"
+    " + len(regexp_extract_all(lower(text), '[^\\sa-z0-9]'))"
+)
+
+
+def q_subword_counts(sf_dir: str):
+    """BPE-ish subword-token budget estimate per doc (see
+    stages/text_ops.subword_count_batch for the deterministic rule)."""
+    return _documents(sf_dir).map_batches(
+        text_ops.subword_count_batch, batch_format="pyarrow"
+    )
+
+
+_SQL_SUBWORD = f"""
+SELECT doc_id, ({SUBWORD_SQL})::BIGINT AS n_subwords FROM documents
+"""
+
+FREQ_SIGMA_BP = 250  # terms with ≥ 2.5% corpus occurrence share
+
+
+def q_frequent_terms(sf_dir: str):
+    """Heavy-hitter terms via local-threshold sketch + exact recount
+    (stages/frequency.py) — exact ≥σ contract despite the sketch."""
+    from ..stages.frequency import frequent_terms
+
+    return frequent_terms(_documents(sf_dir), sigma_bp=FREQ_SIGMA_BP)
+
+
+_SQL_FREQUENT = f"""
+WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS cf
+FROM t
+GROUP BY term
+HAVING count(*) * 10000 >= {FREQ_SIGMA_BP} * (SELECT count(*) FROM t)
+ORDER BY term
+"""
+
+
 # ---------------------------------------------------------------- export
 
 QUERIES = {
@@ -2465,6 +2504,8 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "token_count_quantiles": q_token_count_quantiles,
     "grouped_quantiles": q_grouped_quantiles,
+    "subword_counts": q_subword_counts,
+    "frequent_terms": q_frequent_terms,
 }
 
 ORACLE_SQL = {
@@ -2523,4 +2564,6 @@ ORACLE_SQL = {
     "sample_stratified": _sample_stratified_sql(),
     "token_count_quantiles": _quantiles_sql(),
     "grouped_quantiles": _grouped_quantiles_sql(),
+    "subword_counts": _SQL_SUBWORD,
+    "frequent_terms": _SQL_FREQUENT,
 }

@@ -1,0 +1,115 @@
+"""Frequent-term (heavy-hitter) mining: local-threshold sketch + exact
+recount.
+
+Corpus-curation operator (vocabulary pruning, stopword discovery,
+boilerplate detection) with the classic two-phase shape used by every
+verify path in this repo:
+
+1. **Candidate sketch** (one ``map_batches`` pass): each batch counts
+   its own tokens exactly (``pd.factorize`` + ``bincount`` — the batch
+   is already in memory, so a full local count is cheaper and strictly
+   more accurate than a decrementing Misra-Gries loop; MG with
+   capacity ⌈1/σ⌉ is the constant-memory swap-in if per-batch distinct
+   vocab ever outgrows the worker) and emits only terms with local
+   share ≥ σ.  Pigeonhole over batches: a term with GLOBAL share ≥ σ
+   must have share ≥ σ in at least one batch — summing the negation
+   ``cf_b·B < bp·n_b`` over batches contradicts ``cf·B ≥ bp·N`` — so
+   the candidate union has NO false negatives.  All threshold math is
+   integer (basis points) on both engines; no float boundary risk.
+2. **Exact recount** (second pass + tiny shuffle): candidate vocab is
+   broadcast (``ray.put``); each batch re-counts ONLY candidate terms
+   (vectorized ``np.isin`` over factorized codes) and emits per-batch
+   partials plus one ``_total_`` row carrying the batch token count
+   (``_total_`` cannot collide — the tokenizer's ``[^\\W_]+`` never
+   emits underscores).  A ``groupby(term).sum()`` over this
+   candidates-only relation (≪ the full term shuffle of a naive
+   groupby) finalizes, and the driver filters false positives by the
+   exact global threshold.
+
+Returns exactly the terms with ``cf·10000 ≥ σ_bp·total`` — an
+ANSI-SQL-checkable contract despite the sketch in the middle.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.tokenize import TOKEN_RE
+
+__all__ = ["frequent_terms", "TOTAL_SENTINEL"]
+
+TOTAL_SENTINEL = "_total_"  # unreachable by the underscore-free tokenizer
+
+
+def _batch_token_codes(batch: pa.Table):
+    texts = batch.column("text").to_pylist()
+    findall = TOKEN_RE.findall
+    norm = unicodedata.normalize
+    flat: list[str] = []
+    for t in texts:
+        if t:
+            flat.extend(findall(norm("NFC", t).lower()))
+    if not flat:
+        return None, None
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    return codes, uniq
+
+
+def frequent_terms(ds, *, sigma_bp: int, min_batch_rows: int | None = None):
+    """Terms whose corpus-wide occurrence share is ≥ ``sigma_bp``
+    basis points (1 bp = 0.01%).  Returns a sorted pandas DataFrame
+    ``(term, cf)``; the total used for the threshold is the exact
+    corpus token count."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        codes, uniq = _batch_token_codes(batch)
+        if codes is None:
+            return pa.table({"term": pa.array([], pa.string())})
+        cnt = np.bincount(codes, minlength=len(uniq))
+        keep = cnt.astype(np.int64) * 10_000 >= np.int64(sigma_bp) * codes.size
+        return pa.table({"term": pa.array(uniq[keep], pa.string())})
+
+    _empty = pd.DataFrame({"term": pd.Series([], dtype=object),
+                           "cf": pd.Series([], dtype="int64")})
+    cand = ds.map_batches(candidates, batch_format="pyarrow").to_pandas()
+    if cand.empty:  # all-empty blocks can drop the schema entirely
+        return _empty
+    vocab = np.unique(cand["term"].to_numpy(dtype=object))
+    vocab_sorted = np.sort(vocab)
+    vocab_ref = ray.put(vocab_sorted)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cv = ray.get(vocab_ref)
+        codes, uniq = _batch_token_codes(batch)
+        if codes is None:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+            )
+        total = codes.size
+        hit = np.isin(uniq, cv)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        terms = np.append(uniq[hit], TOTAL_SENTINEL)
+        cfs = np.append(cnt[hit], np.int64(total))
+        return pa.table(
+            {"term": pa.array(terms, pa.string()), "cf": pa.array(cfs, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .to_pandas()
+    )
+    if agg.empty or "term" not in agg.columns:
+        return _empty
+    total = int(agg.loc[agg["term"] == TOTAL_SENTINEL, "cf"].iloc[0])
+    out = agg[agg["term"] != TOTAL_SENTINEL].copy()
+    out["cf"] = out["cf"].astype("int64")
+    out = out[out["cf"] * 10_000 >= sigma_bp * total]
+    return out.sort_values("term").reset_index(drop=True)

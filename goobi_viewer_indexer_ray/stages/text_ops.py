@@ -25,6 +25,7 @@ __all__ = [
     "langid_batch",
     "quality_batch",
     "repetition_batch",
+    "subword_count_batch",
     "token_count_batch",
     "fingerprint_batch",
     "shingles_batch",
@@ -163,6 +164,48 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
     return pa.table(
         {"doc_id": pa.array(ids, pa.int64()), "n_tokens": pa.array(counts, pa.int64())}
+    )
+
+
+_SUBWORD_RE = None  # compiled lazily (import-time regex cost off the cold path)
+
+
+def subword_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish subword-token count estimate per doc.
+
+    LLM budget accounting needs *model-tokenizer-scale* counts, not
+    word counts; real BPE needs a merges table, but the chunking
+    behavior is dominated by the pre-tokenizer split + the ~4
+    chars/token average.  The deterministic rule here:
+
+    - every maximal alnum run contributes ``ceil(len/4)`` subwords
+      (counted as matches of greedy ``[a-z0-9]{1,4}``);
+    - every non-space punctuation char is its own subword.
+
+    Both clauses are plain regexes with identical leftmost-greedy
+    semantics in Python ``re`` and DuckDB RE2 (no lookarounds, which
+    RE2 lacks), so the SQL oracle is exact:
+    ``len(regexp_extract_all(lower(text),'[a-z0-9]{1,4}')) +
+    len(regexp_extract_all(lower(text),'[^ a-z0-9\\s]'))``.
+    """
+    import re
+
+    global _SUBWORD_RE
+    if _SUBWORD_RE is None:
+        _SUBWORD_RE = (re.compile(r"[a-z0-9]{1,4}"), re.compile(r"[^\sa-z0-9]"))
+    chunk_re, punct_re = _SUBWORD_RE
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    norm = unicodedata.normalize
+    out = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        low = norm("NFC", t).lower() if t else ""
+        out[i] = len(chunk_re.findall(low)) + len(punct_re.findall(low))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_subwords": pa.array(out, pa.int64()),
+        }
     )
 
 

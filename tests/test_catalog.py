@@ -123,6 +123,8 @@ def _check(contract, con, name):
         "sample_stratified",
         "token_count_quantiles",
         "grouped_quantiles",
+        "subword_counts",
+        "frequent_terms",
     ],
 )
 def test_vs_duckdb(contract, con, name):

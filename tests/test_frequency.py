@@ -1,0 +1,67 @@
+"""Unit pins for stages/frequency (heavy hitters) and the BPE-ish
+subword counter; oracle parity lives in test_catalog.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from goobi_viewer_indexer_ray.stages import text_ops
+from goobi_viewer_indexer_ray.stages.frequency import frequent_terms
+
+
+def _tbl(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_subword_rule():
+    t = text_ops.subword_count_batch(
+        _tbl(["abcd", "abcde", "a b!  c?", "", "ABCDEFGH-ij"])
+    )
+    # abcd→1 chunk; abcde→2 (abcd|e); "a b!  c?"→3 alnum + 2 punct;
+    # ""→0; ABCDEFGH-ij → 2 chunks + 1 punct + 1 chunk
+    assert t.column("n_subwords").to_pylist() == [1, 2, 5, 0, 4]
+
+
+def test_frequent_terms_exact_threshold(ray_session):
+    import ray
+
+    # skewed corpus: 'hot' ≈ 50%, 'warm' ≈ 10%, tail of rare terms.
+    rng = np.random.default_rng(11)
+    texts = []
+    for i in range(300):
+        toks = (
+            ["hot"] * 10 + ["warm"] * 2 + [f"rare{rng.integers(0, 2000)}" for _ in range(8)]
+        )
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    ds = ray.data.from_arrow(_tbl(texts)).repartition(6)
+    out = frequent_terms(ds, sigma_bp=500)  # ≥5%
+    total = 20 * 300
+    # exact contract: terms with cf*10000 >= 500*total, nothing else
+    assert set(out["term"]) == {"hot", "warm"}
+    assert out.set_index("term")["cf"]["hot"] == 3000
+    assert out.set_index("term")["cf"]["warm"] == 600
+    assert (out["cf"].to_numpy() * 10_000 >= 500 * total).all()
+
+
+def test_frequent_terms_no_hitters(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_tbl(["a b c d e f g h", "i j k l m n o p"]))
+    out = frequent_terms(ds, sigma_bp=9000)  # nothing reaches 90%
+    assert len(out) == 0
+
+
+def test_frequent_terms_empty_corpus(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_tbl(["", ""]))
+    out = frequent_terms(ds, sigma_bp=100)
+    assert len(out) == 0
