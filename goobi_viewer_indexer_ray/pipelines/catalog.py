@@ -2267,6 +2267,37 @@ def _phrase_sql() -> str:
     )
 
 
+KWIC_TERMS = ["vector", "dup", "zzznope"]
+KWIC_WIDTH = 2
+
+
+def q_search_kwic(sf_dir: str):
+    """KWIC snippets (first occurrence ± 2 tokens) — Solr-highlighting
+    analog, index-pruned scan + vectorized first-hit extraction."""
+    from .query import LocalIndex
+    from .search_ops import kwic_snippets
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    return kwic_snippets(_documents(sf_dir), KWIC_TERMS, width=KWIC_WIDTH, index=idx)
+
+
+def _kwic_sql() -> str:
+    w = KWIC_WIDTH
+    arms = []
+    for t in sorted({t for q in KWIC_TERMS for t in tokenize(q)}):
+        arms.append(
+            f"SELECT '{t}' AS term, doc_id, list_position(ts, '{t}')::BIGINT AS pos,\n"
+            f"  array_to_string(ts[greatest(list_position(ts, '{t}') - {w}, 1)"
+            f":list_position(ts, '{t}') + {w}], ' ') AS snippet\n"
+            f"FROM toks WHERE list_position(ts, '{t}') > 0"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents)\n"
+        f"{body}\nORDER BY term, doc_id"
+    )
+
+
 FACET_MUST = ["data table"]
 
 
@@ -2500,6 +2531,7 @@ QUERIES = {
     "search_fuzzy": q_search_fuzzy,
     "search_facets": q_search_facets,
     "search_phrase": q_search_phrase,
+    "search_kwic": q_search_kwic,
     "sample_docs": q_sample_docs,
     "sample_stratified": q_sample_stratified,
     "token_count_quantiles": q_token_count_quantiles,
@@ -2560,6 +2592,7 @@ ORACLE_SQL = {
     "search_fuzzy": _fuzzy_sql(),
     "search_facets": _facets_sql(),
     "search_phrase": _phrase_sql(),
+    "search_kwic": _kwic_sql(),
     "sample_docs": _sample_sql(),
     "sample_stratified": _sample_stratified_sql(),
     "token_count_quantiles": _quantiles_sql(),

@@ -48,7 +48,7 @@ import pyarrow as pa
 from ..functions.tokenize import tokenize
 
 __all__ = ["boolean_docs", "prefix_stats", "fuzzy_terms", "facet_counts",
-           "phrase_docs"]
+           "phrase_docs", "kwic_snippets"]
 
 
 # ------------------------------------------------------------- boolean
@@ -319,6 +319,101 @@ def phrase_docs(index, ds, phrases: list[str]):
 
     out = ds.map_batches(verify, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------- kwic
+
+def kwic_snippets(ds, terms: list[str], *, width: int = 2, index=None):
+    """Keyword-in-context snippets: for each query term, every matching
+    doc's FIRST occurrence with ±``width`` tokens of context — the
+    engine-side analog of the Solr highlighting the viewer requests
+    against the fields this indexer writes.
+
+    One distributed ``map_batches`` pass; within a batch the match
+    scan is vectorized (factorize once, one integer compare per term,
+    ``np.unique(..., return_index=True)`` picks each doc's first hit);
+    only snippet string assembly is per-HIT (output-sized, not
+    corpus-sized).  When ``index`` is given, posting lists prune the
+    scan to matching docs first (``pc.is_in`` semi-join), so rare-term
+    KWIC over a huge corpus touches only the matching blocks' rows.
+
+    Returns ``(term, doc_id, pos, snippet)``; ``pos`` is the 1-based
+    token position (SQL ``list_position`` convention).
+    """
+    import unicodedata
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.tokenize import TOKEN_RE
+
+    qterms = sorted({t for q in terms for t in tokenize(q)})
+    needed_ref = None
+    if index is not None:
+        cand = [boolean_docs(index, should=[t]) for t in qterms]
+        cand = [c for c in cand if c.size]
+        ids = np.unique(np.concatenate(cand)) if cand else np.empty(0, np.int64)
+        needed_ref = ray.put(pa.array(ids, pa.int64()))
+    terms_ref = ray.put(qterms)
+
+    schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("snippet", pa.string()),
+        ]
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        if needed_ref is not None:
+            t = t.filter(pc.is_in(t.column("doc_id"), value_set=ray.get(needed_ref)))
+        if t.num_rows == 0:
+            return schema.empty_table()
+        doc_ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        findall = TOKEN_RE.findall
+        norm = unicodedata.normalize
+        toks_per: list[list[str]] = [
+            findall(norm("NFC", x).lower()) if x else [] for x in texts
+        ]
+        counts = np.fromiter((len(x) for x in toks_per), np.int64, len(toks_per))
+        flat = [tok for toks in toks_per for tok in toks]
+        if not flat:
+            return schema.empty_table()
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+        row = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        out_t, out_d, out_p, out_s = [], [], [], []
+        for q in ray.get(terms_ref):
+            tc = np.searchsorted(uniq, q)
+            if tc >= len(uniq) or uniq[tc] != q:
+                continue
+            hit = np.flatnonzero(codes == tc)
+            if hit.size == 0:
+                continue
+            rows, first = np.unique(row[hit], return_index=True)
+            fpos = hit[first] - starts[rows]  # 0-based pos of first hit per doc
+            for r, p in zip(rows.tolist(), fpos.tolist()):  # per HIT, not per token
+                toks = toks_per[r]
+                out_t.append(q)
+                out_d.append(int(doc_ids[r]))
+                out_p.append(p + 1)
+                out_s.append(" ".join(toks[max(p - width, 0) : p + width + 1]))
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "pos": pa.array(out_p, pa.int64()),
+                "snippet": pa.array(out_s, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["term", "doc_id"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

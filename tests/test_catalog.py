@@ -119,6 +119,7 @@ def _check(contract, con, name):
         "search_fuzzy",
         "search_facets",
         "search_phrase",
+        "search_kwic",
         "sample_docs",
         "sample_stratified",
         "token_count_quantiles",

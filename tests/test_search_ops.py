@@ -148,6 +148,40 @@ def test_phrase_docs_adjacency(ray_session):
     }
 
 
+def test_kwic_snippets_windows(ray_session):
+    import pyarrow as pa
+    import ray
+
+    corpus = {
+        1: "alpha beta gamma delta epsilon",  # mid-window
+        2: "gamma starts here",               # hit at doc start
+        3: "it ends with gamma",              # hit at doc end
+        4: "no match here",
+        5: "gamma early gamma late",          # first occurrence only
+    }
+    postings: dict[str, set[int]] = {}
+    for d, text in corpus.items():
+        for t in text.split():
+            postings.setdefault(t, set()).add(d)
+    idx = _FakeIndex({t: sorted(d) for t, d in postings.items()})
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(corpus), pa.int64()),
+                "text": pa.array(list(corpus.values()), pa.string()),
+            }
+        )
+    )
+    out = so.kwic_snippets(ds, ["gamma"], width=2, index=idx).to_pandas()
+    got = {int(r.doc_id): (int(r.pos), r.snippet) for r in out.itertuples()}
+    assert got == {
+        1: (3, "alpha beta gamma delta epsilon"),
+        2: (1, "gamma starts here"),
+        3: (4, "ends with gamma"),
+        5: (1, "gamma early gamma"),
+    }
+
+
 def test_fuzzy_matches_brute_force_levenshtein():
     rng = random.Random(7)
     alpha = "abcd"
