@@ -484,6 +484,7 @@ def build_text_index(
     num_shards: int = 4,
     bucket_size: int = 1 << 18,
     resume: bool = True,
+    with_positions: bool = False,
 ) -> dict:
     """Index a pre-extracted text table ``(doc_id:int64, text:string)``.
 
@@ -498,14 +499,18 @@ def build_text_index(
     (``total_tokens = Σ segment cf``) plus a metadata-only row count —
     no separate stats scan of the corpus.
     """
-    fp = _job_fp(fingerprint, num_shards=num_shards, bucket=bucket_size)
+    fp_params = {"num_shards": num_shards, "bucket": bucket_size}
+    if with_positions:  # keep default-build fingerprints byte-stable
+        fp_params["positions"] = True
+    fp = _job_fp(fingerprint, **fp_params)
     man_path = os.path.join(out_dir, "index_manifest.json")
     if resume and (m := manifest_valid(man_path, fp)):
         return m
 
     n_docs = ds_docs.count()  # parquet-metadata count: no data scan
     runs = ds_docs.map_batches(
-        TokenizeEncodeRuns(num_shards, bucket_size=bucket_size),
+        TokenizeEncodeRuns(num_shards, bucket_size=bucket_size,
+                           with_positions=with_positions),
         batch_format="pyarrow",
         batch_size=1024,
     )

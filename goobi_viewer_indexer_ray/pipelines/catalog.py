@@ -2267,6 +2267,29 @@ def _phrase_sql() -> str:
     )
 
 
+def ensure_documents_index_pos(sf_dir: str) -> str:
+    """Positional variant of :func:`ensure_documents_index` (Lucene
+    positions payload; separate cache tag so the two layouts never
+    collide)."""
+    from .build import build_text_index
+
+    out, key = _cache_dir(sf_dir, "docidx_pos_v1")
+    os.makedirs(out, exist_ok=True)
+    build_text_index(_documents(sf_dir), out, key, num_shards=4,
+                     with_positions=True)
+    return out
+
+
+def q_search_phrase_positional(sf_dir: str):
+    """PhraseQuery via the positional index — pure posting algebra,
+    no corpus re-scan; same contract (and oracle) as search_phrase."""
+    from .query import LocalIndex
+    from .search_ops import phrase_docs_positional
+
+    idx = LocalIndex(ensure_documents_index_pos(sf_dir))
+    return phrase_docs_positional(idx, PHRASE_QUERIES)
+
+
 KWIC_TERMS = ["vector", "dup", "zzznope"]
 KWIC_WIDTH = 2
 
@@ -2532,6 +2555,7 @@ QUERIES = {
     "search_facets": q_search_facets,
     "search_phrase": q_search_phrase,
     "search_kwic": q_search_kwic,
+    "search_phrase_positional": q_search_phrase_positional,
     "sample_docs": q_sample_docs,
     "sample_stratified": q_sample_stratified,
     "token_count_quantiles": q_token_count_quantiles,
@@ -2593,6 +2617,7 @@ ORACLE_SQL = {
     "search_facets": _facets_sql(),
     "search_phrase": _phrase_sql(),
     "search_kwic": _kwic_sql(),
+    "search_phrase_positional": _phrase_sql(),
     "sample_docs": _sample_sql(),
     "sample_stratified": _sample_stratified_sql(),
     "token_count_quantiles": _quantiles_sql(),

@@ -84,6 +84,8 @@ class _Shard:
         self.b_docs = sv.field("docs")
         self.b_tfs = sv.field("tfs")
         self.b_dls = sv.field("dls")
+        field_names = [f.name for f in sv.type]
+        self.b_poss = sv.field("poss") if "poss" in field_names else None
         terms_np = np.asarray(t.column("term").to_pylist(), dtype=object)
         if terms_np.size:
             new_term = np.ones(terms_np.size, dtype=bool)
@@ -158,6 +160,25 @@ class TermRef:
         out = self._decode_idx(range(self._s, self._e))
         cache.put(key, out, out[0].size)
         return out
+
+    def positions_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """All postings with their within-doc token positions:
+        ``(docs, tfs, pos_flat, occ_offsets)`` — posting i's positions
+        are ``pos_flat[occ_offsets[i]:occ_offsets[i]+tfs[i]]``,
+        ascending.  Requires a ``with_positions=True`` build."""
+        sh = self.shard
+        if sh.b_poss is None:
+            raise ValueError("index was built without positions "
+                             "(build_text_index(with_positions=True))")
+        docs, tfs, _dls = self.decode_all()
+        gaps = decode_varints(
+            b"".join(sh.b_poss[i].as_py() for i in range(self._s, self._e))
+        ).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+        cs = np.cumsum(gaps)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        pos = cs - np.repeat(base, tfs)
+        return docs, tfs, pos, starts
 
     def impacts(self, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, float64 impact array) — impact is query-independent

@@ -48,7 +48,7 @@ import pyarrow as pa
 from ..functions.tokenize import tokenize
 
 __all__ = ["boolean_docs", "prefix_stats", "fuzzy_terms", "facet_counts",
-           "phrase_docs", "kwic_snippets"]
+           "phrase_docs", "phrase_docs_positional", "kwic_snippets"]
 
 
 # ------------------------------------------------------------- boolean
@@ -320,6 +320,65 @@ def phrase_docs(index, ds, phrases: list[str]):
     out = ds.map_batches(verify, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def phrase_docs_positional(index, phrases: list[str]):
+    """PhraseQuery over a POSITIONAL index — no text re-scan.
+
+    The scale path of :func:`phrase_docs`: with positions stored in
+    the index (``build_text_index(with_positions=True)``, Lucene-style
+    positions payload), phrase matching is pure posting-list algebra —
+    for phrase term j, build composite keys ``doc·2³² + (pos − j)``
+    and chain ``np.intersect1d``; surviving keys ARE the phrase
+    occurrences (doc = key >> 32, count per doc = matches).  Runs on
+    the serving node per shard exactly like BM25 scoring; never
+    touches the corpus text.
+
+    Returns ``(query_id, doc_id, n_matches)`` (Arrow), identical to
+    :func:`phrase_docs` output (pinned in tests).
+    """
+    SHIFT = np.uint64(32)
+    out_q, out_d, out_n = [], [], []
+    for qid, phrase in enumerate(phrases):
+        terms = tokenize(phrase)
+        if not terms:
+            continue
+        keys: np.ndarray | None = None
+        for j, t in enumerate(terms):
+            ref = index.lookup(t)
+            if ref is None:
+                keys = np.empty(0, np.uint64)
+                break
+            docs, tfs, pos, offs = ref.positions_all()
+            occ_doc = np.repeat(docs.astype(np.uint64), tfs)
+            adj = pos - j
+            ok = adj >= 0  # a phrase occurrence has term j at position ≥ j
+            k = (occ_doc[ok] << SHIFT) | adj[ok].astype(np.uint64)
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if keys.size == 0:
+                break
+        if keys is None or keys.size == 0:
+            continue
+        hit_docs = (keys >> SHIFT).astype(np.int64)
+        uniq, cnt = np.unique(hit_docs, return_counts=True)
+        out_q.append(np.full(uniq.size, qid, np.int64))
+        out_d.append(uniq)
+        out_n.append(cnt.astype(np.int64))
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "n_matches": pa.array(np.concatenate(out_n), pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------- kwic

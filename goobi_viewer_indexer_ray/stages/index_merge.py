@@ -75,6 +75,14 @@ TERMS_SCHEMA = pa.schema(
     ]
 )
 
+# Positional variant (Lucene-style positions payload): one extra binary
+# per block — the block's postings' within-doc token positions,
+# per-posting delta-encoded (first absolute, then gaps; the posting's
+# tf says how many values belong to it).  A build opts in via
+# ``TokenizeEncodeRuns(with_positions=True)``; the default layout and
+# its byte-identity contract are untouched.
+BLOCK_STRUCT_POS = pa.struct(list(BLOCK_STRUCT) + [pa.field("poss", pa.binary())])
+
 
 def segment_dir(index_dir: str, shard: int, bucket: int) -> str:
     return os.path.join(index_dir, f"shard={shard:05d}", f"seg={bucket:05d}")
@@ -153,6 +161,7 @@ class SegmentWriter:
 
         if group.num_rows == 0:
             return self._row(shard, bucket, fp, 0, 0, 0, 0, 0.0, False)
+        with_pos = "poss" in group.column_names
         g = group.sort_by([("term", "ascending"), ("first_doc", "ascending")])
         run_df = g.column("df").to_numpy()
         run_tf_sum = g.column("cf").to_numpy()
@@ -179,6 +188,16 @@ class SegmentWriter:
 
         # canonical per-term doc order (robust to any map-side batching)
         order = np.lexsort((doc_abs, post_term_idx))
+        pos_sorted = None
+        if with_pos:
+            from ..stages.postings import _gather_segments
+
+            pos_gaps = decode_varints(_concat_bytes(g.column("poss"))).astype(np.int64)
+            occ_starts_pre = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+            cs_p = np.cumsum(pos_gaps)
+            base_p = np.where(occ_starts_pre > 0, cs_p[occ_starts_pre - 1], 0)
+            abs_pos = cs_p - np.repeat(base_p, tfs)
+            pos_sorted = abs_pos[_gather_segments(occ_starts_pre, tfs[order], order)]
         doc_abs, tfs, dls, post_term_idx = (
             doc_abs[order], tfs[order], dls[order], post_term_idx[order]
         )
@@ -205,19 +224,32 @@ class SegmentWriter:
         b_max_tf = np.maximum.reduceat(tfs, block_starts).astype(np.int32)
         b_min_dl = np.minimum.reduceat(dls, block_starts).astype(np.int32)
 
-        struct = pa.StructArray.from_arrays(
-            [
-                pa.array((block_ends - block_starts).astype(np.int32), pa.int32()),
-                pa.array(doc_abs[block_starts], pa.int64()),
-                pa.array(doc_abs[block_ends - 1], pa.int64()),
-                pa.array(b_max_tf, pa.int32()),
-                pa.array(b_min_dl, pa.int32()),
-                pa.array(docs_b, pa.binary()),
-                pa.array(tfs_b, pa.binary()),
-                pa.array(dls_b, pa.binary()),
-            ],
-            fields=list(BLOCK_STRUCT),
-        )
+        arrays = [
+            pa.array((block_ends - block_starts).astype(np.int32), pa.int32()),
+            pa.array(doc_abs[block_starts], pa.int64()),
+            pa.array(doc_abs[block_ends - 1], pa.int64()),
+            pa.array(b_max_tf, pa.int32()),
+            pa.array(b_min_dl, pa.int32()),
+            pa.array(docs_b, pa.binary()),
+            pa.array(tfs_b, pa.binary()),
+            pa.array(dls_b, pa.binary()),
+        ]
+        fields = list(BLOCK_STRUCT)
+        if with_pos:
+            # per-posting delta re-encode in canonical order, one blob
+            # per BLOCK (concatenation of its postings' varint runs)
+            occ_f = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+            out_pg = np.empty(pos_sorted.shape, dtype=np.uint64)
+            np.subtract(pos_sorted[1:], pos_sorted[:-1], out=out_pg[1:], casting="unsafe")
+            out_pg[occ_f] = pos_sorted[occ_f].astype(np.uint64)
+            post_blobs = encode_varints_segmented(out_pg, occ_f)
+            poss_b = [
+                b"".join(post_blobs[s:e])
+                for s, e in zip(block_starts.tolist(), block_ends.tolist())
+            ]
+            arrays.append(pa.array(poss_b, pa.binary()))
+            fields = list(BLOCK_STRUCT_POS)
+        struct = pa.StructArray.from_arrays(arrays, fields=fields)
         offsets = np.concatenate([[0], np.cumsum(blocks_per_term)]).astype(np.int32)
         blocks_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
 

@@ -33,7 +33,8 @@ from ..functions.codec import encode_varints_segmented
 from ..functions.hashing import hash64_array
 from ..functions.tokenize import TOKEN_RE
 
-__all__ = ["TokenizePostings", "TokenizeEncodeRuns", "POSTINGS_SCHEMA", "RUNS_SCHEMA"]
+__all__ = ["TokenizePostings", "TokenizeEncodeRuns", "POSTINGS_SCHEMA",
+           "RUNS_SCHEMA", "RUNS_POS_SCHEMA"]
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -57,6 +58,75 @@ RUNS_SCHEMA = pa.schema(
         ("dls", pa.binary()),
     ]
 )
+
+
+RUNS_POS_SCHEMA = RUNS_SCHEMA.append(pa.field("poss", pa.binary()))
+
+
+def _gather_segments(seg_starts: np.ndarray, sizes_in_order: np.ndarray,
+                     order: np.ndarray) -> np.ndarray:
+    """Take-indices that gather variable-length segments in ``order``.
+
+    ``seg_starts[i]`` is segment i's start in the flat source array;
+    ``sizes_in_order[k] = len(segment order[k])``.  Fully vectorized
+    (repeat + cumsum), no per-segment Python.
+    """
+    total = int(sizes_in_order.sum())
+    out_starts = np.concatenate([[0], np.cumsum(sizes_in_order)[:-1]]).astype(np.int64)
+    return (
+        np.repeat(seg_starts[order], sizes_in_order)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, sizes_in_order)
+    )
+
+
+def _count_batch_pos(batch: pa.Table):
+    """Like :func:`_count_batch` but also returns each posting's token
+    positions (0-based within the doc), flat + aligned with the final
+    (term_code, doc_id) posting order."""
+    doc_ids = batch.column("doc_id").to_numpy()
+    doc_lens = (
+        batch.column("doc_len").to_numpy() if "doc_len" in batch.column_names else None
+    )
+    texts = batch.column("text").to_pylist()
+    findall = TOKEN_RE.findall
+    norm = unicodedata.normalize
+    all_tokens: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = findall(norm("NFC", t).lower()) if t else []
+        counts[i] = len(toks)
+        all_tokens.extend(toks)
+    if not all_tokens:
+        return None
+    if doc_lens is None:
+        doc_lens = counts
+
+    codes, uniques = pd.factorize(np.asarray(all_tokens, dtype=object), sort=True)
+    total = codes.size
+    row_of_token = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    tok_starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    tok_pos = np.arange(total, dtype=np.int64) - np.repeat(tok_starts, counts)
+
+    key = codes.astype(np.int64) * np.int64(len(texts)) + row_of_token
+    occ_order = np.argsort(key, kind="stable")  # stable → pos ascending in-group
+    uniq_key, tf = np.unique(key, return_counts=True)
+    u_code = uniq_key // len(texts)
+    u_row = uniq_key % len(texts)
+    doc = doc_ids[u_row]
+    order = np.lexsort((doc, u_code))
+
+    occ_starts = np.concatenate([[0], np.cumsum(tf)[:-1]]).astype(np.int64)
+    take = _gather_segments(occ_starts, tf[order], order)
+    pos_final = tok_pos[occ_order][take]
+    return (
+        uniques,
+        u_code[order],
+        doc[order],
+        tf[order].astype(np.int64),
+        doc_lens[u_row][order].astype(np.int64),
+        pos_final,
+    )
 
 
 def _count_batch(batch: pa.Table):
@@ -139,15 +209,24 @@ class TokenizeEncodeRuns:
     text-table adapter, whose doc ids are dense, does.
     """
 
-    def __init__(self, num_shards: int, bucket_size: int | None = None):
+    def __init__(self, num_shards: int, bucket_size: int | None = None,
+                 with_positions: bool = False):
         self.num_shards = num_shards
         self.bucket_size = bucket_size
+        self.with_positions = with_positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        res = _count_batch(batch)
-        if res is None:
-            return RUNS_SCHEMA.empty_table()
-        uniques, codes, doc, tf, dl = res
+        if self.with_positions:
+            res = _count_batch_pos(batch)
+            if res is None:
+                return RUNS_POS_SCHEMA.empty_table()
+            uniques, codes, doc, tf, dl, pos_flat = res
+        else:
+            res = _count_batch(batch)
+            if res is None:
+                return RUNS_SCHEMA.empty_table()
+            uniques, codes, doc, tf, dl = res
+            pos_flat = None
 
         # run boundaries: one run per distinct term code (codes sorted);
         # with bucket_size also break where the doc-range bucket changes
@@ -172,15 +251,25 @@ class TokenizeEncodeRuns:
         run_terms = uniques[codes[starts]]
         shard = (hash64_array(run_terms) % np.uint64(self.num_shards)).astype(np.int32)
         cf = np.add.reduceat(tf, starts)
-        return pa.table(
-            {
-                "term": pa.array(run_terms, pa.string()),
-                "shard": pa.array(shard),
-                "first_doc": pa.array(doc[starts], pa.int64()),
-                "df": pa.array(lengths, pa.int64()),
-                "cf": pa.array(cf, pa.int64()),
-                "docs": pa.array(docs_b, pa.binary()),
-                "tfs": pa.array(tfs_b, pa.binary()),
-                "dls": pa.array(dls_b, pa.binary()),
-            }
-        )
+        cols = {
+            "term": pa.array(run_terms, pa.string()),
+            "shard": pa.array(shard),
+            "first_doc": pa.array(doc[starts], pa.int64()),
+            "df": pa.array(lengths, pa.int64()),
+            "cf": pa.array(cf, pa.int64()),
+            "docs": pa.array(docs_b, pa.binary()),
+            "tfs": pa.array(tfs_b, pa.binary()),
+            "dls": pa.array(dls_b, pa.binary()),
+        }
+        if pos_flat is not None:
+            # per-posting delta (first absolute, then gaps); one blob
+            # per run = segments at the runs' occurrence offsets
+            occ_post_starts = np.concatenate([[0], np.cumsum(tf)[:-1]]).astype(np.int64)
+            pos_gaps = np.empty(pos_flat.shape, dtype=np.uint64)
+            np.subtract(pos_flat[1:], pos_flat[:-1], out=pos_gaps[1:], casting="unsafe")
+            pos_gaps[occ_post_starts] = pos_flat[occ_post_starts].astype(np.uint64)
+            run_occ_starts = occ_post_starts[starts]
+            cols["poss"] = pa.array(
+                encode_varints_segmented(pos_gaps, run_occ_starts), pa.binary()
+            )
+        return pa.table(cols)

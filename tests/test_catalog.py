@@ -120,6 +120,7 @@ def _check(contract, con, name):
         "search_facets",
         "search_phrase",
         "search_kwic",
+        "search_phrase_positional",
         "sample_docs",
         "sample_stratified",
         "token_count_quantiles",

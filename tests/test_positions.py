@@ -1,0 +1,94 @@
+"""Positional index: positions payload round-trip + positional phrase
+algebra vs the scan-verify path and vs raw tokenization."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from goobi_viewer_indexer_ray.functions.tokenize import tokenize
+
+
+TEXTS = {
+    100: "alpha beta gamma alpha beta",
+    101: "beta alpha",
+    102: "gamma gamma gamma beta",
+    103: "alpha beta alpha beta alpha beta",
+    104: "solo",
+}
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tmp_path_factory):
+    import ray
+
+    from goobi_viewer_indexer_ray.pipelines.build import build_text_index
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(TEXTS), pa.int64()),
+                "text": pa.array(list(TEXTS.values()), pa.string()),
+            }
+        )
+    ).repartition(3)  # multiple runs per term exercise the merge path
+    out = str(tmp_path_factory.mktemp("posidx") / "out")
+    build_text_index(ds, out, "fp-pos-test", num_shards=2, bucket_size=4,
+                     with_positions=True)
+    return LocalIndex(out)
+
+
+def test_positions_roundtrip(pos_index):
+    """positions_all() must reproduce tokenize() exactly, per doc."""
+    want: dict[str, dict[int, list[int]]] = {}
+    for d, text in TEXTS.items():
+        for p, t in enumerate(tokenize(text)):
+            want.setdefault(t, {}).setdefault(d, []).append(p)
+    for term, by_doc in want.items():
+        ref = pos_index.lookup(term)
+        assert ref is not None, term
+        docs, tfs, pos, offs = ref.positions_all()
+        got = {
+            int(docs[i]): pos[offs[i] : offs[i] + tfs[i]].tolist()
+            for i in range(docs.size)
+        }
+        assert got == by_doc, term
+
+
+def test_phrase_positional_matches_scan(ray_session, pos_index):
+    import ray
+
+    from goobi_viewer_indexer_ray.pipelines import search_ops as so
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(TEXTS), pa.int64()),
+                "text": pa.array(list(TEXTS.values()), pa.string()),
+            }
+        )
+    )
+    phrases = ["alpha beta", "beta alpha", "gamma gamma", "alpha beta alpha",
+               "solo", "alpha zzz"]
+    a = so.phrase_docs_positional(pos_index, phrases).to_pandas()
+    b = so.phrase_docs(pos_index, ds, phrases).to_pandas()
+    assert a.equals(b)
+    got = {(int(r.query_id), int(r.doc_id)): int(r.n_matches) for r in a.itertuples()}
+    assert got == {
+        (0, 100): 2, (0, 103): 3,
+        (1, 101): 1, (1, 103): 2,
+        (2, 102): 2,
+        (3, 103): 2,
+        (4, 104): 1,
+    }
+
+
+def test_positions_absent_raises(tiny_build):
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
+
+    idx = LocalIndex(tiny_build)  # default build: no positions payload
+    ref = next(iter(idx._lookup.values()))
+    with pytest.raises(ValueError, match="without positions"):
+        ref.positions_all()
