@@ -175,6 +175,15 @@ def run_bench() -> dict:
         "fetch_docs",
         "dedup_keep_canonical",
         "ann_ivf_assign",
+        "search_boolean",
+        "search_fuzzy",
+        "search_phrase",
+        "search_phrase_positional",
+        "search_kwic",
+        "sample_stratified",
+        "token_count_quantiles",
+        "frequent_terms",
+        "subword_counts",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)
