@@ -2290,6 +2290,40 @@ def q_search_phrase_positional(sf_dir: str):
     return phrase_docs_positional(idx, PHRASE_QUERIES)
 
 
+PROXIMITY_QUERIES = [("hash", "join", 2), ("order", "customer", 3),
+                     ("vector", "zzznope", 2)]
+
+
+def q_search_proximity(sf_dir: str):
+    """Ordered-proximity (SpanNear) matching over the positional
+    index: b after a within w tokens, exact pair counts."""
+    from .query import LocalIndex
+    from .search_ops import proximity_docs
+
+    idx = LocalIndex(ensure_documents_index_pos(sf_dir))
+    return proximity_docs(idx, PROXIMITY_QUERIES)
+
+
+def _proximity_sql() -> str:
+    arms = []
+    for qid, (a, b, w) in enumerate(PROXIMITY_QUERIES):
+        ta, tb = tokenize(a)[0], tokenize(b)[0]
+        arms.append(
+            f"SELECT {qid}::BIGINT AS query_id, pa.doc_id, count(*)::BIGINT AS n_matches\n"
+            f"FROM (SELECT doc_id, i FROM occ WHERE t = '{ta}') pa\n"
+            f"JOIN (SELECT doc_id, i FROM occ WHERE t = '{tb}') pb\n"
+            f"  ON pb.doc_id = pa.doc_id AND pb.i > pa.i AND pb.i <= pa.i + {w}\n"
+            f"GROUP BY pa.doc_id"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),\n"
+        f"pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks),\n"
+        f"occ AS (SELECT doc_id, ts[i] AS t, i FROM pos)\n"
+        f"{body}\nORDER BY query_id, doc_id"
+    )
+
+
 KWIC_TERMS = ["vector", "dup", "zzznope"]
 KWIC_WIDTH = 2
 
@@ -2556,6 +2590,7 @@ QUERIES = {
     "search_phrase": q_search_phrase,
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
+    "search_proximity": q_search_proximity,
     "sample_docs": q_sample_docs,
     "sample_stratified": q_sample_stratified,
     "token_count_quantiles": q_token_count_quantiles,
@@ -2618,6 +2653,7 @@ ORACLE_SQL = {
     "search_phrase": _phrase_sql(),
     "search_kwic": _kwic_sql(),
     "search_phrase_positional": _phrase_sql(),
+    "search_proximity": _proximity_sql(),
     "sample_docs": _sample_sql(),
     "sample_stratified": _sample_stratified_sql(),
     "token_count_quantiles": _quantiles_sql(),

@@ -48,7 +48,8 @@ import pyarrow as pa
 from ..functions.tokenize import tokenize
 
 __all__ = ["boolean_docs", "prefix_stats", "fuzzy_terms", "facet_counts",
-           "phrase_docs", "phrase_docs_positional", "kwic_snippets"]
+           "phrase_docs", "phrase_docs_positional", "proximity_docs",
+           "kwic_snippets"]
 
 
 # ------------------------------------------------------------- boolean
@@ -361,6 +362,61 @@ def phrase_docs_positional(index, phrases: list[str]):
             continue
         hit_docs = (keys >> SHIFT).astype(np.int64)
         uniq, cnt = np.unique(hit_docs, return_counts=True)
+        out_q.append(np.full(uniq.size, qid, np.int64))
+        out_d.append(uniq)
+        out_n.append(cnt.astype(np.int64))
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "n_matches": pa.array(np.concatenate(out_n), pa.int64()),
+        }
+    )
+
+
+def proximity_docs(index, pairs: list[tuple[str, str, int]]):
+    """Ordered proximity (Lucene ``SpanNearQuery(inOrder=true)``
+    analog): for each ``(a, b, window)``, docs where ``b`` occurs
+    AFTER ``a`` within ``window`` tokens, with the exact count of
+    (occurrence-of-a, occurrence-of-b) pairs.
+
+    Positional-index algebra only: with composite keys
+    ``doc·2³² + pos``, the matches at gap d are
+    ``intersect1d(keys_a + d, keys_b)`` — ``window`` intersections of
+    sorted unique arrays, no corpus access.  Window is expected to be
+    a small constant (Lucene slop are single digits), so the loop is
+    O(window · postings).
+
+    Returns ``(query_id, doc_id, n_matches)``, sorted.
+    """
+    SHIFT = np.uint64(32)
+    out_q, out_d, out_n = [], [], []
+    for qid, (a, b, window) in enumerate(pairs):
+        ta, tb = (tokenize(a) or [""])[0], (tokenize(b) or [""])[0]
+        ra, rb = index.lookup(ta), index.lookup(tb)
+        if ra is None or rb is None or window < 1:
+            continue
+        docs_a, tfs_a, pos_a, _ = ra.positions_all()
+        docs_b, tfs_b, pos_b, _ = rb.positions_all()
+        keys_a = (np.repeat(docs_a.astype(np.uint64), tfs_a) << SHIFT) | pos_a.astype(np.uint64)
+        keys_b = (np.repeat(docs_b.astype(np.uint64), tfs_b) << SHIFT) | pos_b.astype(np.uint64)
+        hit_docs = []
+        for d in range(1, window + 1):
+            m = np.intersect1d(keys_a + np.uint64(d), keys_b, assume_unique=True)
+            if m.size:
+                hit_docs.append((m >> SHIFT).astype(np.int64))
+        if not hit_docs:
+            continue
+        alld = np.concatenate(hit_docs)
+        uniq, cnt = np.unique(alld, return_counts=True)
         out_q.append(np.full(uniq.size, qid, np.int64))
         out_d.append(uniq)
         out_n.append(cnt.astype(np.int64))

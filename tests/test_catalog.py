@@ -121,6 +121,7 @@ def _check(contract, con, name):
         "search_phrase",
         "search_kwic",
         "search_phrase_positional",
+        "search_proximity",
         "sample_docs",
         "sample_stratified",
         "token_count_quantiles",

@@ -85,6 +85,32 @@ def test_phrase_positional_matches_scan(ray_session, pos_index):
     }
 
 
+def test_proximity_pairs(pos_index):
+    from goobi_viewer_indexer_ray.pipelines import search_ops as so
+
+    out = so.proximity_docs(
+        pos_index,
+        [
+            ("alpha", "beta", 1),   # ≡ adjacency
+            ("alpha", "gamma", 2),  # gap-2 allowed
+            ("beta", "alpha", 2),   # reversed direction
+            ("alpha", "beta", 0),   # degenerate window → no rows
+        ],
+    ).to_pandas()
+    got = {(int(r.query_id), int(r.doc_id)): int(r.n_matches) for r in out.itertuples()}
+    # TEXTS: 100 "alpha beta gamma alpha beta": a@[0,3] b@[1,4] g@[2]
+    #   (a,b,1): (0,1),(3,4) → 2 ; (a,g,2): (0,2) → 1
+    #   (b,a,2): (1,3) → 1
+    # 101 "beta alpha": (b,a,2): (0,1) → 1
+    # 103 "alpha beta alpha beta alpha beta": a@[0,2,4] b@[1,3,5]
+    #   (a,b,1): 3 ; (b,a,2): (1,2),(3,4) → 2
+    assert got == {
+        (0, 100): 2, (0, 103): 3,
+        (1, 100): 1,
+        (2, 100): 1, (2, 101): 1, (2, 103): 2,
+    }
+
+
 def test_positions_absent_raises(tiny_build):
     from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
 
