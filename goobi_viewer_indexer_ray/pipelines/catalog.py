@@ -2536,6 +2536,65 @@ ORDER BY term
 """
 
 
+# ------------------------------------------------------ curation pipeline
+
+def q_curate(sf_dir: str):
+    """Composed curation pipeline (quality → lang → dedup → sample) —
+    see pipelines/curate.py; five distributed stages, ONE oracle."""
+    from .curate import CURATE_DEFAULTS, curate
+
+    return curate(_documents(sf_dir), **CURATE_DEFAULTS).sort("doc_id")
+
+
+def _curate_sql() -> str:
+    from ..stages.sampling import sample_threshold
+    from .curate import CURATE_DEFAULTS as C
+
+    lists = {
+        lang: ", ".join(f"'{w}'" for w in sorted(ws))
+        for lang, ws in text_ops.STOPWORDS.items()
+    }
+    langs_in = ", ".join(f"'{x}'" for x in sorted(C["langs"]))
+    thr = sample_threshold(C["sample_fraction"])
+    return f"""
+WITH hits AS (
+  SELECT doc_id, text, {_TOKS} AS ts,
+         len(list_filter({_TOKS}, x -> x IN ({lists['en']})))::BIGINT AS en_hits,
+         len(list_filter({_TOKS}, x -> x IN ({lists['de']})))::BIGINT AS de_hits,
+         len(list_filter({_TOKS}, x -> x IN ({lists['fr']})))::BIGINT AS fr_hits
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+              WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+              WHEN fr_hits > 0 THEN 'fr'
+              ELSE 'und' END AS lang_pred,
+         len(ts)::BIGINT AS n_tokens,
+         len(list_distinct(ts))::BIGINT AS n_distinct,
+         length(text)::BIGINT AS n_chars_c,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::BIGINT AS punct_hits,
+         md5(text) AS text_md5
+  FROM hits
+),
+kept AS (
+  SELECT * FROM sig
+  WHERE n_tokens BETWEEN {C['min_tokens']} AND {C['max_tokens']}
+    AND n_distinct * 1000 >= {C['distinct_x1000']} * n_tokens
+    AND punct_hits * 1000 <= {C['punct_x1000']} * n_chars_c
+    AND lang_pred IN ({langs_in})
+),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT doc_id, lang_pred, n_tokens FROM dd
+WHERE rn = 1
+  AND substr(md5(doc_id::VARCHAR || ':{C['salt']}'), 1, 8) < '{thr}'
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- export
 
 QUERIES = {
@@ -2597,6 +2656,7 @@ QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "subword_counts": q_subword_counts,
     "frequent_terms": q_frequent_terms,
+    "curation_pipeline": q_curate,
 }
 
 ORACLE_SQL = {
@@ -2660,4 +2720,5 @@ ORACLE_SQL = {
     "grouped_quantiles": _grouped_quantiles_sql(),
     "subword_counts": _SQL_SUBWORD,
     "frequent_terms": _SQL_FREQUENT,
+    "curation_pipeline": _curate_sql(),
 }

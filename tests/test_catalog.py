@@ -128,6 +128,7 @@ def _check(contract, con, name):
         "grouped_quantiles",
         "subword_counts",
         "frequent_terms",
+        "curation_pipeline",
     ],
 )
 def test_vs_duckdb(contract, con, name):
