@@ -49,7 +49,8 @@ from ..functions.tokenize import tokenize
 
 __all__ = ["boolean_docs", "prefix_stats", "fuzzy_terms", "facet_counts",
            "phrase_docs", "phrase_docs_positional", "proximity_docs",
-           "kwic_snippets"]
+           "kwic_snippets", "parse_structured", "StructuredSearchEngine",
+           "structured_search"]
 
 
 # ------------------------------------------------------------- boolean
@@ -530,6 +531,144 @@ def kwic_snippets(ds, terms: list[str], *, width: int = 2, index=None):
     out = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["term", "doc_id"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ----------------------------------------------------- serving (actors)
+
+def parse_structured(kind: str, query: str):
+    """Mini Solr-ish query syntax → clause dict.
+
+    - ``boolean``: bare terms are MUST, ``-term`` is MUST_NOT,
+      ``|term`` is SHOULD (``SolrSearchIndex.search`` query strings,
+      SolrSearchIndex.java:189-205, are this shape after field
+      stripping).
+    - ``phrase``: the string is the phrase.
+    - ``near``: ``"a b ~3"`` — b after a within 3 tokens (``~w``
+      defaults to 1 when absent).
+    - ``bm25``: free text (scored path, handled by SearchEngine).
+    """
+    if kind == "boolean":
+        must, should, must_not = [], [], []
+        for w in query.split():
+            if w.startswith("-"):
+                must_not.append(w[1:])
+            elif w.startswith("|"):
+                should.append(w[1:])
+            else:
+                must.append(w)
+        return {"must": must, "should": should, "must_not": must_not}
+    if kind == "near":
+        parts = query.split()
+        window = 1
+        if parts and parts[-1].startswith("~"):
+            window = max(1, int(parts[-1][1:] or 1))
+            parts = parts[:-1]
+        if len(parts) != 2:
+            raise ValueError(f"near query needs exactly 2 terms: {query!r}")
+        return {"a": parts[0], "b": parts[1], "window": window}
+    if kind in ("phrase", "bm25"):
+        return {"q": query}
+    raise ValueError(f"unknown query kind: {kind!r}")
+
+
+class StructuredSearchEngine:
+    """Actor-pool stage serving MIXED query batches — bm25 (scored),
+    boolean, phrase, near — over one per-actor index load.
+
+    The structured analog of :class:`~.query.SearchEngine` (same
+    deployment story: document-partitioned replicas at scale, driver
+    concatenates disjoint doc ranges).  Batch in: ``(query_id, kind,
+    query, k)``; batch out: ``(query_id, rank, doc_id, score)`` where
+    unscored kinds carry ``n_matches`` (boolean: 1.0) as the score and
+    rank by (score desc, doc_id asc), top-k.
+
+    Phrase/near need a positional index; a position-less index raises
+    at query time with a clear message (fail loud, not wrong).
+    """
+
+    def __init__(self, out_dir: str | None = None, *, index=None):
+        from .query import LocalIndex
+
+        self.index = index if index is not None else LocalIndex(out_dir)
+
+    def _one(self, kind: str, query: str, k: int):
+        from .query import topk_exact
+
+        if kind == "bm25":
+            d, s = topk_exact(self.index, query, k)
+            return d, s
+        if kind == "boolean":
+            c = parse_structured(kind, query)
+            docs = boolean_docs(self.index, must=c["must"] or None,
+                                should=c["should"] or None,
+                                must_not=c["must_not"] or None)
+            return docs[:k], np.ones(min(docs.size, k), np.float64)
+        if kind == "phrase":
+            t = phrase_docs_positional(self.index, [query])
+            docs = t.column("doc_id").to_numpy()
+            n = t.column("n_matches").to_numpy().astype(np.float64)
+        elif kind == "near":
+            c = parse_structured(kind, query)
+            t = proximity_docs(self.index, [(c["a"], c["b"], c["window"])])
+            docs = t.column("doc_id").to_numpy()
+            n = t.column("n_matches").to_numpy().astype(np.float64)
+        else:
+            raise ValueError(f"unknown query kind: {kind!r}")
+        order = np.lexsort((docs, -n))[:k]
+        return docs[order], n[order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        qs = batch.column("query").to_pylist()
+        ks = (
+            batch.column("k").to_pylist()
+            if "k" in batch.column_names
+            else [10] * len(qids)
+        )
+        qp, rp, dp, sp = [], [], [], []
+        for qid, kind, q, k in zip(qids, kinds, qs, ks):
+            d, s = self._one(kind, q, int(k))
+            qp.append(np.full(d.size, qid, np.int64))
+            rp.append(np.arange(1, d.size + 1, dtype=np.int32))
+            dp.append(d.astype(np.int64, copy=False))
+            sp.append(s)
+        cat = lambda ps, dt: np.concatenate(ps) if ps else np.empty(0, dt)  # noqa: E731
+        return pa.table(
+            {
+                "query_id": pa.array(cat(qp, np.int64)),
+                "rank": pa.array(cat(rp, np.int32)),
+                "doc_id": pa.array(cat(dp, np.int64)),
+                "score": pa.array(cat(sp, np.float64)),
+            }
+        )
+
+
+def structured_search(out_dir: str, queries: list[dict], *, concurrency: int = 2):
+    """Mixed-kind query batch → results Dataset via an actor pool
+    (each actor loads the index once in ``__init__``)."""
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([int(q["query_id"]) for q in queries], pa.int64()),
+                "kind": pa.array([q.get("kind", "bm25") for q in queries], pa.string()),
+                "query": pa.array([q["query"] for q in queries], pa.string()),
+                "k": pa.array([int(q.get("k", 10)) for q in queries], pa.int32()),
+            }
+        )
+    )
+    if ds.num_blocks() < concurrency:
+        ds = ds.repartition(concurrency)
+    return ds.map_batches(
+        StructuredSearchEngine,
+        fn_constructor_kwargs={"out_dir": out_dir},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 # --------------------------------------------------------------- facet

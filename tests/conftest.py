@@ -59,3 +59,35 @@ def tiny_oracle():
     from goobi_viewer_indexer_ray.sources.corpus import gen_pages
 
     return build_oracle(gen_pages(TINY_N, TINY_SEED).to_pylist(), num_parts=NUM_PARTS)
+
+
+# Shared positional-index fixture corpus (tests/test_positions.py,
+# tests/test_structured_search.py)
+POS_TEXTS = {
+    100: "alpha beta gamma alpha beta",
+    101: "beta alpha",
+    102: "gamma gamma gamma beta",
+    103: "alpha beta alpha beta alpha beta",
+    104: "solo",
+}
+
+
+@pytest.fixture(scope="session")
+def pos_index_dir(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import ray
+
+    from goobi_viewer_indexer_ray.pipelines.build import build_text_index
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(POS_TEXTS), pa.int64()),
+                "text": pa.array(list(POS_TEXTS.values()), pa.string()),
+            }
+        )
+    ).repartition(3)  # multiple runs per term exercise the merge path
+    out = str(tmp_path_factory.mktemp("posidx") / "out")
+    build_text_index(ds, out, "fp-pos-test", num_shards=2, bucket_size=4,
+                     with_positions=True)
+    return out

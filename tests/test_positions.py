@@ -10,34 +10,14 @@ import pytest
 from goobi_viewer_indexer_ray.functions.tokenize import tokenize
 
 
-TEXTS = {
-    100: "alpha beta gamma alpha beta",
-    101: "beta alpha",
-    102: "gamma gamma gamma beta",
-    103: "alpha beta alpha beta alpha beta",
-    104: "solo",
-}
+from tests.conftest import POS_TEXTS as TEXTS
 
 
 @pytest.fixture(scope="module")
-def pos_index(ray_session, tmp_path_factory):
-    import ray
-
-    from goobi_viewer_indexer_ray.pipelines.build import build_text_index
+def pos_index(pos_index_dir):
     from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
 
-    ds = ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array(list(TEXTS), pa.int64()),
-                "text": pa.array(list(TEXTS.values()), pa.string()),
-            }
-        )
-    ).repartition(3)  # multiple runs per term exercise the merge path
-    out = str(tmp_path_factory.mktemp("posidx") / "out")
-    build_text_index(ds, out, "fp-pos-test", num_shards=2, bucket_size=4,
-                     with_positions=True)
-    return LocalIndex(out)
+    return LocalIndex(pos_index_dir)
 
 
 def test_positions_roundtrip(pos_index):
