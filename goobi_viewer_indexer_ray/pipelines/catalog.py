@@ -2324,6 +2324,91 @@ def _proximity_sql() -> str:
     )
 
 
+WILDCARD_PATTERNS = ["h*h", "s?an", "*ream", "s*", "zz*"]
+
+
+def q_search_wildcard(sf_dir: str):
+    """WildcardQuery analog: vocab terms matching */? patterns + df."""
+    from .query import LocalIndex
+    from .search_ops import wildcard_terms
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    ps, ts, dfs = [], [], []
+    for p in sorted(WILDCARD_PATTERNS):
+        for t, d in wildcard_terms(idx, p):
+            ps.append(p)
+            ts.append(t)
+            dfs.append(d)
+    return pa.table(
+        {
+            "pattern": pa.array(ps, pa.string()),
+            "term": pa.array(ts, pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+        }
+    )
+
+
+def _wildcard_sql() -> str:
+    from .search_ops import wildcard_regex
+
+    vals = ", ".join(
+        f"('{p}', '{wildcard_regex(p)}')" for p in sorted(WILDCARD_PATTERNS)
+    )
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    GROUP BY doc_id, t
+  ) GROUP BY term
+),
+p(pattern, rx) AS (VALUES {vals})
+SELECT p.pattern, v.term, v.df
+FROM p JOIN vocab v ON regexp_matches(v.term, p.rx)
+ORDER BY p.pattern, v.term
+"""
+
+
+COOC_TERMS = ["hash", "join", "vector", "stream"]
+
+
+def q_term_cooccurrence(sf_dir: str):
+    """Pairwise document co-occurrence counts (posting intersection)."""
+    from .query import LocalIndex
+    from .search_ops import term_cooccurrence
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    rows = term_cooccurrence(idx, COOC_TERMS)
+    return pa.table(
+        {
+            "term_a": pa.array([r[0] for r in rows], pa.string()),
+            "term_b": pa.array([r[1] for r in rows], pa.string()),
+            "df_a": pa.array([r[2] for r in rows], pa.int64()),
+            "df_b": pa.array([r[3] for r in rows], pa.int64()),
+            "cooc": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _cooc_sql() -> str:
+    toks = sorted({t for q in COOC_TERMS for t in tokenize(q)})
+    arms = []
+    for i, a in enumerate(toks):
+        for b in toks[i + 1 :]:
+            arms.append(
+                f"SELECT '{a}' AS term_a, '{b}' AS term_b,\n"
+                f"  (SELECT count(*) FROM toks WHERE list_contains(ts, '{a}'))::BIGINT AS df_a,\n"
+                f"  (SELECT count(*) FROM toks WHERE list_contains(ts, '{b}'))::BIGINT AS df_b,\n"
+                f"  (SELECT count(*) FROM toks WHERE list_has_all(ts, ['{a}', '{b}']))::BIGINT AS cooc"
+            )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents)\n"
+        f"{body}\nORDER BY term_a, term_b"
+    )
+
+
 KWIC_TERMS = ["vector", "dup", "zzznope"]
 KWIC_WIDTH = 2
 
@@ -2650,6 +2735,8 @@ QUERIES = {
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
     "search_proximity": q_search_proximity,
+    "search_wildcard": q_search_wildcard,
+    "term_cooccurrence": q_term_cooccurrence,
     "sample_docs": q_sample_docs,
     "sample_stratified": q_sample_stratified,
     "token_count_quantiles": q_token_count_quantiles,
@@ -2714,6 +2801,8 @@ ORACLE_SQL = {
     "search_kwic": _kwic_sql(),
     "search_phrase_positional": _phrase_sql(),
     "search_proximity": _proximity_sql(),
+    "search_wildcard": _wildcard_sql(),
+    "term_cooccurrence": _cooc_sql(),
     "sample_docs": _sample_sql(),
     "sample_stratified": _sample_stratified_sql(),
     "token_count_quantiles": _quantiles_sql(),

@@ -50,7 +50,8 @@ from ..functions.tokenize import tokenize
 __all__ = ["boolean_docs", "prefix_stats", "fuzzy_terms", "facet_counts",
            "phrase_docs", "phrase_docs_positional", "proximity_docs",
            "kwic_snippets", "parse_structured", "StructuredSearchEngine",
-           "structured_search"]
+           "structured_search", "wildcard_regex", "wildcard_terms",
+           "term_cooccurrence"]
 
 
 # ------------------------------------------------------------- boolean
@@ -142,6 +143,49 @@ def prefix_stats(index, prefix: str) -> dict:
         "cf_sum": int(cf[lo:hi].sum()),
         "n_docs": n_docs,
     }
+
+
+def wildcard_regex(pattern: str) -> str:
+    """``*``/``?`` wildcard → anchored regex (shared by the engine and
+    the SQL oracle so the two can never diverge)."""
+    import re as _re
+
+    return (
+        "^"
+        + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern
+        )
+        + "$"
+    )
+
+
+def wildcard_terms(index, pattern: str) -> list[tuple[str, int]]:
+    """Lucene ``WildcardQuery`` analog: vocab terms matching a
+    ``*``/``?`` pattern, with df.  A compiled-regex scan over the term
+    dictionary — the vocab is the index's small side (≈10⁶ terms for
+    10⁹ docs), and a leading-literal pattern could further narrow to a
+    ``searchsorted`` prefix range (the :func:`prefix_stats` path)."""
+    import re as _re
+
+    rx = _re.compile(wildcard_regex(pattern))
+    terms, df, _ = _vocab_arrays(index)
+    return [(str(t), int(d)) for t, d in zip(terms, df) if rx.match(t)]
+
+
+def term_cooccurrence(index, terms: list[str]) -> list[tuple[str, str, int, int, int]]:
+    """Document co-occurrence counts for every pair of ``terms`` —
+    ``(a, b, df_a, df_b, cooc)`` with ``cooc = |docs_a ∩ docs_b|``,
+    pure posting-list algebra (consumers derive PMI/NPMI from the
+    integer counts; integers keep the oracle comparison exact)."""
+    toks = sorted({t for q in terms for t in tokenize(q)})
+    posts = {t: _term_docs(index, t) for t in toks}
+    out = []
+    for i, a in enumerate(toks):
+        for b in toks[i + 1 :]:
+            inter = np.intersect1d(posts[a], posts[b], assume_unique=True)
+            out.append((a, b, int(posts[a].size), int(posts[b].size), int(inter.size)))
+    return out
 
 
 # --------------------------------------------------------------- fuzzy
@@ -689,6 +733,14 @@ def facet_counts(index, ds, *, must: list[str], facets: list[str],
     from ray.data.aggregate import Count
 
     docs = boolean_docs(index, must=must, must_not=must_not)
+    if docs.size == 0:  # all-empty blocks would drop the schema downstream
+        import ray.data
+
+        empty = pa.table(
+            {**{f: pa.array([], pa.string()) for f in facets},
+             "n_docs": pa.array([], pa.int64())}
+        )
+        return ray.data.from_arrow(empty)
     ids_ref = ray.put(pa.array(docs, pa.int64()))
 
     def semi(t: pa.Table) -> pa.Table:

@@ -122,6 +122,8 @@ def _check(contract, con, name):
         "search_kwic",
         "search_phrase_positional",
         "search_proximity",
+        "search_wildcard",
+        "term_cooccurrence",
         "sample_docs",
         "sample_stratified",
         "token_count_quantiles",

@@ -182,6 +182,25 @@ def test_kwic_snippets_windows(ray_session):
     }
 
 
+def test_wildcard_terms(fake):
+    assert [t for t, _ in so.wildcard_terms(fake, "s*")] == ["slow", "spark", "stream"]
+    assert [t for t, _ in so.wildcard_terms(fake, "s?a*")] == ["spark"]
+    assert [t for t, _ in so.wildcard_terms(fake, "????")] == ["hash", "join", "slow"]
+    assert so.wildcard_terms(fake, "z*") == []
+    # literal chars must be escaped, not treated as regex
+    assert so.wildcard_terms(fake, "h.sh") == []
+
+
+def test_term_cooccurrence(fake):
+    rows = so.term_cooccurrence(fake, ["hash", "join", "slow"])
+    got = {(a, b): (da, db, c) for a, b, da, db, c in rows}
+    assert got == {
+        ("hash", "join"): (4, 3, 2),   # docs {2,3}
+        ("hash", "slow"): (4, 2, 1),   # doc {3}
+        ("join", "slow"): (3, 2, 1),   # doc {3}
+    }
+
+
 def test_fuzzy_matches_brute_force_levenshtein():
     rng = random.Random(7)
     alpha = "abcd"
