@@ -2409,6 +2409,229 @@ def _cooc_sql() -> str:
     )
 
 
+SPELL_QUERIES = ["strem", "windw", "qery", "batch", "zzzz"]
+SPELL_TOPN = 5
+
+
+def q_search_spellcheck(sf_dir: str):
+    """SpellCheckComponent analog: top-5 vocab suggestions within edit
+    distance 2, ranked (distance, df desc, term) — candidate-banded
+    vectorized DP over the term dictionary."""
+    from .query import LocalIndex
+    from .search_ops import spellcheck_terms
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    qs, ts, ds_, dfs = [], [], [], []
+    for q in sorted(SPELL_QUERIES):
+        for t, d, f in spellcheck_terms(idx, q, max_edits=2, top_n=SPELL_TOPN):
+            qs.append(q)
+            ts.append(t)
+            ds_.append(d)
+            dfs.append(f)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.string()),
+            "suggestion": pa.array(ts, pa.string()),
+            "dist": pa.array(ds_, pa.int64()),
+            "df": pa.array(dfs, pa.int64()),
+        }
+    )
+
+
+def _spellcheck_sql() -> str:
+    vals = ", ".join(f"('{q}')" for q in sorted(SPELL_QUERIES))
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    GROUP BY doc_id, t
+  ) GROUP BY term
+),
+qs(q) AS (VALUES {vals}),
+cand AS (
+  SELECT qs.q, v.term AS suggestion,
+         levenshtein(v.term, qs.q)::BIGINT AS dist, v.df
+  FROM qs JOIN vocab v ON levenshtein(v.term, qs.q) <= 2
+)
+SELECT q, suggestion, dist, df FROM cand
+QUALIFY row_number() OVER (
+  PARTITION BY q ORDER BY dist, df DESC, suggestion
+) <= {SPELL_TOPN}
+ORDER BY q, dist, df DESC, suggestion
+"""
+
+
+STATS_QUERIES = [
+    {"query_id": 1, "must": ["hash join"]},
+    {"query_id": 2, "must": ["stream"], "must_not": ["slow"]},
+    {"query_id": 3, "must": ["zzznope"]},
+]
+
+
+def q_search_stats(sf_dir: str):
+    """StatsComponent analog: count/sum/min/max/mean of n_chars over
+    each boolean query's matched docs (per-batch integer partials)."""
+    from .query import LocalIndex
+    from .search_ops import stats_over
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    meta = _documents(sf_dir, columns=("doc_id", "n_chars"))
+    rows = []
+    for q in STATS_QUERIES:
+        s = stats_over(idx, meta, must=q["must"],
+                       must_not=q.get("must_not"), value_col="n_chars")
+        rows.append({"query_id": q["query_id"], **s})
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], pa.int64()),
+            "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+            "sum_v": pa.array([r["sum_v"] for r in rows], pa.int64()),
+            "min_v": pa.array([r["min_v"] for r in rows], pa.int64()),
+            "max_v": pa.array([r["max_v"] for r in rows], pa.int64()),
+            "mean_v": pa.array([r["mean_v"] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _stats_sql() -> str:
+    arms = []
+    for q in STATS_QUERIES:
+        m = sorted({t for s in q["must"] for t in tokenize(s)})
+        conds = [f"list_has_all(ts, {_sql_list(m)})"]
+        n = sorted({t for s in q.get("must_not", ()) for t in tokenize(s)})
+        if n:
+            conds.append(f"NOT list_has_any(ts, {_sql_list(n)})")
+        arms.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id,"
+            f" count(*)::BIGINT AS n_docs,"
+            f" coalesce(sum(n_chars), 0)::BIGINT AS sum_v,"
+            f" min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,"
+            f" avg(n_chars)::DOUBLE AS mean_v"
+            f" FROM toks WHERE {' AND '.join(conds)}"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH toks AS (SELECT doc_id, n_chars, {_TOKS} AS ts FROM documents)\n"
+        f"{body}\nORDER BY query_id"
+    )
+
+
+COLLAPSE_MUST = ["data table"]
+
+
+def q_search_collapse(sf_dir: str):
+    """Field-collapse analog: matched docs grouped per lang, keeping
+    the min-doc_id head + group size (distributed groupby)."""
+    from .query import LocalIndex
+    from .search_ops import collapse_top1
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    meta = _documents(sf_dir, columns=("doc_id", "lang"))
+    out = collapse_top1(idx, meta, must=COLLAPSE_MUST, group_col="lang")
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "head_doc": pc.cast(t.column("head_doc"), pa.int64()),
+                "n_in_group": pc.cast(t.column("n_in_group"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow").sort("lang")
+
+
+def _collapse_sql() -> str:
+    toks = sorted({t for s in COLLAPSE_MUST for t in tokenize(s)})
+    return f"""
+SELECT lang, min(doc_id)::BIGINT AS head_doc, count(*)::BIGINT AS n_in_group
+FROM documents
+WHERE list_has_all({_TOKS}, {_sql_list(toks)})
+GROUP BY lang ORDER BY lang
+"""
+
+
+RANGE_FACET_MUST = ["window"]
+RANGE_FACET_WIDTH = 16
+
+
+def q_search_range_facet(sf_dir: str):
+    """facet.range analog: matched docs counted into width-16 n_chars
+    buckets (integer floordiv inside the semi-join batch)."""
+    from .query import LocalIndex
+    from .search_ops import range_facets
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    meta = _documents(sf_dir, columns=("doc_id", "n_chars"))
+    out = range_facets(idx, meta, must=RANGE_FACET_MUST,
+                       value_col="n_chars", bucket_width=RANGE_FACET_WIDTH)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket_lo": pc.cast(t.column("bucket_lo"), pa.int64()),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow").sort("bucket_lo")
+
+
+def _range_facet_sql() -> str:
+    toks = sorted({t for s in RANGE_FACET_MUST for t in tokenize(s)})
+    w = RANGE_FACET_WIDTH
+    return f"""
+SELECT (n_chars // {w} * {w})::BIGINT AS bucket_lo, count(*)::BIGINT AS n_docs
+FROM documents
+WHERE list_has_all({_TOKS}, {_sql_list(toks)})
+GROUP BY 1 ORDER BY 1
+"""
+
+
+MLT_SEED_DOC = 7
+MLT_TOP_TERMS = 5
+MLT_MIN_OVERLAP = 2
+
+
+def q_more_like_this(sf_dir: str):
+    """MoreLikeThis analog: seed doc 7's top-5 interesting terms
+    (tf desc, df asc, term), docs sharing >= 2 of them."""
+    from .query import LocalIndex
+    from .search_ops import more_like_this
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    meta = _documents(sf_dir, columns=("doc_id", "text"))
+    return more_like_this(idx, meta, seed_doc=MLT_SEED_DOC,
+                          top_terms=MLT_TOP_TERMS,
+                          min_overlap=MLT_MIN_OVERLAP)
+
+
+def _mlt_sql() -> str:
+    return f"""
+WITH posting AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+interesting AS (
+  SELECT p.term
+  FROM posting p JOIN vocab v USING (term)
+  WHERE p.doc_id = {MLT_SEED_DOC}
+  ORDER BY p.tf DESC, v.df ASC, p.term ASC
+  LIMIT {MLT_TOP_TERMS}
+)
+SELECT p.doc_id, count(*)::BIGINT AS overlap
+FROM posting p JOIN interesting i USING (term)
+WHERE p.doc_id != {MLT_SEED_DOC}
+GROUP BY p.doc_id
+HAVING count(*) >= {MLT_MIN_OVERLAP}
+ORDER BY doc_id
+"""
+
+
 KWIC_TERMS = ["vector", "dup", "zzznope"]
 KWIC_WIDTH = 2
 
@@ -2737,6 +2960,11 @@ QUERIES = {
     "search_proximity": q_search_proximity,
     "search_wildcard": q_search_wildcard,
     "term_cooccurrence": q_term_cooccurrence,
+    "search_spellcheck": q_search_spellcheck,
+    "search_stats": q_search_stats,
+    "search_collapse": q_search_collapse,
+    "search_range_facet": q_search_range_facet,
+    "more_like_this": q_more_like_this,
     "sample_docs": q_sample_docs,
     "sample_stratified": q_sample_stratified,
     "token_count_quantiles": q_token_count_quantiles,
@@ -2803,6 +3031,11 @@ ORACLE_SQL = {
     "search_proximity": _proximity_sql(),
     "search_wildcard": _wildcard_sql(),
     "term_cooccurrence": _cooc_sql(),
+    "search_spellcheck": _spellcheck_sql(),
+    "search_stats": _stats_sql(),
+    "search_collapse": _collapse_sql(),
+    "search_range_facet": _range_facet_sql(),
+    "more_like_this": _mlt_sql(),
     "sample_docs": _sample_sql(),
     "sample_stratified": _sample_stratified_sql(),
     "token_count_quantiles": _quantiles_sql(),

@@ -51,7 +51,8 @@ __all__ = ["boolean_docs", "prefix_stats", "fuzzy_terms", "facet_counts",
            "phrase_docs", "phrase_docs_positional", "proximity_docs",
            "kwic_snippets", "parse_structured", "StructuredSearchEngine",
            "structured_search", "wildcard_regex", "wildcard_terms",
-           "term_cooccurrence"]
+           "term_cooccurrence", "spellcheck_terms", "stats_over",
+           "collapse_top1", "range_facets", "more_like_this"]
 
 
 # ------------------------------------------------------------- boolean
@@ -253,6 +254,231 @@ def fuzzy_terms(index, query: str, *, max_edits: int = 1) -> list[tuple[str, int
         out_mask[shorter] = _one_indel_ok(qm, m[shorter], nq)
     sel_idx = np.flatnonzero(keep)[out_mask]
     return sorted((str(terms[i]), int(df[i])) for i in sel_idx)
+
+
+# --------------------------------------------------------- spellcheck
+
+def spellcheck_terms(index, query: str, *, max_edits: int = 2,
+                     top_n: int = 5) -> list[tuple[str, int, int]]:
+    """Solr SpellCheckComponent analog: the ``top_n`` vocab terms
+    within Levenshtein distance ``max_edits`` of ``query``, ranked by
+    ``(distance asc, df desc, term asc)`` — the collation order Solr's
+    spellchecker uses (closest, then most frequent).
+
+    Returns ``[(term, distance, df), ...]``.  The distance is a full
+    DP Levenshtein VECTORIZED ACROSS CANDIDATES: the vocab is first
+    length-banded (``|len(t) - len(q)| <= max_edits``), the survivors
+    become one codepoint matrix, and the DP runs its
+    ``len(q) x max_len`` cell loop with every candidate advanced per
+    cell in one numpy op — per-cell cost O(candidates), no per-string
+    Python.  The vocab is the index's small side, so this is a
+    serving-node scan exactly like :func:`fuzzy_terms` (which stays
+    the fast path for ``max_edits=1``).
+    """
+    nq = len(query)
+    terms, df, _ = _vocab_arrays(index)
+    lens = np.fromiter((len(t) for t in terms), np.int64, len(terms))
+    keep = np.abs(lens - nq) <= max_edits
+    cand, clens, cdf = terms[keep], lens[keep], df[keep]
+    if cand.size == 0:
+        return []
+    lmax = int(clens.max())
+    m = _chars_matrix(cand, lmax)
+    qv = np.frombuffer(query.encode("utf-32-le"), np.uint32)
+
+    n = cand.size
+    prev = np.broadcast_to(
+        np.arange(lmax + 1, dtype=np.int64), (n, lmax + 1)
+    ).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, nq + 1):
+        cur[:, 0] = i
+        neq = m != qv[i - 1]  # (n, lmax) bool
+        for j in range(1, lmax + 1):
+            np.minimum(prev[:, j - 1] + neq[:, j - 1], prev[:, j] + 1,
+                       out=cur[:, j])
+            np.minimum(cur[:, j], cur[:, j - 1] + 1, out=cur[:, j])
+        prev, cur = cur, prev
+    dist = prev[np.arange(n), clens]
+    ok = dist <= max_edits
+    ranked = sorted(
+        zip(cand[ok], dist[ok], cdf[ok]),
+        key=lambda r: (int(r[1]), -int(r[2]), str(r[0])),
+    )[:top_n]
+    return [(str(t), int(d), int(f)) for t, d, f in ranked]
+
+
+# ---------------------------------------- stats / collapse / range facet
+# The three remaining Solr result-grouping surfaces the viewer calls on
+# the fields this indexer writes: StatsComponent (stats.field=...),
+# field collapsing (group=true / collapse qparser), and range facets
+# (facet.range=...).  All three are filter-then-aggregate: the matched
+# doc-id array (bounded by the query's df) is the ONLY driver-side
+# object; the metadata Dataset streams through a broadcast `pc.is_in`
+# semi-join exactly like facet_counts.
+
+def _matched_stream(index, ds, must, must_not):
+    """Semi-join ``ds`` to the docs matching a boolean query; returns
+    (matched Dataset | None-if-empty, n_matched)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    docs = boolean_docs(index, must=must, must_not=must_not)
+    if docs.size == 0:
+        return None, 0
+    ids_ref = ray.put(pa.array(docs, pa.int64()))
+
+    def semi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=ray.get(ids_ref)))
+
+    return ds.map_batches(semi, batch_format="pyarrow"), int(docs.size)
+
+
+def stats_over(index, ds, *, must: list[str], value_col: str,
+               must_not: list[str] | None = None) -> dict:
+    """Solr StatsComponent analog over one numeric field: count / sum /
+    min / max / mean of ``value_col`` across the docs matching a
+    boolean query.  Per-batch integer partials (one tiny row per
+    batch) stream back; the driver folds them — count/sum/min/max stay
+    exact int64, mean is the one float (derived last).
+    """
+    matched, _ = _matched_stream(index, ds, must, must_not)
+    if matched is None:
+        return {"n_docs": 0, "sum_v": 0, "min_v": None, "max_v": None,
+                "mean_v": None}
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([v.size], pa.int64()),
+                "s": pa.array([int(v.sum()) if v.size else 0], pa.int64()),
+                "mn": pa.array([int(v.min()) if v.size else None], pa.int64()),
+                "mx": pa.array([int(v.max()) if v.size else None], pa.int64()),
+            }
+        )
+
+    parts = matched.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    if n == 0:
+        return {"n_docs": 0, "sum_v": 0, "min_v": None, "max_v": None,
+                "mean_v": None}
+    s = sum(p["s"] for p in parts)
+    mn = min(p["mn"] for p in parts if p["mn"] is not None)
+    mx = max(p["mx"] for p in parts if p["mx"] is not None)
+    return {"n_docs": int(n), "sum_v": int(s), "min_v": int(mn),
+            "max_v": int(mx), "mean_v": s / n}
+
+
+def collapse_top1(index, ds, *, must: list[str], group_col: str,
+                  must_not: list[str] | None = None):
+    """Solr field-collapse analog (``group=true`` / the collapse
+    qparser): matched docs grouped by ``group_col``, keeping the
+    group's representative (min doc_id — Lucene's first-in-segment
+    head for unscored collapse) plus the collapsed group size.
+    Returns a Dataset of ``(group_col, head_doc, n_in_group)``.
+    """
+    from ray.data.aggregate import Count, Min
+
+    matched, _ = _matched_stream(index, ds, must, must_not)
+    if matched is None:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {group_col: pa.array([], pa.string()),
+             "head_doc": pa.array([], pa.int64()),
+             "n_in_group": pa.array([], pa.int64())}
+        ))
+    return matched.groupby(group_col).aggregate(
+        Min("doc_id", alias_name="head_doc"),
+        Count(alias_name="n_in_group"),
+    )
+
+
+def range_facets(index, ds, *, must: list[str], value_col: str,
+                 bucket_width: int,
+                 must_not: list[str] | None = None):
+    """Solr ``facet.range`` analog: matched docs counted into
+    fixed-width buckets of ``value_col`` (``bucket_lo = floor(v / w) *
+    w``).  Bucketing is one integer floordiv inside the semi-join
+    batch; the shuffle carries only (bucket, count) partials.
+    Returns a Dataset of ``(bucket_lo, n_docs)``.
+    """
+    from ray.data.aggregate import Count
+
+    matched, _ = _matched_stream(index, ds, must, must_not)
+    if matched is None:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"bucket_lo": pa.array([], pa.int64()),
+             "n_docs": pa.array([], pa.int64())}
+        ))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy()
+        lo = (v // bucket_width) * bucket_width
+        return pa.table({"bucket_lo": pa.array(lo.astype(np.int64))})
+
+    return (
+        matched.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket_lo")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+# ------------------------------------------------------- more-like-this
+
+def more_like_this(index, ds, *, seed_doc: int, top_terms: int = 5,
+                   min_overlap: int = 2) -> pa.Table:
+    """Solr MoreLikeThis analog: read the seed doc's term vector, pick
+    its ``top_terms`` "interesting" terms, then rank every other doc
+    by how many of those terms it contains.
+
+    Interesting-term selection is deterministic and integer-exact —
+    ``(tf desc, df asc, term asc)`` — i.e. MLT's tf·idf ordering with
+    idf's monotone-in-1/df core kept in integer form so the SQL oracle
+    can reproduce the ranking bit-for-bit (no float idf ties).
+
+    The seed's term vector comes from one semi-join row read of the
+    corpus (Solr reads the stored document the same way); scoring is
+    pure posting algebra: concatenate the interesting terms' posting
+    lists and count multiplicity per doc (``np.unique``) — overlap ≥
+    ``min_overlap`` docs survive.  Returns ``(doc_id, overlap)``.
+    """
+    import pyarrow.compute as pc
+
+    seed_batches = list(
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("doc_id"), seed_doc)),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    if not seed_batches or sum(b.num_rows for b in seed_batches) == 0:
+        raise KeyError(f"seed doc {seed_doc} not found")
+    seed_tab = pa.concat_tables(seed_batches)
+    toks = tokenize(seed_tab.column("text")[0].as_py() or "")
+    if not toks:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "overlap": pa.array([], pa.int64())})
+    uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    df = np.fromiter(
+        ((r.df if (r := index.lookup(str(t))) else 0) for t in uniq),
+        np.int64, uniq.size,
+    )
+    order = sorted(range(uniq.size),
+                   key=lambda i: (-int(tf[i]), int(df[i]), str(uniq[i])))
+    interesting = [str(uniq[i]) for i in order[:top_terms]]
+    posts = [_term_docs(index, t) for t in interesting]
+    posts = [p for p in posts if p.size]
+    if not posts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "overlap": pa.array([], pa.int64())})
+    docs, overlap = np.unique(np.concatenate(posts), return_counts=True)
+    keep = (docs != seed_doc) & (overlap >= min_overlap)
+    return pa.table({"doc_id": pa.array(docs[keep], pa.int64()),
+                     "overlap": pa.array(overlap[keep].astype(np.int64))})
 
 
 # -------------------------------------------------------------- phrase

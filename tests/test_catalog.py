@@ -124,6 +124,11 @@ def _check(contract, con, name):
         "search_proximity",
         "search_wildcard",
         "term_cooccurrence",
+        "search_spellcheck",
+        "search_stats",
+        "search_collapse",
+        "search_range_facet",
+        "more_like_this",
         "sample_docs",
         "sample_stratified",
         "token_count_quantiles",

@@ -201,6 +201,78 @@ def test_term_cooccurrence(fake):
     }
 
 
+def test_spellcheck_matches_brute_force_levenshtein():
+    rng = random.Random(11)
+    alpha = "abcd"
+    vocab = sorted({"".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+                    for _ in range(300)})
+    idx = _FakeIndex({t: list(range(i + 1)) for i, t in enumerate(vocab)})
+    for q in ["abc", "dd", "abcdef", "zzz", "a"]:
+        got = so.spellcheck_terms(idx, q, max_edits=2, top_n=1000)
+        want = sorted(
+            ((t, _lev(t, q), idx.lookup(t).df) for t in vocab if _lev(t, q) <= 2),
+            key=lambda r: (r[1], -r[2], r[0]),
+        )
+        assert got == want, q
+
+
+def test_spellcheck_ranking_and_topn(fake):
+    # 'stream' df=2 at dist 2 of 'strem'... ranking: dist asc, df desc, term
+    got = so.spellcheck_terms(fake, "strem", max_edits=2, top_n=2)
+    assert got[0][0] == "stream" and got[0][1] == 1
+    assert all(d <= 2 for _, d, _ in got)
+    assert so.spellcheck_terms(fake, "zzzzzzzz") == []
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.table(rows)).repartition(3)
+
+
+def test_stats_over(fake, ray_session):
+    ds = _docs_ds({"doc_id": [1, 2, 3, 4, 5, 9],
+                   "n_chars": [10, 20, 30, 40, 50, 90]})
+    s = so.stats_over(fake, ds, must=["hash"], value_col="n_chars")
+    assert s == {"n_docs": 4, "sum_v": 110, "min_v": 10, "max_v": 50,
+                 "mean_v": 27.5}
+    s0 = so.stats_over(fake, ds, must=["zzznope"], value_col="n_chars")
+    assert s0["n_docs"] == 0 and s0["min_v"] is None
+
+
+def test_collapse_top1(fake, ray_session):
+    ds = _docs_ds({"doc_id": [1, 2, 3, 4, 5],
+                   "lang": ["en", "de", "en", "de", "en"]})
+    out = {r["lang"]: (r["head_doc"], r["n_in_group"])
+           for r in so.collapse_top1(fake, ds, must=["hash"],
+                                     group_col="lang").take_all()}
+    assert out == {"en": (1, 3), "de": (2, 1)}
+
+
+def test_range_facets(fake, ray_session):
+    ds = _docs_ds({"doc_id": [1, 2, 3, 5, 9],
+                   "n_chars": [5, 64, 65, 200, 300]})
+    out = {r["bucket_lo"]: r["n_docs"]
+           for r in so.range_facets(fake, ds, must=["hash"], value_col="n_chars",
+                                    bucket_width=64).take_all()}
+    assert out == {0: 1, 64: 2, 192: 1}
+
+
+def test_more_like_this(fake, ray_session):
+    # seed doc 3's text: terms hash, join, slow (tf 2/1/1)
+    ds = _docs_ds({"doc_id": [1, 3, 7],
+                   "text": ["hash", "hash hash join slow", "spark"]})
+    out = so.more_like_this(fake, ds, seed_doc=3, top_terms=3, min_overlap=2)
+    got = {d: o for d, o in zip(out.column("doc_id").to_pylist(),
+                                out.column("overlap").to_pylist())}
+    # interesting = {hash, join, slow}; doc2 has hash+join, doc9 slow only
+    assert got == {2: 2}
+    with pytest.raises(KeyError):
+        so.more_like_this(fake, ds, seed_doc=42)
+
+
 def test_fuzzy_matches_brute_force_levenshtein():
     rng = random.Random(7)
     alpha = "abcd"
