@@ -241,7 +241,7 @@ def _index_manifest_ok(out_dir: str, fp: str) -> dict | None:
         os.path.exists(
             os.path.join(
                 segment_dir(os.path.join(out_dir, "index"), int(s["shard"]), int(s["bucket"])),
-                "terms.parquet",
+                s.get("file") or "terms.parquet",
             )
         )
         for s in m.get("segments", [])

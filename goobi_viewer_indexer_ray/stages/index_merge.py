@@ -104,8 +104,13 @@ def segment_paths(index_dir: str) -> list[dict]:
     out = []
     if man and "segments" in man:
         for s in man["segments"]:
+            # optional per-segment file indirection: an optimize pass
+            # (stages/optimize.py) commits its compacted segment under a
+            # fingerprinted file name so the whole swap is ONE atomic
+            # manifest write — readers see the old or the new index,
+            # never a mix.  Default stays "terms.parquet".
             p = os.path.join(segment_dir(index_dir, int(s["shard"]), int(s["bucket"])),
-                             "terms.parquet")
+                             s.get("file") or "terms.parquet")
             if os.path.exists(p):
                 out.append({"shard": int(s["shard"]), "bucket": int(s["bucket"]), "path": p})
         return out
@@ -139,10 +144,17 @@ class SegmentWriter:
     """
 
     def __init__(self, index_dir: str, default_fp: str,
-                 seg_fps: dict[int, str] | None = None):
+                 seg_fps: dict[int, str] | None = None,
+                 file_name: str = "terms.parquet"):
         self.index_dir = index_dir
         self.default_fp = default_fp
         self.seg_fps = seg_fps or {}
+        # non-default file names (optimize passes) keep their own
+        # sidecar manifest so the live segment's resume state is never
+        # clobbered while the old file is still the published one
+        self.file_name = file_name
+        self.man_name = ("_manifest.json" if file_name == "terms.parquet"
+                         else f"_manifest-{file_name}.json")
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.time()
@@ -150,8 +162,8 @@ class SegmentWriter:
         bucket = int(group.column("bucket")[0].as_py())
         fp = self.seg_fps.get(bucket, self.default_fp)
         sdir = segment_dir(self.index_dir, shard, bucket)
-        out_path = os.path.join(sdir, "terms.parquet")
-        man_path = os.path.join(sdir, "_manifest.json")
+        out_path = os.path.join(sdir, self.file_name)
+        man_path = os.path.join(sdir, self.man_name)
 
         existing = load_manifest(man_path)
         if existing and existing.get("fingerprint") == fp and os.path.exists(out_path):

@@ -1,0 +1,265 @@
+"""Index optimize (forceMerge-to-one): compact every shard's doc-range
+segments into a single canonical segment.
+
+Reference: the indexer optionally optimizes the Solr index after each
+record (``performance.autoOptimize`` — Configuration.java:441-443,
+Hotfolder.java invoking ``SolrSearchIndex.optimize()``), which is
+Lucene's forceMerge(1): fewer segments, faster term lookups, at the
+cost of one full rewrite.  Our transposition compacts the doc-range
+segments (index format v3, one ``seg=B`` per doc-range bucket per
+shard) back into one segment per shard once a build has gone cold —
+the end state a log-structured index wants after its write-heavy phase.
+
+Design (Ray-Data-first, crash-consistent):
+
+- **One task per shard** (``map_batches`` over the shard list): each
+  task reads ONLY its shard's segments, decodes the postings flat (one
+  vectorized pass — no per-term Python), re-encodes through the SAME
+  canonical ``SegmentWriter`` the build uses, so an optimized segment
+  is byte-identical to what a fresh ``num_range_buckets=1`` build
+  would have produced.  No shuffle: segment→segment compaction is
+  embarrassingly parallel across shards.
+- **Atomic publish via file indirection**: the compacted segment is
+  written under a fingerprinted file name (``terms-<fp8>.parquet``)
+  next to the live ``terms.parquet``; readers keep using the old
+  manifest until ONE atomic ``index_manifest.json`` write flips every
+  shard to the new file (segments carry an explicit ``file`` field —
+  see ``segment_paths``).  A crash at any point leaves either the old
+  or the new view, never a mix; stale files are deleted only after the
+  manifest commit.
+- **Resumable**: each compacted segment records the optimize
+  fingerprint in its sidecar manifest; a re-run skips shards already
+  compacted (checked BEFORE reading, so a finished shard is never
+  re-merged against its own output).
+- **Update-compatible**: the published ``bucket_size_docs`` spans all
+  parts, so a later ``apply_updates`` maps every part to bucket 0 —
+  exactly where the compacted postings live — and re-merges from the
+  per-part run cache as usual.
+
+At 100 TB: one task per shard bounds per-task memory to the largest
+shard's postings (shard count is the operator's parallelism knob, set
+at build time precisely so a shard fits a worker); the read is pruned
+to the shard's own files and the output is one sequential write.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..functions.codec import decode_varints, encode_varints_segmented
+from ..state.manifest import load_manifest, write_manifest
+from .index_merge import SegmentWriter, segment_dir
+
+__all__ = ["segments_to_runs", "optimize_index"]
+
+
+def segments_to_runs(merged: pa.Table, shard: int) -> pa.Table:
+    """Decode a shard's merged segment view back into SPIMI run rows
+    (one row per term, ``bucket=0``) — the exact input shape
+    ``SegmentWriter`` consumes.
+
+    ``merged`` is ``_merge_segments``' output: rows sorted by
+    ``(term, bucket)``, so each term's blocks are contiguous and
+    doc-ascending in the flat block arrays.  Everything is one flat
+    vectorized pass: docs need re-deltaing (block-absolute →
+    term-absolute + gaps); tfs/dls/poss blobs are plain per-block
+    varint runs whose concatenation per term is ALREADY the run
+    encoding, so they pass through as bytes.
+    """
+    la = merged.column("blocks").combine_chunks()
+    blk_off = la.offsets.to_numpy().astype(np.int64)
+    sv = la.values
+    b_n = sv.field("n").to_numpy().astype(np.int64)
+    with_pos = "poss" in [f.name for f in sv.type]
+
+    docs_blobs = sv.field("docs").to_pylist()
+    gaps = decode_varints(b"".join(docs_blobs)).astype(np.int64)
+    bs = np.concatenate([[0], np.cumsum(b_n)[:-1]]).astype(np.int64)
+    cs = np.cumsum(gaps)
+    base = np.where(bs > 0, cs[bs - 1], 0)
+    doc_abs = cs - np.repeat(base, b_n)
+
+    row_df = merged.column("df").to_numpy()
+    row_cf = merged.column("cf").to_numpy()
+    terms_np = np.asarray(merged.column("term").to_pylist(), dtype=object)
+    new_term = np.ones(terms_np.size, dtype=bool)
+    if terms_np.size > 1:
+        new_term[1:] = terms_np[1:] != terms_np[:-1]
+    row_start = np.flatnonzero(new_term)
+    row_end = np.append(row_start[1:], terms_np.size)
+    term_df = np.add.reduceat(row_df, row_start).astype(np.int64)
+    term_cf = np.add.reduceat(row_cf, row_start).astype(np.int64)
+    term_starts = np.concatenate([[0], np.cumsum(term_df)[:-1]]).astype(np.int64)
+
+    out_gaps = np.empty(doc_abs.shape, dtype=np.uint64)
+    np.subtract(doc_abs[1:], doc_abs[:-1], out=out_gaps[1:], casting="unsafe")
+    out_gaps[term_starts] = doc_abs[term_starts].astype(np.uint64)
+    docs_runs = encode_varints_segmented(out_gaps, term_starts)
+
+    t_blk_s, t_blk_e = blk_off[row_start], blk_off[row_end]
+
+    def _join(blobs: list[bytes]) -> list[bytes]:
+        return [b"".join(blobs[s:e]) for s, e in zip(t_blk_s.tolist(), t_blk_e.tolist())]
+
+    cols = {
+        "term": pa.array(terms_np[new_term], pa.string()),
+        "shard": pa.array(np.full(row_start.size, shard, np.int32)),
+        "bucket": pa.array(np.zeros(row_start.size, np.int32)),
+        "first_doc": pa.array(doc_abs[term_starts], pa.int64()),
+        "df": pa.array(term_df, pa.int64()),
+        "cf": pa.array(term_cf, pa.int64()),
+        "docs": pa.array(docs_runs, pa.binary()),
+        "tfs": pa.array(_join(sv.field("tfs").to_pylist()), pa.binary()),
+        "dls": pa.array(_join(sv.field("dls").to_pylist()), pa.binary()),
+    }
+    if with_pos:
+        cols["poss"] = pa.array(_join(sv.field("poss").to_pylist()), pa.binary())
+    return pa.table(cols)
+
+
+class _OptimizeShard:
+    """Per-shard compaction task: read the shard's live segments,
+    re-encode as ONE bucket-0 segment under the optimize file name."""
+
+    def __init__(self, index_dir: str, fp: str, file_name: str,
+                 segs_by_shard: dict[int, list[tuple[int, str]]]):
+        self.index_dir = index_dir
+        self.fp = fp
+        self.file_name = file_name
+        self.segs_by_shard = segs_by_shard
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pipelines.query import _merge_segments
+
+        out = []
+        writer = SegmentWriter(self.index_dir, self.fp, file_name=self.file_name)
+        for shard in batch.column("shard").to_pylist():
+            shard = int(shard)
+            sdir = segment_dir(self.index_dir, shard, 0)
+            man = load_manifest(os.path.join(sdir, writer.man_name))
+            if (man and man.get("fingerprint") == self.fp
+                    and os.path.exists(os.path.join(sdir, self.file_name))):
+                # already compacted by an interrupted earlier run — must
+                # be detected BEFORE reading, or the finished output
+                # would be merged against its own sources
+                out.append(writer._row(shard, 0, self.fp, man["n_terms"],
+                                       man["n_postings"], man.get("sum_cf", 0),
+                                       man["bytes"], 0.0, True))
+                continue
+            segs = [(b, pq.read_table(p)) for b, p in self.segs_by_shard[shard]]
+            merged = _merge_segments(segs)
+            out.append(writer(segments_to_runs(merged, shard)))
+        return pa.concat_tables(out)
+
+
+def optimize_index(out_dir: str, *, cleanup: bool = True) -> dict:
+    """Compact every shard to one segment; returns the new manifest.
+
+    Idempotent: re-running on an already-optimized index is a no-op
+    (manifest fingerprint match).  Writers are serialized by the same
+    build lock updates take.
+    """
+    from ..pipelines.build import _job_fp
+    from ..pipelines.updates import _BuildLock
+
+    man_path = os.path.join(out_dir, "index_manifest.json")
+    old = load_manifest(man_path)
+    if old is None:
+        raise FileNotFoundError(f"no index manifest under {out_dir}")
+    if all(int(s["bucket"]) == 0 for s in old["segments"]):
+        # already one segment per shard — optimizing again would chain
+        # a new fingerprint and rewrite identical bytes for nothing
+        if cleanup:
+            _cleanup(out_dir, old)
+        return old
+    fp = _job_fp(old["fingerprint"], optimize=1)
+
+    index_dir = os.path.join(out_dir, "index")
+    file_name = f"terms-{fp[:8]}.parquet"
+    segs_by_shard: dict[int, list[tuple[int, str]]] = {}
+    for s in old["segments"]:
+        p = os.path.join(segment_dir(index_dir, int(s["shard"]), int(s["bucket"])),
+                         s.get("file") or "terms.parquet")
+        segs_by_shard.setdefault(int(s["shard"]), []).append((int(s["bucket"]), p))
+
+    docs_man = load_manifest(os.path.join(out_dir, "docs_manifest.json"))
+    with _BuildLock(out_dir):
+        shards = sorted(segs_by_shard)
+        rows = (
+            ray.data.from_items([{"shard": s} for s in shards])
+            .map_batches(
+                _OptimizeShard(index_dir, fp, file_name, segs_by_shard),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
+            .to_pandas()
+        )
+        segments = [
+            {"shard": int(r["shard"]), "bucket": int(r["bucket"]), "fp": r["fp"],
+             "n_terms": int(r["n_terms"]), "n_postings": int(r["n_postings"]),
+             "sum_cf": int(r["sum_cf"]), "bytes": int(r["bytes"]),
+             "file": file_name}
+            for r in rows.to_dict("records")
+        ]
+        segments.sort(key=lambda s: s["shard"])
+        # every part now maps to bucket 0, so a later update re-merges
+        # the (single) dirty bucket from the per-part run cache; text
+        # indexes (build_text_index — no docs manifest) just need the
+        # single bucket to span the old index's whole doc range
+        if docs_man is not None:
+            from ..functions.ids import PART_STRIDE
+
+            bucket_size_docs = int(docs_man["num_parts"]) * PART_STRIDE
+        else:
+            max_bucket = max(int(s["bucket"]) for s in old["segments"])
+            bucket_size_docs = (max_bucket + 1) * int(old["bucket_size_docs"])
+        new_man = write_manifest(
+            man_path,
+            stage="index",
+            fingerprint=fp,
+            extra={
+                "num_shards": old["num_shards"],
+                "bucket_size_docs": bucket_size_docs,
+                "optimized_from": old["fingerprint"],
+                "n_terms": int(sum(s["n_terms"] for s in segments)),
+                "n_postings": int(sum(s["n_postings"] for s in segments)),
+                "index_bytes": int(sum(s["bytes"] for s in segments)),
+                "segments": segments,
+            },
+        )
+        if cleanup:
+            _cleanup(out_dir, new_man)
+    return new_man
+
+
+def _cleanup(out_dir: str, man: dict) -> None:
+    """Delete segment dirs/files the (already-committed) manifest no
+    longer references — safe because readers only follow the manifest."""
+    index_dir = os.path.join(out_dir, "index")
+    live = {(int(s["shard"]), int(s["bucket"])): s.get("file") or "terms.parquet"
+            for s in man["segments"]}
+    if not os.path.isdir(index_dir):
+        return
+    for d in os.listdir(index_dir):
+        if not d.startswith("shard="):
+            continue
+        shard = int(d.split("=")[1])
+        for seg in os.listdir(os.path.join(index_dir, d)):
+            if not seg.startswith("seg="):
+                continue
+            bucket = int(seg.split("=")[1])
+            sdir = os.path.join(index_dir, d, seg)
+            keep = live.get((shard, bucket))
+            if keep is None:
+                shutil.rmtree(sdir, ignore_errors=True)
+                continue
+            for f in os.listdir(sdir):
+                if f.endswith(".parquet") and f != keep:
+                    os.remove(os.path.join(sdir, f))

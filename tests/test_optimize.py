@@ -1,0 +1,198 @@
+"""Index optimize (forceMerge-to-one) — stages/optimize.py.
+
+Pins the three contracts: (1) an optimized segment is BYTE-IDENTICAL
+to what a fresh single-bucket build produces, (2) the query surface is
+unchanged (rank-identical top-k, same vocab stats, positions intact),
+(3) the pass is idempotent/resumable and updates still apply after it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from tests.conftest import NUM_PARTS, NUM_SHARDS, TINY_N, TINY_SEED
+
+
+def _index_files(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "index_manifest.json")) as f:
+        man = json.load(f)
+    from goobi_viewer_indexer_ray.stages.index_merge import segment_dir
+
+    return {
+        (s["shard"], s["bucket"]): os.path.join(
+            segment_dir(os.path.join(out_dir, "index"), s["shard"], s["bucket"]),
+            s.get("file") or "terms.parquet",
+        )
+        for s in man["segments"]
+    }
+
+
+@pytest.fixture(scope="module")
+def opt_build(ray_session, tiny_paths, tmp_path_factory):
+    """Multi-segment build + its optimized copy + a single-bucket
+    reference build (all over the same tiny corpus)."""
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+    from goobi_viewer_indexer_ray.stages.optimize import optimize_index
+
+    root = tmp_path_factory.mktemp("opt")
+    multi = str(root / "multi")
+    build_all(tiny_paths, multi, num_parts=NUM_PARTS, num_shards=NUM_SHARDS,
+              num_range_buckets=4)
+    opt = str(root / "opt")
+    shutil.copytree(multi, opt)
+    man = optimize_index(opt)
+    single = str(root / "single")
+    build_all(tiny_paths, single, num_parts=NUM_PARTS, num_shards=NUM_SHARDS,
+              num_range_buckets=1)
+    return {"multi": multi, "opt": opt, "single": single, "man": man}
+
+
+def test_optimize_compacts_to_one_segment_per_shard(opt_build):
+    segs = _index_files(opt_build["opt"])
+    assert sorted(segs) == [(s, 0) for s in range(NUM_SHARDS)]
+    # multi-segment source really had >1 bucket per shard
+    assert len(_index_files(opt_build["multi"])) > NUM_SHARDS
+
+
+def test_optimized_segment_bytes_equal_single_bucket_build(opt_build):
+    opt_files = _index_files(opt_build["opt"])
+    single_files = _index_files(opt_build["single"])
+    assert sorted(opt_files) == sorted(single_files)
+    for key, opt_path in opt_files.items():
+        with open(opt_path, "rb") as a, open(single_files[key], "rb") as b:
+            assert a.read() == b.read(), f"segment {key} differs"
+
+
+def test_query_identity_after_optimize(opt_build):
+    from goobi_viewer_indexer_ray.pipelines.oracle import REFERENCE_QUERIES
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, topk_exact, topk_wand
+
+    before = LocalIndex(opt_build["multi"])
+    after = LocalIndex(opt_build["opt"])
+    assert after.n_terms == before.n_terms
+    for q in REFERENCE_QUERIES:
+        d_b, s_b = topk_exact(before, q["query"], q["k"])
+        d_a, s_a = topk_exact(after, q["query"], q["k"])
+        assert d_b.tolist() == d_a.tolist()
+        assert s_b.tolist() == s_a.tolist()
+        d_w, s_w = topk_wand(after, q["query"], q["k"])
+        assert d_w.tolist() == d_a.tolist()
+        assert s_w.tolist() == s_a.tolist()
+
+
+def test_vocab_stats_identity(opt_build):
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
+
+    before = LocalIndex(opt_build["multi"])
+    after = LocalIndex(opt_build["opt"])
+    for term, ref in before._lookup.items():
+        got = after.lookup(term)
+        assert got is not None and got.df == ref.df and got.cf == ref.cf
+
+
+def test_optimize_idempotent(opt_build):
+    from goobi_viewer_indexer_ray.stages.optimize import optimize_index
+
+    files = _index_files(opt_build["opt"])
+    mtimes = {k: os.path.getmtime(p) for k, p in files.items()}
+    man2 = optimize_index(opt_build["opt"])
+    assert man2["fingerprint"] == opt_build["man"]["fingerprint"]
+    assert {k: os.path.getmtime(p) for k, p in files.items()} == mtimes
+
+
+def test_cleanup_removed_stale_segments(opt_build):
+    index_dir = os.path.join(opt_build["opt"], "index")
+    for d in os.listdir(index_dir):
+        segs = os.listdir(os.path.join(index_dir, d))
+        assert segs == ["seg=00000"], segs
+        files = sorted(os.listdir(os.path.join(index_dir, d, "seg=00000")))
+        parquets = [f for f in files if f.endswith(".parquet")]
+        assert len(parquets) == 1 and parquets[0].startswith("terms-")
+
+
+def test_resume_skips_compacted_shard(ray_session, tiny_paths, tmp_path_factory):
+    """A shard compacted by an interrupted run is not re-merged against
+    its own output on the retry (checked before reading)."""
+    from goobi_viewer_indexer_ray.pipelines.build import _job_fp, build_all
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, _merge_segments
+    from goobi_viewer_indexer_ray.stages.optimize import (
+        _OptimizeShard, optimize_index, segments_to_runs,
+    )
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("resume") / "out")
+    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS,
+              num_range_buckets=4)
+    with open(os.path.join(out, "index_manifest.json")) as f:
+        old = json.load(f)
+    fp = _job_fp(old["fingerprint"], optimize=1)
+    file_name = f"terms-{fp[:8]}.parquet"
+    files = _index_files(out)
+    segs0 = [(b, p) for (s, b), p in files.items() if s == 0]
+
+    # simulate the interrupted run: shard 0 compacted, manifest not yet
+    import pyarrow as pa
+
+    task = _OptimizeShard(os.path.join(out, "index"), fp, file_name,
+                          {0: segs0})
+    task(pa.table({"shard": [0]}))
+    opt_path = os.path.join(os.path.dirname(segs0[0][1]).rsplit("/seg=", 1)[0],
+                            "seg=00000", file_name)
+    mtime = os.path.getmtime(opt_path)
+
+    man = optimize_index(out)
+    assert man["fingerprint"] == fp
+    assert os.path.getmtime(opt_path) == mtime  # shard 0 skipped, not redone
+    idx = LocalIndex(out)
+    assert idx.n_terms > 0
+
+
+def test_positions_survive_optimize(ray_session, pos_index_dir, tmp_path_factory):
+    """A positional index keeps exact per-occurrence positions through
+    the compaction (poss blobs are per-posting delta runs — byte
+    passthrough per term)."""
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
+    from goobi_viewer_indexer_ray.stages.optimize import optimize_index
+
+    opt = str(tmp_path_factory.mktemp("posopt") / "out")
+    shutil.copytree(pos_index_dir, opt)
+    optimize_index(opt)
+    before = LocalIndex(pos_index_dir)
+    after = LocalIndex(opt)
+    assert after.n_terms == before.n_terms
+    for term in before._lookup:
+        b = before.lookup(term).positions_all()
+        a = after.lookup(term).positions_all()
+        for x, y in zip(b, a):
+            assert x.tolist() == y.tolist(), term
+    segs = _index_files(opt)
+    assert all(bucket == 0 for _, bucket in segs)
+
+
+def test_update_after_optimize(ray_session, tiny_paths, tmp_path_factory):
+    """apply_updates still lands on an optimized index (all parts map
+    to the single bucket 0) and queries stay consistent."""
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, topk_exact
+    from goobi_viewer_indexer_ray.pipelines.updates import update_doc
+    from goobi_viewer_indexer_ray.sources.corpus import gen_pages
+    from goobi_viewer_indexer_ray.stages.optimize import optimize_index
+
+    out = str(tmp_path_factory.mktemp("upd") / "out")
+    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS,
+              num_range_buckets=4)
+    optimize_index(out)
+
+    row = gen_pages(TINY_N, TINY_SEED).to_pylist()[20]
+    marker = "zzupdatedzz"
+    update_doc(out, row["url"],
+               f"<html><body>{marker} {marker}</body></html>".encode(),
+               warc_ts=row["warc_ts"], lang=row.get("lang", ""))
+
+    idx = LocalIndex(out)
+    d, _ = topk_exact(idx, marker, 5)
+    assert len(d) == 1
