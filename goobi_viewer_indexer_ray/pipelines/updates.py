@@ -52,7 +52,7 @@ from .build import (
     runs_part_path,
 )
 
-__all__ = ["apply_updates", "update_doc"]
+__all__ = ["apply_updates", "update_doc", "delete_by_query"]
 
 _DELTA_COLS = [f.name for f in DOCS_SCHEMA if f.name != "local_rank"]
 
@@ -349,3 +349,50 @@ def update_doc(out_dir: str, url: str, html: bytes,
             os.rmdir(tmp)
         except OSError:
             pass
+
+
+def delete_by_query(out_dir: str, *, must: list[str],
+                    must_not: list[str] | None = None,
+                    reason: str = "delete-by-query") -> tuple[dict, int]:
+    """Solr ``deleteByQuery`` analog: remove every doc matching a
+    boolean term query from an existing build.
+
+    Reference: the hotfolder's ``.delete``/``.purge`` command files and
+    the indexer's own cascade deletes are all delete-by-query strings
+    against Solr (``SolrSearchIndex.deleteByQuery``, invoked from
+    ``Indexer.java:365-473`` and ``Hotfolder.java``).  Here the query
+    runs against OUR index (posting-list boolean algebra), the matched
+    doc-id set — bounded by the query's df, the natural small side —
+    is broadcast into a distributed semi-join over the docs table to
+    recover urls, and the deletion itself reuses the incremental
+    update path (only dirty partitions/segments rewritten, clean ones
+    byte-untouched).
+
+    Returns ``(new index manifest, n_deleted)``.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    from .build import read_docs
+    from .query import LocalIndex
+    from .search_ops import boolean_docs
+
+    idx = LocalIndex(out_dir)
+    docs = boolean_docs(idx, must=must, must_not=must_not)
+    if docs.size == 0:
+        man = load_manifest(os.path.join(out_dir, "index_manifest.json"))
+        return man, 0
+    ids_ref = ray.put(pa.array(docs, pa.int64()))
+
+    def semi(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t.column("doc_id"), value_set=ray.get(ids_ref))
+        ).select(["url"])
+
+    matched = read_docs(out_dir, columns=["url"]).map_batches(
+        semi, batch_format="pyarrow"
+    )
+    urls = [r["url"] for r in matched.take_all()]
+    man = apply_updates(out_dir, None, urls, reason=reason)
+    return man, len(urls)

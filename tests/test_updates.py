@@ -359,3 +359,36 @@ def test_update_with_missing_index_manifest(ray_session, tiny_paths, tmp_path_fa
     assert idx.n_terms >= n_terms_before - 50
     assert idx.lookup("baba") is not None  # corpus-wide head term intact
     assert idx.lookup("qwertyzap") is not None
+
+
+def test_delete_by_query(ray_session, tiny_paths, tmp_path_factory):
+    """Solr deleteByQuery analog: every doc matching the boolean query
+    is gone from docs AND index; non-matching docs untouched."""
+    from goobi_viewer_indexer_ray.pipelines.build import build_all, read_docs
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, topk_exact
+    from goobi_viewer_indexer_ray.pipelines.search_ops import boolean_docs
+    from goobi_viewer_indexer_ray.pipelines.updates import delete_by_query
+
+    out = str(tmp_path_factory.mktemp("dbq") / "out")
+    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS)
+
+    idx0 = LocalIndex(out)
+    term = "zelda" if idx0.lookup("zelda") else "baba"
+    n_match = boolean_docs(idx0, must=[term]).size
+    assert n_match > 0
+    n_docs_before = read_docs(out).count()
+
+    man, n_deleted = delete_by_query(out, must=[term])
+    assert n_deleted == n_match
+
+    idx1 = LocalIndex(out)
+    assert idx1.lookup(term) is None  # the term existed only in deleted docs
+    d, _ = topk_exact(idx1, term, 10)
+    assert d.size == 0
+    assert read_docs(out).count() == n_docs_before - n_deleted
+    # untouched corpus-wide head term still queryable
+    assert idx1.lookup("baba") is not None or term == "baba"
+
+    # no-match query is a clean no-op
+    man2, n2 = delete_by_query(out, must=["zzznosuchterm"])
+    assert n2 == 0 and man2["fingerprint"] == man["fingerprint"]
