@@ -146,6 +146,14 @@ def run_bench() -> dict:
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1000)
 
+    # forceMerge-to-one compaction of the build (after the query
+    # benchmarks so it can't flatter them)
+    from goobi_viewer_indexer_ray.stages.optimize import optimize_index
+
+    t0 = time.perf_counter()
+    optimize_index(out_dir)
+    timings["index_optimize"] = round(time.perf_counter() - t0, 3)
+
     # catalog pipelines over the sf tables (cold: drop the doc-index cache)
     catalog_names = [] if os.environ.get("GRAFT_SKIP_CATALOG") else [
         "bm25_topk",
@@ -175,11 +183,20 @@ def run_bench() -> dict:
         "fetch_docs",
         "dedup_keep_canonical",
         "ann_ivf_assign",
+        "embedding_quantize",
+        "pii_scrub",
         "search_boolean",
         "search_fuzzy",
         "search_phrase",
         "search_phrase_positional",
         "search_kwic",
+        "search_wildcard",
+        "search_spellcheck",
+        "search_stats",
+        "search_collapse",
+        "search_range_facet",
+        "term_cooccurrence",
+        "more_like_this",
         "sample_stratified",
         "token_count_quantiles",
         "frequent_terms",

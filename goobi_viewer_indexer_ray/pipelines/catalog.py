@@ -448,6 +448,32 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.45
 """
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Per-vector int8 symmetric quantization summary (the vector
+    storage/compute scale path): floor(x/max|x|*127 + 0.5), integer
+    checksums keep the oracle exact."""
+    out = ann.quantize_embeddings(_embeddings(sf_dir))
+    return out.sort("vec_id")
+
+
+_SQL_QUANTIZE = """
+WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings),
+m AS (SELECT vec_id, max(abs(x)) AS mx FROM e GROUP BY vec_id),
+q AS (
+  SELECT e.vec_id,
+         floor(x / (CASE WHEN mx = 0 THEN 1.0 ELSE mx END) * 127.0 + 0.5)::BIGINT AS qv,
+         mx
+  FROM e JOIN m USING (vec_id)
+)
+SELECT vec_id::BIGINT AS vec_id,
+       any_value(mx) / 127.0 AS scale,
+       sum(qv)::BIGINT AS sum_q,
+       sum(abs(qv))::BIGINT AS sum_abs_q,
+       max(qv)::BIGINT AS max_q
+FROM q GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH ANN over the bucket-partitioned store (IO pruning: only the
     probed buckets' files are read).  Identical output to
@@ -2409,6 +2435,54 @@ def _cooc_sql() -> str:
     )
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (emails / IPv4 / phones) over the corpus — the
+    privacy stage of the curation pipeline.  The documents table has
+    no organic PII, so a deterministic doc_id-keyed PII suffix is
+    synthesized identically on BOTH sides; the scrub rules themselves
+    are shared constants (functions/pii.py), so engine and oracle can
+    never diverge on the patterns."""
+    import pandas as pd
+
+    from ..functions.pii import scrub_pii
+
+    ds = _documents(sf_dir, columns=("doc_id", "text"))
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        txt = (
+            df["text"].fillna("")
+            + " user" + d.astype(str) + "@ex" + (d % 7).astype(str)
+            + ".org ip 10." + (d % 256).astype(str)
+            + ".0." + ((d * 7) % 256).astype(str)
+            + " tel +1 555 " + (1000000 + d).astype(str)
+        )
+        out = scrub_pii(txt)
+        out.insert(0, "doc_id", d)
+        return out
+
+    return ds.map_batches(scrub, batch_format="pandas").sort("doc_id")
+
+
+def _pii_sql() -> str:
+    from ..functions.pii import sql_count_expr, sql_scrub_expr
+
+    synth = (
+        "coalesce(text, '') || ' user' || doc_id || '@ex' || (doc_id % 7)"
+        " || '.org ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)"
+        " || ' tel +1 555 ' || (1000000 + doc_id)"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {synth} AS txt FROM documents)
+SELECT doc_id,
+       {sql_scrub_expr('txt')} AS scrubbed,
+       {sql_count_expr('txt', 0)} AS n_emails,
+       {sql_count_expr('txt', 1)} AS n_ips,
+       {sql_count_expr('txt', 2)} AS n_phones
+FROM t ORDER BY doc_id
+"""
+
+
 SPELL_QUERIES = ["strem", "windw", "qery", "batch", "zzzz"]
 SPELL_TOPN = 5
 
@@ -2950,6 +3024,7 @@ QUERIES = {
     "fetch_docs": q_fetch_docs,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "embedding_quantize": q_embedding_quantize,
     "search_boolean": q_search_boolean,
     "search_prefix": q_search_prefix,
     "search_fuzzy": q_search_fuzzy,
@@ -2965,6 +3040,7 @@ QUERIES = {
     "search_collapse": q_search_collapse,
     "search_range_facet": q_search_range_facet,
     "more_like_this": q_more_like_this,
+    "pii_scrub": q_pii_scrub,
     "sample_docs": q_sample_docs,
     "sample_stratified": q_sample_stratified,
     "token_count_quantiles": q_token_count_quantiles,
@@ -3021,6 +3097,7 @@ ORACLE_SQL = {
     "fetch_docs": _SQL_FETCH_DOCS,
     "dedup_keep_canonical": _SQL_DEDUP_KEEP_CANONICAL,
     "ann_ivf_assign": _SQL_ANN_IVF,
+    "embedding_quantize": _SQL_QUANTIZE,
     "search_boolean": _boolean_sql(),
     "search_prefix": _prefix_sql(),
     "search_fuzzy": _fuzzy_sql(),
@@ -3036,6 +3113,7 @@ ORACLE_SQL = {
     "search_collapse": _collapse_sql(),
     "search_range_facet": _range_facet_sql(),
     "more_like_this": _mlt_sql(),
+    "pii_scrub": _pii_sql(),
     "sample_docs": _sample_sql(),
     "sample_stratified": _sample_stratified_sql(),
     "token_count_quantiles": _quantiles_sql(),

@@ -16,7 +16,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["brute_force_topk", "lsh_topk", "write_lsh_partitions",
-           "lsh_topk_partitioned", "embedding_dup_pairs"]
+           "lsh_topk_partitioned", "embedding_dup_pairs",
+           "quantize_embeddings", "quantized_topk"]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -113,6 +114,90 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
             # batch-local prune keeping rounded ties (final ranking is
             # by (round(cos,4) desc, vec_id asc) — a tied candidate with
             # lower raw cosine must survive to the driver merge)
+            idx = _topk_tied(cos[qi], k)
+            rows_q.extend([int(qids[qi])] * len(idx))
+            rows_v.extend(vids[idx].tolist())
+            rows_c.extend(np.round(cos[qi][idx], 4).tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(rows_q, pa.int64()),
+                "vec_id": pa.array(rows_v, pa.int64()),
+                "cos_r": pa.array(rows_c, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return _final_merge(parts, k)
+
+
+def _quantize_matrix(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-vector int8 quantization: ``q = floor(x / max|x| *
+    127 + 0.5)``, ``scale = max|x| / 127``.  floor(+0.5) instead of
+    round() so the SQL oracle (DuckDB ``floor``) reproduces it exactly
+    — numpy's round is banker's, SQL's is half-away, floor(+0.5) is
+    neither's tie rule and both engines agree on it."""
+    a = np.max(np.abs(m), axis=1, keepdims=True)
+    safe = np.where(a == 0, 1.0, a)
+    q = np.floor(m / safe * 127.0 + 0.5).astype(np.int8)
+    return q, (a[:, 0] / 127.0)
+
+
+def quantize_embeddings(ds):
+    """Per-vector int8 quantization summary — the storage/compute scale
+    path for the embedding column (4× smaller than float32, int8 GEMM
+    at query time; the standard trade in large-scale vector serving).
+
+    Returns a Dataset of ``(vec_id, scale, sum_q, sum_abs_q, max_q)`` —
+    the integer summaries keep the oracle comparison exact while still
+    pinning every quantized value through the sums.
+    """
+    def quant(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column("embedding"))
+        q, scale = _quantize_matrix(m)
+        qi = q.astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "scale": pa.array(scale, pa.float64()),
+                "sum_q": pa.array(qi.sum(axis=1), pa.int64()),
+                "sum_abs_q": pa.array(np.abs(qi).sum(axis=1), pa.int64()),
+                "max_q": pa.array(qi.max(axis=1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def quantized_topk(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors.
+
+    Per batch: one int32 GEMM (``q_query @ q_vec.T``) plus a rank-1
+    scale correction — the cosine of the DEQUANTIZED vectors, so the
+    only error vs :func:`brute_force_topk` is the quantization noise
+    itself (recall pinned in tests).  Same ranking/merge contract as
+    the exact path.
+    """
+    import ray
+
+    qids_np, qm = _fetch_queries(ds, query_ids)
+    qq, qscale = _quantize_matrix(qm)
+    # dequantized query norms (scale factors cancel in cosine per-vector)
+    qd = qq.astype(np.float64) * qscale[:, None]
+    qn = qd / np.maximum(np.linalg.norm(qd, axis=1, keepdims=True), 1e-300)
+    q_ref = ray.put((qids_np, qq.astype(np.int32), qscale, qn))
+
+    def score(t: pa.Table) -> pa.Table:
+        qids, qqi, qs, qnorm = ray.get(q_ref)
+        m = _as_matrix(t.column("embedding"))
+        vq, vs = _quantize_matrix(m)
+        dots = qqi @ vq.astype(np.int32).T  # exact int32 GEMM
+        # cosine of dequantized vectors: scales cancel against norms
+        vd_norm = np.maximum(np.linalg.norm(vq.astype(np.float64), axis=1), 1e-300)
+        qd_norm = np.maximum(np.linalg.norm(qqi.astype(np.float64), axis=1), 1e-300)
+        cos = dots / qd_norm[:, None] / vd_norm[None, :]
+        vids = t.column("vec_id").to_numpy()
+        rows_q, rows_v, rows_c = [], [], []
+        for qi in range(cos.shape[0]):
             idx = _topk_tied(cos[qi], k)
             rows_q.extend([int(qids[qi])] * len(idx))
             rows_v.extend(vids[idx].tolist())

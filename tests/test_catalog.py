@@ -114,6 +114,7 @@ def _check(contract, con, name):
         "fetch_docs",
         "dedup_keep_canonical",
         "ann_ivf_assign",
+        "embedding_quantize",
         "search_boolean",
         "search_prefix",
         "search_fuzzy",
@@ -129,6 +130,7 @@ def _check(contract, con, name):
         "search_collapse",
         "search_range_facet",
         "more_like_this",
+        "pii_scrub",
         "sample_docs",
         "sample_stratified",
         "token_count_quantiles",
@@ -180,6 +182,23 @@ def test_ann_ivf_probe(contract):
         top_bf = set(bf[bf["query_vec_id"] == qid]["vec_id"])
         top_iv = set(part[part["query_vec_id"] == qid]["vec_id"])
         assert len(top_bf & top_iv) >= 3  # @10, modest recall floor
+
+
+def test_ann_quantized_recall(contract):
+    """int8-quantized cosine top-k must track exact brute force: high
+    overlap @10, and the top-1 hit must survive quantization."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import _ANN_QUERY_IDS, _embeddings
+    from goobi_viewer_indexer_ray.stages.ann import brute_force_topk, quantized_topk
+
+    ds = _embeddings(SF)
+    bf = brute_force_topk(ds, _ANN_QUERY_IDS, k=10)
+    qz = quantized_topk(ds, _ANN_QUERY_IDS, k=10)
+    for qid in bf["query_vec_id"].unique():
+        top_bf = bf[bf["query_vec_id"] == qid].sort_values("rank")
+        top_qz = qz[qz["query_vec_id"] == qid].sort_values("rank")
+        assert len(set(top_bf["vec_id"]) & set(top_qz["vec_id"])) >= 8
+        # the query vector itself (cos=1) must stay rank-1
+        assert top_qz.iloc[0]["vec_id"] == top_bf.iloc[0]["vec_id"]
 
 
 def test_ann_ivf_partitioned_identity(contract, tmp_path):
