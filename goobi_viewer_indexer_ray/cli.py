@@ -10,6 +10,8 @@ Commands::
     update --out DIR [--delta DIR] [--delete URL ...]
     query  --out DIR --q "terms" [--k K] [--exact]
     bench-corpus --out DIR --n N [--seed S]
+    optimize --out DIR
+    delete-query --out DIR --must "terms" [--must-not "terms"]
 """
 
 from __future__ import annotations
@@ -61,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--n", type=int, required=True)
     c.add_argument("--seed", type=int, default=42)
 
+    o = sub.add_parser("optimize", help="forceMerge-to-one segment compaction")
+    o.add_argument("--out", required=True)
+
+    dq = sub.add_parser("delete-query", help="delete every doc matching a boolean query")
+    dq.add_argument("--out", required=True)
+    dq.add_argument("--must", action="append", default=[], required=True)
+    dq.add_argument("--must-not", action="append", default=[])
+
     args = ap.parse_args(argv)
     ray = _init_ray()
     try:
@@ -93,6 +103,19 @@ def main(argv: list[str] | None = None) -> int:
 
             paths = write_pages(args.out, args.n, seed=args.seed)
             print(json.dumps({"files": len(paths), "rows": args.n}))
+        elif args.cmd == "optimize":
+            from .stages.optimize import optimize_index
+
+            m = optimize_index(args.out)
+            print(json.dumps({"segments": len(m["segments"]),
+                              "n_terms": m["n_terms"],
+                              "index_bytes": m["index_bytes"]}))
+        elif args.cmd == "delete-query":
+            from .pipelines.updates import delete_by_query
+
+            m, n = delete_by_query(args.out, must=args.must,
+                                   must_not=args.must_not)
+            print(json.dumps({"n_deleted": n, "n_terms": m["n_terms"]}))
     finally:
         ray.shutdown()
     return 0
