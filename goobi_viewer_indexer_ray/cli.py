@@ -115,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
 
             m, n = delete_by_query(args.out, must=args.must,
                                    must_not=args.must_not)
-            print(json.dumps({"n_deleted": n, "n_terms": m["n_terms"]}))
+            print(json.dumps({"n_deleted": n, "n_terms": m.get("n_terms")}))
     finally:
         ray.shutdown()
     return 0

@@ -11,7 +11,10 @@ The three patterns are deliberately RE2-compatible (no lookaround, no
 backreferences) and are applied in a FIXED order (email → IPv4 →
 phone), so the exact same rules run in DuckDB ``regexp_replace`` —
 the SQL oracle and the engine share these pattern constants via
-:func:`sql_scrub_expr` and can never diverge.
+:func:`sql_scrub_expr` and can never diverge.  The Python side
+compiles with ``re.ASCII`` because RE2's ``\\d``/``\\b`` are
+ASCII-only — without the flag, Arabic-Indic/Devanagari digits would
+match ``\\d`` in the engine but not in the oracle.
 
 Everything is vectorized pandas ``.str`` kernels (C regex across the
 whole column); counts are taken BEFORE redaction so they report what
@@ -44,13 +47,16 @@ RULES = [
 
 def scrub_pii(texts: pd.Series) -> pd.DataFrame:
     """``(scrubbed, n_emails, n_ips, n_phones)`` for a text column."""
+    import re
+
     s = texts.fillna("")
     counts = []
-    for rx, _ in RULES:
-        counts.append(s.str.count(rx).astype("int64"))
+    for rx, repl in RULES:
+        pat = re.compile(rx, re.ASCII)  # RE2 parity: \d/\b stay ASCII
+        counts.append(s.str.count(pat).astype("int64"))
         # count on the CURRENT text, then redact before the next rule —
         # identical staging to the SQL oracle's nested replaces
-        s = s.str.replace(rx, _repl_for(rx), regex=True)
+        s = s.str.replace(pat, repl, regex=True)
     return pd.DataFrame(
         {
             "scrubbed": s,
@@ -59,10 +65,6 @@ def scrub_pii(texts: pd.Series) -> pd.DataFrame:
             "n_phones": counts[2],
         }
     )
-
-
-def _repl_for(rx: str) -> str:
-    return {EMAIL_RE: "<EMAIL>", IPV4_RE: "<IP>", PHONE_RE: "<PHONE>"}[rx]
 
 
 def _sql_quote(rx: str) -> str:

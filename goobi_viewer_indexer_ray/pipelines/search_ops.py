@@ -265,7 +265,12 @@ def spellcheck_terms(index, query: str, *, max_edits: int = 2,
     ``(distance asc, df desc, term asc)`` — the collation order Solr's
     spellchecker uses (closest, then most frequent).
 
-    Returns ``[(term, distance, df), ...]``.  The distance is a full
+    Returns ``[(term, distance, df), ...]``.  Distance is CODEPOINT
+    Levenshtein (Lucene semantics); note DuckDB's ``levenshtein()`` is
+    byte-based — the SQL oracle is equivalent only because both sides'
+    tokenizers restrict the compared vocab to ASCII (``[a-z0-9]+`` in
+    the oracle's ``_TOKS``), where bytes == codepoints.  A non-ASCII
+    vocab would need a codepoint oracle.  The distance is a full
     DP Levenshtein VECTORIZED ACROSS CANDIDATES: the vocab is first
     length-banded (``|len(t) - len(q)| <= max_edits``), the survivors
     become one codepoint matrix, and the DP runs its
@@ -385,8 +390,10 @@ def collapse_top1(index, ds, *, must: list[str], group_col: str,
     if matched is None:
         import ray.data
 
+        sch = ds.schema()
+        gtype = dict(zip(sch.names, sch.types))[group_col]
         return ray.data.from_arrow(pa.table(
-            {group_col: pa.array([], pa.string()),
+            {group_col: pa.array([], gtype),
              "head_doc": pa.array([], pa.int64()),
              "n_in_group": pa.array([], pa.int64())}
         ))
@@ -962,8 +969,10 @@ def facet_counts(index, ds, *, must: list[str], facets: list[str],
     if docs.size == 0:  # all-empty blocks would drop the schema downstream
         import ray.data
 
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
         empty = pa.table(
-            {**{f: pa.array([], pa.string()) for f in facets},
+            {**{f: pa.array([], types[f]) for f in facets},
              "n_docs": pa.array([], pa.int64())}
         )
         return ray.data.from_arrow(empty)

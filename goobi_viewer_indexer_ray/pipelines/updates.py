@@ -381,8 +381,11 @@ def delete_by_query(out_dir: str, *, must: list[str],
     idx = LocalIndex(out_dir)
     docs = boolean_docs(idx, must=must, must_not=must_not)
     if docs.size == 0:
+        # no-op: keep the promised (manifest, 0) shape even when the
+        # index manifest is missing (a state apply_updates tolerates
+        # by full re-merge — but a no-match delete shouldn't rebuild)
         man = load_manifest(os.path.join(out_dir, "index_manifest.json"))
-        return man, 0
+        return (man if man is not None else {}), 0
     ids_ref = ray.put(pa.array(docs, pa.int64()))
 
     def semi(t: pa.Table) -> pa.Table:

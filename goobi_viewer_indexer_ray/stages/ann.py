@@ -180,16 +180,15 @@ def quantized_topk(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
     import ray
 
     qids_np, qm = _fetch_queries(ds, query_ids)
-    qq, qscale = _quantize_matrix(qm)
-    # dequantized query norms (scale factors cancel in cosine per-vector)
-    qd = qq.astype(np.float64) * qscale[:, None]
-    qn = qd / np.maximum(np.linalg.norm(qd, axis=1, keepdims=True), 1e-300)
-    q_ref = ray.put((qids_np, qq.astype(np.int32), qscale, qn))
+    qq, _ = _quantize_matrix(qm)
+    # per-vector scales cancel in cosine (q·s_a vs ‖q‖·s_a), so only
+    # the int8 query matrix ships — no dequantized copies
+    q_ref = ray.put((qids_np, qq.astype(np.int32)))
 
     def score(t: pa.Table) -> pa.Table:
-        qids, qqi, qs, qnorm = ray.get(q_ref)
+        qids, qqi = ray.get(q_ref)
         m = _as_matrix(t.column("embedding"))
-        vq, vs = _quantize_matrix(m)
+        vq, _ = _quantize_matrix(m)
         dots = qqi @ vq.astype(np.int32).T  # exact int32 GEMM
         # cosine of dequantized vectors: scales cancel against norms
         vd_norm = np.maximum(np.linalg.norm(vq.astype(np.float64), axis=1), 1e-300)

@@ -111,8 +111,19 @@ def segment_paths(index_dir: str) -> list[dict]:
             # never a mix.  Default stays "terms.parquet".
             p = os.path.join(segment_dir(index_dir, int(s["shard"]), int(s["bucket"])),
                              s.get("file") or "terms.parquet")
-            if os.path.exists(p):
-                out.append({"shard": int(s["shard"]), "bucket": int(s["bucket"]), "path": p})
+            if not os.path.exists(p):
+                # a manifest that lists a missing file means the index
+                # was damaged, or this reader loaded a manifest that an
+                # optimize pass has since superseded (old files cleaned
+                # up).  Serving a silently partial/empty index would be
+                # far worse than failing — the caller can re-read the
+                # (new) manifest and retry.
+                raise FileNotFoundError(
+                    f"index manifest lists missing segment file {p} — "
+                    "index damaged or superseded by a concurrent "
+                    "optimize; reload the manifest"
+                )
+            out.append({"shard": int(s["shard"]), "bucket": int(s["bucket"]), "path": p})
         return out
     if os.path.isdir(index_dir):
         for d in sorted(os.listdir(index_dir)):

@@ -170,27 +170,30 @@ def optimize_index(out_dir: str, *, cleanup: bool = True) -> dict:
     from ..pipelines.updates import _BuildLock
 
     man_path = os.path.join(out_dir, "index_manifest.json")
-    old = load_manifest(man_path)
-    if old is None:
-        raise FileNotFoundError(f"no index manifest under {out_dir}")
-    if all(int(s["bucket"]) == 0 for s in old["segments"]):
-        # already one segment per shard — optimizing again would chain
-        # a new fingerprint and rewrite identical bytes for nothing
-        if cleanup:
-            _cleanup(out_dir, old)
-        return old
-    fp = _job_fp(old["fingerprint"], optimize=1)
-
-    index_dir = os.path.join(out_dir, "index")
-    file_name = f"terms-{fp[:8]}.parquet"
-    segs_by_shard: dict[int, list[tuple[int, str]]] = {}
-    for s in old["segments"]:
-        p = os.path.join(segment_dir(index_dir, int(s["shard"]), int(s["bucket"])),
-                         s.get("file") or "terms.parquet")
-        segs_by_shard.setdefault(int(s["shard"]), []).append((int(s["bucket"]), p))
-
-    docs_man = load_manifest(os.path.join(out_dir, "docs_manifest.json"))
     with _BuildLock(out_dir):
+        # the manifest MUST be read under the lock — a concurrent
+        # apply_updates could otherwise commit between read and lock
+        # and this pass would compact (and publish) a stale segment list
+        old = load_manifest(man_path)
+        if old is None:
+            raise FileNotFoundError(f"no index manifest under {out_dir}")
+        if all(int(s["bucket"]) == 0 for s in old["segments"]):
+            # already one segment per shard — optimizing again would
+            # chain a new fingerprint and rewrite identical bytes
+            if cleanup:
+                _cleanup(out_dir, old)
+            return old
+        fp = _job_fp(old["fingerprint"], optimize=1)
+
+        index_dir = os.path.join(out_dir, "index")
+        file_name = f"terms-{fp[:8]}.parquet"
+        segs_by_shard: dict[int, list[tuple[int, str]]] = {}
+        for s in old["segments"]:
+            p = os.path.join(segment_dir(index_dir, int(s["shard"]), int(s["bucket"])),
+                             s.get("file") or "terms.parquet")
+            segs_by_shard.setdefault(int(s["shard"]), []).append((int(s["bucket"]), p))
+
+        docs_man = load_manifest(os.path.join(out_dir, "docs_manifest.json"))
         shards = sorted(segs_by_shard)
         rows = (
             ray.data.from_items([{"shard": s} for s in shards])

@@ -114,6 +114,22 @@ def test_cleanup_removed_stale_segments(opt_build):
         assert len(parquets) == 1 and parquets[0].startswith("terms-")
 
 
+def test_reader_fails_loud_on_superseded_manifest(opt_build, tmp_path):
+    """A manifest listing a missing segment file (damage, or a reader
+    that raced an optimize's cleanup) must raise — never serve a
+    silently empty index."""
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
+
+    dmg = str(tmp_path / "dmg")
+    shutil.copytree(opt_build["opt"], dmg)
+    victim = next(iter(_index_files(dmg).values()))
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError, match="missing segment file"):
+        LocalIndex(dmg)
+
+
 def test_resume_skips_compacted_shard(ray_session, tiny_paths, tmp_path_factory):
     """A shard compacted by an interrupted run is not re-merged against
     its own output on the retry (checked before reading)."""

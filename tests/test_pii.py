@@ -56,6 +56,20 @@ def test_ip_rule_wins_over_phone_digits():
     assert out["n_ips"][0] == 1 and out["n_phones"][0] == 1
 
 
+def test_unicode_digits_stay_ascii_parity():
+    """RE2's \\d/\\b are ASCII-only; the engine must match (re.ASCII),
+    so Arabic-Indic digits are NOT phone/IP matches on either side."""
+    cases = ["call ٣٣٣٣٣٣٣٣ now", "ip ٣1.2.3.4 x"]
+    got = scrub_pii(pd.Series(cases))
+    assert got["scrubbed"][0] == cases[0]  # untouched
+    assert got["n_phones"].tolist() == [0, 0]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": cases}))
+    want = con.execute(
+        f"SELECT {sql_scrub_expr('text')} AS s FROM t").fetch_df()
+    assert got["scrubbed"].tolist() == want["s"].tolist()
+
+
 def test_rule_order_is_fixed():
     # the SQL builders iterate RULES in order — a reorder would silently
     # change semantics on both sides, so pin it
