@@ -83,9 +83,11 @@ def boolean_docs(index, *, must: list[str] | None = None,
 
     m, s, n = toks(must), toks(should), toks(must_not)
     if m:
+        # rarest term first: every later intersection is bounded by the
+        # smallest df, and an absent term short-circuits immediately
+        posts = sorted((_term_docs(index, t) for t in m), key=lambda d: d.size)
         docs: np.ndarray | None = None
-        for t in m:  # ascending-df first would be cheaper; order is tiny here
-            d = _term_docs(index, t)
+        for d in posts:
             docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
             if docs.size == 0:
                 break
@@ -163,14 +165,20 @@ def wildcard_regex(pattern: str) -> str:
 
 def wildcard_terms(index, pattern: str) -> list[tuple[str, int]]:
     """Lucene ``WildcardQuery`` analog: vocab terms matching a
-    ``*``/``?`` pattern, with df.  A compiled-regex scan over the term
-    dictionary — the vocab is the index's small side (≈10⁶ terms for
-    10⁹ docs), and a leading-literal pattern could further narrow to a
-    ``searchsorted`` prefix range (the :func:`prefix_stats` path)."""
+    ``*``/``?`` pattern, with df.  A leading literal narrows the scan
+    to its ``searchsorted`` dictionary range first (the
+    :func:`prefix_stats` path — exactly Lucene's automaton seek);
+    only the surviving range takes the compiled-regex test.  The
+    vocab is the index's small side (≈10⁶ terms for 10⁹ docs)."""
     import re as _re
 
     rx = _re.compile(wildcard_regex(pattern))
     terms, df, _ = _vocab_arrays(index)
+    lead = pattern.split("*", 1)[0].split("?", 1)[0]
+    if lead:
+        lo = int(np.searchsorted(terms, lead, side="left"))
+        hi = int(np.searchsorted(terms, lead + "￿", side="left"))
+        terms, df = terms[lo:hi], df[lo:hi]
     return [(str(t), int(d)) for t, d in zip(terms, df) if rx.match(t)]
 
 
