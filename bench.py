@@ -185,6 +185,8 @@ def run_bench() -> dict:
         "ann_ivf_assign",
         "embedding_quantize",
         "pii_scrub",
+        "doc_chunks",
+        "contamination",
         "search_boolean",
         "search_fuzzy",
         "search_phrase",

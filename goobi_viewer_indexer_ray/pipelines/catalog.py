@@ -2435,6 +2435,82 @@ def _cooc_sql() -> str:
     )
 
 
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 8
+
+
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window token chunking (pretraining/RAG sequence prep):
+    16-token windows every 8 tokens, truncated tail, chunk text pinned
+    through the oracle's array_to_string slice."""
+    ds = _documents(sf_dir)
+    out = ds.map_batches(
+        lambda t: text_ops.chunk_batch(t, chunk=CHUNK_TOKENS, stride=CHUNK_STRIDE),
+        batch_format="pyarrow",
+    )
+    return out.sort(["doc_id", "chunk_idx"])
+
+
+def _chunks_sql() -> str:
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts, len({_TOKS}) AS n FROM documents
+),
+st AS (
+  SELECT doc_id, ts, n, unnest(generate_series(0, n - 1, {s})) AS start
+  FROM toks WHERE n > 0
+)
+SELECT doc_id,
+       (start // {s})::BIGINT AS chunk_idx,
+       start::BIGINT AS start_tok,
+       least({c}, n - start)::BIGINT AS n_tok,
+       array_to_string(ts[start + 1 : start + least({c}, n - start)], ' ') AS chunk_text
+FROM st ORDER BY doc_id, chunk_idx
+"""
+
+
+CONTAM_MOD = 97
+CONTAM_N = 5
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination: distinct 5-gram shingle overlap of
+    every non-benchmark doc against the benchmark docs' shingle set
+    (doc_id % 97 == 0 is the deterministic benchmark stand-in)."""
+    ds = _documents(sf_dir)
+    out = text_ops.contamination_hits(ds, bench_mod=CONTAM_MOD, n=CONTAM_N)
+    return out.sort("doc_id")
+
+
+def _contamination_sql() -> str:
+    m, n = CONTAM_MOD, CONTAM_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i : i + {n - 1}], ' ') AS sh
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts) - {n - 1})) AS i
+    FROM toks WHERE len(ts) >= {n}
+  )
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {m} = 0),
+hits AS (
+  SELECT s.doc_id, count(*)::BIGINT AS n_hits
+  FROM sh s JOIN bench USING (sh)
+  WHERE s.doc_id % {m} != 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {m} != 0
+ORDER BY d.doc_id
+"""
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails / IPv4 / phones) over the corpus — the
     privacy stage of the curation pipeline.  The documents table has
@@ -3041,6 +3117,8 @@ QUERIES = {
     "search_range_facet": q_search_range_facet,
     "more_like_this": q_more_like_this,
     "pii_scrub": q_pii_scrub,
+    "doc_chunks": q_doc_chunks,
+    "contamination": q_contamination,
     "sample_docs": q_sample_docs,
     "sample_stratified": q_sample_stratified,
     "token_count_quantiles": q_token_count_quantiles,
@@ -3114,6 +3192,8 @@ ORACLE_SQL = {
     "search_range_facet": _range_facet_sql(),
     "more_like_this": _mlt_sql(),
     "pii_scrub": _pii_sql(),
+    "doc_chunks": _chunks_sql(),
+    "contamination": _contamination_sql(),
     "sample_docs": _sample_sql(),
     "sample_stratified": _sample_stratified_sql(),
     "token_count_quantiles": _quantiles_sql(),

@@ -30,6 +30,8 @@ __all__ = [
     "fingerprint_batch",
     "shingles_batch",
     "simhash_batch",
+    "chunk_batch",
+    "contamination_hits",
 ]
 
 # Marker stopword lists for the n-gram-free language-ID heuristic —
@@ -333,3 +335,97 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {"doc_id": pa.array(ids, pa.int64()), "simhash_hex": pa.array(out, pa.string())}
     )
+
+
+def chunk_batch(batch: pa.Table, *, chunk: int = 16, stride: int = 8) -> pa.Table:
+    """Sliding-window token chunks per doc — the pretraining/RAG
+    sequence chunker: windows of ``chunk`` tokens every ``stride``
+    tokens, last window truncated, empty docs emit nothing.
+
+    Emits ``(doc_id, chunk_idx, start_tok, n_tok, chunk_text)``; the
+    chunk text pins token content (not just counts) through the SQL
+    oracle's ``array_to_string`` slice.  Window arithmetic is
+    vectorized (one repeat/arange over the batch); only the final
+    per-chunk text join is per-row — the same cost class as writing
+    the chunk out.
+    """
+    ids, toks = _tokens_of(batch)
+    counts = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+    n_chunks = np.where(counts > 0, (np.maximum(counts - 1, 0) // stride) + 1, 0)
+    doc_rep = np.repeat(np.asarray(ids, np.int64), n_chunks)
+    total = int(n_chunks.sum())
+    offs = np.concatenate([[0], np.cumsum(n_chunks)[:-1]]).astype(np.int64)
+    cidx = np.arange(total, dtype=np.int64) - np.repeat(offs, n_chunks)
+    starts = cidx * stride
+    n_tok = np.minimum(chunk, np.repeat(counts, n_chunks) - starts)
+    texts = []
+    doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), n_chunks)
+    for d, s, m in zip(doc_of.tolist(), starts.tolist(), n_tok.tolist()):
+        texts.append(" ".join(toks[d][s : s + m]))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_rep, pa.int64()),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "start_tok": pa.array(starts, pa.int64()),
+            "n_tok": pa.array(n_tok, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def contamination_hits(ds, *, bench_mod: int = 97, n: int = 5):
+    """Benchmark decontamination: per non-benchmark doc, how many of
+    its DISTINCT token ``n``-gram shingles appear in the benchmark
+    docs' shingle set.
+
+    The benchmark side (``doc_id % bench_mod == 0`` — a deterministic
+    stand-in for an eval set) is the natural small side: its distinct
+    shingles are collected once and broadcast (``ray.put``); the
+    corpus streams through one ``pc.is_in`` membership pass.  Returns
+    a Dataset of ``(doc_id, n_hits, contaminated)`` covering EVERY
+    non-benchmark doc (zero-hit docs included — the decontamination
+    verdict must be total).
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % bench_mod == 0))
+
+    bench_sh = set()
+    for b in (
+        ds.map_batches(bench_only, batch_format="pyarrow")
+        .map_batches(lambda t: shingles_batch(t, n=n), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        bench_sh.update(b.column("sh").to_pylist())
+    sh_ref = ray.put(pa.array(sorted(bench_sh), pa.string()))
+
+    def hits(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = ids % bench_mod != 0
+        sub = t.filter(pa.array(keep))
+        doc_ids = sub.column("doc_id").to_numpy()
+        sh = shingles_batch(sub, n=n)
+        bench = ray.get(sh_ref)
+        hit = pc.is_in(sh.column("sh"), value_set=bench).to_numpy(zero_copy_only=False)
+        sh_doc = sh.column("doc_id").to_numpy()
+        # per-doc hit counts over this batch's shingle rows, then a
+        # left-align back onto every non-bench doc (zero-hit included);
+        # batch doc ids are not guaranteed sorted, so map through argsort
+        order = np.argsort(doc_ids, kind="stable")
+        sorted_ids = doc_ids[order]
+        pos = np.searchsorted(sorted_ids, sh_doc)
+        counts = np.zeros(doc_ids.size, np.int64)
+        np.add.at(counts, order[pos], hit.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_hits": pa.array(counts, pa.int64()),
+                "contaminated": pa.array(counts > 0),
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pyarrow")

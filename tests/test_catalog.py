@@ -131,6 +131,8 @@ def _check(contract, con, name):
         "search_range_facet",
         "more_like_this",
         "pii_scrub",
+        "doc_chunks",
+        "contamination",
         "sample_docs",
         "sample_stratified",
         "token_count_quantiles",
