@@ -181,3 +181,49 @@ def test_parent_rollup_matches_pandas(ray_session):
     )
     for col in ["num_children", "first_key", "last_key", "child_keys", "super_rollup"]:
         assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_chunk_batch_windows():
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.text_ops import chunk_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            " ".join(f"w{i}" for i in range(20)),  # 3 windows: 0-15,8-19(12),16-19(4)
+            "a b c",                                # 1 truncated window
+            "",                                     # no chunks
+            None,                                   # no chunks
+        ],
+    })
+    out = chunk_batch(t, chunk=16, stride=8)
+    rows = list(zip(out.column("doc_id").to_pylist(),
+                    out.column("chunk_idx").to_pylist(),
+                    out.column("start_tok").to_pylist(),
+                    out.column("n_tok").to_pylist()))
+    assert rows == [(1, 0, 0, 16), (1, 1, 8, 12), (1, 2, 16, 4), (2, 0, 0, 3)]
+    texts = out.column("chunk_text").to_pylist()
+    assert texts[0].startswith("w0 w1 ") and texts[0].endswith(" w15")
+    assert texts[2] == "w16 w17 w18 w19"
+    assert texts[3] == "a b c"
+
+
+def test_contamination_zero_hits_and_short_docs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.text_ops import contamination_hits
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "one two three four five six",     # benchmark (0 % 2 == 0... use mod 4)
+            "one two three four five tail",    # shares shingle "one..five"
+            "totally different words here now",# zero hits
+            "shrt",                            # shorter than n -> zero shingles
+        ],
+    })).repartition(2)
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in contamination_hits(ds, bench_mod=4, n=5).take_all()}
+    assert out == {1: (1, True), 2: (0, False), 3: (0, False)}
