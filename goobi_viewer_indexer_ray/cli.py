@@ -63,8 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--n", type=int, required=True)
     c.add_argument("--seed", type=int, default=42)
 
-    o = sub.add_parser("optimize", help="forceMerge-to-one segment compaction")
+    o = sub.add_parser("optimize", help="forceMerge(k) segment compaction")
     o.add_argument("--out", required=True)
+    o.add_argument("--max-segments", type=int, default=1,
+                   help="target doc-range segments per shard (default 1)")
 
     dq = sub.add_parser("delete-query", help="delete every doc matching a boolean query")
     dq.add_argument("--out", required=True)
@@ -106,7 +108,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "optimize":
             from .stages.optimize import optimize_index
 
-            m = optimize_index(args.out)
+            m = optimize_index(args.out,
+                               max_segments_per_shard=args.max_segments)
             print(json.dumps({"segments": len(m["segments"]),
                               "n_terms": m["n_terms"],
                               "index_bytes": m["index_bytes"]}))

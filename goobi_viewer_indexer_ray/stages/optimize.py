@@ -1,5 +1,5 @@
-"""Index optimize (forceMerge-to-one): compact every shard's doc-range
-segments into a single canonical segment.
+"""Index optimize (Lucene forceMerge(k)): compact every shard's
+doc-range segments down to at most k canonical segments (default 1).
 
 Reference: the indexer optionally optimizes the Solr index after each
 record (``performance.autoOptimize`` — Configuration.java:441-443,
@@ -60,9 +60,9 @@ from .index_merge import SegmentWriter, segment_dir
 __all__ = ["segments_to_runs", "optimize_index"]
 
 
-def segments_to_runs(merged: pa.Table, shard: int) -> pa.Table:
-    """Decode a shard's merged segment view back into SPIMI run rows
-    (one row per term, ``bucket=0``) — the exact input shape
+def segments_to_runs(merged: pa.Table, shard: int, bucket: int = 0) -> pa.Table:
+    """Decode a merged segment view back into SPIMI run rows (one row
+    per term, tagged ``bucket``) — the exact input shape
     ``SegmentWriter`` consumes.
 
     ``merged`` is ``_merge_segments``' output: rows sorted by
@@ -111,7 +111,7 @@ def segments_to_runs(merged: pa.Table, shard: int) -> pa.Table:
     cols = {
         "term": pa.array(terms_np[new_term], pa.string()),
         "shard": pa.array(np.full(row_start.size, shard, np.int32)),
-        "bucket": pa.array(np.zeros(row_start.size, np.int32)),
+        "bucket": pa.array(np.full(row_start.size, bucket, np.int32)),
         "first_doc": pa.array(doc_abs[term_starts], pa.int64()),
         "df": pa.array(term_df, pa.int64()),
         "cf": pa.array(term_cf, pa.int64()),
@@ -125,50 +125,62 @@ def segments_to_runs(merged: pa.Table, shard: int) -> pa.Table:
 
 
 class _OptimizeShard:
-    """Per-shard compaction task: read the shard's live segments,
-    re-encode as ONE bucket-0 segment under the optimize file name."""
+    """Per-(shard, target-bucket) compaction task: read the group's
+    live segments, re-encode as one segment under the optimize file
+    name (forceMerge(k): k target buckets per shard, doc order kept)."""
 
     def __init__(self, index_dir: str, fp: str, file_name: str,
-                 segs_by_shard: dict[int, list[tuple[int, str]]]):
+                 segs_by_group: dict[tuple[int, int], list[tuple[int, str]]]):
         self.index_dir = index_dir
         self.fp = fp
         self.file_name = file_name
-        self.segs_by_shard = segs_by_shard
+        self.segs_by_group = segs_by_group
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..pipelines.query import _merge_segments
 
         out = []
         writer = SegmentWriter(self.index_dir, self.fp, file_name=self.file_name)
-        for shard in batch.column("shard").to_pylist():
-            shard = int(shard)
-            sdir = segment_dir(self.index_dir, shard, 0)
+        for shard, target in zip(batch.column("shard").to_pylist(),
+                                 batch.column("target").to_pylist()):
+            shard, target = int(shard), int(target)
+            sdir = segment_dir(self.index_dir, shard, target)
             man = load_manifest(os.path.join(sdir, writer.man_name))
             if (man and man.get("fingerprint") == self.fp
                     and os.path.exists(os.path.join(sdir, self.file_name))):
                 # already compacted by an interrupted earlier run — must
                 # be detected BEFORE reading, or the finished output
                 # would be merged against its own sources
-                out.append(writer._row(shard, 0, self.fp, man["n_terms"],
+                out.append(writer._row(shard, target, self.fp, man["n_terms"],
                                        man["n_postings"], man.get("sum_cf", 0),
                                        man["bytes"], 0.0, True))
                 continue
-            segs = [(b, pq.read_table(p)) for b, p in self.segs_by_shard[shard]]
+            segs = [(b, pq.read_table(p))
+                    for b, p in self.segs_by_group[(shard, target)]]
             merged = _merge_segments(segs)
-            out.append(writer(segments_to_runs(merged, shard)))
+            out.append(writer(segments_to_runs(merged, shard, bucket=target)))
         return pa.concat_tables(out)
 
 
-def optimize_index(out_dir: str, *, cleanup: bool = True) -> dict:
-    """Compact every shard to one segment; returns the new manifest.
+def optimize_index(out_dir: str, *, max_segments_per_shard: int = 1,
+                   cleanup: bool = True) -> dict:
+    """Compact every shard to at most ``max_segments_per_shard``
+    doc-range segments (Lucene forceMerge(k); the default k=1 is the
+    reference's ``autoOptimize``).  Returns the new manifest.
 
-    Idempotent: re-running on an already-optimized index is a no-op
-    (manifest fingerprint match).  Writers are serialized by the same
+    Old buckets are grouped in contiguous doc-range runs (``b // g``),
+    so the published ``bucket_size_docs`` scales by ``g`` and both
+    readers and ``apply_updates``' part→bucket arithmetic stay
+    consistent with the compacted layout.  Idempotent: already at or
+    below the target is a no-op.  Writers are serialized by the same
     build lock updates take.
     """
     from ..pipelines.build import _job_fp
     from ..pipelines.updates import _BuildLock
 
+    if max_segments_per_shard < 1:
+        raise ValueError("max_segments_per_shard must be >= 1")
+    k = max_segments_per_shard
     man_path = os.path.join(out_dir, "index_manifest.json")
     with _BuildLock(out_dir):
         # the manifest MUST be read under the lock — a concurrent
@@ -177,28 +189,35 @@ def optimize_index(out_dir: str, *, cleanup: bool = True) -> dict:
         old = load_manifest(man_path)
         if old is None:
             raise FileNotFoundError(f"no index manifest under {out_dir}")
-        if all(int(s["bucket"]) == 0 for s in old["segments"]):
-            # already one segment per shard — optimizing again would
-            # chain a new fingerprint and rewrite identical bytes
+        per_shard: dict[int, int] = {}
+        for s in old["segments"]:
+            per_shard[int(s["shard"])] = per_shard.get(int(s["shard"]), 0) + 1
+        if (all(c <= k for c in per_shard.values())
+                and all(int(s["bucket"]) < k for s in old["segments"])):
+            # already at/below the target in the target bucket range —
+            # optimizing again would chain a new fingerprint and
+            # rewrite identical bytes
             if cleanup:
                 _cleanup(out_dir, old)
             return old
-        fp = _job_fp(old["fingerprint"], optimize=1)
+        fp = _job_fp(old["fingerprint"], optimize=k)
 
         index_dir = os.path.join(out_dir, "index")
         file_name = f"terms-{fp[:8]}.parquet"
-        segs_by_shard: dict[int, list[tuple[int, str]]] = {}
+        max_bucket = max(int(s["bucket"]) for s in old["segments"])
+        g = -(-(max_bucket + 1) // k)  # ceil: old buckets per target
+        segs_by_group: dict[tuple[int, int], list[tuple[int, str]]] = {}
         for s in old["segments"]:
-            p = os.path.join(segment_dir(index_dir, int(s["shard"]), int(s["bucket"])),
+            b = int(s["bucket"])
+            p = os.path.join(segment_dir(index_dir, int(s["shard"]), b),
                              s.get("file") or "terms.parquet")
-            segs_by_shard.setdefault(int(s["shard"]), []).append((int(s["bucket"]), p))
+            segs_by_group.setdefault((int(s["shard"]), b // g), []).append((b, p))
 
-        docs_man = load_manifest(os.path.join(out_dir, "docs_manifest.json"))
-        shards = sorted(segs_by_shard)
+        groups = sorted(segs_by_group)
         rows = (
-            ray.data.from_items([{"shard": s} for s in shards])
+            ray.data.from_items([{"shard": s, "target": t} for s, t in groups])
             .map_batches(
-                _OptimizeShard(index_dir, fp, file_name, segs_by_shard),
+                _OptimizeShard(index_dir, fp, file_name, segs_by_group),
                 batch_format="pyarrow",
                 batch_size=1,
             )
@@ -211,18 +230,11 @@ def optimize_index(out_dir: str, *, cleanup: bool = True) -> dict:
              "file": file_name}
             for r in rows.to_dict("records")
         ]
-        segments.sort(key=lambda s: s["shard"])
-        # every part now maps to bucket 0, so a later update re-merges
-        # the (single) dirty bucket from the per-part run cache; text
-        # indexes (build_text_index — no docs manifest) just need the
-        # single bucket to span the old index's whole doc range
-        if docs_man is not None:
-            from ..functions.ids import PART_STRIDE
-
-            bucket_size_docs = int(docs_man["num_parts"]) * PART_STRIDE
-        else:
-            max_bucket = max(int(s["bucket"]) for s in old["segments"])
-            bucket_size_docs = (max_bucket + 1) * int(old["bucket_size_docs"])
+        segments.sort(key=lambda s: (s["shard"], s["bucket"]))
+        # doc→bucket arithmetic scales with the grouping: doc // (old
+        # width · g) == old_bucket // g, and updates' part→bucket uses
+        # the same width, so the single source of truth is this field
+        bucket_size_docs = int(old["bucket_size_docs"]) * g
         new_man = write_manifest(
             man_path,
             stage="index",

@@ -154,8 +154,8 @@ def test_resume_skips_compacted_shard(ray_session, tiny_paths, tmp_path_factory)
     import pyarrow as pa
 
     task = _OptimizeShard(os.path.join(out, "index"), fp, file_name,
-                          {0: segs0})
-    task(pa.table({"shard": [0]}))
+                          {(0, 0): segs0})
+    task(pa.table({"shard": [0], "target": [0]}))
     opt_path = os.path.join(os.path.dirname(segs0[0][1]).rsplit("/seg=", 1)[0],
                             "seg=00000", file_name)
     mtime = os.path.getmtime(opt_path)
@@ -165,6 +165,39 @@ def test_resume_skips_compacted_shard(ray_session, tiny_paths, tmp_path_factory)
     assert os.path.getmtime(opt_path) == mtime  # shard 0 skipped, not redone
     idx = LocalIndex(out)
     assert idx.n_terms > 0
+
+
+def test_forcemerge_k2_bytes_equal_fresh_two_bucket_build(
+        ray_session, tiny_paths, tmp_path_factory):
+    """forceMerge(2) over a 4-bucket build == a fresh
+    num_range_buckets=2 build, byte for byte (group boundaries
+    coincide: g=2 old buckets per target)."""
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
+    from goobi_viewer_indexer_ray.stages.optimize import optimize_index
+
+    root = tmp_path_factory.mktemp("fm2")
+    multi = str(root / "multi")
+    build_all(tiny_paths, multi, num_parts=NUM_PARTS, num_shards=NUM_SHARDS,
+              num_range_buckets=4)
+    opt = str(root / "opt")
+    shutil.copytree(multi, opt)
+    man = optimize_index(opt, max_segments_per_shard=2)
+    assert sorted({s["bucket"] for s in man["segments"]}) == [0, 1]
+    fresh = str(root / "fresh")
+    build_all(tiny_paths, fresh, num_parts=NUM_PARTS, num_shards=NUM_SHARDS,
+              num_range_buckets=2)
+    opt_files, fresh_files = _index_files(opt), _index_files(fresh)
+    assert sorted(opt_files) == sorted(fresh_files)
+    for key, p in opt_files.items():
+        with open(p, "rb") as a, open(fresh_files[key], "rb") as b:
+            assert a.read() == b.read(), key
+    # at/below target → no-op; a later k=1 compacts further
+    man2 = optimize_index(opt, max_segments_per_shard=2)
+    assert man2["fingerprint"] == man["fingerprint"]
+    man3 = optimize_index(opt)  # k=1 chains from the k=2 state
+    assert sorted({s["bucket"] for s in man3["segments"]}) == [0]
+    assert LocalIndex(opt).n_terms == LocalIndex(multi).n_terms
 
 
 def test_positions_survive_optimize(ray_session, pos_index_dir, tmp_path_factory):
