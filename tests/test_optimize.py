@@ -200,6 +200,34 @@ def test_forcemerge_k2_bytes_equal_fresh_two_bucket_build(
     assert LocalIndex(opt).n_terms == LocalIndex(multi).n_terms
 
 
+def test_update_after_forcemerge_k2_mixes_file_names(
+        ray_session, tiny_paths, tmp_path_factory):
+    """After forceMerge(2), an update re-merges only the dirty target
+    bucket (back under the default file name) while the clean
+    optimized segment keeps its fingerprinted file — the mixed-name
+    manifest must serve consistently."""
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, topk_exact
+    from goobi_viewer_indexer_ray.pipelines.updates import update_doc
+    from goobi_viewer_indexer_ray.sources.corpus import gen_pages
+    from goobi_viewer_indexer_ray.stages.optimize import optimize_index
+
+    out = str(tmp_path_factory.mktemp("k2upd") / "out")
+    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS,
+              num_range_buckets=4)
+    optimize_index(out, max_segments_per_shard=2)
+    row = gen_pages(TINY_N, TINY_SEED).to_pylist()[30]
+    update_doc(out, row["url"], b"<html><body>zzmixzz zzmixzz</body></html>",
+               warc_ts=row["warc_ts"])
+    files = _index_files(out)
+    names = {os.path.basename(p) for p in files.values()}
+    assert "terms.parquet" in names  # the re-merged dirty bucket
+    assert any(n.startswith("terms-") for n in names)  # clean optimized
+    idx = LocalIndex(out)
+    d, _ = topk_exact(idx, "zzmixzz", 5)
+    assert d.size == 1
+
+
 def test_positions_survive_optimize(ray_session, pos_index_dir, tmp_path_factory):
     """A positional index keeps exact per-occurrence positions through
     the compaction (poss blobs are per-posting delta runs — byte
