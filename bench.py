@@ -186,6 +186,7 @@ def run_bench() -> dict:
         "embedding_quantize",
         "pii_scrub",
         "doc_chunks",
+        "bigram_counts",
         "contamination",
         "search_boolean",
         "search_fuzzy",

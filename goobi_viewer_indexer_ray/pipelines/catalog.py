@@ -2435,6 +2435,47 @@ def _cooc_sql() -> str:
     )
 
 
+BIGRAM_MIN_COUNT = 5
+
+
+def q_bigram_counts(sf_dir: str):
+    """Corpus collocations: adjacent-bigram counts >= 5 — map-side
+    partial counts (one composite-key np.unique per batch), one small
+    groupby(w1, w2) sum, threshold filter after the combine."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir)
+    parts = ds.map_batches(text_ops.bigram_counts_batch, batch_format="pyarrow")
+    agg = parts.groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n"), BIGRAM_MIN_COUNT))
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort(["w1", "w2"])
+
+
+def _bigrams_sql() -> str:
+    return f"""
+WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2)
+)
+SELECT w1, w2, count(*)::BIGINT AS n
+FROM bg GROUP BY w1, w2
+HAVING count(*) >= {BIGRAM_MIN_COUNT}
+ORDER BY w1, w2
+"""
+
+
 CHUNK_TOKENS = 16
 CHUNK_STRIDE = 8
 
@@ -3118,6 +3159,7 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "pii_scrub": q_pii_scrub,
     "doc_chunks": q_doc_chunks,
+    "bigram_counts": q_bigram_counts,
     "contamination": q_contamination,
     "sample_docs": q_sample_docs,
     "sample_stratified": q_sample_stratified,
@@ -3193,6 +3235,7 @@ ORACLE_SQL = {
     "more_like_this": _mlt_sql(),
     "pii_scrub": _pii_sql(),
     "doc_chunks": _chunks_sql(),
+    "bigram_counts": _bigrams_sql(),
     "contamination": _contamination_sql(),
     "sample_docs": _sample_sql(),
     "sample_stratified": _sample_stratified_sql(),

@@ -171,6 +171,7 @@ def apply_updates(
     deleted_urls: list[str] | None = None,
     *,
     reason: str = "update",
+    auto_optimize: bool = False,
 ) -> dict:
     """Apply new/updated pages and url deletions to an existing build.
 
@@ -180,10 +181,23 @@ def apply_updates(
     build are serialized by an exclusive build-dir lockfile
     (:class:`_BuildLock`) — racing calls queue, they never interleave
     manifest writes.
+
+    ``auto_optimize`` transposes the reference's
+    ``performance.autoOptimize`` (Configuration.java:441-443 — the
+    hotfolder optimizes Solr after each record): compact the index to
+    one segment per shard after the update commits.  It runs AFTER
+    this update's lock releases (the optimize pass takes the same
+    non-reentrant lock itself and re-reads the manifest under it, so
+    an interleaved writer is handled, not corrupted).
     """
     with _BuildLock(out_dir):
-        return _apply_updates_locked(out_dir, delta_pages, deleted_urls,
-                                     reason=reason)
+        man = _apply_updates_locked(out_dir, delta_pages, deleted_urls,
+                                    reason=reason)
+    if auto_optimize:
+        from ..stages.optimize import optimize_index
+
+        man = optimize_index(out_dir)
+    return man
 
 
 def _apply_updates_locked(

@@ -32,6 +32,7 @@ __all__ = [
     "simhash_batch",
     "chunk_batch",
     "contamination_hits",
+    "bigram_counts_batch",
 ]
 
 # Marker stopword lists for the n-gram-free language-ID heuristic —
@@ -429,3 +430,39 @@ def contamination_hits(ds, *, bench_mod: int = 97, n: int = 5):
         )
 
     return ds.map_batches(hits, batch_format="pyarrow")
+
+
+def bigram_counts_batch(batch: pa.Table) -> pa.Table:
+    """Partial adjacent-bigram counts for one batch — the map-side
+    pre-aggregation of corpus collocation mining (PMI inputs ride on
+    integer counts; the tiny ``groupby(w1, w2).sum`` downstream is the
+    only shuffle).  Fully vectorized: one factorize, doc-boundary mask,
+    composite-key ``np.unique`` — no per-token Python."""
+    _ids, counts, codes, uniq = _flat_token_codes(batch)
+    empty = pa.table(
+        {
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if codes.size < 2:
+        return empty
+    # a position starts a bigram iff it has a successor in the SAME doc:
+    # mark every doc's last token invalid (covers the global last too)
+    valid = np.ones(codes.size, dtype=bool)
+    ends = np.cumsum(counts[counts > 0])
+    valid[ends - 1] = False
+    lead = np.flatnonzero(valid)
+    if lead.size == 0:
+        return empty
+    v = np.int64(uniq.size)
+    key = codes[lead] * v + codes[lead + 1]
+    ukey, n = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "w1": pa.array(uniq[(ukey // v)], pa.string()),
+            "w2": pa.array(uniq[(ukey % v)], pa.string()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        }
+    )

@@ -132,6 +132,7 @@ def _check(contract, con, name):
         "more_like_this",
         "pii_scrub",
         "doc_chunks",
+        "bigram_counts",
         "contamination",
         "sample_docs",
         "sample_stratified",

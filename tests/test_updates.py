@@ -392,3 +392,51 @@ def test_delete_by_query(ray_session, tiny_paths, tmp_path_factory):
     # no-match query is a clean no-op
     man2, n2 = delete_by_query(out, must=["zzznosuchterm"])
     assert n2 == 0 and man2["fingerprint"] == man["fingerprint"]
+
+
+def test_auto_optimize_after_update(ray_session, tiny_paths, tmp_path_factory):
+    """performance.autoOptimize analog: the update compacts the index
+    to one segment per shard afterwards, and queries stay correct."""
+    import json
+
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, topk_exact
+    from goobi_viewer_indexer_ray.pipelines.updates import apply_updates
+    from goobi_viewer_indexer_ray.sources.corpus import url_for
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("autoopt") / "out")
+    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS,
+              num_range_buckets=4)
+
+    delta_dir = str(tmp_path_factory.mktemp("autoopt_delta"))
+    import datetime
+
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([url_for(7)], pa.string()),
+                "warc_ts": pa.array(
+                    [datetime.datetime(2031, 1, 1, tzinfo=datetime.timezone.utc)],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "html": pa.array(
+                    [b"<html><body>zzautooptzz zzautooptzz</body></html>"],
+                    pa.binary(),
+                ),
+                "text": pa.array([None], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+            }
+        ),
+        os.path.join(delta_dir, "delta.parquet"),
+    )
+    man = apply_updates(out, delta_dir, auto_optimize=True)
+    with open(os.path.join(out, "index_manifest.json")) as f:
+        assert man["fingerprint"] == json.load(f)["fingerprint"]
+    assert {int(s["bucket"]) for s in man["segments"]} == {0}
+    assert len(man["segments"]) == NUM_SHARDS
+    idx = LocalIndex(out)
+    d, _ = topk_exact(idx, "zzautooptzz", 5)
+    assert d.size == 1
