@@ -53,8 +53,11 @@ def member_bucket_plan(out_dir: str, n_members: int) -> list[list[int]]:
     if not buckets:
         raise FileNotFoundError(f"no index segments under {out_dir}")
     n_members = min(n_members, len(buckets))
-    g = -(-len(buckets) // n_members)
-    return [buckets[i : i + g] for i in range(0, len(buckets), g)]
+    # balanced contiguous split (sizes differ by at most 1) — naive
+    # ceil-sized slicing can silently produce FEWER members than
+    # requested (6 buckets / 4 members → 3 groups of 2), idling
+    # provisioned serving nodes
+    return [part.tolist() for part in np.array_split(np.asarray(buckets), n_members)]
 
 
 @ray.remote
@@ -83,22 +86,18 @@ class _Member:
         return out
 
     def score(self, weights: dict[str, float], k: int):
-        """Local exact top-k with coordinator-supplied per-term idf."""
-        doc_parts, contrib_parts = [], []
-        for t in sorted(weights):
-            ref = self.index.lookup(t)
-            if ref is None:
-                continue
-            docs, imp = ref.impacts(self.index.avgdl)
-            doc_parts.append(docs)
-            contrib_parts.append(weights[t] * imp)
-        if not doc_parts:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        all_docs = np.concatenate(doc_parts)
-        uniq, inv = np.unique(all_docs, return_inverse=True)
-        scores = np.zeros(uniq.size, np.float64)
-        np.add.at(scores, inv, np.concatenate(contrib_parts))
-        return _rank_topk(uniq, scores, k)
+        """Local exact top-k with coordinator-supplied per-term idf —
+        the SAME accumulation kernel as ``topk_exact`` (shared helper,
+        ascending term order), so federated == single-node is bit-
+        exact by construction."""
+        from .query import _score_weighted_terms
+
+        terms = [
+            (weights[t], ref)
+            for t in sorted(weights)
+            if (ref := self.index.lookup(t)) is not None
+        ]
+        return _score_weighted_terms(self.index, terms, k)
 
 
 class FederatedSearch:

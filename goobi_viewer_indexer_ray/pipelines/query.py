@@ -371,13 +371,16 @@ def _rank_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     return doc_ids[order], scores[order]
 
 
-def topk_exact(index: LocalIndex, query: str, k: int):
-    """Exact term-at-a-time scoring (decodes all postings of all terms)."""
-    terms = _query_terms(index, query)
+def _score_weighted_terms(index: LocalIndex, terms, k: int):
+    """Exact term-at-a-time accumulation over ``[(weight, TermRef)]``
+    in the GIVEN order (callers pass ascending term order — the spec's
+    association order, which fixes the float accumulation order).
+    Shared by :func:`topk_exact` and the federated member scorer so
+    their bit-identity can never drift."""
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     doc_parts, contrib_parts = [], []
-    for w, ref in terms:  # ascending term order → spec association order
+    for w, ref in terms:
         docs, imp = ref.impacts(index.avgdl)
         doc_parts.append(docs)
         contrib_parts.append(w * imp)
@@ -387,6 +390,11 @@ def topk_exact(index: LocalIndex, query: str, k: int):
     scores = np.zeros(uniq.size, np.float64)
     np.add.at(scores, inv, all_contrib)
     return _rank_topk(uniq, scores, k)
+
+
+def topk_exact(index: LocalIndex, query: str, k: int):
+    """Exact term-at-a-time scoring (decodes all postings of all terms)."""
+    return _score_weighted_terms(index, _query_terms(index, query), k)
 
 
 def _topk_single_term(index: LocalIndex, w: float, ref: TermRef, k: int):

@@ -189,11 +189,9 @@ def optimize_index(out_dir: str, *, max_segments_per_shard: int = 1,
         old = load_manifest(man_path)
         if old is None:
             raise FileNotFoundError(f"no index manifest under {out_dir}")
-        per_shard: dict[int, int] = {}
-        for s in old["segments"]:
-            per_shard[int(s["shard"])] = per_shard.get(int(s["shard"]), 0) + 1
-        if (all(c <= k for c in per_shard.values())
-                and all(int(s["bucket"]) < k for s in old["segments"])):
+        # at most one segment exists per (shard, bucket), so "every
+        # bucket id < k" already bounds each shard's segment count by k
+        if all(int(s["bucket"]) < k for s in old["segments"]):
             # already at/below the target in the target bucket range —
             # optimizing again would chain a new fingerprint and
             # rewrite identical bytes
@@ -275,6 +273,13 @@ def _cleanup(out_dir: str, man: dict) -> None:
             if keep is None:
                 shutil.rmtree(sdir, ignore_errors=True)
                 continue
+            # the live data file, its resume sidecar, and the default
+            # `_manifest.json` (owned by the build/update merge path)
+            # survive; superseded data files AND their per-run
+            # `_manifest-<file>.json` sidecars go — otherwise every
+            # auto_optimize cycle leaks one orphaned JSON per segment
+            keep_files = {keep, "_manifest.json", f"_manifest-{keep}.json"}
             for f in os.listdir(sdir):
-                if f.endswith(".parquet") and f != keep:
+                if ((f.endswith(".parquet") or f.startswith("_manifest-"))
+                        and f not in keep_files):
                     os.remove(os.path.join(sdir, f))

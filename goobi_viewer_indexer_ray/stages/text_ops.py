@@ -351,6 +351,16 @@ def chunk_batch(batch: pa.Table, *, chunk: int = 16, stride: int = 8) -> pa.Tabl
     the chunk out.
     """
     ids, toks = _tokens_of(batch)
+    if not toks:  # zero-row batches reach map_batches fns after filters
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
     counts = np.fromiter((len(t) for t in toks), np.int64, len(toks))
     n_chunks = np.where(counts > 0, (np.maximum(counts - 1, 0) // stride) + 1, 0)
     doc_rep = np.repeat(np.asarray(ids, np.int64), n_chunks)

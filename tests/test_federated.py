@@ -57,3 +57,20 @@ def test_exchange_is_not_vacuous(fed_build, ray_session):
         for t, v in d.items():
             glob[t] = glob.get(t, 0) + v
     assert any(d.get(t, 0) != glob[t] for d in dfs for t in glob)
+
+
+def test_member_plan_is_balanced():
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.pipelines import federated
+
+    # 6 buckets / 4 members must give 4 contiguous groups, sizes 2/2/1/1
+    orig = federated.segment_paths
+    try:
+        federated.segment_paths = lambda _d: [{"bucket": b} for b in range(6)]
+        plan = federated.member_bucket_plan("/nonexistent", 4)
+    finally:
+        federated.segment_paths = orig
+    assert len(plan) == 4
+    assert [len(p) for p in plan] == [2, 2, 1, 1]
+    assert [b for p in plan for b in p] == list(range(6))

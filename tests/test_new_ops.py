@@ -227,3 +227,15 @@ def test_contamination_zero_hits_and_short_docs(ray_session):
     out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
            for r in contamination_hits(ds, bench_mod=4, n=5).take_all()}
     assert out == {1: (1, True), 2: (0, False), 3: (0, False)}
+
+
+def test_chunk_batch_empty_batch():
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.text_ops import chunk_batch
+
+    out = chunk_batch(pa.table({"doc_id": pa.array([], pa.int64()),
+                                "text": pa.array([], pa.string())}))
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "chunk_idx", "start_tok", "n_tok",
+                                "chunk_text"]

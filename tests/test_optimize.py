@@ -273,3 +273,31 @@ def test_update_after_optimize(ray_session, tiny_paths, tmp_path_factory):
     idx = LocalIndex(out)
     d, _ = topk_exact(idx, marker, 5)
     assert len(d) == 1
+
+
+def test_repeated_optimize_cycles_leave_no_orphan_sidecars(
+        ray_session, tiny_paths, tmp_path_factory):
+    """auto_optimize runs after every update — superseded fingerprinted
+    sidecar manifests must be cleaned, not accumulate."""
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+    from goobi_viewer_indexer_ray.pipelines.updates import update_doc
+    from goobi_viewer_indexer_ray.sources.corpus import gen_pages
+    from goobi_viewer_indexer_ray.stages.optimize import optimize_index
+
+    out = str(tmp_path_factory.mktemp("cycles") / "out")
+    build_all(tiny_paths, out, num_parts=NUM_PARTS, num_shards=NUM_SHARDS,
+              num_range_buckets=4)
+    rows = gen_pages(TINY_N, TINY_SEED).to_pylist()
+    for i in (10, 11):  # two update+optimize cycles
+        update_doc(out, rows[i]["url"],
+                   f"<html><body>cycle{i} cycle{i}</body></html>".encode(),
+                   warc_ts=rows[i]["warc_ts"])
+        optimize_index(out)
+    index_dir = os.path.join(out, "index")
+    for d in os.listdir(index_dir):
+        for seg in os.listdir(os.path.join(index_dir, d)):
+            files = os.listdir(os.path.join(index_dir, d, seg))
+            sidecars = [f for f in files if f.startswith("_manifest-")]
+            assert len(sidecars) <= 1, (d, seg, files)
+            parquets = [f for f in files if f.endswith(".parquet")]
+            assert len(parquets) == 1, (d, seg, files)
