@@ -36,10 +36,15 @@ def normalize_urls(urls: pd.Series) -> pd.DataFrame:
     scheme = s.str.extract(_SCHEME, expand=False).str.lower()
     hostport = s.str.extract(_SCHEME_NC + r"([^/?#]+)", expand=False).str.lower()
     # default-port stripping is SCHEME-AWARE: https://h:80 is a real
-    # non-default origin and must keep its port (and vice versa)
+    # non-default origin and must keep its port (and vice versa);
+    # schemes other than http/https keep ANY port — :443 is not a
+    # default for ftp/ws/..., so stripping it would collapse two
+    # distinct origins onto one dedup/update key
     host = hostport.str.replace(r"^www\.", "", regex=True)
-    host = host.str.replace(r":80$", "", regex=True).where(
-        scheme == "http", host.str.replace(r":443$", "", regex=True)
+    host = (
+        host.str.replace(r":80$", "", regex=True)
+        .where(scheme == "http", host.str.replace(r":443$", "", regex=True))
+        .where(scheme.isin(["http", "https"]), host)
     )
     rest = s.str.extract(_SCHEME_NC + r"[^/?#]+([/?#].*)?$", expand=False).fillna("")
     rest = rest.str.replace(r"#.*$", "", regex=True)

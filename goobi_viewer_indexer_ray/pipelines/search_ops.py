@@ -134,7 +134,7 @@ def prefix_stats(index, prefix: str) -> dict:
     """
     terms, df, cf = _vocab_arrays(index)
     lo = int(np.searchsorted(terms, prefix, side="left"))
-    hi = int(np.searchsorted(terms, prefix + "￿", side="left"))
+    hi = int(np.searchsorted(terms, prefix + chr(0x10FFFF), side="left"))
     sel = terms[lo:hi]
     if sel.size == 0:
         return {"n_terms": 0, "df_sum": 0, "cf_sum": 0, "n_docs": 0}
@@ -177,7 +177,7 @@ def wildcard_terms(index, pattern: str) -> list[tuple[str, int]]:
     lead = pattern.split("*", 1)[0].split("?", 1)[0]
     if lead:
         lo = int(np.searchsorted(terms, lead, side="left"))
-        hi = int(np.searchsorted(terms, lead + "￿", side="left"))
+        hi = int(np.searchsorted(terms, lead + chr(0x10FFFF), side="left"))
         terms, df = terms[lo:hi], df[lo:hi]
     return [(str(t), int(d)) for t, d in zip(terms, df) if rx.match(t)]
 
@@ -609,6 +609,22 @@ def phrase_docs(index, ds, phrases: list[str]):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _docs32(docs):
+    """Guard for the composite ``doc << 32 | pos`` key packing used by
+    the positional phrase/proximity kernels: a doc_id >= 2**32 would
+    silently wrap and collide across docs.  The strided global-id
+    scheme can exceed 2**32 on a >4-billion-doc corpus — fail loud
+    here; the documented scale path is to split the posting scan by
+    doc range (each range re-based into 32 bits) rather than widen the
+    key."""
+    if docs.size and int(docs.max()) >= 1 << 32:
+        raise OverflowError(
+            "positional composite keys require doc_id < 2**32; "
+            "split the scan by doc range for larger corpora"
+        )
+    return docs.astype(np.uint64)
+
+
 def phrase_docs_positional(index, phrases: list[str]):
     """PhraseQuery over a POSITIONAL index — no text re-scan.
 
@@ -637,7 +653,7 @@ def phrase_docs_positional(index, phrases: list[str]):
                 keys = np.empty(0, np.uint64)
                 break
             docs, tfs, pos, offs = ref.positions_all()
-            occ_doc = np.repeat(docs.astype(np.uint64), tfs)
+            occ_doc = np.repeat(_docs32(docs), tfs)
             adj = pos - j
             ok = adj >= 0  # a phrase occurrence has term j at position ≥ j
             k = (occ_doc[ok] << SHIFT) | adj[ok].astype(np.uint64)
@@ -692,8 +708,8 @@ def proximity_docs(index, pairs: list[tuple[str, str, int]]):
             continue
         docs_a, tfs_a, pos_a, _ = ra.positions_all()
         docs_b, tfs_b, pos_b, _ = rb.positions_all()
-        keys_a = (np.repeat(docs_a.astype(np.uint64), tfs_a) << SHIFT) | pos_a.astype(np.uint64)
-        keys_b = (np.repeat(docs_b.astype(np.uint64), tfs_b) << SHIFT) | pos_b.astype(np.uint64)
+        keys_a = (np.repeat(_docs32(docs_a), tfs_a) << SHIFT) | pos_a.astype(np.uint64)
+        keys_b = (np.repeat(_docs32(docs_b), tfs_b) << SHIFT) | pos_b.astype(np.uint64)
         hit_docs = []
         for d in range(1, window + 1):
             m = np.intersect1d(keys_a + np.uint64(d), keys_b, assume_unique=True)

@@ -198,10 +198,16 @@ def write_mixed_corpus(documents_parquet: str, out_dir: str, *,
             el = ET.SubElement(root, "doc")
             for k in DOC_COLUMNS:
                 ET.SubElement(el, k).text = str(r[k])
-        ET.ElementTree(root).write(
-            os.path.join(tmp, f"chunk-xm-{fi:02d}.dat"), encoding="utf-8",
-            xml_declaration=True,
-        )
+        xml_bytes = ET.tostring(root, encoding="utf-8", xml_declaration=True)
+        # XML parsers normalize raw \r / \r\n to \n on read-back (XML
+        # 1.0 §2.11 end-of-line handling), which would break the
+        # byte-exact text round-trip for CR-bearing documents; a
+        # character reference survives.  CR only ever appears inside
+        # text nodes here (fixed element names, no attributes), so a
+        # whole-document byte replace is safe.
+        xml_bytes = xml_bytes.replace(b"\r", b"&#13;")
+        with open(os.path.join(tmp, f"chunk-xm-{fi:02d}.dat"), "wb") as f:
+            f.write(xml_bytes)
 
     with open(os.path.join(tmp, "decoy.bin"), "wb") as f:
         f.write(b"\x00\x01garbage not a record file")

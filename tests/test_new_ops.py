@@ -71,7 +71,9 @@ def test_read_any_roundtrip(ray_session, tmp_path):
     )
 
     rows = [
-        {"doc_id": i, "text": f"text <&> 'q' {i}\nline2", "lang": "en",
+        # \r and \r\n exercise XML end-of-line normalization (escaped
+        # as &#13; on write so the round-trip stays byte-exact)
+        {"doc_id": i, "text": f"text <&> 'q' {i}\nline2\rcr\r\ncrlf", "lang": "en",
          "source": f"s{i % 2}", "n_chars": 10 + i}
         for i in range(12)
     ]

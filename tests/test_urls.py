@@ -31,6 +31,14 @@ def test_default_port_is_scheme_aware():
     assert _one("http://a.b:443/x")["host"] == "a.b:443"
 
 
+def test_non_http_schemes_keep_any_port():
+    # ftp/ws have no http(s) default ports — :443/:80 are real origins
+    # there and must survive (they're the dedup/update join key)
+    assert _one("ftp://a.b:443/x")["host"] == "a.b:443"
+    assert _one("ftp://a.b:80/x")["host"] == "a.b:80"
+    assert _one("ws://a.b:443/x")["url_canon"] == "ws://a.b:443/x"
+
+
 def test_multiple_utm_params():
     assert _one("https://a.b/x?utm_a=1&utm_b=2&id=3")["url_canon"] == "https://a.b/x?id=3"
     assert _one("https://a.b/x?utm_a=1&utm_b=2")["url_canon"] == "https://a.b/x"
