@@ -609,20 +609,21 @@ def phrase_docs(index, ds, phrases: list[str]):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _docs32(docs):
-    """Guard for the composite ``doc << 32 | pos`` key packing used by
-    the positional phrase/proximity kernels: a doc_id >= 2**32 would
-    silently wrap and collide across docs.  The strided global-id
-    scheme can exceed 2**32 on a >4-billion-doc corpus — fail loud
-    here; the documented scale path is to split the posting scan by
-    doc range (each range re-based into 32 bits) rather than widen the
-    key."""
-    if docs.size and int(docs.max()) >= 1 << 32:
-        raise OverflowError(
-            "positional composite keys require doc_id < 2**32; "
-            "split the scan by doc range for larger corpora"
-        )
-    return docs.astype(np.uint64)
+def _rank_union(doc_arrays):
+    """Composite ``doc << 32 | pos`` keys would silently wrap for
+    doc_ids >= 2**32 — and the engine's strided id scheme
+    (``part * 2**36 + rank``) exceeds that from partition 1 on.  So the
+    positional kernels never pack the raw id: they pack the doc's RANK
+    in the per-query posting union (``searchsorted``), which is dense
+    and bounded by the union size.  Returns the sorted union; a rank
+    >= 2**32 would need >4 B distinct matching docs in ONE query on
+    one serving node, which the per-node shard size rules out — fail
+    loud if it ever happens."""
+    union = np.unique(np.concatenate(doc_arrays))
+    if union.size >= 1 << 32:
+        raise OverflowError("positional rank packing requires < 2**32 "
+                            "distinct docs per query per node")
+    return union
 
 
 def phrase_docs_positional(index, phrases: list[str]):
@@ -646,14 +647,21 @@ def phrase_docs_positional(index, phrases: list[str]):
         terms = tokenize(phrase)
         if not terms:
             continue
-        keys: np.ndarray | None = None
-        for j, t in enumerate(terms):
+        per_term = []
+        for t in terms:
             ref = index.lookup(t)
             if ref is None:
-                keys = np.empty(0, np.uint64)
+                per_term = None
                 break
             docs, tfs, pos, offs = ref.positions_all()
-            occ_doc = np.repeat(_docs32(docs), tfs)
+            per_term.append((docs, tfs, pos))
+        if per_term is None:
+            continue
+        union = _rank_union([d for d, _, _ in per_term])
+        keys: np.ndarray | None = None
+        for j, (docs, tfs, pos) in enumerate(per_term):
+            rank = np.searchsorted(union, docs).astype(np.uint64)
+            occ_doc = np.repeat(rank, tfs)
             adj = pos - j
             ok = adj >= 0  # a phrase occurrence has term j at position ≥ j
             k = (occ_doc[ok] << SHIFT) | adj[ok].astype(np.uint64)
@@ -662,7 +670,7 @@ def phrase_docs_positional(index, phrases: list[str]):
                 break
         if keys is None or keys.size == 0:
             continue
-        hit_docs = (keys >> SHIFT).astype(np.int64)
+        hit_docs = union[(keys >> SHIFT).astype(np.int64)]
         uniq, cnt = np.unique(hit_docs, return_counts=True)
         out_q.append(np.full(uniq.size, qid, np.int64))
         out_d.append(uniq)
@@ -708,13 +716,16 @@ def proximity_docs(index, pairs: list[tuple[str, str, int]]):
             continue
         docs_a, tfs_a, pos_a, _ = ra.positions_all()
         docs_b, tfs_b, pos_b, _ = rb.positions_all()
-        keys_a = (np.repeat(_docs32(docs_a), tfs_a) << SHIFT) | pos_a.astype(np.uint64)
-        keys_b = (np.repeat(_docs32(docs_b), tfs_b) << SHIFT) | pos_b.astype(np.uint64)
+        union = _rank_union([docs_a, docs_b])
+        rank_a = np.searchsorted(union, docs_a).astype(np.uint64)
+        rank_b = np.searchsorted(union, docs_b).astype(np.uint64)
+        keys_a = (np.repeat(rank_a, tfs_a) << SHIFT) | pos_a.astype(np.uint64)
+        keys_b = (np.repeat(rank_b, tfs_b) << SHIFT) | pos_b.astype(np.uint64)
         hit_docs = []
         for d in range(1, window + 1):
             m = np.intersect1d(keys_a + np.uint64(d), keys_b, assume_unique=True)
             if m.size:
-                hit_docs.append((m >> SHIFT).astype(np.int64))
+                hit_docs.append(union[(m >> SHIFT).astype(np.int64)])
         if not hit_docs:
             continue
         alld = np.concatenate(hit_docs)

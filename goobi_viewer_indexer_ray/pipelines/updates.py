@@ -114,8 +114,25 @@ class _BuildLock:
             self._fd = None
 
 
+def _deleted_url_set(deleted_urls: list[str] | str) -> pa.Array | pa.ChunkedArray:
+    """Deletes arrive either as an explicit url list or as a tombstone
+    PART DIRECTORY of parquet fragments written by a distributed pass
+    (``delete_by_query``) — in the latter case the urls are read here,
+    INSIDE the per-part merge task, so broad deletes never materialize
+    on the driver."""
+    if isinstance(deleted_urls, str):
+        import glob as _glob
+
+        frags = sorted(_glob.glob(os.path.join(deleted_urls, "*.parquet")))
+        if not frags:
+            return pa.array([], pa.string())
+        return pq.read_table(frags, columns=["url"]).column("url")
+    return pa.array(deleted_urls, pa.string())
+
+
 def _merge_one_part(part: int, out_dir: str, fp: str, num_shards: int,
-                    delta_rows: pa.Table | None, deleted_urls: list[str]) -> int:
+                    delta_rows: pa.Table | None,
+                    deleted_urls: list[str] | str) -> int:
     """Merge one dirty partition: old rows − deletes + delta → rewrite."""
     docs_dir = os.path.join(out_dir, "docs")
     old_path = os.path.join(part_dir(docs_dir, part), "data.parquet")
@@ -126,7 +143,7 @@ def _merge_one_part(part: int, out_dir: str, fp: str, num_shards: int,
             import pyarrow.compute as pc
 
             gone = pc.is_in(old.column("url"),
-                            value_set=pa.array(deleted_urls, pa.string()))
+                            value_set=_deleted_url_set(deleted_urls))
             old = old.filter(pc.invert(pc.fill_null(gone, False)))
         if old.num_rows:
             pieces.append(old)
@@ -206,7 +223,16 @@ def _apply_updates_locked(
     deleted_urls: list[str] | None = None,
     *,
     reason: str = "update",
+    tombstones: str | None = None,
+    deletes_fp: str = "",
 ) -> dict:
+    """``tombstones``/``deletes_fp`` are the streaming delete path
+    (:func:`delete_by_query`): a directory of ``part=P/*.parquet`` url
+    fragments written by a distributed pass.  Only the PART NUMBERS
+    (directory names) touch the driver; each dirty part's merge task
+    reads its own fragment files.  ``deletes_fp`` is the caller's
+    deterministic identity for the delete set (the url list is not
+    driver-resident to be hashed here)."""
     import ray.data as rd
 
     deleted_urls = list(deleted_urls or [])
@@ -238,13 +264,22 @@ def _apply_updates_locked(
     fp = _job_fp(
         docs_man["fingerprint"],
         delta=delta_id,
-        deletes=sorted(deleted_urls),
+        deletes=deletes_fp if tombstones else sorted(deleted_urls),
         op="update",
     )
 
-    deletes_by_part: dict[int, list[str]] = {}
+    deletes_by_part: dict[int, list[str] | str] = {}
     for u in deleted_urls:
-        deletes_by_part.setdefault(part_for(u, num_parts), []).append(u)
+        deletes_by_part.setdefault(part_for(u, num_parts), []).append(u)  # type: ignore[union-attr]
+    if tombstones:
+        for name in sorted(os.listdir(tombstones)):
+            if not name.startswith("part="):
+                continue
+            p = int(name.split("=", 1)[1])
+            if p in deletes_by_part:
+                raise ValueError("explicit deletes and tombstones may not "
+                                 "target the same partition in one update")
+            deletes_by_part[p] = os.path.join(tombstones, name)
 
     dirty: set[int] = set()
     if delta_pages is not None:
@@ -377,39 +412,96 @@ def delete_by_query(out_dir: str, *, must: list[str],
     ``Indexer.java:365-473`` and ``Hotfolder.java``).  Here the query
     runs against OUR index (posting-list boolean algebra), the matched
     doc-id set — bounded by the query's df, the natural small side —
-    is broadcast into a distributed semi-join over the docs table to
-    recover urls, and the deletion itself reuses the incremental
-    update path (only dirty partitions/segments rewritten, clean ones
-    byte-untouched).
+    is broadcast into a distributed semi-join over the docs table, and
+    each task writes its matched urls straight into PER-PARTITION
+    tombstone fragments (``part = doc_id // PART_STRIDE``); only
+    per-part counts return to the driver — a corpus-wide delete never
+    pulls a url column through it.  The deletion itself reuses the
+    incremental update path (only dirty partitions/segments rewritten,
+    clean ones byte-untouched), with each dirty part's merge task
+    reading its own fragment files.
+
+    Match + apply run under ONE build lock: a concurrent update can no
+    longer commit between the query evaluation and the deletion
+    (TOCTOU), it either precedes the match or queues behind the whole
+    delete.
 
     Returns ``(new index manifest, n_deleted)``.
     """
-    import ray
+    import hashlib
+    import shutil
 
+    import numpy as np
     import pyarrow.compute as pc
+
+    import ray
 
     from .build import read_docs
     from .query import LocalIndex
     from .search_ops import boolean_docs
 
-    idx = LocalIndex(out_dir)
-    docs = boolean_docs(idx, must=must, must_not=must_not)
-    if docs.size == 0:
-        # no-op: keep the promised (manifest, 0) shape even when the
-        # index manifest is missing (a state apply_updates tolerates
-        # by full re-merge — but a no-match delete shouldn't rebuild)
-        man = load_manifest(os.path.join(out_dir, "index_manifest.json"))
-        return (man if man is not None else {}), 0
-    ids_ref = ray.put(pa.array(docs, pa.int64()))
+    with _BuildLock(out_dir):
+        idx = LocalIndex(out_dir)
+        docs = boolean_docs(idx, must=must, must_not=must_not)
+        if docs.size == 0:
+            # no-op: keep the promised (manifest, 0) shape even when the
+            # index manifest is missing (a state apply_updates tolerates
+            # by full re-merge — but a no-match delete shouldn't rebuild)
+            man = load_manifest(os.path.join(out_dir, "index_manifest.json"))
+            return (man if man is not None else {}), 0
+        ids = np.sort(np.asarray(docs, dtype=np.int64))
+        # deterministic identity of the delete set for the job
+        # fingerprint (the urls themselves never reach the driver)
+        deletes_fp = hashlib.blake2b(ids.tobytes(), digest_size=16).hexdigest()
+        ids_ref = ray.put(pa.array(ids, pa.int64()))
+        tomb_dir = os.path.join(
+            out_dir, f"_tombstones_{os.getpid()}_{time.time_ns()}"
+        )
+        os.makedirs(tomb_dir, exist_ok=True)
 
-    def semi(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.is_in(t.column("doc_id"), value_set=ray.get(ids_ref))
-        ).select(["url"])
+        def write_fragments(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.is_in(t.column("doc_id"),
+                                    value_set=ray.get(ids_ref)))
+            counts: list[tuple[int, int]] = []
+            if sub.num_rows:
+                part_arr = pc.divide(sub.column("doc_id"), PART_STRIDE)
+                for p in pc.unique(part_arr).to_pylist():
+                    rows = sub.filter(pc.equal(part_arr, p)).select(["url"])
+                    pdir = os.path.join(tomb_dir, f"part={int(p)}")
+                    os.makedirs(pdir, exist_ok=True)
+                    frag = os.path.join(
+                        pdir, f"frag-{os.getpid()}-{time.time_ns()}.parquet"
+                    )
+                    pq.write_table(rows, frag)
+                    counts.append((int(p), rows.num_rows))
+            return pa.table(
+                {
+                    "part": pa.array([c[0] for c in counts], pa.int64()),
+                    "n": pa.array([c[1] for c in counts], pa.int64()),
+                }
+            )
 
-    matched = read_docs(out_dir, columns=["url"]).map_batches(
-        semi, batch_format="pyarrow"
-    )
-    urls = [r["url"] for r in matched.take_all()]
-    man = apply_updates(out_dir, None, urls, reason=reason)
-    return man, len(urls)
+        try:
+            n_deleted = int(
+                read_docs(out_dir, columns=["url"])  # doc_id auto-attached
+                .map_batches(write_fragments, batch_format="pyarrow")
+                .sum(on="n")
+                or 0
+            )
+            man = _apply_updates_locked(out_dir, None, None, reason=reason,
+                                        tombstones=tomb_dir,
+                                        deletes_fp=deletes_fp)
+            # ledger: ONE summary line per query delete (the per-url
+            # DATEDELETED analog would re-materialize the url column)
+            with open(os.path.join(out_dir, "tombstones.jsonl"), "a") as f:
+                f.write(json.dumps({
+                    "query_must": sorted(must),
+                    "query_must_not": sorted(must_not or []),
+                    "n_deleted": n_deleted,
+                    "deletes_fp": deletes_fp,
+                    "reason": reason,
+                    "deleted_at": time.time(),
+                }) + "\n")
+        finally:
+            shutil.rmtree(tomb_dir, ignore_errors=True)
+    return man, n_deleted

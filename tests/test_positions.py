@@ -98,3 +98,43 @@ def test_positions_absent_raises(tiny_build):
     ref = next(iter(idx._lookup.values()))
     with pytest.raises(ValueError, match="without positions"):
         ref.positions_all()
+
+
+def test_positional_kernels_survive_huge_doc_ids(ray_session, tmp_path):
+    """The engine's strided doc ids (part·2³⁶ + rank) exceed 2³²; the
+    positional kernels pack per-query RANKS, not raw ids, so phrase and
+    proximity results must be exact in that regime (a raw ``doc << 32``
+    packing would wrap and collide)."""
+    import ray
+
+    from goobi_viewer_indexer_ray.pipelines import search_ops as so
+    from goobi_viewer_indexer_ray.pipelines.build import build_text_index
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
+
+    big = 1 << 36  # one part stride
+    texts = {
+        big + 0: "alpha beta gamma",
+        big + 1: "alpha beta",
+        2 * big + 5: "beta alpha beta",  # same low 32 bits regime
+        3: "alpha beta alpha beta",      # small id mixed in
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        )
+    )
+    out = str(tmp_path / "hugeidx")
+    build_text_index(ds, out, "fp-huge", num_shards=1, bucket_size=4,
+                     with_positions=True)
+    idx = LocalIndex(out)
+
+    ph = so.phrase_docs_positional(idx, ["alpha beta"]).to_pandas()
+    got = {int(r.doc_id): int(r.n_matches) for r in ph.itertuples()}
+    assert got == {big + 0: 1, big + 1: 1, 2 * big + 5: 1, 3: 2}
+
+    pr = so.proximity_docs(idx, [("beta", "alpha", 1)]).to_pandas()
+    got = {int(r.doc_id): int(r.n_matches) for r in pr.itertuples()}
+    assert got == {2 * big + 5: 1, 3: 1}
