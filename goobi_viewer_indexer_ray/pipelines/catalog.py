@@ -358,6 +358,17 @@ WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
 
 
 def q_dedup_minhash_lsh(sf_dir: str):
+    """MinHash-LSH near-dup pairs — hash-checked against the EXACT
+    Jaccard oracle (same SQL as ``dedup_jaccard_pairs``).
+
+    The banded blocking stays probabilistic (64 perms / 16 bands,
+    S-curve ``P(candidate) = 1 − (1 − s⁴)¹⁶``), but because the
+    verify step recomputes exact Jaccard over every candidate, the
+    output equals the exact pair set whenever LSH recall is 1 — which
+    the hash oracle now CHECKS rather than assumes (a silent recall
+    regression becomes a row-count/hash mismatch, not a quiet quality
+    drop).  False positives are impossible by construction (exact
+    verify); false negatives fail the gate."""
     return dedup.minhash_lsh_pairs(_documents(sf_dir), n=5, num_perm=64, bands=16, threshold=0.1)
 
 
@@ -477,7 +488,16 @@ FROM q GROUP BY vec_id ORDER BY vec_id
 def q_ann_lsh(sf_dir: str):
     """LSH ANN over the bucket-partitioned store (IO pruning: only the
     probed buckets' files are read).  Identical output to
-    ``ann.lsh_topk`` on the same table (same probes / rounding)."""
+    ``ann.lsh_topk`` on the same table (same probes / rounding).
+
+    Hash-checked exactly: the oracle (:func:`_ann_lsh_sql`) REPLICATES
+    the LSH semantics in SQL — the seeded hyperplane matrix is baked
+    in as literals, buckets are sign-pattern ``bit_or`` folds over
+    ``list_dot_product``, the Hamming-≤2 multiprobe is
+    ``bit_count(xor(...)) <= 2``, and the final ranking is exact
+    cosine top-k over the candidate set.  The blocking stays
+    approximate; the CHECK is exact (any divergence in bucketing,
+    probing, or ranking is a hash mismatch)."""
     import shutil
 
     path = os.path.join(sf_dir, "embeddings.parquet")
@@ -511,6 +531,56 @@ def q_ann_lsh(sf_dir: str):
         filter=pc.field("vec_id").isin(_ANN_QUERY_IDS),
     )
     return ann.lsh_topk_partitioned(out, qds, _ANN_QUERY_IDS, k=10)
+
+
+def _ann_lsh_sql() -> str:
+    """SQL replica of :func:`q_ann_lsh`'s full LSH semantics (same
+    constant-baking pattern as ``_langid_sql`` / ``_pii_sql``): the
+    seeded plane matrix ``_planes(8, 64, 97)`` becomes literal
+    ``DOUBLE[]`` rows, so the oracle computes the SAME buckets, the
+    SAME Hamming-≤2 probe set, and the same (round(cos,4) desc,
+    vec_id) ranking.  Engine and SQL both work in float64; sign
+    decisions sit far from 0 for Gaussian planes, so summation-order
+    noise (~1e-16) cannot flip a bucket bit (verified frame-equal at
+    sf0.001/0.01/0.1)."""
+    from ..stages.ann import _planes
+
+    H = _planes(8, 64, 97)  # must mirror q_ann_lsh defaults
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(j, ", ".join(repr(float(x)) for x in H[j]))
+        for j in range(8)
+    )
+    qids = ", ".join(map(str, _ANN_QUERY_IDS))
+    return f"""
+WITH planes(j, h) AS (VALUES
+    {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id,
+         bit_or(CASE WHEN list_dot_product(e.v, p.h) > 0
+                     THEN (1::BIGINT << (7 - p.j)) ELSE 0::BIGINT END) AS bucket
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id
+),
+q AS (
+  SELECT e.vec_id AS qid, e.v AS qv, s.bucket AS qb
+  FROM e JOIN sig s USING (vec_id) WHERE e.vec_id IN ({qids})
+),
+cand AS (
+  SELECT q.qid AS query_vec_id, s.vec_id,
+         round(list_cosine_similarity(q.qv, e2.v), 4) AS cos_r
+  FROM q
+  JOIN sig s ON bit_count(xor(q.qb::UBIGINT, s.bucket::UBIGINT)) <= 2
+  JOIN e e2 ON e2.vec_id = s.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY cos_r DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_vec_id::BIGINT AS query_vec_id, vec_id::BIGINT AS vec_id,
+       cos_r, rank::BIGINT AS rank
+FROM r WHERE rank <= 10
+"""
 
 
 # ----------------------------------------------- flagship pages pipeline
@@ -3181,14 +3251,19 @@ ORACLE_SQL = {
     "grouped_entities": _SQL_GROUPED_ENTITIES,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_jaccard_pairs": _SQL_DEDUP_JACCARD,
+    # dedup_minhash_lsh is exact-verified over LSH candidates, so its
+    # oracle IS the exact-Jaccard SQL: hash-green ⇔ LSH recall is 1 on
+    # this corpus (a recall regression fails the gate loudly).
+    "dedup_minhash_lsh": _SQL_DEDUP_JACCARD,
     "dedup_simhash": _SQL_DEDUP_SIMHASH,
-    # dedup_minhash_lsh / ann_lsh_topk: intentionally no SQL oracle
-    # (probabilistic LSH blocking) → driver records the weaker
-    # rows-only check.  pages_engine_e2e: non-SQL pipeline over its own
-    # synthetic corpus — rows-only to the driver, but the entry itself
-    # asserts WAND == exhaustive-exact rank identity in-process.
+    # pages_engine_e2e: non-SQL pipeline over its own synthetic
+    # corpus — rows-only to the driver, but the entry itself asserts
+    # WAND == exhaustive-exact rank identity in-process.
     "dedup_embedding_pairs": _SQL_DEDUP_EMBEDDING,
     "ann_cosine_topk": _SQL_ANN,
+    # ann_lsh_topk's oracle replicates the LSH itself in SQL (baked
+    # plane constants) — approximate blocking, exact check.
+    "ann_lsh_topk": _ann_lsh_sql(),
     "lineitem_agg": _SQL_LINEITEM_AGG,
     "customer_order_revenue": _SQL_CUSTOMER_ORDER_REVENUE,
     "top_orders": _SQL_TOP_ORDERS,

@@ -33,8 +33,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "sample_threshold",
@@ -54,14 +54,24 @@ def sample_threshold(fraction: float) -> str:
     return f"{int(fraction * 2**32):08x}"
 
 
-def _keep_mask(keys: pd.Series, thresholds: np.ndarray) -> np.ndarray:
-    """Vector of ``md5(key)[:8] < threshold`` (hex-string compare)."""
-    h = np.fromiter(
-        (hashlib.md5(k.encode()).hexdigest()[:8] for k in keys),
+def _hash_keys(keys: np.ndarray) -> np.ndarray:
+    """``md5(key)[:8]`` per key (U8 hex array).  The per-row hashlib
+    call is the pinned price of DuckDB-oracle parity (see module
+    docstring); everything around it is vectorized."""
+    return np.fromiter(
+        (hashlib.md5(k).hexdigest()[:8] for k in keys),
         dtype="U8",
         count=len(keys),
     )
-    return h < thresholds
+
+
+def _salted_keys(tbl: pa.Table, key_col: str, salt: str) -> np.ndarray:
+    """``key ':' salt`` as a numpy bytes array, built with Arrow
+    kernels (cast + element-wise binary join — no pandas hop)."""
+    joined = pc.binary_join_element_wise(
+        pc.cast(tbl[key_col], pa.string()), f":{salt}", ""
+    )
+    return np.asarray(pc.cast(joined, pa.binary()).combine_chunks())
 
 
 def hash_sample(ds, *, key_col: str, fraction: float, salt: str = "s0"):
@@ -74,11 +84,11 @@ def hash_sample(ds, *, key_col: str, fraction: float, salt: str = "s0"):
     thr = sample_threshold(fraction)
     salt_s = str(salt)
 
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df[key_col].astype(str) + ":" + salt_s
-        return df[_keep_mask(keys, np.array(thr, dtype="U8"))]
+    def part(tbl: pa.Table) -> pa.Table:
+        h = _hash_keys(_salted_keys(tbl, key_col, salt_s))
+        return tbl.filter(pa.array(h < np.array(thr, dtype="U8")))
 
-    return ds.map_batches(part, batch_format="pandas")
+    return ds.map_batches(part, batch_format="pyarrow")
 
 
 def stratified_sample(ds, *, key_col: str, strata_col: str,
@@ -94,15 +104,21 @@ def stratified_sample(ds, *, key_col: str, strata_col: str,
     thr_default = sample_threshold(default)
     salt_s = str(salt)
 
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df[key_col].astype(str) + ":" + salt_s
-        thr = (
-            df[strata_col].astype(str).map(thr_map).fillna(thr_default)
-            .to_numpy(dtype="U8")
+    def part(tbl: pa.Table) -> pa.Table:
+        # Per-stratum threshold via dictionary-encode: map each DISTINCT
+        # stratum once, then gather by code — no per-row dict lookup.
+        enc = pc.dictionary_encode(
+            pc.cast(tbl[strata_col], pa.string())
+        ).combine_chunks()
+        uniq = np.array(
+            [thr_map.get(s, thr_default) for s in enc.dictionary.to_pylist()],
+            dtype="U8",
         )
-        return df[_keep_mask(keys, thr)]
+        thr = uniq[np.asarray(enc.indices)] if len(uniq) else np.empty(0, "U8")
+        h = _hash_keys(_salted_keys(tbl, key_col, salt_s))
+        return tbl.filter(pa.array(h < thr))
 
-    return ds.map_batches(part, batch_format="pandas")
+    return ds.map_batches(part, batch_format="pyarrow")
 
 
 def _cdf_pick(values: np.ndarray, counts: np.ndarray, qs: list[float]):

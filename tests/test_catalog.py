@@ -54,12 +54,9 @@ def test_entry_smoke(contract):
 def test_oracle_keys_subset(contract):
     qs, sqls = contract.queries(), contract.oracle_sql()
     assert set(sqls) <= set(qs)
-    # the non-SQL ops are the documented probabilistic/pipeline ones
-    assert set(qs) - set(sqls) == {
-        "dedup_minhash_lsh",
-        "ann_lsh_topk",
-        "pages_engine_e2e",
-    }
+    # the sole non-SQL op left: the e2e pipeline over its own corpus
+    # (self-checks WAND == exact in-process instead)
+    assert set(qs) - set(sqls) == {"pages_engine_e2e"}
 
 
 def _check(contract, con, name):
@@ -83,9 +80,11 @@ def _check(contract, con, name):
         "grouped_entities",
         "dedup_exact",
         "dedup_jaccard_pairs",
+        "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",
+        "ann_lsh_topk",
         "lineitem_agg",
         "customer_order_revenue",
         "top_orders",
