@@ -1343,6 +1343,87 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q_hierarchy_rollup(sf_dir: str):
+    """N-deep hierarchy inheritance (``MetsIndexer.indexAllChildren``
+    / ``EadIndexer`` recursive trees — see ``stages/hierarchy.py``):
+    documents become a deterministic binary-heap FOREST
+    (``parent(d) = (d-1)//2`` for ``d >= 4``; roots 0–3), labels are
+    sparse (``lang`` only where ``doc_id % 3 == 0``) so inheritance
+    must actually walk multiple levels.  Depth ≥ 7 at sf0.001 and
+    grows with the corpus — a real multi-level chain, not one hop.
+    Oracle: recursive CTE walking the same chains."""
+    from ..stages.hierarchy import hierarchy_rollup
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = t.column("doc_id").cast(pa.int64()).to_numpy()
+        parent = np.where(d >= 4, (d - 1) // 2, -1)
+        lab = pc.if_else(
+            pa.array(d % 3 == 0), t.column("lang"), pa.nulls(len(d), pa.string())
+        )
+        return pa.table(
+            {
+                "id": pa.array(d, pa.int64()),
+                "parent": pa.array(parent, pa.int64()),
+                "label": lab,
+            }
+        )
+
+    nodes = ds.map_batches(synth, batch_format="pyarrow")
+    out = hierarchy_rollup(nodes)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("node"),
+                "root_id": t.column("root_id"),
+                "depth": t.column("depth"),
+                "path": t.column("path"),
+                "inherited_lang": t.column("inherited_label"),
+                "subtree_size": t.column("subtree_size"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_HIERARCHY_ROLLUP = """
+WITH RECURSIVE nodes AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id >= 4 THEN (doc_id - 1) // 2 ELSE -1 END AS parent,
+         CASE WHEN doc_id % 3 = 0 THEN lang END AS label
+  FROM documents
+),
+walk AS (
+  -- climb from every node to its root, folding path + inherited label
+  SELECT id AS node, id AS cur, 0::BIGINT AS depth,
+         id::VARCHAR AS path, label AS inh
+  FROM nodes
+  UNION ALL
+  SELECT w.node, p.id AS cur, w.depth + 1,
+         p.id::VARCHAR || '/' || w.path,
+         coalesce(w.inh, p.label)
+  FROM walk w JOIN nodes c ON c.id = w.cur
+  JOIN nodes p ON p.id = c.parent
+),
+final AS (
+  SELECT w.node, w.cur AS root_id, w.depth, w.path, w.inh
+  FROM walk w JOIN nodes r ON r.id = w.cur
+  WHERE r.parent = -1
+),
+sizes AS (SELECT cur AS id, count(*)::BIGINT AS subtree_size FROM walk GROUP BY cur)
+SELECT f.node::BIGINT AS doc_id, f.root_id::BIGINT AS root_id,
+       f.depth::BIGINT AS depth, f.path,
+       f.inh AS inherited_lang, s.subtree_size
+FROM final f JOIN sizes s ON s.id = f.node
+"""
+
+
 def q_geo_wkt(sf_dir: str):
     """GeoJSON/WKT conversion (M13 — GeoJSONTools.convert transposed):
     deterministic coordinate strings derived from the supplier key
@@ -3199,6 +3280,7 @@ QUERIES = {
     "region_customer_counts": q_region_customer_counts,
     "lang_source_counts": q_lang_source_counts,
     "parent_rollup": q_parent_rollup,
+    "hierarchy_rollup": q_hierarchy_rollup,
     "geo_wkt": q_geo_wkt,
     "mixed_format_ingest": q_mixed_format_ingest,
     "ugc_annotations": q_ugc_annotations,
@@ -3280,6 +3362,7 @@ ORACLE_SQL = {
     "region_customer_counts": _SQL_REGION_CUSTOMER_COUNTS,
     "lang_source_counts": _SQL_LANG_SOURCE,
     "parent_rollup": _SQL_PARENT_ROLLUP,
+    "hierarchy_rollup": _SQL_HIERARCHY_ROLLUP,
     "geo_wkt": _SQL_GEO_WKT,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,

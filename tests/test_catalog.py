@@ -101,6 +101,7 @@ def _check(contract, con, name):
         "region_customer_counts",
         "lang_source_counts",
         "parent_rollup",
+        "hierarchy_rollup",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
