@@ -12,6 +12,7 @@ Commands::
     bench-corpus --out DIR --n N [--seed S]
     optimize --out DIR
     delete-query --out DIR --must "terms" [--must-not "terms"]
+    watch --out DIR --pages DIR [--interval S] [--max-polls N]
 """
 
 from __future__ import annotations
@@ -73,6 +74,15 @@ def main(argv: list[str] | None = None) -> int:
     dq.add_argument("--must", action="append", default=[], required=True)
     dq.add_argument("--must-not", action="append", default=[])
 
+    w = sub.add_parser("watch", help="hotfolder poll loop: snapshot-diff "
+                       "an input dir, route new/changed/deleted records")
+    w.add_argument("--out", required=True)
+    w.add_argument("--pages", required=True)
+    w.add_argument("--interval", type=float, default=5.0)
+    w.add_argument("--max-polls", type=int, default=None,
+                   help="stop after N ticks (default: run forever)")
+    w.add_argument("--auto-optimize", action="store_true")
+
     args = ap.parse_args(argv)
     ray = _init_ray()
     try:
@@ -119,6 +129,20 @@ def main(argv: list[str] | None = None) -> int:
             m, n = delete_by_query(args.out, must=args.must,
                                    must_not=args.must_not)
             print(json.dumps({"n_deleted": n, "n_terms": m.get("n_terms")}))
+        elif args.cmd == "watch":
+            from .pipelines.watch import watch_once
+
+            import time as _time
+
+            n = 0
+            while args.max_polls is None or n < args.max_polls:
+                r = watch_once(args.out, args.pages,
+                               auto_optimize=args.auto_optimize)
+                print(json.dumps(r), flush=True)
+                n += 1
+                if args.max_polls is not None and n >= args.max_polls:
+                    break
+                _time.sleep(args.interval)
     finally:
         ray.shutdown()
     return 0

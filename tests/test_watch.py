@@ -1,0 +1,215 @@
+"""Continuous-ingest daemon (`watch` — Hotfolder.java:431-503 /
+SolrIndexerDaemon.java:247-259 analog): snapshot-diff poll loop with
+file-stability gating, priority re-index commands, delete command
+files, removed-shard deletion, and clean-partition byte-identity."""
+
+import datetime
+import glob
+import hashlib
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from goobi_viewer_indexer_ray.functions.hashing import part_for
+from tests.conftest import NUM_PARTS
+
+N0 = 120
+SEED = 42
+TS = datetime.datetime(2031, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def _filehash(path):
+    return hashlib.blake2b(open(path, "rb").read(), digest_size=12).hexdigest()
+
+
+def _write_shard(path, urls, tag, ts=TS):
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([ts] * len(urls), pa.timestamp("us", tz="UTC")),
+                "html": pa.array(
+                    [f"<html><body><p>{tag} doc {i} zyzzyva</p></body></html>".encode()
+                     for i in range(len(urls))],
+                    pa.binary(),
+                ),
+                "text": pa.array([None] * len(urls), pa.string()),
+                "lang": pa.array(["en"] * len(urls), pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def _docs_urls(out):
+    urls = []
+    for f in glob.glob(os.path.join(out, "docs", "part=*", "data.parquet")):
+        urls.extend(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    return sorted(urls)
+
+
+def _clean_part_hashes(out, dirty_parts):
+    return {
+        p: _filehash(os.path.join(out, "docs", f"part={p:05d}", "data.parquet"))
+        for p in range(NUM_PARTS)
+        if p not in dirty_parts
+        and os.path.exists(os.path.join(out, "docs", f"part={p:05d}", "data.parquet"))
+    }
+
+
+@pytest.fixture(scope="module")
+def hot(ray_session, tmp_path_factory):
+    """Hotfolder + empty out dir; initial corpus arrives via watch."""
+    from goobi_viewer_indexer_ray.sources.corpus import write_pages
+
+    folder = str(tmp_path_factory.mktemp("hotfolder"))
+    out = str(tmp_path_factory.mktemp("watch") / "out")
+    os.makedirs(out, exist_ok=True)
+    write_pages(folder, N0, seed=SEED, rows_per_file=64)
+    return folder, out
+
+
+def test_watch_lifecycle(hot):
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder, out = hot
+
+    # ---- tick 1: everything new → stability-pending, nothing indexed
+    r1 = watch_once(out, folder)
+    assert r1["indexed"] == [] and r1["pending"]
+    assert not os.path.exists(os.path.join(out, "docs_manifest.json"))
+
+    # ---- tick 2: stable → bootstrap build
+    r2 = watch_once(out, folder)
+    assert len(r2["indexed"]) == len(r1["pending"])
+    base_urls = _docs_urls(out)
+    assert len(base_urls) > 0
+
+    # ---- tick 3: no changes → no-op
+    r3 = watch_once(out, folder)
+    assert r3 == {"reindexed": [], "indexed": [], "deleted_urls": 0,
+                  "pending": [], "removed": []}
+
+    # ---- new shard dropped between polls ----
+    new_urls = [f"https://watchnew.example/{i}" for i in range(6)]
+    _write_shard(os.path.join(folder, "delta-a.parquet"), new_urls, "fresh")
+    dirty = {part_for(u, NUM_PARTS) for u in new_urls}
+    pre = _clean_part_hashes(out, dirty)
+    assert pre, "need at least one clean part for the byte-identity check"
+
+    r4 = watch_once(out, folder)
+    assert "delta-a.parquet" in r4["pending"] and r4["indexed"] == []
+    r5 = watch_once(out, folder)
+    assert r5["indexed"] == ["delta-a.parquet"]
+    got = _docs_urls(out)
+    assert set(new_urls) <= set(got)
+    assert _clean_part_hashes(out, dirty) == pre  # clean parts untouched
+
+    # ---- growing upload: file changes between the two sighting polls
+    grow = os.path.join(folder, "delta-b.parquet")
+    grow_urls = [f"https://watchgrow.example/{i}" for i in range(3)]
+    _write_shard(grow, grow_urls[:2], "growing")
+    r6 = watch_once(out, folder)
+    assert "delta-b.parquet" in r6["pending"]
+    _write_shard(grow, grow_urls, "grown")  # still changing → wait again
+    r7 = watch_once(out, folder)
+    assert "delta-b.parquet" in r7["pending"] and r7["indexed"] == []
+    r8 = watch_once(out, folder)
+    assert r8["indexed"] == ["delta-b.parquet"]
+    assert set(grow_urls) <= set(_docs_urls(out))
+
+    # ---- .delete command file ----
+    victim = new_urls[0]
+    with open(os.path.join(folder, "cmd1.delete"), "w") as f:
+        f.write(victim + "\n")
+    watch_once(out, folder)  # stability tick for the command file
+    r9 = watch_once(out, folder)
+    assert r9["deleted_urls"] == 1
+    assert victim not in _docs_urls(out)
+
+    # command file is processed exactly once (no re-delete churn)
+    r10 = watch_once(out, folder)
+    assert r10["deleted_urls"] == 0
+
+    # ---- removed shard: its exclusive urls deleted, shared ones kept
+    os.remove(grow)
+    r11 = watch_once(out, folder)
+    assert r11["removed"] == ["delta-b.parquet"]
+    assert r11["deleted_urls"] == len(grow_urls)
+    after = set(_docs_urls(out))
+    assert not (set(grow_urls) & after)
+    assert set(new_urls[1:]) <= after  # other shard's docs survive
+
+
+def test_watch_reindex_priority(ray_session, tmp_path_factory):
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot2"))
+    out = str(tmp_path_factory.mktemp("watch2") / "out")
+    os.makedirs(out, exist_ok=True)
+    urls = [f"https://reidx.example/{i}" for i in range(4)]
+    _write_shard(os.path.join(folder, "s0.parquet"), urls, "v1")
+    watch_once(out, folder)
+    watch_once(out, folder)  # bootstrap
+    assert set(urls) <= set(_docs_urls(out))
+
+    # rewrite shard content with SAME mtime-insensitive diff + a
+    # .reindex command: the command forces re-ingest even though we
+    # restore the recorded fingerprint in the ledger
+    _write_shard(os.path.join(folder, "s0.parquet"), urls, "v2",
+                 ts=TS + datetime.timedelta(days=1))
+    with open(os.path.join(folder, "go.reindex"), "w") as f:
+        f.write("s0.parquet\n")
+    r1 = watch_once(out, folder)
+    assert "go.reindex" in r1["pending"]
+    r2 = watch_once(out, folder)
+    # priority path: the shard goes through the reindex lane, not the
+    # regular new/changed lane
+    assert r2["reindexed"] == ["s0.parquet"]
+    assert "s0.parquet" not in r2["indexed"]
+    # the v2 content is live
+    txt = []
+    for f in glob.glob(os.path.join(out, "docs", "part=*", "data.parquet")):
+        txt.extend(pq.read_table(f, columns=["text"]).column("text").to_pylist())
+    assert any("v2 doc" in t for t in txt)
+
+
+def test_watch_loop_injectable_sleep(ray_session, tmp_path_factory):
+    from goobi_viewer_indexer_ray.pipelines.watch import watch
+
+    folder = str(tmp_path_factory.mktemp("hot3"))
+    out = str(tmp_path_factory.mktemp("watch3") / "out")
+    os.makedirs(out, exist_ok=True)
+    _write_shard(os.path.join(folder, "s0.parquet"),
+                 ["https://loop.example/0"], "loop")
+    naps = []
+    reports = watch(out, folder, interval_s=7.5, max_polls=2,
+                    sleep=naps.append)
+    assert len(reports) == 2
+    assert naps == [7.5]  # no trailing sleep after the last poll
+    assert reports[1]["indexed"] == ["s0.parquet"]
+
+
+def test_watch_state_survives_restart(ray_session, tmp_path_factory):
+    """A new watch_once call (fresh state load) must not re-ingest."""
+    from goobi_viewer_indexer_ray.pipelines.watch import load_state, watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot4"))
+    out = str(tmp_path_factory.mktemp("watch4") / "out")
+    os.makedirs(out, exist_ok=True)
+    _write_shard(os.path.join(folder, "s0.parquet"),
+                 ["https://restart.example/0"], "x")
+    watch_once(out, folder)
+    watch_once(out, folder)
+    man = os.path.join(out, "index_manifest.json")
+    h = _filehash(man)
+    # "restart": state reloaded from disk, nothing new → full no-op
+    r = watch_once(out, folder)
+    assert r["indexed"] == [] and r["pending"] == []
+    assert _filehash(man) == h
+    st = load_state(out)
+    assert "s0.parquet" in st["files"]
