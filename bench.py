@@ -146,6 +146,23 @@ def run_bench() -> dict:
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1000)
 
+    # federated doc-partitioned serving (n=4 members): the measured
+    # answer to the single-node head-term latency wall — per-query
+    # latency over the same query mix, exact two-phase global-idf
+    from goobi_viewer_indexer_ray.pipelines.federated import FederatedSearch
+
+    fed = FederatedSearch(out_dir, n_members=4)
+    fed.topk(queries[0]["query"], 10)  # warm the member actors (untimed)
+    fed_lat = []
+    t0 = time.perf_counter()
+    for q in queries[:100]:
+        tq = time.perf_counter()
+        fed.topk(q["query"], q["k"])
+        fed_lat.append(time.perf_counter() - tq)
+    timings["federated_topk"] = round(time.perf_counter() - t0, 3)
+    fed_p50_ms = float(np.median(fed_lat) * 1000)
+    fed_p90_ms = float(np.percentile(fed_lat, 90) * 1000)
+
     # forceMerge-to-one compaction of the build (after the query
     # benchmarks so it can't flatter them)
     from goobi_viewer_indexer_ray.stages.optimize import optimize_index
@@ -171,6 +188,7 @@ def run_bench() -> dict:
         "part_price_band_pairs",
         "dedup_simhash",
         "parent_rollup",
+        "hierarchy_rollup",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
@@ -230,6 +248,8 @@ def run_bench() -> dict:
         "docs_per_sec": round(stats["n_docs"] / t_build, 1),
         "queries_per_sec": round(len(queries) / t_q, 1),
         "query_p50_ms": round(p50_ms, 2),
+        "federated_p50_ms": round(fed_p50_ms, 2),
+        "federated_p90_ms": round(fed_p90_ms, 2),
         "n_results": int(n_res),
     }
 
