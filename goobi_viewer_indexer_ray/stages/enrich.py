@@ -27,18 +27,23 @@ __all__ = ["TTLCache", "EnrichDocs"]
 
 
 class TTLCache:
-    """Bounded TTL map (MetadataHelper authority-cache analog)."""
+    """Bounded TTL map (MetadataHelper authority-cache analog).
 
-    def __init__(self, max_size: int = 1000, ttl_seconds: float = 24 * 3600):
+    ``clock`` is injectable (monotonic seconds) so tests can drive
+    expiry deterministically without wall-clock sleeps."""
+
+    def __init__(self, max_size: int = 1000, ttl_seconds: float = 24 * 3600,
+                 clock: Callable[[], float] = time.monotonic):
         self.max_size = max_size
         self.ttl = ttl_seconds
+        self.clock = clock
         self._d: OrderedDict[object, tuple[float, object]] = OrderedDict()
         self.hits = 0
         self.misses = 0
 
     def get(self, key):
         item = self._d.get(key)
-        if item is not None and (time.monotonic() - item[0]) <= self.ttl:
+        if item is not None and (self.clock() - item[0]) <= self.ttl:
             self._d.move_to_end(key)
             self.hits += 1
             return item[1]
@@ -48,7 +53,7 @@ class TTLCache:
         return None
 
     def put(self, key, value) -> None:
-        self._d[key] = (time.monotonic(), value)
+        self._d[key] = (self.clock(), value)
         self._d.move_to_end(key)
         while len(self._d) > self.max_size:
             self._d.popitem(last=False)

@@ -31,14 +31,126 @@ enough that ``batch_size × concurrency × max_bytes`` fits the heap.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import ipaddress
+import json
+import os
+import time
 from collections.abc import Callable
 
 import pyarrow as pa
 
 from .enrich import TTLCache
 
-__all__ = ["is_url_allowed", "host_addresses", "FetchDocs"]
+__all__ = ["is_url_allowed", "host_addresses", "FetchDocs",
+           "RecordedTransport", "PayloadTooLarge", "TransportError",
+           "TransientFetchError"]
+
+
+class TransportError(Exception):
+    """Permanent fetch failure (unrecorded url / retries exhausted)."""
+
+
+class TransientFetchError(Exception):
+    """Retryable failure (the scripted connection-reset analog)."""
+
+
+class PayloadTooLarge(Exception):
+    """Raised MID-STREAM once the size cap is crossed — the download
+    is aborted without reading the remaining body
+    (``HttpConnector.downloadFile``'s bounded-stream copy, which stops
+    at the cap instead of buffering the response)."""
+
+    def __init__(self, url: str, bytes_read: int):
+        super().__init__(f"{url}: aborted after {bytes_read} bytes")
+        self.url = url
+        self.bytes_read = bytes_read
+
+
+class RecordedTransport:
+    """Recorded-fixture HTTP transport (``helper/HttpConnector.java``
+    behaviors without a network): responses are TAPES — JSON files
+    under ``fixture_dir`` scripting the chunked response body and a
+    number of leading transient failures.
+
+    End-to-end behaviors exercised against :class:`FetchDocs`:
+
+    - **retry with backoff**: each ``__call__`` retries transient
+      failures up to ``max_retries`` times, sleeping
+      ``backoff_s · 2^attempt`` between tries (injectable ``sleep``);
+      a tape recorded with ``fail_times=n`` fails its first *n*
+      request attempts, then serves the body.
+    - **size-cap abort mid-stream**: the body is consumed chunk by
+      chunk; crossing ``max_bytes`` raises :class:`PayloadTooLarge`
+      immediately — remaining chunks are never read
+      (``chunks_read`` exposes how far the stream got).  The abort is
+      PERMANENT (not retried).
+    - **cache TTL**: the transport counts real requests (``calls``),
+      so tests can pin that :class:`FetchDocs`' per-actor TTL cache
+      absorbs repeats and re-fetches after expiry.
+    """
+
+    def __init__(self, fixture_dir: str, *, max_retries: int = 3,
+                 backoff_s: float = 0.05, max_bytes: int | None = None,
+                 sleep: Callable[[float], None] | None = None):
+        self.fixture_dir = fixture_dir
+        os.makedirs(fixture_dir, exist_ok=True)
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.max_bytes = max_bytes
+        self.sleep = sleep if sleep is not None else time.sleep
+        self._attempts: dict[str, int] = {}
+        self.calls = 0        # underlying request attempts (incl. failures)
+        self.chunks_read = 0  # chunks consumed by the LAST request
+
+    def _tape_path(self, url: str) -> str:
+        name = hashlib.blake2b(url.encode(), digest_size=12).hexdigest()
+        return os.path.join(self.fixture_dir, f"{name}.json")
+
+    def record(self, url: str, chunks: list[bytes], *,
+               fail_times: int = 0) -> None:
+        """Write a tape: ``chunks`` is the response body as it would
+        arrive on the wire; the first ``fail_times`` request attempts
+        raise a transient error."""
+        tape = {
+            "url": url,
+            "fail_times": int(fail_times),
+            "chunks": [base64.b64encode(c).decode() for c in chunks],
+        }
+        with open(self._tape_path(url), "w") as f:
+            json.dump(tape, f)
+
+    def _request(self, url: str, tape: dict) -> bytes:
+        seen = self._attempts.get(url, 0)
+        self._attempts[url] = seen + 1
+        if seen < tape["fail_times"]:
+            raise TransientFetchError(f"{url}: scripted failure {seen + 1}")
+        buf = bytearray()
+        self.chunks_read = 0
+        for c in tape["chunks"]:
+            buf += base64.b64decode(c)
+            self.chunks_read += 1
+            if self.max_bytes is not None and len(buf) > self.max_bytes:
+                raise PayloadTooLarge(url, len(buf))
+        return bytes(buf)
+
+    def __call__(self, url: str) -> bytes:
+        p = self._tape_path(url)
+        if not os.path.exists(p):
+            raise TransportError(f"unrecorded url: {url}")
+        with open(p) as f:
+            tape = json.load(f)
+        last: Exception | None = None
+        for attempt in range(1 + self.max_retries):
+            self.calls += 1
+            try:
+                return self._request(url, tape)
+            except TransientFetchError as e:
+                last = e
+                if attempt < self.max_retries:
+                    self.sleep(self.backoff_s * (2 ** attempt))
+        raise TransportError(f"{url}: retries exhausted") from last
 
 
 def host_addresses(host: str) -> list[str]:
@@ -128,13 +240,15 @@ class FetchDocs:
         resolver: Callable[[str], list[str]] = host_addresses,
         cache_size: int = 1024,
         ttl_seconds: float = 24 * 3600,
+        clock: Callable[[], float] | None = None,
     ):
         self.transport = transport
         self.url_col = url_col
         self.allowed_prefixes = allowed_prefixes
         self.max_bytes = max_bytes
         self.resolver = resolver
-        self.cache = TTLCache(max_size=cache_size, ttl_seconds=ttl_seconds)
+        kw = {"clock": clock} if clock is not None else {}
+        self.cache = TTLCache(max_size=cache_size, ttl_seconds=ttl_seconds, **kw)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column(self.url_col).to_pylist()
@@ -152,6 +266,12 @@ class FetchDocs:
             if cached is None:
                 try:
                     cached = self.transport(u)
+                except PayloadTooLarge:
+                    # cap crossed mid-stream: abort is authoritative
+                    status.append("too_large")
+                    sizes.append(0)
+                    payloads.append(None)
+                    continue
                 except Exception:
                     status.append("error")
                     sizes.append(0)

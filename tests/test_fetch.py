@@ -118,3 +118,91 @@ def test_fetch_transport_error_is_row_status():
 
     out = FetchDocs(transport)(_batch(["https://a.org/x"]))
     assert out.column("status").to_pylist() == ["error"]
+
+
+# --- recorded-fixture transport (HttpConnector behaviors, no network) ---
+
+
+def _rt(tmp_path, **kw):
+    from goobi_viewer_indexer_ray.stages.fetch import RecordedTransport
+
+    return RecordedTransport(str(tmp_path / "tapes"), **kw)
+
+
+def test_recorded_retry_then_success(tmp_path):
+    naps = []
+    t = _rt(tmp_path, max_retries=3, backoff_s=0.1, sleep=naps.append)
+    t.record("https://pub.example/a", [b"hello ", b"world"], fail_times=2)
+    assert t("https://pub.example/a") == b"hello world"
+    assert t.calls == 3  # 2 scripted failures + 1 success
+    assert naps == [0.1, 0.2]  # exponential backoff between tries
+
+
+def test_recorded_retries_exhausted(tmp_path):
+    from goobi_viewer_indexer_ray.stages.fetch import TransportError
+
+    t = _rt(tmp_path, max_retries=2, backoff_s=0, sleep=lambda s: None)
+    t.record("https://pub.example/b", [b"x"], fail_times=5)
+    import pytest
+
+    with pytest.raises(TransportError):
+        t("https://pub.example/b")
+    assert t.calls == 3  # 1 + 2 retries, then permanent
+
+
+def test_recorded_unrecorded_url(tmp_path):
+    from goobi_viewer_indexer_ray.stages.fetch import TransportError
+
+    t = _rt(tmp_path)
+    import pytest
+
+    with pytest.raises(TransportError):
+        t("https://never.recorded/x")
+
+
+def test_size_cap_aborts_mid_stream(tmp_path):
+    from goobi_viewer_indexer_ray.stages.fetch import PayloadTooLarge
+
+    t = _rt(tmp_path, max_bytes=250, sleep=lambda s: None)
+    t.record("https://pub.example/big", [b"x" * 100] * 10)
+    import pytest
+
+    with pytest.raises(PayloadTooLarge) as ei:
+        t("https://pub.example/big")
+    # aborted after the 3rd chunk (300 bytes > 250) — 7 chunks unread
+    assert t.chunks_read == 3
+    assert ei.value.bytes_read == 300
+    assert t.calls == 1  # permanent: the abort is NOT retried
+
+
+def test_fetch_docs_end_to_end_with_recorded_transport(tmp_path):
+    """retry + mid-stream cap + TTL cache through the REAL stage."""
+    from goobi_viewer_indexer_ray.stages.fetch import FetchDocs
+
+    t = _rt(tmp_path, max_retries=3, backoff_s=0, max_bytes=250,
+            sleep=lambda s: None)
+    t.record("https://pub.example/ok", [b"fine"], fail_times=1)  # retried
+    t.record("https://pub.example/big", [b"x" * 100] * 10)       # cap abort
+    t.record("https://pub.example/dead", [b"y"], fail_times=9)   # exhausted
+
+    now = [0.0]
+    f = FetchDocs(t, ttl_seconds=60, clock=lambda: now[0])
+    batch = pa.table({"url": pa.array([
+        "https://pub.example/ok",
+        "https://pub.example/big",
+        "https://pub.example/dead",
+        "http://127.0.0.1/x",
+    ])})
+    out = f(batch)
+    assert out.column("status").to_pylist() == [
+        "ok", "too_large", "error", "blocked"]
+    assert out.column("payload").to_pylist()[0] == b"fine"
+
+    # cache absorbs the repeat (no new transport request)...
+    calls_before = t.calls
+    f(pa.table({"url": pa.array(["https://pub.example/ok"])}))
+    assert t.calls == calls_before
+    # ...until the TTL expires — then it re-fetches
+    now[0] = 61.0
+    f(pa.table({"url": pa.array(["https://pub.example/ok"])}))
+    assert t.calls == calls_before + 1
