@@ -1424,6 +1424,141 @@ FROM final f JOIN sizes s ON s.id = f.node
 """
 
 
+def _synth_authority_record(url: str) -> bytes:
+    """Deterministic GND-record fake keyed by the url's trailing id
+    (the transport for ``authority_norm`` — same synthesis the SQL
+    oracle string-builds).  Exercises: name/altname dedup, place
+    aggregation, LIFEPERIOD splitting, URI exclusion from
+    NORMDATATERMS, STATICPAGE/non-NORM skips, coords → WKT, and a
+    language-suffixed field that must be routed out."""
+    import json as _json
+
+    k = int(url.rsplit("/", 1)[1])
+    n = f"Customer#{k:09d}"
+    rec = [
+        ["NORM_NAME", n],
+        ["NORM_ALTNAME", f"alt {n}"],
+        ["NORM_ALTNAME", n],                    # dup → name-search dedup
+        ["NORM_PLACE", f"city{k % 10}"],
+        ["NORM_LIFEPERIOD", f"{1800 + k % 100}-{1850 + k % 120}"],
+        ["NORM_URI", url],
+        ["NORM_STATICPAGE", "skipped"],         # IKFN browsing hack
+        ["OTHER_FIELD", "skipped"],             # non-NORM_
+        ["NORM_NAME_LANG_DE", f"de {n}"],       # wrong language → routed out
+    ]
+    if k % 4 == 0:
+        rec.insert(5, ["NORM_COORDS", f"{k % 360 - 180} {k % 180 - 90}"])
+    return _json.dumps(rec).encode()
+
+
+def q_authority_norm(sf_dir: str):
+    """Authority-record normalization (NORM_* synthesis —
+    ``MetadataHelper.parseAuthorityMetadata``, ``MetadataHelper.java:
+    565-703``, via :mod:`functions.authority` /
+    :class:`stages.authority.NormalizeAuthority`): every customer
+    carries a bare GND id (promoted to the GND url by
+    ``sanitizeAuthorityUrl``), resolved through a deterministic
+    transport by a TTL-cached actor pool; the synthesized field rows
+    (incl. the DEFAULT / NORMDATATERMS bags) are the output."""
+    from ..stages.authority import NormalizeAuthority
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+
+    def synth_urls(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").cast(pa.int64())
+        return pa.table(
+            {"doc_id": k, "authority_url": pc.cast(k, pa.string())}
+        )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "auth_id": t.column("id"),
+                "field": t.column("field"),
+                "value": t.column("value"),
+            }
+        )
+
+    return (
+        ds.map_batches(synth_urls, batch_format="pyarrow")
+        .map_batches(
+            NormalizeAuthority,
+            fn_constructor_kwargs={
+                "transport": _synth_authority_record,
+                "label_field": "MD_AUTHOR",
+                "add_to_default": ("NORM_NAME",),
+            },
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .map_batches(fin, batch_format="pyarrow")
+    )
+
+
+def _authority_sql() -> str:
+    """String-builds the exact rows ``q_authority_norm`` synthesizes
+    (same constants; same emission multiplicities — duplicates are
+    real rows)."""
+    arms = [
+        ("'MD_AUTHOR_DATE_SEARCH'", "y1", ""),
+        ("'NORM_DATE_UNTOKENIZED'", "y1", ""),
+        ("'MD_AUTHOR_DATE_SEARCH'", "y2", ""),
+        ("'NORM_DATE_UNTOKENIZED'", "y2", ""),
+        ("'WKT_COORDS'", "pt", "WHERE k % 4 = 0"),
+        ("'NORM_COORDS'", "coords", "WHERE k % 4 = 0"),
+        ("'NORM_COORDS_UNTOKENIZED'", "coords", "WHERE k % 4 = 0"),
+        ("'NORM_NAME'", "n", ""),
+        ("'NORM_NAME_UNTOKENIZED'", "n", ""),
+        ("'MD_AUTHOR_NAME_SEARCH'", "n", ""),
+        ("'NORM_NAME_UNTOKENIZED'", "n", ""),
+        ("'NORM_ALTNAME'", "alt", ""),
+        ("'NORM_ALTNAME_UNTOKENIZED'", "alt", ""),
+        ("'MD_AUTHOR_NAME_SEARCH'", "alt", ""),
+        ("'NORM_NAME_UNTOKENIZED'", "alt", ""),
+        ("'NORM_ALTNAME'", "n", ""),
+        ("'NORM_ALTNAME_UNTOKENIZED'", "n", ""),
+        ("'NORM_PLACE'", "city", ""),
+        ("'NORM_PLACE_UNTOKENIZED'", "city", ""),
+        ("'MD_AUTHOR_PLACE_SEARCH'", "city", ""),
+        ("'NORM_PLACE_UNTOKENIZED'", "city", ""),
+        ("'NORM_LIFEPERIOD'", "life", ""),
+        ("'NORM_LIFEPERIOD_UNTOKENIZED'", "life", ""),
+        ("'NORM_URI'", "url", ""),
+        ("'NORM_URI_UNTOKENIZED'", "url", ""),
+        ("'BOOL_WKT_COORDS'", "CASE WHEN k % 4 = 0 THEN 'true' ELSE 'false' END", ""),
+        ("'DEFAULT'", "n", ""),
+        ("'NORMDATATERMS'", "terms", ""),
+    ]
+    union = "\nUNION ALL\n".join(
+        f"SELECT k AS auth_id, {f} AS field, {v} AS value FROM vals {w}"
+        for f, v, w in arms
+    )
+    return f"""
+WITH vals AS (
+  SELECT c_custkey::BIGINT AS k,
+         c_name AS n,
+         'alt ' || c_name AS alt,
+         'city' || (c_custkey % 10) AS city,
+         (1800 + c_custkey % 100)::VARCHAR AS y1,
+         (1850 + c_custkey % 120)::VARCHAR AS y2,
+         (1800 + c_custkey % 100) || '-' || (1850 + c_custkey % 120) AS life,
+         'https://d-nb.info/gnd/' || c_custkey AS url,
+         'POINT (' || (c_custkey % 360 - 180) || ' ' || (c_custkey % 180 - 90) || ')' AS pt,
+         (c_custkey % 360 - 180) || ' ' || (c_custkey % 180 - 90) AS coords,
+         c_name || '  alt ' || c_name || '  city' || (c_custkey % 10)
+           || '  ' || (1800 + c_custkey % 100) || '-' || (1850 + c_custkey % 120)
+           || CASE WHEN c_custkey % 4 = 0
+                   THEN '  ' || (c_custkey % 360 - 180) || ' ' || (c_custkey % 180 - 90)
+                   ELSE '' END
+           || '  de ' || c_name AS terms
+  FROM customer
+)
+SELECT auth_id, field, value FROM ({union})
+"""
+
+
 def q_geo_wkt(sf_dir: str):
     """GeoJSON/WKT conversion (M13 — GeoJSONTools.convert transposed):
     deterministic coordinate strings derived from the supplier key
@@ -3281,6 +3416,7 @@ QUERIES = {
     "lang_source_counts": q_lang_source_counts,
     "parent_rollup": q_parent_rollup,
     "hierarchy_rollup": q_hierarchy_rollup,
+    "authority_norm": q_authority_norm,
     "geo_wkt": q_geo_wkt,
     "mixed_format_ingest": q_mixed_format_ingest,
     "ugc_annotations": q_ugc_annotations,
@@ -3363,6 +3499,7 @@ ORACLE_SQL = {
     "lang_source_counts": _SQL_LANG_SOURCE,
     "parent_rollup": _SQL_PARENT_ROLLUP,
     "hierarchy_rollup": _SQL_HIERARCHY_ROLLUP,
+    "authority_norm": _authority_sql(),
     "geo_wkt": _SQL_GEO_WKT,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,

@@ -102,6 +102,7 @@ def _check(contract, con, name):
         "lang_source_counts",
         "parent_rollup",
         "hierarchy_rollup",
+        "authority_norm",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
