@@ -162,6 +162,7 @@ def run_bench() -> dict:
     timings["federated_topk"] = round(time.perf_counter() - t0, 3)
     fed_p50_ms = float(np.median(fed_lat) * 1000)
     fed_p90_ms = float(np.percentile(fed_lat, 90) * 1000)
+    fed.shutdown()  # free the member actors' CPU slots for the catalog runs
 
     # forceMerge-to-one compaction of the build (after the query
     # benchmarks so it can't flatter them)

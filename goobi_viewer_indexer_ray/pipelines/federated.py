@@ -132,3 +132,11 @@ class FederatedSearch:
         docs = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         return _rank_topk(docs, scores, k)
+
+    def shutdown(self) -> None:
+        """Release the member actors (and their CPU slots) — callers
+        that keep running Dataset work after serving should call this
+        so the pool doesn't hold scheduler capacity."""
+        for m in self.members:
+            ray.kill(m)
+        self.members = []
