@@ -179,6 +179,7 @@ def run_bench() -> dict:
         "dedup_exact",
         "dedup_jaccard_pairs",
         "dedup_minhash_lsh",
+        "dup_ngrams",
         "dedup_embedding_pairs",
         "ann_cosine_topk",
         "lineitem_agg",

@@ -1939,6 +1939,37 @@ FROM d LEFT JOIN tstats t USING (doc_id) LEFT JOIN bstats b USING (doc_id)
 """
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Inter-document duplicate n-gram counts (the Gopher/RefinedWeb
+    CROSS-doc repetition filter; complements ``quality_repetition``'s
+    intra-doc signal and the pairwise dedup family) —
+    :func:`stages.text_ops.dup_ngram_stats`: per doc, its distinct
+    8-gram count and how many of those grams occur in ≥1 other doc.
+    Two shuffles (gram groupby → doc groupby), integer outputs."""
+    return text_ops.dup_ngram_stats(_documents(sf_dir), n=8)
+
+
+_SQL_DUP_NGRAMS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+         ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 7)) AS g(i)
+),
+cnt AS (SELECT s, count(*)::BIGINT AS nd FROM sh GROUP BY s),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+  FROM sh JOIN cnt USING (s) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.n_shared, 0)::BIGINT AS n_shared
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_url_normalize(sf_dir: str):
     """URL canonicalization (M1 analog — PI normalization transposed
     to web keys): deterministic messy URLs built from the doc key
@@ -3393,6 +3424,7 @@ QUERIES = {
     "authority_norm": q_authority_norm,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ann_lsh_topk": q_ann_lsh,
+    "dup_ngrams": q_dup_ngrams,
     # --- entries outside the round-3 driver window ---
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
@@ -3509,6 +3541,7 @@ ORACLE_SQL = {
     "parent_rollup": _SQL_PARENT_ROLLUP,
     "hierarchy_rollup": _SQL_HIERARCHY_ROLLUP,
     "authority_norm": _authority_sql(),
+    "dup_ngrams": _SQL_DUP_NGRAMS,
     "geo_wkt": _SQL_GEO_WKT,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,

@@ -33,6 +33,7 @@ __all__ = [
     "chunk_batch",
     "contamination_hits",
     "bigram_counts_batch",
+    "dup_ngram_stats",
 ]
 
 # Marker stopword lists for the n-gram-free language-ID heuristic —
@@ -440,6 +441,97 @@ def contamination_hits(ds, *, bench_mod: int = 97, n: int = 5):
         )
 
     return ds.map_batches(hits, batch_format="pyarrow")
+
+
+def dup_ngram_stats(ds, *, n: int = 8):
+    """Inter-document duplicate n-gram signal (the Gopher /
+    RefinedWeb cross-doc repetition filter — distinct from
+    :func:`repetition_batch`'s INTRA-doc signal and from the pairwise
+    dedup family): per doc, how many of its DISTINCT token n-grams
+    also occur in at least one OTHER document.
+
+    A doc with a high shared-gram fraction is boilerplate / template /
+    near-copy material even when no single pair crosses a Jaccard
+    threshold — the per-document filterable form of duplication.
+
+    Scale shape — exactly TWO shuffles, no pair explosion:
+
+    1. distinct (doc, gram) rows → ``groupby(gram)``; each gram group
+       emits its member rows flagged ``shared = group_size > 1``
+       (group size bounded by the gram's df — the same blocking
+       assumption as the shingle-join dedup family; a stop-phrase
+       super-gram is the skew case and would take the same salting
+       treatment);
+    2. ``groupby(doc)`` sums the flags.
+
+    Outputs integer counts only (``n_grams``, ``n_shared``) — the
+    fraction is a trivial downstream division, and integers keep the
+    DuckDB oracle exact (no float rounding-parity risk).  Docs shorter
+    than ``n`` tokens emit ``(0, 0)`` rows (the verdict must be total),
+    via one broadcast of the gram-bearing doc-id set — the per-doc
+    stats table, the natural small side.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    grams = ds.map_batches(
+        lambda t: shingles_batch(t, n=n), batch_format="pyarrow"
+    )
+
+    def flag_group(g: pa.Table) -> pa.Table:
+        shared = g.num_rows > 1  # distinct per doc ⇒ rows == docs
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "shared": pa.array(
+                    np.full(g.num_rows, int(shared), np.int64)
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    per_doc = (
+        grams.groupby("sh")
+        .map_groups(flag_group, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(on=None, alias_name="n_grams"),
+            Sum(on="shared", alias_name="n_shared"),
+        )
+    )
+
+    stats = pa.concat_tables(
+        per_doc.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("doc_id")
+    s_ids = stats.column("doc_id").to_numpy()
+    s_ref = ray.put(
+        (
+            s_ids,
+            stats.column("n_grams").to_numpy(),
+            stats.column("n_shared").to_numpy(),
+        )
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids_, ng, ns = ray.get(s_ref)
+        d = t.column("doc_id").cast(pa.int64()).to_numpy()
+        pos = np.clip(np.searchsorted(ids_, d), 0, max(ids_.size - 1, 0))
+        hit = (ids_[pos] == d) if ids_.size else np.zeros(d.size, bool)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "n_grams": pa.array(np.where(hit, ng[pos], 0), pa.int64())
+                if ids_.size
+                else pa.array(np.zeros(d.size, np.int64)),
+                "n_shared": pa.array(np.where(hit, ns[pos], 0), pa.int64())
+                if ids_.size
+                else pa.array(np.zeros(d.size, np.int64)),
+            }
+        )
+
+    return ds.select_columns(["doc_id"]).map_batches(attach, batch_format="pyarrow")
 
 
 def bigram_counts_batch(batch: pa.Table) -> pa.Table:

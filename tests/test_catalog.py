@@ -81,6 +81,7 @@ def _check(contract, con, name):
         "dedup_exact",
         "dedup_jaccard_pairs",
         "dedup_minhash_lsh",
+        "dup_ngrams",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",

@@ -241,3 +241,39 @@ def test_chunk_batch_empty_batch():
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "chunk_idx", "start_tok", "n_tok",
                                 "chunk_text"]
+
+
+def test_dup_ngram_stats_semantics(ray_session):
+    """Cross-doc duplicate n-grams: docs sharing an 8-gram count it in
+    n_shared; unique docs and short docs report zeros."""
+    import pyarrow as pa
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.text_ops import dup_ngram_stats
+
+    shared = "one two three four five six seven eight"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    shared + " alpha beta",      # grams 1-3 incl. shared
+                    shared + " gamma delta",     # shares the first gram
+                    "totally different words here that repeat nothing at all",
+                    "short",                     # < 8 tokens → 0 grams
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        dup_ngram_stats(ray.data.from_arrow(docs), n=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # docs 1/2 share exactly the 8-gram "one ... eight"
+    assert out.loc[1, "n_shared"] == 1 and out.loc[2, "n_shared"] == 1
+    assert out.loc[1, "n_grams"] == 3 and out.loc[2, "n_grams"] == 3
+    assert out.loc[3, "n_shared"] == 0 and out.loc[3, "n_grams"] == 2
+    assert out.loc[4, "n_grams"] == 0 and out.loc[4, "n_shared"] == 0
