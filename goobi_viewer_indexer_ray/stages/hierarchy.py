@@ -36,17 +36,19 @@ Two paths, same contract (mirroring ``stages/cluster.py``):
 - **fast path** (≤ ``small_tree_threshold`` nodes): the node table is
   the documented small side — one driver-side vectorized numpy chain
   walk (one gather per level), O(N · depth) total.
-- **distributed path**: level-by-level ancestor peeling — each round
-  ONE hash-partitioned ``Dataset.join`` of the still-climbing state
-  rows against a pre-built ``(id → parent, label(parent),
-  parent(parent))`` map; O(depth) rounds of O(N_active) shuffle, and
-  the active set SHRINKS each round as chains hit their roots.  Depth
-  is small by construction for docstruct trees (METS / EAD hierarchies
-  are ≤ ~10 deep — the reference recurses them on one thread); for
-  pathological deep chains the O(log depth) pointer-doubling swap
-  (jump ``anc → anc(anc)`` folding path/label segment-wise) applies,
-  exactly like the large-star/small-star swap documented in
-  ``stages/cluster.py``.
+- **distributed paths** (selected by ``method``): the default
+  ``"peel"`` climbs one level per round — ONE hash-partitioned
+  ``Dataset.join`` of the still-climbing state rows against a
+  pre-built ``(id → parent, label(parent), parent(parent))`` map;
+  O(depth) rounds of O(N_active) shuffle with the active set
+  SHRINKING as chains hit their roots.  Depth is small by
+  construction for docstruct trees (METS / EAD hierarchies are
+  ≤ ~10 deep — the reference recurses them on one thread).  For
+  pathological deep chains, ``method="double"`` runs pointer doubling
+  (:func:`_distributed_double`): each round jumps ``anc → anc(anc)``
+  via one state self-join, folding path/label/depth segment-wise —
+  ⌈log₂ depth⌉ rounds (pytest pins a 33-deep chain finishing within a
+  7-round budget, and output identity with peel/fast).
 
 Subtree sizes come from the ancestor CLOSURE (one row per
 (node, ancestor-or-self) pair, O(N · depth) — emitted incrementally by
@@ -137,12 +139,21 @@ def _split_done(t: pa.Table, want_done: bool) -> pa.Table:
 def hierarchy_rollup(nodes, *, id_col: str = "id", parent_col: str = "parent",
                      label_col: str = "label", num_partitions: int = 8,
                      max_rounds: int = 64,
-                     small_tree_threshold: int = 1_000_000):
+                     small_tree_threshold: int = 1_000_000,
+                     method: str = "peel"):
     """Nodes ``(id, parent, label)`` → per-node hierarchy fields.
 
     Returns a Dataset with columns ``(node, root_id, depth, path,
     inherited_label, subtree_size)`` — see module docstring.
-    """
+
+    ``method`` selects the distributed strategy (identical output,
+    pytest-pinned): ``"peel"`` climbs one level per round — O(depth)
+    rounds whose shuffle volume SHRINKS as chains finish (right for
+    the shallow docstruct trees the reference indexes); ``"double"``
+    is pointer doubling — each round jumps ``anc → anc(anc)`` via one
+    state self-join, folding path/label/depth segment-wise, so only
+    ⌈log₂ depth⌉ rounds of full-size shuffles (right for pathological
+    deep chains, where peeling's depth×shuffle count dominates)."""
     import ray
     import ray.data
 
@@ -167,6 +178,11 @@ def hierarchy_rollup(nodes, *, id_col: str = "id", parent_col: str = "parent",
                 max_rounds,
             )
         )
+
+    if method == "double":
+        return _distributed_double(nt, num_partitions, max_rounds)
+    if method != "peel":
+        raise ValueError(f"unknown method: {method!r}")
 
     # ------------- distributed level-by-level ancestor peeling -------------
     # Lookup map, built ONCE with one self-join: for child id `pid`,
@@ -295,6 +311,161 @@ def hierarchy_rollup(nodes, *, id_col: str = "id", parent_col: str = "parent",
 
     final = state.map_batches(as_final, batch_format="pyarrow")
     out = final.join(
+        sizes,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("node",),
+        right_on=("anc",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "root_id": t.column("root_id").cast(pa.int64()),
+                "depth": t.column("depth").cast(pa.int64()),
+                "path": t.column("path"),
+                "inherited_label": t.column("inherited_label"),
+                "subtree_size": t.column("subtree_size").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _distributed_double(nt, num_partitions: int, max_rounds: int):
+    """Pointer doubling: state row = the path SEGMENT a node has
+    covered so far.
+
+    Invariants (``seg`` is top-first, "…/node"):
+
+    - done row: covers node..root inclusive — ``anc`` = the root,
+      ``seg`` = the full root-first id path, ``inh`` = first non-null
+      label over the whole chain, ``depth`` = edge count to the root.
+    - active row: covers node..just-below-``anc`` — ``seg``/``inh``
+      exclude ``anc``'s id/label, ``depth`` = edges node→``anc``.
+
+    Jump: join active rows against the WHOLE state on
+    ``anc == partner.node`` and splice::
+
+        anc   ← partner.anc          depth ← depth + partner.depth
+        seg   ← partner.seg "/" seg  inh   ← coalesce(inh, partner.inh)
+        done  ← partner.done
+
+    Both invariants are preserved, the covered distance doubles, so
+    ⌈log₂ depth⌉ rounds finish every chain.  Subtree sizes come from
+    splitting the final paths (each path enumerates exactly the
+    (node, ancestor-or-self) closure) — one vectorized split pass and
+    one ``groupby(anc).count()``, same closure volume as peeling.
+    """
+    import ray
+
+    def seed(t: pa.Table) -> pa.Table:
+        ids = t.column("id")
+        par = t.column("parent")
+        is_root = pc.equal(par, -1)
+        return pa.table(
+            {
+                "node": ids,
+                "anc": pc.if_else(is_root, ids, par),
+                "depth": pc.if_else(
+                    is_root,
+                    pa.array(np.zeros(t.num_rows, np.int64)),
+                    pa.array(np.ones(t.num_rows, np.int64)),
+                ),
+                "seg": pc.cast(ids, pa.string()),
+                "inh": t.column("label"),
+                "done": is_root,
+            }
+        )
+
+    state = (
+        nt.map_batches(seed, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    def partner_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_node": t.column("node"),
+                "p_anc": t.column("anc"),
+                "p_depth": t.column("depth"),
+                "p_seg": t.column("seg"),
+                "p_inh": t.column("inh"),
+                "p_done": t.column("done"),
+            }
+        )
+
+    def splice(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "anc": t.column("p_anc"),
+                "depth": pc.add(t.column("depth"), t.column("p_depth")),
+                "seg": pc.binary_join_element_wise(
+                    t.column("p_seg"), t.column("seg"), "/"
+                ),
+                "inh": pc.coalesce(t.column("inh"), t.column("p_inh")),
+                "done": t.column("p_done"),
+            }
+        )
+
+    for _ in range(max_rounds):
+        active = state.map_batches(
+            lambda t: _split_done(t, False), batch_format="pyarrow"
+        )
+        if active.count() == 0:
+            break
+        settled = state.map_batches(
+            lambda t: _split_done(t, True), batch_format="pyarrow"
+        )
+        partners = state.map_batches(partner_side, batch_format="pyarrow")
+        jumped = active.join(
+            partners,
+            join_type="inner",  # anc is always a valid node id
+            num_partitions=num_partitions,
+            on=("anc",),
+            right_on=("p_node",),
+        ).map_batches(splice, batch_format="pyarrow")
+        state = settled.union(jumped).repartition(num_partitions).materialize()
+    else:
+        raise RuntimeError(f"hierarchy_rollup: no fixpoint in {max_rounds} rounds")
+
+    # ancestor closure from the final paths: one vectorized split pass
+    def closure_rows(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("seg"), "/").combine_chunks()
+        flat = pc.cast(parts.values, pa.int64())
+        return pa.table({"anc": flat})
+
+    sizes = (
+        state.map_batches(closure_rows, batch_format="pyarrow")
+        .groupby("anc")
+        .count()
+    )
+
+    def rename_sizes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "anc": t.column("anc").cast(pa.int64()),
+                "subtree_size": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    sizes = sizes.map_batches(rename_sizes, batch_format="pyarrow")
+
+    def as_final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "root_id": t.column("anc"),
+                "depth": t.column("depth"),
+                "path": t.column("seg"),
+                "inherited_label": t.column("inh"),
+            }
+        )
+
+    out = state.map_batches(as_final, batch_format="pyarrow").join(
         sizes,
         join_type="inner",
         num_partitions=num_partitions,

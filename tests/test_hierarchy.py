@@ -114,3 +114,56 @@ def test_missing_parent_fails_loud(ray_session):
     )
     with pytest.raises(Exception):
         _run(tbl)
+
+
+def test_pointer_doubling_equals_peel(ray_session):
+    import ray.data
+
+    tbl = _forest(800, stride=7, offset=3)
+    fast = _run(tbl)
+    dbl = (
+        hierarchy_rollup(
+            ray.data.from_arrow(tbl).repartition(6),
+            small_tree_threshold=0,
+            num_partitions=4,
+            method="double",
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        fast, dbl[fast.columns].astype({c: fast[c].dtype for c in fast.columns})
+    )
+
+
+def test_pointer_doubling_round_bound(ray_session):
+    """A 33-deep chain must finish in ~log2(depth) jumps — peel's
+    per-level budget (max_rounds=7 < 33) suffices for doubling."""
+    import ray.data
+
+    n = 34  # pure chain: node i's parent is i-1
+    ids = np.arange(n, dtype=np.int64)
+    parent = ids - 1
+    tbl = pa.table(
+        {
+            "id": ids,
+            "parent": parent,
+            "label": pa.array([None] * n, pa.string()),
+        }
+    )
+    out = (
+        hierarchy_rollup(
+            ray.data.from_arrow(tbl),
+            small_tree_threshold=0,
+            num_partitions=2,
+            max_rounds=7,  # 2^6 = 64 > 33; peel would need 33 rounds
+            method="double",
+        )
+        .to_pandas()
+        .set_index("node")
+    )
+    assert out.loc[n - 1, "depth"] == n - 1
+    assert out.loc[n - 1, "root_id"] == 0
+    assert out.loc[0, "subtree_size"] == n
+    assert out.loc[n - 1, "path"] == "/".join(map(str, range(n)))
