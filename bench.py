@@ -180,6 +180,7 @@ def run_bench() -> dict:
         "dedup_jaccard_pairs",
         "dedup_minhash_lsh",
         "dup_ngrams",
+        "doc_packing",
         "dedup_embedding_pairs",
         "ann_cosine_topk",
         "lineitem_agg",

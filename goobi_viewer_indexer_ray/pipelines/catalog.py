@@ -1970,6 +1970,33 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_doc_packing(sf_dir: str):
+    """Pretraining sequence packing (concatenate in doc_id order, cut
+    512-token sequences) — :func:`stages.text_ops.pack_assign`: a
+    distributed two-level prefix sum (per-bucket totals → driver
+    exclusive scan over the bucket small side → broadcast offsets),
+    no global sort, no O(N) driver state.  Oracle: one SQL window
+    function."""
+    return text_ops.pack_assign(_documents(sf_dir), budget=512)
+
+
+_SQL_DOC_PACKING = f"""
+WITH c AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_offset
+  FROM c
+)
+SELECT doc_id, n_tokens, tok_offset,
+       (tok_offset // 512)::BIGINT AS pack_first,
+       CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
+            ELSE tok_offset // 512 END::BIGINT AS pack_last
+FROM s
+"""
+
+
 def q_url_normalize(sf_dir: str):
     """URL canonicalization (M1 analog — PI normalization transposed
     to web keys): deterministic messy URLs built from the doc key
@@ -3425,6 +3452,8 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ann_lsh_topk": q_ann_lsh,
     "dup_ngrams": q_dup_ngrams,
+    "doc_packing": q_doc_packing,
+    # (round-4 additions continue below in the priority window)
     # --- entries outside the round-3 driver window ---
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
@@ -3542,6 +3571,7 @@ ORACLE_SQL = {
     "hierarchy_rollup": _SQL_HIERARCHY_ROLLUP,
     "authority_norm": _authority_sql(),
     "dup_ngrams": _SQL_DUP_NGRAMS,
+    "doc_packing": _SQL_DOC_PACKING,
     "geo_wkt": _SQL_GEO_WKT,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,

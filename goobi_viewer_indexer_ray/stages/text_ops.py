@@ -16,6 +16,7 @@ import unicodedata
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import md5_hash64_array
 from ..functions.tokenize import TOKEN_RE, tokenize
@@ -34,6 +35,7 @@ __all__ = [
     "contamination_hits",
     "bigram_counts_batch",
     "dup_ngram_stats",
+    "pack_assign",
 ]
 
 # Marker stopword lists for the n-gram-free language-ID heuristic —
@@ -532,6 +534,80 @@ def dup_ngram_stats(ds, *, n: int = 8):
         )
 
     return ds.select_columns(["doc_id"]).map_batches(attach, batch_format="pyarrow")
+
+
+def pack_assign(ds, *, budget: int, bucket_size: int = 65_536):
+    """Sequence packing for pretraining: concatenate the corpus in
+    doc_id order and cut fixed ``budget``-token training sequences —
+    each doc gets its global token offset and the first/last pack
+    (sequence) index it lands in (docs straddle pack boundaries, as in
+    standard pretraining concatenation).
+
+    The core is a DISTRIBUTED PREFIX SUM over doc_id order — the
+    canonical two-level scan:
+
+    1. one ``groupby(doc_id // bucket_size)`` computes per-bucket
+       token totals (the small side: one row per bucket);
+    2. the driver folds bucket totals into exclusive bucket offsets
+       (O(#buckets), broadcast once via ``ray.put``);
+    3. a second pass over the same bucket groups sorts each bucket by
+       doc_id, adds the bucket-local cumsum to the broadcast offset.
+
+    No global sort, no O(N) driver state — per-task memory is one
+    bucket's rows.  Returns ``(doc_id, n_tokens, tok_offset,
+    pack_first, pack_last)``; empty docs occupy zero tokens and land
+    "at" their offset's pack.  The oracle is one SQL window function.
+    """
+    import ray
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    counted = ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").cast(pa.int64()).to_numpy()
+        return t.append_column(
+            "bucket", pa.array(d // bucket_size, pa.int64())
+        )
+
+    bucketed = counted.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    totals = pa.concat_tables(
+        bucketed.groupby("bucket")
+        .aggregate(Sum(on="n_tokens", alias_name="tot"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("bucket")
+    b_ids = totals.column("bucket").to_numpy()
+    b_tot = totals.column("tot").to_numpy()
+    b_off = np.concatenate([[0], np.cumsum(b_tot)[:-1]])  # exclusive scan
+    off_ref = ray.put((b_ids, b_off))
+
+    def scan_group(g: pa.Table) -> pa.Table:
+        ids_, offs = ray.get(off_ref)
+        order = pc.sort_indices(g.column("doc_id"))
+        g = g.take(order)
+        n = g.column("n_tokens").to_numpy()
+        b = int(g.column("bucket")[0].as_py())
+        base = int(offs[np.searchsorted(ids_, b)])
+        start = base + np.concatenate([[0], np.cumsum(n)[:-1]])
+        end = start + n  # exclusive
+        pack_first = start // budget
+        # an empty doc "lands at" its offset; a doc's last token is end-1
+        pack_last = np.where(n > 0, (end - 1) // budget, pack_first)
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "tok_offset": pa.array(start.astype(np.int64), pa.int64()),
+                "pack_first": pa.array(pack_first.astype(np.int64), pa.int64()),
+                "pack_last": pa.array(pack_last.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(scan_group, batch_format="pyarrow")
 
 
 def bigram_counts_batch(batch: pa.Table) -> pa.Table:

@@ -82,6 +82,7 @@ def _check(contract, con, name):
         "dedup_jaccard_pairs",
         "dedup_minhash_lsh",
         "dup_ngrams",
+        "doc_packing",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",

@@ -277,3 +277,36 @@ def test_dup_ngram_stats_semantics(ray_session):
     assert out.loc[1, "n_grams"] == 3 and out.loc[2, "n_grams"] == 3
     assert out.loc[3, "n_shared"] == 0 and out.loc[3, "n_grams"] == 2
     assert out.loc[4, "n_grams"] == 0 and out.loc[4, "n_shared"] == 0
+
+
+def test_pack_assign_semantics(ray_session):
+    """Sequence packing: global token offsets in doc_id order, packs
+    cut every `budget` tokens, docs straddling boundaries span packs."""
+    import pyarrow as pa
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.text_ops import pack_assign
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30, 40], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f",       # 6 tokens → offset 0, pack 0
+                    "",                  # 0 tokens → offset 6, pack 0
+                    "g h i j k",         # 5 tokens → offset 6..10, packs 0-1
+                    "l m",               # offset 11, pack 1
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        pack_assign(ray.data.from_arrow(docs), budget=8, bucket_size=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.tok_offset) == [0, 6, 6, 11]
+    assert list(out.pack_first) == [0, 0, 0, 1]
+    assert list(out.pack_last) == [0, 0, 1, 1]  # doc 30 straddles 0→1
