@@ -181,6 +181,7 @@ def run_bench() -> dict:
         "dedup_minhash_lsh",
         "dup_ngrams",
         "doc_packing",
+        "mixture_resample",
         "dedup_embedding_pairs",
         "ann_cosine_topk",
         "lineitem_agg",

@@ -3296,6 +3296,58 @@ ORDER BY doc_id
 """
 
 
+def q_mixture_resample(sf_dir: str):
+    """Temperature-based mixture rebalancing (T=2 over per-source
+    token weights — the multilingual/multi-source pretraining
+    data-mixing move): heavier sources are deterministically
+    downsampled toward ``q_s ∝ sqrt(p_s)``; the lightest source keeps
+    everything.  One groupby for the weights, then the
+    coordination-free md5 predicate
+    (:func:`stages.sampling.temperature_resample`)."""
+    from ..stages.sampling import temperature_resample
+
+    ds = _documents(sf_dir, columns=("doc_id", "source", "text")).map_batches(
+        _tokens_with_source, batch_format="pyarrow"
+    )
+    out = temperature_resample(
+        ds, key_col="doc_id", strata_col="source", weight_col="n_tokens",
+        temperature=2.0, salt=SAMPLE_SALT,
+    )
+    return out.sort("doc_id")
+
+
+def _tokens_with_source(t: pa.Table) -> pa.Table:
+    counted = text_ops.token_count_batch(t)
+    return pa.table(
+        {
+            "doc_id": counted.column("doc_id"),
+            "source": t.column("source"),
+            "n_tokens": counted.column("n_tokens"),
+        }
+    )
+
+
+def _mixture_sql() -> str:
+    return f"""
+WITH c AS (SELECT doc_id, source, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+w AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM c GROUP BY source),
+m AS (SELECT min(tot)::BIGINT AS w_min FROM w),
+thr AS (
+  SELECT source,
+         CASE WHEN w.tot = m.w_min THEN NULL
+              ELSE printf('%08x',
+                   CAST(floor(power(m.w_min::DOUBLE / w.tot, 0.5)
+                        * 4294967296.0) AS BIGINT)) END AS t8
+  FROM w, m
+)
+SELECT c.doc_id, c.source, c.n_tokens
+FROM c JOIN thr USING (source)
+WHERE t8 IS NULL
+   OR substr(md5(c.doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8) < t8
+ORDER BY doc_id
+"""
+
+
 def q_token_count_quantiles(sf_dir: str):
     """Exact corpus token-count quantiles via the histogram shuffle."""
     from ..stages.sampling import quantiles
@@ -3453,7 +3505,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh,
     "dup_ngrams": q_dup_ngrams,
     "doc_packing": q_doc_packing,
-    # (round-4 additions continue below in the priority window)
+    "mixture_resample": q_mixture_resample,
     # --- entries outside the round-3 driver window ---
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
@@ -3572,6 +3624,7 @@ ORACLE_SQL = {
     "authority_norm": _authority_sql(),
     "dup_ngrams": _SQL_DUP_NGRAMS,
     "doc_packing": _SQL_DOC_PACKING,
+    "mixture_resample": _mixture_sql(),
     "geo_wkt": _SQL_GEO_WKT,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,

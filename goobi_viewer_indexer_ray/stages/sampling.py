@@ -40,6 +40,7 @@ __all__ = [
     "sample_threshold",
     "hash_sample",
     "stratified_sample",
+    "temperature_resample",
     "quantiles",
     "grouped_quantiles",
 ]
@@ -119,6 +120,51 @@ def stratified_sample(ds, *, key_col: str, strata_col: str,
         return tbl.filter(pa.array(h < thr))
 
     return ds.map_batches(part, batch_format="pyarrow")
+
+
+def temperature_resample(ds, *, key_col: str, strata_col: str,
+                         weight_col: str, temperature: float = 2.0,
+                         salt: str = "s0"):
+    """Temperature-based mixture rebalancing (the multilingual /
+    multi-source pretraining data-mixing move): target mixture
+    ``q_s ∝ p_s^(1/T)`` over the strata's weight shares ``p_s``,
+    realized as deterministic downsampling — per-stratum keep rate
+    ``r_s = (w_min / w_s)^(1/T)`` (the lightest stratum keeps
+    everything; heavier strata shrink toward the tempered mixture).
+    ``T = 1`` is a no-op, ``T → ∞`` approaches uniform-by-stratum.
+
+    Two passes, both scale-clean: ONE ``groupby(strata)`` for the
+    integer weight totals (the small side — one row per stratum),
+    then the same coordination-free md5-threshold filter as
+    :func:`stratified_sample` — reproducible across retries/engines,
+    and a stratum's sample is a subset of any higher-T run's.
+
+    ``weight_col`` must be integer per-row weights (token counts);
+    the rate math is float64 ``(w_min/w)^(1/T)`` — with ``T = 2``
+    that is division + an exactly-specified libm ``pow(x, 0.5)``,
+    reproducible in the DuckDB oracle.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    from ray.data.aggregate import Sum
+
+    totals = pa.concat_tables(
+        ds.groupby(strata_col)
+        .aggregate(Sum(on=weight_col, alias_name="w"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    strata = totals.column(strata_col).to_pylist()
+    w = totals.column("w").to_numpy()
+    if len(w) == 0:
+        return stratified_sample(ds, key_col=key_col, strata_col=strata_col,
+                                 fractions={}, default=0.0, salt=salt)
+    w_min = int(w.min())
+    fractions = {
+        s: float((w_min / int(ws)) ** (1.0 / temperature))
+        for s, ws in zip(strata, w)
+    }
+    return stratified_sample(ds, key_col=key_col, strata_col=strata_col,
+                             fractions=fractions, default=0.0, salt=salt)
 
 
 def _cdf_pick(values: np.ndarray, counts: np.ndarray, qs: list[float]):

