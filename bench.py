@@ -182,6 +182,7 @@ def run_bench() -> dict:
         "dup_ngrams",
         "doc_packing",
         "mixture_resample",
+        "quality_classifier",
         "dedup_embedding_pairs",
         "ann_cosine_topk",
         "lineitem_agg",

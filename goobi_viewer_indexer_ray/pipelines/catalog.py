@@ -3348,6 +3348,39 @@ ORDER BY doc_id
 """
 
 
+def q_quality_classifier(sf_dir: str):
+    """Batched model inference as an actor pool (the fasttext-shaped
+    quality-classifier stage — :class:`stages.text_ops.
+    HashedLinearScorer`): weight table built once per actor in
+    ``__init__``, scoring one factorize + one md5 per DISTINCT token
+    per batch.  Deterministic Knuth-hash weights keep the oracle
+    exact (integer score numerators)."""
+    return _documents(sf_dir).map_batches(
+        text_ops.HashedLinearScorer,
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+_SQL_QUALITY_CLASSIFIER = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+w AS (
+  SELECT doc_id,
+         (((('0x' || substr(md5(t), 1, 16))::UBIGINT % 4096)
+           * 2654435761::UBIGINT) % 1001)::BIGINT - 500 AS wt
+  FROM tok
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt)::BIGINT AS score_num
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.score_num, 0)::BIGINT AS score_num
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_token_count_quantiles(sf_dir: str):
     """Exact corpus token-count quantiles via the histogram shuffle."""
     from ..stages.sampling import quantiles
@@ -3506,6 +3539,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "doc_packing": q_doc_packing,
     "mixture_resample": q_mixture_resample,
+    "quality_classifier": q_quality_classifier,
     # --- entries outside the round-3 driver window ---
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
@@ -3625,6 +3659,7 @@ ORACLE_SQL = {
     "dup_ngrams": _SQL_DUP_NGRAMS,
     "doc_packing": _SQL_DOC_PACKING,
     "mixture_resample": _mixture_sql(),
+    "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     "geo_wkt": _SQL_GEO_WKT,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,

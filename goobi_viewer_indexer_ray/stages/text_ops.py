@@ -36,6 +36,7 @@ __all__ = [
     "bigram_counts_batch",
     "dup_ngram_stats",
     "pack_assign",
+    "HashedLinearScorer",
 ]
 
 # Marker stopword lists for the n-gram-free language-ID heuristic —
@@ -534,6 +535,49 @@ def dup_ngram_stats(ds, *, n: int = 8):
         )
 
     return ds.select_columns(["doc_id"]).map_batches(attach, batch_format="pyarrow")
+
+
+class HashedLinearScorer:
+    """Hashing-trick linear text classifier — the fasttext-shaped
+    batched-inference stage: a callable CLASS for
+    ``map_batches(HashedLinearScorer, concurrency=N)`` whose weight
+    table is built ONCE per actor in ``__init__`` (the model-load
+    pattern; a real deployment would read a trained vector here —
+    this engine pins a deterministic Knuth-hash weight init so the
+    DuckDB oracle can recompute every score exactly).
+
+    Scoring is fully vectorized: one factorize per batch, ONE md5
+    hash per DISTINCT token (bucket = ``h64(t) % n_buckets`` — the
+    same md5-prefix hash the SimHash oracle reproduces in SQL),
+    weight gather through the code array, segmented per-doc sums.
+    Integer outputs (``score_num`` = Σ weights, with
+    ``weight_b = (b · 2654435761) mod 1001 − 500``) keep the oracle
+    float-free; the calibrated score is ``score_num / n_tokens``
+    downstream.
+    """
+
+    def __init__(self, n_buckets: int = 4096):
+        b = np.arange(n_buckets, dtype=np.uint64)
+        self.weights = (
+            (b * np.uint64(2654435761)) % np.uint64(1001)
+        ).astype(np.int64) - 500
+        self.n_buckets = np.uint64(n_buckets)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, counts, codes, uniques = _flat_token_codes(batch)
+        if uniques.size:
+            buckets = md5_hash64_array(uniques) % self.n_buckets
+            w_uniq = self.weights[buckets.astype(np.int64)]
+            num = _seg_sums(w_uniq[codes], counts)
+        else:
+            num = np.zeros(counts.size, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(counts, pa.int64()),
+                "score_num": pa.array(num, pa.int64()),
+            }
+        )
 
 
 def pack_assign(ds, *, budget: int, bucket_size: int = 65_536):

@@ -84,6 +84,7 @@ def _check(contract, con, name):
         "dup_ngrams",
         "doc_packing",
         "mixture_resample",
+        "quality_classifier",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",
