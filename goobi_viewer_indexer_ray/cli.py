@@ -130,19 +130,13 @@ def main(argv: list[str] | None = None) -> int:
                                    must_not=args.must_not)
             print(json.dumps({"n_deleted": n, "n_terms": m.get("n_terms")}))
         elif args.cmd == "watch":
-            from .pipelines.watch import watch_once
+            from .pipelines.watch import watch
 
-            import time as _time
-
-            n = 0
-            while args.max_polls is None or n < args.max_polls:
-                r = watch_once(args.out, args.pages,
-                               auto_optimize=args.auto_optimize)
+            for r in watch(args.out, args.pages,
+                           interval_s=args.interval,
+                           max_polls=args.max_polls,
+                           auto_optimize=args.auto_optimize):
                 print(json.dumps(r), flush=True)
-                n += 1
-                if args.max_polls is not None and n >= args.max_polls:
-                    break
-                _time.sleep(args.interval)
     finally:
         ray.shutdown()
     return 0

@@ -80,8 +80,11 @@ def _save_state(out_dir: str, state: dict) -> None:
 def _snapshot(pages_dir: str) -> dict[str, list[int]]:
     out = {}
     for p in sorted(glob.glob(os.path.join(pages_dir, "*"))):
-        if os.path.isfile(p):
-            st = os.stat(p)
+        try:  # a file may vanish between listing and stat — that IS
+            st = os.stat(p)  # the concurrent workload a hotfolder serves
+        except FileNotFoundError:
+            continue
+        if not os.path.isdir(p):
             out[os.path.basename(p)] = [st.st_size, st.st_mtime_ns]
     return out
 
@@ -102,7 +105,10 @@ def _write_sidecar(out_dir: str, pages_dir: str, name: str) -> None:
 
 
 def _removed_urls(out_dir: str, removed: list[str], live: list[str]) -> list[str]:
-    """Urls contributed by removed shards and by NO surviving shard."""
+    """Urls contributed by removed shards and by NO surviving shard.
+    Read-only: the sidecars are deleted by the caller only AFTER the
+    deletion commits, so a failed delete retries with the evidence
+    intact."""
     import pyarrow.compute as pc
 
     gone: set[str] = set()
@@ -110,7 +116,6 @@ def _removed_urls(out_dir: str, removed: list[str], live: list[str]) -> list[str
         p = _sidecar_path(out_dir, name)
         if os.path.exists(p):
             gone.update(pq.read_table(p).column("url").to_pylist())
-            os.remove(p)
     if not gone:
         return []
     gone_arr = pa.array(sorted(gone), pa.string())
@@ -139,13 +144,22 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
     cmds = {n: fp for n, fp in snap.items()
             if n.endswith((".reindex", ".delete"))}
 
+    stable_memo: dict[str, bool] = {}
+
     def stable(name: str, fp: list[int]) -> bool:
-        """Unchanged since the previous tick (growing-upload guard)."""
+        """Unchanged since the previous tick (growing-upload guard).
+        Memoized per tick: multiple lanes may ask about the same file,
+        and the pending-entry consume must happen exactly once."""
+        if name in stable_memo:
+            return stable_memo[name]
         if pending.get(name) == fp:
             del pending[name]
-            return True
-        pending[name] = fp
-        return False
+            ok = True
+        else:
+            pending[name] = fp
+            ok = False
+        stable_memo[name] = ok
+        return ok
 
     report = {"reindexed": [], "indexed": [], "deleted_urls": 0,
               "pending": [], "removed": []}
@@ -162,7 +176,19 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
             continue
         with open(os.path.join(pages_dir, name)) as f:
             wanted = [ln.strip() for ln in f if ln.strip()]
-        reindex_names.extend(n for n in wanted if n in data)
+        # the growing-upload guard applies to the TARGETS too: a file
+        # unchanged since indexing is trivially stable; a new/changed
+        # target must sit still for one tick.  Any unready target
+        # defers the WHOLE command (fingerprint not recorded → the
+        # command is re-read next tick).
+        present = [n for n in wanted if n in data]
+        ready = all(
+            data[n] == files.get(n) or stable(n, data[n]) for n in present
+        )
+        if not ready:
+            report["pending"].append(name)
+            continue
+        reindex_names.extend(present)
         commands[name] = fp
     reindex_names = sorted(set(reindex_names))
     if reindex_names and built:
@@ -209,28 +235,40 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
         report["indexed"] = fresh
 
     # ---- 3. deletes: command files + removed shards ----
+    # Processed only against an EXISTING build: before anything is
+    # built there is nothing to delete FROM, and consuming a command
+    # then would silently lose it — so unbuilt ticks leave commands
+    # untouched (re-read once the bootstrap has happened).
+    built = os.path.exists(os.path.join(out_dir, "docs_manifest.json"))
     del_urls: list[str] = []
-    for name, fp in sorted(cmds.items()):
-        if not name.endswith(".delete") or commands.get(name) == fp:
-            continue
-        if not stable(name, fp):
-            report["pending"].append(name)
-            continue
-        with open(os.path.join(pages_dir, name)) as f:
-            del_urls.extend(ln.strip() for ln in f if ln.strip())
-        commands[name] = fp
-    removed = [n for n in list(files) if n not in data]
+    if built:
+        for name, fp in sorted(cmds.items()):
+            if not name.endswith(".delete") or commands.get(name) == fp:
+                continue
+            if not stable(name, fp):
+                report["pending"].append(name)
+                continue
+            with open(os.path.join(pages_dir, name)) as f:
+                del_urls.extend(ln.strip() for ln in f if ln.strip())
+            commands[name] = fp
+    removed = [n for n in list(files) if n not in data] if built else []
     if removed:
         live = [n for n in files if n in data]
         del_urls.extend(_removed_urls(out_dir, removed, live))
-        for n in removed:
-            del files[n]
-        report["removed"] = removed
-    if del_urls and os.path.exists(os.path.join(out_dir, "docs_manifest.json")):
+    if del_urls:
         del_urls = sorted(set(del_urls))
         apply_updates(out_dir, None, del_urls, reason="watch-delete",
                       auto_optimize=auto_optimize)
         report["deleted_urls"] = len(del_urls)
+    # the delete committed: NOW retire the removed shards' ledger
+    # entries and sidecars (an exception above leaves both intact, so
+    # the next tick retries with the evidence still on disk)
+    for n in removed:
+        del files[n]
+        p = _sidecar_path(out_dir, n)
+        if os.path.exists(p):
+            os.remove(p)
+    report["removed"] = removed
 
     # forget pending entries whose file vanished before stabilizing
     for name in [n for n in pending if n not in snap]:
@@ -242,20 +280,20 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
 
 def watch(out_dir: str, pages_dir: str, *, interval_s: float = 5.0,
           max_polls: int | None = None, auto_optimize: bool = False,
-          sleep=None) -> list[dict]:
+          sleep=None):
     """The daemon loop: ``watch_once`` every ``interval_s`` seconds,
-    ``max_polls`` ticks (None = forever).  ``sleep`` is injectable so
-    tests drive discrete ticks without wall-clock waits."""
+    ``max_polls`` ticks (None = forever).  A GENERATOR yielding one
+    report per tick — run-forever mode holds no unbounded report
+    list, and callers (the CLI) stream-print each tick.  ``sleep`` is
+    injectable so tests drive discrete ticks without wall-clock
+    waits."""
     import time as _time
 
     sleep = sleep or _time.sleep
-    reports = []
     n = 0
     while max_polls is None or n < max_polls:
-        reports.append(watch_once(out_dir, pages_dir,
-                                  auto_optimize=auto_optimize))
+        yield watch_once(out_dir, pages_dir, auto_optimize=auto_optimize)
         n += 1
         if max_polls is not None and n >= max_polls:
             break
         sleep(interval_s)
-    return reports

@@ -75,7 +75,10 @@ def _fast_path(ids: np.ndarray, parents: np.ndarray, labels: list,
 
     def up(x: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(sid, x)
-        if not (sid[pos] == x).all():
+        # clamp before the gather: a dangling id above every node id
+        # must raise the loud ValueError, not a raw IndexError
+        safe = np.minimum(pos, sid.size - 1)
+        if not ((pos < sid.size) & (sid[safe] == x)).all():
             raise ValueError("hierarchy_rollup: parent id not in node table")
         return spar[pos]
 
@@ -283,6 +286,11 @@ def hierarchy_rollup(nodes, *, id_col: str = "id", parent_col: str = "parent",
     else:
         raise RuntimeError(f"hierarchy_rollup: no fixpoint in {max_rounds} rounds")
 
+    # a dangling parent id silently drops its row from the inner join —
+    # surface it loudly, matching the fast path's ValueError
+    if state.count() != nt.count():
+        raise ValueError("hierarchy_rollup: parent id not in node table")
+
     closure = closures[0]
     for c in closures[1:]:
         closure = closure.union(c)
@@ -431,6 +439,11 @@ def _distributed_double(nt, num_partitions: int, max_rounds: int):
         state = settled.union(jumped).repartition(num_partitions).materialize()
     else:
         raise RuntimeError(f"hierarchy_rollup: no fixpoint in {max_rounds} rounds")
+
+    # a dangling parent id silently drops its row from the inner join —
+    # surface it loudly, matching the fast path's ValueError
+    if state.count() != nt.count():
+        raise ValueError("hierarchy_rollup: parent id not in node table")
 
     # ancestor closure from the final paths: one vectorized split pass
     def closure_rows(t: pa.Table) -> pa.Table:

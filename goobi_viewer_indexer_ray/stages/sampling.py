@@ -97,7 +97,9 @@ def stratified_sample(ds, *, key_col: str, strata_col: str,
                       salt: str = "s0"):
     """Per-stratum deterministic sampling (e.g. per-language rates —
     the classic corpus rebalancing move).  Strata not listed in
-    ``fractions`` keep ``default`` rate.  Same hash rule as
+    ``fractions`` — including NULL strata — keep ``default`` rate.
+    ``fractions`` keys are matched against the stratum's STRING form
+    (the column is cast to string before lookup).  Same hash rule as
     :func:`hash_sample`, so a stratum's sample is a superset of any
     smaller rate's — rates can be tuned without resampling churn.
     """
@@ -108,14 +110,19 @@ def stratified_sample(ds, *, key_col: str, strata_col: str,
     def part(tbl: pa.Table) -> pa.Table:
         # Per-stratum threshold via dictionary-encode: map each DISTINCT
         # stratum once, then gather by code — no per-row dict lookup.
+        # Null strata take the default rate (slot appended at the end);
+        # the dictionary lookup is by the stratum's STRING form — the
+        # documented key contract for `fractions`.
         enc = pc.dictionary_encode(
             pc.cast(tbl[strata_col], pa.string())
         ).combine_chunks()
         uniq = np.array(
-            [thr_map.get(s, thr_default) for s in enc.dictionary.to_pylist()],
+            [thr_map.get(s, thr_default) for s in enc.dictionary.to_pylist()]
+            + [thr_default],
             dtype="U8",
         )
-        thr = uniq[np.asarray(enc.indices)] if len(uniq) else np.empty(0, "U8")
+        idx = np.asarray(pc.fill_null(enc.indices, len(uniq) - 1)).astype(np.int64)
+        thr = uniq[idx] if len(tbl) else np.empty(0, "U8")
         h = _hash_keys(_salted_keys(tbl, key_col, salt_s))
         return tbl.filter(pa.array(h < thr))
 
@@ -159,8 +166,13 @@ def temperature_resample(ds, *, key_col: str, strata_col: str,
         return stratified_sample(ds, key_col=key_col, strata_col=strata_col,
                                  fractions={}, default=0.0, salt=salt)
     w_min = int(w.min())
+    # keys stringified (stratified_sample's lookup contract); the
+    # minimum-weight strata keep everything EXACTLY (also dodges 0/0
+    # when an all-empty stratum makes w_min == 0 — the SQL oracle's
+    # `w = w_min → keep` arm)
     fractions = {
-        s: float((w_min / int(ws)) ** (1.0 / temperature))
+        str(s): (1.0 if int(ws) == w_min
+                 else float((w_min / int(ws)) ** (1.0 / temperature)))
         for s, ws in zip(strata, w)
     }
     return stratified_sample(ds, key_col=key_col, strata_col=strata_col,

@@ -457,15 +457,16 @@ def dup_ngram_stats(ds, *, n: int = 8):
     near-copy material even when no single pair crosses a Jaccard
     threshold — the per-document filterable form of duplication.
 
-    Scale shape — exactly TWO shuffles, no pair explosion:
+    Scale shape — fully vectorized, no per-gram Python dispatch (a
+    ``map_groups`` over distinct grams would invoke a Python callback
+    once per gram — millions of mostly-1-row groups):
 
-    1. distinct (doc, gram) rows → ``groupby(gram)``; each gram group
-       emits its member rows flagged ``shared = group_size > 1``
-       (group size bounded by the gram's df — the same blocking
-       assumption as the shingle-join dedup family; a stop-phrase
-       super-gram is the skew case and would take the same salting
-       treatment);
-    2. ``groupby(doc)`` sums the flags.
+    1. distinct (doc, gram) rows → ``groupby(gram).count()`` (Ray's
+       native vectorized aggregation) = each gram's document
+       frequency;
+    2. ONE hash-partitioned ``Dataset.join`` marks every (doc, gram)
+       row with its gram's df;
+    3. ``groupby(doc)`` counts rows / sums ``df > 1`` flags.
 
     Outputs integer counts only (``n_grams``, ``n_shared``) — the
     fraction is a trivial downstream division, and integers keep the
@@ -474,30 +475,48 @@ def dup_ngram_stats(ds, *, n: int = 8):
     via one broadcast of the gram-bearing doc-id set — the per-doc
     stats table, the natural small side.
     """
-    import pyarrow.compute as pc
-
     import ray
 
     grams = ds.map_batches(
         lambda t: shingles_batch(t, n=n), batch_format="pyarrow"
-    )
+    ).map_batches(
+        lambda t: t.select(["doc_id", "sh"]), batch_format="pyarrow"
+    ).materialize()
 
-    def flag_group(g: pa.Table) -> pa.Table:
-        shared = g.num_rows > 1  # distinct per doc ⇒ rows == docs
+    def rename_counts(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": g.column("doc_id"),
-                "shared": pa.array(
-                    np.full(g.num_rows, int(shared), np.int64)
-                ),
+                "sh_k": t.column("sh"),
+                "nd": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    gram_df = (
+        grams.groupby("sh")
+        .count()
+        .map_batches(rename_counts, batch_format="pyarrow")
+        .repartition(8)
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "shared": pc.cast(pc.greater(t.column("nd"), 1), pa.int64()),
             }
         )
 
     from ray.data.aggregate import Count, Sum
 
     per_doc = (
-        grams.groupby("sh")
-        .map_groups(flag_group, batch_format="pyarrow")
+        grams.join(
+            gram_df,
+            join_type="inner",  # every gram has a df row
+            num_partitions=8,
+            on=("sh",),
+            right_on=("sh_k",),
+        )
+        .map_batches(flag, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(
             Count(on=None, alias_name="n_grams"),

@@ -167,3 +167,35 @@ def test_pointer_doubling_round_bound(ray_session):
     assert out.loc[n - 1, "root_id"] == 0
     assert out.loc[0, "subtree_size"] == n
     assert out.loc[n - 1, "path"] == "/".join(map(str, range(n)))
+
+
+def test_missing_parent_fails_loud_distributed(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "parent": pa.array([-1, 99], pa.int64()),
+            "label": pa.array([None, None], pa.string()),
+        }
+    )
+    for method in ("peel", "double"):
+        with pytest.raises((ValueError, Exception)):
+            hierarchy_rollup(
+                ray.data.from_arrow(tbl), small_tree_threshold=0,
+                num_partitions=2, method=method,
+            ).to_pandas()
+
+
+def test_missing_parent_above_all_ids(ray_session):
+    """Dangling parent sorting ABOVE every node id must raise the
+    loud ValueError, not an IndexError (review finding)."""
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "parent": pa.array([-1, 99], pa.int64()),
+            "label": pa.array([None, None], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="parent id not in node table"):
+        _run(tbl)

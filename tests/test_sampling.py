@@ -155,3 +155,52 @@ def test_temperature_resample_skewed(ray_session):
         weight_col="n_tokens", temperature=2.0,
     ).count()
     assert kept == 100  # equal weights → every stratum is the min → keep all
+
+
+def test_stratified_null_and_nonstring_strata(ray_session):
+    """Null strata take the default rate (no crash); int strata match
+    stringified fraction keys (review findings)."""
+    import pyarrow as pa
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.sampling import stratified_sample
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "grp": pa.array([7] * 100 + [8] * 50 + [None] * 50, pa.int64()),
+        }
+    )
+    out = stratified_sample(
+        ray.data.from_arrow(tbl), key_col="doc_id", strata_col="grp",
+        fractions={"7": 1.0, "8": 0.0}, default=1.0,
+    ).to_pandas()
+    by = out.groupby("grp", dropna=False).size()
+    assert by.get(7.0, 0) == 100      # rate 1.0 via stringified int key
+    assert by.get(8.0, 0) == 0        # rate 0.0
+    assert len(out) - 100 == 50       # nulls kept at default 1.0
+
+
+def test_temperature_resample_zero_weight_stratum(ray_session):
+    """An all-empty stratum (weight 0) keeps everything (w == w_min),
+    heavier strata get rate 0 — no ZeroDivisionError (review
+    finding)."""
+    import pyarrow as pa
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.sampling import temperature_resample
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "src": pa.array(["empty"] * 10 + ["full"] * 50),
+            "n_tokens": pa.array([0] * 10 + [5] * 50, pa.int64()),
+        }
+    )
+    out = temperature_resample(
+        ray.data.from_arrow(tbl), key_col="doc_id", strata_col="src",
+        weight_col="n_tokens", temperature=2.0,
+    ).to_pandas()
+    by = out.groupby("src").size()
+    assert by.get("empty", 0) == 10   # w == w_min == 0 → keep all
+    assert by.get("full", 0) == 0     # rate (0/250)^0.5 = 0

@@ -187,8 +187,8 @@ def test_watch_loop_injectable_sleep(ray_session, tmp_path_factory):
     _write_shard(os.path.join(folder, "s0.parquet"),
                  ["https://loop.example/0"], "loop")
     naps = []
-    reports = watch(out, folder, interval_s=7.5, max_polls=2,
-                    sleep=naps.append)
+    reports = list(watch(out, folder, interval_s=7.5, max_polls=2,
+                         sleep=naps.append))
     assert len(reports) == 2
     assert naps == [7.5]  # no trailing sleep after the last poll
     assert reports[1]["indexed"] == ["s0.parquet"]
@@ -213,3 +213,94 @@ def test_watch_state_survives_restart(ray_session, tmp_path_factory):
     assert _filehash(man) == h
     st = load_state(out)
     assert "s0.parquet" in st["files"]
+
+
+def test_removed_shard_delete_retries_after_failure(ray_session, tmp_path_factory, monkeypatch):
+    """A failed delete keeps sidecar + ledger entry so the next tick
+    retries with the evidence intact (review finding: sidecar was
+    removed before the delete committed)."""
+    from goobi_viewer_indexer_ray.pipelines import watch as W
+
+    folder = str(tmp_path_factory.mktemp("hot5"))
+    out = str(tmp_path_factory.mktemp("watch5") / "out")
+    os.makedirs(out, exist_ok=True)
+    urls = [f"https://retry.example/{i}" for i in range(3)]
+    _write_shard(os.path.join(folder, "s0.parquet"), urls, "x")
+    _write_shard(os.path.join(folder, "keep.parquet"),
+                 ["https://retry.example/keep"], "y")
+    W.watch_once(out, folder)
+    W.watch_once(out, folder)  # bootstrap
+    os.remove(os.path.join(folder, "s0.parquet"))
+
+    real = W.apply_updates
+    boom = {"n": 0}
+
+    def flaky(*a, **kw):
+        if kw.get("reason") == "watch-delete" and boom["n"] == 0:
+            boom["n"] += 1
+            raise RuntimeError("injected delete failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(W, "apply_updates", flaky)
+    with pytest.raises(RuntimeError):
+        W.watch_once(out, folder)
+    # evidence intact: sidecar still on disk, ledger still lists s0
+    assert os.path.exists(W._sidecar_path(out, "s0.parquet"))
+    from goobi_viewer_indexer_ray.pipelines.watch import load_state
+
+    assert "s0.parquet" in load_state(out)["files"]
+    # retry succeeds and cleans up
+    r = W.watch_once(out, folder)
+    assert r["removed"] == ["s0.parquet"] and r["deleted_urls"] == 3
+    assert not os.path.exists(W._sidecar_path(out, "s0.parquet"))
+    assert not (set(urls) & set(_docs_urls(out)))
+
+
+def test_reindex_waits_for_growing_target(ray_session, tmp_path_factory):
+    """A .reindex naming a still-changing data file defers until the
+    target stabilizes (review finding: targets bypassed the guard)."""
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot6"))
+    out = str(tmp_path_factory.mktemp("watch6") / "out")
+    os.makedirs(out, exist_ok=True)
+    _write_shard(os.path.join(folder, "s0.parquet"),
+                 ["https://g.example/0"], "v1")
+    watch_once(out, folder)
+    watch_once(out, folder)  # bootstrap with v1
+
+    # new (changed) target + the command arrive in the same tick
+    _write_shard(os.path.join(folder, "s0.parquet"),
+                 ["https://g.example/0"], "v2",
+                 ts=TS + datetime.timedelta(days=1))
+    with open(os.path.join(folder, "go.reindex"), "w") as f:
+        f.write("s0.parquet\n")
+    r1 = watch_once(out, folder)  # both first-seen → pending
+    assert r1["reindexed"] == []
+    r2 = watch_once(out, folder)  # command stable, target stable now
+    assert r2["reindexed"] == ["s0.parquet"]
+
+
+def test_predelete_command_not_lost_before_build(ray_session, tmp_path_factory):
+    """A .delete arriving before anything is built must NOT be
+    consumed — it applies once the bootstrap exists (review finding:
+    it was marked processed and silently discarded)."""
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot7"))
+    out = str(tmp_path_factory.mktemp("watch7") / "out")
+    os.makedirs(out, exist_ok=True)
+    victim = "https://pre.example/0"
+    with open(os.path.join(folder, "cmd.delete"), "w") as f:
+        f.write(victim + "\n")
+    watch_once(out, folder)
+    r = watch_once(out, folder)  # stable but unbuilt → untouched
+    assert r["deleted_urls"] == 0
+    _write_shard(os.path.join(folder, "s0.parquet"),
+                 [victim, "https://pre.example/1"], "z")
+    watch_once(out, folder)
+    r2 = watch_once(out, folder)  # bootstrap ingests both urls
+    assert r2["indexed"] == ["s0.parquet"]
+    r3 = watch_once(out, folder)  # now the old command fires
+    assert r3["deleted_urls"] == 1
+    assert victim not in _docs_urls(out)
