@@ -2318,6 +2318,80 @@ FROM part
 """
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame sampling (driver-brief multimodal family — the
+    frame-sample-before-vision-encoder curation stage): deterministic
+    RAWV raw-frame video payloads are synthesized from the part key
+    (``k % 13 == 0`` keys get corrupt decoys, mirroring the
+    reference's error-folder records), then
+    :class:`stages.multimodal.FrameSampler` — an actor-pool
+    ``map_batches`` stage — strides every 3rd frame by OFFSET into the
+    payload buffer and emits exact per-frame pixel sums.  Writer and
+    sampler share no code; the oracle recomputes dims and the
+    wrap-once modular pixel sum from key arithmetic alone, so a header
+    layout, stride, or plane-offset bug breaks the hash.
+
+    Frame ``fi`` of key ``k`` is the gradient ``(base + j) % 256`` for
+    pixel index ``j`` with ``base = (k + 11*fi) % 256`` — non-constant
+    planes so a transposed/short read changes the sum.  Payloads stay
+    in Arrow binary buffers; frames are materialized one at a time via
+    zero-copy ``np.frombuffer`` slices (memory-aware: only sampled
+    planes are touched)."""
+    from ..stages.multimodal import FrameSampler, encode_rawv
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        keys = t.column("p_partkey").cast(pa.int64()).to_numpy()
+        ids, payloads = [], []
+        for k in keys:
+            k = int(k)
+            if k % 13 == 0:
+                payloads.append(b"\x00corrupt" + k.to_bytes(8, "big"))
+            else:
+                n, h, w = k % 10 + 1, (k * 3) % 8 + 1, k % 8 + 1
+                base = (k + 11 * np.arange(n, dtype=np.int64)) % 256
+                frames = (base[:, None] + np.arange(h * w, dtype=np.int64)[None, :]) % 256
+                payloads.append(encode_rawv(frames.astype(np.uint8).reshape(n, h, w)))
+            ids.append(k)
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    media = ds.map_batches(synth, batch_format="pyarrow")
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_k": 3},
+        concurrency=2,
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+
+
+# wrap-once modular gradient sum: base <= 255 and hw <= 64, so
+# (base + j) % 256 wraps at most once over j in [0, hw) —
+# sum = hw*base + hw*(hw-1)/2 - 256*max(0, base + hw - 256)
+_SQL_VIDEO_FRAMES = """
+WITH dims AS (
+  SELECT p_partkey::BIGINT AS k,
+         p_partkey % 10 + 1 AS n,
+         (p_partkey * 3) % 8 + 1 AS h,
+         p_partkey % 8 + 1 AS w
+  FROM part WHERE p_partkey % 13 <> 0
+),
+frames AS (
+  SELECT k, h, w, h * w AS hw, g.fi AS fi, (k + 11 * g.fi) % 256 AS base
+  FROM dims, unnest(generate_series(0, n - 1)) AS g(fi)
+  WHERE g.fi % 3 = 0
+)
+SELECT k AS media_id, fi::BIGINT AS frame_idx,
+       h::BIGINT AS height, w::BIGINT AS width,
+       (hw * base + hw * (hw - 1) // 2
+        - 256 * GREATEST(0, base + hw - 256))::BIGINT AS sum_px
+FROM frames
+"""
+
+
 def q_merge_sources(sf_dir: str):
     """Multi-source union-merge (D4 — the re-index overlay merge of
     ``Indexer`` + the ``DataRepository`` migration merge transposed):
@@ -3540,6 +3614,7 @@ QUERIES = {
     "doc_packing": q_doc_packing,
     "mixture_resample": q_mixture_resample,
     "quality_classifier": q_quality_classifier,
+    "video_frames": q_video_frames,
     # --- entries outside the round-3 driver window ---
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
@@ -3665,6 +3740,7 @@ ORACLE_SQL = {
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,
     "media_dims": _SQL_MEDIA_DIMS,
+    "video_frames": _SQL_VIDEO_FRAMES,
     "merge_sources": _SQL_MERGE_SOURCES,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "quality_repetition": _SQL_QUALITY_REPETITION,

@@ -26,7 +26,15 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["MEDIA_SCHEMA", "MEDIA_FEATURES_SCHEMA", "MediaFeatureExtractor", "sniff_mime"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "MEDIA_FEATURES_SCHEMA",
+    "FrameSampler",
+    "MediaFeatureExtractor",
+    "decode_rawv_header",
+    "encode_rawv",
+    "sniff_mime",
+]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -248,5 +256,97 @@ class MediaFeatureExtractor:
                 "n_bytes": pa.array(sizes, pa.int64()),
                 "payload_sha1": pa.array(shas, pa.string()),
                 "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+# ------------------------------------------------------------- video
+
+RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawv(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w) uint8 grayscale → RAWV container bytes.
+
+    The engine's raw uncompressed video format: 16-byte header
+    (``RAWV`` + uint32-LE n_frames, h, w) followed by the frame planes
+    back to back.  It exists so the FRAME-SAMPLING plumbing — header
+    parse, plane offsets, stride selection, per-frame stats — is real
+    and testable without any codec; compressed containers (mp4/webm)
+    raise at the documented integration point like compressed images
+    do."""
+    import struct
+
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    return RAWV_MAGIC + struct.pack("<III", n, h, w) + f.tobytes()
+
+
+def decode_rawv_header(payload: bytes) -> tuple[int, int, int]:
+    """RAWV header → (n_frames, h, w); loud on anything else."""
+    import struct
+
+    if payload[:4] != RAWV_MAGIC or len(payload) < 16:
+        raise NotImplementedError(
+            "compressed video decode is an integration point — only the "
+            "RAWV raw-frame container decodes in this environment"
+        )
+    n, h, w = struct.unpack("<III", payload[4:16])
+    if len(payload) < 16 + n * h * w:
+        raise ValueError("RAWV payload truncated")
+    return n, h, w
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every ``every_k``-th frame of RAWV
+    video payloads and emit per-frame stats (uniform stride sampling —
+    the standard video-curation move before a vision encoder).
+
+    ``ds.map_batches(FrameSampler, fn_constructor_kwargs={"every_k": 4},
+    concurrency=N, batch_size=4-16, num_cpus=1)`` — video payloads are
+    large: keep ``batch_size × concurrency × payload`` inside the
+    worker heap and let the object store spill the rest.  Frames are
+    read by OFFSET from the payload buffer (one zero-copy
+    ``np.frombuffer`` per sampled frame) — unsampled frames are never
+    materialized.
+
+    Emits one row per sampled frame: ``(media_id, frame_idx, height,
+    width, sum_px)`` (integer pixel sum keeps downstream checks
+    exact).  Undecodable payloads are SKIPPED (the reference moves bad
+    records aside rather than crashing the indexer —
+    ``Hotfolder.java`` error-folder behavior).
+    """
+
+    def __init__(self, every_k: int = 4):
+        if every_k < 1:
+            raise ValueError("every_k must be >= 1")
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        out_id, out_f, out_h, out_w, out_sum = [], [], [], [], []
+        for mid, buf in zip(ids, batch.column("payload")):
+            payload = buf.as_py()
+            try:
+                n, h, w = decode_rawv_header(payload)
+            except (NotImplementedError, ValueError):
+                continue  # undecodable → skipped (error-folder analog)
+            plane = h * w
+            mv = memoryview(payload)
+            for fi in range(0, n, self.every_k):
+                off = 16 + fi * plane
+                frame = np.frombuffer(mv[off : off + plane], dtype=np.uint8)
+                out_id.append(mid)
+                out_f.append(fi)
+                out_h.append(h)
+                out_w.append(w)
+                out_sum.append(int(frame.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_f, pa.int64()),
+                "height": pa.array(out_h, pa.int64()),
+                "width": pa.array(out_w, pa.int64()),
+                "sum_px": pa.array(out_sum, pa.int64()),
             }
         )

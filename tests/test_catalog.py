@@ -85,6 +85,7 @@ def _check(contract, con, name):
         "doc_packing",
         "mixture_resample",
         "quality_classifier",
+        "video_frames",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",

@@ -153,3 +153,35 @@ def test_real_mode_features():
     # png has no stdlib decoder → real mode raises, auto falls back
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(dim=8, mode="real")(t.slice(2, 1))
+
+
+def test_rawv_roundtrip_and_header():
+    from goobi_viewer_indexer_ray.stages.multimodal import decode_rawv_header, encode_rawv
+
+    frames = (np.arange(3 * 4 * 5) % 256).astype(np.uint8).reshape(3, 4, 5)
+    payload = encode_rawv(frames)
+    assert decode_rawv_header(payload) == (3, 4, 5)
+    back = np.frombuffer(payload[16:], np.uint8).reshape(3, 4, 5)
+    assert np.array_equal(back, frames)
+    with pytest.raises(NotImplementedError):
+        decode_rawv_header(b"\x1a\x45\xdf\xa3webm-ish")  # compressed container
+    with pytest.raises(ValueError):
+        decode_rawv_header(payload[:-1])  # truncated plane
+
+
+def test_frame_sampler_stride_and_skip():
+    from goobi_viewer_indexer_ray.stages.multimodal import FrameSampler, encode_rawv
+
+    frames = np.stack([np.full((2, 3), v, np.uint8) for v in (10, 20, 30, 40, 50)])
+    t = pa.table(
+        {
+            "media_id": pa.array([7, 8], pa.int64()),
+            "payload": pa.array([encode_rawv(frames), b"notvideo"], pa.binary()),
+        }
+    )
+    out = FrameSampler(every_k=2)(t)
+    assert out.column("media_id").to_pylist() == [7, 7, 7]  # corrupt row 8 skipped
+    assert out.column("frame_idx").to_pylist() == [0, 2, 4]
+    assert out.column("sum_px").to_pylist() == [60, 180, 300]  # v * h * w
+    assert out.column("height").to_pylist() == [2, 2, 2]
+    assert out.column("width").to_pylist() == [3, 3, 3]
