@@ -2392,6 +2392,140 @@ FROM frames
 """
 
 
+_EDGE_RULE_SQL = """
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM documents),
+edges AS MATERIALIZED (
+  SELECT d.doc_id::BIGINT AS src,
+         (7 * d.doc_id + j.j + 1) % nn.c AS dst
+  FROM documents d, nn,
+       unnest(generate_series(0, d.doc_id % 4 - 1)) AS j(j)
+  WHERE (7 * d.doc_id + j.j + 1) % nn.c <> d.doc_id
+)"""
+
+
+def _link_edges(sf_dir: str):
+    """Shared fixture graph for the link operators: documents become
+    nodes, edges per the key-arithmetic rule in
+    :func:`stages.linkgraph.synth_edges` (dangling nodes at
+    ``doc_id % 4 == 0``, anchors/hosts derived from the endpoints)."""
+    from ..stages.linkgraph import synth_edges
+
+    docs = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    n = docs.count()
+    edges = docs.map_batches(
+        lambda t, n=n: synth_edges(t.column("doc_id").cast(pa.int64()).to_numpy(), n),
+        batch_format="pyarrow",
+    )
+    return docs, edges
+
+
+def q_link_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank over the fixture web graph
+    (webtext-first operator family — crawl prioritization / quality
+    weighting signal; see :mod:`stages.linkgraph` for the recurrence).
+    All-int64 floor arithmetic makes the 10-iteration damped walk
+    bit-exact under any partitioning, so the oracle replays the SAME
+    recurrence as 10 chained SQL CTEs and the gate hash-compares raw
+    rank integers — no float tolerance anywhere."""
+    from ..stages.linkgraph import pagerank
+
+    docs, edges = _link_edges(sf_dir)
+    pr = pagerank(docs, edges, node_col="doc_id", iters=10)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("node"),
+                "pr": t.column("pr"),
+                "out_deg": t.column("out_deg"),
+                "in_deg": t.column("in_deg"),
+            }
+        )
+
+    return pr.map_batches(fin, batch_format="pyarrow")
+
+
+def _pagerank_sql(iters: int = 10, scale: int = 10**9) -> str:
+    tp = (15 * scale) // 100
+    ctes = [
+        _EDGE_RULE_SQL.strip(),
+        "odt AS (SELECT src AS node, count(*)::BIGINT AS od FROM edges GROUP BY src)",
+        "idt AS (SELECT dst AS node, count(*)::BIGINT AS ind FROM edges GROUP BY dst)",
+        f"""pr0 AS MATERIALIZED (
+  SELECT d.doc_id::BIGINT AS node,
+         coalesce(odt.od, 0) AS od, coalesce(idt.ind, 0) AS ind,
+         {scale}::BIGINT AS pr
+  FROM documents d
+  LEFT JOIN odt ON odt.node = d.doc_id
+  LEFT JOIN idt ON idt.node = d.doc_id
+)""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        ctes.append(
+            f"""pr{i} AS MATERIALIZED (
+  SELECT p.node, p.od, p.ind,
+         {tp} + (85 * (coalesce(s.insum, 0) + dang.de)) // 100 AS pr
+  FROM {p} p
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(q.pr // q.od)::BIGINT AS insum
+    FROM edges e JOIN {p} q ON q.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = p.node
+  CROSS JOIN (
+    SELECT coalesce(sum(pr), 0) // (SELECT c FROM nn) AS de
+    FROM {p} WHERE od = 0
+  ) dang
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, pr::BIGINT AS pr, od::BIGINT AS out_deg,"
+        f" ind::BIGINT AS in_deg FROM pr{iters}"
+    )
+
+
+def q_link_anchors(sf_dir: str):
+    """Anchor-text aggregation per link target (the in-link summary a
+    web indexer feeds the ranker): in-degree, distinct source hosts,
+    modal anchor with min-anchor tiebreak.  One map-side combine
+    (per-batch (dst, anchor) counts + host bitmask) then a single
+    ``groupby(dst).map_groups`` over the already-tiny summaries —
+    see :func:`stages.linkgraph.anchor_stats`."""
+    from ..stages.linkgraph import anchor_stats
+
+    _, edges = _link_edges(sf_dir)
+    return anchor_stats(edges)
+
+
+_SQL_LINK_ANCHORS = f"""
+WITH {_EDGE_RULE_SQL.strip()},
+anch AS (
+  SELECT dst, 'a' || ((src + dst) % 20)::VARCHAR AS anchor, src % 10 AS host
+  FROM edges
+),
+per AS (
+  SELECT dst, anchor, count(*)::BIGINT AS cnt FROM anch GROUP BY dst, anchor
+),
+top AS (
+  SELECT dst, anchor, cnt,
+         row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rn
+  FROM per
+),
+agg AS (
+  SELECT dst, count(*)::BIGINT AS in_deg,
+         count(DISTINCT host)::BIGINT AS n_hosts
+  FROM anch GROUP BY dst
+)
+SELECT a.dst::BIGINT AS doc_id, a.in_deg, a.n_hosts,
+       t.anchor AS top_anchor, t.cnt::BIGINT AS top_anchor_n
+FROM agg a JOIN top t ON t.dst = a.dst AND t.rn = 1
+"""
+
+
 def q_merge_sources(sf_dir: str):
     """Multi-source union-merge (D4 — the re-index overlay merge of
     ``Indexer`` + the ``DataRepository`` migration merge transposed):
@@ -3615,6 +3749,8 @@ QUERIES = {
     "mixture_resample": q_mixture_resample,
     "quality_classifier": q_quality_classifier,
     "video_frames": q_video_frames,
+    "link_pagerank": q_link_pagerank,
+    "link_anchors": q_link_anchors,
     # --- entries outside the round-3 driver window ---
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
@@ -3741,6 +3877,8 @@ ORACLE_SQL = {
     "usage_stats": _SQL_USAGE_STATS,
     "media_dims": _SQL_MEDIA_DIMS,
     "video_frames": _SQL_VIDEO_FRAMES,
+    "link_pagerank": _pagerank_sql(),
+    "link_anchors": _SQL_LINK_ANCHORS,
     "merge_sources": _SQL_MERGE_SOURCES,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "quality_repetition": _SQL_QUALITY_REPETITION,

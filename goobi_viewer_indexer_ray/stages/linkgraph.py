@@ -1,0 +1,397 @@
+"""Web link-graph operators — PageRank + anchor-text aggregation.
+
+The reference indexes web-published records one at a time and never
+sees the cross-document LINK structure; a web-scale corpus pipeline
+needs it for crawl prioritization and quality weighting (the classic
+companion signals to the per-document quality scores in
+``stages/text_ops.py``).  Two operators over a flat ``(src, dst)``
+edge table:
+
+- :func:`pagerank` — INTEGER FIXED-POINT PageRank.  All arithmetic is
+  int64 with floor division, so the result is bit-exact across any
+  execution order / partitioning — and exactly replicable in SQL
+  (``//``), which is what lets the catalog entry carry a real
+  value-hash oracle instead of a float-tolerance check.  Per node
+  ``v`` with total node count ``n`` and scale ``S``::
+
+      pr_0(v)   = S
+      share(u)  = pr_i(u) // out_deg(u)            (out_deg > 0)
+      dang_i    = Σ pr_i(u) over out_deg(u) == 0   (dangling mass)
+      pr_{i+1}(v) = (15*S)//100
+                  + (85 * (Σ_in share(u) + dang_i // n)) // 100
+
+  (the standard d=0.85 damped walk with dangling redistribution,
+  quantized to 1/S units; floor-quantization error is ≤ iters·n/S of
+  total mass — irrelevant for ranking at S = 1e9).
+
+- :func:`anchor_stats` — per-target in-link aggregation: in-degree,
+  distinct source hosts, and the modal anchor text (min-anchor
+  tiebreak).  The web-search signal the reference's UGC/annotation
+  join (``stages/ugc.py``) is to a DAM corpus.
+
+Scale shape
+-----------
+
+``pagerank`` is power iteration = ``iters`` rounds of one
+hash-partitioned ``Dataset.join`` (edges ⋈ ranks on ``src``) + one
+``groupby(dst).sum`` — the same loop shape as
+``stages/cluster.py:connected_components`` / ``stages/hierarchy.py``
+peeling, with the edge table re-used every round (materialized once).
+The dangling mass is one scalar fold per round (O(1) to the driver).
+A ≤``small_graph_threshold``-edge fast path runs the identical
+recurrence as vectorized ``np.add.at`` scatter-adds on the driver;
+pytest pins fast == distributed.
+
+``anchor_stats`` pre-aggregates per batch (map-side combine: one row
+per (dst, anchor) per batch, hosts folded into a bitmask), then ONE
+``groupby(dst).map_groups`` finalizes — groups are per-page in-link
+summaries, already tiny after the combine.  Hot targets (a site's
+front page) are the documented skew caveat; the partial combine is
+what keeps their group rows bounded by (#anchors × #batches), not
+in-degree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["anchor_stats", "pagerank", "synth_edges"]
+
+
+# --------------------------------------------------------------- synth
+
+def synth_edges(doc_ids: np.ndarray, n_docs: int) -> pa.Table:
+    """Deterministic link graph over contiguous doc ids (the catalog's
+    test fixture, mirroring ``q_media_dims``-style key arithmetic):
+    doc ``u`` links to ``(7u + j + 1) % n`` for ``j in [0, u % 4)``,
+    self-links dropped — so out-degree varies 0..4 and ``u % 4 == 0``
+    docs are DANGLING (the PageRank edge case worth testing).  Anchor
+    text for an edge is ``'a' + str((src + dst) % 20)`` and the source
+    host is ``src % 10``."""
+    u = np.asarray(doc_ids, np.int64)
+    reps = u % 4
+    src = np.repeat(u, reps)
+    j = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+    )
+    dst = (7 * src + j + 1) % n_docs
+    keep = dst != src
+    src, dst = src[keep], dst[keep]
+    anchor = np.char.add("a", ((src + dst) % 20).astype("U2"))
+    return pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "anchor": pa.array(anchor.tolist(), pa.string()),
+        }
+    )
+
+
+# ------------------------------------------------------------ pagerank
+
+def _pagerank_numpy(
+    nodes: np.ndarray, src: np.ndarray, dst: np.ndarray,
+    *, iters: int, scale: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Driver fast path: the identical integer recurrence, vectorized.
+    Node ids may be sparse — positions come from searchsorted over the
+    sorted node array."""
+    order = np.argsort(nodes, kind="stable")
+    nid = nodes[order]
+    n = nid.size
+    si = np.searchsorted(nid, src)
+    di = np.searchsorted(nid, dst)
+    out_deg = np.bincount(si, minlength=n).astype(np.int64)
+    in_deg = np.bincount(di, minlength=n).astype(np.int64)
+    pr = np.full(n, scale, np.int64)
+    teleport = (15 * scale) // 100
+    linked = out_deg > 0
+    for _ in range(iters):
+        share = np.zeros(n, np.int64)
+        share[linked] = pr[linked] // out_deg[linked]
+        insum = np.zeros(n, np.int64)
+        np.add.at(insum, di, share[si])
+        de = int(pr[~linked].sum()) // n
+        pr = teleport + (85 * (insum + de)) // 100
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    # un-sort back to the caller's node order
+    return pr[inv], out_deg[inv], in_deg[inv]
+
+
+def pagerank(
+    nodes,
+    edges,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    scale: int = 10**9,
+    method: str = "auto",
+    small_graph_threshold: int = 2_000_000,
+    num_partitions: int = 16,
+):
+    """Integer fixed-point PageRank over ``edges`` (Datasets in, Dataset
+    out: ``(node, pr, out_deg, in_deg)``).  ``method`` = ``"auto"``
+    (fast path when #edges + #nodes fits the threshold), ``"numpy"``,
+    or ``"distributed"`` (force the join loop — what a 100 TB edge set
+    uses; each round is one edges ⋈ ranks hash join + one
+    ``groupby.sum``, both partitioned the same way)."""
+    import ray
+
+    n_edges = edges.count()
+    n_nodes = nodes.count()
+    if method not in ("auto", "numpy", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "numpy" or (
+        method == "auto" and n_edges + n_nodes <= small_graph_threshold
+    ):
+        nt = nodes.select_columns([node_col]).to_arrow_refs()
+        et = edges.select_columns([src_col, dst_col]).to_arrow_refs()
+        nid = pa.concat_tables(ray.get(nt)).column(node_col).to_numpy()
+        etab = pa.concat_tables(ray.get(et))
+        pr, od, idg = _pagerank_numpy(
+            nid,
+            etab.column(src_col).to_numpy(),
+            etab.column(dst_col).to_numpy(),
+            iters=iters,
+            scale=scale,
+        )
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nid, pa.int64()),
+                    "pr": pa.array(pr, pa.int64()),
+                    "out_deg": pa.array(od, pa.int64()),
+                    "in_deg": pa.array(idg, pa.int64()),
+                }
+            )
+        )
+
+    return _pagerank_distributed(
+        nodes, edges,
+        node_col=node_col, src_col=src_col, dst_col=dst_col,
+        iters=iters, scale=scale, num_partitions=num_partitions,
+    )
+
+
+def _pagerank_distributed(
+    nodes, edges, *, node_col, src_col, dst_col, iters, scale, num_partitions
+):
+    """Power-iteration join loop.  State = materialized
+    ``(node, out_deg, in_deg, pr)``; edges are materialized ONCE and
+    re-joined every round (ranks move, the graph doesn't)."""
+    e = edges.map_batches(
+        lambda t, s=src_col, d=dst_col: pa.table(
+            {"esrc": t.column(s).cast(pa.int64()), "edst": t.column(d).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # degree tables via per-batch partial counts + one groupby each
+    def _deg(col_in: str, col_out: str):
+        def part(t: pa.Table) -> pa.Table:
+            vals, counts = np.unique(t.column(col_in).to_numpy(), return_counts=True)
+            return pa.table(
+                {"node": pa.array(vals, pa.int64()), col_out: pa.array(counts, pa.int64())}
+            )
+
+        return e.map_batches(part, batch_format="pyarrow").groupby("node").sum(col_out)
+
+    od = _deg("esrc", "out_deg").map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "out_deg": t.column("sum(out_deg)")}
+        ),
+        batch_format="pyarrow",
+    )
+    idg = _deg("edst", "in_deg").map_batches(
+        lambda t: pa.table(
+            {"dnode": t.column("node"), "in_deg": t.column("sum(in_deg)")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    base = nodes.map_batches(
+        lambda t, c=node_col: pa.table({"node": t.column(c).cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    state = (
+        base.join(od, join_type="left_outer", num_partitions=num_partitions, on=("node",))
+        .join(
+            idg,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("node",),
+            right_on=("dnode",),
+        )
+        .map_batches(
+            lambda t, s=scale: pa.table(
+                {
+                    "node": t.column("node"),
+                    "out_deg": pc.coalesce(t.column("out_deg"), pa.scalar(0, pa.int64())),
+                    "in_deg": pc.coalesce(t.column("in_deg"), pa.scalar(0, pa.int64())),
+                    "pr": pa.array(np.full(t.num_rows, s, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n = state.count()
+    teleport = (15 * scale) // 100
+
+    for _ in range(iters):
+        # O(1) scalar to the driver: the round's dangling mass
+        dang = state.map_batches(
+            lambda t: pa.table(
+                {
+                    "d": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.if_else(
+                                        pc.equal(t.column("out_deg"), 0),
+                                        t.column("pr"),
+                                        pa.scalar(0, pa.int64()),
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("d")
+        de = int(dang or 0) // n
+
+        shares = state.map_batches(
+            lambda t: (
+                lambda k: pa.table(
+                    {
+                        "snode": k.column("node"),
+                        "share": pc.divide(k.column("pr"), k.column("out_deg")),
+                    }
+                )
+            )(t.filter(pc.greater(t.column("out_deg"), 0))),
+            batch_format="pyarrow",
+        )
+        contrib = e.join(
+            shares,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("esrc",),
+            right_on=("snode",),
+        ).map_batches(
+            lambda t: pa.table({"cnode": t.column("edst"), "c": t.column("share")}),
+            batch_format="pyarrow",
+        )
+        insum = contrib.groupby("cnode").sum("c")
+        state = (
+            state.join(
+                insum,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("node",),
+                right_on=("cnode",),
+            )
+            .map_batches(
+                lambda t, de=de, tp=teleport: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "out_deg": t.column("out_deg"),
+                        "in_deg": t.column("in_deg"),
+                        "pr": pc.add(
+                            pa.scalar(tp, pa.int64()),
+                            pc.divide(
+                                pc.multiply(
+                                    pa.scalar(85, pa.int64()),
+                                    pc.add(
+                                        pc.coalesce(
+                                            t.column("sum(c)"), pa.scalar(0, pa.int64())
+                                        ),
+                                        pa.scalar(de, pa.int64()),
+                                    ),
+                                ),
+                                pa.scalar(100, pa.int64()),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return state
+
+
+# -------------------------------------------------------- anchor stats
+
+def anchor_stats(edges, *, src_col="src", dst_col="dst", anchor_col="anchor",
+                 host_mod: int = 10):
+    """Per-target anchor aggregation: ``(doc_id, in_deg, n_hosts,
+    top_anchor, top_anchor_n)``.  Source host = ``src % host_mod``
+    (the synthetic registered-domain of the fixture graph; swap in a
+    real host column upstream for production edges).  Map-side combine
+    collapses each batch to one row per (dst, anchor) carrying a count
+    and a host BITMASK (host_mod ≤ 63), so the single
+    ``groupby(dst).map_groups`` touches per-page summaries, never raw
+    in-links."""
+    if host_mod > 63:
+        raise ValueError("host bitmask supports host_mod <= 63")
+
+    def part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "dst": t.column(dst_col).to_numpy(),
+                "anchor": t.column(anchor_col).to_pylist(),
+                "mask": np.left_shift(
+                    np.int64(1), t.column(src_col).to_numpy() % host_mod
+                ),
+            }
+        )
+        g = df.groupby(["dst", "anchor"], sort=False).agg(
+            cnt=("mask", "size"), mask=("mask", lambda s: np.bitwise_or.reduce(s.values))
+        )
+        g = g.reset_index()
+        return pa.table(
+            {
+                "dst": pa.array(g["dst"], pa.int64()),
+                "anchor": pa.array(g["anchor"], pa.string()),
+                "cnt": pa.array(g["cnt"], pa.int64()),
+                "mask": pa.array(g["mask"], pa.int64()),
+            }
+        )
+
+    def final(df):
+        import pandas as pd
+
+        per = df.groupby("anchor", sort=False)["cnt"].sum()
+        # max count, min-anchor tiebreak: sort by (-cnt, anchor), take head
+        ordered = per.reset_index().sort_values(
+            ["cnt", "anchor"], ascending=[False, True], kind="stable"
+        )
+        n_hosts = int(np.bitwise_or.reduce(df["mask"].values)).bit_count()
+        return pd.DataFrame(
+            {
+                "doc_id": [int(df["dst"].iloc[0])],
+                "in_deg": [int(df["cnt"].sum())],
+                "n_hosts": [n_hosts],
+                "top_anchor": [ordered["anchor"].iloc[0]],
+                "top_anchor_n": [int(ordered["cnt"].iloc[0])],
+            }
+        )
+
+    return (
+        edges.map_batches(part, batch_format="pyarrow")
+        .groupby("dst")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -86,6 +86,8 @@ def _check(contract, con, name):
         "mixture_resample",
         "quality_classifier",
         "video_frames",
+        "link_pagerank",
+        "link_anchors",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",

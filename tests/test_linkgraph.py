@@ -1,0 +1,123 @@
+"""Link-graph operators: integer PageRank (fast == distributed ==
+hand recurrence) and anchor aggregation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ref_pagerank(n, src, dst, iters=10, scale=10**9):
+    """Straight-line reference of the documented integer recurrence."""
+    out_deg = np.bincount(src, minlength=n).astype(np.int64)
+    pr = np.full(n, scale, np.int64)
+    tp = (15 * scale) // 100
+    for _ in range(iters):
+        share = np.where(out_deg > 0, pr // np.maximum(out_deg, 1), 0)
+        insum = np.zeros(n, np.int64)
+        for s, d in zip(src, dst):
+            insum[d] += share[s]
+        de = int(pr[out_deg == 0].sum()) // n
+        pr = tp + (85 * (insum + de)) // 100
+    return pr, out_deg
+
+
+def test_synth_edges_rule():
+    from goobi_viewer_indexer_ray.stages.linkgraph import synth_edges
+
+    t = synth_edges(np.arange(20), 20)
+    src = t.column("src").to_numpy()
+    dst = t.column("dst").to_numpy()
+    assert (src != dst).all()
+    # doc 5 -> (7*5 + j + 1) % 20 for j in 0..0 (5 % 4 == 1 edge)
+    assert dst[src == 5].tolist() == [16]
+    assert (np.bincount(src, minlength=20) <= 3).all()  # u%4 minus self-drops
+    assert t.column("anchor").to_pylist()[0].startswith("a")
+
+
+def test_pagerank_fast_matches_reference(ray_session):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import pagerank, synth_edges
+
+    n = 300
+    edges_t = synth_edges(np.arange(n), n)
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array(range(n), pa.int64())}))
+    edges = ray.data.from_arrow(edges_t)
+    out = (
+        pagerank(nodes, edges, iters=10, method="numpy")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pr_ref, od_ref = _ref_pagerank(
+        n, edges_t.column("src").to_numpy(), edges_t.column("dst").to_numpy()
+    )
+    assert out["pr"].to_numpy().tolist() == pr_ref.tolist()
+    assert out["out_deg"].to_numpy().tolist() == od_ref.tolist()
+    # mass sanity: damped walk conserves ~n*scale within floor slack
+    assert abs(out["pr"].sum() - n * 10**9) < n * 100
+
+
+def test_pagerank_distributed_identical(ray_session):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import pagerank, synth_edges
+
+    n = 120
+    # sparse, shuffled node ids exercise the id-mapping in both paths
+    ids = (np.arange(n) * 37 + 11) % n
+    edges_t = synth_edges(np.arange(n), n)
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array(ids, pa.int64())}))
+    edges = ray.data.from_arrow(edges_t)
+    fast = (
+        pagerank(nodes, edges, iters=6, method="numpy")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        pagerank(nodes, edges, iters=6, method="distributed", num_partitions=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert fast[["node", "pr", "out_deg", "in_deg"]].equals(
+        dist[["node", "pr", "out_deg", "in_deg"]]
+    )
+
+
+def test_pagerank_dangling_redistribution(ray_session):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import pagerank
+
+    # 0 -> 1, 1 dangling: without redistribution node 0 would starve
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array([0, 1], pa.int64())}))
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([0], pa.int64()), "dst": pa.array([1], pa.int64())})
+    )
+    out = pagerank(nodes, edges, iters=10).to_pandas().sort_values("node")
+    assert out["pr"].iloc[0] > 10**9 * 0.4  # fed by node 1's dangling mass
+    assert out["pr"].iloc[1] > out["pr"].iloc[0]
+
+
+def test_anchor_stats_tiebreak_and_hosts(ray_session):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import anchor_stats
+
+    t = pa.table(
+        {
+            "src": pa.array([1, 11, 2, 3, 4], pa.int64()),  # hosts 1,1,2,3,4
+            "dst": pa.array([9, 9, 9, 9, 9], pa.int64()),
+            "anchor": pa.array(["b", "b", "a", "a", "c"], pa.string()),
+        }
+    )
+    out = anchor_stats(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["doc_id"], r["in_deg"], r["n_hosts"]) == (9, 5, 4)
+    assert (r["top_anchor"], r["top_anchor_n"]) == ("a", 2)  # 2-2 tie -> min anchor
+
+
+def test_anchor_stats_host_mod_bound(ray_session):
+    from goobi_viewer_indexer_ray.stages.linkgraph import anchor_stats
+
+    with pytest.raises(ValueError):
+        anchor_stats(None, host_mod=64)
