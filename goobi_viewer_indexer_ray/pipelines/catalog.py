@@ -2526,6 +2526,43 @@ FROM agg a JOIN top t ON t.dst = a.dst AND t.rn = 1
 """
 
 
+def q_distinct_kmv(sf_dir: str):
+    """Per-source distinct-bigram cardinality via the KMV sketch
+    (:func:`stages.frequency.kmv_distinct_bigrams`, k=64) with the
+    exact distinct count alongside for verification — the
+    sketch-plus-exact-recount contract ``frequent_terms`` established.
+    Integer-only estimator ⇒ the oracle replays it with SQL HUGEINT
+    floor division over the same md5-prefix hashes."""
+    from ..stages.frequency import kmv_distinct_bigrams
+
+    return kmv_distinct_bigrams(
+        _documents(sf_dir, columns=("text", "source")), k=64, with_exact=True
+    )
+
+
+_SQL_DISTINCT_KMV = f"""
+WITH toks AS (SELECT source, {_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT DISTINCT source, ts[i] || ' ' || ts[i + 1] AS b
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+),
+h AS (SELECT DISTINCT source,
+             ('0x' || substr(md5(b), 1, 16))::UBIGINT AS hv FROM bg),
+rk AS (SELECT source, hv,
+              row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+       FROM h),
+agg AS (SELECT source, count(*)::BIGINT AS n_exact,
+               max(CASE WHEN rn = 64 THEN hv END) AS hk
+        FROM rk GROUP BY source)
+SELECT source,
+       CASE WHEN hk IS NULL THEN n_exact
+            ELSE ((63::HUGEINT * 18446744073709551616::HUGEINT)
+                  // hk::HUGEINT)::BIGINT END AS kmv_est,
+       n_exact
+FROM agg
+"""
+
+
 def q_merge_sources(sf_dir: str):
     """Multi-source union-merge (D4 — the re-index overlay merge of
     ``Indexer`` + the ``DataRepository`` migration merge transposed):
@@ -3751,6 +3788,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "link_pagerank": q_link_pagerank,
     "link_anchors": q_link_anchors,
+    "distinct_kmv": q_distinct_kmv,
     # --- entries outside the round-3 driver window ---
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
@@ -3879,6 +3917,7 @@ ORACLE_SQL = {
     "video_frames": _SQL_VIDEO_FRAMES,
     "link_pagerank": _pagerank_sql(),
     "link_anchors": _SQL_LINK_ANCHORS,
+    "distinct_kmv": _SQL_DISTINCT_KMV,
     "merge_sources": _SQL_MERGE_SOURCES,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "quality_repetition": _SQL_QUALITY_REPETITION,

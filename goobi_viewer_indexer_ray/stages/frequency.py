@@ -40,7 +40,7 @@ import pyarrow as pa
 
 from ..functions.tokenize import TOKEN_RE
 
-__all__ = ["frequent_terms", "TOTAL_SENTINEL"]
+__all__ = ["frequent_terms", "kmv_distinct_bigrams", "TOTAL_SENTINEL"]
 
 TOTAL_SENTINEL = "_total_"  # unreachable by the underscore-free tokenizer
 
@@ -113,3 +113,100 @@ def frequent_terms(ds, *, sigma_bp: int, min_batch_rows: int | None = None):
     out["cf"] = out["cf"].astype("int64")
     out = out[out["cf"] * 10_000 >= sigma_bp * total]
     return out.sort_values("term").reset_index(drop=True)
+
+
+# ------------------------------------------------------------ KMV sketch
+
+def kmv_distinct_bigrams(ds, *, k: int = 64, with_exact: bool = True):
+    """KMV (k-minimum-values) distinct-bigram sketch per ``source`` —
+    the integer-exact alternative to HyperLogLog for cardinality
+    estimation over a 100 TB corpus (distinct n-grams per crawl source
+    is the standard diversity signal next to ``dup_ngram_stats``).
+
+    Estimator (Bar-Yossef et al. 2002): hash every distinct value to
+    uint64, keep the k smallest; if fewer than k distinct survive the
+    stream, the sketch IS exact, else ``est = (k-1) * 2^64 // h_k``.
+    ALL arithmetic is integer (Python int / SQL HUGEINT), and the hash
+    is the repo's md5-prefix convention — so the DuckDB oracle can
+    replay the estimator bit-for-bit, unlike HLL's float harmonic
+    mean.  Bigrams are the hashed value (space-joined, NFC+lower
+    tokens — the ``_TOKS`` twin every text oracle shares).
+
+    Shape: ONE ``map_batches`` pass (per-batch distinct (source, hv)
+    pairs, vectorized: factorize tokens → composite bigram codes → md5
+    only on the batch-unique bigrams) + ONE ``groupby(source)``.
+    ``with_exact=True`` (the verification mode the catalog gate uses)
+    ships every batch-distinct pair so the finalizer can also emit the
+    true ``n_exact``; ``with_exact=False`` is the PRODUCTION mode —
+    partials truncate to their bottom-k, capping the shuffle at
+    k rows × sources × batches, and the estimate is IDENTICAL because
+    the global bottom-k survives per-batch bottom-k truncation
+    (pytest pins both modes equal)."""
+    from ..functions.hashing import md5_hash64_array
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        codes_src, src_uniq = pd.factorize(
+            np.asarray(batch.column("source").to_pylist(), dtype=object)
+        )
+        findall = TOKEN_RE.findall
+        norm = unicodedata.normalize
+        counts = np.empty(len(texts), dtype=np.int64)
+        flat: list[str] = []
+        for i, t in enumerate(texts):
+            toks = findall(norm("NFC", t).lower()) if t else []
+            counts[i] = len(toks)
+            flat.extend(toks)
+        empty = pa.table(
+            {"source": pa.array([], pa.string()), "hv": pa.array([], pa.uint64())}
+        )
+        if len(flat) < 2:
+            return empty
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        valid = np.ones(codes.size, dtype=bool)
+        ends = np.cumsum(counts[counts > 0])
+        valid[ends - 1] = False
+        lead = np.flatnonzero(valid)
+        if lead.size == 0:
+            return empty
+        v = np.int64(uniq.size)
+        key = codes[lead] * v + codes[lead + 1]
+        src_per_tok = np.repeat(codes_src, counts)[lead]
+        pair = np.unique(src_per_tok.astype(np.int64) * (v * v) + key)
+        psrc, pkey = pair // (v * v), pair % (v * v)
+        # md5 only on the batch-unique bigram strings
+        ukey, inv = np.unique(pkey, return_inverse=True)
+        w1, w2 = uniq[(ukey // v)], uniq[(ukey % v)]
+        hv_uniq = md5_hash64_array([a + " " + b for a, b in zip(w1, w2)])
+        hv = hv_uniq[inv]
+        if not with_exact:
+            keep = np.zeros(pair.size, dtype=bool)
+            for s in np.unique(psrc):
+                idx = np.flatnonzero(psrc == s)
+                if idx.size > k:
+                    idx = idx[np.argpartition(hv[idx], k - 1)[:k]]
+                keep[idx] = True
+            psrc, hv = psrc[keep], hv[keep]
+        return pa.table(
+            {
+                "source": pa.array(src_uniq[psrc], pa.string()),
+                "hv": pa.array(hv, pa.uint64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        hvs = np.unique(df["hv"].to_numpy(dtype=np.uint64))
+        if hvs.size < k:
+            est = int(hvs.size)
+        else:
+            est = ((k - 1) * (1 << 64)) // int(np.sort(hvs)[k - 1])
+        out = {"source": [df["source"].iloc[0]], "kmv_est": [est]}
+        if with_exact:
+            out["n_exact"] = [int(hvs.size)]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )

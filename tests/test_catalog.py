@@ -88,6 +88,7 @@ def _check(contract, con, name):
         "video_frames",
         "link_pagerank",
         "link_anchors",
+        "distinct_kmv",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",

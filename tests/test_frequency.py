@@ -65,3 +65,35 @@ def test_frequent_terms_empty_corpus(ray_session):
     ds = ray.data.from_arrow(_tbl(["", ""]))
     out = frequent_terms(ds, sigma_bp=100)
     assert len(out) == 0
+
+
+def test_kmv_modes_identical_and_exact_below_k(ray_session):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.frequency import kmv_distinct_bigrams
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                ["the quick brown fox " * 5, "jumps over the lazy dog", "the quick fox"]
+                * 10,
+                pa.string(),
+            ),
+            "source": pa.array((["a"] * 2 + ["b"]) * 10, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    full = (
+        kmv_distinct_bigrams(ds, k=4, with_exact=True)
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    prod = (
+        kmv_distinct_bigrams(ds, k=4, with_exact=False)
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    # production bottom-k truncation never changes the estimate
+    assert full["kmv_est"].tolist() == prod["kmv_est"].tolist()
+    assert "n_exact" not in prod.columns
+    # source b has 2 distinct bigrams < k=4 -> sketch is exact
+    b = full[full["source"] == "b"].iloc[0]
+    assert b["kmv_est"] == b["n_exact"] == 2
