@@ -2563,6 +2563,32 @@ FROM agg
 """
 
 
+def q_sample_weighted(sf_dir: str):
+    """Exact-100 weighted document sample, priority ∝ 1/n_chars
+    (:func:`stages.sampling.weighted_bottom_k` — integer bottom-k
+    priority sampling; longer docs proportionally likelier).  The
+    oracle replays priority arithmetic and the (priority, doc_id)
+    order in SQL and takes the same LIMIT."""
+    from ..stages.sampling import weighted_bottom_k
+
+    docs = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return weighted_bottom_k(
+        docs, key_col="doc_id", weight_col="n_chars", k=100, salt="w0"
+    )
+
+
+_SQL_SAMPLE_WEIGHTED = """
+SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+       ((('0x' || substr(md5(doc_id::VARCHAR || ':w0'), 1, 16))::UBIGINT >> 2)
+        ::BIGINT // greatest(n_chars, 1))::BIGINT AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT 100
+"""
+
+
 def q_merge_sources(sf_dir: str):
     """Multi-source union-merge (D4 — the re-index overlay merge of
     ``Indexer`` + the ``DataRepository`` migration merge transposed):
@@ -3789,6 +3815,7 @@ QUERIES = {
     "link_pagerank": q_link_pagerank,
     "link_anchors": q_link_anchors,
     "distinct_kmv": q_distinct_kmv,
+    "sample_weighted": q_sample_weighted,
     # --- entries outside the round-3 driver window ---
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
@@ -3918,6 +3945,7 @@ ORACLE_SQL = {
     "link_pagerank": _pagerank_sql(),
     "link_anchors": _SQL_LINK_ANCHORS,
     "distinct_kmv": _SQL_DISTINCT_KMV,
+    "sample_weighted": _SQL_SAMPLE_WEIGHTED,
     "merge_sources": _SQL_MERGE_SOURCES,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "quality_repetition": _SQL_QUALITY_REPETITION,

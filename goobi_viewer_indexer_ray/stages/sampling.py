@@ -43,6 +43,7 @@ __all__ = [
     "temperature_resample",
     "quantiles",
     "grouped_quantiles",
+    "weighted_bottom_k",
 ]
 
 
@@ -232,3 +233,55 @@ def grouped_quantiles(ds, *, group_col: str, col: str, qs: list[float]) -> pa.Ta
             "value": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def weighted_bottom_k(ds, *, key_col: str, weight_col: str, k: int,
+                      salt: str = "w0"):
+    """Exact-k weighted sample via integer priority ordering (the
+    bottom-k / priority-sampling family — Duffield et al. 2007 — with
+    floor arithmetic instead of the float ``-ln(u)/w`` key, so the
+    pick is bit-deterministic and SQL-replicable): item priority is
+    ``(md5_hash64(key‖':'‖salt) >> 2) // max(weight, 1)`` and the
+    sample is the k lexicographically-smallest ``(priority, key)``
+    rows — heavier rows draw smaller priorities ∝ 1/weight, the
+    quality-weighted pick a curation pipeline uses when it needs an
+    EXACT sample size (``temperature_resample`` is the rate-based
+    sibling).  The 62-bit shift keeps every value int64-safe on both
+    engines.
+
+    Shape: per-batch bottom-k partials (vectorized lexsort) shrink the
+    stream to ≤ k rows per block — correct because the global bottom-k
+    always survives per-batch truncation — then one tiny
+    ``sort().limit(k)`` over ≤ k × #blocks candidates.  No full-corpus
+    sort, no driver materialization of anything but the k winners."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).cast(pa.string()).to_pylist()
+        hv = _hash64([f"{x}:{salt}" for x in keys])
+        w = np.maximum(t.column(weight_col).cast(pa.int64()).to_numpy(), 1)
+        prio = ((hv >> np.uint64(2)).astype(np.int64)) // w
+        kid = t.column(key_col).cast(pa.int64()).to_numpy()
+        order = np.lexsort((kid, prio))[:k]
+        return pa.table(
+            {
+                key_col: pa.array(kid[order], pa.int64()),
+                weight_col: pa.array(
+                    t.column(weight_col).cast(pa.int64()).to_numpy()[order], pa.int64()
+                ),
+                "priority": pa.array(prio[order], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["priority", key_col])
+        .limit(k)
+    )
+
+
+def _hash64(keys) -> np.ndarray:
+    """uint64 md5-prefix hashes (big-endian first 8 bytes — the
+    ``('0x'||substr(md5(x),1,16))::UBIGINT`` SQL twin)."""
+    from ..functions.hashing import md5_hash64_array
+
+    return md5_hash64_array(keys)

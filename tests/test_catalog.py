@@ -89,6 +89,7 @@ def _check(contract, con, name):
         "link_pagerank",
         "link_anchors",
         "distinct_kmv",
+        "sample_weighted",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",

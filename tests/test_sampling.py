@@ -204,3 +204,28 @@ def test_temperature_resample_zero_weight_stratum(ray_session):
     by = out.groupby("src").size()
     assert by.get("empty", 0) == 10   # w == w_min == 0 → keep all
     assert by.get("full", 0) == 0     # rate (0/250)^0.5 = 0
+
+
+def test_weighted_bottom_k_partition_invariant(ray_session):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.sampling import weighted_bottom_k
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1000), pa.int64()),
+            "w": pa.array([(i % 50) + 1 for i in range(1000)], pa.int64()),
+        }
+    )
+    one = weighted_bottom_k(
+        ray.data.from_arrow(t), key_col="doc_id", weight_col="w", k=40
+    ).to_pandas()
+    many = weighted_bottom_k(
+        ray.data.from_arrow(t).repartition(16), key_col="doc_id", weight_col="w", k=40
+    ).to_pandas()
+    # per-batch truncation never changes the global bottom-k
+    assert one.equals(many)
+    assert len(one) == 40
+    assert one["priority"].is_monotonic_increasing
+    # weight bias: the sample's mean weight is well above the population's
+    assert one["w"].mean() > 1.3 * t.column("w").to_numpy().mean()
