@@ -2589,6 +2589,95 @@ LIMIT 100
 """
 
 
+def q_ann_pq_codes(sf_dir: str):
+    """PQ code assignment (:func:`stages.ann.pq_assign`): int8-quantize
+    each embedding, snap every 8-dim subspace to the formula-derived
+    integer codebook, emit the packed 4-bit×8 code word + total squared
+    reconstruction error.  All-integer distances ⇒ the oracle rebuilds
+    codebook and argmin (lowest-centroid tie rule) in SQL and the hash
+    compares raw code words."""
+    return ann.pq_assign(_embeddings(sf_dir))
+
+
+def q_ann_pq_adc(sf_dir: str):
+    """ADC top-10 over PQ codes (:func:`stages.ann.pq_adc_topk`): per
+    query an (8, 16) integer LUT of subspace distances; candidates cost
+    8 lookups each.  Exact int64 end to end, so ranks are deterministic
+    with the (dist, vec_id) tie rule the SQL replays."""
+    return ann.pq_adc_topk(_embeddings(sf_dir), _ANN_QUERY_IDS, k=10)
+
+
+# PQ SQL twin: quantization (floor(x/max|x|*127+0.5) — the
+# embedding_quantize rule), codebook from the same key formula, argmin
+# via (dist, c) row_number.  Everything after the quantize is BIGINT.
+_PQ_CODES_CTE = """
+ex AS MATERIALIZED (
+  SELECT vec_id, g.i - 1 AS d, embedding[g.i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+mx AS (
+  SELECT vec_id,
+         CASE WHEN max(abs(x)) = 0 THEN 1 ELSE max(abs(x)) END AS safe
+  FROM ex GROUP BY vec_id
+),
+qv AS MATERIALIZED (
+  SELECT e.vec_id, e.d // 8 AS s, e.d % 8 AS dd,
+         floor(e.x / m.safe * 127 + 0.5)::BIGINT AS q
+  FROM ex e JOIN mx m ON m.vec_id = e.vec_id
+),
+cent AS MATERIALIZED (
+  SELECT s.s, c.c, d.dd,
+         ((1 + s.s) * 37 + c.c * 11 + d.dd * 5) % 255 - 127 AS v
+  FROM unnest(generate_series(0, 7)) AS s(s),
+       unnest(generate_series(0, 15)) AS c(c),
+       unnest(generate_series(0, 7)) AS d(dd)
+),
+dist AS MATERIALIZED (
+  SELECT q.vec_id, q.s, c.c,
+         sum((q.q - c.v) * (q.q - c.v))::BIGINT AS dist
+  FROM qv q JOIN cent c ON c.s = q.s AND c.dd = q.dd
+  GROUP BY q.vec_id, q.s, c.c
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, c AS code, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist, c) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)"""
+
+_SQL_ANN_PQ_CODES = f"""
+WITH {_PQ_CODES_CTE.strip()}
+SELECT vec_id::BIGINT AS vec_id,
+       sum(code * (1::BIGINT << (4 * s)))::BIGINT AS pq_code,
+       sum(dist)::BIGINT AS dist_total
+FROM codes GROUP BY vec_id
+"""
+
+_SQL_ANN_PQ_ADC = f"""
+WITH {_PQ_CODES_CTE.strip()},
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS qid, q.s, c.c,
+         sum((q.q - c.v) * (q.q - c.v))::BIGINT AS d
+  FROM qv q JOIN cent c ON c.s = q.s AND c.dd = q.dd
+  WHERE q.vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})
+  GROUP BY q.vec_id, q.s, c.c
+),
+adc AS (
+  SELECT l.qid, cd.vec_id, sum(l.d)::BIGINT AS adc_dist
+  FROM codes cd JOIN lut l ON l.s = cd.s AND l.c = cd.code
+  GROUP BY l.qid, cd.vec_id
+)
+SELECT qid::BIGINT AS query_vec_id, vec_id::BIGINT AS vec_id, adc_dist,
+       rank::BIGINT AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY adc_dist, vec_id) AS rank
+  FROM adc
+) WHERE rank <= 10
+"""
+
+
 def q_merge_sources(sf_dir: str):
     """Multi-source union-merge (D4 — the re-index overlay merge of
     ``Indexer`` + the ``DataRepository`` migration merge transposed):
@@ -3816,6 +3905,8 @@ QUERIES = {
     "link_anchors": q_link_anchors,
     "distinct_kmv": q_distinct_kmv,
     "sample_weighted": q_sample_weighted,
+    "ann_pq_codes": q_ann_pq_codes,
+    "ann_pq_adc": q_ann_pq_adc,
     # --- entries outside the round-3 driver window ---
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
@@ -3946,6 +4037,8 @@ ORACLE_SQL = {
     "link_anchors": _SQL_LINK_ANCHORS,
     "distinct_kmv": _SQL_DISTINCT_KMV,
     "sample_weighted": _SQL_SAMPLE_WEIGHTED,
+    "ann_pq_codes": _SQL_ANN_PQ_CODES,
+    "ann_pq_adc": _SQL_ANN_PQ_ADC,
     "merge_sources": _SQL_MERGE_SOURCES,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "quality_repetition": _SQL_QUALITY_REPETITION,

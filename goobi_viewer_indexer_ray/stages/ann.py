@@ -17,7 +17,8 @@ import pyarrow as pa
 
 __all__ = ["brute_force_topk", "lsh_topk", "write_lsh_partitions",
            "lsh_topk_partitioned", "embedding_dup_pairs",
-           "quantize_embeddings", "quantized_topk"]
+           "quantize_embeddings", "quantized_topk",
+           "pq_codebook", "pq_assign", "pq_adc_topk"]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -661,3 +662,119 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.45, round_dp: int = 4,
         .reset_index(drop=True)
         .astype({"vec_a": "int64", "vec_b": "int64", "cos_r": "float64"})
     )
+
+
+# ------------------------------------------------- product quantization
+
+PQ_M = 8    # subspaces
+PQ_KC = 16  # centroids per subspace (4-bit codes)
+
+
+def pq_codebook(dim: int, *, m: int = PQ_M, kc: int = PQ_KC) -> np.ndarray:
+    """(m, kc, dim//m) int64 codebook from pure key arithmetic:
+    ``C[s,c,d] = ((1+s)*37 + c*11 + d*5) % 255 - 127``.
+
+    In production the codebook comes from offline k-means and is
+    broadcast to workers; here it is DERIVED so the SQL oracle can
+    regenerate it from the same formula instead of shipping 1024
+    float literals — and INTEGER so every distance below is exact
+    int64 (the ``media_dims`` synthesis pattern applied to vector
+    codebooks)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    s = np.arange(m, dtype=np.int64)[:, None, None]
+    c = np.arange(kc, dtype=np.int64)[None, :, None]
+    d = np.arange(dim // m, dtype=np.int64)[None, None, :]
+    return ((1 + s) * 37 + c * 11 + d * 5) % 255 - 127
+
+
+def _pq_codes(q_int: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int64 (n, dim) → (codes (n, m), per-subspace min dists (n, m)).
+    argmin returns the FIRST minimum — the lowest-centroid tie rule the
+    SQL replays with ``ORDER BY dist, c``."""
+    n = q_int.shape[0]
+    m, kc, dsub = C.shape
+    x = q_int.reshape(n, m, 1, dsub)
+    dist = ((x - C[None]) ** 2).sum(axis=3)  # (n, m, kc) int64
+    codes = dist.argmin(axis=2)
+    return codes, np.take_along_axis(dist, codes[:, :, None], axis=2)[:, :, 0]
+
+
+def _quantize_int(m: np.ndarray) -> np.ndarray:
+    q, _scale = _quantize_matrix(m)
+    return q.astype(np.int64)
+
+
+def pq_assign(ds, *, m: int = PQ_M, kc: int = PQ_KC):
+    """PQ code assignment over the embedding column: per vector, int8-
+    quantize (the ``quantize_embeddings`` rule), split into ``m``
+    subspaces, snap each to its nearest integer codebook centroid.
+    Returns ``(vec_id, pq_code, dist_total)`` — the packed 4-bit×8
+    code word (``Σ code_s << 4s``) plus the total squared
+    reconstruction error, both exact int64.  32× storage cut vs
+    float32 (8 bytes + scale per vector); one stateless
+    ``map_batches`` pass, codebook captured in the closure (broadcast
+    once per worker, not per batch)."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        mat = _as_matrix(t.column("embedding"))
+        C = pq_codebook(mat.shape[1], m=m, kc=kc)
+        codes, dists = _pq_codes(_quantize_int(mat), C)
+        shifts = (4 * np.arange(m, dtype=np.int64))[None, :]
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "pq_code": pa.array((codes << shifts).sum(axis=1), pa.int64()),
+                "dist_total": pa.array(dists.sum(axis=1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pq_adc_topk(ds, query_ids: list[int], k: int = 10, *,
+                m: int = PQ_M, kc: int = PQ_KC) -> pd.DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jégou et al. 2011 ADC,
+    integer-exact variant): each query builds an ``(m, kc)`` LUT of
+    exact int64 subspace distances to every centroid; candidate
+    distance is then ``m`` LUT lookups per vector — no decode, no
+    GEMM.  Per batch: quantize + assign codes + fancy-index the LUT;
+    per-query bottom-k partials (ties kept) shrink each block to
+    ~k rows before the driver's final (dist asc, vec_id asc) merge —
+    the same stream shape as :func:`brute_force_topk`, at LUT cost."""
+    qids, Q = _fetch_queries(ds, query_ids)
+    C = pq_codebook(Q.shape[1], m=m, kc=kc)
+    qint = _quantize_int(Q).reshape(len(qids), m, 1, Q.shape[1] // m)
+    lut = ((qint - C[None]) ** 2).sum(axis=3)  # (nq, m, kc) int64
+    sidx = np.arange(m)
+
+    def score(t: pa.Table) -> pa.Table:
+        mat = _as_matrix(t.column("embedding"))
+        ids = t.column("vec_id").cast(pa.int64()).to_numpy()
+        codes, _ = _pq_codes(_quantize_int(mat), C)
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(qids)):
+            adc = lut[qi][sidx[None, :], codes].sum(axis=1)  # (nb,) int64
+            kk = min(k, adc.size)
+            kth = np.partition(adc, kk - 1)[kk - 1]
+            keep = np.flatnonzero(adc <= kth)  # ties kept for the merge
+            out_q.append(np.full(keep.size, qids[qi], np.int64))
+            out_v.append(ids[keep])
+            out_d.append(adc[keep])
+        return pa.table(
+            {
+                "query_vec_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "adc_dist": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in parts.groupby("query_vec_id"):
+        g = g.sort_values(["adc_dist", "vec_id"]).head(k)
+        out.append(g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64)))
+    return pd.concat(out, ignore_index=True)[
+        ["query_vec_id", "vec_id", "adc_dist", "rank"]
+    ].astype({"query_vec_id": "int64", "vec_id": "int64",
+              "adc_dist": "int64", "rank": "int64"})

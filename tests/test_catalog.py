@@ -90,6 +90,8 @@ def _check(contract, con, name):
         "link_anchors",
         "distinct_kmv",
         "sample_weighted",
+        "ann_pq_codes",
+        "ann_pq_adc",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",
@@ -232,3 +234,54 @@ def test_ann_ivf_partitioned_identity(contract, tmp_path):
     a = ivf_topk(ds, _ANN_QUERY_IDS, k=10, num_cells=16, nprobe=4)
     b = ivf_topk_partitioned(out, ds, _ANN_QUERY_IDS, k=10, num_cells=16, nprobe=4)
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_ann_pq_adc_recall(contract):
+    """ADC over 4-bit PQ codes is the coarsest approximation in the ANN
+    family — it must still place the query vector itself (exact dist
+    to its own code) at rank 1 and keep meaningful overlap with exact
+    brute force."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import _ANN_QUERY_IDS, _embeddings
+    from goobi_viewer_indexer_ray.stages.ann import brute_force_topk, pq_adc_topk
+
+    ds = _embeddings(SF)
+    bf = brute_force_topk(ds, _ANN_QUERY_IDS, k=10)
+    pq = pq_adc_topk(ds, _ANN_QUERY_IDS, k=10)
+    overlaps = []
+    for qid in bf["query_vec_id"].unique():
+        top_bf = bf[bf["query_vec_id"] == qid]
+        top_pq = pq[pq["query_vec_id"] == qid].sort_values("rank")
+        # the query's own code has ADC dist == its reconstruction LUT
+        # minimum — it must appear in its own top-10
+        assert qid in set(top_pq["vec_id"])
+        overlaps.append(len(set(top_bf["vec_id"]) & set(top_pq["vec_id"])))
+    # untrained formula codebook on near-random synthetic vectors: the
+    # honest bar is self-hit + nonzero mean overlap (a k-means-trained
+    # codebook is the documented production swap-in)
+    assert sum(overlaps) >= len(overlaps)  # mean overlap >= 1/10
+
+
+def test_ann_pq_code_packing(contract):
+    """Packed code words must round-trip to the per-subspace argmins."""
+    import pyarrow as pa
+    import ray.data
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import _embeddings
+    from goobi_viewer_indexer_ray.stages.ann import (
+        _as_matrix,
+        _pq_codes,
+        _quantize_int,
+        pq_assign,
+        pq_codebook,
+    )
+
+    t = _embeddings(SF).limit(32).to_pandas()
+    tab = pa.Table.from_pandas(t)
+    mat = _as_matrix(tab.column("embedding"))
+    C = pq_codebook(mat.shape[1])
+    codes, _ = _pq_codes(_quantize_int(mat), C)
+    out = pq_assign(ray.data.from_arrow(tab)).to_pandas()
+    out = out.set_index("vec_id").loc[t["vec_id"]]
+    packed = out["pq_code"].to_numpy()
+    for s in range(8):
+        assert (((packed >> (4 * s)) & 0xF) == codes[:, s]).all()
