@@ -2678,6 +2678,92 @@ FROM (
 """
 
 
+def q_url_bloom(sf_dir: str):
+    """Crawl-frontier Bloom dedup (:mod:`stages.bloom`): the seen-set
+    is every url with ``doc_id % 3 != 0`` (already crawled); all urls
+    probe the filter.  Output pins every verdict — including the
+    filter's false positives — against a SQL replay of the exact bit
+    positions: ``maybe_seen ⇔ all k probe positions ∈ the inserted
+    position set``.  m is sized small (8192 bits for ~333 keys ×4
+    hashes at sf0.001) so FPs actually occur at larger sf and the
+    FP-handling path is exercised, not vacuous."""
+    from ..stages.bloom import bloom_build, bloom_probe
+
+    M_BITS, K_H = 8192, 4
+    docs = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def with_url(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").cast(pa.int64())
+        host = pc.cast(pc.subtract(k, pc.multiply(pc.divide(k, 50), 50)), pa.string())
+        url = pc.binary_join_element_wise(
+            pa.array(["https://example-"] * t.num_rows, pa.string()),
+            host,
+            pa.array([".com/page/"] * t.num_rows, pa.string()),
+            pc.cast(k, pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": k, "url": url})
+
+    cand = docs.map_batches(with_url, batch_format="pyarrow")
+
+    def crawled(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id")
+        return t.filter(
+            pc.not_equal(
+                pc.subtract(k, pc.multiply(pc.divide(k, 3), 3)),
+                pa.scalar(0, pa.int64()),
+            )
+        )
+
+    seen = cand.map_batches(crawled, batch_format="pyarrow")
+    bm = bloom_build(seen, key_col="url", m_bits=M_BITS, k_hashes=K_H)
+    probed = bloom_probe(cand, bm, key_col="url", k_hashes=K_H)
+
+    def fin(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id")
+        return pa.table(
+            {
+                "doc_id": k,
+                "maybe_seen": t.column("maybe_seen"),
+                "seen_exact": pc.not_equal(
+                    pc.subtract(k, pc.multiply(pc.divide(k, 3), 3)),
+                    pa.scalar(0, pa.int64()),
+                ),
+            }
+        )
+
+    return probed.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_URL_BLOOM = """
+WITH c AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         'https://example-' || (doc_id % 50)::VARCHAR || '.com/page/'
+           || doc_id::VARCHAR AS url
+  FROM documents
+),
+ipos AS MATERIALIZED (
+  SELECT DISTINCT
+         ('0x' || substr(md5(url || ':b' || g.i::VARCHAR), 1, 16))::UBIGINT
+           % 8192 AS pos
+  FROM c, unnest(generate_series(0, 3)) AS g(i)
+  WHERE doc_id % 3 <> 0
+),
+cpos AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(url || ':b' || g.i::VARCHAR), 1, 16))::UBIGINT
+           % 8192 AS pos
+  FROM c, unnest(generate_series(0, 3)) AS g(i)
+)
+SELECT doc_id,
+       bool_and(pos IN (SELECT pos FROM ipos)) AS maybe_seen,
+       (doc_id % 3 <> 0) AS seen_exact
+FROM cpos GROUP BY doc_id
+"""
+
+
 def q_merge_sources(sf_dir: str):
     """Multi-source union-merge (D4 — the re-index overlay merge of
     ``Indexer`` + the ``DataRepository`` migration merge transposed):
@@ -3907,6 +3993,7 @@ QUERIES = {
     "sample_weighted": q_sample_weighted,
     "ann_pq_codes": q_ann_pq_codes,
     "ann_pq_adc": q_ann_pq_adc,
+    "url_bloom": q_url_bloom,
     # --- entries outside the round-3 driver window ---
     "search_kwic": q_search_kwic,
     "search_phrase_positional": q_search_phrase_positional,
@@ -4039,6 +4126,7 @@ ORACLE_SQL = {
     "sample_weighted": _SQL_SAMPLE_WEIGHTED,
     "ann_pq_codes": _SQL_ANN_PQ_CODES,
     "ann_pq_adc": _SQL_ANN_PQ_ADC,
+    "url_bloom": _SQL_URL_BLOOM,
     "merge_sources": _SQL_MERGE_SOURCES,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "quality_repetition": _SQL_QUALITY_REPETITION,

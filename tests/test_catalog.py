@@ -92,6 +92,7 @@ def _check(contract, con, name):
         "sample_weighted",
         "ann_pq_codes",
         "ann_pq_adc",
+        "url_bloom",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "ann_cosine_topk",
