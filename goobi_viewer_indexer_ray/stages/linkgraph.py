@@ -133,21 +133,34 @@ def pagerank(
     method: str = "auto",
     small_graph_threshold: int = 2_000_000,
     num_partitions: int = 16,
+    checkpoint_dir: str | None = None,
 ):
     """Integer fixed-point PageRank over ``edges`` (Datasets in, Dataset
     out: ``(node, pr, out_deg, in_deg)``).  ``method`` = ``"auto"``
     (fast path when #edges + #nodes fits the threshold), ``"numpy"``,
     or ``"distributed"`` (force the join loop — what a 100 TB edge set
     uses; each round is one edges ⋈ ranks hash join + one
-    ``groupby.sum``, both partitioned the same way)."""
+    ``groupby.sum``, both partitioned the same way).
+
+    ``checkpoint_dir`` (distributed path only): after each round the
+    state is written to ``iter=<i>/`` parquet with a completion marker,
+    and a fresh call with the same dir RESUMES from the newest complete
+    round — bit-exact because the recurrence is integer (a resumed run
+    is indistinguishable from an uninterrupted one; pytest pins it).
+    On a multi-day 100 TB power iteration this is the difference
+    between losing a node and losing one round."""
     import ray
 
     n_edges = edges.count()
     n_nodes = nodes.count()
     if method not in ("auto", "numpy", "distributed"):
         raise ValueError(f"unknown method {method!r}")
+    if checkpoint_dir is not None and method == "numpy":
+        raise ValueError("checkpoint_dir requires the distributed path")
     if method == "numpy" or (
-        method == "auto" and n_edges + n_nodes <= small_graph_threshold
+        method == "auto"
+        and checkpoint_dir is None
+        and n_edges + n_nodes <= small_graph_threshold
     ):
         nt = nodes.select_columns([node_col]).to_arrow_refs()
         et = edges.select_columns([src_col, dst_col]).to_arrow_refs()
@@ -177,11 +190,30 @@ def pagerank(
         nodes, edges,
         node_col=node_col, src_col=src_col, dst_col=dst_col,
         iters=iters, scale=scale, num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
+def _ckpt_path(d: str, i: int) -> str:
+    import os
+
+    return os.path.join(d, f"iter={i}")
+
+
+def _latest_checkpoint(d: str, iters: int) -> int:
+    """Newest round ≤ iters with a completion marker, or -1."""
+    import os
+
+    best = -1
+    for i in range(iters + 1):
+        if os.path.exists(os.path.join(_ckpt_path(d, i), "_COMPLETE")):
+            best = i
+    return best
+
+
 def _pagerank_distributed(
-    nodes, edges, *, node_col, src_col, dst_col, iters, scale, num_partitions
+    nodes, edges, *, node_col, src_col, dst_col, iters, scale, num_partitions,
+    checkpoint_dir=None,
 ):
     """Power-iteration join loop.  State = materialized
     ``(node, out_deg, in_deg, pr)``; edges are materialized ONCE and
@@ -245,7 +277,22 @@ def _pagerank_distributed(
     n = state.count()
     teleport = (15 * scale) // 100
 
-    for _ in range(iters):
+    start = 0
+    if checkpoint_dir is not None:
+        import os
+
+        import ray.data as rd
+
+        done = _latest_checkpoint(checkpoint_dir, iters)
+        if done >= 0:
+            state = rd.read_parquet(_ckpt_path(checkpoint_dir, done)).materialize()
+            start = done
+        else:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+        if start == iters:
+            return state
+
+    for it in range(start, iters):
         # O(1) scalar to the driver: the round's dangling mass
         dang = state.map_batches(
             lambda t: pa.table(
@@ -328,6 +375,20 @@ def _pagerank_distributed(
             )
             .materialize()
         )
+        if checkpoint_dir is not None:
+            import os
+
+            p = _ckpt_path(checkpoint_dir, it + 1)
+            if not os.path.exists(os.path.join(p, "_COMPLETE")):
+                tmp = p + ".tmp"
+                if os.path.exists(tmp):
+                    import shutil
+
+                    shutil.rmtree(tmp)
+                state.write_parquet(tmp)
+                os.replace(tmp, p)  # atomic publish, marker last
+                with open(os.path.join(p, "_COMPLETE"), "w") as f:
+                    f.write("ok\n")
     return state
 
 

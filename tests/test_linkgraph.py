@@ -121,3 +121,52 @@ def test_anchor_stats_host_mod_bound(ray_session):
 
     with pytest.raises(ValueError):
         anchor_stats(None, host_mod=64)
+
+
+def test_pagerank_checkpoint_resume(ray_session, tmp_path):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import pagerank, synth_edges
+
+    n = 80
+    edges_t = synth_edges(np.arange(n), n)
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array(range(n), pa.int64())}))
+    edges = ray.data.from_arrow(edges_t)
+    direct = (
+        pagerank(nodes, edges, iters=6, method="distributed", num_partitions=2)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    ck = str(tmp_path / "pr_ckpt")
+    # "crash" after 3 rounds...
+    pagerank(nodes, edges, iters=3, method="distributed", num_partitions=2,
+             checkpoint_dir=ck)
+    import os
+
+    assert os.path.exists(os.path.join(ck, "iter=3", "_COMPLETE"))
+    # ...resume to 6: rounds 1-3 come from disk, 4-6 run live
+    resumed = (
+        pagerank(nodes, edges, iters=6, method="distributed", num_partitions=2,
+                 checkpoint_dir=ck)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert direct[["node", "pr"]].equals(resumed[["node", "pr"]])
+    # an already-complete run is a pure read (marker for 6 now exists)
+    again = (
+        pagerank(nodes, edges, iters=6, method="distributed", num_partitions=2,
+                 checkpoint_dir=ck)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert direct[["node", "pr"]].equals(again[["node", "pr"]])
+
+
+def test_pagerank_checkpoint_requires_distributed(ray_session, tmp_path):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import pagerank
+
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array([0, 1], pa.int64())}))
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([0], pa.int64()), "dst": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(ValueError):
+        pagerank(nodes, edges, method="numpy", checkpoint_dir=str(tmp_path))
