@@ -227,6 +227,9 @@ def run_bench() -> dict:
         "token_count_quantiles",
         "frequent_terms",
         "subword_counts",
+        "perplexity_filter",
+        "cdc_chunks",
+        "search_synonyms",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

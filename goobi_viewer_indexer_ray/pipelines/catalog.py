@@ -193,10 +193,18 @@ def documents_bm25_topk(sf_dir: str, queries: list[dict] | None = None, k: int =
 
 
 def _bm25_sql() -> str:
+    return _bm25_sql_for(
+        [(q["query_id"], sorted(set(tokenize(q["query"])))) for q in DOC_QUERIES]
+    )
+
+
+def _bm25_sql_for(pairs: list[tuple[int, list[str]]]) -> str:
+    """The BM25 oracle template over an explicit ``(query_id, terms)``
+    list — shared by the plain and synonym-expanded entries."""
     values = []
-    for q in DOC_QUERIES:
-        for t in sorted(set(tokenize(q["query"]))):
-            values.append(f"({q['query_id']}, '{t}')")
+    for qid, terms in pairs:
+        for t in terms:
+            values.append(f"({qid}, '{t}')")
     vals = ", ".join(values)
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
@@ -3969,6 +3977,172 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- synonyms / LM / CDC
+
+SYNONYM_GROUPS: list[tuple[str, ...]] = [
+    ("join", "merge"),
+    ("query", "scan"),
+    ("fast", "quick", "rapid"),  # quick/rapid are OOV — graceful no-op
+    ("sort", "order"),
+]
+
+SYN_QUERIES: list[dict] = [
+    {"query_id": 0, "query": "join filter"},
+    {"query_id": 1, "query": "slow query"},
+    {"query_id": 2, "query": "fast stream"},
+    {"query_id": 3, "query": "sort key batch"},
+    {"query_id": 4, "query": "MERGE the window"},
+]
+
+
+def q_search_synonyms(sf_dir: str):
+    """Query-time synonym expansion (Solr SynonymGraphFilter
+    ``expand=true`` analog — the query-analyzer half the reference
+    delegates to the Solr schema, SURVEY M5): each query token expands
+    to the union of its config groups, the deduplicated set scores
+    under BM25 with weight 1 per term (OR semantics), top-10 by
+    (round(score,4) desc, doc_id)."""
+    from .query import LocalIndex, topk_exact
+    from .search_ops import expand_terms
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    rows_q, rows_d, rows_s, rows_r = [], [], [], []
+    for q in SYN_QUERIES:
+        terms = expand_terms(tokenize(q["query"]), SYNONYM_GROUPS)
+        d, s = topk_exact(idx, " ".join(terms), idx.n_docs)
+        if d.size == 0:
+            continue
+        s_r = np.round(s, 4)
+        order = np.lexsort((d, -s_r))[:10]
+        for r, i in enumerate(order, 1):
+            rows_q.append(q["query_id"])
+            rows_d.append(int(d[i]))
+            rows_s.append(float(s_r[i]))
+            rows_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "score_r": pa.array(rows_s, pa.float64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
+def _syn_sql() -> str:
+    from .search_ops import expand_terms
+
+    return _bm25_sql_for(
+        [
+            (q["query_id"], expand_terms(tokenize(q["query"]), SYNONYM_GROUPS))
+            for q in SYN_QUERIES
+        ]
+    )
+
+
+PPL_MODEL_SOURCE = "src0"
+PPL_KEEP_BELOW = 5_000_000  # micro-bits ≈ 32 ppl; splits every test sf
+
+
+def q_perplexity_filter(sf_dir: str):
+    """CCNet-style LM quality gate: a Laplace bigram model trained on
+    the trusted ``src0`` slice scores every document's mean surprisal
+    in integer micro-bits (:mod:`stages.lm` — the ONLY float is one
+    ``log2`` per distinct bigram; aggregation is pure int64, exact
+    under any partitioning); ``keep`` = fluent tail at the configured
+    threshold.  Docs with <2 tokens have no bigram and drop."""
+    from ..stages.lm import bigram_lm_model, perplexity_score
+
+    ds = _documents(sf_dir, columns=("doc_id", "text", "source"))
+    model = bigram_lm_model(ds, model_source=PPL_MODEL_SOURCE)
+    return perplexity_score(ds, model, keep_below=PPL_KEEP_BELOW)
+
+
+def _perplexity_sql() -> str:
+    return f"""
+WITH mtoks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents WHERE source = '{PPL_MODEL_SOURCE}'
+),
+v AS (
+  SELECT count(DISTINCT t)::BIGINT AS v
+  FROM (SELECT unnest(ts) AS t FROM mtoks)
+),
+mbg AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2, count(*)::BIGINT AS c
+  FROM mtoks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+heads AS (SELECT w1, sum(c)::BIGINT AS ch FROM mbg GROUP BY 1),
+dbg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, {_TOKS} AS ts FROM documents),
+       unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT doc_id,
+         sum(cnt)::BIGINT AS n_bigrams,
+         sum(cnt * round(log2((coalesce(h.ch, 0) + v.v)::DOUBLE
+                              / (coalesce(m.c, 0) + 1)) * 1000000)::BIGINT
+             )::BIGINT AS tot
+  FROM dbg
+  LEFT JOIN mbg m USING (w1, w2)
+  LEFT JOIN heads h USING (w1)
+  CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, (tot // n_bigrams)::BIGINT AS ce_micro,
+       (tot // n_bigrams) <= {PPL_KEEP_BELOW} AS keep
+FROM scored
+"""
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking dedup (:mod:`stages.cdc` — storage
+    layer of the dedup family): FNV-1a/64 rolling-window boundaries
+    (div 64 ⇒ ~64-codepoint chunks) cut every document into
+    position-independent chunks; one ``groupby(chunk_md5)`` surfaces
+    globally duplicated chunks with occurrence and doc counts."""
+    from ..stages.cdc import cdc_chunk_stats
+
+    return cdc_chunk_stats(_documents(sf_dir), window=8, div=64, min_occ=2,
+                           top_n=200)
+
+
+def _cdc_sql() -> str:
+    from ..stages.cdc import fnv_sql_expr
+
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(8, length(text))) AS i
+  FROM documents WHERE length(text) >= 8
+),
+hv AS (SELECT doc_id, i, {fnv_sql_expr("text", "i")} AS h FROM pos),
+b AS (
+  SELECT doc_id, i AS e FROM hv WHERE h % 64 = 0
+  UNION
+  SELECT doc_id, length(text) AS e FROM documents WHERE length(text) > 0
+),
+spans AS (
+  SELECT doc_id, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
+  FROM b
+),
+chunks AS (
+  SELECT md5(substr(d.text, s + 1, e - s)) AS chunk_md5,
+         (e - s)::BIGINT AS chunk_len, sp.doc_id
+  FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
+  WHERE e > s
+)
+SELECT chunk_md5, chunk_len,
+       count(*)::BIGINT AS n_occ,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM chunks GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY n_occ DESC, chunk_md5 LIMIT 200
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -3978,6 +4152,9 @@ ORDER BY doc_id
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-4 additions / re-oracled entries ---
+    "perplexity_filter": q_perplexity_filter,
+    "cdc_chunks": q_cdc_chunks,
+    "search_synonyms": q_search_synonyms,
     "hierarchy_rollup": q_hierarchy_rollup,
     "authority_norm": q_authority_norm,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4069,6 +4246,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "perplexity_filter": _perplexity_sql(),
+    "cdc_chunks": _cdc_sql(),
+    "search_synonyms": _syn_sql(),
     "index_stats": _SQL_INDEX_STATS,
     "term_df_top100": _SQL_TERM_DF,
     "bm25_topk": _bm25_sql(),

@@ -264,6 +264,32 @@ def fuzzy_terms(index, query: str, *, max_edits: int = 1) -> list[tuple[str, int
     return sorted((str(terms[i]), int(df[i])) for i in sel_idx)
 
 
+# ----------------------------------------------------------- synonyms
+
+def expand_terms(tokens: list[str], groups: list[tuple[str, ...]]) -> list[str]:
+    """Query-time synonym expansion — the SynonymGraphFilter analog.
+
+    The reference delegates synonym handling to the Solr schema's
+    query analyzer chain exactly as it delegates tokenization (SURVEY
+    M5; the indexer ships raw strings, ``SolrSearchIndex.java`` issues
+    the queries).  This transposes the *query-side* half: every query
+    token expands to the union of its synonym groups (original always
+    kept), the expanded set dedups, and each expanded term scores with
+    weight 1 under BM25 — Solr's ``expand=true`` OR semantics.
+
+    Groups are config (the ``synonyms.txt`` analog) and ride to
+    workers as a broadcast closure like every other rule table (ST2).
+    Returns the sorted, deduplicated expanded term list.
+    """
+    out: set[str] = set()
+    for t in tokens:
+        out.add(t)
+        for g in groups:
+            if t in g:
+                out.update(g)
+    return sorted(out)
+
+
 # --------------------------------------------------------- spellcheck
 
 def spellcheck_terms(index, query: str, *, max_edits: int = 2,

@@ -1,0 +1,215 @@
+"""Round-4 additions: CDC chunk dedup, bigram-LM perplexity gate,
+query-time synonym expansion."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from goobi_viewer_indexer_ray.stages.cdc import (
+    cdc_boundaries,
+    cdc_chunk_rows,
+    fnv_sql_expr,
+)
+
+# ----------------------------------------------------------------- CDC
+
+
+def _cps(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), np.uint32)
+
+
+def test_cdc_boundaries_edges():
+    assert cdc_boundaries(_cps(""), window=8, div=64).tolist() == []
+    assert cdc_boundaries(_cps("short"), window=8, div=64).tolist() == [5]
+    ends = cdc_boundaries(_cps("x" * 500), window=8, div=64)
+    assert ends[-1] == 500 and np.all(np.diff(ends) > 0)
+
+
+def test_cdc_content_defined_shift_invariance():
+    """The point of CDC: a prefix insertion must NOT re-chunk the
+    whole document — chunks after the first boundary are identical."""
+    base = " ".join(f"w{i % 89}n{(i * 7) % 97}" for i in range(300))
+    a, b = base, "PREFIX INSERTED >>> " + base
+
+    def chunk_set(text):
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([text], pa.string())})
+        return set(cdc_chunk_rows(t).column("chunk_md5").to_pylist())
+
+    sa, sb = chunk_set(a), chunk_set(b)
+    shared = sa & sb
+    # only the head chunk is disturbed by the shift (36 of 37 shared)
+    assert len(shared) >= len(sa) - 2
+    assert len(shared) >= 10  # the test is vacuous if chunks are huge
+
+
+def test_cdc_rows_match_per_doc_boundaries_and_md5():
+    texts = ["alpha beta gamma " * 40, "käy läpi ünïcode χ " * 30, "", "tiny"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = cdc_chunk_rows(t)
+    rows = list(zip(got.column("doc_id").to_pylist(),
+                    got.column("chunk_md5").to_pylist(),
+                    got.column("chunk_len").to_pylist()))
+    want = []
+    for did, text in enumerate(texts):
+        if not text:
+            continue
+        start = 0
+        for e in cdc_boundaries(_cps(text), window=8, div=64):
+            chunk = text[start:int(e)]
+            want.append((did, hashlib.md5(chunk.encode()).hexdigest(),
+                         int(e) - start))
+            start = int(e)
+    assert rows == want
+    # per-doc chunk lens reassemble the doc exactly
+    for did, text in enumerate(texts):
+        assert sum(l for d, _, l in want if d == did) == len(text)
+
+
+def test_cdc_sql_replay_parity():
+    duckdb = pytest.importorskip("duckdb")
+    footer = ("every page of this site carries the same license notice and "
+              "navigation block with contact details terms privacy imprint "
+              "copyright year and a long tail of category links ")
+    texts = [footer + f"unique part {i} story content " + footer
+             for i in range(6)]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = cdc_chunk_rows(t).to_pandas()
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = f"""
+    WITH pos AS (SELECT doc_id, text, unnest(generate_series(8, length(text))) AS i
+                 FROM documents WHERE length(text) >= 8),
+    hv AS (SELECT doc_id, i, {fnv_sql_expr("text", "i")} AS h FROM pos),
+    b AS (SELECT doc_id, i AS e FROM hv WHERE h % 64 = 0
+          UNION SELECT doc_id, length(text) FROM documents WHERE length(text) > 0),
+    sp AS (SELECT doc_id, e, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s FROM b)
+    SELECT md5(substr(d.text, s + 1, e - s)) AS chunk_md5, sp.doc_id,
+           (e - s)::BIGINT AS chunk_len
+    FROM sp JOIN documents d ON d.doc_id = sp.doc_id WHERE e > s
+    """
+    want = con.execute(sql).fetchdf()
+    want = want[got.columns].sort_values(list(got.columns)).reset_index(drop=True)
+    assert got.equals(want)
+    # the duplicated footer actually dedups across docs
+    dup = got.groupby("chunk_md5").size()
+    assert (dup >= 6).any()
+
+
+# ------------------------------------------------------------ bigram LM
+
+
+def _lm_table():
+    rows = [
+        (0, "the cat sat on the mat", "src0"),
+        (1, "the cat sat on the cat", "src0"),
+        (2, "the dog sat on the mat", "src0"),
+        (3, "the cat sat on the mat", "src1"),   # fluent: seen bigrams
+        (4, "mat the on sat cat the", "src1"),   # scrambled: unseen
+        (5, "zzz qqq www eee rrr ttt", "src1"),  # full OOV
+        (6, "solo", "src1"),                     # <2 tokens → dropped
+        (7, "", "src1"),
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_perplexity_orders_fluency_and_drops_short(ray_session):
+    import ray
+
+    from goobi_viewer_indexer_ray.stages.lm import bigram_lm_model, perplexity_score
+
+    ds = ray.data.from_arrow(_lm_table()).repartition(3)
+    model = bigram_lm_model(ds, model_source="src0")
+    assert model["v"] == 6  # the cat sat on mat dog
+    assert model["bg"][("the", "cat")] >= 2
+    out = perplexity_score(ds, model, keep_below=3_000_000)
+    df = out.to_pandas().set_index("doc_id").sort_index()
+    assert set(df.index) == {0, 1, 2, 3, 4, 5}  # 6 and 7 dropped
+    # the fluent doc scores strictly below both degenerate docs (note:
+    # with a tiny V, full-OOV bigrams cost log2(V) which can undercut
+    # scrambled KNOWN-head bigrams at log2(ch + V) — so no ordering is
+    # asserted between docs 4 and 5, only fluent < both)
+    assert df.loc[3, "ce_micro"] < df.loc[4, "ce_micro"]
+    assert df.loc[3, "ce_micro"] < df.loc[5, "ce_micro"]
+    # doc 3 == doc 0 verbatim → identical integer score
+    assert df.loc[3, "ce_micro"] == df.loc[0, "ce_micro"]
+    assert bool(df.loc[3, "keep"]) and not bool(df.loc[4, "keep"])
+
+
+def test_perplexity_partition_invariant(ray_session):
+    import ray
+
+    from goobi_viewer_indexer_ray.stages.lm import bigram_lm_model, perplexity_score
+
+    t = _lm_table()
+    one = ray.data.from_arrow(t)
+    many = ray.data.from_arrow(t).repartition(5)
+    m1 = bigram_lm_model(one, model_source="src0")
+    m2 = bigram_lm_model(many, model_source="src0")
+    assert m1 == m2
+    a = perplexity_score(one, m1, keep_below=3_000_000).to_pandas()
+    b = perplexity_score(many, m2, keep_below=3_000_000).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_surprisal_micro_values():
+    from goobi_viewer_indexer_ray.stages.lm import _surprisal_micro
+
+    model = {"bg": {("a", "b"): 3}, "heads": {"a": 4}, "v": 10}
+    # seen: log2((4+10)/(3+1)) = log2(3.5)
+    assert _surprisal_micro(model, "a", "b") == round(np.log2(3.5) * 1e6)
+    # unseen successor of a known head: log2(14)
+    assert _surprisal_micro(model, "a", "z") == round(np.log2(14.0) * 1e6)
+    # unknown head: log2(v)
+    assert _surprisal_micro(model, "q", "z") == round(np.log2(10.0) * 1e6)
+
+
+# ------------------------------------------------------------- synonyms
+
+
+def test_expand_terms():
+    from goobi_viewer_indexer_ray.pipelines.search_ops import expand_terms
+
+    groups = [("join", "merge"), ("fast", "quick", "rapid")]
+    assert expand_terms(["join"], groups) == ["join", "merge"]
+    assert expand_terms(["fast", "key"], groups) == ["fast", "key", "quick", "rapid"]
+    assert expand_terms(["other"], groups) == ["other"]
+    assert expand_terms([], groups) == []
+    # dedup when both group members appear in the query
+    assert expand_terms(["join", "merge"], groups) == ["join", "merge"]
+
+
+def test_synonym_query_equals_expanded_bm25(ray_session, tmp_path):
+    """Synonym scoring == plain BM25 over the pre-expanded term set."""
+    import ray
+
+    from goobi_viewer_indexer_ray.pipelines.build import build_text_index
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex, topk_exact
+    from goobi_viewer_indexer_ray.pipelines.search_ops import expand_terms
+
+    texts = {10: "join the tables", 11: "merge the tables",
+             12: "merge join merge", 13: "unrelated words here"}
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    )
+    out = str(tmp_path / "idx")
+    build_text_index(ds, out, "syn-test", num_shards=1)
+    idx = LocalIndex(out)
+    terms = expand_terms(["join"], [("join", "merge")])
+    d, s = topk_exact(idx, " ".join(terms), idx.n_docs)
+    # every doc containing either term matches; 13 does not
+    assert set(d.tolist()) == {10, 11, 12}
