@@ -230,6 +230,7 @@ def run_bench() -> dict:
         "perplexity_filter",
         "cdc_chunks",
         "search_synonyms",
+        "bm25f_topk",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

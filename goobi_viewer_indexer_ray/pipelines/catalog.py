@@ -4040,6 +4040,207 @@ def _syn_sql() -> str:
     )
 
 
+BM25F_TITLE_LEN = 8   # "title" field = first 8 tokens (derived field)
+BM25F_W_TITLE = 3     # integer weights keep the weighted tf exact
+BM25F_W_BODY = 1
+
+
+def q_bm25f_topk(sf_dir: str):
+    """Field-weighted BM25F — the Solr ``qf`` boost parity item (the
+    viewer queries this indexer's fields with per-field boosts, e.g.
+    DEFAULT^1 SUPERDEFAULT^… — SURVEY J6/O5).  Title (first
+    ``BM25F_TITLE_LEN`` tokens) weighs ``BM25F_W_TITLE``×, body 1×;
+    weighted tf/dl fold BEFORE saturation (true BM25F, not a score
+    mix).  Fully distributed: one streamed pass emits df-bounded
+    ``(term, doc, tfw, dlw)`` rows for the query-term union only, the
+    tiny df/stats aggregates broadcast back, contributions score
+    row-wise and fold with ONE ``groupby(query_id, doc_id)``; top-10
+    per query by (round(score,4) desc, doc_id)."""
+    from ray.data.aggregate import Count, Sum
+
+    terms_by_q = {
+        q["query_id"]: sorted(set(tokenize(q["query"]))) for q in DOC_QUERIES
+    }
+    all_terms = sorted({t for ts in terms_by_q.values() for t in ts})
+    term_set = frozenset(all_terms)
+    ds = _documents(sf_dir)
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tfw": pa.array([], pa.int64()),
+                "dlw": pa.array([], pa.int64()),
+            }
+        )
+        if codes.size == 0:
+            return empty
+        # per-position weight: BM25F_W_TITLE inside the title window
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(codes.size) - np.repeat(starts, counts)
+        w = np.where(pos < BM25F_TITLE_LEN, BM25F_W_TITLE, BM25F_W_BODY).astype(
+            np.int64
+        )
+        dlw = text_ops._seg_sums(w, counts)
+        doc_of = np.repeat(np.arange(ids.size), counts)
+        sel = np.isin(uniq, list(term_set))[codes]
+        if not sel.any():
+            return empty
+        # weighted tf per (doc, term): sort composite key, reduce runs
+        key = doc_of[sel] * np.int64(uniq.size) + codes[sel]
+        order = np.argsort(key, kind="stable")
+        k_s, w_s = key[order], w[sel][order]
+        cut = np.flatnonzero(np.diff(k_s)) + 1
+        group_start = np.concatenate(([0], cut))
+        group_end = np.concatenate((cut, [k_s.size]))
+        csum = np.concatenate(([0], np.cumsum(w_s)))
+        tfw = csum[group_end] - csum[group_start]
+        ukey = k_s[group_start]
+        didx = (ukey // uniq.size).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array(uniq[(ukey % uniq.size)], pa.string()),
+                "doc_id": pa.array(ids[didx], pa.int64()),
+                "tfw": pa.array(tfw, pa.int64()),
+                "dlw": pa.array(dlw[didx], pa.int64()),
+            }
+        )
+
+    def dl_rows(t: pa.Table) -> pa.Table:
+        ids, counts, _codes, _uniq = text_ops._flat_token_codes(t)
+        dlw = (
+            np.minimum(counts, BM25F_TITLE_LEN) * BM25F_W_TITLE
+            + np.maximum(counts - BM25F_TITLE_LEN, 0) * BM25F_W_BODY
+        )
+        return pa.table({"dlw": pa.array(dlw, pa.int64())})
+
+    stats = ds.map_batches(dl_rows, batch_format="pyarrow").aggregate(
+        Count(), Sum("dlw", alias_name="total")
+    )
+    n_docs = int(stats["count()"])
+    avgdl = float(stats["total"]) / n_docs
+
+    matches = ds.map_batches(rows, batch_format="pyarrow")
+    dfs = {
+        r["term"]: int(r["n"])
+        for r in matches.groupby("term").aggregate(Count(alias_name="n")).take_all()
+    }
+    idf = {
+        t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+        for t in dfs
+    }
+    q_of_term: dict[str, list[int]] = {}
+    for qid, ts in terms_by_q.items():
+        for t in ts:
+            q_of_term.setdefault(t, []).append(qid)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        tfw = t.column("tfw").to_numpy().astype(np.float64)
+        dlw = t.column("dlw").to_numpy().astype(np.float64)
+        docs = t.column("doc_id").to_numpy()
+        sat = (tfw * (K1 + 1.0)) / (tfw + K1 * (1.0 - B + B * dlw / avgdl))
+        codes, uterms = pd.factorize(terms)
+        parts_q, parts_d, parts_c = [], [], []
+        # one vectorized slice per DISTINCT (term, query) pair — the
+        # fan-out is bounded by the query set, never per row
+        for code, term in enumerate(uterms):
+            m = codes == code
+            cvals = idf[term] * sat[m]
+            dvals = docs[m]
+            for qid in q_of_term[term]:
+                parts_q.append(np.full(dvals.size, qid, np.int64))
+                parts_d.append(dvals)
+                parts_c.append(cvals)
+        if not parts_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(parts_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(parts_d), pa.int64()),
+                "c": pa.array(np.concatenate(parts_c), pa.float64()),
+            }
+        )
+
+    scored = (
+        matches.map_batches(contrib, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("c", alias_name="score"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        s_r = np.round(g.column("score").to_numpy(), 4)
+        d = g.column("doc_id").to_numpy()
+        order = np.lexsort((d, -s_r))[:10]
+        return pa.table(
+            {
+                "query_id": g.column("query_id").slice(0, 1).to_pylist() * order.size,
+                "doc_id": pa.array(d[order], pa.int64()),
+                "score_r": pa.array(s_r[order], pa.float64()),
+                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            }
+        )
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+def _bm25f_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (
+  SELECT doc_id,
+         (least(len(ts), {BM25F_TITLE_LEN}) * {BM25F_W_TITLE}
+          + greatest(len(ts) - {BM25F_TITLE_LEN}, 0) * {BM25F_W_BODY})::DOUBLE AS dlw
+  FROM toks
+),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dlw) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, ts[i] AS term,
+         sum(CASE WHEN i <= {BM25F_TITLE_LEN} THEN {BM25F_W_TITLE}
+                  ELSE {BM25F_W_BODY} END)::DOUBLE AS tfw
+  FROM toks, unnest(generate_series(1, len(ts))) AS g(i)
+  GROUP BY doc_id, ts[i]
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tfw * {_K1P1}
+                 / (p.tfw + {_K1} * ({_1MB} + {_B} * dl.dlw / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 PPL_MODEL_SOURCE = "src0"
 PPL_KEEP_BELOW = 5_000_000  # micro-bits ≈ 32 ppl; splits every test sf
 
@@ -4155,6 +4356,7 @@ QUERIES = {
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
+    "bm25f_topk": q_bm25f_topk,
     "hierarchy_rollup": q_hierarchy_rollup,
     "authority_norm": q_authority_norm,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4249,6 +4451,7 @@ ORACLE_SQL = {
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),
+    "bm25f_topk": _bm25f_sql(),
     "index_stats": _SQL_INDEX_STATS,
     "term_df_top100": _SQL_TERM_DF,
     "bm25_topk": _bm25_sql(),

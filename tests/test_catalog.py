@@ -154,6 +154,10 @@ def _check(contract, con, name):
         "subword_counts",
         "frequent_terms",
         "curation_pipeline",
+        "perplexity_filter",
+        "cdc_chunks",
+        "search_synonyms",
+        "bm25f_topk",
     ],
 )
 def test_vs_duckdb(contract, con, name):

@@ -213,3 +213,40 @@ def test_synonym_query_equals_expanded_bm25(ray_session, tmp_path):
     d, s = topk_exact(idx, " ".join(terms), idx.n_docs)
     # every doc containing either term matches; 13 does not
     assert set(d.tolist()) == {10, 11, 12}
+
+
+# --------------------------------------------------------------- BM25F
+
+
+def test_bm25f_title_weight_changes_ranking(ray_session, tmp_path, monkeypatch):
+    """A term in the title window must outrank the same term in the
+    body (all else equal) — the point of field-weighted BM25F."""
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines import catalog
+
+    # two docs, identical length; 'needle' in title of doc 0, body of 1
+    texts = {
+        0: "needle w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11",
+        1: "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 needle",
+    }
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["src0", "src0"], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    monkeypatch.setattr(
+        catalog, "DOC_QUERIES", [{"query_id": 0, "query": "needle", "k": 10}]
+    )
+    out = catalog.q_bm25f_topk(str(d)).to_pandas().sort_values("rank")
+    assert out.doc_id.tolist() == [0, 1]
+    assert out.score_r.iloc[0] > out.score_r.iloc[1]
