@@ -231,6 +231,8 @@ def run_bench() -> dict:
         "cdc_chunks",
         "search_synonyms",
         "bm25f_topk",
+        "embedding_kmeans",
+        "semantic_dedup",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -4241,6 +4241,146 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Trained Lloyd k-means over the embedding column — the coarse
+    quantizer a 100 TB vector store trains for IVF cells and SemDeDup
+    blocking (vs :func:`q_ann_ivf_assign`'s formula-derived cells).
+    Integer recurrence over +127-shifted int8 quantized vectors ⇒
+    bit-exact under any partitioning; the oracle replays all
+    ``KM_ITERS`` assign+update rounds as chained SQL CTEs (the
+    ``link_pagerank`` contract applied to Lloyd).  See
+    :mod:`stages.kmeans` for the per-round shuffle shape
+    (O(k·dim·n_batches), corpus-size independent)."""
+    from ..stages.kmeans import kmeans_assign
+
+    return kmeans_assign(_embeddings(sf_dir))
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): semantic near-dup marking with the
+    TRAINED k-means clusters as the blocking unit — within-cluster
+    pairs only, never all-pairs (the scale point of the paper).  The
+    cosine test is cross-multiplied into pure int64
+    (``10⁴·ip² ≥ 1225·|a|²·|b|²`` ⟺ cos ≥ 0.35), so every verdict —
+    including near-threshold ones — hash-matches the SQL replay."""
+    from ..stages.kmeans import semantic_dedup
+
+    return semantic_dedup(_embeddings(sf_dir))
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """Shared CTE chain: quantize → init → ``iters`` × (assign, update)
+    → final assignment ``afin(vec_id, cluster, dist2, rn)``."""
+    dist = (
+        "(list_inner_product(q.v, q.v) - 2 * list_inner_product(q.v, c.v)"
+        " + list_inner_product(c.v, c.v))::BIGINT"
+    )
+    ctes = [
+        """e AS (
+  SELECT vec_id, i AS d, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+)""",
+        "m AS (SELECT vec_id, max(abs(x)) AS mx FROM e GROUP BY vec_id)",
+        """ql AS MATERIALIZED (
+  SELECT e.vec_id, e.d,
+         floor(x / (CASE WHEN mx = 0 THEN 1.0 ELSE mx END) * 127.0 + 0.5)::BIGINT
+           + 127 AS qv
+  FROM e JOIN m USING (vec_id)
+)""",
+        "qv AS MATERIALIZED (SELECT vec_id, list(qv ORDER BY d) AS v FROM ql GROUP BY vec_id)",
+        f"""init AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM qv ORDER BY vec_id LIMIT {k}
+)""",
+        "c0 AS MATERIALIZED (SELECT i.cluster, q.v FROM init i JOIN qv q USING (vec_id))",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT q.vec_id, c.cluster, {dist} AS dist2
+  FROM qv q CROSS JOIN c{i - 1} c
+)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+    FROM d{i})
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""u{i} AS (
+  SELECT a.cluster, ql.d, sum(ql.qv) // count(*) AS nv
+  FROM a{i} a JOIN ql ON ql.vec_id = a.vec_id
+  GROUP BY a.cluster, ql.d
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT p.cluster, list(coalesce(u.nv, p.pv) ORDER BY p.d) AS v
+  FROM (SELECT cluster, unnest(v) AS pv,
+               unnest(generate_series(1, len(v))) AS d FROM c{i - 1}) p
+  LEFT JOIN u{i} u ON u.cluster = p.cluster AND u.d = p.d
+  GROUP BY p.cluster
+)"""
+        )
+    ctes.append(
+        f"""dfin AS (
+  SELECT q.vec_id, c.cluster, {dist} AS dist2
+  FROM qv q CROSS JOIN c{iters} c
+)"""
+    )
+    ctes.append(
+        """afin AS MATERIALIZED (
+  SELECT vec_id, cluster, dist2 FROM (
+    SELECT vec_id, cluster, dist2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+    FROM dfin)
+  WHERE rn = 1
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+def _kmeans_sql() -> str:
+    from ..stages.kmeans import KM_ITERS, KM_K
+
+    return (
+        "WITH "
+        + _kmeans_ctes(KM_K, KM_ITERS)
+        + "\nSELECT vec_id::BIGINT AS vec_id, cluster::BIGINT AS cluster,"
+        " dist2::BIGINT AS dist2 FROM afin"
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from ..stages.kmeans import KM_ITERS, KM_K, SEM_DEN, SEM_NUM
+
+    return f"""
+WITH {_kmeans_ctes(KM_K, KM_ITERS)},
+qu AS MATERIALIZED (SELECT vec_id, list(qv - 127 ORDER BY d) AS v FROM ql GROUP BY vec_id),
+ip AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_inner_product(qa.v, qb.v)::BIGINT AS ab,
+         list_inner_product(qa.v, qa.v)::BIGINT AS aa,
+         list_inner_product(qb.v, qb.v)::BIGINT AS bb
+  FROM afin a JOIN afin b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  JOIN qu qa ON qa.vec_id = a.vec_id
+  JOIN qu qb ON qb.vec_id = b.vec_id
+),
+mins AS (
+  SELECT va, min(vb) AS dup_of FROM ip
+  WHERE ab > 0 AND {SEM_DEN} * ab * ab >= {SEM_NUM} * aa * bb
+  GROUP BY va
+)
+SELECT f.vec_id::BIGINT AS vec_id, f.cluster::BIGINT AS cluster,
+       coalesce(m.dup_of, -1)::BIGINT AS dup_of, (m.dup_of IS NULL) AS keep
+FROM afin f LEFT JOIN mins m ON m.va = f.vec_id
+"""
+
+
 PPL_MODEL_SOURCE = "src0"
 PPL_KEEP_BELOW = 5_000_000  # micro-bits ≈ 32 ppl; splits every test sf
 
@@ -4357,6 +4497,8 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
     "bm25f_topk": q_bm25f_topk,
+    "embedding_kmeans": q_embedding_kmeans,
+    "semantic_dedup": q_semantic_dedup,
     "hierarchy_rollup": q_hierarchy_rollup,
     "authority_norm": q_authority_norm,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4452,6 +4594,8 @@ ORACLE_SQL = {
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),
     "bm25f_topk": _bm25f_sql(),
+    "embedding_kmeans": _kmeans_sql(),
+    "semantic_dedup": _semantic_dedup_sql(),
     "index_stats": _SQL_INDEX_STATS,
     "term_df_top100": _SQL_TERM_DF,
     "bm25_topk": _bm25_sql(),

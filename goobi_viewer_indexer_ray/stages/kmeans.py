@@ -1,0 +1,244 @@
+"""Trained k-means over the embedding column + SemDeDup semantic dedup.
+
+The reference never sees embeddings (it indexes one METS record at a
+time); a web-scale training-data pipeline clusters them constantly —
+for semantic dedup (Abbas et al. 2023, "SemDeDup"), IVF coarse
+quantizers, and topic-balanced sampling.  Two operators:
+
+- :func:`kmeans_assign` — distributed Lloyd iterations over
+  INT-QUANTIZED embeddings.  Vectors are int8-quantized per row (the
+  ``quantize_embeddings`` rule, ``stages/ann.py:_quantize_matrix``)
+  then SHIFTED by +127 into [0, 254]: squared distances are
+  shift-invariant, and the shift keeps every centroid-update floor
+  division non-negative — where numpy's ``//`` (floor) and DuckDB's
+  ``//`` (truncate) agree, so the whole recurrence is bit-exact and
+  SQL-replayable (the ``link_pagerank`` integer-recurrence contract
+  applied to Lloyd's algorithm).  Per iteration::
+
+      assign(v)   = argmin_j  Σ_d (q_vd − c_jd)²      (first-min tie → lowest j)
+      c'_j[d]     = (Σ_{v∈j} q_vd) // |j|             (empty j keeps c_j)
+
+  Init: the k lowest ``vec_id`` rows' quantized vectors (deterministic,
+  oracle-replayable).  After ``iters`` assign+update rounds, ONE final
+  assign emits ``(vec_id, cluster, dist2)``.
+
+- :func:`semantic_dedup` — SemDeDup with the trained clusters as the
+  blocking unit: within each cluster, a vector is a duplicate iff some
+  LOWER-id cluster-mate has quantized cosine ≥ threshold.  The test is
+  cross-multiplied into pure integers (``thr = √(num/den)``)::
+
+      dup(a, b)  ⟺  ip > 0  ∧  den·ip² ≥ num·|a|²·|b|²
+      ip = Σ q_a q_b,  |a|² = Σ q_a²   (unshifted int64)
+
+  so there is no float tolerance anywhere — every verdict, including
+  near-threshold ones, hash-matches the SQL replay.
+
+Scale shape
+-----------
+
+``kmeans_assign`` materializes the quantized vectors ONCE, then each
+round is one stateless ``map_batches`` (distances against the
+broadcast (k, dim) centroid matrix — k·dim int64s in the closure, sent
+once per worker) emitting ≤ k·dim partial-sum rows per batch, folded
+by one tiny ``groupby(cluster, d)``.  Per-round shuffle volume is
+O(k·dim·n_batches) ints — independent of corpus size.  The centroid
+matrix itself (k·dim ints) is the only driver round-trip per round —
+the ``pagerank`` dangling-scalar pattern.
+
+``semantic_dedup`` is ONE ``groupby(cluster).map_groups`` — the
+cluster IS the blocking unit (that is SemDeDup's point: within-cluster
+pairs only, never all-pairs).  Group cost is |cluster|²·dim int ops;
+at corpus scale you raise k so E|cluster| = n/k stays bounded (the
+paper uses k ≈ n/10⁴) and shard any residual hot cluster by id range
+— the same skew caveat ``stages/linkgraph.py:anchor_stats`` documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .ann import _as_matrix, _quantize_matrix
+
+__all__ = ["kmeans_assign", "semantic_dedup"]
+
+KM_K = 8        # clusters
+KM_ITERS = 4    # assign+update rounds (final assign is one more pass)
+SEM_NUM = 1225   # threshold² numerator: cos ≥ 0.35 ⟺ 10⁴·ip² ≥ 1225·|a|²·|b|²
+SEM_DEN = 10000  # (0.35 splits the synthetic corpus ~80/20; a real
+                 # near-dup corpus would run 0.9+ — the arithmetic is
+                 # identical, int64 headroom holds to dim ≈ 5·10⁵)
+
+
+def _quantize_shifted(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, (n, dim) int64 in [0, 254]) for a batch."""
+    m = _as_matrix(t.column("embedding"))
+    q, _scale = _quantize_matrix(m)
+    return (
+        t.column("vec_id").cast(pa.int64()).to_numpy(),
+        q.astype(np.int64) + 127,
+    )
+
+
+def _dist2(qs: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) exact int64 squared L2: ‖a‖² − 2a·c + ‖c‖² (the expansion
+    keeps it one int64 GEMM instead of an (n, k, dim) broadcast)."""
+    aa = (qs * qs).sum(axis=1)[:, None]
+    cc = (C * C).sum(axis=1)[None, :]
+    return aa - 2 * (qs @ C.T) + cc
+
+
+def _init_centroids(dsq, k: int) -> np.ndarray:
+    """Quantized vectors of the k lowest vec_ids.  Per-batch bottom-k
+    prune first, so only ≤ k rows per block reach the driver."""
+
+    import ray
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        keep = np.argsort(ids, kind="stable")[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    refs = dsq.map_batches(prune, batch_format="pyarrow").to_arrow_refs()
+    head = pa.concat_tables(ray.get(refs))
+    ids = head.column("vec_id").to_numpy()
+    order = np.argsort(ids, kind="stable")[:k]
+    mat = np.stack(
+        [np.asarray(head.column("q")[int(i)].as_py(), np.int64) for i in order]
+    )
+    return mat
+
+
+def _quantized_ds(ds):
+    """Materialized (vec_id, q list<int64>) — scanned once, reused by
+    every Lloyd round and the final assign."""
+
+    def quant(t: pa.Table) -> pa.Table:
+        ids, qs = _quantize_shifted(t)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "q": pa.array(list(qs), pa.list_(pa.int64())),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+
+def _q_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t.column("vec_id").to_numpy()
+    arr = t.column("q")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = arr.offsets.to_numpy()
+    vals = arr.values.to_numpy()
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return ids, vals[offs[0]: offs[-1]].reshape(-1, dim)
+
+
+def _lloyd(dsq, *, k: int, iters: int) -> np.ndarray:
+    """Run the assign+update rounds; returns the final (k, dim) int64
+    centroid matrix (tiny — the only state that ever reaches the
+    driver)."""
+    C = _init_centroids(dsq, k)
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        def part(t: pa.Table, C=C) -> pa.Table:
+            ids, qs = _q_matrix(t)
+            a = _dist2(qs, C).argmin(axis=1)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, dim), np.int64)
+            np.add.at(sums, a, qs)
+            live = np.flatnonzero(cnt)
+            # long-form partials: ≤ k·dim rows per batch
+            cl = np.repeat(live, dim)
+            d = np.tile(np.arange(dim, dtype=np.int64), live.size)
+            return pa.table(
+                {
+                    "cluster": pa.array(cl, pa.int64()),
+                    "d": pa.array(d, pa.int64()),
+                    "s": pa.array(sums[live].ravel(), pa.int64()),
+                    "cnt": pa.array(np.repeat(cnt[live], dim), pa.int64()),
+                }
+            )
+
+        folded = (
+            dsq.map_batches(part, batch_format="pyarrow")
+            .groupby(["cluster", "d"])
+            .sum(["s", "cnt"])
+            .take_all()
+        )  # ≤ k·dim tiny rows — the per-round driver round-trip
+        C = C.copy()
+        for r in folded:
+            j, d = int(r["cluster"]), int(r["d"])
+            C[j, d] = int(r["sum(s)"]) // int(r["sum(cnt)"])
+    return C
+
+
+def kmeans_assign(ds, *, k: int = KM_K, iters: int = KM_ITERS):
+    """Lloyd k-means over ``(vec_id, embedding)`` → Dataset of
+    ``(vec_id, cluster, dist2)``, all int64, bit-exact under any
+    partitioning (see module docstring for the recurrence)."""
+    dsq = _quantized_ds(ds)
+    C = _lloyd(dsq, k=k, iters=iters)
+
+    def final(t: pa.Table, C=C) -> pa.Table:
+        ids, qs = _q_matrix(t)
+        d2 = _dist2(qs, C)
+        a = d2.argmin(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "dist2": pa.array(d2[np.arange(a.size), a], pa.int64()),
+            }
+        )
+
+    return dsq.map_batches(final, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, *, k: int = KM_K, iters: int = KM_ITERS,
+                   num: int = SEM_NUM, den: int = SEM_DEN):
+    """SemDeDup: Dataset of ``(vec_id, cluster, dup_of, keep)`` where
+    ``dup_of`` is the LOWEST-id cluster-mate with quantized cosine ≥
+    √(num/den) (−1 if none) and ``keep = dup_of < 0``.  Blocking =
+    the trained k-means clusters; one ``groupby(cluster).map_groups``
+    does all pairwise work inside the block.  No join: the final
+    assignment is recomputed from the broadcast centroid matrix inside
+    the same pass that carries the vectors to their cluster's group."""
+    dsq = _quantized_ds(ds)
+    C = _lloyd(dsq, k=k, iters=iters)
+
+    def tag(t: pa.Table, C=C) -> pa.Table:
+        _ids, qs = _q_matrix(t)
+        a = _dist2(qs, C).argmin(axis=1)
+        return t.append_column("cluster", pa.array(a.astype(np.int64), pa.int64()))
+
+    joined = dsq.map_batches(tag, batch_format="pyarrow")
+
+    def dedup_group(t: pa.Table) -> pa.Table:
+        ids, qs = _q_matrix(t)
+        order = np.argsort(ids, kind="stable")
+        ids, qs = ids[order], qs[order]
+        qu = qs - 127  # unshifted values for the cosine test
+        G = qu @ qu.T  # int64 gram — |cluster|²·dim, the blocked cost
+        n2 = np.diag(G).copy()
+        ok = (G > 0) & (den * G * G >= num * np.outer(n2, n2))
+        np.fill_diagonal(ok, False)
+        ok[:, :] = np.tril(ok, -1)  # only lower-id mates count
+        has = ok.any(axis=1)
+        first = ok.argmax(axis=1)
+        dup_of = np.where(has, ids[first], np.int64(-1))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(
+                    np.full(ids.size, t.column("cluster")[0].as_py(), np.int64)
+                ),
+                "dup_of": pa.array(dup_of, pa.int64()),
+                "keep": pa.array(~has),
+            }
+        )
+
+    return joined.groupby("cluster").map_groups(dedup_group, batch_format="pyarrow")

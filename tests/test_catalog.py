@@ -158,6 +158,8 @@ def _check(contract, con, name):
         "cdc_chunks",
         "search_synonyms",
         "bm25f_topk",
+        "embedding_kmeans",
+        "semantic_dedup",
     ],
 )
 def test_vs_duckdb(contract, con, name):
