@@ -233,6 +233,7 @@ def run_bench() -> dict:
         "bm25f_topk",
         "embedding_kmeans",
         "semantic_dedup",
+        "postings_varint",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

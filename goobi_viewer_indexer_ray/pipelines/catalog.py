@@ -4381,6 +4381,64 @@ FROM afin f LEFT JOIN mins m ON m.va = f.vec_id
 """
 
 
+def q_postings_varint(sf_dir: str):
+    """Posting-list compression accounting — the storage meter for the
+    delta+LEB128 codec the real index ships (``functions/codec.py``;
+    the reference delegates this to Lucene's FOR/varint postings): per
+    term, the EXACT encoded byte size of the doc-id stream (first id
+    absolute, then gaps) vs raw 8-byte ids, top 100 terms by
+    (df desc, term).  One posting pass + one ``groupby(term)``; the
+    engine sizes come from the REAL codec while the oracle recomputes
+    the LEB128 length formula — byte-for-byte agreement pins the codec
+    itself, not just the arithmetic."""
+    from ..functions.codec import encode_varints
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def sizes(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("doc_id").to_numpy().astype(np.int64))
+        vals = np.concatenate(([d[0]], np.diff(d))).astype(np.uint64)
+        return pa.table(
+            {
+                "term": g.column("term").slice(0, 1),
+                "df": pa.array([d.size], pa.int64()),
+                "raw_bytes": pa.array([8 * d.size], pa.int64()),
+                "varint_bytes": pa.array([len(encode_varints(vals))], pa.int64()),
+            }
+        )
+
+    return (
+        postings.groupby("term")
+        .map_groups(sizes, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+_SQL_POSTINGS_VARINT = f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+g AS (
+  SELECT term,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS v
+  FROM posting
+),
+sz AS (
+  SELECT term, count(*)::BIGINT AS df,
+         sum(1 + (v >= 128)::INT + (v >= 16384)::INT + (v >= 2097152)::INT
+               + (v >= 268435456)::INT + (v >= 34359738368)::INT)::BIGINT AS varint_bytes
+  FROM g GROUP BY term
+)
+SELECT term, df, (8 * df)::BIGINT AS raw_bytes, varint_bytes
+FROM sz ORDER BY df DESC, term LIMIT 100
+"""
+
+
 PPL_MODEL_SOURCE = "src0"
 PPL_KEEP_BELOW = 5_000_000  # micro-bits ≈ 32 ppl; splits every test sf
 
@@ -4499,6 +4557,7 @@ QUERIES = {
     "bm25f_topk": q_bm25f_topk,
     "embedding_kmeans": q_embedding_kmeans,
     "semantic_dedup": q_semantic_dedup,
+    "postings_varint": q_postings_varint,
     "hierarchy_rollup": q_hierarchy_rollup,
     "authority_norm": q_authority_norm,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4596,6 +4655,7 @@ ORACLE_SQL = {
     "bm25f_topk": _bm25f_sql(),
     "embedding_kmeans": _kmeans_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
+    "postings_varint": _SQL_POSTINGS_VARINT,
     "index_stats": _SQL_INDEX_STATS,
     "term_df_top100": _SQL_TERM_DF,
     "bm25_topk": _bm25_sql(),

@@ -160,6 +160,7 @@ def _check(contract, con, name):
         "bm25f_topk",
         "embedding_kmeans",
         "semantic_dedup",
+        "postings_varint",
     ],
 )
 def test_vs_duckdb(contract, con, name):
