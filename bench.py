@@ -234,6 +234,7 @@ def run_bench() -> dict:
         "embedding_kmeans",
         "semantic_dedup",
         "postings_varint",
+        "winnow_fingerprints",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -4439,6 +4439,47 @@ FROM sz ORDER BY df DESC, term LIMIT 100
 """
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) — the
+    guaranteed-detection, sublinear-density fingerprint family for text
+    reuse and decontamination sweeps (see :mod:`stages.winnow` for the
+    packed-key trick that makes min-with-rightmost-tie selection one
+    windowed ``min()``).  Per doc: k-gram count, selected-fingerprint
+    count, and the 63-bit XOR checksum of the selected set — the
+    checksum pins every selected fingerprint through the hash gate."""
+    from ..stages.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_documents(sf_dir))
+
+
+_SQL_WINNOW = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+kg AS (
+  SELECT doc_id, i, len(ts) - 2 AS nkg,
+         ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 10))::UBIGINT AS h
+  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS g(i)
+  WHERE len(ts) >= 3
+),
+keyed AS (
+  SELECT doc_id, i, nkg,
+         h * 16777216::UBIGINT + (16777215 - (i - 1))::UBIGINT AS key
+  FROM kg
+),
+wins AS (
+  SELECT doc_id, i, nkg,
+         min(key) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+  FROM keyed
+),
+sel AS (
+  SELECT DISTINCT doc_id, nkg, wmin FROM wins WHERE i >= least(4, nkg)
+)
+SELECT doc_id, any_value(nkg)::BIGINT AS n_kgrams, count(*)::BIGINT AS n_fps,
+       (bit_xor(wmin) & 9223372036854775807)::BIGINT AS fp_xor
+FROM sel GROUP BY doc_id
+"""
+
+
 PPL_MODEL_SOURCE = "src0"
 PPL_KEEP_BELOW = 5_000_000  # micro-bits ≈ 32 ppl; splits every test sf
 
@@ -4558,6 +4599,7 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "semantic_dedup": q_semantic_dedup,
     "postings_varint": q_postings_varint,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "hierarchy_rollup": q_hierarchy_rollup,
     "authority_norm": q_authority_norm,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4656,6 +4698,7 @@ ORACLE_SQL = {
     "embedding_kmeans": _kmeans_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
     "postings_varint": _SQL_POSTINGS_VARINT,
+    "winnow_fingerprints": _SQL_WINNOW,
     "index_stats": _SQL_INDEX_STATS,
     "term_df_top100": _SQL_TERM_DF,
     "bm25_topk": _bm25_sql(),

@@ -161,6 +161,7 @@ def _check(contract, con, name):
         "embedding_kmeans",
         "semantic_dedup",
         "postings_varint",
+        "winnow_fingerprints",
     ],
 )
 def test_vs_duckdb(contract, con, name):
