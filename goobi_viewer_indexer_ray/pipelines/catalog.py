@@ -3760,9 +3760,12 @@ def q_mixture_resample(sf_dir: str):
     (:func:`stages.sampling.temperature_resample`)."""
     from ..stages.sampling import temperature_resample
 
+    # materialized: temperature_resample consumes the stream twice
+    # (weight totals, then the keep filter) — without this the
+    # tokenization pass runs twice
     ds = _documents(sf_dir, columns=("doc_id", "source", "text")).map_batches(
         _tokens_with_source, batch_format="pyarrow"
-    )
+    ).materialize()
     out = temperature_resample(
         ds, key_col="doc_id", strata_col="source", weight_col="n_tokens",
         temperature=2.0, salt=SAMPLE_SALT,
