@@ -235,6 +235,7 @@ def run_bench() -> dict:
         "semantic_dedup",
         "postings_varint",
         "winnow_fingerprints",
+        "search_lmdirichlet",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -4483,6 +4483,195 @@ FROM sel GROUP BY doc_id
 """
 
 
+LM_MU = 2000.0  # Dirichlet pseudo-count (Solr LMDirichletSimilarity default)
+
+
+def q_search_lmdirichlet(sf_dir: str):
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — the ``LMDirichletSimilarity`` the reference's Solr
+    schema can select instead of BM25 (similarity is per-field
+    pluggable there; this engine matches that surface).  Score per
+    (query, doc) over matched terms::
+
+        Σ_t ln(1 + tf / (μ·cf_t / |C|))  +  |q| · ln(μ / (dl + μ))
+
+    with |q| = distinct query terms present in the collection (cf > 0
+    — zero-probability terms drop, the standard practice).  Same
+    streamed shape as :func:`q_bm25f_topk`: one pass emits df-bounded
+    (term, doc, tf, dl) rows for the query-term union, the tiny cf /
+    |C| aggregates broadcast back, ONE ``groupby(query_id, doc_id)``
+    fold; top-10 by (round(score,4) desc, doc_id).  Identical
+    expression trees on both sides keep float64 parity."""
+    from ray.data.aggregate import Max, Sum
+
+    terms_by_q = {
+        q["query_id"]: sorted(set(tokenize(q["query"]))) for q in DOC_QUERIES
+    }
+    term_set = frozenset(t for ts in terms_by_q.values() for t in ts)
+    ds = _documents(sf_dir)
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+            }
+        )
+        if codes.size == 0:
+            return empty
+        doc_of = np.repeat(np.arange(ids.size), counts)
+        sel = np.isin(uniq, list(term_set))[codes]
+        if not sel.any():
+            return empty
+        key = doc_of[sel] * np.int64(uniq.size) + codes[sel]
+        ukey, tf = np.unique(key, return_counts=True)
+        didx = (ukey // uniq.size).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array(uniq[(ukey % uniq.size)], pa.string()),
+                "doc_id": pa.array(ids[didx], pa.int64()),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+                "dl": pa.array(counts[didx], pa.int64()),
+            }
+        )
+
+    c_total = float(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"dl": pa.array(text_ops._flat_token_codes(t)[1], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("dl")
+    )
+
+    matches = ds.map_batches(rows, batch_format="pyarrow")
+    cfs = {
+        r["term"]: int(r["cf"])
+        for r in matches.groupby("term")
+        .aggregate(Sum("tf", alias_name="cf"))
+        .take_all()
+    }
+    q_of_term: dict[str, list[int]] = {}
+    qlen: dict[int, int] = {}
+    for qid, ts in terms_by_q.items():
+        live = [t for t in ts if cfs.get(t, 0) > 0]
+        qlen[qid] = len(live)
+        for t in live:
+            q_of_term.setdefault(t, []).append(qid)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        dl = t.column("dl").to_numpy().astype(np.int64)
+        docs = t.column("doc_id").to_numpy()
+        codes, uterms = pd.factorize(terms)
+        parts = {"q": [], "d": [], "c": [], "dl": []}
+        for code, term in enumerate(uterms):
+            if term not in q_of_term:
+                continue
+            m = codes == code
+            # SAME expression tree as the SQL: tf / (μ·cf / |C|)
+            cvals = np.log(1.0 + tf[m] / (LM_MU * cfs[term] / c_total))
+            for qid in q_of_term[term]:
+                parts["q"].append(np.full(int(m.sum()), qid, np.int64))
+                parts["d"].append(docs[m])
+                parts["c"].append(cvals)
+                parts["dl"].append(dl[m])
+        if not parts["q"]:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.float64()),
+                    "dl": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(parts["q"]), pa.int64()),
+                "doc_id": pa.array(np.concatenate(parts["d"]), pa.int64()),
+                "c": pa.array(np.concatenate(parts["c"]), pa.float64()),
+                "dl": pa.array(np.concatenate(parts["dl"]), pa.int64()),
+            }
+        )
+
+    scored = (
+        matches.map_batches(contrib, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("c", alias_name="s1"), Max("dl", alias_name="dl"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        qid = int(g.column("query_id")[0].as_py())
+        s1 = g.column("s1").to_numpy()
+        dl = g.column("dl").to_numpy().astype(np.float64)
+        d = g.column("doc_id").to_numpy()
+        s_r = np.round(s1 + qlen[qid] * np.log(LM_MU / (dl + LM_MU)), 4)
+        order = np.lexsort((d, -s_r))[:10]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(order.size, qid, np.int64)),
+                "doc_id": pa.array(d[order], pa.int64()),
+                "score_r": pa.array(s_r[order], pa.float64()),
+                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            }
+        )
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+def _lmdirichlet_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    mu = repr(LM_MU)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+stats AS (SELECT sum(dl)::DOUBLE AS c FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+  GROUP BY doc_id, t
+),
+cfs AS (SELECT term, sum(tf) AS cf FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+qlen AS (
+  SELECT q.query_id, count(*)::BIGINT AS ql
+  FROM q JOIN cfs f ON f.term = q.term WHERE f.cf > 0
+  GROUP BY q.query_id
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(ln(1 + p.tf / ({mu} * f.cf / s.c))) AS s1,
+         any_value(dl.dl) AS dl
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN cfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.s1 + ql.ql * ln({mu} / (s.dl + {mu})), 4) AS score_r,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.s1 + ql.ql * ln({mu} / (s.dl + {mu})), 4) DESC,
+                                     s.doc_id) AS rank
+  FROM scored s JOIN qlen ql ON ql.query_id = s.query_id
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 PPL_MODEL_SOURCE = "src0"
 PPL_KEEP_BELOW = 5_000_000  # micro-bits ≈ 32 ppl; splits every test sf
 
@@ -4603,6 +4792,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "postings_varint": q_postings_varint,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "search_lmdirichlet": q_search_lmdirichlet,
     "hierarchy_rollup": q_hierarchy_rollup,
     "authority_norm": q_authority_norm,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4702,6 +4892,7 @@ ORACLE_SQL = {
     "semantic_dedup": _semantic_dedup_sql(),
     "postings_varint": _SQL_POSTINGS_VARINT,
     "winnow_fingerprints": _SQL_WINNOW,
+    "search_lmdirichlet": _lmdirichlet_sql(),
     "index_stats": _SQL_INDEX_STATS,
     "term_df_top100": _SQL_TERM_DF,
     "bm25_topk": _bm25_sql(),

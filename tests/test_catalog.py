@@ -162,6 +162,7 @@ def _check(contract, con, name):
         "semantic_dedup",
         "postings_varint",
         "winnow_fingerprints",
+        "search_lmdirichlet",
     ],
 )
 def test_vs_duckdb(contract, con, name):
