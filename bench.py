@@ -236,6 +236,7 @@ def run_bench() -> dict:
         "postings_varint",
         "winnow_fingerprints",
         "search_lmdirichlet",
+        "budget_select",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

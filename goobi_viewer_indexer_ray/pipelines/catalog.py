@@ -4483,6 +4483,63 @@ FROM sel GROUP BY doc_id
 """
 
 
+BUDGET_PCT = 30  # keep the best 30 % of corpus tokens
+
+
+def q_budget_select(sf_dir: str):
+    """Token-budget data selection — keep the highest-quality docs
+    until a fixed share of corpus tokens is spent (the budgeted
+    counterpart of a threshold quality filter; what a pretraining run
+    does when compute, not data, is the binding constraint).  Composes
+    the actor-pool classifier (:class:`stages.text_ops.
+    HashedLinearScorer`) with :func:`stages.sampling.budget_select`'s
+    two-level exact cut: coarse score-bucket histogram → driver finds
+    the boundary bucket → only boundary rows resolve the exact
+    (score, doc) cut → one broadcast verdict pass.  All-integer, so
+    the oracle is one SQL window cumsum."""
+    from ..stages.sampling import budget_select
+
+    scored = (
+        _documents(sf_dir)
+        .map_batches(
+            text_ops.HashedLinearScorer, batch_format="pyarrow", concurrency=2
+        )
+        .materialize()
+    )
+    total = int(scored.sum("n_tokens"))
+    return budget_select(scored, budget=total * BUDGET_PCT // 100)
+
+
+_SQL_BUDGET_SELECT = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+w AS (
+  SELECT doc_id,
+         (((('0x' || substr(md5(t), 1, 16))::UBIGINT % 4096)
+           * 2654435761::UBIGINT) % 1001)::BIGINT - 500 AS wt
+  FROM tok
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt)::BIGINT AS score_num
+  FROM w GROUP BY doc_id
+),
+s AS (
+  SELECT d.doc_id,
+         coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+         coalesce(p.score_num, 0)::BIGINT AS score_num
+  FROM documents d LEFT JOIN per p USING (doc_id)
+),
+tot AS (SELECT sum(n_tokens) AS tt FROM s),
+c AS (
+  SELECT doc_id, score_num, n_tokens,
+         sum(n_tokens) OVER (ORDER BY score_num DESC, doc_id) AS run
+  FROM s
+)
+SELECT doc_id, score_num, n_tokens,
+       (run <= (SELECT tt * {BUDGET_PCT} // 100 FROM tot)) AS kept
+FROM c
+"""
+
+
 LM_MU = 2000.0  # Dirichlet pseudo-count (Solr LMDirichletSimilarity default)
 
 
@@ -4793,6 +4850,7 @@ QUERIES = {
     "postings_varint": q_postings_varint,
     "winnow_fingerprints": q_winnow_fingerprints,
     "search_lmdirichlet": q_search_lmdirichlet,
+    "budget_select": q_budget_select,
     "hierarchy_rollup": q_hierarchy_rollup,
     "authority_norm": q_authority_norm,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4893,6 +4951,7 @@ ORACLE_SQL = {
     "postings_varint": _SQL_POSTINGS_VARINT,
     "winnow_fingerprints": _SQL_WINNOW,
     "search_lmdirichlet": _lmdirichlet_sql(),
+    "budget_select": _SQL_BUDGET_SELECT,
     "index_stats": _SQL_INDEX_STATS,
     "term_df_top100": _SQL_TERM_DF,
     "bm25_topk": _bm25_sql(),

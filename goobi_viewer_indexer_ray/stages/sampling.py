@@ -44,6 +44,7 @@ __all__ = [
     "quantiles",
     "grouped_quantiles",
     "weighted_bottom_k",
+    "budget_select",
 ]
 
 
@@ -285,3 +286,122 @@ def _hash64(keys) -> np.ndarray:
     from ..functions.hashing import md5_hash64_array
 
     return md5_hash64_array(keys)
+
+
+def budget_select(scored, *, budget: int, score_col: str = "score_num",
+                  weight_col: str = "n_tokens", key_col: str = "doc_id",
+                  coarse_shift: int = 6):
+    """Token-budget data selection: keep the highest-scoring docs whose
+    cumulative token weight fits ``budget``, ordered by
+    ``(score desc, key asc)`` — the "select the best N tokens" move a
+    pretraining pipeline runs after quality scoring (the budgeted
+    counterpart of a fixed-threshold quality filter).
+
+    Exact and distributed via the two-level pattern the quantile /
+    pack_assign operators established:
+
+    1. ONE ``groupby(score >> coarse_shift)`` folds per-bucket weight
+       totals (bucket count is bounded by the score RANGE / 2^shift,
+       corpus-size independent — the driver never sees per-doc rows);
+    2. the driver scans bucket totals score-descending to find the
+       BOUNDARY bucket (everything above it fits, everything below it
+       doesn't);
+    3. only the boundary bucket's rows (≈ 1/2^shift of the range, not
+       of the corpus) are pulled to resolve the exact (score, key)
+       cut inside it; a skewed boundary bucket would recurse with a
+       finer shift — documented, not needed at these scales;
+    4. one broadcast (boundary score-set) stream pass emits the
+       verdict for every row.
+
+    Returns ``(key, score, weight, kept)`` — kept ⟺ running total
+    through the doc (in global (score desc, key) order) ≤ budget.
+    The SQL oracle is one window cumsum.
+    """
+    import ray
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    scored = scored.materialize()
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).cast(pa.int64()).to_numpy()
+        w = t.column(weight_col).cast(pa.int64()).to_numpy()
+        b = s >> coarse_shift  # arithmetic shift floors negatives
+        vals, inv = np.unique(b, return_inverse=True)
+        sums = np.zeros(vals.size, np.int64)
+        np.add.at(sums, inv, w)
+        return pa.table(
+            {
+                "b": pa.array(vals, pa.int64()),
+                "w": pa.array(sums, pa.int64()),
+            }
+        )
+
+    totals = pa.concat_tables(
+        scored.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("b")
+        .sum("w")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    b_ids = totals.column("b").to_numpy()
+    b_w = totals.column("sum(w)").to_numpy()
+    order = np.argsort(-b_ids, kind="stable")  # score-descending
+    b_ids, b_w = b_ids[order], b_w[order]
+    cum = np.cumsum(b_w)
+    # boundary = first bucket whose inclusion overflows the budget
+    over = np.flatnonzero(cum > budget)
+    if over.size == 0:  # everything fits
+        nb, above_total = None, 0
+    else:
+        i = int(over[0])
+        nb = int(b_ids[i])
+        above_total = int(cum[i - 1]) if i else 0
+
+    cut = None  # (score, key) of the last kept doc inside the boundary
+    if nb is not None:
+        def pick_boundary(t: pa.Table, nb=nb) -> pa.Table:
+            s = t.column(score_col).cast(pa.int64()).to_numpy()
+            return t.filter(pa.array((s >> coarse_shift) == nb))
+
+        bnd = pa.concat_tables(
+            ray.get(
+                scored.map_batches(
+                    pick_boundary, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+        )
+        s = bnd.column(score_col).cast(pa.int64()).to_numpy()
+        k = bnd.column(key_col).cast(pa.int64()).to_numpy()
+        w = bnd.column(weight_col).cast(pa.int64()).to_numpy()
+        o = np.lexsort((k, -s))
+        run = above_total + np.cumsum(w[o])
+        fit = np.flatnonzero(run <= budget)
+        if fit.size:
+            last = int(fit[-1])
+            cut = (int(s[o][last]), int(k[o][last]))
+    cfg = ray.put((nb, cut, above_total))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        nb_, cut_, _ = ray.get(cfg)
+        s = t.column(score_col).cast(pa.int64()).to_numpy()
+        k = t.column(key_col).cast(pa.int64()).to_numpy()
+        w = t.column(weight_col).cast(pa.int64()).to_numpy()
+        if nb_ is None:
+            kept = np.ones(s.size, bool)
+        else:
+            b = s >> coarse_shift
+            kept = b > nb_
+            if cut_ is not None:
+                cs, ck = cut_
+                inb = b == nb_
+                kept |= inb & ((s > cs) | ((s == cs) & (k <= ck)))
+        return pa.table(
+            {
+                key_col: pa.array(k, pa.int64()),
+                score_col: pa.array(s, pa.int64()),
+                weight_col: pa.array(w, pa.int64()),
+                "kept": pa.array(kept),
+            }
+        )
+
+    return scored.map_batches(verdict, batch_format="pyarrow")

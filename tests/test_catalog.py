@@ -163,6 +163,7 @@ def _check(contract, con, name):
         "postings_varint",
         "winnow_fingerprints",
         "search_lmdirichlet",
+        "budget_select",
     ],
 )
 def test_vs_duckdb(contract, con, name):

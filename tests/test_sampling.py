@@ -229,3 +229,64 @@ def test_weighted_bottom_k_partition_invariant(ray_session):
     assert one["priority"].is_monotonic_increasing
     # weight bias: the sample's mean weight is well above the population's
     assert one["w"].mean() > 1.3 * t.column("w").to_numpy().mean()
+
+
+# ---------------------------------------------------------- budget_select
+
+
+def _scored_tbl(rng, n=120):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "score_num": pa.array(rng.integers(-300, 300, n).astype(np.int64)),
+            "n_tokens": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        }
+    )
+
+
+def _budget_reference(t, budget):
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(
+        ["score_num", "doc_id"], ascending=[False, True]
+    )
+    run = df.n_tokens.cumsum()
+    kept = dict(zip(df.doc_id, run <= budget))
+    return kept
+
+
+def test_budget_select_exact_cut(ray_session):
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.sampling import budget_select
+
+    rng = np.random.default_rng(5)
+    t = _scored_tbl(rng)
+    total = int(t.column("n_tokens").to_numpy().sum())
+    for budget in [0, total // 3, total - 1, total, total + 10]:
+        out = budget_select(
+            rd.from_arrow(t).repartition(7), budget=budget
+        ).to_pandas()
+        ref = _budget_reference(t, budget)
+        got = dict(zip(out.doc_id, out.kept))
+        assert got == ref, budget
+        # spent tokens never exceed the budget
+        spent = int(out[out.kept].n_tokens.sum())
+        assert spent <= budget or budget >= total
+
+
+def test_budget_select_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.sampling import budget_select
+
+    rng = np.random.default_rng(9)
+    t = _scored_tbl(rng, n=200)
+    b = int(t.column("n_tokens").to_numpy().sum()) // 2
+    one = budget_select(rd.from_arrow(t), budget=b).to_pandas()
+    many = budget_select(rd.from_arrow(t).repartition(16), budget=b).to_pandas()
+    one = one.sort_values("doc_id").reset_index(drop=True)
+    many = many.sort_values("doc_id").reset_index(drop=True)
+    assert one.equals(many)
