@@ -237,6 +237,7 @@ def run_bench() -> dict:
         "winnow_fingerprints",
         "search_lmdirichlet",
         "budget_select",
+        "search_suggest",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -4483,6 +4483,91 @@ FROM sel GROUP BY doc_id
 """
 
 
+def q_search_suggest(sf_dir: str):
+    """Autocomplete / Suggester parity (the viewer's search box runs
+    Solr suggest against this indexer's fields): per prefix, the top-10
+    completions ranked by collection frequency (cf desc, term asc),
+    with df alongside.  One posting pass → one ``groupby(term)`` vocab
+    aggregate → per-batch partial top-k per prefix (each batch ships at
+    most k rows per prefix into the final fold) → one tiny
+    ``groupby(prefix)`` rank."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.postings import TokenizePostings
+
+    prefixes = sorted(SEARCH_PREFIXES)
+    k = 10
+
+    terms = (
+        _documents(sf_dir)
+        .map_batches(TokenizePostings(num_shards=1), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="cf"))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tm = t.column("term").to_numpy(zero_copy_only=False).astype(str)
+        df = t.column("df").to_numpy().astype(np.int64)
+        cf = t.column("cf").to_numpy().astype(np.int64)
+        out = []
+        for p in prefixes:
+            m = np.char.startswith(tm, p)
+            if not m.any():
+                continue
+            sub = pd.DataFrame({"term": tm[m], "df": df[m], "cf": cf[m]})
+            sub = sub.sort_values(["cf", "term"], ascending=[False, True]).head(k)
+            sub.insert(0, "prefix", p)
+            out.append(sub)
+        if not out:
+            return pa.table(
+                {
+                    "prefix": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "cf": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = g.to_pandas().sort_values(
+            ["cf", "term"], ascending=[False, True]
+        ).head(k)
+        d["rank"] = np.arange(1, len(d) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    return (
+        terms.map_batches(partial, batch_format="pyarrow")
+        .groupby("prefix")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def _suggest_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in sorted(SEARCH_PREFIXES))
+    return f"""
+WITH posting AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+terms AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+          FROM posting GROUP BY term),
+p(prefix) AS (VALUES {vals}),
+m AS (
+  SELECT p.prefix, t.term, t.df, t.cf,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY t.cf DESC, t.term) AS rank
+  FROM p JOIN terms t ON starts_with(t.term, p.prefix)
+)
+SELECT prefix, term, df, cf, rank::BIGINT AS rank FROM m WHERE rank <= 10
+"""
+
+
 BUDGET_PCT = 30  # keep the best 30 % of corpus tokens
 
 
@@ -4851,6 +4936,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "search_lmdirichlet": q_search_lmdirichlet,
     "budget_select": q_budget_select,
+    "search_suggest": q_search_suggest,
     "hierarchy_rollup": q_hierarchy_rollup,
     "authority_norm": q_authority_norm,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4952,6 +5038,7 @@ ORACLE_SQL = {
     "winnow_fingerprints": _SQL_WINNOW,
     "search_lmdirichlet": _lmdirichlet_sql(),
     "budget_select": _SQL_BUDGET_SELECT,
+    "search_suggest": _suggest_sql(),
     "index_stats": _SQL_INDEX_STATS,
     "term_df_top100": _SQL_TERM_DF,
     "bm25_topk": _bm25_sql(),

@@ -164,6 +164,7 @@ def _check(contract, con, name):
         "winnow_fingerprints",
         "search_lmdirichlet",
         "budget_select",
+        "search_suggest",
     ],
 )
 def test_vs_duckdb(contract, con, name):
