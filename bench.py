@@ -238,6 +238,7 @@ def run_bench() -> dict:
         "search_lmdirichlet",
         "budget_select",
         "search_suggest",
+        "search_mmr",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

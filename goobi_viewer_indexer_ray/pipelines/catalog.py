@@ -4568,6 +4568,196 @@ SELECT prefix, term, df, cf, rank::BIGINT AS rank FROM m WHERE rank <= 10
 """
 
 
+MMR_K = 10      # results returned per query
+MMR_POOL = 20   # BM25 candidate pool fed to the re-ranker
+MMR_LNUM = 7    # λ = 0.7 as the integer pair (7, 3)
+MMR_LDEN = 3
+
+
+def q_search_mmr(sf_dir: str):
+    """MMR result diversification (Carbonell & Goldstein 1998) — greedy
+    re-ranking of the BM25 top-``MMR_POOL`` pool by
+    ``λ·relevance − (1−λ)·max-similarity-to-selected``, the standard
+    novelty re-ranker a search UI runs on the first page.  ALL-INTEGER
+    formulation so every greedy pick is oracle-exact: ``rel_norm =
+    rel·10⁴ // max_rel`` (rel = score_r·10⁴), ``sim = |∩|·10⁴ // |∪|``
+    (token-set Jaccard, floored to basis points), pick by
+    ``(7·rel_norm − 3·max_sim) desc, doc_id``.  The candidate pool and
+    token sets come from distributed passes (the pool is ≤ 20
+    docs/query by construction — the greedy loop itself is a
+    per-query serving-side step, not a corpus scan); the oracle
+    replays all ``MMR_K`` rounds as chained CTEs."""
+    import ray
+
+    cands = documents_bm25_topk(sf_dir, k=MMR_POOL)
+    if not hasattr(cands, "groupby"):  # pyarrow.Table → pandas
+        cands = cands.to_pandas()
+    ids = sorted({int(d) for d in cands["doc_id"]})
+    wanted = ray.put(np.asarray(ids, np.int64))
+
+    def toks(t: pa.Table) -> pa.Table:
+        w = ray.get(wanted)
+        d = t.column("doc_id").cast(pa.int64()).to_numpy()
+        sel = t.filter(pa.array(np.isin(d, w)))
+        ids_, counts, codes, uniq = text_ops._flat_token_codes(sel)
+        if codes.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.string()),
+                }
+            )
+        doc_of = np.repeat(np.arange(ids_.size), counts)
+        key = doc_of * np.int64(uniq.size) + codes
+        ukey = np.unique(key)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_[(ukey // uniq.size)], pa.int64()),
+                "tok": pa.array(uniq[(ukey % uniq.size)], pa.string()),
+            }
+        )
+
+    # drop Ray 2.49's schema-less empty bundles before the concat
+    tok_parts = [
+        t
+        for t in ray.get(
+            _documents(sf_dir)
+            .map_batches(toks, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_columns
+    ]
+    tok_tbl = pa.concat_tables(tok_parts)
+    sets: dict[int, frozenset] = {}
+    for d, t in zip(
+        tok_tbl.column("doc_id").to_numpy(), tok_tbl.column("tok").to_pylist()
+    ):
+        sets.setdefault(int(d), set()).add(t)
+
+    def sim(a: int, b: int) -> int:
+        ta, tb = sets.get(a, set()), sets.get(b, set())
+        u = len(ta | tb)
+        return (len(ta & tb) * 10000) // u if u else 0
+
+    rows_q, rows_d, rows_m, rows_r = [], [], [], []
+    for qid, g in cands.groupby("query_id"):
+        rel = np.rint(g["score_r"].to_numpy() * 10000).astype(np.int64)
+        docs = g["doc_id"].to_numpy().astype(np.int64)
+        mx = int(rel.max()) if rel.size else 0
+        rel_norm = (rel * 10000) // mx if mx > 0 else np.zeros_like(rel)
+        selected: list[int] = []
+        remaining = list(range(docs.size))
+        for r in range(1, min(MMR_K, docs.size) + 1):
+            best = None
+            for i in remaining:
+                ms = max((sim(int(docs[i]), s) for s in selected), default=0)
+                mmr = MMR_LNUM * int(rel_norm[i]) - MMR_LDEN * ms
+                if best is None or (mmr, -int(docs[i])) > (best[1], -int(docs[best[0]])):
+                    best = (i, mmr)
+            i, mmr = best
+            remaining.remove(i)
+            selected.append(int(docs[i]))
+            rows_q.append(int(qid))
+            rows_d.append(int(docs[i]))
+            rows_m.append(mmr)
+            rows_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "mmr": pa.array(rows_m, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
+def _mmr_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    ctes = [
+        f"toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents)",
+        "dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks)",
+        "stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl)",
+        """posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+)""",
+        "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term)",
+        f"q(query_id, term) AS (VALUES {vals})",
+        f"""scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+)""",
+        f"""pool AS MATERIALIZED (
+  SELECT query_id, doc_id, round(round(score, 4) * 10000)::BIGINT AS rel
+  FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 4) DESC, doc_id) AS rk
+    FROM scored)
+  WHERE rk <= {MMR_POOL}
+)""",
+        """cands AS MATERIALIZED (
+  SELECT p.query_id, p.doc_id,
+         CASE WHEN m.mx > 0 THEN (p.rel * 10000) // m.mx ELSE 0 END AS rel_norm
+  FROM pool p JOIN (SELECT query_id, max(rel) AS mx FROM pool GROUP BY query_id) m
+    USING (query_id)
+)""",
+        """ctok AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id, u.t
+  FROM toks t, unnest(t.ts) AS u(t)
+  WHERE t.doc_id IN (SELECT DISTINCT doc_id FROM cands)
+)""",
+        "csz AS (SELECT doc_id, count(*)::BIGINT AS n FROM ctok GROUP BY doc_id)",
+        """sim AS MATERIALIZED (
+  SELECT i.da, i.db, (i.ni * 10000) // (sa.n + sb.n - i.ni) AS simv FROM (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS ni
+    FROM ctok a JOIN ctok b ON a.t = b.t AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id) i
+  JOIN csz sa ON sa.doc_id = i.da
+  JOIN csz sb ON sb.doc_id = i.db
+)""",
+        "selall0 AS (SELECT query_id, doc_id, 0::BIGINT AS mmr, 0::BIGINT AS rank FROM cands WHERE FALSE)",
+    ]
+    for r in range(1, MMR_K + 1):
+        ctes.append(
+            f"""sel{r} AS MATERIALIZED (
+  SELECT query_id, doc_id, mmr, {r}::BIGINT AS rank FROM (
+    SELECT g.query_id, g.doc_id, g.mmr,
+           row_number() OVER (PARTITION BY g.query_id
+                              ORDER BY g.mmr DESC, g.doc_id) AS rn
+    FROM (
+      SELECT c.query_id, c.doc_id,
+             {MMR_LNUM} * c.rel_norm
+               - {MMR_LDEN} * coalesce(max(coalesce(s.simv, 0)), 0) AS mmr
+      FROM cands c
+      LEFT JOIN selall{r - 1} sp ON sp.query_id = c.query_id
+      LEFT JOIN sim s ON s.da = c.doc_id AND s.db = sp.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM selall{r - 1} x
+                        WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+      GROUP BY c.query_id, c.doc_id, c.rel_norm) g)
+  WHERE rn = 1
+)""")
+        ctes.append(
+            f"selall{r} AS MATERIALIZED (SELECT * FROM selall{r - 1} UNION ALL SELECT * FROM sel{r})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, doc_id, mmr, rank FROM selall{MMR_K}"
+    )
+
+
 BUDGET_PCT = 30  # keep the best 30 % of corpus tokens
 
 
@@ -4937,6 +5127,7 @@ QUERIES = {
     "search_lmdirichlet": q_search_lmdirichlet,
     "budget_select": q_budget_select,
     "search_suggest": q_search_suggest,
+    "search_mmr": q_search_mmr,
     "hierarchy_rollup": q_hierarchy_rollup,
     "authority_norm": q_authority_norm,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5039,6 +5230,7 @@ ORACLE_SQL = {
     "search_lmdirichlet": _lmdirichlet_sql(),
     "budget_select": _SQL_BUDGET_SELECT,
     "search_suggest": _suggest_sql(),
+    "search_mmr": _mmr_sql(),
     "index_stats": _SQL_INDEX_STATS,
     "term_df_top100": _SQL_TERM_DF,
     "bm25_topk": _bm25_sql(),

@@ -165,6 +165,7 @@ def _check(contract, con, name):
         "search_lmdirichlet",
         "budget_select",
         "search_suggest",
+        "search_mmr",
     ],
 )
 def test_vs_duckdb(contract, con, name):

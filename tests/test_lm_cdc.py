@@ -250,3 +250,42 @@ def test_bm25f_title_weight_changes_ranking(ray_session, tmp_path, monkeypatch):
     out = catalog.q_bm25f_topk(str(d)).to_pandas().sort_values("rank")
     assert out.doc_id.tolist() == [0, 1]
     assert out.score_r.iloc[0] > out.score_r.iloc[1]
+
+
+# ----------------------------------------------------------------- MMR
+
+
+def test_mmr_demotes_near_duplicate(ray_session, tmp_path, monkeypatch):
+    """The near-duplicate of the top hit must fall BELOW a less similar
+    relevant doc — the point of λ·rel − (1−λ)·sim re-ranking."""
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines import catalog
+
+    texts = {
+        0: "apple banana cherry common common2",
+        1: "apple banana cherry common common2 extra",  # near-dup of 0
+        2: "apple zebra yak xylophone quux qq qr qs",   # diverse
+    }
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["src0"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    monkeypatch.setattr(
+        catalog, "DOC_QUERIES", [{"query_id": 0, "query": "apple", "k": 10}]
+    )
+    out = catalog.q_search_mmr(str(d)).to_pandas().sort_values("rank")
+    order = out.doc_id.tolist()
+    assert len(order) == 3
+    assert order[1] == 2, order  # the diverse doc outranks the near-dup
+    assert {order[0], order[2]} == {0, 1}
