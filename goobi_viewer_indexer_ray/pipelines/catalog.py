@@ -3148,6 +3148,69 @@ def _proximity_sql() -> str:
     )
 
 
+PASSAGE_QUERIES = [(0, "hash join"), (1, "customer order stream"),
+                   (2, "vector"), (3, "slow query zzznope")]
+PASSAGE_WIDTH = 16
+PASSAGE_K = 15
+
+
+def q_passage_topk(sf_dir: str):
+    """Query-window passage retrieval over the positional index — the
+    RAG passage-selection / viewer best-snippet operator (the viewer
+    asks for the best highlight fragment per hit; an LLM pipeline
+    picks the window to feed the prompt).  Per query: the 16-token
+    window with the most query-term occurrences per doc (earliest on
+    ties), top-15 docs by (n_hits desc, doc_id).  Work is df-bounded
+    posting algebra (see search_ops.passage_topk) — never re-reads
+    corpus text."""
+    from .query import LocalIndex
+    from .search_ops import passage_topk
+
+    idx = LocalIndex(ensure_documents_index_pos(sf_dir))
+    return passage_topk(idx, PASSAGE_QUERIES, width=PASSAGE_WIDTH, k=PASSAGE_K)
+
+
+def _passage_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in PASSAGE_QUERIES
+        for t in sorted(set(tokenize(q)))
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+occ AS (
+  SELECT q.query_id, t.doc_id, t.upos - 1 AS pos
+  FROM (SELECT doc_id, unnest(ts) AS tok,
+               generate_subscripts(ts, 1) AS upos FROM toks) t
+  JOIN (VALUES {vals}) q(query_id, term) ON t.tok = q.term
+),
+win AS (
+  SELECT query_id, doc_id, pos,
+         count(*) OVER (PARTITION BY query_id, doc_id ORDER BY pos
+                        RANGE BETWEEN CURRENT ROW
+                        AND {PASSAGE_WIDTH - 1} FOLLOWING) AS hits
+  FROM occ
+),
+best AS (
+  SELECT query_id, doc_id, pos, hits,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY hits DESC, pos) AS rn
+  FROM win
+),
+ranked AS (
+  SELECT query_id, doc_id, pos AS best_start, hits AS n_hits,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hits DESC, doc_id) AS rank
+  FROM best WHERE rn = 1
+)
+SELECT query_id::BIGINT AS query_id, doc_id,
+       best_start::BIGINT AS best_start, n_hits::BIGINT AS n_hits,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {PASSAGE_K}
+ORDER BY query_id, rank
+"""
+
+
 WILDCARD_PATTERNS = ["h*h", "s?an", "*ream", "s*", "zz*"]
 
 
@@ -5116,6 +5179,7 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-4 additions / re-oracled entries ---
+    "passage_topk": q_passage_topk,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -5219,6 +5283,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "passage_topk": _passage_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

@@ -776,6 +776,77 @@ def proximity_docs(index, pairs: list[tuple[str, str, int]]):
     )
 
 
+def passage_topk(index, queries: list[tuple[int, str]], *,
+                 width: int = 16, k: int = 15):
+    """Best-passage retrieval: for each query, over every doc holding
+    at least one query term, the ``width``-token window with the most
+    query-term occurrences (earliest window on ties), top-``k`` docs
+    by (n_hits desc, doc_id asc).
+
+    The RAG passage-selection / viewer best-snippet operator: the
+    viewer asks Solr for the best highlight fragment per hit
+    (reference `SolrSearchIndex` highlighting over the fields this
+    indexer writes); at pipeline scale the same shape picks the
+    passage to feed a retrieval-augmented prompt.
+
+    Positional-index algebra only — never touches corpus text:
+    occurrences of the query-term union become sorted composite keys
+    ``rank·2³² + pos`` (rank = doc's index in the matched-doc union,
+    so arbitrary 64-bit doc_ids never overflow the key); window
+    counts for ALL occurrences are ONE two-pointer pass
+    ``searchsorted(keys, keys + width) − arange`` (a key from the
+    next doc is ≥ 2³² away, so windows can't leak across docs);
+    per-doc best is ``maximum.reduceat`` over doc runs with a
+    ``minimum.reduceat`` over masked positions for the earliest-tie
+    rule.  Work is df-bounded (query-term postings only), exactly
+    like phrase/proximity — runs per shard on the serving node.
+
+    Returns ``(query_id, doc_id, best_start, n_hits, rank)``, int64.
+    """
+    SHIFT = np.uint64(32)
+    out = {c: [] for c in ("query_id", "doc_id", "best_start", "n_hits", "rank")}
+    for qid, query in queries:
+        terms = sorted(set(tokenize(query)))
+        occ = []
+        for t in terms:
+            ref = index.lookup(t)
+            if ref is None:
+                continue
+            docs, tfs, pos, _ = ref.positions_all()
+            occ.append((docs, tfs, pos))
+        if not occ:
+            continue
+        union = _rank_union([d for d, _, _ in occ])
+        keys_parts = []
+        for docs, tfs, pos in occ:
+            rank = np.searchsorted(union, docs).astype(np.uint64)
+            keys_parts.append((np.repeat(rank, tfs) << SHIFT) | pos.astype(np.uint64))
+        keys = np.sort(np.concatenate(keys_parts))
+        hits = (
+            np.searchsorted(keys, keys + np.uint64(width)) - np.arange(keys.size)
+        ).astype(np.int64)
+        doc_rank = (keys >> SHIFT).astype(np.int64)
+        pos0 = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        starts = np.flatnonzero(np.diff(doc_rank, prepend=doc_rank[0] - 1))
+        best = np.maximum.reduceat(hits, starts)
+        masked_pos = np.where(hits == np.repeat(best, np.diff(starts, append=keys.size)),
+                              pos0, np.int64(1) << 60)
+        best_pos = np.minimum.reduceat(masked_pos, starts)
+        doc_ids = union[doc_rank[starts]]
+        order = np.lexsort((doc_ids, -best))[:k]
+        n = order.size
+        out["query_id"].append(np.full(n, qid, np.int64))
+        out["doc_id"].append(doc_ids[order])
+        out["best_start"].append(best_pos[order])
+        out["n_hits"].append(best[order])
+        out["rank"].append(np.arange(1, n + 1, dtype=np.int64))
+    if not out["query_id"]:
+        return pa.table({c: pa.array([], pa.int64()) for c in out})
+    return pa.table(
+        {c: pa.array(np.concatenate(v), pa.int64()) for c, v in out.items()}
+    )
+
+
 # ---------------------------------------------------------------- kwic
 
 def kwic_snippets(ds, terms: list[str], *, width: int = 2, index=None):

@@ -166,6 +166,7 @@ def _check(contract, con, name):
         "budget_select",
         "search_suggest",
         "search_mmr",
+        "passage_topk",
     ],
 )
 def test_vs_duckdb(contract, con, name):

@@ -138,3 +138,35 @@ def test_positional_kernels_survive_huge_doc_ids(ray_session, tmp_path):
     pr = so.proximity_docs(idx, [("beta", "alpha", 1)]).to_pandas()
     got = {int(r.doc_id): int(r.n_matches) for r in pr.itertuples()}
     assert got == {2 * big + 5: 1, 3: 1}
+
+
+def test_passage_topk_brute(pos_index):
+    """passage_topk vs a per-doc brute force over POS_TEXTS: window
+    counts, earliest-window tie rule, and the top-k cut, at several
+    widths (width=1 degenerates to tf of the best single position)."""
+    import pandas as pd
+
+    from goobi_viewer_indexer_ray.pipelines import search_ops as so
+
+    queries = [(0, "alpha beta"), (1, "gamma"), (2, "zzz"), (3, "solo alpha")]
+    for width in (1, 2, 3, 5):
+        got = so.passage_topk(pos_index, queries, width=width, k=3).to_pandas()
+        rows = []
+        for qid, q in queries:
+            terms = set(tokenize(q))
+            per_doc = []
+            for d, text in TEXTS.items():
+                occ = [p for p, t in enumerate(tokenize(text)) if t in terms]
+                if not occ:
+                    continue
+                hits, neg_p = max(
+                    (sum(1 for o in occ if p <= o < p + width), -p) for p in occ
+                )
+                per_doc.append((d, -neg_p, hits))
+            per_doc.sort(key=lambda r: (-r[2], r[0]))
+            for rank, (d, start, hits) in enumerate(per_doc[:3], 1):
+                rows.append((qid, d, start, hits, rank))
+        want = pd.DataFrame(
+            rows, columns=["query_id", "doc_id", "best_start", "n_hits", "rank"]
+        ).astype("int64")
+        assert got.reset_index(drop=True).equals(want), f"width={width}"
