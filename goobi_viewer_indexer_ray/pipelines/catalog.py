@@ -453,6 +453,127 @@ FROM r WHERE rank <= 10
 """
 
 
+RRF_K = 60
+RRF_DEPTH = 20
+RRF_TOP = 10
+RRF_SCALE = 10**9
+RRF_QUERY_IDS = [0, 1, 4, 5, 6]  # qid 4 = zzznope: empty lexical leg
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval via reciprocal rank fusion (Cormack et al.
+    2009): fuse the lexical BM25 ranking with the dense
+    embedding-cosine ranking, ``rrf = Σ_legs 10⁹ // (60 + rank)`` —
+    all-integer, so every fused score and tie is oracle-exact.  The
+    synthetic embeddings table is row-aligned with documents
+    (vec_id == doc_id), so query qid uses DOC_QUERIES[qid]'s text on
+    the lexical leg and embedding vec_id=qid on the dense leg; qid 4
+    (zzznope) exercises the empty-lexical-leg path.
+
+    Both legs are the existing distributed operators (index-engine
+    BM25 scoring; one streamed ``map_batches`` cosine pass against
+    the broadcast query matrix); fusion folds ≤ 2·depth candidates
+    per query on the serving side.  Top-10 by (rrf desc, doc_id)."""
+    from .query import LocalIndex, topk_exact
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    qmap = {q["query_id"]: q["query"] for q in DOC_QUERIES}
+    dense = ann.brute_force_topk(_embeddings(sf_dir), RRF_QUERY_IDS, k=RRF_DEPTH)
+
+    fused: dict[int, dict[int, int]] = {qid: {} for qid in RRF_QUERY_IDS}
+    for qid in RRF_QUERY_IDS:
+        d, s = topk_exact(idx, qmap[qid], idx.n_docs)  # full ranking
+        if d.size:
+            s_r = np.round(s, 4)
+            order = np.lexsort((d, -s_r))[:RRF_DEPTH]
+            for r, i in enumerate(order, 1):
+                fused[qid][int(d[i])] = RRF_SCALE // (RRF_K + r)
+    for t in dense.itertuples():
+        qid, doc = int(t.query_vec_id), int(t.vec_id)
+        fused[qid][doc] = fused[qid].get(doc, 0) + RRF_SCALE // (
+            RRF_K + int(t.rank)
+        )
+
+    out = {c: [] for c in ("query_id", "doc_id", "rrf_score", "rank")}
+    for qid in RRF_QUERY_IDS:
+        top = sorted(fused[qid].items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOP]
+        for r, (doc, sc) in enumerate(top, 1):
+            out["query_id"].append(qid)
+            out["doc_id"].append(doc)
+            out["rrf_score"].append(sc)
+            out["rank"].append(r)
+    return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
+
+
+def _rrf_sql() -> str:
+    vals = ", ".join(
+        f"({q['query_id']}, '{t}')"
+        for q in DOC_QUERIES
+        if q["query_id"] in RRF_QUERY_IDS
+        for t in sorted(set(tokenize(q["query"])))
+    )
+    qids = ", ".join(map(str, RRF_QUERY_IDS))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM scored
+),
+qv AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id IN ({qids})
+),
+dense AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(list_cosine_similarity(qe, emb), 4)
+                              DESC, vec_id) AS rank
+  FROM qv CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+),
+pts AS (
+  SELECT query_id, doc_id, {RRF_SCALE} // ({RRF_K} + rank) AS pts
+  FROM lex WHERE rank <= {RRF_DEPTH}
+  UNION ALL
+  SELECT qid AS query_id, vec_id AS doc_id, {RRF_SCALE} // ({RRF_K} + rank)
+  FROM dense WHERE rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT query_id, doc_id, sum(pts)::BIGINT AS rrf_score FROM pts GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       rrf_score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {RRF_TOP}
+ORDER BY query_id, rank
+"""
+
+
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs (exact, SQL-checked)."""
     return ann.embedding_dup_pairs(_embeddings(sf_dir), threshold=0.45)
@@ -5180,6 +5301,7 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 QUERIES = {
     # --- round-4 additions / re-oracled entries ---
     "passage_topk": q_passage_topk,
+    "rrf_fusion": q_rrf_fusion,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -5284,6 +5406,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "passage_topk": _passage_sql(),
+    "rrf_fusion": _rrf_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

@@ -167,6 +167,7 @@ def _check(contract, con, name):
         "search_suggest",
         "search_mmr",
         "passage_topk",
+        "rrf_fusion",
     ],
 )
 def test_vs_duckdb(contract, con, name):
@@ -299,3 +300,19 @@ def test_ann_pq_code_packing(contract):
     packed = out["pq_code"].to_numpy()
     for s in range(8):
         assert (((packed >> (4 * s)) & 0xF) == codes[:, s]).all()
+
+
+def test_rrf_empty_lexical_leg(contract):
+    """rrf_fusion qid 4 (zzznope) has no lexical hits — its fused
+    ranking must equal the dense cosine ranking (same docs, same
+    order), and every fused score must be a single-leg RRF point."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import (
+        RRF_K, RRF_SCALE, RRF_TOP)
+
+    fused = _to_df(contract.queries()["rrf_fusion"](SF))
+    dense = _to_df(contract.queries()["ann_cosine_topk"](SF))
+    f4 = fused[fused.query_id == 4].sort_values("rank")
+    d4 = dense[dense.query_vec_id == 4].sort_values("rank")
+    assert list(f4.doc_id)[:RRF_TOP] == list(d4.vec_id)[:RRF_TOP]
+    want = [RRF_SCALE // (RRF_K + r) for r in range(1, len(f4) + 1)]
+    assert list(f4.rrf_score) == want
