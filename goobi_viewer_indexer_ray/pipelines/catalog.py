@@ -24,6 +24,7 @@ for ASCII corpora; the driver's ``documents`` table is ASCII (checked).
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 
 import numpy as np
@@ -450,6 +451,183 @@ r AS (
 SELECT query_vec_id::BIGINT AS query_vec_id, vec_id::BIGINT AS vec_id,
        cos_r, rank::BIGINT AS rank
 FROM r WHERE rank <= 10
+"""
+
+
+RANKEVAL_AT = 10
+# Integer DCG discounts: round(10^6 / log2(rank+1)), rank 1..10 —
+# baked into BOTH the engine fold and the SQL replay, so nDCG is
+# integer-exact (the one log2 per rank happens here, once, at import).
+RANKEVAL_DISC = [round(1e6 / math.log2(r + 1)) for r in range(1, RANKEVAL_AT + 1)]
+# md5 first hex digit → graded relevance (sparse, query-dependent):
+# '0'→3, '1'-'2'→2, '3'-'5'→1, else 0; gain = 2^g − 1.
+RANKEVAL_GRADE = {"0": 3, "1": 2, "2": 2, "3": 1, "4": 1, "5": 1}
+RANKEVAL_GAIN = {3: 7, 2: 3, 1: 1}
+
+
+def _rankeval_grade_digit(qid: int, doc_id: int) -> str:
+    return hashlib.md5(f"{qid}:{doc_id}".encode()).hexdigest()[0]
+
+
+def q_ranking_eval(sf_dir: str):
+    """IR evaluation harness (trec_eval parity surface): P@10, MRR@10,
+    DCG@10, IDCG@10 and nDCG@10 per query for the BM25 ranking,
+    against deterministic md5-derived graded qrels (grade =
+    f(md5(qid:doc)) — the synthetic stand-in for a judgments table).
+
+    All-integer metrics: gains 2^g−1, discounts the baked
+    ``RANKEVAL_DISC`` micro-units, ``ndcg_u = 10⁶·dcg // idcg`` —
+    every value oracle-exact.  IDCG is TRUE ideal-over-the-corpus
+    (not condensed-list): per-query grade COUNTS come from one
+    distributed ``map_batches`` pass over documents (only 3
+    counters per query per batch reach the driver), the greedy
+    top-10 grade fill folds from counts.  qid 4 (no lexical hits)
+    pins the zero-result row.
+    """
+    ds = _documents(sf_dir, columns=("doc_id",))
+    qids = [q["query_id"] for q in DOC_QUERIES]
+
+    grade_of = np.zeros(16, np.int64)
+    for k, v in RANKEVAL_GRADE.items():
+        grade_of[int(k, 16)] = v
+
+    def grade_counts(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").to_numpy()
+        rows_q, rows_g, rows_n = [], [], []
+        for qid in qids:
+            pre = f"{qid}:".encode()
+            digits = np.fromiter(
+                (int(hashlib.md5(pre + str(d).encode()).hexdigest()[0], 16)
+                 for d in docs),
+                np.int64, count=docs.size,
+            )
+            cnt = np.bincount(grade_of[digits], minlength=4)
+            for g in (1, 2, 3):
+                rows_q.append(qid)
+                rows_g.append(g)
+                rows_n.append(int(cnt[g]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "grade": pa.array(rows_g, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(grade_counts, batch_format="pyarrow").to_pandas()
+    counts = partials.groupby(["query_id", "grade"])["n"].sum()
+
+    ranked = documents_bm25_topk(sf_dir).to_pandas()
+    out = {c: [] for c in ("query_id", "p_at_10", "mrr_u", "dcg_u",
+                           "idcg_u", "ndcg_u")}
+    for qid in qids:
+        # ideal: greedy fill of the top-10 slots from corpus grade counts
+        idcg = 0
+        slot = 0
+        for g in (3, 2, 1):
+            take = min(int(counts.get((qid, g), 0)), RANKEVAL_AT - slot)
+            for _ in range(take):
+                idcg += RANKEVAL_GAIN[g] * RANKEVAL_DISC[slot]
+                slot += 1
+        g_ranked = ranked[ranked.query_id == qid].sort_values("rank")
+        dcg = 0
+        p10 = 0
+        mrr = 0
+        for r, doc in zip(g_ranked["rank"], g_ranked["doc_id"]):
+            g = RANKEVAL_GRADE.get(_rankeval_grade_digit(qid, int(doc)), 0)
+            if g:
+                p10 += 1
+                if mrr == 0:
+                    mrr = 10**6 // int(r)
+                dcg += RANKEVAL_GAIN[g] * RANKEVAL_DISC[int(r) - 1]
+        out["query_id"].append(qid)
+        out["p_at_10"].append(p10)
+        out["mrr_u"].append(mrr)
+        out["dcg_u"].append(dcg)
+        out["idcg_u"].append(idcg)
+        out["ndcg_u"].append(10**6 * dcg // idcg if idcg else 0)
+    return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
+
+
+def _ranking_eval_sql() -> str:
+    vals = ", ".join(
+        f"({q['query_id']}, '{t}')"
+        for q in DOC_QUERIES
+        for t in sorted(set(tokenize(q["query"])))
+    )
+    qid_vals = ", ".join(f"({q['query_id']})" for q in DOC_QUERIES)
+    disc_vals = ", ".join(
+        f"({r + 1}, {d})" for r, d in enumerate(RANKEVAL_DISC)
+    )
+    grade_case = (
+        "CASE substr(md5(query_id::VARCHAR || ':' || doc_id::VARCHAR), 1, 1) "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in RANKEVAL_GRADE.items())
+        + " ELSE 0 END"
+    )
+    gain_case = "CASE g WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END"
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+qid(query_id) AS (VALUES {qid_vals}),
+disc(rnk, d) AS (VALUES {disc_vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scored
+),
+rg AS (
+  SELECT query_id, rnk, {grade_case} AS g
+  FROM ranked WHERE rnk <= {RANKEVAL_AT}
+),
+run AS (
+  SELECT query_id,
+         sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)::BIGINT AS p_at_10,
+         coalesce(1000000 // min(CASE WHEN g > 0 THEN rnk END), 0)::BIGINT AS mrr_u,
+         coalesce(sum(({gain_case}) * d), 0)::BIGINT AS dcg_u
+  FROM rg JOIN disc USING (rnk) GROUP BY query_id
+),
+allg AS (
+  SELECT qid.query_id, d.doc_id, {grade_case} AS g
+  FROM qid CROSS JOIN (SELECT doc_id FROM documents) d
+),
+ideal AS (
+  SELECT query_id, g,
+         row_number() OVER (PARTITION BY query_id ORDER BY g DESC, doc_id) AS rnk
+  FROM allg WHERE g > 0
+),
+icalc AS (
+  SELECT query_id, sum(({gain_case}) * d)::BIGINT AS idcg_u
+  FROM ideal JOIN disc USING (rnk)
+  WHERE rnk <= {RANKEVAL_AT} GROUP BY query_id
+)
+SELECT qid.query_id::BIGINT AS query_id,
+       coalesce(run.p_at_10, 0)::BIGINT AS p_at_10,
+       coalesce(run.mrr_u, 0)::BIGINT AS mrr_u,
+       coalesce(run.dcg_u, 0)::BIGINT AS dcg_u,
+       coalesce(icalc.idcg_u, 0)::BIGINT AS idcg_u,
+       coalesce(CASE WHEN icalc.idcg_u > 0
+                THEN 1000000 * run.dcg_u // icalc.idcg_u END, 0)::BIGINT AS ndcg_u
+FROM qid LEFT JOIN run USING (query_id) LEFT JOIN icalc USING (query_id)
+ORDER BY query_id
 """
 
 
@@ -5302,6 +5480,7 @@ QUERIES = {
     # --- round-4 additions / re-oracled entries ---
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
+    "ranking_eval": q_ranking_eval,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -5407,6 +5586,7 @@ QUERIES = {
 ORACLE_SQL = {
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
+    "ranking_eval": _ranking_eval_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

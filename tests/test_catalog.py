@@ -168,6 +168,7 @@ def _check(contract, con, name):
         "search_mmr",
         "passage_topk",
         "rrf_fusion",
+        "ranking_eval",
     ],
 )
 def test_vs_duckdb(contract, con, name):
@@ -316,3 +317,18 @@ def test_rrf_empty_lexical_leg(contract):
     assert list(f4.doc_id)[:RRF_TOP] == list(d4.vec_id)[:RRF_TOP]
     want = [RRF_SCALE // (RRF_K + r) for r in range(1, len(f4) + 1)]
     assert list(f4.rrf_score) == want
+
+
+def test_ranking_eval_invariants(contract):
+    """Metric algebra pins: DCG never exceeds the true ideal, nDCG is
+    bounded by 10^6, P@10 by 10, and the zero-result query (qid 4,
+    zzznope) scores 0 on every run metric but keeps a positive ideal
+    (its qrels exist even though retrieval found nothing)."""
+    df = _to_df(contract.queries()["ranking_eval"](SF)).set_index("query_id")
+    assert (df.dcg_u <= df.idcg_u).all()
+    assert df.ndcg_u.between(0, 10**6).all()
+    assert df.p_at_10.between(0, 10).all()
+    assert (df.mrr_u <= 10**6).all()
+    z = df.loc[4]
+    assert z.p_at_10 == 0 and z.mrr_u == 0 and z.dcg_u == 0 and z.ndcg_u == 0
+    assert z.idcg_u > 0
