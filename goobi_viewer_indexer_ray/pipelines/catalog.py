@@ -3904,6 +3904,77 @@ GROUP BY lang ORDER BY lang
 """
 
 
+GROUP_TOPN_QUERY_IDS = [0, 2, 5]  # qid 2 = "the": a huge match set
+GROUP_TOPN_N = 2
+
+
+def q_search_group_topn(sf_dir: str):
+    """Scored Solr result grouping (group.field=lang, group.limit=2,
+    sort=score desc): top-2 matched docs per (query, lang) by
+    (round(BM25,4) desc, doc_id) + exact group size.  The streamed
+    pass emits ≤ 2 candidates + 1 count partial per group per batch —
+    the fold never sees the matched set (see
+    search_ops.grouped_topn)."""
+    from .query import LocalIndex
+    from .search_ops import grouped_topn
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    meta = _documents(sf_dir, columns=("doc_id", "lang"))
+    qmap = {q["query_id"]: q["query"] for q in DOC_QUERIES}
+    out = grouped_topn(
+        idx, meta, [(qid, qmap[qid]) for qid in GROUP_TOPN_QUERY_IDS],
+        group_col="lang", n=GROUP_TOPN_N,
+    )
+    return out.rename_columns(
+        ["query_id", "lang", "doc_id", "score_r", "rank_in_group",
+         "n_in_group"]
+    )
+
+
+def _group_topn_sql() -> str:
+    vals = ", ".join(
+        f"({q['query_id']}, '{t}')"
+        for q in DOC_QUERIES
+        if q["query_id"] in GROUP_TOPN_QUERY_IDS
+        for t in sorted(set(tokenize(q["query"])))
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+g AS (
+  SELECT s.query_id, d.lang, s.doc_id, round(s.score, 4) AS score_r,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY round(s.score, 4) DESC, s.doc_id)
+           AS rank_in_group,
+         count(*) OVER (PARTITION BY s.query_id, d.lang) AS n_in_group
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT query_id::BIGINT AS query_id, lang, doc_id, score_r,
+       rank_in_group::BIGINT AS rank_in_group,
+       n_in_group::BIGINT AS n_in_group
+FROM g WHERE rank_in_group <= {GROUP_TOPN_N}
+ORDER BY query_id, lang, rank_in_group
+"""
+
+
 RANGE_FACET_MUST = ["window"]
 RANGE_FACET_WIDTH = 16
 
@@ -5481,6 +5552,7 @@ QUERIES = {
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
+    "search_group_topn": q_search_group_topn,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -5587,6 +5659,7 @@ ORACLE_SQL = {
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),
+    "search_group_topn": _group_topn_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

@@ -847,6 +847,121 @@ def passage_topk(index, queries: list[tuple[int, str]], *,
     )
 
 
+def grouped_topn(index, ds, queries: list[tuple[int, str]], *,
+                 group_col: str, n: int = 2):
+    """Scored result grouping — Solr ``group=true&group.field=X&
+    group.limit=n&sort=score desc`` (the generalization of
+    :func:`collapse_top1` from 1 head to n scored heads per group):
+    per (query, group), the top-``n`` matched docs by
+    (round(BM25, 4) desc, doc_id) plus the exact group size.
+
+    Scale shape: BM25 scoring stays df-bounded on the serving node;
+    the per-query (doc, score) arrays broadcast ONCE via ``ray.put``;
+    one streamed pass over ``ds`` (doc_id + group column only) does
+    the semi-join per batch and emits ONLY ≤ n candidate rows per
+    (query, group) per batch plus one count partial per (query,
+    group) per batch — the final fold sees O(batches · groups · n)
+    rows, never the matched set.
+
+    Returns an Arrow table ``(query_id, group, doc_id, score_r,
+    rank_in_group, n_in_group)`` sorted by (query_id, group, rank).
+    """
+    import ray
+
+    per_q = {}
+    for qid, query in queries:
+        d, s = _score_query(index, query)
+        per_q[qid] = (d, np.round(s, 4))
+    ref = ray.put(per_q)
+    n_keep = n
+
+    def part(t: pa.Table) -> pa.Table:
+        pq = ray.get(ref)
+        docs = t.column("doc_id").to_numpy()
+        groups = t.column(group_col).to_pandas().to_numpy()
+        out = {"query_id": [], "group": [], "doc_id": [], "score_r": [],
+               "cnt": []}
+        for qid, (md, ms) in pq.items():
+            pos = np.searchsorted(md, docs)
+            pos_c = np.minimum(pos, md.size - 1) if md.size else pos
+            hit = (md.size > 0) & (md[pos_c] == docs) if md.size else \
+                np.zeros(docs.size, bool)
+            if not hit.any():
+                continue
+            g_h, d_h, s_h = groups[hit], docs[hit], ms[pos_c[hit]]
+            # per-group: count partial + top-n candidates (lexsort by
+            # group, -score, doc; take first n of each group run)
+            order = np.lexsort((d_h, -s_h, g_h))
+            g_s, d_s, s_s = g_h[order], d_h[order], s_h[order]
+            starts = np.flatnonzero(g_s[1:] != g_s[:-1]) + 1
+            starts = np.concatenate(([0], starts))
+            sizes = np.diff(starts, append=g_s.size)
+            within = np.arange(g_s.size) - np.repeat(starts, sizes)
+            keep = within < n_keep
+            out["query_id"].extend([qid] * int(keep.sum()))
+            out["group"].extend(g_s[keep].tolist())
+            out["doc_id"].extend(d_s[keep].tolist())
+            out["score_r"].extend(s_s[keep].tolist())
+            out["cnt"].extend([0] * int(keep.sum()))
+            # count partials (doc_id = -1 marker rows)
+            heads = g_s[starts]
+            out["query_id"].extend([qid] * heads.size)
+            out["group"].extend(heads.tolist())
+            out["doc_id"].extend([-1] * heads.size)
+            out["score_r"].extend([0.0] * heads.size)
+            out["cnt"].extend(sizes.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "group": pa.array(out["group"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score_r": pa.array(out["score_r"], pa.float64()),
+                "cnt": pa.array(out["cnt"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    cols = {c: [] for c in ("query_id", "group", "doc_id", "score_r",
+                            "rank_in_group", "n_in_group")}
+    if len(parts):
+        counts = (
+            parts[parts.doc_id < 0]
+            .groupby(["query_id", "group"])["cnt"].sum()
+        )
+        cand = parts[parts.doc_id >= 0]
+        for (qid, grp), g in cand.groupby(["query_id", "group"]):
+            g = g.sort_values(["score_r", "doc_id"],
+                              ascending=[False, True]).head(n_keep)
+            for r, row in enumerate(g.itertuples(), 1):
+                cols["query_id"].append(qid)
+                cols["group"].append(grp)
+                cols["doc_id"].append(int(row.doc_id))
+                cols["score_r"].append(float(row.score_r))
+                cols["rank_in_group"].append(r)
+                cols["n_in_group"].append(int(counts.loc[(qid, grp)]))
+    tbl = pa.table(
+        {
+            "query_id": pa.array(cols["query_id"], pa.int64()),
+            "group": pa.array(cols["group"], pa.string()),
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "score_r": pa.array(cols["score_r"], pa.float64()),
+            "rank_in_group": pa.array(cols["rank_in_group"], pa.int64()),
+            "n_in_group": pa.array(cols["n_in_group"], pa.int64()),
+        }
+    )
+    return tbl.sort_by([("query_id", "ascending"), ("group", "ascending"),
+                        ("rank_in_group", "ascending")])
+
+
+def _score_query(index, query: str):
+    """Full BM25 ranking (docs, scores) for a query — sorted by doc."""
+    from .query import topk_exact
+
+    d, s = topk_exact(index, query, index.n_docs)
+    order = np.argsort(d)
+    return d[order], s[order]
+
+
 # ---------------------------------------------------------------- kwic
 
 def kwic_snippets(ds, terms: list[str], *, width: int = 2, index=None):

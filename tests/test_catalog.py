@@ -169,6 +169,7 @@ def _check(contract, con, name):
         "passage_topk",
         "rrf_fusion",
         "ranking_eval",
+        "search_group_topn",
     ],
 )
 def test_vs_duckdb(contract, con, name):
@@ -332,3 +333,23 @@ def test_ranking_eval_invariants(contract):
     z = df.loc[4]
     assert z.p_at_10 == 0 and z.mrr_u == 0 and z.dcg_u == 0 and z.ndcg_u == 0
     assert z.idcg_u > 0
+
+
+def test_group_topn_partition_invariance(contract, ray_session):
+    """grouped_topn's per-batch candidate truncation + count partials
+    must be invariant to input partitioning (1 vs 16 blocks)."""
+    import ray
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import (
+        DOC_QUERIES, GROUP_TOPN_QUERY_IDS, ensure_documents_index)
+    from goobi_viewer_indexer_ray.pipelines.query import LocalIndex
+    from goobi_viewer_indexer_ray.pipelines.search_ops import grouped_topn
+
+    idx = LocalIndex(ensure_documents_index(SF))
+    qmap = {q["query_id"]: q["query"] for q in DOC_QUERIES}
+    qs = [(qid, qmap[qid]) for qid in GROUP_TOPN_QUERY_IDS]
+    base = ray.data.read_parquet(SF + "/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    a = grouped_topn(idx, base.repartition(1), qs, group_col="lang", n=2)
+    b = grouped_topn(idx, base.repartition(16), qs, group_col="lang", n=2)
+    assert a.to_pandas().equals(b.to_pandas())
