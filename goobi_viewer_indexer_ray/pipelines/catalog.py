@@ -3904,6 +3904,55 @@ GROUP BY lang ORDER BY lang
 """
 
 
+VOCAB_CHECKPOINTS = [50, 200, 1_000, 5_000, 20_000, 10**9]
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth (unigram + bigram) at fixed
+    token-count checkpoints over the corpus in doc_id order — the
+    pretraining-corpus sublinearity diagnostic.  Distributed two-level
+    prefix scan for global token offsets, bucket-local first-occurrence
+    extraction, vocab-sized min fold (see stages.text_ops.vocab_growth;
+    the 10^9 checkpoint pins the full-corpus vocabulary)."""
+    return text_ops.vocab_growth(_documents(sf_dir), VOCAB_CHECKPOINTS)
+
+
+def _vocab_growth_sql() -> str:
+    cp_vals = ", ".join(f"({n})" for n in VOCAB_CHECKPOINTS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::BIGINT AS n FROM toks),
+offs AS (
+  SELECT doc_id, coalesce(sum(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM dl
+),
+uni AS (
+  SELECT 'unigram' AS unit, t.tok AS term, o.off + t.upos - 1 AS p
+  FROM (SELECT doc_id, unnest(ts) AS tok,
+               generate_subscripts(ts, 1) AS upos FROM toks) t
+  JOIN offs o USING (doc_id)
+),
+big AS (
+  SELECT 'bigram' AS unit, x.ts[x.i] || ' ' || x.ts[x.i + 1] AS term,
+         o.off + x.i - 1 AS p
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks) x
+  JOIN offs o USING (doc_id)
+),
+firsts AS (
+  SELECT unit, term, min(p) AS fp
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+  GROUP BY unit, term
+),
+cp(n) AS (VALUES {cp_vals})
+SELECT f.unit, cp.n::BIGINT AS checkpoint,
+       count(*) FILTER (WHERE f.fp < cp.n)::BIGINT AS vocab
+FROM firsts f CROSS JOIN cp
+GROUP BY f.unit, cp.n
+ORDER BY unit, checkpoint
+"""
+
+
 GROUP_TOPN_QUERY_IDS = [0, 2, 5]  # qid 2 = "the": a huge match set
 GROUP_TOPN_N = 2
 
@@ -5553,6 +5602,7 @@ QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
     "search_group_topn": q_search_group_topn,
+    "vocab_growth": q_vocab_growth,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -5660,6 +5710,7 @@ ORACLE_SQL = {
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),
     "search_group_topn": _group_topn_sql(),
+    "vocab_growth": _vocab_growth_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

@@ -714,3 +714,158 @@ def bigram_counts_batch(batch: pa.Table) -> pa.Table:
             "n": pa.array(n.astype(np.int64), pa.int64()),
         }
     )
+
+
+def vocab_growth(ds, checkpoints: list[int], *, bucket_size: int = 65_536):
+    """Heaps'-law vocabulary growth: for each token-count checkpoint N,
+    how many distinct unigrams / bigrams appear within the first N
+    tokens of the corpus in doc_id order — the classic sublinearity
+    diagnostic for pretraining corpora (a flattening curve means the
+    tail is duplicated boilerplate; synthetic data shows it early).
+
+    Fully distributed, exact, no global sort:
+
+    1. the same two-level prefix scan as :func:`pack_assign` turns
+       per-bucket token totals into exclusive bucket offsets (driver
+       sees one row per bucket, broadcast once);
+    2. one ``groupby(bucket).map_groups`` pass re-derives each doc's
+       global token offset inside its bucket group and emits the
+       bucket-local FIRST global position per distinct unigram and
+       adjacent-pair bigram (integer codes throughout; term strings
+       materialize once per distinct term per bucket);
+    3. a vocab-sized ``groupby(key).min`` folds bucket partials into
+       true global first positions;
+    4. checkpoint counts are ``searchsorted`` bincount partials folded
+       on the driver (len(checkpoints) ints per batch).
+
+    Returns an Arrow table ``(unit, checkpoint, vocab)`` — vocab =
+    #terms whose first occurrence position < checkpoint — sorted by
+    (unit, checkpoint), zeros included.
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    cps = np.asarray(sorted(checkpoints), dtype=np.int64)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").cast(pa.int64()).to_numpy()
+        return t.append_column("bucket", pa.array(d // bucket_size, pa.int64()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        out = token_count_batch(t)
+        return out.append_column("bucket", t.column("bucket"))
+
+    totals = pa.concat_tables(
+        bucketed.map_batches(count_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum(on="n_tokens", alias_name="tot"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("bucket")
+    b_ids = totals.column("bucket").to_numpy()
+    b_off = np.concatenate(
+        [[0], np.cumsum(totals.column("tot").to_numpy())[:-1]]
+    )
+    off_ref = ray.put((b_ids, b_off))
+
+    def firsts_in_bucket(g: pa.Table) -> pa.Table:
+        ids_, offs = ray.get(off_ref)
+        order = pc.sort_indices(g.column("doc_id"))
+        g = g.take(order)
+        ids, counts, codes, uniq = _flat_token_codes(g)
+        if codes.size == 0:
+            return pa.table(
+                {"key": pa.array([], pa.string()),
+                 "fp": pa.array([], pa.int64())}
+            )
+        b = int(g.column("bucket")[0].as_py())
+        base = int(offs[np.searchsorted(ids_, b)])
+        starts = np.cumsum(counts) - counts
+        gpos = base + np.arange(codes.size, dtype=np.int64)
+        # ^ docs are sorted and token runs are contiguous, so the flat
+        # stream index IS the bucket-local position; + base = global.
+        v = np.int64(uniq.size)
+
+        def run_min(keys: np.ndarray, pos: np.ndarray):
+            o = np.argsort(keys, kind="stable")
+            k_s, p_s = keys[o], pos[o]
+            cut = np.concatenate(([0], np.flatnonzero(np.diff(k_s)) + 1))
+            return k_s[cut], np.minimum.reduceat(p_s, cut)
+
+        uk, up = run_min(codes, gpos)
+        uni_terms = uniq[uk]
+        # bigrams: adjacent tokens within the same doc
+        doc_of = np.repeat(np.arange(ids.size, dtype=np.int64), counts)
+        same = doc_of[1:] == doc_of[:-1]
+        bk = codes[:-1][same] * v + codes[1:][same]
+        bp = gpos[:-1][same]
+        if bk.size:
+            bku, bpu = run_min(bk, bp)
+            big_terms = np.char.add(
+                np.char.add(uniq[(bku // v)].astype(str), " "),
+                uniq[(bku % v)].astype(str),
+            )
+        else:
+            bku = np.empty(0, np.int64)
+            bpu = np.empty(0, np.int64)
+            big_terms = np.empty(0, dtype=object)
+        keys = np.concatenate(
+            [np.char.add("u:", uni_terms.astype(str)),
+             np.char.add("b:", big_terms.astype(str))]
+        )
+        return pa.table(
+            {
+                "key": pa.array(keys.astype(object), pa.string()),
+                "fp": pa.array(np.concatenate([up, bpu]), pa.int64()),
+            }
+        )
+
+    firsts = (
+        bucketed.groupby("bucket")
+        .map_groups(firsts_in_bucket, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Min(on="fp", alias_name="fp"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_pandas().to_numpy()
+        fp = t.column("fp").to_numpy()
+        rows_u, rows_c, rows_n = [], [], []
+        for unit, tag in (("unigram", "u:"), ("bigram", "b:")):
+            sel = np.char.startswith(keys.astype(str), tag)
+            f = fp[sel]
+            # vocab at checkpoint = #terms with fp < cp
+            n_at = np.searchsorted(np.sort(f), cps, side="left")
+            rows_u.extend([unit] * cps.size)
+            rows_c.extend(cps.tolist())
+            rows_n.extend(n_at.tolist())
+        return pa.table(
+            {
+                "unit": pa.array(rows_u, pa.string()),
+                "checkpoint": pa.array(rows_c, pa.int64()),
+                "vocab": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    partials = firsts.map_batches(hist, batch_format="pyarrow").to_pandas()
+    fold = (
+        partials.groupby(["unit", "checkpoint"], sort=True)["vocab"]
+        .sum()
+        .reset_index()
+    )
+    # zeros for any (unit, checkpoint) no batch emitted (empty corpus)
+    out = {"unit": [], "checkpoint": [], "vocab": []}
+    got = {(r.unit, int(r.checkpoint)): int(r.vocab) for r in fold.itertuples()}
+    for unit in ("bigram", "unigram"):
+        for cp in cps.tolist():
+            out["unit"].append(unit)
+            out["checkpoint"].append(cp)
+            out["vocab"].append(got.get((unit, cp), 0))
+    return pa.table(
+        {
+            "unit": pa.array(out["unit"], pa.string()),
+            "checkpoint": pa.array(out["checkpoint"], pa.int64()),
+            "vocab": pa.array(out["vocab"], pa.int64()),
+        }
+    )

@@ -170,6 +170,7 @@ def _check(contract, con, name):
         "rrf_fusion",
         "ranking_eval",
         "search_group_topn",
+        "vocab_growth",
     ],
 )
 def test_vs_duckdb(contract, con, name):
@@ -353,3 +354,34 @@ def test_group_topn_partition_invariance(contract, ray_session):
     a = grouped_topn(idx, base.repartition(1), qs, group_col="lang", n=2)
     b = grouped_topn(idx, base.repartition(16), qs, group_col="lang", n=2)
     assert a.to_pandas().equals(b.to_pandas())
+
+
+def test_vocab_growth_properties(contract, ray_session):
+    """Growth curves are monotone in the checkpoint; the 10^9
+    checkpoint equals the exact full-corpus distinct counts; and the
+    result is invariant to the prefix-scan bucket size (1 doc per
+    bucket vs the default)."""
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.functions.tokenize import tokenize
+    from goobi_viewer_indexer_ray.pipelines.catalog import (
+        VOCAB_CHECKPOINTS, _documents)
+    from goobi_viewer_indexer_ray.stages.text_ops import vocab_growth
+
+    df = _to_df(contract.queries()["vocab_growth"](SF))
+    for unit, g in df.groupby("unit"):
+        v = g.sort_values("checkpoint")["vocab"].tolist()
+        assert v == sorted(v), unit
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    unis, bis = set(), set()
+    for text in t.column("text").to_pylist():
+        toks = tokenize(text)
+        unis.update(toks)
+        bis.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    full = df[df.checkpoint == 10**9].set_index("unit")["vocab"]
+    assert full["unigram"] == len(unis)
+    assert full["bigram"] == len(bis)
+    tiny = _to_df(
+        vocab_growth(_documents(SF), VOCAB_CHECKPOINTS, bucket_size=1)
+    )
+    assert _canon(tiny).equals(_canon(df))
