@@ -2795,6 +2795,87 @@ def _pagerank_sql(iters: int = 10, scale: int = 10**9) -> str:
     )
 
 
+HITS_ITERS = 5
+HITS_SCALE = 10**6
+
+
+def q_link_hits(sf_dir: str):
+    """Integer fixed-point HITS hubs & authorities over the fixture
+    web graph (Kleinberg 1999 — the companion ranking to
+    ``link_pagerank``; authorities drive index-richness decisions,
+    hubs drive crawl scheduling).  Max-rescaled int64 floor
+    arithmetic per half-round ⇒ bit-exact under any partitioning; the
+    oracle replays all 5 iterations (10 half-rounds) as chained
+    MATERIALIZED CTEs — raw integers hash-compared, no float
+    tolerance (see :func:`stages.linkgraph.hits`)."""
+    from ..stages.linkgraph import hits
+
+    docs, edges = _link_edges(sf_dir)
+    out = hits(docs, edges, node_col="doc_id",
+               iters=HITS_ITERS, scale=HITS_SCALE)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("node"),
+                "auth": t.column("auth"),
+                "hub": t.column("hub"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _hits_sql(iters: int = HITS_ITERS, scale: int = HITS_SCALE) -> str:
+    ctes = [
+        _EDGE_RULE_SQL.strip(),
+        f"""h0 AS MATERIALIZED (
+  SELECT d.doc_id::BIGINT AS node, {scale}::BIGINT AS h FROM documents d
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i}r AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.h)::BIGINT AS raw
+  FROM edges e JOIN h{i - 1} p ON p.node = e.src
+  GROUP BY e.dst
+)""",
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT n.node,
+         coalesce(r.raw, 0)
+           // greatest((SELECT (max(raw) + {scale - 1}) // {scale} FROM a{i}r), 1)
+           AS a
+  FROM h0 n LEFT JOIN a{i}r r ON r.node = n.node
+)""",
+        )
+        ctes.append(
+            f"""h{i}r AS MATERIALIZED (
+  SELECT e.src AS node, sum(p.a)::BIGINT AS raw
+  FROM edges e JOIN a{i} p ON p.node = e.dst
+  GROUP BY e.src
+)""",
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT n.node,
+         coalesce(r.raw, 0)
+           // greatest((SELECT (max(raw) + {scale - 1}) // {scale} FROM h{i}r), 1)
+           AS h
+  FROM h0 n LEFT JOIN h{i}r r ON r.node = n.node
+)""",
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.node AS doc_id, a.a::BIGINT AS auth, h.h::BIGINT AS hub
+FROM a{iters} a JOIN h{iters} h ON h.node = a.node
+ORDER BY doc_id"""
+    )
+
+
 def q_link_anchors(sf_dir: str):
     """Anchor-text aggregation per link target (the in-link summary a
     web indexer feeds the ranker): in-degree, distinct source hosts,
@@ -5603,6 +5684,7 @@ QUERIES = {
     "ranking_eval": q_ranking_eval,
     "search_group_topn": q_search_group_topn,
     "vocab_growth": q_vocab_growth,
+    "link_hits": q_link_hits,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -5711,6 +5793,7 @@ ORACLE_SQL = {
     "ranking_eval": _ranking_eval_sql(),
     "search_group_topn": _group_topn_sql(),
     "vocab_growth": _vocab_growth_sql(),
+    "link_hits": _hits_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

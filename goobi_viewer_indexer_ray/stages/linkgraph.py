@@ -57,7 +57,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["anchor_stats", "pagerank", "synth_edges"]
+__all__ = ["anchor_stats", "hits", "pagerank", "synth_edges"]
 
 
 # --------------------------------------------------------------- synth
@@ -456,3 +456,200 @@ def anchor_stats(edges, *, src_col="src", dst_col="dst", anchor_col="anchor",
         .groupby("dst")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ----------------------------------------------------------------- hits
+
+def _hits_numpy(
+    nodes: np.ndarray, src: np.ndarray, dst: np.ndarray,
+    *, iters: int, scale: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver fast path for :func:`hits` — the identical integer
+    recurrence via ``np.add.at`` scatter adds."""
+    order = np.argsort(nodes, kind="stable")
+    nid = nodes[order]
+    n = nid.size
+    si = np.searchsorted(nid, src)
+    di = np.searchsorted(nid, dst)
+    h = np.full(n, scale, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(iters):
+        ar = np.zeros(n, np.int64)
+        np.add.at(ar, di, h[si])
+        q = max(1, (int(ar.max(initial=0)) + scale - 1) // scale)
+        a = ar // q
+        hr = np.zeros(n, np.int64)
+        np.add.at(hr, si, a[di])
+        q2 = max(1, (int(hr.max(initial=0)) + scale - 1) // scale)
+        h = hr // q2
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    return a[inv], h[inv]
+
+
+def hits(
+    nodes,
+    edges,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    scale: int = 10**6,
+    method: str = "auto",
+    small_graph_threshold: int = 2_000_000,
+    num_partitions: int = 16,
+):
+    """Integer fixed-point HITS (Kleinberg 1999) hubs & authorities —
+    the companion ranking to :func:`pagerank` (authorities ≈ pages
+    worth indexing richly, hubs ≈ link directories worth crawling).
+
+    The float algorithm L2-normalizes each half-round; the integer
+    transposition rescales by the round MAX instead::
+
+        h_0(u)   = S
+        a_i(v)   = (Σ_{u→v} h_{i-1}(u)) // ceil(max_raw / S)
+        h_i(u)   = (Σ_{u→v} a_i(v))     // ceil(max_raw / S)
+
+    — max-rescaling keeps every value in [0, S] and, being pure int64
+    floor arithmetic, the result is bit-exact under any partitioning
+    and exactly replayable as chained SQL CTEs (the
+    :func:`pagerank` oracle contract).  Overflow bound: a node's raw
+    sum is ≤ degree·S, so int64 is safe for degree < 2⁶³/S (9·10¹² at
+    the default S = 10⁶ — beyond any real in-degree).
+
+    ``method`` as in :func:`pagerank`: ``"numpy"`` driver fast path,
+    ``"distributed"`` = per half-round one edges ⋈ state hash join +
+    one ``groupby.sum`` + one O(1) max fold (what a 100 TB edge set
+    uses), ``"auto"`` picks by size.  Returns a Dataset
+    ``(node, auth, hub)``.
+    """
+    import ray
+    import ray.data
+
+    if method not in ("auto", "numpy", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    n_edges = edges.count()
+    n_nodes = nodes.count()
+    if method == "numpy" or (
+        method == "auto" and n_edges + n_nodes <= small_graph_threshold
+    ):
+        nt = nodes.select_columns([node_col]).to_arrow_refs()
+        et = edges.select_columns([src_col, dst_col]).to_arrow_refs()
+        nid = pa.concat_tables(ray.get(nt)).column(node_col).to_numpy()
+        etab = pa.concat_tables(ray.get(et))
+        a, h = _hits_numpy(
+            nid,
+            etab.column(src_col).to_numpy(),
+            etab.column(dst_col).to_numpy(),
+            iters=iters,
+            scale=scale,
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nid, pa.int64()),
+                    "auth": pa.array(a, pa.int64()),
+                    "hub": pa.array(h, pa.int64()),
+                }
+            )
+        )
+
+    e = edges.map_batches(
+        lambda t, s=src_col, d=dst_col: pa.table(
+            {"esrc": t.column(s).cast(pa.int64()),
+             "edst": t.column(d).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _half_round(state, score_col: str, join_on: str, group_as: str):
+        """One HITS half-round: scatter ``score_col`` along edges
+        (joined on ``join_on``), sum per ``group_as`` node, rescale by
+        the round max.  Returns the new per-node score Dataset
+        ``(node, s)`` aligned to ``state``'s nodes (missing → 0)."""
+        other = "edst" if join_on == "esrc" else "esrc"
+        contrib = e.join(
+            state.map_batches(
+                lambda t, c=score_col: pa.table(
+                    {"jnode": t.column("node"), "js": t.column(c)}
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(join_on,),
+            right_on=("jnode",),
+        ).map_batches(
+            lambda t, o=other: pa.table(
+                {"gnode": t.column(o), "c": t.column("js")}
+            ),
+            batch_format="pyarrow",
+        )
+        raw = contrib.groupby("gnode").sum("c").materialize()
+        mx = raw.max("sum(c)") if raw.count() else 0
+        q = max(1, (int(mx or 0) + scale - 1) // scale)
+        return (
+            state.join(
+                raw,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("node",),
+                right_on=("gnode",),
+            )
+            .map_batches(
+                lambda t, q=q: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "s": pc.divide(
+                            pc.coalesce(t.column("sum(c)"),
+                                        pa.scalar(0, pa.int64())),
+                            pa.scalar(q, pa.int64()),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    state = nodes.map_batches(
+        lambda t, c=node_col, s=scale: pa.table(
+            {
+                "node": t.column(c).cast(pa.int64()),
+                "auth": pa.array(np.zeros(t.num_rows, np.int64)),
+                "hub": pa.array(np.full(t.num_rows, s, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        a_new = _half_round(state, "hub", "esrc", "edst")
+        state = (
+            state.select_columns(["node", "hub"])
+            .join(a_new, join_type="inner",
+                  num_partitions=num_partitions, on=("node",))
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "auth": t.column("s"),
+                     "hub": t.column("hub")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        h_new = _half_round(state, "auth", "edst", "esrc")
+        state = (
+            state.select_columns(["node", "auth"])
+            .join(h_new, join_type="inner",
+                  num_partitions=num_partitions, on=("node",))
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "auth": t.column("auth"),
+                     "hub": t.column("s")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return state.select_columns(["node", "auth", "hub"])

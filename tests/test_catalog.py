@@ -171,6 +171,7 @@ def _check(contract, con, name):
         "ranking_eval",
         "search_group_topn",
         "vocab_growth",
+        "link_hits",
     ],
 )
 def test_vs_duckdb(contract, con, name):

@@ -170,3 +170,65 @@ def test_pagerank_checkpoint_requires_distributed(ray_session, tmp_path):
     )
     with pytest.raises(ValueError):
         pagerank(nodes, edges, method="numpy", checkpoint_dir=str(tmp_path))
+
+
+def _ref_hits(n, src, dst, iters=5, scale=10**6):
+    """Straight-line reference of the documented HITS recurrence."""
+    h = np.full(n, scale, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(iters):
+        ar = np.zeros(n, np.int64)
+        for s, d in zip(src, dst):
+            ar[d] += h[s]
+        q = max(1, (int(ar.max()) + scale - 1) // scale)
+        a = ar // q
+        hr = np.zeros(n, np.int64)
+        for s, d in zip(src, dst):
+            hr[s] += a[d]
+        q2 = max(1, (int(hr.max()) + scale - 1) // scale)
+        h = hr // q2
+    return a, h
+
+
+def test_hits_fast_matches_reference(ray_session):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import hits, synth_edges
+
+    n = 300
+    edges_t = synth_edges(np.arange(n), n)
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array(range(n), pa.int64())}))
+    edges = ray.data.from_arrow(edges_t)
+    out = (
+        hits(nodes, edges, iters=5, method="numpy")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    a_ref, h_ref = _ref_hits(
+        n, edges_t.column("src").to_numpy(), edges_t.column("dst").to_numpy()
+    )
+    assert out["auth"].to_numpy().tolist() == a_ref.tolist()
+    assert out["hub"].to_numpy().tolist() == h_ref.tolist()
+    # max-rescaling keeps every score in [0, scale]
+    assert out["auth"].between(0, 10**6).all()
+    assert out["hub"].between(0, 10**6).all()
+
+
+def test_hits_distributed_identical(ray_session):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import hits, synth_edges
+
+    n = 120
+    ids = (np.arange(n) * 37 + 11) % n  # shuffled node order
+    edges_t = synth_edges(np.arange(n), n)
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array(ids, pa.int64())}))
+    edges = ray.data.from_arrow(edges_t)
+    fast = (
+        hits(nodes, edges, iters=3, method="numpy")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        hits(nodes, edges, iters=3, method="distributed", num_partitions=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert fast[["node", "auth", "hub"]].equals(dist[["node", "auth", "hub"]])
