@@ -454,6 +454,177 @@ FROM r WHERE rank <= 10
 """
 
 
+PRF_QUERY_IDS = [0, 5]
+PRF_FB_DOCS = 5
+PRF_FB_TERMS = 3
+PRF_TOP = 10
+
+
+def q_search_prf(sf_dir: str):
+    """Pseudo-relevance feedback (Rocchio / Lucene
+    ``MoreLikeThis``-style query expansion, applied to retrieval):
+    take the BM25 top-5 docs, mine the 3 strongest feedback terms
+    (Σtf over the feedback docs desc, df asc, term asc — tf-weighted
+    but rare-first, the classic offer ordering), expand the query,
+    rescore with BM25, return the top-10.
+
+    Distributed shape: base + expanded scoring are df-bounded on the
+    serving node; term mining is ONE streamed pass over documents
+    with the ≤ 10-doc feedback set broadcast (the more_like_this
+    semi-join pattern) — per-batch output is feedback-doc terms only."""
+    import ray
+
+    from .query import LocalIndex, topk_exact
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    qmap = {q["query_id"]: q["query"] for q in DOC_QUERIES}
+
+    fb: dict[int, np.ndarray] = {}
+    for qid in PRF_QUERY_IDS:
+        d, s = topk_exact(idx, qmap[qid], idx.n_docs)
+        s_r = np.round(s, 4)
+        order = np.lexsort((d, -s_r))[:PRF_FB_DOCS]
+        fb[qid] = np.sort(d[order])
+    fb_ref = ray.put(fb)
+
+    def mine(t: pa.Table) -> pa.Table:
+        sets = ray.get(fb_ref)
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        rows_q, rows_t, rows_n = [], [], []
+        if codes.size:
+            doc_of = np.repeat(ids, counts)
+            for qid, docs in sets.items():
+                sel = np.isin(doc_of, docs)
+                if not sel.any():
+                    continue
+                cnt = np.bincount(codes[sel], minlength=uniq.size)
+                nz = np.flatnonzero(cnt)
+                rows_q.extend([qid] * nz.size)
+                rows_t.extend(uniq[nz].tolist())
+                rows_n.extend(cnt[nz].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "term": pa.array(rows_t, pa.string()),
+                "tf": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    mined = (
+        _documents(sf_dir).map_batches(mine, batch_format="pyarrow").to_pandas()
+    )
+    tf_sums = mined.groupby(["query_id", "term"])["tf"].sum()
+
+    out = {c: [] for c in ("query_id", "doc_id", "score_r", "rank")}
+    for qid in PRF_QUERY_IDS:
+        orig = set(tokenize(qmap[qid]))
+        cands = []
+        for (q2, term), tf in tf_sums.items():
+            if q2 != qid or term in orig:
+                continue
+            ref = idx.lookup(term)
+            cands.append((-int(tf), int(ref.df), term))
+        cands.sort()
+        fb_terms = [t for _, _, t in cands[:PRF_FB_TERMS]]
+        expanded = " ".join(sorted(orig | set(fb_terms)))
+        d, s = topk_exact(idx, expanded, idx.n_docs)
+        s_r = np.round(s, 4)
+        order = np.lexsort((d, -s_r))[:PRF_TOP]
+        for r, i in enumerate(order, 1):
+            out["query_id"].append(qid)
+            out["doc_id"].append(int(d[i]))
+            out["score_r"].append(float(s_r[i]))
+            out["rank"].append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "score_r": pa.array(out["score_r"], pa.float64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+        }
+    )
+
+
+def _prf_sql() -> str:
+    vals = ", ".join(
+        f"({q['query_id']}, '{t}')"
+        for q in DOC_QUERIES
+        if q["query_id"] in PRF_QUERY_IDS
+        for t in sorted(set(tokenize(q["query"])))
+    )
+    bm25_expr = (
+        f"sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))"
+        f" * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) )"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS itf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored1 AS (
+  SELECT q.query_id, p.doc_id, {bm25_expr.replace("p.tf", "p.itf::DOUBLE")} AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+fbdocs AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 4) DESC, doc_id) AS rn
+    FROM scored1
+  ) WHERE rn <= {PRF_FB_DOCS}
+),
+fb_tf AS (
+  SELECT b.query_id, p.term, sum(p.itf)::BIGINT AS tf, any_value(f.df) AS df
+  FROM fbdocs b
+  JOIN posting p ON p.doc_id = b.doc_id
+  JOIN dfs f ON f.term = p.term
+  LEFT JOIN q ON q.query_id = b.query_id AND q.term = p.term
+  WHERE q.term IS NULL
+  GROUP BY b.query_id, p.term
+),
+fb_sel AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY tf DESC, df ASC, term ASC) AS rn
+    FROM fb_tf
+  ) WHERE rn <= {PRF_FB_TERMS}
+),
+q2 AS (
+  SELECT query_id, term FROM q
+  UNION ALL SELECT query_id, term FROM fb_sel
+),
+scored2 AS (
+  SELECT q2.query_id, p.doc_id, {bm25_expr.replace("p.tf", "p.itf::DOUBLE").replace("q.", "q2.")} AS score
+  FROM q2
+  JOIN posting p ON p.term = q2.term
+  JOIN dfs f ON f.term = q2.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q2.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM scored2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {PRF_TOP}
+ORDER BY query_id, rank
+"""
+
+
 RANKEVAL_AT = 10
 # Integer DCG discounts: round(10^6 / log2(rank+1)), rank 1..10 —
 # baked into BOTH the engine fold and the SQL replay, so nDCG is
@@ -5685,6 +5856,7 @@ QUERIES = {
     "search_group_topn": q_search_group_topn,
     "vocab_growth": q_vocab_growth,
     "link_hits": q_link_hits,
+    "search_prf": q_search_prf,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -5794,6 +5966,7 @@ ORACLE_SQL = {
     "search_group_topn": _group_topn_sql(),
     "vocab_growth": _vocab_growth_sql(),
     "link_hits": _hits_sql(),
+    "search_prf": _prf_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

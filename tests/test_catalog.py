@@ -172,6 +172,7 @@ def _check(contract, con, name):
         "search_group_topn",
         "vocab_growth",
         "link_hits",
+        "search_prf",
     ],
 )
 def test_vs_duckdb(contract, con, name):
@@ -386,3 +387,19 @@ def test_vocab_growth_properties(contract, ray_session):
         vocab_growth(_documents(SF), VOCAB_CHECKPOINTS, bucket_size=1)
     )
     assert _canon(tiny).equals(_canon(df))
+
+
+def test_prf_expands_beyond_base(contract):
+    """PRF must actually change retrieval: the expanded top-10 for at
+    least one query differs from the unexpanded BM25 top-10 (else the
+    feedback loop is a no-op), and the result schema matches bm25."""
+    base = _to_df(contract.queries()["bm25_topk"](SF))
+    prf = _to_df(contract.queries()["search_prf"](SF))
+    assert list(prf.columns) == ["query_id", "doc_id", "score_r", "rank"]
+    changed = False
+    for qid in prf.query_id.unique():
+        b = base[base.query_id == qid].sort_values("rank").doc_id.tolist()
+        p = prf[prf.query_id == qid].sort_values("rank").doc_id.tolist()
+        if b != p:
+            changed = True
+    assert changed
