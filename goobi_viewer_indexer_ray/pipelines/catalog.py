@@ -454,6 +454,130 @@ FROM r WHERE rank <= 10
 """
 
 
+_STEM_CASE = """CASE
+  WHEN term LIKE '%ies' AND term NOT LIKE '%eies' AND term NOT LIKE '%aies'
+    THEN substr(term, 1, len(term) - 3) || 'y'
+  WHEN term LIKE '%es' AND term NOT LIKE '%aes' AND term NOT LIKE '%ees'
+       AND term NOT LIKE '%oes'
+    THEN substr(term, 1, len(term) - 1)
+  WHEN term LIKE '%s' AND term NOT LIKE '%us' AND term NOT LIKE '%ss'
+    THEN substr(term, 1, len(term) - 1)
+  ELSE term END"""
+
+
+def q_term_stem_groups(sf_dir: str):
+    """Analyzer-chain stemming parity (the reference delegates
+    stemming to its Solr schema's filter chain; this is the engine's
+    own S-stemmer pass — see :func:`stages.text_ops.s_stem_array`):
+    per stem, the distinct surface forms, the DISTINCT-doc df of the
+    merged group (what stemmed search actually matches), total cf,
+    and the min surface form.
+
+    The flat synthetic vocabulary carries no morphology, so the entry
+    runs over a deterministic MORPHOLOGY FIXTURE: the token at
+    position ``i`` of doc ``d`` gains a plural ``s`` when
+    ``(d + i) % 3 == 0`` (the link-graph key-arithmetic precedent) —
+    ~⅓ of occurrences become inflected surface forms the stemmer must
+    merge back, and the oracle derives the SAME stream in SQL.
+
+    Two aggregations: a vocab-level ``groupby(term)`` re-keyed by
+    stem for n_forms/cf, and ONE ``groupby([stem, doc])`` +
+    ``groupby(stem)`` for the exact merged-group df — doc overlap
+    between forms makes df_any non-derivable from per-form dfs."""
+    from ray.data.aggregate import Count, Sum
+
+    def rows(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        if codes.size == 0:
+            return pa.table(
+                {"stem": pa.array([], pa.string()),
+                 "term": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(codes.size, dtype=np.int64) - np.repeat(starts, counts)
+        doc_of = np.repeat(ids, counts)
+        terms = uniq[codes].astype(object)
+        plural = (doc_of + pos) % 3 == 0
+        pidx = np.flatnonzero(plural)
+        if pidx.size:
+            terms[pidx] = [w + "s" for w in terms[pidx]]
+        df = pd.DataFrame({"term": terms, "doc_id": doc_of})
+        g = df.groupby(["term", "doc_id"], sort=False).size().reset_index(name="tf")
+        stems = text_ops.s_stem_array(g["term"].to_numpy())
+        return pa.table(
+            {
+                "stem": pa.array(stems, pa.string()),
+                "term": pa.array(g["term"], pa.string()),
+                "doc_id": pa.array(g["doc_id"].astype("int64"), pa.int64()),
+                "tf": pa.array(g["tf"].astype("int64"), pa.int64()),
+            }
+        )
+
+    stemmed = _documents(sf_dir).map_batches(rows, batch_format="pyarrow")
+    vocab = (
+        stemmed.groupby(["stem", "term"])
+        .aggregate(Sum("tf", alias_name="cf"))
+        .groupby("stem")
+        .aggregate(Count(alias_name="n_forms"), Sum("cf", alias_name="cf_total"))
+    )
+    vmin = stemmed.groupby(["stem", "term"]).count().groupby("stem").min("term")
+    dfany = (
+        stemmed.groupby(["stem", "doc_id"])
+        .count()
+        .groupby("stem")
+        .aggregate(Count(alias_name="df_any"))
+    )
+    v = vocab.to_pandas().set_index("stem")
+    m = vmin.to_pandas().set_index("stem")
+    d = dfany.to_pandas().set_index("stem")
+    out = v.join(m).join(d).reset_index().sort_values("stem")
+    return pa.table(
+        {
+            "stem": pa.array(out["stem"], pa.string()),
+            "n_forms": pa.array(out["n_forms"].astype("int64"), pa.int64()),
+            "df_any": pa.array(out["df_any"].astype("int64"), pa.int64()),
+            "cf_total": pa.array(out["cf_total"].astype("int64"), pa.int64()),
+            "min_form": pa.array(out["min(term)"], pa.string()),
+        }
+    )
+
+
+def _stem_groups_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+flat AS (
+  SELECT doc_id,
+         tok || CASE WHEN (doc_id + upos - 1) % 3 = 0 THEN 's' ELSE '' END
+           AS term
+  FROM (SELECT doc_id, unnest(ts) AS tok,
+               generate_subscripts(ts, 1) AS upos FROM toks)
+),
+posting AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM flat GROUP BY doc_id, term
+),
+stemmed AS (SELECT {_STEM_CASE} AS stem, term, doc_id, tf FROM posting),
+vocab AS (
+  SELECT stem, term, sum(tf)::BIGINT AS cf FROM stemmed GROUP BY stem, term
+),
+forms AS (
+  SELECT stem, count(*)::BIGINT AS n_forms, sum(cf)::BIGINT AS cf_total,
+         min(term) AS min_form
+  FROM vocab GROUP BY stem
+),
+docs AS (
+  SELECT stem, count(DISTINCT doc_id)::BIGINT AS df_any
+  FROM stemmed GROUP BY stem
+)
+SELECT f.stem, f.n_forms, d.df_any, f.cf_total, f.min_form
+FROM forms f JOIN docs d USING (stem)
+ORDER BY stem
+"""
+
+
 PRF_QUERY_IDS = [0, 5]
 PRF_FB_DOCS = 5
 PRF_FB_TERMS = 3
@@ -5857,6 +5981,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "link_hits": q_link_hits,
     "search_prf": q_search_prf,
+    "term_stem_groups": q_term_stem_groups,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -5967,6 +6092,7 @@ ORACLE_SQL = {
     "vocab_growth": _vocab_growth_sql(),
     "link_hits": _hits_sql(),
     "search_prf": _prf_sql(),
+    "term_stem_groups": _stem_groups_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

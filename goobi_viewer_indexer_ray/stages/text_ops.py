@@ -869,3 +869,44 @@ def vocab_growth(ds, checkpoints: list[int], *, bucket_size: int = 65_536):
             "vocab": pa.array(out["vocab"], pa.int64()),
         }
     )
+
+
+def s_stem_array(terms: np.ndarray) -> np.ndarray:
+    """Vectorized S-stemmer (Harman 1991, "How effective is
+    suffixing?") — the light plural stemmer Solr ships as
+    ``EnglishMinimalStemFilter`` (the reference's schema picks its
+    stemmer per field; this is the deterministic one an exact oracle
+    can replay).  First matching rule wins:
+
+    1. ``*ies`` (but not ``*eies``/``*aies``)  → ``*y``
+    2. ``*es``  (but not ``*aes``/``*ees``/``*oes``) → drop ``s``
+    3. ``*s``   (but not ``*us``/``*ss``)      → drop ``s``
+    """
+    t = terms.astype(str)
+    r1 = (
+        np.char.endswith(t, "ies")
+        & ~np.char.endswith(t, "eies")
+        & ~np.char.endswith(t, "aies")
+    )
+    r2 = (
+        np.char.endswith(t, "es")
+        & ~np.char.endswith(t, "aes")
+        & ~np.char.endswith(t, "ees")
+        & ~np.char.endswith(t, "oes")
+        & ~r1
+    )
+    r3 = (
+        np.char.endswith(t, "s")
+        & ~np.char.endswith(t, "us")
+        & ~np.char.endswith(t, "ss")
+        & ~r1
+        & ~r2
+    )
+    out = t.astype(object)
+    idx1 = np.flatnonzero(r1)
+    if idx1.size:
+        out[idx1] = [w[:-3] + "y" for w in t[idx1]]
+    idx23 = np.flatnonzero(r2 | r3)
+    if idx23.size:
+        out[idx23] = [w[:-1] for w in t[idx23]]
+    return out

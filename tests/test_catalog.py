@@ -173,6 +173,7 @@ def _check(contract, con, name):
         "vocab_growth",
         "link_hits",
         "search_prf",
+        "term_stem_groups",
     ],
 )
 def test_vs_duckdb(contract, con, name):
