@@ -1511,6 +1511,120 @@ GROUP BY r.r_name
 """
 
 
+FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+FUNNEL_EPOCH_US = 1_704_067_200_000_000  # epoch_us('2024-01-01')
+# each step must follow the previous within 1 day (key-space units:
+# ms · 2²⁰ — the event_id tie-break bits are ±1-event slack, identical
+# on both sides)
+FUNNEL_WINDOW_KEY = 86_400_000 * (1 << 20)
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel analysis (the product-analytics companion to
+    sessionization): per user, the deepest step of
+    view → click → signup → purchase reached with strictly increasing
+    event order AND each step within 1 day of the previous match
+    (greedy earliest-match per step — the standard windowed funnel
+    semantics); output = users reaching each step.
+
+    Event order is the collision-free integer key
+    ``((epoch_us(ts) − epoch_us('2024-01-01')) // 1000)·2²⁰ +
+    event_id`` — millisecond granularity rebased to the corpus epoch
+    keeps the product inside int64 for centuries of span, and
+    event_id (< 2²⁰, asserted) breaks same-millisecond ties
+    deterministically on BOTH sides.  ONE
+    ``groupby(user).map_groups`` does the greedy walk vectorized per
+    user; depth partials fold via bincount — the driver sees
+    len(steps) ints per batch."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    steps = FUNNEL_STEPS
+
+    def depth_of_user(g: pa.Table) -> pa.Table:
+        eid = g.column("event_id").cast(pa.int64()).to_numpy()
+        assert int(eid.max(initial=0)) < (1 << 20), "event_id exceeds tie-break budget"
+        us = g.column("ts").cast(pa.int64()).to_numpy() - FUNNEL_EPOCH_US
+        k = (us // 1000) * (1 << 20) + eid
+        et = g.column("event_type").to_pandas().to_numpy()
+        prev = -1
+        hi = np.iinfo(np.int64).max
+        depth = 0
+        for s in steps:
+            cand = k[(et == s) & (k > prev) & (k <= hi)]
+            if cand.size == 0:
+                break
+            prev = int(cand.min())
+            hi = prev + FUNNEL_WINDOW_KEY
+            depth += 1
+        return pa.table(
+            {
+                "user_id": pa.array([int(g.column("user_id")[0].as_py())], pa.int64()),
+                "depth": pa.array([depth], pa.int64()),
+            }
+        )
+
+    depths = ds.groupby("user_id").map_groups(
+        depth_of_user, batch_format="pyarrow"
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        d = t.column("depth").to_numpy()
+        cnt = np.bincount(d, minlength=len(steps) + 1)
+        return pa.table(
+            {
+                "depth": pa.array(np.arange(len(steps) + 1), pa.int64()),
+                "n": pa.array(cnt[: len(steps) + 1].astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = depths.map_batches(hist, batch_format="pyarrow").to_pandas()
+    by_depth = partials.groupby("depth")["n"].sum()
+    out = {"step_idx": [], "step": [], "n_users": []}
+    for i, s in enumerate(steps, 1):
+        reached = int(sum(by_depth.get(d, 0) for d in range(i, len(steps) + 1)))
+        out["step_idx"].append(i)
+        out["step"].append(s)
+        out["n_users"].append(reached)
+    return pa.table(
+        {
+            "step_idx": pa.array(out["step_idx"], pa.int64()),
+            "step": pa.array(out["step"], pa.string()),
+            "n_users": pa.array(out["n_users"], pa.int64()),
+        }
+    )
+
+
+def _funnel_sql() -> str:
+    steps = FUNNEL_STEPS
+    ctes = [
+        "ev AS (SELECT user_id, event_type, "
+        f"((epoch_us(ts)::BIGINT - {FUNNEL_EPOCH_US}) // 1000) * 1048576 "
+        "+ event_id AS k FROM events)",
+        f"s1 AS (SELECT user_id, min(k) AS k1 FROM ev "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)",
+    ]
+    for i in range(2, len(steps) + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.k) AS k{i} "
+            f"FROM ev e JOIN s{i - 1} p USING (user_id) "
+            f"WHERE e.event_type = '{steps[i - 1]}' AND e.k > p.k{i - 1} "
+            f"AND e.k <= p.k{i - 1} + {FUNNEL_WINDOW_KEY} "
+            f"GROUP BY e.user_id)"
+        )
+    arms = [
+        f"SELECT {i}::BIGINT AS step_idx, '{s}' AS step, "
+        f"(SELECT count(*) FROM s{i})::BIGINT AS n_users"
+        for i, s in enumerate(steps, 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\nORDER BY step_idx"
+    )
+
+
 def q_events_sessions(sf_dir: str):
     """Session windows per user (30-min inactivity gap) — the
     streaming-shaped operator (SURVEY.md §2.9).
@@ -5982,6 +6096,7 @@ QUERIES = {
     "link_hits": q_link_hits,
     "search_prf": q_search_prf,
     "term_stem_groups": q_term_stem_groups,
+    "events_funnel": q_events_funnel,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -6093,6 +6208,7 @@ ORACLE_SQL = {
     "link_hits": _hits_sql(),
     "search_prf": _prf_sql(),
     "term_stem_groups": _stem_groups_sql(),
+    "events_funnel": _funnel_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

@@ -174,6 +174,7 @@ def _check(contract, con, name):
         "link_hits",
         "search_prf",
         "term_stem_groups",
+        "events_funnel",
     ],
 )
 def test_vs_duckdb(contract, con, name):
@@ -404,3 +405,13 @@ def test_prf_expands_beyond_base(contract):
         if b != p:
             changed = True
     assert changed
+
+
+def test_funnel_monotone_attrition(contract):
+    """Windowed funnel counts must be non-increasing down the steps and
+    strictly attriting on this corpus (a saturated funnel would mean
+    the window constraint is dead code)."""
+    df = _to_df(contract.queries()["events_funnel"](SF)).sort_values("step_idx")
+    v = df.n_users.tolist()
+    assert all(a >= b for a, b in zip(v, v[1:]))
+    assert v[0] > v[-1]
