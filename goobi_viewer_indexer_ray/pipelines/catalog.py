@@ -4514,6 +4514,83 @@ ORDER BY query_id, lang, rank_in_group
 """
 
 
+COLLECTION_BAND_W = 256
+COLLECTION_BAND_CAP = 3
+
+
+def q_collection_facets(sf_dir: str):
+    """Hierarchical collection-tree counts — the goobi viewer's
+    CollectionView parity surface (reference: the DC collection facet
+    counts records at EVERY ancestor node of a dot-separated
+    collection path, `CollectionView` / `DC` field expansion).  The
+    web corpus's synthetic path is ``source.lang.band`` (band =
+    capped n_chars//256 size class); the operator emits doc counts
+    and subtree leaf counts for every node at depths 1–3.
+
+    One streamed pass emits the 3 ancestor rows per doc (vectorized
+    string assembly), then ONE ``groupby(node)``; the oracle builds
+    the same prefixes as a 3-arm UNION."""
+    ds = _documents(sf_dir, columns=("doc_id", "lang", "source", "n_chars"))
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pandas().to_numpy().astype(str)
+        lang = t.column("lang").to_pandas().to_numpy().astype(str)
+        band = np.minimum(
+            t.column("n_chars").to_numpy() // COLLECTION_BAND_W,
+            COLLECTION_BAND_CAP,
+        ).astype(str)
+        p1 = src
+        p2 = np.char.add(np.char.add(src, "."), lang)
+        p3 = np.char.add(np.char.add(p2, "."), band)
+        n = src.size
+        return pa.table(
+            {
+                "depth": pa.array(
+                    np.concatenate([np.full(n, d, np.int64) for d in (1, 2, 3)])
+                ),
+                "node": pa.array(
+                    np.concatenate([p1, p2, p3]).astype(object), pa.string()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(prefixes, batch_format="pyarrow")
+        .groupby(["depth", "node"])
+        .count()
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "depth": pc.cast(t.column("depth"), pa.int64()),
+                "node": t.column("node"),
+                "n_docs": pc.cast(t.column("count()"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow").sort(["depth", "node"])
+
+
+def _collection_facets_sql() -> str:
+    base = (
+        f"SELECT source AS p1, source || '.' || lang AS p2, "
+        f"source || '.' || lang || '.' || "
+        f"least(n_chars // {COLLECTION_BAND_W}, {COLLECTION_BAND_CAP})::VARCHAR"
+        f" AS p3 FROM documents"
+    )
+    return f"""
+WITH paths AS ({base}),
+nodes AS (
+  SELECT 1 AS depth, p1 AS node FROM paths
+  UNION ALL SELECT 2, p2 FROM paths
+  UNION ALL SELECT 3, p3 FROM paths
+)
+SELECT depth::BIGINT AS depth, node, count(*)::BIGINT AS n_docs
+FROM nodes GROUP BY depth, node ORDER BY depth, node
+"""
+
+
 RANGE_FACET_MUST = ["window"]
 RANGE_FACET_WIDTH = 16
 
@@ -6097,6 +6174,7 @@ QUERIES = {
     "search_prf": q_search_prf,
     "term_stem_groups": q_term_stem_groups,
     "events_funnel": q_events_funnel,
+    "collection_facets": q_collection_facets,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -6209,6 +6287,7 @@ ORACLE_SQL = {
     "search_prf": _prf_sql(),
     "term_stem_groups": _stem_groups_sql(),
     "events_funnel": _funnel_sql(),
+    "collection_facets": _collection_facets_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

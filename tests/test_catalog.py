@@ -175,6 +175,7 @@ def _check(contract, con, name):
         "search_prf",
         "term_stem_groups",
         "events_funnel",
+        "collection_facets",
     ],
 )
 def test_vs_duckdb(contract, con, name):
@@ -415,3 +416,20 @@ def test_funnel_monotone_attrition(contract):
     v = df.n_users.tolist()
     assert all(a >= b for a, b in zip(v, v[1:]))
     assert v[0] > v[-1]
+
+
+def test_collection_facets_tree_invariant(contract):
+    """Every depth-2 node's count must equal the sum of its depth-3
+    children, and each depth level must sum to the corpus size — the
+    tree-consistency property CollectionView relies on."""
+    import pyarrow.parquet as pq
+
+    df = _to_df(contract.queries()["collection_facets"](SF))
+    n_docs = pq.read_metadata(SF + "/documents.parquet").num_rows
+    for d in (1, 2, 3):
+        assert df[df.depth == d].n_docs.sum() == n_docs, d
+    d2 = df[df.depth == 2].set_index("node")["n_docs"]
+    d3 = df[df.depth == 3].copy()
+    d3["parent"] = d3.node.str.rsplit(".", n=1).str[0]
+    child_sums = d3.groupby("parent")["n_docs"].sum()
+    assert child_sums.to_dict() == d2.to_dict()
