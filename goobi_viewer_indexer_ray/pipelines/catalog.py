@@ -4514,6 +4514,135 @@ ORDER BY query_id, lang, rank_in_group
 """
 
 
+BOOST_QUERY_IDS = [0, 2, 5]
+BOOST_K = 1000.0
+BOOST_TOP = 10
+
+
+def q_search_boost(sf_dir: str):
+    """Solr function-query boost parity (the viewer boosts hits by
+    recency via ``recip(ms(NOW,DATEUPDATED),...)``; the web-corpus
+    analog is the shortness boost ``1000/(1000+n_chars)`` over the
+    same recip shape): final = BM25 × boost, re-ranked top-10 by
+    (round(final,4) desc, doc_id).  Both sides evaluate the identical
+    float64 expression tree ``(score · 1000.0) / (1000.0 + n_chars)``.
+
+    Scale shape: scoring is df-bounded serving-side; the boost field
+    joins in ONE streamed pass with the per-query (doc, score) arrays
+    broadcast, and each batch forwards only its top-10 candidates per
+    query (docs are unique across batches, so batch-local top-k under
+    the final key is a lossless prefilter)."""
+    import ray
+
+    from .query import LocalIndex, topk_exact
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    qmap = {q["query_id"]: q["query"] for q in DOC_QUERIES}
+    per_q = {}
+    for qid in BOOST_QUERY_IDS:
+        d, s = topk_exact(idx, qmap[qid], idx.n_docs)
+        order = np.argsort(d)
+        per_q[qid] = (d[order], s[order])
+    ref = ray.put(per_q)
+
+    def part(t: pa.Table) -> pa.Table:
+        pq_ = ray.get(ref)
+        docs = t.column("doc_id").to_numpy()
+        nch = t.column("n_chars").to_numpy().astype(np.float64)
+        out = {"query_id": [], "doc_id": [], "score_r": []}
+        for qid, (md, ms) in pq_.items():
+            if md.size == 0:
+                continue
+            pos = np.minimum(np.searchsorted(md, docs), md.size - 1)
+            hit = md[pos] == docs
+            if not hit.any():
+                continue
+            d_h = docs[hit]
+            boosted = (ms[pos[hit]] * BOOST_K) / (BOOST_K + nch[hit])
+            b_r = np.round(boosted, 4)
+            keep = np.lexsort((d_h, -b_r))[:BOOST_TOP]
+            out["query_id"].extend([qid] * keep.size)
+            out["doc_id"].extend(d_h[keep].tolist())
+            out["score_r"].extend(b_r[keep].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score_r": pa.array(out["score_r"], pa.float64()),
+            }
+        )
+
+    cand = (
+        _documents(sf_dir, columns=("doc_id", "n_chars"))
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = {c: [] for c in ("query_id", "doc_id", "score_r", "rank")}
+    for qid in BOOST_QUERY_IDS:
+        g = cand[cand.query_id == qid].sort_values(
+            ["score_r", "doc_id"], ascending=[False, True]
+        ).head(BOOST_TOP)
+        for r, row in enumerate(g.itertuples(), 1):
+            out["query_id"].append(qid)
+            out["doc_id"].append(int(row.doc_id))
+            out["score_r"].append(float(row.score_r))
+            out["rank"].append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "score_r": pa.array(out["score_r"], pa.float64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+        }
+    )
+
+
+def _boost_sql() -> str:
+    vals = ", ".join(
+        f"({q['query_id']}, '{t}')"
+        for q in DOC_QUERIES
+        if q["query_id"] in BOOST_QUERY_IDS
+        for t in sorted(set(tokenize(q["query"])))
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         round((s.score * {BOOST_K!r}) / ({BOOST_K!r} + d.n_chars), 4)
+           AS score_r
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_r DESC, doc_id) AS rank
+  FROM boosted
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {BOOST_TOP}
+ORDER BY query_id, rank
+"""
+
+
 COLLECTION_BAND_W = 256
 COLLECTION_BAND_CAP = 3
 
@@ -6175,6 +6304,7 @@ QUERIES = {
     "term_stem_groups": q_term_stem_groups,
     "events_funnel": q_events_funnel,
     "collection_facets": q_collection_facets,
+    "search_boost": q_search_boost,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -6288,6 +6418,7 @@ ORACLE_SQL = {
     "term_stem_groups": _stem_groups_sql(),
     "events_funnel": _funnel_sql(),
     "collection_facets": _collection_facets_sql(),
+    "search_boost": _boost_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

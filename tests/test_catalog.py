@@ -176,6 +176,7 @@ def _check(contract, con, name):
         "term_stem_groups",
         "events_funnel",
         "collection_facets",
+        "search_boost",
     ],
 )
 def test_vs_duckdb(contract, con, name):
@@ -433,3 +434,23 @@ def test_collection_facets_tree_invariant(contract):
     d3["parent"] = d3.node.str.rsplit(".", n=1).str[0]
     child_sums = d3.groupby("parent")["n_docs"].sum()
     assert child_sums.to_dict() == d2.to_dict()
+
+
+def test_boost_reranks_vs_bm25(contract):
+    """The function-query boost must rerank: for at least one query the
+    boosted order differs from plain BM25, and every boosted score is
+    <= its BM25 score (the recip multiplier is < 1)."""
+    base = _to_df(contract.queries()["bm25_topk"](SF))
+    boost = _to_df(contract.queries()["search_boost"](SF))
+    changed = False
+    for qid in boost.query_id.unique():
+        b = base[base.query_id == qid].sort_values("rank").doc_id.tolist()
+        p = boost[boost.query_id == qid].sort_values("rank").doc_id.tolist()
+        if b != p:
+            changed = True
+        merged = boost[boost.query_id == qid].merge(
+            base[base.query_id == qid], on=["query_id", "doc_id"],
+            suffixes=("_boost", "_bm25"),
+        )
+        assert (merged.score_r_boost <= merged.score_r_bm25 + 1e-9).all()
+    assert changed
