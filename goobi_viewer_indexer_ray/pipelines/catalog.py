@@ -3285,6 +3285,90 @@ ORDER BY doc_id"""
     )
 
 
+def _tri_edges(sf_dir: str):
+    """Triangle-entry fixture graph: ``u → u+1`` and (unless
+    ``u % 5 == 0``) ``u → u+2`` over contiguous doc ids (no wrap) — a
+    banded web-ring whose triangles ``(u, u+1, u+2)`` exist at EVERY
+    corpus size with rule-controlled attrition (the ``synth_edges``
+    modular-arithmetic graph of the pagerank entries happens to be
+    triangle-free at some n)."""
+    docs = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    n = docs.count()
+
+    def mk(t: pa.Table) -> pa.Table:
+        u = t.column("doc_id").cast(pa.int64()).to_numpy()
+        s1, d1 = u[u + 1 < n], u[u + 1 < n] + 1
+        m2 = (u % 5 != 0) & (u + 2 < n)
+        s2, d2 = u[m2], u[m2] + 2
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s1, s2]), pa.int64()),
+                "dst": pa.array(np.concatenate([d1, d2]), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(mk, batch_format="pyarrow")
+
+
+_TRI_EDGE_SQL = """
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM documents),
+edges AS MATERIALIZED (
+  SELECT doc_id::BIGINT AS src, doc_id + 1 AS dst FROM documents, nn
+  WHERE doc_id + 1 < nn.c
+  UNION ALL
+  SELECT doc_id::BIGINT, doc_id + 2 FROM documents, nn
+  WHERE doc_id % 5 <> 0 AND doc_id + 2 < nn.c
+)"""
+
+
+def q_link_triangles(sf_dir: str):
+    """Exact per-node triangle counts (clustering-coefficient
+    numerator — the link-spam / community density signal) over the
+    banded-ring fixture graph.  Wedge-check join plan:
+    canonical-edge dedupe → low-endpoint wedge join → composite-key
+    closing join → 3-corner groupby (see
+    :func:`stages.linkgraph.triangles`).  Oracle replays the same
+    three joins in SQL."""
+    from ..stages.linkgraph import triangles
+
+    out = triangles(_tri_edges(sf_dir))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("node"), pa.int64()),
+                "n_triangles": pc.cast(t.column("n_triangles"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("doc_id")
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH {_TRI_EDGE_SQL.strip()},
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1
+  JOIN ue e2 ON e2.a = e1.a AND e1.b < e2.b
+  JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node::BIGINT AS doc_id, count(*)::BIGINT AS n_triangles
+FROM corners GROUP BY node ORDER BY doc_id
+"""
+
+
 def q_link_anchors(sf_dir: str):
     """Anchor-text aggregation per link target (the in-link summary a
     web indexer feeds the ranker): in-degree, distinct source hosts,
@@ -4511,6 +4595,101 @@ SELECT query_id::BIGINT AS query_id, lang, doc_id, score_r,
        n_in_group::BIGINT AS n_in_group
 FROM g WHERE rank_in_group <= {GROUP_TOPN_N}
 ORDER BY query_id, lang, rank_in_group
+"""
+
+
+KEYWORDS_PER_DOC = 3
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-document tf-idf keyword extraction (metadata enrichment for
+    retrieval filters / LLM doc tagging; the per-doc counterpart of
+    more_like_this's interesting-terms): top-3 terms per doc by
+    (round(tf·ln(N/df), 4) desc, term asc).
+
+    Scale shape: ONE vocab-level ``groupby(term)`` df aggregate
+    broadcasts back via ``ray.put`` (the small side — vocab, not
+    corpus), then ONE streamed pass computes every doc's top-3 —
+    each doc lives wholly in its batch, so per-batch selection is
+    final; no second shuffle."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.postings import TokenizePostings
+
+    ds = _documents(sf_dir)
+    n_docs = ds.count()
+    dfs_tbl = (
+        ds.map_batches(TokenizePostings(num_shards=1), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    vocab_terms = dfs_tbl["term"].to_numpy()
+    vocab_idf = np.log(n_docs / dfs_tbl["df"].to_numpy().astype(np.float64))
+    order = np.argsort(vocab_terms)
+    idf_ref = ray.put((vocab_terms[order], vocab_idf[order]))
+
+    def top3(t: pa.Table) -> pa.Table:
+        vt, vi = ray.get(idf_ref)
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        out = {"doc_id": [], "term": [], "score_r": [], "rank": []}
+        if codes.size:
+            doc_of = np.repeat(np.arange(ids.size), counts)
+            key = doc_of * np.int64(uniq.size) + codes
+            ukey, tf = np.unique(key, return_counts=True)
+            didx = (ukey // uniq.size).astype(np.int64)
+            cidx = (ukey % uniq.size).astype(np.int64)
+            idf = vi[np.searchsorted(vt, uniq[cidx])]
+            score = np.round(tf * idf, 4)
+            terms = uniq[cidx]
+            o = np.lexsort((terms, -score, didx))
+            d_s, t_s, s_s = didx[o], terms[o], score[o]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(d_s)) + 1)
+            )
+            sizes = np.diff(starts, append=d_s.size)
+            within = np.arange(d_s.size) - np.repeat(starts, sizes)
+            keep = within < KEYWORDS_PER_DOC
+            out["doc_id"] = ids[d_s[keep]].tolist()
+            out["term"] = t_s[keep].tolist()
+            out["score_r"] = s_s[keep].tolist()
+            out["rank"] = (within[keep] + 1).tolist()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "term": pa.array(out["term"], pa.string()),
+                "score_r": pa.array(out["score_r"], pa.float64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(top3, batch_format="pyarrow").sort(["doc_id", "rank"])
+
+
+def _keywords_sql() -> str:
+    return f"""
+WITH posting AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term,
+         round(p.tf * ln(n.n / f.df), 4) AS score_r
+  FROM posting p JOIN dfs f USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score_r,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_r DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {KEYWORDS_PER_DOC}
+ORDER BY doc_id, rank
 """
 
 
@@ -6305,6 +6484,8 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "collection_facets": q_collection_facets,
     "search_boost": q_search_boost,
+    "doc_keywords": q_doc_keywords,
+    "link_triangles": q_link_triangles,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -6419,6 +6600,8 @@ ORACLE_SQL = {
     "events_funnel": _funnel_sql(),
     "collection_facets": _collection_facets_sql(),
     "search_boost": _boost_sql(),
+    "doc_keywords": _keywords_sql(),
+    "link_triangles": _triangles_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

@@ -57,7 +57,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["anchor_stats", "hits", "pagerank", "synth_edges"]
+__all__ = ["anchor_stats", "hits", "pagerank", "synth_edges", "triangles"]
 
 
 # --------------------------------------------------------------- synth
@@ -653,3 +653,190 @@ def hits(
             .materialize()
         )
     return state.select_columns(["node", "auth", "hub"])
+
+
+# ------------------------------------------------------------ triangles
+
+def _triangles_numpy(a: np.ndarray, b: np.ndarray):
+    """In-process replica of the distributed wedge-check plan (see
+    :func:`triangles`): canonical edges arrive as ``a < b`` int64
+    arrays (possibly with duplicates across batches); the sorted
+    composite-key array plays the role of both hash joins."""
+    if a.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    SHIFT = np.uint64(32)
+    ukey = np.unique((a.astype(np.uint64) << SHIFT) | b.astype(np.uint64))
+    ea = (ukey >> SHIFT).astype(np.int64)
+    eb = (ukey & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    m = ea.size
+    # ukey sort ⇒ a-major, b-minor: contiguous groups per low endpoint
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(ea)) + 1))
+    sizes = np.diff(starts, append=m)
+    loc = np.arange(m) - np.repeat(starts, sizes)  # local index in group
+    total = int(loc.sum())  # number of wedges (pairs within groups)
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # wedge (i, j): position j pairs with every earlier same-group
+    # position; b sorted-unique within the group ⇒ eb[i] < eb[j]
+    j_idx = np.repeat(np.arange(m), loc)
+    cum = np.concatenate(([0], np.cumsum(loc)))
+    grp_start = np.repeat(starts, sizes)
+    i_idx = (np.arange(total) - np.repeat(cum[:-1], loc)) + np.repeat(
+        grp_start, loc
+    )
+    wb, wc = eb[i_idx], eb[j_idx]
+    wkey = (wb.astype(np.uint64) << SHIFT) | wc.astype(np.uint64)
+    pos = np.searchsorted(ukey, wkey)
+    hit = (pos < m) & (ukey[np.minimum(pos, m - 1)] == wkey)
+    corners = np.concatenate([ea[i_idx][hit], wb[hit], wc[hit]])
+    vals, cnt = np.unique(corners, return_counts=True)
+    return vals.astype(np.int64), cnt.astype(np.int64)
+
+
+def triangles(edges, *, src_col: str = "src", dst_col: str = "dst",
+              method: str = "auto",
+              small_graph_threshold: int = 2_000_000,
+              num_partitions: int | None = None):
+    """Exact triangle counting over the undirected simple graph
+    (direction and multi-edges collapsed) — the clustering-coefficient
+    numerator, the classic link-spam / community-density signal.
+
+    ``method`` mirrors :func:`pagerank`: ``"auto"`` takes the
+    driver-side numpy fast path when the deduped edge set fits
+    ``small_graph_threshold``; ``"distributed"`` forces the join plan
+    a 100 TB edge set uses.  Both produce identical output (pytest
+    pins it) — triangle counting is exact integer arithmetic, so the
+    plan choice can't change a single count.
+
+    Distributed wedge-check join plan, all Ray-Data native:
+
+    1. canonicalize every edge to ``(a=min, b=max)`` and dedupe with
+       one ``groupby``;
+    2. wedge join: edges ⋈ edges on the common LOW endpoint ``a``
+       (one hash join) keeping ``b < c`` — each wedge once;
+    3. close the wedge: candidates ⋈ edges on the composite key
+       ``b·2³² + c`` (node ids < 2³² asserted — the fixture ids are
+       doc_ids; swap a hash-pair key for wider ids) — one more hash
+       join;
+    4. per-node counts: each triangle emits its 3 corners, one
+       ``groupby(node)``.
+
+    The numpy fast path runs the SAME plan in-process: sorted
+    composite keys stand in for the hash joins (wedge membership is a
+    ``searchsorted`` against the edge-key array instead of a shuffle).
+
+    The high-degree-node wedge blowup is the documented skew caveat
+    (degree-ordered orientation already bounds it: every wedge pivots
+    at its SMALLEST id, the standard mitigation).  Returns a Dataset
+    ``(node, n_triangles)`` for nodes in ≥ 1 triangle.
+    """
+    import ray
+
+    if method not in ("auto", "numpy", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    if num_partitions is None:
+        # Ray's hash-join actor pools deadlock when partitions far
+        # exceed available CPUs (two joins in this DAG); size to the
+        # cluster, floor 2 so the shuffle path is always exercised.
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
+    SHIFT = np.uint64(32)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).cast(pa.int64()).to_numpy()
+        d = t.column(dst_col).cast(pa.int64()).to_numpy()
+        assert (s < (1 << 32)).all() and (d < (1 << 32)).all(), \
+            "triangle composite key needs node ids < 2^32"
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b
+        return pa.table(
+            {"a": pa.array(a[keep], pa.int64()),
+             "b": pa.array(b[keep], pa.int64())}
+        )
+
+    if method == "numpy" or (
+        method == "auto" and edges.count() <= small_graph_threshold
+    ):
+        flat = pa.concat_tables(
+            [canon(t) for t in edges.iter_batches(batch_format="pyarrow")]
+        ) if edges.count() else pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        node, n_tri = _triangles_numpy(
+            flat.column("a").to_numpy(zero_copy_only=False),
+            flat.column("b").to_numpy(zero_copy_only=False),
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array(node, pa.int64()),
+                 "n_triangles": pa.array(n_tri, pa.int64())}
+            )
+        )
+
+    ue = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    right = ue.map_batches(
+        lambda t: pa.table({"a2": t.column("a"), "c": t.column("b")}),
+        batch_format="pyarrow",
+    )
+    wedges = (
+        ue.join(right, join_type="inner", num_partitions=num_partitions,
+                on=("a",), right_on=("a2",))
+        .map_batches(
+            lambda t: (
+                lambda k: pa.table(
+                    {
+                        "a": k.column("a"),
+                        "b": k.column("b"),
+                        "c": k.column("c"),
+                        "bc": pa.array(
+                            (k.column("b").to_numpy().astype(np.uint64) << SHIFT)
+                            | k.column("c").to_numpy().astype(np.uint64),
+                            pa.uint64(),
+                        ),
+                    }
+                )
+            )(t.filter(pc.less(t.column("b"), t.column("c")))),
+            batch_format="pyarrow",
+        )
+    )
+    closing = ue.map_batches(
+        lambda t: pa.table(
+            {
+                "bc2": pa.array(
+                    (t.column("a").to_numpy().astype(np.uint64) << SHIFT)
+                    | t.column("b").to_numpy().astype(np.uint64),
+                    pa.uint64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tri = wedges.join(closing, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("bc",), right_on=("bc2",))
+
+    def corners(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [t.column("a").to_numpy(), t.column("b").to_numpy(),
+             t.column("c").to_numpy()]
+        )
+        vals, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(vals, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        tri.map_batches(corners, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n", alias_name="n_triangles"))
+    )

@@ -177,6 +177,8 @@ def _check(contract, con, name):
         "events_funnel",
         "collection_facets",
         "search_boost",
+        "doc_keywords",
+        "link_triangles",
     ],
 )
 def test_vs_duckdb(contract, con, name):

@@ -232,3 +232,55 @@ def test_hits_distributed_identical(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     assert fast[["node", "auth", "hub"]].equals(dist[["node", "auth", "hub"]])
+
+
+@pytest.mark.parametrize("method", ["numpy", "distributed"])
+def test_triangles_known_graph(ray_session, method):
+    """Triangle counts on a hand-checkable graph: K4 plus a pendant
+    edge — K4 has 4 triangles, each corner in 3 of them; the pendant
+    node in none.  Directions and duplicate edges must collapse.
+    Both plans (numpy fast path and the two-hash-join distributed
+    plan) must agree exactly."""
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import triangles
+
+    src = [0, 0, 0, 1, 1, 2, 3, 2, 1]  # K4 on {0,1,2,3} + 3-4 pendant
+    dst = [1, 2, 3, 2, 3, 3, 4, 0, 0]  # incl. reversed dupes 2-0, 1-0
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    )
+    out = (
+        triangles(edges, method=method, num_partitions=2)
+        .to_pandas().sort_values("node")
+    )
+    got = dict(zip(out.node, out.n_triangles))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_methods_identical(ray_session):
+    """numpy and distributed plans agree on a dense random graph
+    (every wedge shape, dupes, isolated nodes, no triangles for
+    some)."""
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import triangles
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ).repartition(5)
+    fast = (
+        triangles(edges, method="numpy")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        triangles(edges, method="distributed", num_partitions=2)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert len(fast) > 0
+    assert fast.equals(dist)
