@@ -4693,6 +4693,67 @@ ORDER BY doc_id, rank
 """
 
 
+BPE_MERGES = 8
+
+
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich 2016; see
+    :mod:`stages.bpe`): 8 learned merges over the corpus word-frequency
+    vocab — ONE corpus tokenize+groupby, then per-round work on the
+    Heaps-sublinear vocab table only (pair-partial ``map_batches`` →
+    one small pair ``groupby`` → argmax by exact integer tie rule →
+    vectorized merge rewrite).  Oracle replays all 8 rounds as chained
+    MATERIALIZED CTEs: DuckDB ``replace()`` has the identical
+    left-to-right non-overlapping semantics as the engine's
+    ``pc.replace_substring``, so every round (choice, count, and the
+    rewritten vocab feeding the next round) hash-matches."""
+    from ..stages.bpe import bpe_train
+
+    return bpe_train(_documents(sf_dir), n_merges=BPE_MERGES)
+
+
+def _bpe_sql(n: int = BPE_MERGES) -> str:
+    parts = [
+        f"""wc AS MATERIALIZED (
+  SELECT t AS word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY t
+),
+v0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(word, ''), ' ') || ' §' AS seq, cnt
+  FROM wc
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT lft, rgt, sum(c)::BIGINT AS c FROM (
+    SELECT unnest(s[1:len(s)-1]) AS lft, unnest(s[2:len(s)]) AS rgt,
+           cnt AS c
+    FROM (SELECT string_split(seq, ' ') AS s, cnt FROM v{i-1})
+  ) GROUP BY lft, rgt
+),
+b{i} AS MATERIALIZED (
+  SELECT lft, rgt, c FROM p{i} ORDER BY c DESC, lft, rgt LIMIT 1
+),
+r{i} AS (
+  SELECT {i}::BIGINT AS rank, b.lft, b.rgt, b.lft || b.rgt AS merged,
+         b.c AS pair_count,
+         (SELECT count(*)::BIGINT FROM v{i-1}, b{i} bb
+          WHERE contains(' ' || seq || ' ',
+                         ' ' || bb.lft || ' ' || bb.rgt || ' ')) AS n_words
+  FROM b{i} b
+),
+v{i} AS MATERIALIZED (
+  SELECT trim(replace(' ' || seq || ' ',
+                      ' ' || b.lft || ' ' || b.rgt || ' ',
+                      ' ' || b.lft || b.rgt || ' '), ' ') AS seq, cnt
+  FROM v{i-1}, b{i} b
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM r{i}" for i in range(1, n + 1))
+    return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY rank"
+
+
 BOOST_QUERY_IDS = [0, 2, 5]
 BOOST_K = 1000.0
 BOOST_TOP = 10
@@ -6486,6 +6547,7 @@ QUERIES = {
     "search_boost": q_search_boost,
     "doc_keywords": q_doc_keywords,
     "link_triangles": q_link_triangles,
+    "bpe_train": q_bpe_train,
     "perplexity_filter": q_perplexity_filter,
     "cdc_chunks": q_cdc_chunks,
     "search_synonyms": q_search_synonyms,
@@ -6602,6 +6664,7 @@ ORACLE_SQL = {
     "search_boost": _boost_sql(),
     "doc_keywords": _keywords_sql(),
     "link_triangles": _triangles_sql(),
+    "bpe_train": _bpe_sql(),
     "perplexity_filter": _perplexity_sql(),
     "cdc_chunks": _cdc_sql(),
     "search_synonyms": _syn_sql(),

@@ -1,0 +1,65 @@
+"""BPE tokenizer training: hand-computed merges, exhaustion, and
+partition invariance (the int64-sum contract)."""
+
+import pyarrow as pa
+import pytest
+
+
+def _docs(ray_session, texts, blocks=1):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_bpe_known_merges(ray_session):
+    """Corpus: 'ab'×3 + 'abc'×1.  Every round hand-checked, including
+    the (lft asc) tie in round 3 and early exhaustion (4 merges
+    possible, 6 requested)."""
+    from goobi_viewer_indexer_ray.stages.bpe import bpe_train
+
+    out = bpe_train(
+        _docs(ray_session, ["ab ab ab", "abc"]), n_merges=6
+    ).to_pydict()
+    assert out["rank"] == [1, 2, 3, 4]
+    assert list(zip(out["lft"], out["rgt"])) == [
+        ("a", "b"), ("ab", "§"), ("ab", "c"), ("abc", "§")
+    ]
+    assert out["pair_count"] == [4, 3, 1, 1]
+    assert out["merged"] == ["ab", "ab§", "abc", "abc§"]
+    assert out["n_words"] == [2, 1, 1, 1]
+
+
+def test_bpe_partition_invariant(ray_session):
+    """1 block vs 6 blocks: identical merge table (all statistics are
+    int64 sums; the argmax tie rule is total)."""
+    from goobi_viewer_indexer_ray.stages.bpe import bpe_train
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest newest",
+        "wide wider widest low new",
+        "er er er est est",
+    ] * 3
+    a = bpe_train(_docs(ray_session, texts, blocks=1), n_merges=5)
+    b = bpe_train(_docs(ray_session, texts, blocks=6), n_merges=5)
+    assert a.equals(b)
+    assert a.num_rows == 5
+
+
+def test_bpe_single_symbol_words(ray_session):
+    """Fully-merged single-symbol sequences stop contributing pairs
+    without erroring (the s[1:0] empty-slice path)."""
+    from goobi_viewer_indexer_ray.stages.bpe import bpe_train
+
+    out = bpe_train(_docs(ray_session, ["a a a"]), n_merges=3).to_pydict()
+    # 'a §' → merge ('a','§',3) → vocab is the single symbol 'a§'
+    assert out["rank"] == [1]
+    assert (out["lft"][0], out["rgt"][0], out["pair_count"][0]) == ("a", "§", 3)

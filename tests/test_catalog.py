@@ -179,6 +179,7 @@ def _check(contract, con, name):
         "search_boost",
         "doc_keywords",
         "link_triangles",
+        "bpe_train",
     ],
 )
 def test_vs_duckdb(contract, con, name):
