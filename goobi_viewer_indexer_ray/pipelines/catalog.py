@@ -2350,6 +2350,73 @@ FROM c
 """
 
 
+# (query_id, cx, cy, radius) — integer-degree space; q3's tight radius
+# exercises the near-empty leg, q4's fat one the count-heavy leg.
+GEO_QUERIES = [(0, 10, 20, 25), (1, -100, -40, 40),
+               (2, 170, 80, 15), (3, 0, 0, 3), (4, 50, -10, 90)]
+GEO_TOPK = 10
+
+
+def q_search_geo(sf_dir: str):
+    """Spatial radius search ({!geofilt}+geodist sort — the viewer's
+    map search over the WKT fields this indexer writes; see
+    GeoJSONTools.java for the field-emitting half): deterministic
+    integer points derived from doc_id (same synth rule family as
+    ``geo_wkt``), per query top-10 by squared integer distance plus
+    the exact numFound; one streamed partial-top-k pass
+    (:func:`stages.geo.geo_radius_topk`)."""
+    from ..stages.geo import geo_radius_topk
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])
+
+    def synth_points(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(k, pa.int64()),
+                "x": pa.array((k * 37) % 360 - 180, pa.int64()),
+                "y": pa.array((k * 53) % 180 - 90, pa.int64()),
+            }
+        )
+
+    pts = ds.map_batches(synth_points, batch_format="pyarrow")
+    return geo_radius_topk(pts, GEO_QUERIES, k=GEO_TOPK)
+
+
+def _search_geo_sql() -> str:
+    qrows = ", ".join(f"({q}, {cx}, {cy}, {r})"
+                      for q, cx, cy, r in GEO_QUERIES)
+    return f"""
+WITH pts AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         ((doc_id * 37) % 360 - 180)::BIGINT AS x,
+         ((doc_id * 53) % 180 - 90)::BIGINT  AS y
+  FROM documents
+),
+q(query_id, cx, cy, r) AS (VALUES {qrows}),
+m AS (
+  SELECT q.query_id, p.doc_id,
+         (p.x - q.cx) * (p.x - q.cx) + (p.y - q.cy) * (p.y - q.cy) AS dist2
+  FROM pts p, q
+  WHERE (p.x - q.cx) * (p.x - q.cx) + (p.y - q.cy) * (p.y - q.cy)
+        <= q.r * q.r
+),
+c AS (SELECT query_id, count(*)::BIGINT AS n_found FROM m GROUP BY 1),
+r AS (
+  SELECT query_id, doc_id, dist2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist2, doc_id) AS rank
+  FROM m
+)
+SELECT r.query_id::BIGINT AS query_id, r.rank::BIGINT AS rank,
+       r.doc_id::BIGINT AS doc_id, r.dist2::BIGINT AS dist2, c.n_found
+FROM r JOIN c USING (query_id)
+WHERE r.rank <= {GEO_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 def q_mixed_format_ingest(sf_dir: str):
     """Multi-format ingest (S2 analog): the documents table is
     re-materialized (cached) as a mixed directory of Parquet + JSONL +
@@ -6534,6 +6601,7 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-4 additions / re-oracled entries ---
+    "search_geo": q_search_geo,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -6723,6 +6791,7 @@ ORACLE_SQL = {
     "mixture_resample": _mixture_sql(),
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     "geo_wkt": _SQL_GEO_WKT,
+    "search_geo": _search_geo_sql(),
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

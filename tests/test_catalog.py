@@ -180,6 +180,7 @@ def _check(contract, con, name):
         "doc_keywords",
         "link_triangles",
         "bpe_train",
+        "search_geo",
     ],
 )
 def test_vs_duckdb(contract, con, name):

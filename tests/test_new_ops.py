@@ -310,3 +310,38 @@ def test_pack_assign_semantics(ray_session):
     assert list(out.tok_offset) == [0, 6, 6, 11]
     assert list(out.pack_first) == [0, 0, 0, 1]
     assert list(out.pack_last) == [0, 0, 1, 1]  # doc 30 straddles 0→1
+
+
+def test_geo_radius_topk_brute_and_partition_invariance(ray_session):
+    """geo_radius_topk == the O(n·q) brute force, and the answer is
+    identical at 1 block and 16 blocks (partial top-k + count-marker
+    fold is partition-invariant)."""
+    import numpy as np
+    import ray
+
+    from goobi_viewer_indexer_ray.stages.geo import geo_radius_topk
+
+    rng = np.random.default_rng(7)
+    n = 500
+    ids = np.arange(n, dtype=np.int64) * 3 + 1  # sparse, non-contiguous
+    xs = rng.integers(-180, 180, n).astype(np.int64)
+    ys = rng.integers(-90, 90, n).astype(np.int64)
+    queries = [(0, 0, 0, 30), (1, -170, -80, 50), (2, 400, 400, 5)]
+    k = 7
+
+    # brute force
+    want = []
+    for qid, cx, cy, r in queries:
+        d2 = (xs - cx) ** 2 + (ys - cy) ** 2
+        hit = d2 <= r * r
+        rows = sorted(zip(d2[hit].tolist(), ids[hit].tolist()))
+        for rank, (dist2, doc) in enumerate(rows[:k], 1):
+            want.append((qid, rank, doc, dist2, int(hit.sum())))
+
+    tbl = pa.table({"doc_id": ids, "x": xs, "y": ys})
+    outs = []
+    for blocks in (1, 16):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = geo_radius_topk(ds, queries, k=k).to_pandas()
+        outs.append([tuple(r) for r in out.itertuples(index=False)])
+    assert outs[0] == outs[1] == want
