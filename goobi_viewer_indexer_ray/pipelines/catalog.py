@@ -239,6 +239,131 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# ------------------------------------------------------------ join query
+
+# (query_id, main query, parent filter terms).  query 2's filter
+# matches no parent (the empty from-side leg); query 3's is broad.
+JOIN_BLOCK = 16
+JOIN_SPECS = [
+    (0, "hash join", ["vector", "spark"]),
+    (1, "customer order stream", ["slow", "window"]),
+    (2, "vector", ["zzznope"]),
+    (3, "the", ["merge", "key"]),
+]
+JOIN_TOPK = 10
+
+
+def q_search_join(sf_dir: str):
+    """Solr join-query-parser parity (``{!join from=PI_PARENT to=PI}``
+    — the anchor→volume cross-record filter the viewer issues against
+    the PI_PARENT field this indexer writes; reference:
+    ``MetsIndexer.java`` anchor/volume linkage,
+    ``SolrConstants.PI_PARENT``).
+
+    Parenthood is synthetic: ``parent_id = doc_id - doc_id % 16`` —
+    each 16-block's head doc is the anchor record, the rest its
+    volumes.  Per query: BM25 ranking of the main query restricted to
+    CHILD docs whose PARENT contains ALL filter terms (the from-side
+    match), top-10 by (round(score,4) desc, doc_id).
+
+    Scale shape: the from-side match is posting-list intersection on
+    the index (df-bounded, never a corpus scan); the to-side restrict
+    is one vectorized ``np.isin`` against the matched-parent array —
+    at corpus scale the parent set is the record count (orders of
+    magnitude below the page count), the same small side the
+    reference holds as the anchor lookup."""
+    from .query import LocalIndex, topk_exact
+    from .search_ops import boolean_docs
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    rows = {"query_id": [], "doc_id": [], "parent_id": [],
+            "score_r": [], "rank": []}
+    for qid, main, filt in JOIN_SPECS:
+        matched = boolean_docs(idx, must=filt)
+        parents = matched[matched % JOIN_BLOCK == 0]
+        if parents.size == 0:
+            continue
+        d, s = topk_exact(idx, main, idx.n_docs)
+        if d.size == 0:
+            continue
+        s_r = np.round(s, 4)
+        par = d - d % JOIN_BLOCK
+        keep = (d % JOIN_BLOCK != 0) & np.isin(par, parents)
+        d_k, s_k, p_k = d[keep], s_r[keep], par[keep]
+        order = np.lexsort((d_k, -s_k))[:JOIN_TOPK]
+        for r, i in enumerate(order, 1):
+            rows["query_id"].append(qid)
+            rows["doc_id"].append(int(d_k[i]))
+            rows["parent_id"].append(int(p_k[i]))
+            rows["score_r"].append(float(s_k[i]))
+            rows["rank"].append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "parent_id": pa.array(rows["parent_id"], pa.int64()),
+            "score_r": pa.array(rows["score_r"], pa.float64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+        }
+    )
+
+
+def _search_join_sql() -> str:
+    b = JOIN_BLOCK
+    fq_selects, values = [], []
+    for qid, main, filt in JOIN_SPECS:
+        fts = sorted(set(tokenize(" ".join(filt))))
+        fq_selects.append(
+            f"SELECT {qid} AS query_id, doc_id FROM toks "
+            f"WHERE doc_id % {b} = 0 AND list_has_all(ts, {_sql_list(fts)})"
+        )
+        for t in sorted(set(tokenize(main))):
+            values.append(f"({qid}, '{t}')")
+    fq = "\nUNION ALL\n".join(fq_selects)
+    vals = ", ".join(values)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+fq AS ({fq}),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+joined AS (
+  SELECT s.query_id, s.doc_id, (s.doc_id - s.doc_id % {b}) AS parent_id,
+         round(s.score, 4) AS score_r
+  FROM scored s
+  JOIN fq ON fq.query_id = s.query_id
+         AND fq.doc_id = s.doc_id - s.doc_id % {b}
+  WHERE s.doc_id % {b} != 0
+),
+ranked AS (
+  SELECT query_id, doc_id, parent_id, score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_r DESC, doc_id) AS rank
+  FROM joined
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       parent_id::BIGINT AS parent_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {JOIN_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------- text analysis
 
 def q_doc_token_count(sf_dir: str):
@@ -6602,6 +6727,7 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 QUERIES = {
     # --- round-4 additions / re-oracled entries ---
     "search_geo": q_search_geo,
+    "search_join": q_search_join,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -6792,6 +6918,7 @@ ORACLE_SQL = {
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     "geo_wkt": _SQL_GEO_WKT,
     "search_geo": _search_geo_sql(),
+    "search_join": _search_join_sql(),
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

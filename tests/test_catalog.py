@@ -181,6 +181,7 @@ def _check(contract, con, name):
         "link_triangles",
         "bpe_train",
         "search_geo",
+        "search_join",
     ],
 )
 def test_vs_duckdb(contract, con, name):
