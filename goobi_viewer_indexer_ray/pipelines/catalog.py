@@ -4946,6 +4946,70 @@ v{i} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY rank"
 
 
+def q_bpe_encode(sf_dir: str):
+    """BPE tokenizer APPLICATION (the per-shard encode pass a
+    pretraining pipeline runs with the merges ``bpe_train`` learned):
+    train the 8 merges, then one shuffle-free streamed pass encodes
+    each batch's distinct words (8 vectorized Arrow replaces with the
+    training rounds' exact trim/pad semantics) and folds per-doc
+    (n_words, n_bpe) via integer gathers + one segmented sum
+    (:func:`stages.bpe.bpe_encode`)."""
+    from ..stages.bpe import bpe_encode, bpe_train
+
+    m = bpe_train(_documents(sf_dir), n_merges=BPE_MERGES)
+    merges = list(zip(m.column("lft").to_pylist(),
+                      m.column("rgt").to_pylist()))
+    return bpe_encode(_documents(sf_dir), merges)
+
+
+def _bpe_encode_sql(n: int = BPE_MERGES) -> str:
+    """The ``_bpe_sql`` merge-training chain re-generated with the
+    vocabulary WORD carried through every round, so the final vocab
+    maps word → encoded sequence; per-doc totals are one join +
+    groupby over the corpus token stream."""
+    parts = [
+        f"""wc AS MATERIALIZED (
+  SELECT t AS word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY t
+),
+w0 AS MATERIALIZED (
+  SELECT word,
+         array_to_string(string_split(word, ''), ' ') || ' §' AS seq, cnt
+  FROM wc
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT lft, rgt, sum(c)::BIGINT AS c FROM (
+    SELECT unnest(s[1:len(s)-1]) AS lft, unnest(s[2:len(s)]) AS rgt,
+           cnt AS c
+    FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w{i-1})
+  ) GROUP BY lft, rgt
+),
+b{i} AS MATERIALIZED (
+  SELECT lft, rgt FROM p{i} ORDER BY c DESC, lft, rgt LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT word,
+         trim(replace(' ' || seq || ' ',
+                      ' ' || b.lft || ' ' || b.rgt || ' ',
+                      ' ' || b.lft || b.rgt || ' '), ' ') AS seq, cnt
+  FROM w{i-1}, b{i} b
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       sum(len(string_split(w.seq, ' ')))::BIGINT AS n_bpe
+FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents) d
+JOIN w{n} w USING (word)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+    )
+
+
 BOOST_QUERY_IDS = [0, 2, 5]
 BOOST_K = 1000.0
 BOOST_TOP = 10
@@ -6728,6 +6792,7 @@ QUERIES = {
     # --- round-4 additions / re-oracled entries ---
     "search_geo": q_search_geo,
     "search_join": q_search_join,
+    "bpe_encode": q_bpe_encode,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -6919,6 +6984,7 @@ ORACLE_SQL = {
     "geo_wkt": _SQL_GEO_WKT,
     "search_geo": _search_geo_sql(),
     "search_join": _search_join_sql(),
+    "bpe_encode": _bpe_encode_sql(),
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

@@ -50,7 +50,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bpe_train", "END_MARKER"]
+__all__ = ["bpe_train", "bpe_encode", "END_MARKER"]
 
 # end-of-word symbol: NOT matched by the tokenizer ([a-z0-9]+), so it
 # can never collide with a real character symbol
@@ -211,3 +211,56 @@ def bpe_train(docs, *, n_merges: int = 8):
             "n_words": pa.array(rows["n_words"], pa.int64()),
         }
     )
+
+
+def bpe_encode(docs, merges: list[tuple[str, str]]):
+    """Apply trained BPE merges to the corpus — the tokenizer-
+    APPLICATION half of the pipeline (``bpe_train`` learns the merges;
+    this stage is what a pretraining data pipeline runs over every
+    shard afterwards).  Returns a Dataset ``(doc_id, n_words, n_bpe)``
+    — corpus tokens and total BPE symbols (end-of-word marker
+    included) per doc; zero-token docs are dropped (no words ⇒
+    nothing to encode).
+
+    Scale shape: the merge list is the tiny side (it rides the
+    closure); ONE streamed ``map_batches`` pass encodes each batch's
+    DISTINCT words only (the Sennrich reduction again — per-token
+    work is integer gathers): n_merges vectorized
+    ``pc.replace_substring`` calls over the distinct-word array with
+    the exact trim/pad round semantics of :func:`bpe_train`, then a
+    space-count kernel and one segmented sum.  No shuffle at all.
+    """
+
+    def enc(t: pa.Table) -> pa.Table:
+        from .text_ops import _flat_token_codes, _seg_sums
+
+        ids, counts, codes, uniq = _flat_token_codes(t)
+        if len(uniq):
+            seqs = pa.array(
+                [" ".join(w) + " " + END_MARKER for w in uniq], pa.string()
+            )
+            for l, r in merges:
+                padded = _pad(seqs)
+                seqs = pc.utf8_trim(
+                    pc.replace_substring(
+                        padded, pattern=f" {l} {r} ", replacement=f" {l}{r} "
+                    ),
+                    " ",
+                )
+            n_sym = pc.add(
+                pc.count_substring(seqs, " "), 1
+            ).to_numpy().astype(np.int64)
+            per_tok = n_sym[codes]
+        else:
+            per_tok = np.empty(0, np.int64)
+        n_bpe = _seg_sums(per_tok, counts)
+        keep = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_words": pa.array(counts[keep], pa.int64()),
+                "n_bpe": pa.array(n_bpe[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(enc, batch_format="pyarrow")

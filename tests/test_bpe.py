@@ -63,3 +63,44 @@ def test_bpe_single_symbol_words(ray_session):
     # 'a §' → merge ('a','§',3) → vocab is the single symbol 'a§'
     assert out["rank"] == [1]
     assert (out["lft"][0], out["rgt"][0], out["pair_count"][0]) == ("a", "§", 3)
+
+
+def test_bpe_encode_hand_checked(ray_session):
+    """Encode with the hand-known merges of the 'ab ab ab / abc'
+    corpus: after [(a,b),(ab,§),(ab,c),(abc,§)] the word 'ab' encodes
+    to 1 symbol ('ab§') and 'abc' to 1 ('abc§'); with only the first
+    merge, 'ab' → 'ab §' (2) and 'abc' → 'ab c §' (3)."""
+    from goobi_viewer_indexer_ray.stages.bpe import bpe_encode
+
+    docs = _docs(ray_session, ["ab ab ab", "abc"])
+    full = bpe_encode(
+        docs, [("a", "b"), ("ab", "§"), ("ab", "c"), ("abc", "§")]
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert list(full.n_words) == [3, 1]
+    assert list(full.n_bpe) == [3, 1]
+
+    one = bpe_encode(docs, [("a", "b")]).to_pandas().set_index(
+        "doc_id").sort_index()
+    assert list(one.n_bpe) == [6, 3]
+
+    none = bpe_encode(docs, []).to_pandas().set_index(
+        "doc_id").sort_index()
+    # raw char symbols + end marker: 'ab'→3, 'abc'→4
+    assert list(none.n_bpe) == [9, 4]
+
+
+def test_bpe_encode_drops_empty_and_partition_invariant(ray_session):
+    from goobi_viewer_indexer_ray.stages.bpe import bpe_encode, bpe_train
+
+    texts = ["low low lower", "", "newest newer", "low new est"] * 4
+    docs1 = _docs(ray_session, texts)
+    docs6 = _docs(ray_session, texts, blocks=6)
+    m = bpe_train(docs1, n_merges=5).to_pydict()
+    merges = list(zip(m["lft"], m["rgt"]))
+    a = bpe_encode(docs1, merges).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    b = bpe_encode(docs6, merges).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # empty docs (ids 1, 5, 9, 13) are dropped
+    assert set(a.doc_id) == set(range(len(texts))) - {1, 5, 9, 13}

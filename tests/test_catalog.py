@@ -182,6 +182,7 @@ def _check(contract, con, name):
         "bpe_train",
         "search_geo",
         "search_join",
+        "bpe_encode",
     ],
 )
 def test_vs_duckdb(contract, con, name):
