@@ -6021,6 +6021,73 @@ def _kmeans_ctes(k: int, iters: int) -> str:
     return ",\n".join(ctes)
 
 
+def q_embedding_classify(sf_dir: str):
+    """Nearest-class-mean (Rocchio) classifier over the labeled
+    embeddings — the cheap supervised router a curation pipeline
+    trains for quality tiers / topics (complements the hashing-trick
+    text classifier ``quality_classifier`` with the embedding-side
+    analog).  Train on vec_id % 5 != 0, evaluate the held-out fifth;
+    integer-exact end to end (:func:`stages.kmeans.
+    classify_nearest_centroid`).
+
+    NOTE: this table's labels are geometry-free by construction
+    (within-label mean cosine 0.02), so near-chance accuracy is the
+    CORRECT output here — the pinned quantity is the exact integer
+    train+eval parity; the learning behavior itself is pinned by the
+    planted-blob pytest (≥95 % held-out accuracy)."""
+    from ..stages.kmeans import classify_nearest_centroid
+
+    return classify_nearest_centroid(_embeddings(sf_dir))
+
+
+def _embedding_classify_sql() -> str:
+    from ..stages.kmeans import CLS_SPLIT
+
+    dist = (
+        "(list_inner_product(q.v, q.v) - 2 * list_inner_product(q.v, c.v)"
+        " + list_inner_product(c.v, c.v))::BIGINT"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, i AS d, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+m AS (SELECT vec_id, max(abs(x)) AS mx FROM e GROUP BY vec_id),
+ql AS MATERIALIZED (
+  SELECT e.vec_id, e.d,
+         floor(x / (CASE WHEN mx = 0 THEN 1.0 ELSE mx END) * 127.0 + 0.5)::BIGINT
+           + 127 AS qv
+  FROM e JOIN m USING (vec_id)
+),
+qv AS MATERIALIZED (SELECT vec_id, list(qv ORDER BY d) AS v FROM ql GROUP BY vec_id),
+lab AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT l.label, ql.d, sum(ql.qv) // count(*) AS cv
+  FROM ql JOIN lab l USING (vec_id)
+  WHERE ql.vec_id % {CLS_SPLIT} != 0
+  GROUP BY l.label, ql.d
+),
+cl AS (SELECT label, list(cv ORDER BY d) AS v FROM cent GROUP BY label),
+dist AS (
+  SELECT q.vec_id, c.label AS pred, {dist} AS dist2
+  FROM qv q CROSS JOIN cl c
+  WHERE q.vec_id % {CLS_SPLIT} = 0
+),
+best AS (
+  SELECT vec_id, pred, dist2 FROM (
+    SELECT vec_id, pred, dist2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, pred) AS rn
+    FROM dist)
+  WHERE rn = 1
+)
+SELECT b.vec_id::BIGINT AS vec_id, l.label, b.pred, b.dist2,
+       (CASE WHEN l.label = b.pred THEN 1 ELSE 0 END)::BIGINT AS correct
+FROM best b JOIN lab l USING (vec_id)
+ORDER BY vec_id
+"""
+
+
 def _kmeans_sql() -> str:
     from ..stages.kmeans import KM_ITERS, KM_K
 
@@ -6793,6 +6860,7 @@ QUERIES = {
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
+    "embedding_classify": q_embedding_classify,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -6985,6 +7053,7 @@ ORACLE_SQL = {
     "search_geo": _search_geo_sql(),
     "search_join": _search_join_sql(),
     "bpe_encode": _bpe_encode_sql(),
+    "embedding_classify": _embedding_classify_sql(),
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

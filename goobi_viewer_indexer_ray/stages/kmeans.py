@@ -60,7 +60,7 @@ import pyarrow as pa
 
 from .ann import _as_matrix, _quantize_matrix
 
-__all__ = ["kmeans_assign", "semantic_dedup"]
+__all__ = ["kmeans_assign", "semantic_dedup", "classify_nearest_centroid"]
 
 KM_K = 8        # clusters
 KM_ITERS = 4    # assign+update rounds (final assign is one more pass)
@@ -242,3 +242,113 @@ def semantic_dedup(ds, *, k: int = KM_K, iters: int = KM_ITERS,
         )
 
     return joined.groupby("cluster").map_groups(dedup_group, batch_format="pyarrow")
+
+
+# ----------------------------------------------- centroid classifier
+
+CLS_SPLIT = 5  # vec_id % CLS_SPLIT == 0 → held-out eval row
+
+
+def classify_nearest_centroid(embeds, *, split: int = CLS_SPLIT):
+    """Nearest-class-mean (Rocchio) classifier over the labeled
+    embedding table — the cheap supervised labeler a curation pipeline
+    trains to route documents (quality tiers, topics, domains) when a
+    full model is too expensive to run per-document.
+
+    Train split: ``vec_id % split != 0``; eval split: ``== 0``.  Over
+    +127-shifted int8-quantized vectors (:func:`_quantize_shifted`):
+
+        c_l[d]   = (Σ_{train v∈l} q_vd) // n_l      (floor; operands
+                    non-negative ⇒ numpy floor == SQL truncate)
+        pred(v)  = argmin_l Σ_d (q_vd − c_ld)²      (first-min tie →
+                    lowest label)
+
+    — every centroid component, distance, and verdict is int64, so the
+    whole train+eval is bit-exact under any partitioning and
+    SQL-replayable (the :func:`kmeans_assign` contract, one round,
+    supervised).
+
+    Scale shape: pass 1 emits ≤ L·(dim+1) partial-sum rows per batch
+    (per-batch ``np.add.at`` fold first), ONE tiny
+    ``groupby(label, d)`` builds the (L, dim) centroid matrix — per-
+    batch shuffle volume is corpus-size independent; pass 2 broadcasts
+    the matrix in the closure and scores each batch with one int64
+    GEMM.  Returns a Dataset ``(vec_id, label, pred, dist2, correct)``
+    over the eval split.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def train_partials(t: pa.Table) -> pa.Table:
+        ids, q = _quantize_shifted(t)
+        labels = t.column("label").cast(pa.int64()).to_numpy()
+        tr = ids % split != 0
+        q_t, l_t = q[tr], labels[tr]
+        if not q_t.shape[0]:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(l_t)
+        dim = q_t.shape[1]
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, codes, q_t)
+        cnt = np.bincount(codes).astype(np.int64)
+        lab = np.repeat(uniq.astype(np.int64), dim)
+        d = np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+        # d = -1 marker rows carry the per-label train counts
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.concatenate([lab, uniq.astype(np.int64)]), pa.int64()),
+                "d": pa.array(
+                    np.concatenate([d, np.full(len(uniq), -1)]), pa.int64()),
+                "s": pa.array(
+                    np.concatenate([sums.ravel(), cnt]), pa.int64()),
+            }
+        )
+
+    folded = (
+        embeds.map_batches(train_partials, batch_format="pyarrow")
+        .groupby(["label", "d"])
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    counts = folded[folded.d < 0].set_index("label")["s"]
+    comp = folded[folded.d >= 0].sort_values(["label", "d"])
+    labels_sorted = np.sort(counts.index.to_numpy().astype(np.int64))
+    dim = int(comp.d.max()) + 1
+    cmat = (
+        comp.s.to_numpy().astype(np.int64).reshape(len(labels_sorted), dim)
+        // counts.loc[labels_sorted].to_numpy().astype(np.int64)[:, None]
+    )
+    c_sq = np.einsum("ld,ld->l", cmat, cmat)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, q = _quantize_shifted(t)
+        labels = t.column("label").cast(pa.int64()).to_numpy()
+        ev = ids % split == 0
+        ids_e, q_e, l_e = ids[ev], q[ev], labels[ev]
+        if not q_e.shape[0]:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("vec_id", "label", "pred", "dist2", "correct")})
+        d2 = (
+            np.einsum("nd,nd->n", q_e, q_e)[:, None]
+            - 2 * (q_e @ cmat.T)
+            + c_sq[None, :]
+        )
+        idx = np.argmin(d2, axis=1)  # first min == lowest label (sorted)
+        pred = labels_sorted[idx]
+        best = d2[np.arange(d2.shape[0]), idx]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids_e, pa.int64()),
+                "label": pa.array(l_e, pa.int64()),
+                "pred": pa.array(pred, pa.int64()),
+                "dist2": pa.array(best, pa.int64()),
+                "correct": pa.array((pred == l_e).astype(np.int64),
+                                    pa.int64()),
+            }
+        )
+
+    return embeds.map_batches(score, batch_format="pyarrow")

@@ -183,6 +183,7 @@ def _check(contract, con, name):
         "search_geo",
         "search_join",
         "bpe_encode",
+        "embedding_classify",
     ],
 )
 def test_vs_duckdb(contract, con, name):

@@ -90,3 +90,45 @@ def test_semantic_dedup_threshold_is_exact(ray_session):
         )
     )
     assert strict.dup_of.tolist() == [-1, -1]
+
+
+def test_classify_nearest_centroid_planted_blobs(ray_session):
+    """On embeddings WITH class structure (10 Gaussian blobs) the
+    Rocchio classifier recovers the labels near-perfectly; on the
+    driver testdata the labels are geometry-free by construction, so
+    the catalog entry's pinned quantity is the integer parity, not
+    model quality — this test pins the learning behavior itself.
+    Also: 1-block == 16-block (int64 partial-sum contract)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.kmeans import (
+        classify_nearest_centroid,
+    )
+
+    rng = np.random.default_rng(3)
+    n_per, dim, k = 40, 16, 10
+    centers = rng.normal(0, 10, (k, dim))
+    rows, labs = [], []
+    for l in range(k):
+        rows.append(centers[l] + rng.normal(0, 1.0, (n_per, dim)))
+        labs.extend([l] * n_per)
+    m = np.vstack(rows).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(labs)), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float32())),
+            "label": pa.array(labs, pa.int32()),
+        }
+    )
+    outs = []
+    for blocks in (1, 16):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = classify_nearest_centroid(ds).to_pandas().sort_values(
+            "vec_id").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+    assert len(out) == len(labs) // 5  # the held-out fifth
+    assert out.correct.mean() >= 0.95  # blobs are separable
