@@ -5010,6 +5010,111 @@ ORDER BY d.doc_id
     )
 
 
+CURSOR_QUERY_IDS = [0, 2, 5]
+CURSOR_PAGE = 5
+CURSOR_PAGES = 3
+
+
+def q_search_cursor(sf_dir: str):
+    """Solr cursorMark deep-paging parity (the viewer's OAI/harvest
+    path pages the whole index with cursorMark= rather than
+    start=offset; reference consumers rely on the no-skip/no-dup
+    guarantee of the (score desc, uniqueKey asc) total order).
+
+    Per query: pages 1..3 of 5 rows, each page fetched KEYSET-style —
+    strictly after the previous page's last (score_r, doc_id) cursor,
+    NOT by offset — so the engine exercises the real cursor predicate;
+    the oracle replays the total order with one row_number window.
+
+    Scale shape: scoring is df-bounded serving-side; each page is one
+    vectorized mask + partial top-k over the scored arrays — at
+    corpus scale the same predicate pushes into the per-shard WAND
+    pass (cursor = per-shard resume key), which is why cursorMark
+    beats offset paging: no shard re-scores the skipped prefix."""
+    from .query import LocalIndex, topk_exact
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    qmap = {q["query_id"]: q["query"] for q in DOC_QUERIES}
+    rows = {"query_id": [], "page": [], "rank_in_page": [],
+            "doc_id": [], "score_r": []}
+    for qid in CURSOR_QUERY_IDS:
+        d, s = topk_exact(idx, qmap[qid], idx.n_docs)
+        if d.size == 0:
+            continue
+        s_r = np.round(s, 4)
+        cur = None  # (score_r, doc_id) of the previous page's last row
+        for page in range(1, CURSOR_PAGES + 1):
+            if cur is None:
+                mask = np.ones(d.size, bool)
+            else:
+                cs, cd = cur
+                mask = (s_r < cs) | ((s_r == cs) & (d > cd))
+            d_m, s_m = d[mask], s_r[mask]
+            take = np.lexsort((d_m, -s_m))[:CURSOR_PAGE]
+            if take.size == 0:
+                break
+            for r, i in enumerate(take, 1):
+                rows["query_id"].append(qid)
+                rows["page"].append(page)
+                rows["rank_in_page"].append(r)
+                rows["doc_id"].append(int(d_m[i]))
+                rows["score_r"].append(float(s_m[i]))
+            cur = (s_m[take[-1]], d_m[take[-1]])
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "page": pa.array(rows["page"], pa.int64()),
+            "rank_in_page": pa.array(rows["rank_in_page"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_r": pa.array(rows["score_r"], pa.float64()),
+        }
+    )
+
+
+def _search_cursor_sql() -> str:
+    pairs = [
+        (qid, sorted(set(tokenize(q["query"]))))
+        for q in DOC_QUERIES for qid in [q["query_id"]]
+        if qid in CURSOR_QUERY_IDS
+    ]
+    values = ", ".join(f"({qid}, '{t}')" for qid, ts in pairs for t in ts)
+    lim = CURSOR_PAGE * CURSOR_PAGES
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id,
+       ((rn - 1) // {CURSOR_PAGE} + 1)::BIGINT AS page,
+       ((rn - 1) % {CURSOR_PAGE} + 1)::BIGINT AS rank_in_page,
+       doc_id, score_r
+FROM ranked WHERE rn <= {lim}
+ORDER BY query_id, rn
+"""
+
+
 BOOST_QUERY_IDS = [0, 2, 5]
 BOOST_K = 1000.0
 BOOST_TOP = 10
@@ -6861,6 +6966,7 @@ QUERIES = {
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
     "embedding_classify": q_embedding_classify,
+    "search_cursor": q_search_cursor,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -7054,6 +7160,7 @@ ORACLE_SQL = {
     "search_join": _search_join_sql(),
     "bpe_encode": _bpe_encode_sql(),
     "embedding_classify": _embedding_classify_sql(),
+    "search_cursor": _search_cursor_sql(),
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

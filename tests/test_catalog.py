@@ -184,6 +184,7 @@ def _check(contract, con, name):
         "search_join",
         "bpe_encode",
         "embedding_classify",
+        "search_cursor",
     ],
 )
 def test_vs_duckdb(contract, con, name):
