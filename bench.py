@@ -239,6 +239,11 @@ def run_bench() -> dict:
         "budget_select",
         "search_suggest",
         "search_mmr",
+        "search_geo",
+        "search_join",
+        "search_cursor",
+        "bpe_encode",
+        "embedding_classify",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -37,6 +37,9 @@ __all__ = [
     "encode_term_blocks",
     "decode_block",
     "decode_term",
+    "encode_for_block",
+    "decode_for_block",
+    "for_encoded_size",
 ]
 
 BLOCK_SIZE = 128
@@ -175,3 +178,72 @@ def decode_term(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]
         np.concatenate([p[1] for p in parts]),
         np.concatenate([p[2] for p in parts]),
     )
+
+
+# ------------------------------------------------------- FOR bit-packing
+
+def _bit_width(gaps: np.ndarray) -> int:
+    """Max bit length of the (non-empty, ≥1) gap array — bounded
+    shift loop, vectorized compares, no per-int Python."""
+    w = 1
+    g = gaps.astype(np.uint64, copy=False)
+    while bool(np.any(g >> np.uint64(w))):
+        w += 1
+    return w
+
+
+def encode_for_block(doc_ids: np.ndarray) -> bytes:
+    """Frame-of-reference bit-packing of ONE ≤``BLOCK_SIZE`` block of
+    strictly-increasing doc ids (the Lucene ``Lucene*PostingsFormat``
+    FOR analog; the north-star codec family next to LEB128):
+
+        [width: u8][first_doc: u64 LE][gaps bit-packed at ``width``
+        bits each, value-major, LSB-first]
+
+    Size is exactly ``9 + ceil((m-1)·w / 8)`` bytes for ``m`` postings
+    at width ``w`` (``w = 0`` for single-posting blocks).  Packing is
+    one (m-1, w) bit-matrix + ``np.packbits`` — fully vectorized.
+    """
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    gaps = np.diff(d)
+    head = np.empty(9, np.uint8)
+    head[1:] = np.frombuffer(d[:1].tobytes(), np.uint8)  # first_doc LE
+    if gaps.size == 0:
+        head[0] = 0
+        return head.tobytes()
+    w = _bit_width(gaps)
+    head[0] = w
+    bits = (
+        (gaps[:, None] >> np.arange(w, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.uint8)
+    packed = np.packbits(bits.ravel(), bitorder="little")
+    return head.tobytes() + packed.tobytes()
+
+
+def decode_for_block(buf: bytes | memoryview, n: int) -> np.ndarray:
+    """Inverse of :func:`encode_for_block` for a block of ``n``
+    postings → int64 doc ids."""
+    b = np.frombuffer(buf, np.uint8)
+    w = int(b[0])
+    first = int(np.frombuffer(b[1:9].tobytes(), np.uint64)[0])
+    if n == 1:
+        return np.array([first], np.int64)
+    m = n - 1
+    bits = np.unpackbits(b[9:], bitorder="little")[: m * w].reshape(m, w)
+    gaps = (
+        bits.astype(np.uint64)
+        * (np.uint64(1) << np.arange(w, dtype=np.uint64))[None, :]
+    ).sum(axis=1)
+    return (first + np.concatenate(([0], np.cumsum(gaps)))).astype(np.int64)
+
+
+def for_encoded_size(doc_ids: np.ndarray, block_size: int = BLOCK_SIZE) -> int:
+    """Total FOR-encoded bytes of a strictly-increasing doc-id stream
+    split into ``block_size`` blocks — computed by ENCODING with the
+    real codec (pins the packer, not just the formula)."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    total = 0
+    for i in range(0, d.size, block_size):
+        total += len(encode_for_block(d[i:i + block_size]))
+    return total

@@ -6288,6 +6288,85 @@ FROM sz ORDER BY df DESC, term LIMIT 100
 """
 
 
+def q_postings_for(sf_dir: str):
+    """FOR bit-packed postings accounting — the second codec of the
+    north-star family (varint/PForDelta): per term, the EXACT encoded
+    byte size under frame-of-reference bit-packing (128-posting
+    blocks, ``[width u8][first_doc u64][gaps at max-bit-width]`` —
+    :func:`functions.codec.encode_for_block`) alongside the LEB128 and
+    raw sizes, top 100 terms by (df desc, term).  Engine sizes come
+    from the REAL packer (roundtrip-fuzzed in pytest); the oracle
+    recomputes block widths via ``length(bin(gap))`` — byte-for-byte
+    agreement pins the bit-packing itself."""
+    from ..functions.codec import encode_varints, for_encoded_size
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def sizes(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("doc_id").to_numpy().astype(np.int64))
+        vals = np.concatenate(([d[0]], np.diff(d))).astype(np.uint64)
+        return pa.table(
+            {
+                "term": g.column("term").slice(0, 1),
+                "df": pa.array([d.size], pa.int64()),
+                "raw_bytes": pa.array([8 * d.size], pa.int64()),
+                "varint_bytes": pa.array([len(encode_varints(vals))],
+                                         pa.int64()),
+                "for_bytes": pa.array([for_encoded_size(d)], pa.int64()),
+            }
+        )
+
+    return (
+        postings.groupby("term")
+        .map_groups(sizes, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def _postings_for_sql() -> str:
+    from ..functions.codec import BLOCK_SIZE
+
+    return f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+r AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+  FROM posting
+),
+g AS (
+  SELECT term, (rk - 1) // {BLOCK_SIZE} AS blk, (rk - 1) % {BLOCK_SIZE} AS pos,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY rk), 0) AS v
+  FROM r
+),
+vsz AS (
+  SELECT term, count(*)::BIGINT AS df,
+         sum(1 + (v >= 128)::INT + (v >= 16384)::INT + (v >= 2097152)::INT
+               + (v >= 268435456)::INT + (v >= 34359738368)::INT)::BIGINT AS varint_bytes
+  FROM g GROUP BY term
+),
+fb AS (
+  SELECT term, blk,
+         count(*) FILTER (WHERE pos != 0)::BIGINT AS m,
+         coalesce(max(length(bin(v))) FILTER (WHERE pos != 0), 0)::BIGINT AS w
+  FROM g GROUP BY term, blk
+),
+fsz AS (
+  SELECT term, sum(9 + (m * w + 7) // 8)::BIGINT AS for_bytes
+  FROM fb GROUP BY term
+)
+SELECT v.term, v.df, (8 * v.df)::BIGINT AS raw_bytes, v.varint_bytes, f.for_bytes
+FROM vsz v JOIN fsz f USING (term)
+ORDER BY v.df DESC, v.term LIMIT 100
+"""
+
+
 def q_winnow_fingerprints(sf_dir: str):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) — the
     guaranteed-detection, sublinear-density fingerprint family for text
@@ -6967,6 +7046,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "embedding_classify": q_embedding_classify,
     "search_cursor": q_search_cursor,
+    "postings_for": q_postings_for,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -7161,6 +7241,7 @@ ORACLE_SQL = {
     "bpe_encode": _bpe_encode_sql(),
     "embedding_classify": _embedding_classify_sql(),
     "search_cursor": _search_cursor_sql(),
+    "postings_for": _postings_for_sql(),
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

@@ -185,6 +185,7 @@ def _check(contract, con, name):
         "bpe_encode",
         "embedding_classify",
         "search_cursor",
+        "postings_for",
     ],
 )
 def test_vs_duckdb(contract, con, name):

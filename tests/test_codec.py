@@ -52,3 +52,36 @@ def test_single_posting():
     blocks = encode_term_blocks(np.array([5]), np.array([2]), np.array([10]))
     d, t, l = decode_term(blocks)
     assert d.tolist() == [5] and t.tolist() == [2] and l.tolist() == [10]
+
+
+def test_for_block_roundtrip_fuzz():
+    """FOR bit-packing: decode(encode(x)) == x over 200 random
+    strictly-increasing streams spanning widths 1..40+, incl. the
+    single-posting (w=0) block, and the size is exactly
+    9 + ceil(gaps·w/8) per block."""
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.functions.codec import (
+        BLOCK_SIZE,
+        decode_for_block,
+        encode_for_block,
+        for_encoded_size,
+    )
+
+    rng = np.random.default_rng(1)
+    for trial in range(200):
+        n = int(rng.integers(1, 300))
+        hi = int(rng.choice([2, 10, 1000, 2**20, 2**40]))
+        gaps = rng.integers(1, hi, n - 1) if n > 1 else np.array([], np.int64)
+        d = np.concatenate(
+            ([rng.integers(0, 2**40)], gaps)).cumsum().astype(np.int64)
+        expect_size = 0
+        for i in range(0, n, BLOCK_SIZE):
+            blk = d[i:i + BLOCK_SIZE]
+            buf = encode_for_block(blk)
+            assert (decode_for_block(buf, blk.size) == blk).all(), trial
+            g = np.diff(blk.astype(np.uint64))
+            w = max((int(x).bit_length() for x in g), default=0)
+            assert len(buf) == 9 + (g.size * w + 7) // 8, trial
+            expect_size += len(buf)
+        assert for_encoded_size(d) == expect_size, trial
