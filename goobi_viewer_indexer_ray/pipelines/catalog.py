@@ -5010,6 +5010,112 @@ ORDER BY d.doc_id
     )
 
 
+# (query_id, query, mm) — Solr (e)dismax minimum-should-match
+MM_SPECS = [
+    (0, "hash join merge", 2),
+    (1, "customer order stream", 2),
+    (2, "slow query vector the", 3),
+    (3, "zzznope vector", 2),
+]
+MM_TOPK = 10
+
+
+def q_search_mm(sf_dir: str):
+    """(e)dismax ``mm=`` parity — Solr's minimum-should-match the
+    viewer's search front end configures per query type: docs must
+    match at least ``mm`` DISTINCT query terms; survivors score the
+    normal BM25 term sum, top-10 by (round(score,4) desc, doc_id).
+    Query 3 requires an absent term's pair — the empty leg.
+
+    Scale shape: per-term doc sets and scores are the same df-bounded
+    posting reads the OR query already does; the mm filter is a
+    membership-count fold over the ≤|terms| sorted doc arrays
+    (searchsorted, no corpus pass)."""
+    from .query import LocalIndex, topk_exact
+    from .search_ops import boolean_docs
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    rows = {"query_id": [], "doc_id": [], "n_matched": [],
+            "score_r": [], "rank": []}
+    for qid, query, mm in MM_SPECS:
+        d, s = topk_exact(idx, query, idx.n_docs)
+        if d.size == 0:
+            continue
+        s_r = np.round(s, 4)
+        nm = np.zeros(d.size, np.int64)
+        for term in sorted(set(tokenize(query))):
+            td = boolean_docs(idx, must=[term])
+            if td.size:
+                pos = np.minimum(np.searchsorted(td, d), td.size - 1)
+                nm += (td[pos] == d).astype(np.int64)
+        keep = nm >= mm
+        d_k, s_k, n_k = d[keep], s_r[keep], nm[keep]
+        order = np.lexsort((d_k, -s_k))[:MM_TOPK]
+        for r, i in enumerate(order, 1):
+            rows["query_id"].append(qid)
+            rows["doc_id"].append(int(d_k[i]))
+            rows["n_matched"].append(int(n_k[i]))
+            rows["score_r"].append(float(s_k[i]))
+            rows["rank"].append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "n_matched": pa.array(rows["n_matched"], pa.int64()),
+            "score_r": pa.array(rows["score_r"], pa.float64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+        }
+    )
+
+
+def _search_mm_sql() -> str:
+    values, having = [], []
+    for qid, query, mm in MM_SPECS:
+        for t in sorted(set(tokenize(query))):
+            values.append(f"({qid}, '{t}')")
+        having.append(f"({qid}, {mm})")
+    vals = ", ".join(values)
+    mms = ", ".join(having)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+qm(query_id, mm) AS (VALUES {mms}),
+scored AS (
+  SELECT q.query_id, p.doc_id, count(*)::BIGINT AS n_matched,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.n_matched, round(s.score, 4) AS score_r
+  FROM scored s JOIN qm ON qm.query_id = s.query_id
+  WHERE s.n_matched >= qm.mm
+),
+ranked AS (
+  SELECT query_id, doc_id, n_matched, score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_r DESC, doc_id) AS rank
+  FROM kept
+)
+SELECT query_id::BIGINT AS query_id, doc_id, n_matched, score_r,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {MM_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 CURSOR_QUERY_IDS = [0, 2, 5]
 CURSOR_PAGE = 5
 CURSOR_PAGES = 3
@@ -7047,6 +7153,7 @@ QUERIES = {
     "embedding_classify": q_embedding_classify,
     "search_cursor": q_search_cursor,
     "postings_for": q_postings_for,
+    "search_mm": q_search_mm,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -7242,6 +7349,7 @@ ORACLE_SQL = {
     "embedding_classify": _embedding_classify_sql(),
     "search_cursor": _search_cursor_sql(),
     "postings_for": _postings_for_sql(),
+    "search_mm": _search_mm_sql(),
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

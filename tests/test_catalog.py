@@ -186,6 +186,7 @@ def _check(contract, con, name):
         "embedding_classify",
         "search_cursor",
         "postings_for",
+        "search_mm",
     ],
 )
 def test_vs_duckdb(contract, con, name):
