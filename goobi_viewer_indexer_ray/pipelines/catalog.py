@@ -5010,6 +5010,58 @@ ORDER BY d.doc_id
     )
 
 
+CRAWL_WORKERS = 8
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Crawl-frontier politeness scheduling
+    (:func:`stages.fetch.crawl_schedule`): hosts/priorities/delays
+    derived deterministically from the doc key (host = doc_id % 50 —
+    the ``url_normalize`` host family; delay = 500 + (host % 7)·250 ms
+    — the robots crawl-delay analog; priority = doc_id % 3 — the
+    Hotfolder re-index lane analog); per host, fetch order and spacing
+    plus the host→worker pinning that keeps politeness valid under
+    distribution."""
+    from ..stages.fetch import crawl_schedule
+
+    def synth(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").cast(pa.int64()).to_numpy()
+        host = k % 50
+        return pa.table(
+            {
+                "doc_id": pa.array(k, pa.int64()),
+                "host": pa.array(host, pa.int64()),
+                "priority": pa.array(k % 3, pa.int64()),
+                "delay_ms": pa.array(500 + (host % 7) * 250, pa.int64()),
+            }
+        )
+
+    ds = _documents(sf_dir, columns=("doc_id",)).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return crawl_schedule(ds, num_workers=CRAWL_WORKERS)
+
+
+_SQL_CRAWL_SCHEDULE = f"""
+WITH f AS (
+  SELECT doc_id::BIGINT AS doc_id, (doc_id % 50)::BIGINT AS host,
+         (doc_id % 3)::BIGINT AS priority,
+         (500 + (doc_id % 50 % 7) * 250)::BIGINT AS delay_ms
+  FROM documents
+),
+r AS (
+  SELECT doc_id, host, delay_ms,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority, doc_id) - 1 AS fetch_seq
+  FROM f
+)
+SELECT doc_id, host, (host % {CRAWL_WORKERS})::BIGINT AS worker,
+       fetch_seq::BIGINT AS fetch_seq,
+       (fetch_seq * delay_ms)::BIGINT AS fetch_time_ms
+FROM r ORDER BY doc_id
+"""
+
+
 # (query_id, query, mm) — Solr (e)dismax minimum-should-match
 MM_SPECS = [
     (0, "hash join merge", 2),
@@ -7154,6 +7206,7 @@ QUERIES = {
     "search_cursor": q_search_cursor,
     "postings_for": q_postings_for,
     "search_mm": q_search_mm,
+    "crawl_schedule": q_crawl_schedule,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -7350,6 +7403,7 @@ ORACLE_SQL = {
     "search_cursor": _search_cursor_sql(),
     "postings_for": _postings_for_sql(),
     "search_mm": _search_mm_sql(),
+    "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

@@ -292,3 +292,52 @@ class FetchDocs:
         ).append_column("n_bytes", pa.array(sizes, pa.int64())).append_column(
             "payload", pa.array(payloads, pa.binary())
         )
+
+
+# --------------------------------------------------- frontier schedule
+
+def crawl_schedule(ds, *, num_workers: int = 8,
+                   host_col: str = "host", id_col: str = "doc_id",
+                   priority_col: str = "priority",
+                   delay_col: str = "delay_ms"):
+    """Crawl-frontier politeness scheduling — the fetch *planning*
+    half of the ingest path (:class:`FetchDocs` is the execution
+    half; reference: ``Hotfolder.java``'s priority lane is the
+    single-node analog of the priority key).
+
+    Per host: urls rank by ``(priority asc, doc_id asc)`` into
+    ``fetch_seq`` (0-based) and ``fetch_time_ms = fetch_seq ·
+    delay_ms`` (the robots crawl-delay spacing); every host is pinned
+    to ``worker = host % num_workers`` so the politeness invariant —
+    one in-flight fetch per host, ``delay_ms`` apart — holds under
+    distribution (urls of one host NEVER split across fetchers).
+
+    Scale shape: ONE hash-partitioned ``groupby(host)`` with a fully
+    vectorized per-group rank (lexsort + arange).  A hot host is
+    inherently serial — that is the *semantics* of politeness, not a
+    skew bug; the worker pinning is what makes the schedule valid at
+    any cluster size.  Returns ``(doc_id, host, worker, fetch_seq,
+    fetch_time_ms)``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def rank_host(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy()
+        pri = g.column(priority_col).to_numpy()
+        delay = g.column(delay_col).to_numpy()
+        host = g.column(host_col).to_numpy()
+        order = np.lexsort((ids, pri))
+        seq = np.empty(ids.size, np.int64)
+        seq[order] = np.arange(ids.size, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": pa.array(host, pa.int64()),
+                "worker": pa.array(host % num_workers, pa.int64()),
+                "fetch_seq": pa.array(seq, pa.int64()),
+                "fetch_time_ms": pa.array(seq * delay, pa.int64()),
+            }
+        )
+
+    return ds.groupby(host_col).map_groups(rank_host, batch_format="pyarrow")

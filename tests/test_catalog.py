@@ -187,6 +187,7 @@ def _check(contract, con, name):
         "search_cursor",
         "postings_for",
         "search_mm",
+        "crawl_schedule",
     ],
 )
 def test_vs_duckdb(contract, con, name):
