@@ -105,7 +105,8 @@ def _pair_partials(t: pa.Table) -> pa.Table:
         return pa.table(
             {"lft": pa.array([], pa.string()),
              "rgt": pa.array([], pa.string()),
-             "c": pa.array([], pa.int64())}
+             "c": pa.array([], pa.int64()),
+             "nw": pa.array([], pa.int64())}
         )
     word_of = np.repeat(np.arange(m.size), m)
     cum = np.concatenate(([0], np.cumsum(m)[:-1]))
@@ -117,12 +118,22 @@ def _pair_partials(t: pa.Table) -> pa.Table:
     codes, uniq_pairs = pd.factorize(composite.to_numpy(zero_copy_only=False))
     sums = np.zeros(len(uniq_pairs), np.int64)
     np.add.at(sums, codes, w)
+    # distinct-word hit counts: vocab rows are globally UNIQUE words,
+    # so per-batch distinct (word, pair) counts sum exactly across
+    # batches — this is what lets bpe_train skip a whole per-round
+    # count pass (n_words comes back through the same groupby)
+    uniq_wp = np.unique(word_of.astype(np.int64) * len(uniq_pairs) + codes)
+    nw = np.bincount(
+        (uniq_wp % len(uniq_pairs)).astype(np.int64),
+        minlength=len(uniq_pairs),
+    ).astype(np.int64)
     lr = pd.Series(uniq_pairs).str.split("\x1f", n=1, expand=True)
     return pa.table(
         {
             "lft": pa.array(lr[0].to_numpy(), pa.string()),
             "rgt": pa.array(lr[1].to_numpy(), pa.string()),
             "c": pa.array(sums, pa.int64()),
+            "nw": pa.array(nw, pa.int64()),
         }
     )
 
@@ -160,7 +171,7 @@ def bpe_train(docs, *, n_merges: int = 8):
         best = (
             vocab.map_batches(_pair_partials, batch_format="pyarrow")
             .groupby(["lft", "rgt"])
-            .aggregate(Sum("c", alias_name="c"))
+            .aggregate(Sum("c", alias_name="c"), Sum("nw", alias_name="nw"))
             .sort(["c", "lft", "rgt"], descending=[True, False, False])
             .limit(1)
             .take_all()
@@ -168,18 +179,11 @@ def bpe_train(docs, *, n_merges: int = 8):
         if not best:
             break
         l, rgt, c = best[0]["lft"], best[0]["rgt"], int(best[0]["c"])
+        # n_words rides the SAME shuffle (vocab words are unique, so
+        # batch-level distinct hit counts sum exactly) — no separate
+        # per-round count pass
+        n_words = int(best[0]["nw"])
         pat, rep = f" {l} {rgt} ", f" {l}{rgt} "
-
-        def count_hits(t: pa.Table, pat=pat) -> pa.Table:
-            hits = pc.sum(pc.match_substring(_pad(
-                t.column("seq").combine_chunks() if isinstance(
-                    t.column("seq"), pa.ChunkedArray) else t.column("seq")
-            ), pat)).as_py() or 0
-            return pa.table({"n": pa.array([hits], pa.int64())})
-
-        n_words = int(
-            vocab.map_batches(count_hits, batch_format="pyarrow").sum("n")
-        )
 
         def apply_merge(t: pa.Table, pat=pat, rep=rep) -> pa.Table:
             s = t.column("seq")
