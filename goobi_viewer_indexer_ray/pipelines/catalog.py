@@ -5010,6 +5010,94 @@ ORDER BY d.doc_id
     )
 
 
+def q_image_ahash(sf_dir: str):
+    """Image near-dup via 64-bit average hash (the image-modality
+    dedup the driver brief asks for next to the text/embedding
+    families): deterministic 16×16 P6 PPM payloads from the supplier
+    key — 4-key FAMILIES share a base image (kb = k − k%4), non-base
+    variants get sparse +17 pixel noise, and k % 11 == 0 keys are
+    corrupt decoys (error-folder analog) — hashed by the actor-pool
+    :class:`stages.multimodal.AHash` (real PPM decode → integer block
+    sums → mean-threshold bits), then ONE ``groupby(hash)`` emits
+    bucket size + canonical member (:func:`stages.multimodal.
+    ahash_dup_stats`).  The oracle recomputes every pixel, block sum,
+    hash bit, and dup verdict from key arithmetic alone — a header,
+    stride, or packing bug breaks the hash."""
+    from ..stages.multimodal import AHash, ahash_dup_stats
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        keys = t.column("s_suppkey").cast(pa.int64()).to_numpy()
+        ids, payloads = [], []
+        j = np.arange(768, dtype=np.int64)
+        for k in keys:
+            k = int(k)
+            ids.append(k)
+            if k % 11 == 0:
+                payloads.append(b"P5 bogus " + k.to_bytes(8, "big"))
+                continue
+            kb, v = k - k % 4, k % 4
+            val = (kb * 7 + j * 5) % 256
+            if v > 0:
+                noisy = j % 53 == v
+                val = np.where(noisy, np.minimum(val + 17, 255), val)
+            payloads.append(b"P6\n16 16\n255\n" +
+                            val.astype(np.uint8).tobytes())
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    hashed = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        AHash, concurrency=2, batch_size=64, batch_format="pyarrow"
+    )
+    return ahash_dup_stats(hashed)
+
+
+_SQL_IMAGE_AHASH = """
+WITH keys AS (
+  SELECT s_suppkey::BIGINT AS k,
+         (s_suppkey - s_suppkey % 4)::BIGINT AS kb,
+         (s_suppkey % 4)::BIGINT AS v
+  FROM supplier WHERE s_suppkey % 11 <> 0
+),
+px AS (
+  SELECT k, g.j AS j,
+         CASE WHEN v > 0 AND (g.j % 53) = v
+              THEN LEAST((kb * 7 + g.j * 5) % 256 + 17, 255)
+              ELSE (kb * 7 + g.j * 5) % 256 END AS val
+  FROM keys, unnest(generate_series(0, 767)) AS g(j)
+),
+gray AS (SELECT k, j // 3 AS p, sum(val)::BIGINT AS gv FROM px GROUP BY 1, 2),
+blk AS (
+  SELECT k, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS b,
+         sum(gv)::BIGINT AS bs
+  FROM gray GROUP BY 1, 2
+),
+tot AS (SELECT k, sum(bs)::BIGINT AS t FROM blk GROUP BY k),
+bits AS (
+  SELECT blk.k, b, (64 * bs > t)::BIGINT AS bit
+  FROM blk JOIN tot USING (k)
+),
+h AS (
+  SELECT k,
+         sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END)::BIGINT AS hash_hi,
+         sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END)::BIGINT AS hash_lo
+  FROM bits GROUP BY k
+),
+d AS (
+  SELECT hash_hi, hash_lo, count(*)::BIGINT AS n_same, min(k)::BIGINT AS canon
+  FROM h GROUP BY 1, 2
+)
+SELECT h.k AS media_id, h.hash_hi, h.hash_lo, d.n_same, d.canon,
+       (h.k <> d.canon)::BIGINT AS is_dup
+FROM h JOIN d USING (hash_hi, hash_lo)
+ORDER BY media_id
+"""
+
+
 CRAWL_WORKERS = 8
 
 
@@ -7207,6 +7295,7 @@ QUERIES = {
     "postings_for": q_postings_for,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
+    "image_ahash": q_image_ahash,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -7404,6 +7493,7 @@ ORACLE_SQL = {
     "postings_for": _postings_for_sql(),
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
+    "image_ahash": _SQL_IMAGE_AHASH,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

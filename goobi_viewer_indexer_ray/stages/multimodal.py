@@ -350,3 +350,82 @@ class FrameSampler:
                 "sum_px": pa.array(out_sum, pa.int64()),
             }
         )
+
+
+class AHash:
+    """Actor-pool stage: image payload → 64-bit average hash — the
+    image-modality member of the dedup family (aHash: 8×8 block means
+    thresholded at the global mean; the integer-exact cousin of pHash
+    used for near-dup image blocking at crawl scale).
+
+    ALL arithmetic is integer (gray = channel SUM, block value = pixel
+    SUM, bit = 64·block > total — no divisions), so every hash bit is
+    bit-exact under any partitioning and replayable by a SQL oracle.
+    The 64 bits pack into ``(hash_hi, hash_lo)`` int32 halves (signed
+    BIGINT has no 64th bit).
+
+    Decode is inherently per-payload (like :class:`FrameSampler`);
+    everything after the decode is one vectorized reshape/sum per
+    image.  Corrupt payloads are skipped (error-folder analog).
+    """
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload")
+        out_id, out_hi, out_lo = [], [], []
+        for i in range(len(ids)):
+            try:
+                img = decode_ppm(payloads[i].as_py())
+            except (ValueError, NotImplementedError, IndexError):
+                continue  # corrupt decoy → skipped, not fatal
+            h, w, _ = img.shape
+            if h % g or w % g:
+                continue
+            gray = img.astype(np.int64).sum(axis=2)
+            bs = gray.reshape(g, h // g, g, w // g).sum(axis=(1, 3))
+            bits = (g * g * bs.ravel() > bs.sum()).astype(np.int64)
+            lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+            hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+            out_id.append(int(ids[i]))
+            out_hi.append(hi)
+            out_lo.append(lo)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "hash_hi": pa.array(out_hi, pa.int64()),
+                "hash_lo": pa.array(out_lo, pa.int64()),
+            }
+        )
+
+
+def ahash_dup_stats(hashed):
+    """Hash-bucket dup stats over an :class:`AHash` output Dataset:
+    per image, the bucket size and canonical (min) member id — ONE
+    ``groupby(hash)`` (the blocking unit IS the hash, exactly like
+    exact text dedup; Hamming-radius widening would band the halves,
+    the ``dedup_simhash`` pattern)."""
+
+    def fold(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_numpy()
+        canon = int(ids.min())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "hash_hi": t.column("hash_hi"),
+                "hash_lo": t.column("hash_lo"),
+                "n_same": pa.array(
+                    np.full(ids.size, ids.size, np.int64), pa.int64()),
+                "canon": pa.array(
+                    np.full(ids.size, canon, np.int64), pa.int64()),
+                "is_dup": pa.array(
+                    (ids != canon).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return hashed.groupby(["hash_hi", "hash_lo"]).map_groups(
+        fold, batch_format="pyarrow"
+    )

@@ -188,6 +188,7 @@ def _check(contract, con, name):
         "postings_for",
         "search_mm",
         "crawl_schedule",
+        "image_ahash",
     ],
 )
 def test_vs_duckdb(contract, con, name):

@@ -185,3 +185,53 @@ def test_frame_sampler_stride_and_skip():
     assert out.column("sum_px").to_pylist() == [60, 180, 300]  # v * h * w
     assert out.column("height").to_pylist() == [2, 2, 2]
     assert out.column("width").to_pylist() == [3, 3, 3]
+
+
+def test_ahash_noise_invariance_and_dup_stats(ray_session):
+    """aHash erases sparse low-amplitude noise (same hash), separates
+    a structurally different image (different hash), skips corrupt
+    payloads, and the dup-stats fold is partition-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.multimodal import (
+        AHash,
+        ahash_dup_stats,
+    )
+
+    j = np.arange(768, dtype=np.int64)
+    # bimodal base (left half dark, right half bright): block sums sit
+    # far from the global mean, so sparse +17 noise cannot flip a bit
+    col = (j // 3) % 16
+    base = np.where(col < 8, 20 + (j % 31), 220 + (j % 23))
+    noisy = np.where(j % 53 == 1, np.minimum(base + 17, 255), base)
+    other = np.where(col < 8, 220 + (j % 23), 20 + (j % 31))  # mirrored
+    def ppm(vals):
+        return b"P6\n16 16\n255\n" + vals.astype(np.uint8).tobytes()
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "payload": pa.array(
+                [ppm(base), ppm(noisy), ppm(other), b"P6 corrupt"],
+                pa.binary()),
+        }
+    )
+    outs = []
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        hashed = ds.map_batches(AHash, concurrency=1,
+                                batch_format="pyarrow")
+        out = ahash_dup_stats(hashed).to_pandas().sort_values(
+            "media_id").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    out = outs[0].set_index("media_id")
+    assert list(out.index) == [1, 2, 3]  # corrupt skipped
+    assert (out.loc[1, ["hash_hi", "hash_lo"]].to_numpy()
+            == out.loc[2, ["hash_hi", "hash_lo"]].to_numpy()).all()
+    assert (out.loc[1, ["hash_hi", "hash_lo"]].to_numpy()
+            != out.loc[3, ["hash_hi", "hash_lo"]].to_numpy()).any()
+    assert out.loc[1, "is_dup"] == 0 and out.loc[2, "is_dup"] == 1
+    assert out.loc[2, "canon"] == 1 and out.loc[2, "n_same"] == 2
+    assert out.loc[3, "is_dup"] == 0 and out.loc[3, "n_same"] == 1
