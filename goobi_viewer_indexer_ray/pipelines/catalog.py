@@ -5010,6 +5010,83 @@ ORDER BY d.doc_id
     )
 
 
+def q_warc_ingest(sf_dir: str):
+    """WARC ingest (the Common-Crawl container in front of the
+    input_hint pages table; the hotfolder-read transposition —
+    ``Hotfolder.java`` reads METS files, this reads crawl WARCs):
+    the documents table is re-materialized (cached) as ``.warc``
+    files of Content-Length-framed response records (+ a non-WARC
+    decoy), read back by :func:`sources.warc.read_warc_dir` (file =
+    parallel unit, the CC processing shape), and checksummed per
+    lang: record count, id/char sums, md5 text checksum (byte-exact
+    payload round-trip), and the WARC-Date day sum (header
+    round-trip).  The oracle recomputes everything from the table."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import md5_hash64_array
+    from ..sources.warc import read_warc_dir, write_warc_corpus
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out, _key = _cache_dir(sf_dir, "warc_v1")
+    write_warc_corpus(src, out)
+    ds = read_warc_dir(out)
+
+    def digest(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        h = (md5_hash64_array(texts) % np.uint64(2147483647)).astype(np.int64)
+        days = pc.cast(pc.utf8_slice_codeunits(
+            t.column("warc_date"), 8, 10), pa.int64())
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "doc_id_c": t.column("doc_id"),
+                "n_chars_c": pc.cast(pc.utf8_length(t.column("text")),
+                                     pa.int64()),
+                "text_h": pa.array(h, pa.int64()),
+                "day_c": days,
+            }
+        )
+
+    agg = (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("doc_id_c", alias_name="sum_ids"),
+            Sum("n_chars_c", alias_name="sum_chars"),
+            Sum("text_h", alias_name="sum_text_h"),
+            Sum("day_c", alias_name="sum_day"),
+        )
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "sum_ids": pc.cast(t.column("sum_ids"), pa.int64()),
+                "sum_chars": pc.cast(t.column("sum_chars"), pa.int64()),
+                "sum_text_h": pc.cast(t.column("sum_text_h"), pa.int64()),
+                "sum_day": pc.cast(t.column("sum_day"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_WARC_INGEST = """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(doc_id)::BIGINT AS sum_ids,
+       sum(length(text))::BIGINT AS sum_chars,
+       sum(('0x' || substr(md5(text), 1, 16))::UBIGINT % 2147483647)::BIGINT
+         AS sum_text_h,
+       sum(doc_id % 28 + 1)::BIGINT AS sum_day
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_image_ahash(sf_dir: str):
     """Image near-dup via 64-bit average hash (the image-modality
     dedup the driver brief asks for next to the text/embedding
@@ -7296,6 +7373,7 @@ QUERIES = {
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
+    "warc_ingest": q_warc_ingest,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -7494,6 +7572,7 @@ ORACLE_SQL = {
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
+    "warc_ingest": _SQL_WARC_INGEST,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

@@ -189,6 +189,7 @@ def _check(contract, con, name):
         "search_mm",
         "crawl_schedule",
         "image_ahash",
+        "warc_ingest",
     ],
 )
 def test_vs_duckdb(contract, con, name):

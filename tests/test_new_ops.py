@@ -345,3 +345,38 @@ def test_geo_radius_topk_brute_and_partition_invariance(ray_session):
         out = geo_radius_topk(ds, queries, k=k).to_pandas()
         outs.append([tuple(r) for r in out.itertuples(index=False)])
     assert outs[0] == outs[1] == want
+
+
+def test_warc_roundtrip_framing_and_decoy(ray_session, tmp_path):
+    """WARC parsing is Content-Length-FRAMED: payloads containing
+    \\r\\n\\r\\n (the record separator) round-trip byte-exactly; the
+    non-WARC decoy is sniffed out; a truncated tail raises in strict
+    mode and degrades to skip-remainder with strict=False."""
+    from goobi_viewer_indexer_ray.sources.warc import (
+        _record_bytes,
+        parse_warc_bytes,
+        read_warc_dir,
+    )
+
+    nasty = "a\r\n\r\nWARC/1.0\r\nb"  # separator + magic INSIDE a payload
+    recs = (
+        _record_bytes("https://x/1", 1, "2024-01-05T00:00:00Z", "en",
+                      nasty.encode())
+        + _record_bytes("https://x/2", 2, "2024-01-06T00:00:00Z", "de",
+                        b"plain")
+    )
+    (tmp_path / "a.warc").write_bytes(recs)
+    (tmp_path / "decoy.txt").write_bytes(b"not a warc")
+    out = read_warc_dir(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert list(out.doc_id) == [1, 2]
+    assert out.loc[0, "text"] == nasty
+    assert out.loc[1, "lang"] == "de"
+    assert out.loc[0, "warc_date"] == "2024-01-05T00:00:00Z"
+
+    truncated = recs[:-10]
+    with pytest.raises(ValueError):
+        parse_warc_bytes(truncated)
+    lenient = parse_warc_bytes(truncated, strict=False)
+    assert lenient["doc_id"] == [1]  # first record intact, tail skipped
+    assert parse_warc_bytes(b"GIF89a whatever") is None
