@@ -5333,6 +5333,106 @@ ORDER BY query_id, rank
 """
 
 
+EXPLAIN_QUERY_IDS = [0, 5, 6]
+EXPLAIN_TOP = 3
+
+
+def q_search_explain(sf_dir: str):
+    """Solr ``debugQuery=true`` explain parity — the per-term score
+    breakdown the viewer's relevance debugging relies on: for each
+    query's top-3 docs (bm25_topk's exact rank rule), one row per
+    matched term with tf, df, and the term's BM25 contribution
+    (idf·tfnorm, 4 dp).  Identical float64 expression trees on both
+    sides (the ``bm25_topk`` contract, ungrouped to term level)."""
+    from ..functions.scoring import idf as idf_fn
+    from ..functions.scoring import impact
+    from .query import LocalIndex, topk_exact
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    qmap = {q["query_id"]: q["query"] for q in DOC_QUERIES}
+    rows = {"query_id": [], "doc_id": [], "term": [], "tf": [],
+            "df": [], "score_term_r": []}
+    for qid in EXPLAIN_QUERY_IDS:
+        d, s = topk_exact(idx, qmap[qid], idx.n_docs)
+        if d.size == 0:
+            continue
+        s_r = np.round(s, 4)
+        top = d[np.lexsort((d, -s_r))[:EXPLAIN_TOP]]
+        for tok in sorted(set(tokenize(qmap[qid]))):
+            ref = idx.lookup(tok)
+            if ref is None:
+                continue
+            w = float(idf_fn(idx.n_docs, ref.df))
+            docs, tfs, dls = ref.decode_all()
+            pos = np.searchsorted(docs, top)
+            pos_c = np.minimum(pos, docs.size - 1)
+            hit = docs[pos_c] == top
+            for t_doc, t_pos in zip(top[hit], pos_c[hit]):
+                contrib = w * float(
+                    impact(np.float64(tfs[t_pos]), np.float64(dls[t_pos]),
+                           idx.avgdl))
+                rows["query_id"].append(qid)
+                rows["doc_id"].append(int(t_doc))
+                rows["term"].append(tok)
+                rows["tf"].append(int(tfs[t_pos]))
+                rows["df"].append(int(ref.df))
+                rows["score_term_r"].append(round(contrib, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "term": pa.array(rows["term"], pa.string()),
+            "tf": pa.array(rows["tf"], pa.int64()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "score_term_r": pa.array(rows["score_term_r"], pa.float64()),
+        }
+    )
+
+
+def _search_explain_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for q in DOC_QUERIES if q["query_id"] in EXPLAIN_QUERY_IDS
+        for qid in [q["query_id"]]
+        for t in sorted(set(tokenize(q["query"])))
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+contrib AS (
+  SELECT q.query_id, p.doc_id, p.term, p.tf, f.df,
+         ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl)))
+           AS sc
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sum(sc), 4) DESC, doc_id) AS rn
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT c.query_id::BIGINT AS query_id, c.doc_id AS doc_id, c.term,
+       c.tf::BIGINT AS tf, c.df::BIGINT AS df,
+       round(c.sc, 4) AS score_term_r
+FROM contrib c JOIN ranked r
+  ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+WHERE r.rn <= {EXPLAIN_TOP}
+ORDER BY c.query_id, c.doc_id, c.term
+"""
+
+
 CURSOR_QUERY_IDS = [0, 2, 5]
 CURSOR_PAGE = 5
 CURSOR_PAGES = 3
@@ -7374,6 +7474,7 @@ QUERIES = {
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
     "warc_ingest": q_warc_ingest,
+    "search_explain": q_search_explain,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -7573,6 +7674,7 @@ ORACLE_SQL = {
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
     "warc_ingest": _SQL_WARC_INGEST,
+    "search_explain": _search_explain_sql(),
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

@@ -190,6 +190,7 @@ def _check(contract, con, name):
         "crawl_schedule",
         "image_ahash",
         "warc_ingest",
+        "search_explain",
     ],
 )
 def test_vs_duckdb(contract, con, name):
