@@ -5333,6 +5333,110 @@ ORDER BY query_id, rank
 """
 
 
+def q_host_stats(sf_dir: str):
+    """Domain-level reputation aggregation — the C4/RefinedWeb
+    domain-filter op (blocklist/allowlist decisions are made per
+    HOST, not per doc): per host (the ``url_normalize`` doc_id % 50
+    family), doc count + integer quality-signal sums
+    (:func:`stages.text_ops.quality_batch` fused with the host key),
+    and a keep verdict — keep iff the host's mean tokens/doc is ≥ the
+    corpus mean, cross-multiplied to pure integers
+    (``n_corpus·sum_tokens_h ≥ n_h·sum_tokens_corpus``) so every
+    verdict hash-matches.
+
+    Scale shape: signals are per-batch vectorized with a map-side
+    per-host combine (≤ hosts rows per batch reach the ONE small
+    ``groupby(host)``); the corpus totals fold from the same partials
+    and broadcast back as two ints."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import text_ops
+
+    def signals(t: pa.Table) -> pa.Table:
+        q = text_ops.quality_batch(t)
+        ids = q.column("doc_id").to_numpy()
+        host = ids % 50
+        cols = {"host": host, "n_docs_c": np.ones(ids.size, np.int64)}
+        for c in ("n_tokens", "n_distinct", "stopword_hits",
+                  "punct_hits"):
+            cols[c] = q.column(c).to_numpy()
+        # map-side combine: ≤ 50 rows leave each batch
+        import pandas as pd
+        g = pd.DataFrame(cols).groupby("host", sort=True).sum()
+        return pa.table(
+            {
+                "host": pa.array(g.index.to_numpy(), pa.int64()),
+                **{c: pa.array(g[c].to_numpy(), pa.int64())
+                   for c in g.columns},
+            }
+        )
+
+    folded = (
+        _documents(sf_dir).map_batches(signals, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_docs_c", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+            Sum("n_distinct", alias_name="sum_distinct"),
+            Sum("stopword_hits", alias_name="sum_stop"),
+            Sum("punct_hits", alias_name="sum_punct"),
+        )
+        .materialize()
+    )
+    tot = folded.aggregate(Sum("n_docs"), Sum("sum_tokens"))
+    n_corpus = int(tot["sum(n_docs)"])
+    tok_corpus = int(tot["sum(sum_tokens)"])
+
+    def verdict(t: pa.Table) -> pa.Table:
+        nd = t.column("n_docs").cast(pa.int64()).to_numpy()
+        st = t.column("sum_tokens").cast(pa.int64()).to_numpy()
+        keep = (n_corpus * st >= nd * tok_corpus).astype(np.int64)
+        return pa.table(
+            {
+                "host": t.column("host").cast(pa.int64()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "sum_tokens": pa.array(st, pa.int64()),
+                "sum_distinct": t.column("sum_distinct").cast(pa.int64()),
+                "sum_stop": t.column("sum_stop").cast(pa.int64()),
+                "sum_punct": t.column("sum_punct").cast(pa.int64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        )
+
+    return folded.map_batches(verdict, batch_format="pyarrow").sort("host")
+
+
+def _host_stats_sql() -> str:
+    stop_en = ", ".join(f"'{w}'" for w in
+                        sorted(__import__(
+                            "goobi_viewer_indexer_ray.stages.text_ops",
+                            fromlist=["STOPWORDS"]).STOPWORDS["en"]))
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS ts FROM documents),
+sig AS (
+  SELECT (doc_id % 50)::BIGINT AS host,
+         len(ts)::BIGINT AS n_tokens,
+         len(list_distinct(ts))::BIGINT AS n_distinct,
+         len(list_filter(ts, x -> x IN ({stop_en})))::BIGINT AS stop_hits,
+         length(regexp_replace(coalesce(text, ''),
+                               '[a-zA-Z0-9 ]+', '', 'g'))::BIGINT AS punct
+  FROM t
+),
+h AS (
+  SELECT host, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS sum_tokens,
+         sum(n_distinct)::BIGINT AS sum_distinct,
+         sum(stop_hits)::BIGINT AS sum_stop,
+         sum(punct)::BIGINT AS sum_punct
+  FROM sig GROUP BY host
+),
+c AS (SELECT sum(n_docs)::BIGINT AS nc, sum(sum_tokens)::BIGINT AS tc FROM h)
+SELECT host, n_docs, sum_tokens, sum_distinct, sum_stop, sum_punct,
+       (c.nc * sum_tokens >= n_docs * c.tc)::BIGINT AS keep
+FROM h, c ORDER BY host
+"""
+
+
 EXPLAIN_QUERY_IDS = [0, 5, 6]
 EXPLAIN_TOP = 3
 
@@ -7475,6 +7579,7 @@ QUERIES = {
     "image_ahash": q_image_ahash,
     "warc_ingest": q_warc_ingest,
     "search_explain": q_search_explain,
+    "host_stats": q_host_stats,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -7675,6 +7780,7 @@ ORACLE_SQL = {
     "image_ahash": _SQL_IMAGE_AHASH,
     "warc_ingest": _SQL_WARC_INGEST,
     "search_explain": _search_explain_sql(),
+    "host_stats": _host_stats_sql(),
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

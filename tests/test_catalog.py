@@ -191,6 +191,7 @@ def _check(contract, con, name):
         "image_ahash",
         "warc_ingest",
         "search_explain",
+        "host_stats",
     ],
 )
 def test_vs_duckdb(contract, con, name):
