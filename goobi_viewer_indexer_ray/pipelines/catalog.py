@@ -5437,6 +5437,91 @@ FROM h, c ORDER BY host
 """
 
 
+COLLATE_QUERIES = ["strem qery", "slow windw", "zzzz vale", "hash join"]
+
+
+def q_search_collate(sf_dir: str):
+    """Solr ``spellcheck.collate`` parity: for a misspelled multi-term
+    query, substitute each term's BEST suggestion (rank = dist asc,
+    df desc, term asc — in-vocab terms are their own dist-0 best;
+    terms with no candidate within 2 edits stay verbatim) and report
+    the collated query plus its AND-semantics hit count — what the
+    viewer shows as "did you mean".  ``hash join`` pins the all-
+    correct identity collation; ``zzzz ...`` the no-suggestion leg."""
+    from .query import LocalIndex
+    from .search_ops import boolean_docs, spellcheck_terms
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    rows = {"q": [], "collation": [], "n_hits": []}
+    for q in sorted(COLLATE_QUERIES):
+        corrected = []
+        for tok in q.split():
+            best = spellcheck_terms(idx, tok, max_edits=2, top_n=1)
+            corrected.append(best[0][0] if best else tok)
+        hits = boolean_docs(idx, must=corrected) if corrected else []
+        rows["q"].append(q)
+        rows["collation"].append(" ".join(corrected))
+        rows["n_hits"].append(int(len(hits)))
+    return pa.table(
+        {
+            "q": pa.array(rows["q"], pa.string()),
+            "collation": pa.array(rows["collation"], pa.string()),
+            "n_hits": pa.array(rows["n_hits"], pa.int64()),
+        }
+    )
+
+
+def _search_collate_sql() -> str:
+    vals = ", ".join(
+        f"('{q}', {pos}, '{tok}')"
+        for q in sorted(COLLATE_QUERIES)
+        for pos, tok in enumerate(q.split())
+    )
+    return f"""
+WITH posting AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+qt(q, pos, tok) AS (VALUES {vals}),
+best AS (
+  SELECT q, pos, tok, suggestion FROM (
+    SELECT qt.q, qt.pos, qt.tok, v.term AS suggestion,
+           row_number() OVER (
+             PARTITION BY qt.q, qt.pos
+             ORDER BY levenshtein(v.term, qt.tok), v.df DESC, v.term
+           ) AS rn
+    FROM qt JOIN vocab v ON levenshtein(v.term, qt.tok) <= 2)
+  WHERE rn = 1
+),
+corr AS (
+  SELECT qt.q, qt.pos, coalesce(b.suggestion, qt.tok) AS sug
+  FROM qt LEFT JOIN best b ON b.q = qt.q AND b.pos = qt.pos
+),
+coll AS (
+  SELECT q, string_agg(sug, ' ' ORDER BY pos) AS collation
+  FROM corr GROUP BY q
+),
+cd AS (SELECT DISTINCT q, sug FROM corr),
+need AS (SELECT q, count(*)::BIGINT AS n FROM cd GROUP BY q),
+got AS (
+  SELECT cd.q, p.doc_id, count(DISTINCT cd.sug)::BIGINT AS g
+  FROM cd JOIN posting p ON p.term = cd.sug
+  GROUP BY cd.q, p.doc_id
+),
+nh AS (
+  SELECT got.q, count(*)::BIGINT AS n_hits
+  FROM got JOIN need ON need.q = got.q
+  WHERE got.g = need.n
+  GROUP BY got.q
+)
+SELECT c.q, c.collation, coalesce(nh.n_hits, 0)::BIGINT AS n_hits
+FROM coll c LEFT JOIN nh ON nh.q = c.q
+ORDER BY c.q
+"""
+
+
 EXPLAIN_QUERY_IDS = [0, 5, 6]
 EXPLAIN_TOP = 3
 
@@ -7580,6 +7665,7 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "search_explain": q_search_explain,
     "host_stats": q_host_stats,
+    "search_collate": q_search_collate,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -7781,6 +7867,7 @@ ORACLE_SQL = {
     "warc_ingest": _SQL_WARC_INGEST,
     "search_explain": _search_explain_sql(),
     "host_stats": _host_stats_sql(),
+    "search_collate": _search_collate_sql(),
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

@@ -192,6 +192,7 @@ def _check(contract, con, name):
         "warc_ingest",
         "search_explain",
         "host_stats",
+        "search_collate",
     ],
 )
 def test_vs_duckdb(contract, con, name):
