@@ -5437,6 +5437,83 @@ FROM h, c ORDER BY host
 """
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix over the event log (the usage-
+    statistics counterpart of ``usage_stats`` — A7's modern analytics
+    shape): users cohorted by FIRST-seen epoch day; cell (cohort_day,
+    age_days) counts the cohort's distinct users active that many
+    days later.  All integer (epoch-day floordiv on the raw int64
+    microsecond timestamps).
+
+    Scale shape: pass 1 dedups (user, day) per batch and folds with
+    ONE ``groupby(user_id)`` whose vectorized map_groups emits each
+    user's (cohort, age) pairs; pass 2 is one small
+    ``groupby(cohort, age)`` count — no driver-side state."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").cast(pa.int64()).to_numpy()
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        key = np.unique(u * np.int64(1 << 20) + d)  # batch-local dedup
+        return pa.table(
+            {
+                "user_id": pa.array(key >> np.int64(20), pa.int64()),
+                "day": pa.array(key & np.int64((1 << 20) - 1), pa.int64()),
+            }
+        )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy()
+        d = np.unique(g.column("day").to_numpy())
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    np.full(d.size, d.min(), np.int64), pa.int64()),
+                "age_days": pa.array(d - d.min(), pa.int64()),
+                "user_id": pa.array(np.full(d.size, u[0], np.int64),
+                                    pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    cells = (
+        ds.map_batches(days, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_day", "age_days"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": t.column("cohort_day").cast(pa.int64()),
+                "age_days": t.column("age_days").cast(pa.int64()),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
+            }
+        )
+
+    return cells.map_batches(fin, batch_format="pyarrow").sort(
+        ["cohort_day", "age_days"])
+
+
+_SQL_EVENTS_RETENTION = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT f.cohort_day::BIGINT AS cohort_day,
+       (ud.day - f.cohort_day)::BIGINT AS age_days,
+       count(DISTINCT ud.user_id)::BIGINT AS n_users
+FROM ud JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 COLLATE_QUERIES = ["strem qery", "slow windw", "zzzz vale", "hash join"]
 
 
@@ -7666,6 +7743,7 @@ QUERIES = {
     "search_explain": q_search_explain,
     "host_stats": q_host_stats,
     "search_collate": q_search_collate,
+    "events_retention": q_events_retention,
     "passage_topk": q_passage_topk,
     "rrf_fusion": q_rrf_fusion,
     "ranking_eval": q_ranking_eval,
@@ -7868,6 +7946,7 @@ ORACLE_SQL = {
     "search_explain": _search_explain_sql(),
     "host_stats": _host_stats_sql(),
     "search_collate": _search_collate_sql(),
+    "events_retention": _SQL_EVENTS_RETENTION,
     "mixed_format_ingest": _SQL_MIXED_FORMAT,
     "ugc_annotations": _SQL_UGC,
     "usage_stats": _SQL_USAGE_STATS,

@@ -193,6 +193,7 @@ def _check(contract, con, name):
         "search_explain",
         "host_stats",
         "search_collate",
+        "events_retention",
     ],
 )
 def test_vs_duckdb(contract, con, name):
