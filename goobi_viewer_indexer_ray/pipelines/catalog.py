@@ -5333,6 +5333,72 @@ ORDER BY query_id, rank
 """
 
 
+def q_quality_gopher(sf_dir: str):
+    """Gopher quality-rule document filter (Rae et al. 2021 App.
+    A1.1) — the industry-standard heuristic gate a pretraining
+    curation pipeline runs before dedup (the per-doc half; the
+    cross-doc repetition half is ``dup_ngrams``): per doc the five
+    integer rule verdicts (word count, mean word length, symbol
+    ratio, alpha-word ratio, distinct must-have stopwords) and the
+    conjunction ``keep``.  All thresholds cross-multiplied to pure
+    integers so every near-boundary verdict hash-matches.
+
+    Scale shape: ONE stateless vectorized ``map_batches`` pass
+    (factorize + bincount segmented sums + Arrow ``count_substring``
+    kernels), no shuffle — the cheapest possible corpus operator.
+    Reference tie-in: the rule-driven keep/drop role of
+    ``MetadataHelper.java``'s field-level value filters, transposed
+    to the corpus-curation domain.
+
+    On the driver's synthetic corpus the vocab contains only 1 of the
+    8 must-have words, so ``r_stop`` is correctly 0 everywhere (the
+    faithful paper rule, not a bug); ``r_count`` splits the corpus
+    ~57/43 and every count column varies.  Boundary semantics are
+    pinned exactly in ``tests/test_new_ops.py``."""
+    return (
+        _documents(sf_dir)
+        .map_batches(text_ops.gopher_quality_batch, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+_SQL_QUALITY_GOPHER = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         {_TOKS} AS ts
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::BIGINT
+           AS n_word_chars,
+         (length(text) - length(replace(text, '#', ''))
+          + length(text) - length(replace(text, '…', ''))
+          + len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT AS n_sym,
+         len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))::BIGINT
+           AS n_alpha_words,
+         len(list_distinct(list_filter(ts, x -> x IN
+           ('the','be','to','of','and','that','have','with'))))::BIGINT
+           AS n_stop_distinct
+  FROM t
+)
+SELECT doc_id, n_words, n_word_chars, n_sym, n_alpha_words, n_stop_distinct,
+       (n_words BETWEEN 50 AND 100000)::BIGINT AS r_count,
+       (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)::BIGINT
+         AS r_wordlen,
+       (10 * n_sym <= n_words)::BIGINT AS r_sym,
+       (5 * n_alpha_words >= 4 * n_words)::BIGINT AS r_alpha,
+       (n_stop_distinct >= 2)::BIGINT AS r_stop,
+       ((n_words BETWEEN 50 AND 100000)
+        AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+        AND 10 * n_sym <= n_words
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stop_distinct >= 2)::BIGINT AS keep
+FROM s ORDER BY doc_id
+"""
+
+
 def q_host_stats(sf_dir: str):
     """Domain-level reputation aggregation — the C4/RefinedWeb
     domain-filter op (blocklist/allowlist decisions are made per
@@ -7730,6 +7796,7 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-4 additions / re-oracled entries ---
+    "quality_gopher": q_quality_gopher,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -7861,6 +7928,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "quality_gopher": _SQL_QUALITY_GOPHER,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -159,6 +159,90 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# Gopher rules (Rae et al. 2021, "Scaling Language Models", App. A1.1)
+# use a fixed 8-word English must-have list, distinct from the langid
+# stopword sets above.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """Gopher document-quality rules as integer counts + rule bits.
+
+    The five corpus-independent rules of Rae et al. 2021 App. A1.1
+    (the ones that need no cross-doc state — the cross-doc repetition
+    half lives in :func:`dup_ngram_stats` / :func:`repetition_batch`):
+
+    - ``r_count``: 50 ≤ word count ≤ 100 000;
+    - ``r_wordlen``: mean word length in [3, 10] — cross-multiplied
+      to ``3·n ≤ Σlen ∧ Σlen ≤ 10·n`` (no division, oracle-exact);
+    - ``r_sym``: symbol-to-word ratio ('#' chars + '…' chars +
+      non-overlapping '...' runs) ≤ 0.1 → ``10·sym ≤ n``;
+    - ``r_alpha``: ≥ 80 % of words contain an alphabetic char →
+      ``5·n_alpha ≥ 4·n``;
+    - ``r_stop``: ≥ 2 DISTINCT words from the fixed 8-word list.
+
+    ``keep`` is the conjunction.  Fully vectorized: one factorize per
+    batch, per-unique length/alpha/stopword lookups gathered through
+    the code array, segmented sums via ``np.bincount``; symbol counts
+    are Arrow C++ ``count_substring`` kernels (non-overlapping,
+    leftmost — same semantics as DuckDB ``regexp_extract_all``).
+    Stateless single pass — no shuffle at any scale."""
+    ids, counts, codes, uniques = _flat_token_codes(batch)
+    n = ids.size
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    if codes.size:
+        u_len = np.fromiter((len(u) for u in uniques), np.int64,
+                            count=uniques.size)
+        u_alpha = np.fromiter(
+            (any(c.isalpha() for c in u) for u in uniques), np.int64,
+            count=uniques.size)
+        word_chars = np.bincount(rows, weights=u_len[codes],
+                                 minlength=n).astype(np.int64)
+        alpha_words = np.bincount(rows, weights=u_alpha[codes],
+                                  minlength=n).astype(np.int64)
+        # distinct stopword TYPES per doc: unique (row, code) pairs
+        # restricted to the 8-word list
+        sw_mask = np.isin(uniques, np.asarray(GOPHER_STOPWORDS, object))
+        hit = sw_mask[codes]
+        key = rows[hit] * np.int64(max(1, uniques.size)) + codes[hit]
+        stop_distinct = np.bincount(
+            np.unique(key) // max(1, uniques.size), minlength=n
+        ).astype(np.int64)
+    else:
+        word_chars = np.zeros(n, np.int64)
+        alpha_words = np.zeros(n, np.int64)
+        stop_distinct = np.zeros(n, np.int64)
+    txt = pc.fill_null(batch.column("text"), "")
+    n_sym = (
+        pc.count_substring(txt, "#").to_numpy().astype(np.int64)
+        + pc.count_substring(txt, "…").to_numpy().astype(np.int64)
+        + pc.count_substring(txt, "...").to_numpy().astype(np.int64)
+    )
+    r_count = ((counts >= 50) & (counts <= 100_000)).astype(np.int64)
+    r_wordlen = ((3 * counts <= word_chars)
+                 & (word_chars <= 10 * counts)).astype(np.int64)
+    r_sym = (10 * n_sym <= counts).astype(np.int64)
+    r_alpha = (5 * alpha_words >= 4 * counts).astype(np.int64)
+    r_stop = (stop_distinct >= 2).astype(np.int64)
+    keep = r_count & r_wordlen & r_sym & r_alpha & r_stop
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(counts, pa.int64()),
+            "n_word_chars": pa.array(word_chars, pa.int64()),
+            "n_sym": pa.array(n_sym, pa.int64()),
+            "n_alpha_words": pa.array(alpha_words, pa.int64()),
+            "n_stop_distinct": pa.array(stop_distinct, pa.int64()),
+            "r_count": pa.array(r_count, pa.int64()),
+            "r_wordlen": pa.array(r_wordlen, pa.int64()),
+            "r_sym": pa.array(r_sym, pa.int64()),
+            "r_alpha": pa.array(r_alpha, pa.int64()),
+            "r_stop": pa.array(r_stop, pa.int64()),
+            "keep": pa.array(keep, pa.int64()),
+        }
+    )
+
+
 def token_count_batch(batch: pa.Table) -> pa.Table:
     ids = batch.column("doc_id").to_numpy()
     findall = TOKEN_RE.findall

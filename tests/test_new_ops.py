@@ -380,3 +380,46 @@ def test_warc_roundtrip_framing_and_decoy(ray_session, tmp_path):
     lenient = parse_warc_bytes(truncated, strict=False)
     assert lenient["doc_id"] == [1]  # first record intact, tail skipped
     assert parse_warc_bytes(b"GIF89a whatever") is None
+
+
+# ------------------------------------------------------ gopher rules
+
+
+def test_gopher_rule_boundaries():
+    """Every Gopher rule pinned at its exact threshold (Rae et al.
+    2021 App. A1.1, integer cross-multiplied form)."""
+    from goobi_viewer_indexer_ray.stages.text_ops import gopher_quality_batch
+
+    w50 = " ".join(["word"] * 48) + " the of"          # 50 words, 2 stop
+    docs = {
+        0: w50,                                         # keep
+        1: " ".join(["word"] * 47) + " the of",         # 49 words → r_count=0
+        2: " ".join(["ab"] * 48) + " the of",           # mean len < 3
+        3: w50 + " " + "... " * 5,                      # 55 words? recount below
+        4: " ".join(["word"] * 38 + ["12"] * 10) + " the of",  # alpha 40/50
+        5: " ".join(["word"] * 37 + ["12"] * 11) + " the of",  # alpha < 0.8
+        6: " ".join(["word"] * 48) + " the the",        # 1 distinct stop
+    }
+    # doc 3: symbol boundary — '...' is NOT a token, so words stay 50;
+    # 5 ellipsis runs → 10·5 = 50 ≤ 50 passes; build a failing twin
+    docs[7] = w50 + " " + "... " * 6                    # 6 runs → fail
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+        }
+    )
+    out = gopher_quality_batch(t).to_pydict()
+    by = {d: {k: out[k][i] for k in out} for i, d in enumerate(out["doc_id"])}
+    assert by[0]["keep"] == 1
+    assert by[1]["r_count"] == 0 and by[1]["n_words"] == 49
+    assert by[2]["r_wordlen"] == 0          # 48*2+3+2 = 101 < 150
+    assert by[3]["r_sym"] == 1 and by[3]["n_sym"] == 5 and by[3]["keep"] == 1
+    assert by[7]["r_sym"] == 0 and by[7]["n_sym"] == 6
+    assert by[4]["r_alpha"] == 1 and by[4]["n_alpha_words"] == 40
+    assert by[5]["r_alpha"] == 0
+    assert by[6]["r_stop"] == 0 and by[6]["n_stop_distinct"] == 1
+    # '…' and '#' count as symbols too
+    t2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["a # b … c"], pa.string())})
+    assert gopher_quality_batch(t2).to_pydict()["n_sym"][0] == 2
