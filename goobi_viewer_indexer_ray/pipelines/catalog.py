@@ -5333,6 +5333,49 @@ ORDER BY query_id, rank
 """
 
 
+def q_boilerplate_blocks(sf_dir: str):
+    """Cross-document duplicated-block removal accounting — the
+    RefinedWeb/CCNet line-level dedup (Penedo et al. 2023 §3.3; the
+    REMOVAL counterpart of ``dup_ngrams``' counting signal): blocks
+    occurring in ≥2 distinct docs are boilerplate; per doc, block /
+    token totals, removed counts, and an integer checksum over the
+    kept occurrences pinning exactly WHICH blocks survive.  See
+    :func:`stages.text_ops.boilerplate_blocks` for the 2-shuffle
+    reduced-row scale shape."""
+    return text_ops.boilerplate_blocks(_documents(sf_dir)).sort("doc_id")
+
+
+_SQL_BOILERPLATE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+  WHERE len({_TOKS}) > 0
+),
+blk AS (
+  SELECT doc_id,
+         array_to_string(ts[i : least(i + 9, len(ts))], ' ') AS b,
+         (least(i + 9, len(ts)) - i + 1)::BIGINT AS n_tok
+  FROM t, unnest(generate_series(1, len(ts), 10)) AS g(i)
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(b), 1, 16))::UBIGINT AS u, n_tok
+  FROM blk
+),
+cnt AS (SELECT u, count(DISTINCT doc_id)::BIGINT AS n_docs FROM h GROUP BY u),
+j AS (
+  SELECT h.doc_id, h.u, h.n_tok, (cnt.n_docs >= 2) AS boiler
+  FROM h JOIN cnt USING (u)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_blocks,
+       sum(boiler::INT)::BIGINT AS n_boiler_blocks,
+       sum(n_tok)::BIGINT AS n_tokens,
+       sum(CASE WHEN boiler THEN n_tok ELSE 0 END)::BIGINT AS n_tokens_removed,
+       sum(CASE WHEN boiler THEN 0 ELSE (u % 2147483648)::BIGINT END)::BIGINT
+         AS kept_checksum
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_quality_gopher(sf_dir: str):
     """Gopher quality-rule document filter (Rae et al. 2021 App.
     A1.1) — the industry-standard heuristic gate a pretraining
@@ -7797,6 +7840,7 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 QUERIES = {
     # --- round-4 additions / re-oracled entries ---
     "quality_gopher": q_quality_gopher,
+    "boilerplate_blocks": q_boilerplate_blocks,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -7929,6 +7973,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "quality_gopher": _SQL_QUALITY_GOPHER,
+    "boilerplate_blocks": _SQL_BOILERPLATE,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -159,6 +159,122 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def boilerplate_blocks(ds, *, w: int = 10, min_docs: int = 2):
+    """Cross-document duplicated-block removal accounting — the
+    RefinedWeb / CCNet *line-level* dedup (Penedo et al. 2023 §3.3:
+    lines duplicated across documents are boilerplate — nav bars,
+    cookie banners, license footers — and are REMOVED from otherwise
+    unique docs).  The driver corpus is newline-free, so the removal
+    unit here is the non-overlapping ``w``-token block (incl. the
+    tail runt); on a real corpus the block fn splits on newlines
+    first — the pipeline shape is identical.
+
+    A block occurring in ≥ ``min_docs`` DISTINCT docs is boilerplate.
+    Output per doc: total / boilerplate block counts, total / removed
+    token counts, and an integer checksum over the KEPT occurrences
+    (``Σ (h mod 2³¹)`` per kept block occurrence, ``h`` = the
+    md5-prefix 64-bit block hash) so the oracle pins exactly WHICH
+    blocks survive, not just how many.
+
+    Scale shape (2 shuffles, both on reduced rows):
+
+    1. map-side: per-doc totals (no shuffle — docs never split) and
+       per ``(doc, h)`` occurrence-combined rows;
+    2. ONE ``groupby(h)`` over the combined rows emits rows ONLY for
+       boilerplate blocks (df ≥ min_docs — rare by construction);
+    3. totals ∪ boiler-partials → ONE doc-count-sized
+       ``groupby(doc_id).sum`` (kept checksum = total − removed).
+    """
+    from ray.data.aggregate import Sum
+
+    M31 = np.int64(1 << 31)
+    cols = ["n_blocks", "n_boiler_blocks", "n_tokens",
+            "n_tokens_removed", "kept_checksum"]
+
+    def occ_and_totals(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            ids, toks = _tokens_of(batch)
+            o_doc: list[int] = []
+            o_blk: list[str] = []
+            t_doc: list[int] = []
+            t_rows: list[tuple[int, int, int]] = []
+            for did, ts in zip(ids, toks):
+                if not ts:
+                    continue
+                blks = [" ".join(ts[i:i + w]) for i in range(0, len(ts), w)]
+                o_doc.extend([did] * len(blks))
+                o_blk.extend(blks)
+                t_doc.append(did)
+                t_rows.append((len(blks), len(ts)))
+            if which == "totals":
+                h = md5_hash64_array(o_blk).astype(np.int64) % M31
+                # fold per-doc: occurrences are contiguous per doc
+                dids = np.asarray(o_doc, np.int64)
+                first = np.r_[True, dids[1:] != dids[:-1]] if dids.size else np.empty(0, bool)
+                seg = np.cumsum(first) - 1
+                chk = np.bincount(seg, weights=h, minlength=len(t_doc)).astype(np.int64)
+                nb = np.asarray([r[0] for r in t_rows], np.int64)
+                nt = np.asarray([r[1] for r in t_rows], np.int64)
+                z = np.zeros(len(t_doc), np.int64)
+                return pa.table({
+                    "doc_id": pa.array(np.asarray(t_doc, np.int64)),
+                    "n_blocks": pa.array(nb), "n_boiler_blocks": pa.array(z),
+                    "n_tokens": pa.array(nt), "n_tokens_removed": pa.array(z),
+                    "kept_checksum": pa.array(chk),
+                })
+            # occurrence stream: combine per (doc, h) map-side
+            hh = md5_hash64_array(o_blk).view(np.int64)
+            ntok = np.fromiter((b.count(" ") + 1 for b in o_blk), np.int64,
+                               count=len(o_blk))
+            df = pd.DataFrame({"doc_id": np.asarray(o_doc, np.int64),
+                               "h": hh, "tok": ntok})
+            g = (df.groupby(["h", "doc_id"], sort=False)
+                   .agg(n_occ=("tok", "size"), tok_sum=("tok", "sum"))
+                   .reset_index())
+            return pa.table({
+                "h": pa.array(g["h"].to_numpy(), pa.int64()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "n_occ": pa.array(g["n_occ"].to_numpy().astype(np.int64)),
+                "tok_sum": pa.array(g["tok_sum"].to_numpy().astype(np.int64)),
+            })
+        return f
+
+    def boiler_only(g: pa.Table) -> pa.Table:
+        if g.num_rows < min_docs:          # (doc, h) rows are distinct docs
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_blocks": pa.array([], pa.int64()),
+                "n_boiler_blocks": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_tokens_removed": pa.array([], pa.int64()),
+                "kept_checksum": pa.array([], pa.int64()),
+            })
+        h31 = int(g.column("h")[0].as_py()) % int(M31)
+        occ = g.column("n_occ").to_numpy()
+        tok = g.column("tok_sum").to_numpy()
+        z = np.zeros(g.num_rows, np.int64)
+        return pa.table({
+            "doc_id": g.column("doc_id").cast(pa.int64()),
+            "n_blocks": pa.array(z),
+            "n_boiler_blocks": pa.array(occ.astype(np.int64)),
+            "n_tokens": pa.array(z),
+            "n_tokens_removed": pa.array(tok.astype(np.int64)),
+            "kept_checksum": pa.array((-h31 * occ).astype(np.int64)),
+        })
+
+    totals = ds.map_batches(occ_and_totals("totals"), batch_format="pyarrow")
+    boiler = (
+        ds.map_batches(occ_and_totals("occ"), batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(boiler_only, batch_format="pyarrow")
+    )
+    return (
+        totals.union(boiler)
+        .groupby("doc_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
 # Gopher rules (Rae et al. 2021, "Scaling Language Models", App. A1.1)
 # use a fixed 8-word English must-have list, distinct from the langid
 # stopword sets above.

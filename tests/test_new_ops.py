@@ -423,3 +423,32 @@ def test_gopher_rule_boundaries():
     t2 = pa.table({"doc_id": pa.array([0], pa.int64()),
                    "text": pa.array(["a # b … c"], pa.string())})
     assert gopher_quality_batch(t2).to_pydict()["n_sym"][0] == 2
+
+
+def test_boilerplate_blocks_semantics(ray_session):
+    """RefinedWeb line-dedup analog: a block shared by two docs is
+    removed from both; a within-doc repeat alone is NOT boilerplate;
+    the tail runt is its own unit; checksums pin kept identity."""
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.text_ops import boilerplate_blocks
+
+    shared = " ".join(f"s{i}" for i in range(10))        # one full block
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    rep = " ".join(f"r{i}" for i in range(10))
+    rows = [
+        {"doc_id": 0, "text": shared + " " + uniq_a + " tail runt"},
+        {"doc_id": 1, "text": shared + " " + uniq_b},
+        {"doc_id": 2, "text": rep + " " + rep},          # self-repeat only
+    ]
+    out = {r["doc_id"]: r for r in
+           boilerplate_blocks(ray.data.from_items(rows)).take_all()}
+    assert out[0]["n_blocks"] == 3 and out[0]["n_boiler_blocks"] == 1
+    assert out[0]["n_tokens"] == 22 and out[0]["n_tokens_removed"] == 10
+    assert out[1]["n_boiler_blocks"] == 1 and out[1]["n_tokens_removed"] == 10
+    # self-repeat: both occurrences survive (df counts DISTINCT docs)
+    assert out[2]["n_boiler_blocks"] == 0 and out[2]["n_tokens_removed"] == 0
+    assert out[2]["n_blocks"] == 2
+    # kept checksum: doc 2 keeps both copies → 2 × one block hash
+    assert out[2]["kept_checksum"] % 2 == 0
