@@ -7165,6 +7165,77 @@ ORDER BY v.df DESC, v.term LIMIT 100
 """
 
 
+def q_postings_ef(sf_dir: str):
+    """Elias-Fano postings accounting — the third codec of the
+    north-star family (Vigna WSDM 2013; quasi-succinct indices): per
+    term the EXACT encoded byte size of the doc-id stream under plain
+    EF (:func:`functions.codec.encode_ef` — roundtrip-fuzzed in
+    pytest) alongside LEB128 and raw sizes, top 100 terms by (df desc,
+    term).  EF beats gap codecs exactly where it should — dense head
+    terms whose universe/df ratio is small — and the oracle replays
+    the size via the integer formula ``l = length(bin(u // n)) - 1``,
+    so agreement pins the encoder's bit layout, not just a count."""
+    from ..functions.codec import encode_ef, encode_varints
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def sizes(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("doc_id").to_numpy().astype(np.int64))
+        gaps = np.concatenate(([d[0]], np.diff(d))).astype(np.uint64)
+        return pa.table(
+            {
+                "term": g.column("term").slice(0, 1),
+                "df": pa.array([d.size], pa.int64()),
+                "last_doc": pa.array([int(d[-1])], pa.int64()),
+                "raw_bytes": pa.array([8 * d.size], pa.int64()),
+                "varint_bytes": pa.array([len(encode_varints(gaps))],
+                                         pa.int64()),
+                "ef_bytes": pa.array([len(encode_ef(d.astype(np.uint64)))],
+                                     pa.int64()),
+            }
+        )
+
+    return (
+        postings.groupby("term")
+        .map_groups(sizes, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+_SQL_POSTINGS_EF = f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+g AS (
+  SELECT term, doc_id,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                             ORDER BY doc_id), 0) AS v
+  FROM posting
+),
+s AS (
+  SELECT term, count(*)::BIGINT AS df, max(doc_id)::BIGINT AS last_doc,
+         sum(1 + (v >= 128)::INT + (v >= 16384)::INT + (v >= 2097152)::INT
+               + (v >= 268435456)::INT + (v >= 34359738368)::INT)::BIGINT
+           AS varint_bytes
+  FROM g GROUP BY term
+),
+e AS (
+  SELECT term, df, last_doc, varint_bytes,
+         length(bin((last_doc + 1) // df)) - 1 AS l
+  FROM s
+)
+SELECT term, df, last_doc, (8 * df)::BIGINT AS raw_bytes, varint_bytes,
+       (13 + (df + (last_doc >> l) + 1 + 7) // 8
+           + (df * l + 7) // 8)::BIGINT AS ef_bytes
+FROM e ORDER BY df DESC, term LIMIT 100
+"""
+
+
 def q_winnow_fingerprints(sf_dir: str):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) — the
     guaranteed-detection, sublinear-density fingerprint family for text
@@ -7841,6 +7912,7 @@ QUERIES = {
     # --- round-4 additions / re-oracled entries ---
     "quality_gopher": q_quality_gopher,
     "boilerplate_blocks": q_boilerplate_blocks,
+    "postings_ef": q_postings_ef,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -7974,6 +8046,7 @@ QUERIES = {
 ORACLE_SQL = {
     "quality_gopher": _SQL_QUALITY_GOPHER,
     "boilerplate_blocks": _SQL_BOILERPLATE,
+    "postings_ef": _SQL_POSTINGS_EF,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),
