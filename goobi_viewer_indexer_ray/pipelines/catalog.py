@@ -5333,6 +5333,89 @@ ORDER BY query_id, rank
 """
 
 
+def q_audio_energy(sf_dir: str):
+    """Audio-modality feature extraction — per-file integer energy /
+    zero-crossing / peak-frame signals over PCM WAV payloads (the
+    audio twin of ``video_frames``; the pass a speech-curation
+    pipeline runs before VAD or an acoustic encoder).  Payloads are
+    synthesized deterministically from the part key by the
+    struct-level RIFF writer, decoded back by the INDEPENDENT stdlib
+    ``wave`` reader inside the :class:`stages.multimodal.AudioFeatures`
+    actor pool, and every feature is recomputed by the oracle from key
+    arithmetic alone — a writer or reader layout bug breaks the hash.
+    Corrupt decoys (``key % 13 == 0``) are skipped (error-folder
+    analog, ``Hotfolder.java:431-503``)."""
+    from ..stages.multimodal import AudioFeatures, encode_wav_pcm16
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        keys = t.column("p_partkey").cast(pa.int64()).to_numpy()
+        ids, payloads = [], []
+        for k in keys:
+            k = int(k)
+            ids.append(k)
+            if k % 13 == 0:
+                payloads.append(b"RIFF\x00\x00\x00\x00")  # truncated decoy
+                continue
+            n = 512 + k % 1024
+            i = np.arange(n, dtype=np.int64)
+            x = ((k + 1) * (i + 1) * 2654435761) % 65536 - 32768
+            payloads.append(encode_wav_pcm16(x, 8000 + (k % 3) * 4000))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    return (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(AudioFeatures, concurrency=2, batch_size=64,
+                     batch_format="pyarrow")
+        .sort("media_id")
+    )
+
+
+_SQL_AUDIO_ENERGY = """
+WITH k AS (
+  SELECT p_partkey::BIGINT AS key FROM part WHERE p_partkey % 13 != 0
+),
+s AS (
+  SELECT key, i,
+         ((key + 1) * (i + 1) * 2654435761) % 65536 - 32768 AS x
+  FROM k, unnest(generate_series(0, 512 + key % 1024 - 1)) AS g(i)
+),
+f AS (
+  SELECT key, i, x,
+         CASE WHEN lag(x) OVER w IS NOT NULL
+                   AND ((x < 0) != (lag(x) OVER w < 0))
+              THEN 1 ELSE 0 END AS flip
+  FROM s WINDOW w AS (PARTITION BY key ORDER BY i)
+),
+agg AS (
+  SELECT key, count(*)::BIGINT AS n_samples, sum(abs(x))::BIGINT AS sum_abs,
+         max(abs(x))::BIGINT AS max_abs, sum(flip)::BIGINT AS zero_crossings
+  FROM f GROUP BY key
+),
+e AS (
+  SELECT key, (i // 256)::BIGINT AS frame, sum(x * x)::BIGINT AS energy
+  FROM s GROUP BY key, (i // 256)
+),
+pk AS (
+  SELECT key, frame, energy,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY energy DESC, frame) AS rn
+  FROM e
+)
+SELECT a.key AS media_id, a.n_samples,
+       (8000 + (a.key % 3) * 4000)::BIGINT AS sample_rate,
+       a.sum_abs, a.max_abs, a.zero_crossings,
+       p.frame AS peak_frame, p.energy AS peak_energy
+FROM agg a JOIN pk p ON a.key = p.key AND p.rn = 1
+ORDER BY media_id
+"""
+
+
 def q_boilerplate_blocks(sf_dir: str):
     """Cross-document duplicated-block removal accounting — the
     RefinedWeb/CCNet line-level dedup (Penedo et al. 2023 §3.3; the
@@ -7913,6 +7996,7 @@ QUERIES = {
     "quality_gopher": q_quality_gopher,
     "boilerplate_blocks": q_boilerplate_blocks,
     "postings_ef": q_postings_ef,
+    "audio_energy": q_audio_energy,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8047,6 +8131,7 @@ ORACLE_SQL = {
     "quality_gopher": _SQL_QUALITY_GOPHER,
     "boilerplate_blocks": _SQL_BOILERPLATE,
     "postings_ef": _SQL_POSTINGS_EF,
+    "audio_energy": _SQL_AUDIO_ENERGY,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -429,3 +429,75 @@ def ahash_dup_stats(hashed):
     return hashed.groupby(["hash_hi", "hash_lo"]).map_groups(
         fold, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------------- audio
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE writer — struct-level, deliberately
+    independent of the stdlib ``wave`` module the READER uses, so the
+    audio pipeline is a true writer/parser round-trip (same contract
+    as :mod:`stages.imagesize`'s encoders vs parsers)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + len(data)), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16),
+        b"data", struct.pack("<I", len(data)), data,
+    ])
+
+
+class AudioFeatures:
+    """Actor-pool stage: PCM WAV payload → integer frame-level audio
+    features (the audio-modality twin of :class:`FrameSampler` — the
+    standard energy/ZCR pass a speech-data curation pipeline runs
+    before VAD or an acoustic encoder).
+
+    Per decodable payload: header fields (``n_samples``,
+    ``sample_rate``), corpus-exact integer signals — ``sum_abs`` (Σ|x|
+    over raw int16 samples), ``max_abs``, ``zero_crossings``
+    (sign-bit flips between consecutive samples) — and the peak
+    ``frame_size``-sample frame (``peak_frame`` index, lowest-index
+    tie; ``peak_energy`` = Σx² in that frame, int64-exact: ≤ 2³⁸ per
+    256-sample frame).  Corrupt payloads are skipped (error-folder
+    analog).  Decode is per-payload; every feature after the
+    ``np.frombuffer`` is one vectorized pass."""
+
+    def __init__(self, frame_size: int = 256):
+        self.frame_size = frame_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        fs = self.frame_size
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload")
+        rows: list[tuple[int, ...]] = []
+        for i in range(len(ids)):
+            try:
+                with wave.open(io.BytesIO(payloads[i].as_py())) as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        continue
+                    rate = w.getframerate()
+                    x = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+            except (wave.Error, EOFError, ValueError):
+                continue  # corrupt decoy → skipped, not fatal
+            if x.size == 0:
+                continue
+            xi = x.astype(np.int64)
+            neg = xi < 0
+            zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+            nf = (x.size + fs - 1) // fs
+            e = np.zeros(nf, np.int64)
+            np.add.at(e, np.arange(x.size) // fs, xi * xi)
+            pk = int(np.argmax(e))  # first max == lowest-index tie
+            rows.append((int(ids[i]), x.size, rate,
+                         int(np.abs(xi).sum()), int(np.abs(xi).max()),
+                         zc, pk, int(e[pk])))
+        cols = list(zip(*rows)) if rows else [[]] * 8
+        names = ["media_id", "n_samples", "sample_rate", "sum_abs",
+                 "max_abs", "zero_crossings", "peak_frame", "peak_energy"]
+        return pa.table({n: pa.array(list(c), pa.int64())
+                         for n, c in zip(names, cols)})

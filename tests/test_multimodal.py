@@ -235,3 +235,51 @@ def test_ahash_noise_invariance_and_dup_stats(ray_session):
     assert out.loc[1, "is_dup"] == 0 and out.loc[2, "is_dup"] == 1
     assert out.loc[2, "canon"] == 1 and out.loc[2, "n_same"] == 2
     assert out.loc[3, "is_dup"] == 0 and out.loc[3, "n_same"] == 1
+
+
+def test_audio_features_known_signal():
+    """AudioFeatures on a hand-built signal: planted loud frame wins,
+    zero-crossing count exact, corrupt + non-PCM16 payloads skipped."""
+    import numpy as np
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.multimodal import (
+        AudioFeatures,
+        encode_wav_pcm16,
+    )
+
+    # 3 frames of 256: quiet, loud (planted peak), quiet; x alternates
+    # sign every sample → zc = n - 1
+    x = np.full(768, 1, np.int64)
+    x[1::2] = -1
+    x[256:512] *= 1000
+    wav = encode_wav_pcm16(x, 8000)
+    batch = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([wav, b"RIFFgarbage"], pa.binary()),
+    })
+    out = AudioFeatures()(batch).to_pydict()
+    assert out["media_id"] == [0]          # corrupt decoy skipped
+    assert out["n_samples"] == [768] and out["sample_rate"] == [8000]
+    assert out["zero_crossings"] == [767]
+    assert out["peak_frame"] == [1]
+    assert out["peak_energy"] == [256 * 1000 * 1000]
+    assert out["sum_abs"] == [512 + 256 * 1000]
+    assert out["max_abs"] == [1000]
+
+
+def test_audio_peak_tie_lowest_frame():
+    import numpy as np
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.multimodal import (
+        AudioFeatures,
+        encode_wav_pcm16,
+    )
+
+    x = np.full(512, 7, np.int64)          # two identical-energy frames
+    batch = pa.table({"media_id": pa.array([5], pa.int64()),
+                      "payload": pa.array([encode_wav_pcm16(x, 12000)],
+                                          pa.binary())})
+    out = AudioFeatures()(batch).to_pydict()
+    assert out["peak_frame"] == [0] and out["zero_crossings"] == [0]
