@@ -5333,6 +5333,78 @@ ORDER BY query_id, rank
 """
 
 
+def q_robots_filter(sf_dir: str):
+    """robots.txt compliance filtering (RFC 9309 / Google REP) over
+    the crawl frontier — the predicate between URL discovery and
+    ``crawl_schedule``'s politeness plan: per URL the MOST-SPECIFIC
+    (longest-prefix) matching rule wins, Allow beats Disallow on a
+    length tie, unmatched ⇒ allowed.  Hosts are the ``doc_id % 50``
+    family; paths derive from the doc key (three path families, two
+    of them under ``/private``); the rule table — a default Allow
+    ``/`` everywhere, Disallow ``/private`` on even hosts, the
+    overriding Allow ``/private/pub`` on hosts ≡ 0 (mod 4) — is
+    generated from the same arithmetic on both sides, so every
+    verdict INCLUDING the tie-breaks hash-matches.  See
+    :func:`stages.fetch.robots_match` for the broadcast-once /
+    per-rule-vectorized scale shape."""
+    from ..stages.fetch import robots_match
+
+    rules: list[tuple[int, str, int]] = []
+    for h in range(50):
+        rules.append((h, "/", 1))
+        if h % 2 == 0:
+            rules.append((h, "/private", 0))
+        if h % 4 == 0:
+            rules.append((h, "/private/pub", 1))
+
+    def frontier(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy()
+        fam = ids % 3
+        paths = np.where(
+            fam == 0, "/public/item",
+            np.where(fam == 1, "/private/item", "/private/pub/item"),
+        ).astype(object)
+        paths = np.asarray([p + str(i) for p, i in zip(paths, ids)],
+                           object)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "host": pa.array(ids % 50, pa.int64()),
+            "path": pa.array(paths, pa.string()),
+        })
+
+    ds = _documents(sf_dir, columns=("doc_id",)).map_batches(
+        frontier, batch_format="pyarrow")
+    return robots_match(ds, rules).sort("doc_id")
+
+
+_SQL_ROBOTS = """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 AS host,
+         CASE doc_id % 3
+           WHEN 0 THEN '/public/item' || doc_id
+           WHEN 1 THEN '/private/item' || doc_id
+           ELSE '/private/pub/item' || doc_id END AS path
+  FROM documents
+),
+r AS (
+  SELECT host, '/' AS prefix, 1 AS allow FROM range(50) t(host)
+  UNION ALL
+  SELECT host, '/private', 0 FROM range(50) t(host) WHERE host % 2 = 0
+  UNION ALL
+  SELECT host, '/private/pub', 1 FROM range(50) t(host) WHERE host % 4 = 0
+),
+m AS (
+  SELECT d.doc_id, d.host, d.path, r.prefix, r.allow,
+         row_number() OVER (PARTITION BY d.doc_id
+                            ORDER BY length(r.prefix) DESC, r.allow DESC)
+           AS rn
+  FROM d JOIN r ON d.host = r.host AND starts_with(d.path, r.prefix)
+)
+SELECT doc_id, host, path, prefix AS rule, allow::BIGINT AS allowed
+FROM m WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_audio_energy(sf_dir: str):
     """Audio-modality feature extraction — per-file integer energy /
     zero-crossing / peak-frame signals over PCM WAV payloads (the
@@ -7997,6 +8069,7 @@ QUERIES = {
     "boilerplate_blocks": q_boilerplate_blocks,
     "postings_ef": q_postings_ef,
     "audio_energy": q_audio_energy,
+    "robots_filter": q_robots_filter,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8132,6 +8205,7 @@ ORACLE_SQL = {
     "boilerplate_blocks": _SQL_BOILERPLATE,
     "postings_ef": _SQL_POSTINGS_EF,
     "audio_energy": _SQL_AUDIO_ENERGY,
+    "robots_filter": _SQL_ROBOTS,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -206,3 +206,33 @@ def test_fetch_docs_end_to_end_with_recorded_transport(tmp_path):
     now[0] = 61.0
     f(pa.table({"url": pa.array(["https://pub.example/ok"])}))
     assert t.calls == calls_before + 1
+
+
+def test_robots_match_rfc9309_semantics(ray_session):
+    """Longest-prefix wins; Allow beats Disallow on a length tie;
+    unmatched paths are allowed (RFC 9309 / Google REP)."""
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.fetch import robots_match
+
+    rules = [
+        (0, "/a", 0),
+        (0, "/a/pub", 1),       # longer → overrides the Disallow
+        (0, "/tie", 0),
+        (0, "/tie", 1),         # same length → Allow wins
+        (1, "/a", 0),           # other host: rules don't leak
+    ]
+    rows = [
+        {"doc_id": 0, "host": 0, "path": "/a/secret"},
+        {"doc_id": 1, "host": 0, "path": "/a/pub/x"},
+        {"doc_id": 2, "host": 0, "path": "/tie/x"},
+        {"doc_id": 3, "host": 0, "path": "/elsewhere"},
+        {"doc_id": 4, "host": 2, "path": "/a/secret"},
+    ]
+    out = {r["doc_id"]: r for r in
+           robots_match(ray.data.from_items(rows), rules).take_all()}
+    assert out[0]["allowed"] == 0 and out[0]["rule"] == "/a"
+    assert out[1]["allowed"] == 1 and out[1]["rule"] == "/a/pub"
+    assert out[2]["allowed"] == 1
+    assert out[3]["allowed"] == 1 and out[3]["rule"] == ""
+    assert out[4]["allowed"] == 1   # host 2 has no rules at all
