@@ -5333,6 +5333,109 @@ ORDER BY query_id, rank
 """
 
 
+ELEV_K = 10
+
+
+def q_search_elevate(sf_dir: str):
+    """Solr QueryElevationComponent parity (``elevate.xml`` +
+    ``forceElevation=true`` — the editorially-pinned results the
+    viewer's search UI shows above organic hits): per query the two
+    config-elevated docs take ranks 1-2 IN CONFIG ORDER regardless of
+    score (score 0 when they don't match the query at all — the
+    force-elevation leg, exercised by the no-hit query 4), one
+    config-excluded doc is removed from the organic tail, and the
+    remaining docs fill to k=10 by (score_r desc, doc_id).  Elevation
+    beats exclusion when the formulas collide (a doc cannot be both).
+    Config ids derive from ``query_id`` arithmetic mod the corpus
+    size on BOTH sides, so the oracle replays the whole layout.
+
+    Scale shape: elevation config is a broadcast-small side over the
+    already-serving-side BM25 scorer — zero extra distributed work."""
+    from .query import LocalIndex, topk_exact
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    n = idx.n_docs
+    rows = []
+    for q in DOC_QUERIES:
+        qid = q["query_id"]
+        elev = [(qid * 37 + 11) % n, (qid * 91 + 3) % n]
+        excl = {(qid * 53 + 7) % n}
+        d, s = topk_exact(idx, q["query"], n)
+        score = dict(zip(d.tolist(), np.round(s, 4).tolist()))
+        res: list[tuple[int, float]] = []
+        seen: set[int] = set()
+        for e in elev:
+            if e not in seen:
+                seen.add(e)
+                res.append((e, float(score.get(e, 0.0))))
+        organic = sorted(
+            ((sc, doc) for doc, sc in score.items()
+             if doc not in seen and doc not in excl),
+            key=lambda t: (-t[0], t[1]),
+        )
+        res.extend((doc, sc) for sc, doc in organic[: ELEV_K - len(res)])
+        rows.extend(
+            {"query_id": qid, "doc_id": doc, "score_r": sc, "rank": rk}
+            for rk, (doc, sc) in enumerate(res, 1)
+        )
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["query_id", "doc_id", "score_r",
+                                       "rank"])
+
+
+def _elevate_sql() -> str:
+    base = _bm25_sql()
+    scored_cte = base[: base.index("ranked AS")]  # shared scoring CTEs
+    qvals = ", ".join(f"({q['query_id']})" for q in DOC_QUERIES)
+    return f"""{scored_cte}
+cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+qids(query_id) AS (VALUES {qvals}),
+elev AS (
+  SELECT query_id, (query_id * 37 + 11) % c.n AS doc_id, 1 AS pos
+  FROM qids, cnt c
+  UNION ALL
+  SELECT query_id, (query_id * 91 + 3) % c.n, 2 FROM qids, cnt c
+),
+elevd AS (
+  SELECT query_id, doc_id, min(pos) AS pos FROM elev
+  GROUP BY query_id, doc_id
+),
+excl AS (
+  SELECT query_id, (query_id * 53 + 7) % c.n AS doc_id FROM qids, cnt c
+),
+er AS (
+  SELECT e.query_id, e.doc_id, coalesce(round(s.score, 4), 0.0) AS score_r,
+         e.pos
+  FROM elevd e LEFT JOIN scored s
+    ON s.query_id = e.query_id AND s.doc_id = e.doc_id
+),
+org AS (
+  SELECT s.query_id, s.doc_id, round(s.score, 4) AS score_r,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.score, 4) DESC, s.doc_id) AS rn
+  FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM elevd e
+                    WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id)
+    AND NOT EXISTS (SELECT 1 FROM excl x
+                    WHERE x.query_id = s.query_id AND x.doc_id = s.doc_id)
+),
+m AS (
+  SELECT query_id, doc_id, score_r, pos AS ord, 0 AS grp FROM er
+  UNION ALL
+  SELECT query_id, doc_id, score_r, rn, 1 FROM org
+),
+rk AS (
+  SELECT query_id, doc_id, score_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY grp, ord) AS rank
+  FROM m
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id, score_r,
+       rank::BIGINT AS rank
+FROM rk WHERE rank <= {ELEV_K} ORDER BY query_id, rank
+"""
+
+
 def q_robots_filter(sf_dir: str):
     """robots.txt compliance filtering (RFC 9309 / Google REP) over
     the crawl frontier — the predicate between URL discovery and
@@ -8070,6 +8173,7 @@ QUERIES = {
     "postings_ef": q_postings_ef,
     "audio_energy": q_audio_energy,
     "robots_filter": q_robots_filter,
+    "search_elevate": q_search_elevate,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8206,6 +8310,7 @@ ORACLE_SQL = {
     "postings_ef": _SQL_POSTINGS_EF,
     "audio_energy": _SQL_AUDIO_ENERGY,
     "robots_filter": _SQL_ROBOTS,
+    "search_elevate": _elevate_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -471,3 +471,20 @@ def test_boost_reranks_vs_bm25(contract):
         )
         assert (merged.score_r_boost <= merged.score_r_bm25 + 1e-9).all()
     assert changed
+
+
+def test_elevate_forces_and_reorders(contract):
+    """QueryElevationComponent: elevated docs sit at ranks 1-2 in
+    config order even for the zero-hit query (score 0), and the
+    excluded doc never appears in the organic tail."""
+    df = _to_df(contract.queries()["search_elevate"](SF))
+    n = 500
+    for qid in df.query_id.unique():
+        g = df[df.query_id == qid].sort_values("rank")
+        elev = [(qid * 37 + 11) % n, (qid * 91 + 3) % n]
+        assert g.iloc[0].doc_id == elev[0] and g.iloc[1].doc_id == elev[1]
+        excl = (qid * 53 + 7) % n
+        organic = g.iloc[2:]
+        assert excl not in set(organic.doc_id) or excl in elev
+    g4 = df[df.query_id == 4]
+    assert len(g4) == 2 and set(g4.score_r) == {0.0}
