@@ -5333,6 +5333,62 @@ ORDER BY query_id, rank
 """
 
 
+# word-category blocklists (the C4 §2.2 "bad words" gate shape —
+# category membership is config, so the lists here just need to
+# intersect the driver vocab to exercise every verdict branch)
+BLOCKLISTS = {
+    "cat_a": ("slow", "dup", "crash"),
+    "cat_b": ("merge", "big"),
+}
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Wordlist-based content filtering (C4 §2.2: docs containing any
+    listed word are DROPPED; RefinedWeb/FineWeb keep the same gate as
+    a category-count signal): per doc, occurrence counts per category
+    plus the C4 keep verdict (zero hits across all categories).  The
+    reference analog is the value-blacklist branch of the field DSL
+    (``MetadataHelper.java`` replace/omit rules) applied corpus-wide.
+
+    Scale shape: the lists are broadcast config; counting is the
+    ``langid`` machinery (one factorize per batch + ``np.isin`` on
+    the batch VOCAB, never per token) — one stateless pass."""
+    cats = list(BLOCKLISTS)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, counts, codes, uniques = text_ops._flat_token_codes(batch)
+        cols = {"doc_id": pa.array(ids, pa.int64())}
+        total = np.zeros(ids.size, np.int64)
+        for c in cats:
+            hits = text_ops._vocab_hits(uniques, codes, counts,
+                                        BLOCKLISTS[c])
+            total += hits
+            cols[f"hits_{c}"] = pa.array(hits, pa.int64())
+        cols["keep"] = pa.array((total == 0).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return (
+        _documents(sf_dir).map_batches(f, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def _blocklist_sql() -> str:
+    parts = []
+    for c, words in BLOCKLISTS.items():
+        lst = ", ".join(f"'{w}'" for w in sorted(words))
+        parts.append(
+            f"len(list_filter(ts, x -> x IN ({lst})))::BIGINT AS hits_{c}")
+    hits_sum = " + ".join(f"hits_{c}" for c in BLOCKLISTS)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+s AS (SELECT doc_id, {', '.join(parts)} FROM t)
+SELECT doc_id, {', '.join('hits_' + c for c in BLOCKLISTS)},
+       ({hits_sum} = 0)::BIGINT AS keep
+FROM s ORDER BY doc_id
+"""
+
+
 ELEV_K = 10
 
 
@@ -8174,6 +8230,7 @@ QUERIES = {
     "audio_energy": q_audio_energy,
     "robots_filter": q_robots_filter,
     "search_elevate": q_search_elevate,
+    "blocklist_filter": q_blocklist_filter,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8311,6 +8368,7 @@ ORACLE_SQL = {
     "audio_energy": _SQL_AUDIO_ENERGY,
     "robots_filter": _SQL_ROBOTS,
     "search_elevate": _elevate_sql(),
+    "blocklist_filter": _blocklist_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),
