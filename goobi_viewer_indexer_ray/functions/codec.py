@@ -42,6 +42,8 @@ __all__ = [
     "for_encoded_size",
     "encode_ef",
     "decode_ef",
+    "encode_frontcoded_block",
+    "decode_frontcoded_block",
 ]
 
 BLOCK_SIZE = 128
@@ -311,3 +313,50 @@ def decode_ef(buf: bytes | memoryview) -> np.ndarray:
         * (np.uint64(1) << np.arange(l, dtype=np.uint64))[None, :]
     ).sum(axis=1)
     return ((high << np.uint64(l)) | lows).astype(np.int64)
+
+
+def encode_frontcoded_block(terms: list[str]) -> bytes:
+    """Front-coded term-dictionary block (the Lucene BlockTree terms
+    dict / ``Lucene90BlockTreeTermsWriter`` prefix-sharing analog —
+    the structure that keeps a billion-term vocab readable): sorted
+    terms in one block as
+
+        [n: u8][len₀: u8][term₀ bytes]
+        then per term: [lcp: u8][suffix_len: u8][suffix bytes]
+
+    with ``lcp`` = longest common prefix with the PREVIOUS term.
+    Exact size: ``2 + len(term₀) + Σ (2 + len_i − lcp_i)`` bytes —
+    the integer formula a SQL oracle replays from consecutive-pair
+    prefix comparison."""
+    if not 0 < len(terms) <= 255:
+        raise ValueError("block must hold 1..255 terms")
+    enc = [t.encode("utf-8") for t in terms]
+    if any(len(e) > 255 for e in enc):
+        raise ValueError("term longer than 255 bytes")
+    out = [bytes([len(enc)]), bytes([len(enc[0])]), enc[0]]
+    for prev, cur in zip(enc, enc[1:]):
+        if cur <= prev:
+            raise ValueError("terms must be strictly sorted")
+        lcp = 0
+        for a, b in zip(prev, cur):
+            if a != b:
+                break
+            lcp += 1
+        out.append(bytes([lcp, len(cur) - lcp]))
+        out.append(cur[lcp:])
+    return b"".join(out)
+
+
+def decode_frontcoded_block(buf: bytes | memoryview) -> list[str]:
+    """Inverse of :func:`encode_frontcoded_block`."""
+    b = bytes(buf)
+    n = b[0]
+    ln = b[1]
+    pos = 2 + ln
+    terms = [b[2:pos]]
+    for _ in range(n - 1):
+        lcp, sl = b[pos], b[pos + 1]
+        pos += 2
+        terms.append(terms[-1][:lcp] + b[pos:pos + sl])
+        pos += sl
+    return [t.decode("utf-8") for t in terms]

@@ -5333,6 +5333,88 @@ ORDER BY query_id, rank
 """
 
 
+FC_BLOCK = 16
+
+
+def q_terms_frontcode(sf_dir: str):
+    """Front-coded term-dictionary accounting — the Lucene BlockTree
+    terms dict (prefix-shared blocks) this engine's index format
+    would adopt at vocab scale, exercised over the BIGRAM vocabulary
+    (the unigram vocab is 31 terms; bigrams share first-word prefixes,
+    which is exactly what front coding compresses): per 16-term block,
+    term count, first term, raw vs front-coded byte sizes.  Engine
+    sizes come from the REAL block encoder
+    (:func:`functions.codec.encode_frontcoded_block`,
+    roundtrip-fuzzed); the oracle recomputes consecutive-pair LCPs in
+    SQL — byte-for-byte agreement pins the prefix layout.
+
+    Scale shape: the vocab is the index's terms-dict small side (one
+    ``groupby`` distinct, per-SEGMENT at corpus scale exactly as in
+    Lucene); block assembly is driver-side over that small side."""
+    from ..functions.codec import encode_frontcoded_block
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        ids, toks = text_ops._tokens_of(t)
+        seen: set[str] = set()
+        for ts in toks:
+            seen.update(f"{a} {b}" for a, b in zip(ts, ts[1:]))
+        return pa.table({"term": pa.array(sorted(seen), pa.string())})
+
+    vocab = sorted(
+        r["term"]
+        for r in _documents(sf_dir).map_batches(bigrams, batch_format="pyarrow")
+        .groupby("term").count().take_all()
+    )
+    rows = []
+    for bi in range(0, len(vocab), FC_BLOCK):
+        blk = vocab[bi:bi + FC_BLOCK]
+        rows.append({
+            "block_id": bi // FC_BLOCK,
+            "n_terms": len(blk),
+            "first_term": blk[0],
+            "raw_bytes": sum(len(t.encode()) for t in blk),
+            "coded_bytes": len(encode_frontcoded_block(blk)),
+        })
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["block_id", "n_terms", "first_term",
+                                       "raw_bytes", "coded_bytes"])
+
+
+_SQL_FRONTCODE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT DISTINCT ts[i] || ' ' || ts[i + 1] AS term
+  FROM t, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2
+),
+r AS (SELECT term, row_number() OVER (ORDER BY term) AS rn FROM bg),
+p AS (
+  SELECT cur.term AS cur, prev.term AS prev,
+         (cur.rn - 1) // {FC_BLOCK} AS blk,
+         (cur.rn - 1) % {FC_BLOCK} AS pos
+  FROM r cur LEFT JOIN r prev
+    ON prev.rn = cur.rn - 1 AND (cur.rn - 1) % {FC_BLOCK} != 0
+),
+ks AS (SELECT k FROM generate_series(1, 64) AS g(k)),
+l AS (
+  -- lcp via an UNcorrelated 1..64 series (DuckDB lacks lateral
+  -- generate_series); 64 bounds any bigram of this tokenizer
+  SELECT p.blk, p.pos, p.cur, coalesce(max(ks.k), 0) AS lcp
+  FROM p LEFT JOIN ks
+    ON ks.k <= least(length(p.prev), length(p.cur))
+   AND substr(p.prev, 1, ks.k) = substr(p.cur, 1, ks.k)
+  GROUP BY p.blk, p.pos, p.cur
+)
+SELECT blk::BIGINT AS block_id, count(*)::BIGINT AS n_terms,
+       min(cur) AS first_term,
+       sum(length(cur))::BIGINT AS raw_bytes,
+       (1 + sum(CASE WHEN pos = 0 THEN 1 + length(cur)
+                     ELSE 2 + length(cur) - lcp END))::BIGINT AS coded_bytes
+FROM l GROUP BY blk ORDER BY block_id
+"""
+
+
 # word-category blocklists (the C4 §2.2 "bad words" gate shape —
 # category membership is config, so the lists here just need to
 # intersect the driver vocab to exercise every verdict branch)
@@ -8231,6 +8313,7 @@ QUERIES = {
     "robots_filter": q_robots_filter,
     "search_elevate": q_search_elevate,
     "blocklist_filter": q_blocklist_filter,
+    "terms_frontcode": q_terms_frontcode,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8369,6 +8452,7 @@ ORACLE_SQL = {
     "robots_filter": _SQL_ROBOTS,
     "search_elevate": _elevate_sql(),
     "blocklist_filter": _blocklist_sql(),
+    "terms_frontcode": _SQL_FRONTCODE,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -120,3 +120,40 @@ def test_ef_beats_varint_on_dense_streams():
     d = np.arange(0, 20_000, 2, dtype=np.uint64)   # every 2nd doc
     gaps = np.concatenate(([d[0]], np.diff(d)))
     assert len(encode_ef(d)) < len(encode_varints(gaps)) / 2
+
+
+def test_frontcode_roundtrip_and_size():
+    """Front-coded terms-dict block: roundtrip fuzz + the exact size
+    formula the SQL oracle replays, plus the strict-sort guard."""
+    import numpy as np
+    import pytest
+
+    from goobi_viewer_indexer_ray.functions.codec import (
+        decode_frontcoded_block,
+        encode_frontcoded_block,
+    )
+
+    rng = np.random.default_rng(3)
+    words = ["merge", "hash", "join", "scan", "sort", "key"]
+    for _ in range(200):
+        k = int(rng.integers(1, 40))
+        terms = sorted({
+            f"{rng.choice(words)} {rng.choice(words)}{int(rng.integers(0, 99))}"
+            for _ in range(k)
+        })
+        buf = encode_frontcoded_block(terms)
+        assert decode_frontcoded_block(buf) == terms
+        enc = [t.encode() for t in terms]
+        exp = 2 + len(enc[0])
+        for p, c in zip(enc, enc[1:]):
+            lcp = 0
+            for a, b in zip(p, c):
+                if a != b:
+                    break
+                lcp += 1
+            exp += 2 + len(c) - lcp
+        assert len(buf) == exp
+    with pytest.raises(ValueError):
+        encode_frontcoded_block(["b", "a"])
+    with pytest.raises(ValueError):
+        encode_frontcoded_block([])
