@@ -5333,6 +5333,65 @@ ORDER BY query_id, rank
 """
 
 
+def q_search_facet_pivot(sf_dir: str):
+    """Solr pivot faceting (``facet.pivot=lang,source`` — the nested
+    drill-down tree the viewer's collection browser renders; the
+    2-level generalization of ``search_facets``/``collection_facets``):
+    per (lang, source) leaf, its count plus the parent lang total,
+    ranked inside each parent by Solr's facet order (count desc, value
+    asc).
+
+    Scale shape: ONE ``groupby(lang, source)`` over pre-combined
+    batch partials; parent totals and ranks fold driver-side over the
+    facet table itself (cardinality-bounded small side — never the
+    corpus)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pylist(),
+            "source": t.column("source").to_pylist(),
+        })
+        g = df.groupby(["lang", "source"], sort=False).size().reset_index(name="c")
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "source": pa.array(g["source"], pa.string()),
+            "c": pa.array(g["c"].to_numpy().astype(np.int64)),
+        })
+
+    leaf = (
+        _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("c", alias_name="n_docs"))
+        .to_pandas()
+    )
+    totals = leaf.groupby("lang")["n_docs"].sum().to_dict()
+    leaf["lang_count"] = leaf["lang"].map(totals).astype("int64")
+    leaf = leaf.sort_values(["lang", "n_docs", "source"],
+                            ascending=[True, False, True])
+    leaf["rank"] = leaf.groupby("lang").cumcount() + 1
+    leaf["n_docs"] = leaf["n_docs"].astype("int64")
+    leaf["rank"] = leaf["rank"].astype("int64")
+    return leaf[["lang", "lang_count", "source", "n_docs", "rank"]].reset_index(drop=True)
+
+
+_SQL_FACET_PIVOT = """
+WITH leaf AS (
+  SELECT lang, source, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, sum(n_docs) OVER (PARTITION BY lang)::BIGINT AS lang_count,
+       source, n_docs,
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY n_docs DESC, source)::BIGINT AS rank
+FROM leaf ORDER BY lang, rank
+"""
+
+
 FC_BLOCK = 16
 
 
@@ -8314,6 +8373,7 @@ QUERIES = {
     "search_elevate": q_search_elevate,
     "blocklist_filter": q_blocklist_filter,
     "terms_frontcode": q_terms_frontcode,
+    "search_facet_pivot": q_search_facet_pivot,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8453,6 +8513,7 @@ ORACLE_SQL = {
     "search_elevate": _elevate_sql(),
     "blocklist_filter": _blocklist_sql(),
     "terms_frontcode": _SQL_FRONTCODE,
+    "search_facet_pivot": _SQL_FACET_PIVOT,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),
