@@ -3329,6 +3329,103 @@ def _link_edges(sf_dir: str):
     return docs, edges
 
 
+def q_link_degree_stats(sf_dir: str):
+    """Link-graph degree + reciprocity audit (the crawl-graph health
+    diagnostic next to ``link_pagerank``/``link_hits``; reciprocity —
+    the share of out-links whose reverse edge exists — separates
+    organic link structure from link farms): per doc, out/in degree
+    and the count of reciprocated out-edges, TOTAL over all docs
+    (zero rows included).
+
+    Scale shape: degree partials are map-side combined per batch
+    (two small rows per edge); reciprocity is ONE
+    ``groupby(pair_key)`` over direction-tagged edges (the fixture
+    rule emits no duplicate edges, so a pair group holds ≤ 2 rows);
+    the final fold is one doc-count-sized ``groupby(doc_id)``."""
+    from ray.data.aggregate import Sum
+
+    docs, edges = _link_edges(sf_dir)
+    n = docs.count()
+    cols = ["out_deg", "in_deg", "n_recip"]
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        src = t.column("src").cast(pa.int64()).to_numpy()
+        dst = t.column("dst").cast(pa.int64()).to_numpy()
+        nodes = np.concatenate([src, dst])
+        outs = np.concatenate([np.ones(src.size, np.int64),
+                               np.zeros(dst.size, np.int64)])
+        ins = 1 - outs
+        uniq, inv = np.unique(nodes, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "out_deg": pa.array(np.bincount(inv, weights=outs,
+                                            minlength=uniq.size).astype(np.int64)),
+            "in_deg": pa.array(np.bincount(inv, weights=ins,
+                                           minlength=uniq.size).astype(np.int64)),
+            "n_recip": pa.array(np.zeros(uniq.size, np.int64)),
+        })
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        src = t.column("src").cast(pa.int64()).to_numpy()
+        dst = t.column("dst").cast(pa.int64()).to_numpy()
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        return pa.table({
+            "key": pa.array(lo * np.int64(n) + hi, pa.int64()),
+            "src": pa.array(src, pa.int64()),
+            "fwd": pa.array((src < dst).astype(np.int64), pa.int64()),
+        })
+
+    def recip_rows(g: pa.Table) -> pa.Table:
+        fwd = g.column("fwd").to_numpy()
+        both = bool(fwd.min() != fwd.max())  # both directions present
+        src = g.column("src").to_numpy() if both else np.empty(0, np.int64)
+        z = np.zeros(src.size, np.int64)
+        return pa.table({
+            "doc_id": pa.array(src.astype(np.int64)),
+            "out_deg": pa.array(z), "in_deg": pa.array(z),
+            "n_recip": pa.array(np.ones(src.size, np.int64)),
+        })
+
+    def zeros(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64())
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({"doc_id": ids, "out_deg": z, "in_deg": z,
+                         "n_recip": z})
+
+    parts = edges.map_batches(degree_partials, batch_format="pyarrow")
+    recip = (edges.map_batches(tag_pairs, batch_format="pyarrow")
+             .groupby("key").map_groups(recip_rows, batch_format="pyarrow"))
+    base = docs.map_batches(zeros, batch_format="pyarrow")
+    return (
+        base.union(parts).union(recip)
+        .groupby("doc_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .sort("doc_id")
+    )
+
+
+def _degree_stats_sql() -> str:
+    return f"""
+WITH {_EDGE_RULE_SQL.strip().lstrip()},
+outs AS (SELECT src AS node, count(*)::BIGINT AS od FROM edges GROUP BY src),
+ins AS (SELECT dst AS node, count(*)::BIGINT AS id_ FROM edges GROUP BY dst),
+rec AS (
+  SELECT e1.src AS node, count(*)::BIGINT AS r
+  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst AND e2.dst = e1.src
+  GROUP BY e1.src
+)
+SELECT d.doc_id, coalesce(o.od, 0)::BIGINT AS out_deg,
+       coalesce(i.id_, 0)::BIGINT AS in_deg,
+       coalesce(r.r, 0)::BIGINT AS n_recip
+FROM documents d
+LEFT JOIN outs o ON o.node = d.doc_id
+LEFT JOIN ins i ON i.node = d.doc_id
+LEFT JOIN rec r ON r.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_link_pagerank(sf_dir: str):
     """Integer fixed-point PageRank over the fixture web graph
     (webtext-first operator family — crawl prioritization / quality
@@ -8374,6 +8471,7 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "terms_frontcode": q_terms_frontcode,
     "search_facet_pivot": q_search_facet_pivot,
+    "link_degree_stats": q_link_degree_stats,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8514,6 +8612,7 @@ ORACLE_SQL = {
     "blocklist_filter": _blocklist_sql(),
     "terms_frontcode": _SQL_FRONTCODE,
     "search_facet_pivot": _SQL_FACET_PIVOT,
+    "link_degree_stats": _degree_stats_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),
