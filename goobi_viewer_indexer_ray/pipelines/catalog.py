@@ -5430,6 +5430,78 @@ ORDER BY query_id, rank
 """
 
 
+QS_QUERIES = [
+    (0, "(hash AND join) OR vector"),
+    (1, '"customer order" AND NOT slow'),
+    (2, "merge AND (batch OR stream) AND -dup"),
+    (3, "NOT the"),
+    (4, "zzznope OR (fast AND key)"),
+    (5, 'the AND "zzznope zzznope"'),
+]
+
+
+def q_search_querystring(sf_dir: str):
+    """Classic Lucene query-STRING parsing + execution (the raw Solr
+    ``q=`` strings the viewer sends — ``QueryParser`` classic syntax:
+    AND / OR / NOT / ``-`` / parens / quoted phrases, implicit OR,
+    precedence NOT > AND > OR).  The structured operators
+    (``search_boolean``, ``search_phrase``) take pre-parsed input;
+    this entry pins the PARSER feeding them, including the pure
+    negative (query 3, Solr's implicit ``*:*`` leg) and the dead
+    phrase conjunct (query 5 → empty).  Evaluation is posting
+    algebra on the positional index — see
+    :func:`search_ops.querystring_docs`."""
+    from .query import LocalIndex
+    from .search_ops import querystring_docs
+
+    idx = LocalIndex(ensure_documents_index_pos(sf_dir))
+    all_docs = np.sort(
+        pa.concat_tables(
+            _documents(sf_dir, columns=("doc_id",)).iter_batches(
+                batch_format="pyarrow", batch_size=None)
+        ).column("doc_id").to_numpy().astype(np.int64)
+    )
+    qids, dids = [], []
+    for qid, qs in QS_QUERIES:
+        docs = querystring_docs(idx, all_docs, qs)
+        qids.append(np.full(docs.size, qid, np.int64))
+        dids.append(docs)
+    return pa.table({
+        "query_id": pa.array(np.concatenate(qids), pa.int64()),
+        "doc_id": pa.array(np.concatenate(dids), pa.int64()),
+    })
+
+
+_SQL_QUERYSTRING = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+f AS (SELECT doc_id, ts,
+             ' ' || array_to_string(ts, ' ') || ' ' AS joined FROM t)
+SELECT 0::BIGINT AS query_id, doc_id FROM f
+WHERE (list_contains(ts, 'hash') AND list_contains(ts, 'join'))
+   OR list_contains(ts, 'vector')
+UNION ALL
+SELECT 1, doc_id FROM f
+WHERE position(' customer order ' IN joined) > 0
+  AND NOT list_contains(ts, 'slow')
+UNION ALL
+SELECT 2, doc_id FROM f
+WHERE list_contains(ts, 'merge')
+  AND (list_contains(ts, 'batch') OR list_contains(ts, 'stream'))
+  AND NOT list_contains(ts, 'dup')
+UNION ALL
+SELECT 3, doc_id FROM f WHERE NOT list_contains(ts, 'the')
+UNION ALL
+SELECT 4, doc_id FROM f
+WHERE list_contains(ts, 'zzznope')
+   OR (list_contains(ts, 'fast') AND list_contains(ts, 'key'))
+UNION ALL
+SELECT 5, doc_id FROM f
+WHERE list_contains(ts, 'the')
+  AND position(' zzznope zzznope ' IN joined) > 0
+ORDER BY query_id, doc_id
+"""
+
+
 def q_search_facet_pivot(sf_dir: str):
     """Solr pivot faceting (``facet.pivot=lang,source`` — the nested
     drill-down tree the viewer's collection browser renders; the
@@ -8472,6 +8544,7 @@ QUERIES = {
     "terms_frontcode": q_terms_frontcode,
     "search_facet_pivot": q_search_facet_pivot,
     "link_degree_stats": q_link_degree_stats,
+    "search_querystring": q_search_querystring,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8613,6 +8686,7 @@ ORACLE_SQL = {
     "terms_frontcode": _SQL_FRONTCODE,
     "search_facet_pivot": _SQL_FACET_PIVOT,
     "link_degree_stats": _degree_stats_sql(),
+    "search_querystring": _SQL_QUERYSTRING,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

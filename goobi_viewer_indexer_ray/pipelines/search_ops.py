@@ -1231,3 +1231,117 @@ def facet_counts(index, ds, *, must: list[str], facets: list[str],
 
     matched = ds.map_batches(semi, batch_format="pyarrow")
     return matched.groupby(facets).aggregate(Count(alias_name="n_docs"))
+
+
+# ----------------------------------------------------- query-string parser
+
+def parse_querystring(s: str):
+    """Classic Lucene/Solr query-string parser (the subset the
+    viewer's search box produces after its own escaping —
+    ``QueryParser`` classic syntax): ``AND`` / ``OR`` / ``NOT`` /
+    ``-`` prefix / parentheses / ``"quoted phrases"``; implicit
+    adjacency is ``OR`` (the classic parser's default operator);
+    precedence NOT > AND > OR.
+
+    Returns a nested AST of ``('term', str) | ('phrase', str) |
+    ('and', [..]) | ('or', [..]) | ('not', node)``.
+    """
+    import re
+
+    toks = re.findall(r'"[^"]*"|\(|\)|-|[^\s()"]+', s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        parts = [parse_and()]
+        while True:
+            t = peek()
+            if t == "OR":
+                take()
+                parts.append(parse_and())
+            elif t is not None and t != ")" and t != "AND":
+                parts.append(parse_and())  # implicit OR
+            else:
+                break
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def parse_and():
+        parts = [parse_unary()]
+        while peek() == "AND":
+            take()
+            parts.append(parse_unary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_unary():
+        t = peek()
+        if t in ("NOT", "-"):
+            take()
+            return ("not", parse_unary())
+        return parse_primary()
+
+    def parse_primary():
+        t = take()
+        if t == "(":
+            node = parse_or()
+            if peek() == ")":
+                take()
+            return node
+        if t.startswith('"'):
+            return ("phrase", t.strip('"'))
+        return ("term", t)
+
+    if not toks:
+        return ("or", [])
+    node = parse_or()
+    return node
+
+
+def querystring_docs(index, all_docs: np.ndarray, query: str) -> np.ndarray:
+    """Evaluate :func:`parse_querystring` output to a sorted doc-id
+    set via posting algebra: terms are analyzer-tokenized (a term
+    that analyzes to several tokens becomes a phrase, the classic
+    parser's behavior), phrases run on the positional index, ``NOT``
+    complements against ``all_docs`` (per-shard universe — a
+    top-level pure-negative query is corpus-sized by SEMANTICS, as in
+    Solr's implicit ``*:*``)."""
+
+    def phrase_set(p: str) -> np.ndarray:
+        t = phrase_docs_positional(index, [p])
+        return np.sort(t.column("doc_id").to_numpy().astype(np.int64))
+
+    def ev(node) -> np.ndarray:
+        kind = node[0]
+        if kind == "term":
+            ts = tokenize(node[1])
+            if not ts:
+                return np.empty(0, np.int64)
+            if len(ts) > 1:
+                return phrase_set(" ".join(ts))
+            return _term_docs(index, ts[0])
+        if kind == "phrase":
+            ts = tokenize(node[1])
+            if not ts:
+                return np.empty(0, np.int64)
+            if len(ts) == 1:
+                return _term_docs(index, ts[0])
+            return phrase_set(" ".join(ts))
+        if kind == "not":
+            return np.setdiff1d(all_docs, ev(node[1]), assume_unique=True)
+        subs = [ev(n) for n in node[1]]
+        if not subs:
+            return np.empty(0, np.int64)
+        out = subs[0]
+        for d in subs[1:]:
+            out = (np.intersect1d(out, d, assume_unique=True) if kind == "and"
+                   else np.union1d(out, d))
+        return out
+
+    return ev(parse_querystring(query))

@@ -284,3 +284,17 @@ def test_fuzzy_matches_brute_force_levenshtein():
         got = [t for t, _ in so.fuzzy_terms(idx, q)]
         want = sorted(t for t in vocab if _lev(t, q) <= 1)
         assert got == want, q
+
+
+def test_parse_querystring_grammar():
+    """Classic-parser grammar: precedence NOT > AND > OR, implicit OR,
+    nested parens, quoted phrases, '-' prefix."""
+    from goobi_viewer_indexer_ray.pipelines.search_ops import parse_querystring as p
+
+    assert p("a AND b OR c") == ("or", [("and", [("term", "a"), ("term", "b")]),
+                                        ("term", "c")])
+    assert p("a b") == ("or", [("term", "a"), ("term", "b")])
+    assert p("-a") == ("not", ("term", "a"))
+    assert p("NOT (a OR b)") == ("not", ("or", [("term", "a"), ("term", "b")]))
+    assert p('"x y" AND z') == ("and", [("phrase", "x y"), ("term", "z")])
+    assert p("((a))") == ("term", "a")
