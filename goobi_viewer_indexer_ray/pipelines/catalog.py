@@ -5430,6 +5430,85 @@ ORDER BY query_id, rank
 """
 
 
+def q_events_outliers(sf_dir: str):
+    """Hourly anomaly detection over the event log (the ops-side
+    usage-statistics consumer — traffic-spike / outage flagging on
+    the A7 counters): per event type, the ZERO-FILLED hourly count
+    series over the global hour range, each cell flagged when it sits
+    more than 2σ from the type mean.  The test is cross-multiplied to
+    pure integers — ``(n·c − S)² > 4·(n·Q − S²)`` with S=Σc, Q=Σc² —
+    so every flag INCLUDING boundary cells hash-matches (no float
+    mean/stddev anywhere).
+
+    Scale shape: ONE ``groupby(type, hour)`` count; the zero-fill
+    grid and the per-type moment fold run over the aggregate table
+    (types × hours — cardinality-bounded, never the event stream)."""
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "ts"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "hour_id": pa.array(
+                t.column("ts").cast(pa.int64()).to_numpy()
+                // 3_600_000_000, pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(hourly, batch_format="pyarrow")
+        .groupby(["event_type", "hour_id"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    h0, h1 = int(counts.hour_id.min()), int(counts.hour_id.max())
+    hours = np.arange(h0, h1 + 1, dtype=np.int64)
+    out = []
+    for et, g in counts.groupby("event_type", sort=True):
+        c = (g.set_index("hour_id")["c"].reindex(hours, fill_value=0)
+             .to_numpy().astype(np.int64))
+        n = np.int64(c.size)
+        s1 = np.int64(c.sum())
+        s2 = np.int64((c * c).sum())
+        flag = ((n * c - s1) ** 2 > 4 * (n * s2 - s1 * s1)).astype(np.int64)
+        out.append(pd.DataFrame({
+            "event_type": et, "hour_id": hours, "c": c,
+            "is_outlier": flag,
+        }))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["event_type", "hour_id"]).reset_index(drop=True))
+
+
+_SQL_EVENTS_OUTLIERS = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts)::BIGINT // 3600000000 AS hour_id
+  FROM events
+),
+rng AS (SELECT min(hour_id) AS h0, max(hour_id) AS h1 FROM e),
+hours AS (SELECT h FROM rng, unnest(generate_series(rng.h0, rng.h1)) AS g(h)),
+types AS (SELECT DISTINCT event_type FROM e),
+grid AS (SELECT t.event_type, h.h AS hour_id FROM types t, hours h),
+cc AS (SELECT event_type, hour_id, count(*)::BIGINT AS c
+       FROM e GROUP BY event_type, hour_id),
+z AS (
+  SELECT g.event_type, g.hour_id, coalesce(cc.c, 0)::BIGINT AS c
+  FROM grid g LEFT JOIN cc
+    ON cc.event_type = g.event_type AND cc.hour_id = g.hour_id
+),
+s AS (SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
+             sum(c * c)::BIGINT AS s2
+      FROM z GROUP BY event_type)
+SELECT z.event_type, z.hour_id, z.c,
+       ((s.n * z.c - s.s1) * (s.n * z.c - s.s1)
+          > 4 * (s.n * s.s2 - s.s1 * s.s1))::BIGINT AS is_outlier
+FROM z JOIN s ON s.event_type = z.event_type
+ORDER BY z.event_type, z.hour_id
+"""
+
+
 QS_QUERIES = [
     (0, "(hash AND join) OR vector"),
     (1, '"customer order" AND NOT slow'),
@@ -8545,6 +8624,7 @@ QUERIES = {
     "search_facet_pivot": q_search_facet_pivot,
     "link_degree_stats": q_link_degree_stats,
     "search_querystring": q_search_querystring,
+    "events_outliers": q_events_outliers,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8687,6 +8767,7 @@ ORACLE_SQL = {
     "search_facet_pivot": _SQL_FACET_PIVOT,
     "link_degree_stats": _degree_stats_sql(),
     "search_querystring": _SQL_QUERYSTRING,
+    "events_outliers": _SQL_EVENTS_OUTLIERS,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),
