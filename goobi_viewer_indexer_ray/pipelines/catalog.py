@@ -5430,6 +5430,83 @@ ORDER BY query_id, rank
 """
 
 
+REGEX_PATTERNS = [".*oin.*", "[a-z]{3}", "s.*w", "zz.*", ".*[0-9].*"]
+
+
+def q_search_terms_regex(sf_dir: str):
+    """Solr TermsComponent ``terms.regex`` parity (full-anchored
+    ``Pattern.matches`` semantics, unlike the glob-translated
+    ``search_wildcard``): per pattern, matching vocab terms with df.
+    Patterns are RE2-safe so Python ``re.fullmatch`` and DuckDB
+    ``regexp_full_match`` agree by construction.  Vocab scan is the
+    index's small side (see :func:`search_ops.regex_terms`)."""
+    from .query import LocalIndex
+    from .search_ops import regex_terms
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    ps, ts, dfs = [], [], []
+    for p in REGEX_PATTERNS:
+        for t, d in regex_terms(idx, p):
+            ps.append(p)
+            ts.append(t)
+            dfs.append(d)
+    return pa.table({
+        "pattern": pa.array(ps, pa.string()),
+        "term": pa.array(ts, pa.string()),
+        "df": pa.array(dfs, pa.int64()),
+    })
+
+
+def _terms_regex_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in REGEX_PATTERNS)
+    return f"""
+WITH vocab AS (
+  SELECT t AS term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY t
+),
+p(pattern) AS (VALUES {vals})
+SELECT p.pattern, v.term, v.df
+FROM p JOIN vocab v ON regexp_full_match(v.term, p.pattern)
+ORDER BY p.pattern, v.term
+"""
+
+
+def q_lang_mismatch(sf_dir: str):
+    """Language-metadata disagreement filter (the CCNet/C4 move: drop
+    docs whose DECLARED language disagrees with the n-gram
+    prediction — mislabeled pages poison monolingual corpora): per
+    doc, declared lang, predicted lang (the ``langid`` operator's
+    stopword-vote rule), and the agreement bit.  One stateless
+    vectorized pass over text+lang."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        pred = text_ops.langid_batch(
+            batch.select(["doc_id", "text"])).column("lang_pred")
+        lang = batch.column("lang")
+        agree = pc.equal(pc.cast(lang, pa.string()), pred)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "lang": lang,
+            "lang_pred": pred,
+            "agree": pc.cast(agree, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def _lang_mismatch_sql() -> str:
+    return f"""
+WITH pred AS ({_langid_sql()})
+SELECT d.doc_id, d.lang, pred.lang_pred,
+       (d.lang = pred.lang_pred)::BIGINT AS agree
+FROM documents d JOIN pred ON pred.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_events_outliers(sf_dir: str):
     """Hourly anomaly detection over the event log (the ops-side
     usage-statistics consumer — traffic-spike / outage flagging on
@@ -8625,6 +8702,8 @@ QUERIES = {
     "link_degree_stats": q_link_degree_stats,
     "search_querystring": q_search_querystring,
     "events_outliers": q_events_outliers,
+    "search_terms_regex": q_search_terms_regex,
+    "lang_mismatch": q_lang_mismatch,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8768,6 +8847,8 @@ ORACLE_SQL = {
     "link_degree_stats": _degree_stats_sql(),
     "search_querystring": _SQL_QUERYSTRING,
     "events_outliers": _SQL_EVENTS_OUTLIERS,
+    "search_terms_regex": _terms_regex_sql(),
+    "lang_mismatch": _lang_mismatch_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

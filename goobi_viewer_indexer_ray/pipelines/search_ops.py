@@ -1345,3 +1345,17 @@ def querystring_docs(index, all_docs: np.ndarray, query: str) -> np.ndarray:
         return out
 
     return ev(parse_querystring(query))
+
+
+def regex_terms(index, pattern: str) -> list[tuple[str, int]]:
+    """Solr TermsComponent ``terms.regex`` analog: vocab terms whose
+    ENTIRE text matches ``pattern`` (``Pattern.matches`` semantics —
+    full anchoring, unlike :func:`wildcard_terms`' translated glob),
+    with df.  Same vocab-small-side scan shape; a literal prefix in
+    the pattern could narrow the dictionary range exactly as in
+    :func:`wildcard_terms` (not needed at this vocab size)."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    terms, df, _ = _vocab_arrays(index)
+    return [(str(t), int(d)) for t, d in zip(terms, df) if rx.fullmatch(t)]
