@@ -5430,6 +5430,66 @@ ORDER BY query_id, rank
 """
 
 
+def q_percolate(sf_dir: str):
+    """Percolator / reverse search (Elasticsearch percolate, Solr
+    alerting): the STORED queries are the index, each incoming doc is
+    matched against them — the saved-search notification path a
+    production viewer runs on ingest.  Contract: a stored query (the
+    8 reference queries, AND semantics over analyzed terms) matches a
+    doc iff every term occurs; emit all (query_id, doc_id) matches.
+
+    Scale shape: the stored-query term sets are the broadcast small
+    side (real percolators invert THEM, not the corpus); matching is
+    one streamed pass — per batch, one ``np.isin`` per DISTINCT query
+    term against the batch vocab, AND-folded per query through the
+    code array.  No shuffle."""
+    specs = [(q["query_id"], sorted(set(tokenize(q["query"]))))
+             for q in DOC_QUERIES]
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, counts, codes, uniques = text_ops._flat_token_codes(batch)
+        # per-doc presence per distinct term (terms across queries)
+        all_terms = sorted({t for _, ts in specs for t in ts})
+        pres = {}
+        for t in all_terms:
+            hits = text_ops._vocab_hits(uniques, codes, counts,
+                                        frozenset((t,)))
+            pres[t] = hits > 0
+        out_q, out_d = [], []
+        for qid, ts in specs:
+            if not ts:
+                continue
+            m = np.ones(ids.size, bool)
+            for t in ts:
+                m &= pres[t]
+            hit = ids[m]
+            out_q.extend([qid] * hit.size)
+            out_d.extend(hit.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        })
+
+    return (_documents(sf_dir).map_batches(f, batch_format="pyarrow")
+            .sort(["query_id", "doc_id"]))
+
+
+def _percolate_sql() -> str:
+    legs = []
+    for q in DOC_QUERIES:
+        ts = sorted(set(tokenize(q["query"])))
+        cond = " AND ".join(f"list_contains(ts, '{t}')" for t in ts)
+        legs.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id "
+            f"FROM t WHERE {cond}")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
+{union}
+ORDER BY query_id, doc_id
+"""
+
+
 REGEX_PATTERNS = [".*oin.*", "[a-z]{3}", "s.*w", "zz.*", ".*[0-9].*"]
 
 
@@ -8704,6 +8764,7 @@ QUERIES = {
     "events_outliers": q_events_outliers,
     "search_terms_regex": q_search_terms_regex,
     "lang_mismatch": q_lang_mismatch,
+    "percolate_queries": q_percolate,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8849,6 +8910,7 @@ ORACLE_SQL = {
     "events_outliers": _SQL_EVENTS_OUTLIERS,
     "search_terms_regex": _terms_regex_sql(),
     "lang_mismatch": _lang_mismatch_sql(),
+    "percolate_queries": _percolate_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),
