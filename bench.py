@@ -244,6 +244,19 @@ def run_bench() -> dict:
         "search_cursor",
         "bpe_encode",
         "embedding_classify",
+        "quality_gopher",
+        "boilerplate_blocks",
+        "postings_ef",
+        "audio_energy",
+        "robots_filter",
+        "blocklist_filter",
+        "terms_frontcode",
+        "search_facet_pivot",
+        "link_degree_stats",
+        "search_querystring",
+        "events_outliers",
+        "percolate_queries",
+        "lang_mismatch",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)
