@@ -5430,6 +5430,45 @@ ORDER BY query_id, rank
 """
 
 
+def q_dedup_containment(sf_dir: str):
+    """Asymmetric shingle-containment near-dup pairs (Broder 1997,
+    ``C(A,B) = |A∩B| / |A|`` ≥ 0.8) — the quote/excerpt detector the
+    symmetric Jaccard entry misses at large size ratios; see
+    :func:`stages.dedup.containment_pairs` for the integer boundary
+    test and the full-recall blocking argument."""
+    return dedup.containment_pairs(_documents(sf_dir), n=5, num=4, den=5)
+
+
+_SQL_CONTAINMENT = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+           || ' ' || ts[i+4] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT p.doc_a, p.doc_b, p.inter, sa.n AS na, sb.n AS nb
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+)
+SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+            THEN doc_a ELSE doc_b END AS doc_small,
+       CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+            THEN doc_b ELSE doc_a END AS doc_big,
+       inter, least(na, nb) AS n_small
+FROM j WHERE 5 * inter >= 4 * least(na, nb)
+ORDER BY doc_small, doc_big
+"""
+
+
 def q_percolate(sf_dir: str):
     """Percolator / reverse search (Elasticsearch percolate, Solr
     alerting): the STORED queries are the index, each incoming doc is
@@ -8765,6 +8804,7 @@ QUERIES = {
     "search_terms_regex": q_search_terms_regex,
     "lang_mismatch": q_lang_mismatch,
     "percolate_queries": q_percolate,
+    "dedup_containment": q_dedup_containment,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8911,6 +8951,7 @@ ORACLE_SQL = {
     "search_terms_regex": _terms_regex_sql(),
     "lang_mismatch": _lang_mismatch_sql(),
     "percolate_queries": _percolate_sql(),
+    "dedup_containment": _SQL_CONTAINMENT,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

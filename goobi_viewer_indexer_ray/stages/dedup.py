@@ -577,3 +577,65 @@ def simhash_pairs(ds, *, max_hamming: int = 3):
         .reset_index(drop=True)[["doc_a", "doc_b", "hamming"]]
         .astype("int64")
     )
+
+
+def containment_pairs(ds, *, n: int = 5, num: int = 4, den: int = 5):
+    """Asymmetric shingle CONTAINMENT pairs (Broder 1997's second
+    resemblance measure — ``C(A,B) = |A∩B| / |A|``): detects a small
+    doc embedded in a large one (quotes, excerpts, page-in-site),
+    which symmetric Jaccard misses when the size ratio is large.
+
+    Emits ``(doc_small, doc_big, inter, n_small)`` for pairs with
+    ``C(small, big) ≥ num/den`` — the test is the integer
+    cross-multiplication ``den·inter ≥ num·n_small`` so boundary
+    pairs hash-match.  ``doc_small`` is the smaller shingle set
+    (ties → smaller id).  Same two-shuffle shape as
+    :func:`jaccard_pairs` (shingle-block pair generation has full
+    recall for any containment > 0: a contained doc shares ALL its
+    shingles with the container)."""
+    from ray.data.aggregate import Count
+
+    sh = ds.map_batches(lambda t: shingles_batch(t, n), batch_format="pyarrow")
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        if ids.size < 2:
+            return _PAIR_SCHEMA.empty_table()
+        ns = g.column("n").to_numpy()
+        order = np.argsort(ids)
+        ids, ns = ids[order], ns[order]
+        a, b = np.triu_indices(ids.size, k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[a], pa.int64()),
+                "doc_b": pa.array(ids[b], pa.int64()),
+                "n_a": pa.array(ns[a], pa.int64()),
+                "n_b": pa.array(ns[b], pa.int64()),
+            }
+        )
+
+    inter = (
+        sh.groupby("sh").map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b", "n_a", "n_b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        it = t.column("inter").to_numpy().astype(np.int64)
+        na = t.column("n_a").to_numpy().astype(np.int64)
+        nb = t.column("n_b").to_numpy().astype(np.int64)
+        da = t.column("doc_a").to_numpy().astype(np.int64)
+        db = t.column("doc_b").to_numpy().astype(np.int64)
+        n_small = np.minimum(na, nb)
+        keep = den * it >= num * n_small
+        a_small = (na < nb) | ((na == nb) & (da < db))
+        return pa.table(
+            {
+                "doc_small": pa.array(np.where(a_small, da, db)[keep], pa.int64()),
+                "doc_big": pa.array(np.where(a_small, db, da)[keep], pa.int64()),
+                "inter": pa.array(it[keep], pa.int64()),
+                "n_small": pa.array(n_small[keep], pa.int64()),
+            }
+        )
+
+    return inter.map_batches(finalize, batch_format="pyarrow")

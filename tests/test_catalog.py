@@ -488,3 +488,26 @@ def test_elevate_forces_and_reorders(contract):
         assert excl not in set(organic.doc_id) or excl in elev
     g4 = df[df.query_id == 4]
     assert len(g4) == 2 and set(g4.score_r) == {0.0}
+
+
+def test_containment_catches_asymmetric_pair(ray_session):
+    """A short doc fully embedded in a long one has low Jaccard but
+    containment 1.0 — the pair the symmetric entry misses."""
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.dedup import containment_pairs
+
+    small = " ".join(f"w{i}" for i in range(12))
+    filler = " ".join(f"f{i}" for i in range(200))
+    rows = [
+        {"doc_id": 1, "text": small},
+        {"doc_id": 2, "text": small + " " + filler},
+        {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(40))},
+    ]
+    out = containment_pairs(ray.data.from_items(rows)).take_all()
+    assert len(out) == 1
+    p = out[0]
+    assert (p["doc_small"], p["doc_big"]) == (1, 2)
+    assert p["inter"] == p["n_small"] == 8   # all 8 shingles of doc 1
+    # symmetric Jaccard on the same pair is far below any dedup bar
+    assert p["inter"] / (8 + 208 - 8) < 0.05
