@@ -3338,10 +3338,13 @@ def q_link_degree_stats(sf_dir: str):
     (zero rows included).
 
     Scale shape: degree partials are map-side combined per batch
-    (two small rows per edge); reciprocity is ONE
-    ``groupby(pair_key)`` over direction-tagged edges (the fixture
-    rule emits no duplicate edges, so a pair group holds ≤ 2 rows);
-    the final fold is one doc-count-sized ``groupby(doc_id)``."""
+    (two small rows per edge); reciprocity is ONE ``groupby(pair_key)
+    .count()`` — the rule emits no duplicate edges, so ``count == 2``
+    ⟺ both directions exist, and the endpoints DECODE from the key
+    arithmetically in a plain ``map_batches`` (no per-group Python —
+    a pair-keyed ``map_groups`` would run millions of 2-row groups
+    at corpus scale); the final fold is one doc-count-sized
+    ``groupby(doc_id)``."""
     from ray.data.aggregate import Sum
 
     docs, edges = _link_edges(sf_dir)
@@ -3372,19 +3375,17 @@ def q_link_degree_stats(sf_dir: str):
         hi = np.maximum(src, dst)
         return pa.table({
             "key": pa.array(lo * np.int64(n) + hi, pa.int64()),
-            "src": pa.array(src, pa.int64()),
-            "fwd": pa.array((src < dst).astype(np.int64), pa.int64()),
         })
 
-    def recip_rows(g: pa.Table) -> pa.Table:
-        fwd = g.column("fwd").to_numpy()
-        both = bool(fwd.min() != fwd.max())  # both directions present
-        src = g.column("src").to_numpy() if both else np.empty(0, np.int64)
-        z = np.zeros(src.size, np.int64)
+    def decode_recips(t: pa.Table) -> pa.Table:
+        cnt = t.column("count()").to_numpy()
+        key = t.column("key").to_numpy()[cnt == 2]  # both directions
+        ends = np.concatenate([key // np.int64(n), key % np.int64(n)])
+        z = np.zeros(ends.size, np.int64)
         return pa.table({
-            "doc_id": pa.array(src.astype(np.int64)),
+            "doc_id": pa.array(ends.astype(np.int64)),
             "out_deg": pa.array(z), "in_deg": pa.array(z),
-            "n_recip": pa.array(np.ones(src.size, np.int64)),
+            "n_recip": pa.array(np.ones(ends.size, np.int64)),
         })
 
     def zeros(t: pa.Table) -> pa.Table:
@@ -3395,7 +3396,8 @@ def q_link_degree_stats(sf_dir: str):
 
     parts = edges.map_batches(degree_partials, batch_format="pyarrow")
     recip = (edges.map_batches(tag_pairs, batch_format="pyarrow")
-             .groupby("key").map_groups(recip_rows, batch_format="pyarrow"))
+             .groupby("key").count()
+             .map_batches(decode_recips, batch_format="pyarrow"))
     base = docs.map_batches(zeros, batch_format="pyarrow")
     return (
         base.union(parts).union(recip)
@@ -3423,6 +3425,53 @@ LEFT JOIN outs o ON o.node = d.doc_id
 LEFT JOIN ins i ON i.node = d.doc_id
 LEFT JOIN rec r ON r.node = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def q_link_cocitation(sf_dir: str):
+    """Co-citation pair counts over the fixture web graph (Small
+    1973 — two pages cited TOGETHER are topically related; the
+    link-analysis relatedness signal next to anchor text): for every
+    target pair linked from the same source, the number of common
+    citing sources, pairs with ≥ 2 co-citations.
+
+    Scale shape: ONE ``groupby(src)`` emits per-source target pairs
+    (out-degree is rule-bounded ≤ 3, so the fanout is ≤ 3 rows per
+    source), then ONE pair-key ``groupby`` counts — the classic
+    bounded-fanout pair-generation shape (a power-law hub would be
+    capped or salted; documented, not needed for the fixture)."""
+    from ray.data.aggregate import Count
+
+    _, edges = _link_edges(sf_dir)
+
+    def pairs_of_src(g: pa.Table) -> pa.Table:
+        dst = np.unique(g.column("dst").to_numpy().astype(np.int64))
+        if dst.size < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        a, b = np.triu_indices(dst.size, k=1)
+        return pa.table({"doc_a": pa.array(dst[a], pa.int64()),
+                         "doc_b": pa.array(dst[b], pa.int64())})
+
+    return (
+        edges.groupby("src").map_groups(pairs_of_src, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_cociting"))
+        .filter(lambda r: r["n_cociting"] >= 2)
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+def _cocitation_sql() -> str:
+    return f"""
+WITH {_EDGE_RULE_SQL.strip()},
+p AS (
+  SELECT a.dst AS doc_a, b.dst AS doc_b, count(*)::BIGINT AS n_cociting
+  FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_cociting FROM p
+WHERE n_cociting >= 2 ORDER BY doc_a, doc_b
 """
 
 
@@ -8805,6 +8854,7 @@ QUERIES = {
     "lang_mismatch": q_lang_mismatch,
     "percolate_queries": q_percolate,
     "dedup_containment": q_dedup_containment,
+    "link_cocitation": q_link_cocitation,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -8952,6 +9002,7 @@ ORACLE_SQL = {
     "lang_mismatch": _lang_mismatch_sql(),
     "percolate_queries": _percolate_sql(),
     "dedup_containment": _SQL_CONTAINMENT,
+    "link_cocitation": _cocitation_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),
