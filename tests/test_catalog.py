@@ -115,6 +115,23 @@ def _check(contract, con, name):
         "parent_rollup",
         "hierarchy_rollup",
         "authority_norm",
+        "quality_gopher",
+        "boilerplate_blocks",
+        "postings_ef",
+        "audio_energy",
+        "robots_filter",
+        "search_elevate",
+        "blocklist_filter",
+        "terms_frontcode",
+        "search_facet_pivot",
+        "link_degree_stats",
+        "search_querystring",
+        "events_outliers",
+        "search_terms_regex",
+        "lang_mismatch",
+        "percolate_queries",
+        "dedup_containment",
+        "link_cocitation",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
