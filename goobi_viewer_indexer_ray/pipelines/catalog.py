@@ -5479,6 +5479,118 @@ ORDER BY query_id, rank
 """
 
 
+def q_search_highlight(sf_dir: str):
+    """Solr unified-highlighter OFFSET parity (the ``hl.offsets`` the
+    viewer uses to paint hit highlights in page text — char-level,
+    unlike ``search_kwic``'s token windows): for each query's BM25
+    top-3 docs, every matching query term's FIRST character span
+    (start, end) plus its occurrence count.  Engine offsets come from
+    the REAL analyzer (``TOKEN_RE.finditer`` spans over the stored
+    text); the oracle recomputes them as a prefix-sum window over the
+    token stream — exact because the corpus text is verifiably
+    space-joined tokens (checked: 0 punct chars, 0 join mismatches).
+
+    Scale shape: the (doc → queries) want-list is broadcast once
+    (≤ 3 docs/query); offsets are extracted in one streamed pass
+    that touches only matched docs."""
+    import ray
+
+    from .query import LocalIndex, topk_exact
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    wanted: dict[int, list[tuple[int, list[str]]]] = {}
+    for q in DOC_QUERIES:
+        d, s = topk_exact(idx, q["query"], idx.n_docs)
+        if d.size == 0:
+            continue
+        order = np.lexsort((d, -np.round(s, 4)))[:3]
+        terms = sorted(set(tokenize(q["query"])))
+        for doc in d[order]:
+            wanted.setdefault(int(doc), []).append((q["query_id"], terms))
+    ref = ray.put(wanted)
+
+    def f(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        import unicodedata
+
+        from ..functions.tokenize import TOKEN_RE
+
+        rows = {"query_id": [], "doc_id": [], "term": [],
+                "start_off": [], "end_off": [], "n_occ": []}
+        for did, text in zip(ids, texts):
+            did = int(did)
+            if did not in w:
+                continue
+            occ: dict[str, tuple[int, int]] = {}
+            low = unicodedata.normalize("NFC", text or "").lower()
+            for m in TOKEN_RE.finditer(low):
+                t = m.group()
+                if t in occ:
+                    occ[t] = (occ[t][0], occ[t][1] + 1)
+                else:
+                    occ[t] = (m.start(), 1)
+            for qid, terms in w[did]:
+                for t in terms:
+                    if t in occ:
+                        st, n = occ[t]
+                        rows["query_id"].append(qid)
+                        rows["doc_id"].append(did)
+                        rows["term"].append(t)
+                        rows["start_off"].append(st)
+                        rows["end_off"].append(st + len(t))
+                        rows["n_occ"].append(n)
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "term": pa.array(rows["term"], pa.string()),
+            "start_off": pa.array(rows["start_off"], pa.int64()),
+            "end_off": pa.array(rows["end_off"], pa.int64()),
+            "n_occ": pa.array(rows["n_occ"], pa.int64()),
+        })
+
+    return (_documents(sf_dir).map_batches(f, batch_format="pyarrow")
+            .sort(["query_id", "doc_id", "term"]))
+
+
+def _highlight_sql() -> str:
+    base = _bm25_sql()
+    prefix = base[: base.index("ranked AS")]
+    return f"""{prefix}
+top3 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 4) DESC, doc_id) AS rn
+    FROM scored) WHERE rn <= 3
+),
+tokpos AS (
+  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos
+  FROM toks
+),
+off AS (
+  SELECT doc_id, t, pos,
+         coalesce(sum(length(t) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_off
+  FROM tokpos
+),
+occ AS (
+  SELECT doc_id, t, min(start_off)::BIGINT AS start_off,
+         count(*)::BIGINT AS n_occ
+  FROM off GROUP BY doc_id, t
+)
+SELECT t3.query_id::BIGINT AS query_id, t3.doc_id, q.term, occ.start_off,
+       (occ.start_off + length(q.term))::BIGINT AS end_off, occ.n_occ
+FROM top3 t3
+JOIN q ON q.query_id = t3.query_id
+JOIN occ ON occ.doc_id = t3.doc_id AND occ.t = q.term
+ORDER BY t3.query_id, t3.doc_id, q.term
+"""
+
+
 def q_dedup_containment(sf_dir: str):
     """Asymmetric shingle-containment near-dup pairs (Broder 1997,
     ``C(A,B) = |A∩B| / |A|`` ≥ 0.8) — the quote/excerpt detector the
@@ -8855,6 +8967,7 @@ QUERIES = {
     "percolate_queries": q_percolate,
     "dedup_containment": q_dedup_containment,
     "link_cocitation": q_link_cocitation,
+    "search_highlight": q_search_highlight,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9003,6 +9116,7 @@ ORACLE_SQL = {
     "percolate_queries": _percolate_sql(),
     "dedup_containment": _SQL_CONTAINMENT,
     "link_cocitation": _cocitation_sql(),
+    "search_highlight": _highlight_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),
