@@ -132,6 +132,7 @@ def _check(contract, con, name):
         "percolate_queries",
         "dedup_containment",
         "link_cocitation",
+        "search_highlight",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
