@@ -335,3 +335,127 @@ def encode_jp2_shell(w: int, h: int) -> bytes:
     ihdr = struct.pack(">I", 8 + len(ihdr_body)) + b"ihdr" + ihdr_body
     jp2h = struct.pack(">I", 8 + len(ihdr)) + b"jp2h" + ihdr
     return sig + ftyp + jp2h
+
+
+# ----------------------------------------------------- real PNG codec
+
+def encode_png_rgb(img, *, mixed_filters: bool = True) -> bytes:
+    """REAL full-pixel PNG writer (8-bit RGB, one IDAT): each
+    scanline gets a filter byte and the filter TRANSFORM applied —
+    ``mixed_filters`` cycles through all five spec filters
+    (None/Sub/Up/Average/Paeth, ``row % 5``) so a round-trip
+    exercises every decoder unfilter path, not just the trivial one.
+    Upgrades M12 beyond the header-only shells: with
+    :func:`decode_png_pixels` this is a true compressed-format codec
+    pair (zlib is stdlib — no external image lib needed)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        row = a[y].reshape(-1).astype(np.int64)
+        f = (y % 5) if mixed_filters else 0
+        left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        if f == 0:
+            out = row
+        elif f == 1:
+            out = row - left
+        elif f == 2:
+            out = row - prev
+        elif f == 3:
+            out = row - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc_ = np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, upleft))
+            out = row - pred
+        raw.append(f)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decoder (8-bit, color types 0/2/6; all five
+    scanline filters; multi-IDAT) → ``(h, w, channels)`` uint8 array.
+    Filters None/Sub/Up unfilter vectorized (Sub is a per-stride
+    cumsum mod 256); Average/Paeth reconstruct left-to-right per row
+    (inherently sequential — the same data dependence C decoders
+    unroll).  Raises ``ValueError`` on anything else (interlace,
+    palette, 16-bit) — the documented integration point for exotic
+    variants."""
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = depth = ctype = None
+    interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if w is None or depth != 8 or interlace != 0:
+        raise ValueError("unsupported PNG variant")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported color type {ctype}")
+    bpp = channels
+    stride = w * bpp
+    data = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if data.size != h * (stride + 1):
+        raise ValueError("scanline payload size mismatch")
+    data = data.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(data[y, 0])
+        row = data[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 1:
+            rec = row.copy()
+            for r in range(bpp):  # per-stride cumsum mod 256
+                rec[r::bpp] = np.cumsum(rec[r::bpp]) % 256
+        elif f == 2:
+            rec = (row + prev) % 256
+        elif f in (3, 4):
+            rec = np.empty(stride, np.int64)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa_, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa_ <= pb and pa_ <= pc_ else (up if pb <= pc_ else ul)
+                rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, channels)

@@ -188,8 +188,18 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> np.ndarray:
             np.float64,
         )
         return _pad(v, dim)
-    if mime in ("image/bmp", "image/x-portable-pixmap"):
-        img = decode_bmp(payload) if mime == "image/bmp" else decode_ppm(payload)
+    if mime in ("image/bmp", "image/x-portable-pixmap", "image/png"):
+        if mime == "image/bmp":
+            img = decode_bmp(payload)
+        elif mime == "image/png":
+            from .imagesize import decode_png_pixels
+
+            img = decode_png_pixels(payload)
+            if img.shape[2] == 1:  # gray → replicate to RGB contract
+                img = np.repeat(img, 3, axis=2)
+            img = img[:, :, :3]  # drop alpha for the gray pool
+        else:
+            img = decode_ppm(payload)
         return _pad(resize_gray(img, 4, 4).reshape(-1), dim)
     raise NotImplementedError(
         f"no stdlib decoder for {mime}; plug a codec library into "
@@ -369,8 +379,9 @@ class AHash:
     image.  Corrupt payloads are skipped (error-folder analog).
     """
 
-    def __init__(self, grid: int = 8):
+    def __init__(self, grid: int = 8, decoder=None):
         self.grid = grid
+        self.decoder = decoder or decode_ppm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = self.grid
@@ -379,7 +390,7 @@ class AHash:
         out_id, out_hi, out_lo = [], [], []
         for i in range(len(ids)):
             try:
-                img = decode_ppm(payloads[i].as_py())
+                img = self.decoder(payloads[i].as_py())
             except (ValueError, NotImplementedError, IndexError):
                 continue  # corrupt decoy → skipped, not fatal
             h, w, _ = img.shape

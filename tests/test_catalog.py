@@ -133,6 +133,7 @@ def _check(contract, con, name):
         "dedup_containment",
         "link_cocitation",
         "search_highlight",
+        "image_png_ahash",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",

@@ -85,3 +85,35 @@ def test_writers_sniff_as_expected():
     assert sniff_mime(encode_gif_shell(2, 2)) == "image/gif"
     assert sniff_mime(encode_bmp(2, 2)) == "image/bmp"
     assert sniff_mime(encode_ppm(2, 2)) == "image/x-portable-pixmap"
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Real PNG codec: 40-image fuzz through BOTH the mixed-filter
+    writer (every unfilter path: None/Sub/Up/Average/Paeth) and the
+    trivial-filter writer; exact pixel equality."""
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.stages.imagesize import (
+        decode_png_pixels,
+        encode_png_rgb,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for mf in (True, False):
+            back = decode_png_pixels(encode_png_rgb(img, mixed_filters=mf))
+            assert back.shape == (h, w, 3)
+            assert np.array_equal(back, img)
+
+
+def test_png_decoder_rejects_variants():
+    import pytest
+
+    from goobi_viewer_indexer_ray.stages.imagesize import decode_png_pixels
+
+    with pytest.raises(ValueError):
+        decode_png_pixels(b"not a png at all")
+    with pytest.raises(ValueError):
+        decode_png_pixels(b"\x89PNG\r\n\x1a\ntruncated")
