@@ -424,7 +424,10 @@ def decode_png_pixels(payload: bytes):
         raise ValueError(f"unsupported color type {ctype}")
     bpp = channels
     stride = w * bpp
-    data = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    try:
+        data = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    except zlib.error as e:  # corrupt stream → uniform corrupt-payload error
+        raise ValueError(f"bad IDAT stream: {e}") from e
     if data.size != h * (stride + 1):
         raise ValueError("scanline payload size mismatch")
     data = data.reshape(h, stride + 1)

@@ -40,9 +40,22 @@ def test_sniff():
 
 
 def test_real_decoder_is_stubbed():
+    # JPEG has no stdlib decoder → the stub raises; PNG/BMP/PPM/WAV
+    # are REAL decoders now (see decode_png_pixels), and a garbage
+    # PNG payload raises ValueError (corrupt), not NotImplementedError
     ex = MediaFeatureExtractor(deterministic_fake=False)
+    jpg_only = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "uri": pa.array(["j"], pa.string()),
+            "payload": pa.array([JPG], pa.binary()),
+            "mime": pa.array([""], pa.string()),
+        }
+    )
     with pytest.raises(NotImplementedError):
-        ex(_media_table(3))
+        ex(jpg_only)
+    with pytest.raises(ValueError):
+        ex(_media_table(3))  # row 0 is a garbage PNG → corrupt error
 
 
 def test_fake_features_deterministic():
@@ -132,27 +145,42 @@ def test_real_bmp_ppm_decode():
 def test_real_mode_features():
     from goobi_viewer_indexer_ray.stages.multimodal import MediaFeatureExtractor
 
+    from goobi_viewer_indexer_ray.stages.imagesize import encode_png_rgb
+
     wav, bmp = _wav_bytes(), _bmp_bytes()
+    png_img = np.zeros((8, 8, 3), np.uint8)
+    png_img[:, :4] = 255  # left half bright, right dark
+    real_png = encode_png_rgb(png_img)
     t = pa.table(
         {
-            "media_id": pa.array([0, 1, 2], pa.int64()),
-            "uri": pa.array(["w", "b", "p"], pa.string()),
-            "payload": pa.array([wav, bmp, PNG], pa.binary()),
-            "mime": pa.array(["", "", ""], pa.string()),
+            "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "uri": pa.array(["w", "b", "p", "g"], pa.string()),
+            "payload": pa.array([wav, bmp, real_png, PNG], pa.binary()),
+            "mime": pa.array(["", "", "", ""], pa.string()),
         }
     )
     out = MediaFeatureExtractor(dim=8, mode="auto")(t)
     assert out.column("mime_sniffed").to_pylist() == [
-        "audio/wav", "image/bmp", "image/png",
+        "audio/wav", "image/bmp", "image/png", "image/png",
     ]
     feats = np.array(out.column("feature").to_pylist())
     assert abs(feats[0][0] - 0.25) < 1e-6  # wav duration seconds
     assert 0.6 < feats[0][2] < 0.8  # rms
     # bmp: first pooled cell bright (red half), last dark
     assert feats[1][0] > 0.2 and feats[1][3] < 0.05
-    # png has no stdlib decoder → real mode raises, auto falls back
+    # REAL png decode: left pooled cells bright, right dark (dim=8
+    # keeps only the first two pooled rows of the 4×4 grid)
+    assert feats[2][0] > 0.9 and feats[2][3] < 0.05
+    # garbage PNG: real mode raises corrupt error; auto fell back above
+    with pytest.raises(ValueError):
+        MediaFeatureExtractor(dim=8, mode="real")(t.slice(3, 1))
+    # JPEG is still the documented stub
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(dim=8, mode="real")(t.slice(2, 1))
+        MediaFeatureExtractor(dim=8, mode="real")(
+            pa.table({"media_id": pa.array([9], pa.int64()),
+                      "uri": pa.array(["j"], pa.string()),
+                      "payload": pa.array([JPG], pa.binary()),
+                      "mime": pa.array([""], pa.string())}))
 
 
 def test_rawv_roundtrip_and_header():
