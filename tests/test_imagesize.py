@@ -117,3 +117,32 @@ def test_png_decoder_rejects_variants():
         decode_png_pixels(b"not a png at all")
     with pytest.raises(ValueError):
         decode_png_pixels(b"\x89PNG\r\n\x1a\ntruncated")
+
+
+def test_png_decoder_gray_and_rgba():
+    """Hand-built filter-0 PNGs for color types 0 (gray) and 6
+    (RGBA) — the decoder's non-RGB paths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.stages.imagesize import (
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    def build(w, h, ctype, channels, pix):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = decode_png_pixels(build(4, 3, 0, 1, gray))
+    assert out.shape == (3, 4, 1) and np.array_equal(out[:, :, 0], gray)
+    rgba = (np.arange(3 * 2 * 4) % 256).astype(np.uint8).reshape(2, 3 * 4)
+    out = decode_png_pixels(build(3, 2, 6, 4, rgba))
+    assert out.shape == (2, 3, 4)
+    assert np.array_equal(out.reshape(2, 12), rgba)
