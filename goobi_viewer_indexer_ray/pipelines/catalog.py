@@ -6150,6 +6150,57 @@ FROM l GROUP BY blk ORDER BY block_id
 """
 
 
+def q_filter_chain(sf_dir: str):
+    """The composed FineWeb/RefinedWeb FILTER STACK as one operator:
+    Gopher rules ∧ wordlist gate ∧ language agreement, fused into a
+    SINGLE streamed corpus scan (the IO-efficiency point of chaining
+    filters — three separate operators would read the corpus three
+    times; here every gate computes from the same in-flight batch and
+    only verdict bits leave).  Per doc the three gate verdicts and
+    the conjunction — the doc set a curation run would hand to dedup.
+    Oracle = the three entry oracles joined and conjoined."""
+    cats = list(BLOCKLISTS)
+
+    def f(batch: pa.Table) -> pa.Table:
+        text_batch = batch.select(["doc_id", "text"])
+        gop = text_ops.gopher_quality_batch(text_batch)
+        ids, counts, codes, uniques = text_ops._flat_token_codes(text_batch)
+        block_total = np.zeros(ids.size, np.int64)
+        for c in cats:
+            block_total += text_ops._vocab_hits(uniques, codes, counts,
+                                                BLOCKLISTS[c])
+        pred = text_ops.langid_batch(text_batch).column("lang_pred")
+        agree = pc.cast(
+            pc.equal(pc.cast(batch.column("lang"), pa.string()), pred),
+            pa.int64()).to_numpy().astype(np.int64)
+        kg = gop.column("keep").to_numpy()
+        kb = (block_total == 0).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "keep_gopher": pa.array(kg, pa.int64()),
+            "keep_blocklist": pa.array(kb, pa.int64()),
+            "lang_agree": pa.array(agree, pa.int64()),
+            "keep": pa.array(kg & kb & agree, pa.int64()),
+        })
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text", "lang"])
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def _filter_chain_sql() -> str:
+    return f"""
+WITH g AS ({_SQL_QUALITY_GOPHER}),
+b AS ({_blocklist_sql()}),
+l AS ({_lang_mismatch_sql()})
+SELECT g.doc_id, g.keep AS keep_gopher, b.keep AS keep_blocklist,
+       l.agree AS lang_agree,
+       (g.keep = 1 AND b.keep = 1 AND l.agree = 1)::BIGINT AS keep
+FROM g JOIN b ON b.doc_id = g.doc_id JOIN l ON l.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 # word-category blocklists (the C4 §2.2 "bad words" gate shape —
 # category membership is config, so the lists here just need to
 # intersect the driver vocab to exercise every verdict branch)
@@ -9060,6 +9111,7 @@ QUERIES = {
     "link_cocitation": q_link_cocitation,
     "search_highlight": q_search_highlight,
     "image_png_ahash": q_image_png_ahash,
+    "filter_chain": q_filter_chain,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9210,6 +9262,7 @@ ORACLE_SQL = {
     "link_cocitation": _cocitation_sql(),
     "search_highlight": _highlight_sql(),
     "image_png_ahash": _SQL_IMAGE_PNG_AHASH,
+    "filter_chain": _filter_chain_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

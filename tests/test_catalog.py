@@ -134,6 +134,7 @@ def _check(contract, con, name):
         "link_cocitation",
         "search_highlight",
         "image_png_ahash",
+        "filter_chain",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
