@@ -257,6 +257,13 @@ def run_bench() -> dict:
         "events_outliers",
         "percolate_queries",
         "lang_mismatch",
+        "search_elevate",
+        "search_terms_regex",
+        "dedup_containment",
+        "link_cocitation",
+        "search_highlight",
+        "image_png_ahash",
+        "filter_chain",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)
