@@ -5167,14 +5167,32 @@ def q_warc_ingest(sf_dir: str):
     lang: record count, id/char sums, md5 text checksum (byte-exact
     payload round-trip), and the WARC-Date day sum (header
     round-trip).  The oracle recomputes everything from the table."""
+    return _warc_ingest_impl(sf_dir, gz=False)
+
+
+def q_warc_gzip_ingest(sf_dir: str):
+    """GZIPPED WARC ingest — the EXACT Common Crawl on-disk layout:
+    every record is its own gzip member, concatenated into
+    ``.warc.gz`` (per-record members are what make CC byte offsets
+    seekable).  The reader decompresses member-by-member
+    (:func:`sources.warc.gunzip_members`) and in strict mode asserts
+    member count == record count, so the framing invariant itself is
+    gated — a writer that concatenated records into ONE member would
+    fail before any checksum.  Same per-lang checksum oracle as
+    ``warc_ingest`` (identical output contract through a different
+    container)."""
+    return _warc_ingest_impl(sf_dir, gz=True)
+
+
+def _warc_ingest_impl(sf_dir: str, *, gz: bool):
     from ray.data.aggregate import Count, Sum
 
     from ..functions.hashing import md5_hash64_array
     from ..sources.warc import read_warc_dir, write_warc_corpus
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out, _key = _cache_dir(sf_dir, "warc_v1")
-    write_warc_corpus(src, out)
+    out, _key = _cache_dir(sf_dir, "warcgz_v1" if gz else "warc_v1")
+    write_warc_corpus(src, out, gzip_records=gz)
     ds = read_warc_dir(out)
 
     def digest(t: pa.Table) -> pa.Table:
@@ -9112,6 +9130,7 @@ QUERIES = {
     "search_highlight": q_search_highlight,
     "image_png_ahash": q_image_png_ahash,
     "filter_chain": q_filter_chain,
+    "warc_gzip_ingest": q_warc_gzip_ingest,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9263,6 +9282,7 @@ ORACLE_SQL = {
     "search_highlight": _highlight_sql(),
     "image_png_ahash": _SQL_IMAGE_PNG_AHASH,
     "filter_chain": _filter_chain_sql(),
+    "warc_gzip_ingest": _SQL_WARC_INGEST,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

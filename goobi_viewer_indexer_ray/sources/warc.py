@@ -34,7 +34,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["write_warc_corpus", "parse_warc_bytes", "read_warc_dir"]
+__all__ = ["write_warc_corpus", "parse_warc_bytes", "read_warc_dir",
+           "gunzip_members"]
 
 _MAGIC = b"WARC/1.0\r\n"
 
@@ -55,12 +56,16 @@ def _record_bytes(url: str, rec_id: int, date: str, lang: str,
 
 
 def write_warc_corpus(documents_parquet: str, out_dir: str, *,
-                      num_files: int = 8) -> str:
+                      num_files: int = 8, gzip_records: bool = False) -> str:
     """Deterministically re-materialize a ``documents`` table as a
     directory of ``.warc`` files (rows routed by ``doc_id %
     num_files``) plus one non-WARC decoy the reader must skip.
-    Temp-dir + atomic rename (concurrency-safe, the mixed-corpus
-    writer's pattern)."""
+    ``gzip_records=True`` writes ``.warc.gz`` files with EACH record
+    as its own gzip member, concatenated — the exact Common Crawl
+    on-disk layout (per-record members are what make CC offsets
+    seekable).  Temp-dir + atomic rename (concurrency-safe, the
+    mixed-corpus writer's pattern)."""
+    import gzip as _gzip
     import shutil
 
     import pyarrow.parquet as pq
@@ -75,18 +80,21 @@ def write_warc_corpus(documents_parquet: str, out_dir: str, *,
     texts = t.column("text").to_pylist()
     langs = t.column("lang").to_pylist()
     route = ids % num_files
+    ext = ".warc.gz" if gzip_records else ".warc"
     for f in range(num_files):
         idx = np.flatnonzero(route == f)
-        with open(os.path.join(tmp, f"crawl-{f:03d}.warc"), "wb") as fh:
+        with open(os.path.join(tmp, f"crawl-{f:03d}{ext}"), "wb") as fh:
             for i in idx:
                 did = int(ids[i])
-                fh.write(_record_bytes(
+                rec = _record_bytes(
                     f"https://example-{did % 50}.com/page/{did}",
                     did,
                     f"2024-01-{did % 28 + 1:02d}T00:00:00Z",
                     langs[i] or "",
                     (texts[i] or "").encode("utf-8"),
-                ))
+                )
+                fh.write(_gzip.compress(rec, mtime=0) if gzip_records
+                         else rec)
     with open(os.path.join(tmp, "README.txt"), "wb") as fh:
         fh.write(b"not a warc file - the reader must skip this decoy\n")
     with open(os.path.join(tmp, "_DONE"), "w") as fh:
@@ -99,10 +107,42 @@ def write_warc_corpus(documents_parquet: str, out_dir: str, *,
     return out_dir
 
 
+def gunzip_members(buf: bytes) -> tuple[bytes, int]:
+    """Concatenated-gzip-member stream → (decompressed bytes,
+    member count).  Member-by-member ``zlib.decompressobj`` loop so
+    the PER-RECORD framing (the Common Crawl seekability property)
+    is observable — ``gzip.decompress`` would hide the boundaries."""
+    import zlib
+
+    out, members = [], 0
+    rest = buf
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip-wrapped
+        out.append(d.decompress(rest))
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        members += 1
+        rest = d.unused_data
+    if rest:
+        raise ValueError(f"{len(rest)} trailing non-gzip bytes")
+    return b"".join(out), members
+
+
 def parse_warc_bytes(buf: bytes, *, strict: bool = True) -> dict:
     """One WARC file's bytes → dict of column lists ``(doc_id, url,
-    warc_date, lang, text)``.  Returns ``None`` if the file is not
-    WARC at all (magic sniff — the decoy path)."""
+    warc_date, lang, text)``.  ``.warc.gz`` streams (gzip magic) are
+    decompressed member-by-member first; in strict mode the member
+    count must equal the record count — one member per record, the
+    Common Crawl invariant.  Returns ``None`` if the file is neither
+    WARC nor gzipped WARC (magic sniff — the decoy path)."""
+    n_members = None
+    if buf[:2] == b"\x1f\x8b":
+        try:
+            buf, n_members = gunzip_members(bytes(buf))
+        except ValueError:
+            if strict:
+                raise
+            return None
     if not buf.startswith(_MAGIC):
         return None
     cols = {"doc_id": [], "url": [], "warc_date": [], "lang": [],
@@ -148,6 +188,10 @@ def parse_warc_bytes(buf: bytes, *, strict: bool = True) -> dict:
         cols["text"].append(
             buf[body_start:body_end].decode("utf-8"))
         pos = body_end + 4
+    if strict and n_members is not None and n_members != len(cols["doc_id"]):
+        raise ValueError(
+            f"{n_members} gzip members != {len(cols['doc_id'])} records "
+            "(Common Crawl framing is one member per record)")
     return cols
 
 

@@ -135,6 +135,7 @@ def _check(contract, con, name):
         "search_highlight",
         "image_png_ahash",
         "filter_chain",
+        "warc_gzip_ingest",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",

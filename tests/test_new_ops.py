@@ -452,3 +452,34 @@ def test_boilerplate_blocks_semantics(ray_session):
     assert out[2]["n_blocks"] == 2
     # kept checksum: doc 2 keeps both copies → 2 × one block hash
     assert out[2]["kept_checksum"] % 2 == 0
+
+
+def test_warc_gzip_member_framing():
+    """Common Crawl invariant: one gzip member per record.  A stream
+    with all records in ONE member must fail strict parsing; the
+    per-member stream round-trips; trailing garbage is rejected."""
+    import gzip
+
+    import pytest
+
+    from goobi_viewer_indexer_ray.sources.warc import (
+        _record_bytes,
+        gunzip_members,
+        parse_warc_bytes,
+    )
+
+    recs = [_record_bytes(f"https://h/{i}", i, "2024-01-01T00:00:00Z",
+                          "en", f"payload {i}".encode()) for i in range(3)]
+    per_member = b"".join(gzip.compress(r, mtime=0) for r in recs)
+    cols = parse_warc_bytes(per_member, strict=True)
+    assert cols["doc_id"] == [0, 1, 2]
+    assert cols["text"] == ["payload 0", "payload 1", "payload 2"]
+
+    one_member = gzip.compress(b"".join(recs), mtime=0)
+    with pytest.raises(ValueError, match="member"):
+        parse_warc_bytes(one_member, strict=True)
+
+    with pytest.raises(ValueError, match="trailing"):
+        gunzip_members(per_member + b"junk")
+    # gzipped NON-warc decoy: decompresses fine, sniffed out as None
+    assert parse_warc_bytes(gzip.compress(b"not warc"), strict=True) is None
