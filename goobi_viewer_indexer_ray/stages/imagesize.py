@@ -53,6 +53,10 @@ __all__ = [
     "encode_ppm",
     "encode_tiff_shell",
     "encode_jp2_shell",
+    "encode_png_rgb",
+    "decode_png_pixels",
+    "encode_gif_lzw",
+    "decode_gif_pixels",
 ]
 
 
@@ -462,3 +466,166 @@ def decode_png_pixels(payload: bytes):
         out[y] = rec.astype(np.uint8)
         prev = rec
     return out.reshape(h, w, channels)
+
+
+# ----------------------------------------------------- real GIF codec
+
+def encode_gif_lzw(img, palette=None) -> bytes:
+    """REAL GIF89a writer with a genuine LZW compressor (variable
+    code width, dictionary growth, 4096-entry reset — not the
+    "uncompressed GIF" trick): ``img`` is an (h, w) uint8 array of
+    palette indices; ``palette`` an (n, 3) uint8 array (defaults to
+    the 256-gray ramp).  Third real compressed codec next to PNG and
+    WAV — everything stdlib/numpy."""
+    import numpy as np
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = a.shape
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    nbits = max(2, int(len(pal) - 1).bit_length())
+    pal_full = np.zeros((1 << nbits, 3), np.uint8)
+    pal_full[:len(pal)] = pal
+    lsd = struct.pack("<HHBBB", w, h, 0x80 | ((nbits - 1) << 4) | (nbits - 1), 0, 0)
+    idesc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    min_code = max(2, nbits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    # --- LZW compress ---
+    codes: list[int] = [clear]
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = end + 1
+    width = min_code + 1
+    widths: list[int] = [width]
+    cur = b""
+    for px in a.reshape(-1).tobytes():
+        nxt = cur + bytes([px])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append(table[cur])
+        widths.append(width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            codes.append(clear)
+            widths.append(width)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = end + 1
+            width = min_code + 1
+        cur = bytes([px])
+    if cur:
+        codes.append(table[cur])
+        widths.append(width)
+    codes.append(end)
+    widths.append(width)
+    # pack LSB-first variable-width codes
+    bits = bytearray()
+    acc = nacc = 0
+    out = bytearray()
+    for c, wd in zip(codes, widths):
+        acc |= c << nacc
+        nacc += wd
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    blocks = bytearray([min_code])
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return (b"GIF89a" + lsd + pal_full.tobytes() + idesc + bytes(blocks)
+            + b"\x3b")
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL GIF LZW decoder → (index array (h, w), palette (n, 3)).
+    Full variable-width LZW incl. the KwKwK case, dictionary resets,
+    and sub-block reassembly; interlace/local-palette/extension
+    blocks raise ``ValueError`` (documented integration points)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    except struct.error as e:  # truncated header → uniform corrupt error
+        raise ValueError(f"truncated GIF header: {e}") from e
+    if not flags & 0x80:
+        raise ValueError("no global color table")
+    nbits = (flags & 0x07) + 1
+    pos = 13
+    pal = np.frombuffer(payload[pos:pos + 3 * (1 << nbits)], np.uint8)
+    pal = pal.reshape(-1, 3).copy()
+    pos += 3 * (1 << nbits)
+    if pos >= len(payload) or payload[pos] != 0x2C:
+        raise ValueError("unsupported or missing image descriptor")
+    try:
+        _, left, top, iw, ih, iflags = struct.unpack("<BHHHHB",
+                                                     payload[pos:pos + 10])
+    except struct.error as e:
+        raise ValueError(f"truncated image descriptor: {e}") from e
+    if left or top or iw != w or ih != h or iflags & 0xC0:
+        raise ValueError("unsupported image descriptor variant")
+    pos += 10
+    if pos >= len(payload):
+        raise ValueError("truncated before LZW data")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated LZW sub-blocks")
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            break
+        data.extend(payload[pos:pos + ln])
+        pos += ln
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    out = bytearray()
+    acc = nacc = di = 0
+    prev: bytes | None = None
+    while True:
+        while nacc < width:
+            if di >= len(data):
+                raise ValueError("LZW stream ended without end code")
+            acc |= data[di] << nacc
+            di += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = table[: (1 << min_code) + 2]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW code")
+        out.extend(entry)
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != w * h:
+        raise ValueError(f"decoded {len(out)} pixels, expected {w * h}")
+    return np.frombuffer(bytes(out), np.uint8).reshape(h, w), pal

@@ -188,7 +188,8 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> np.ndarray:
             np.float64,
         )
         return _pad(v, dim)
-    if mime in ("image/bmp", "image/x-portable-pixmap", "image/png"):
+    if mime in ("image/bmp", "image/x-portable-pixmap", "image/png",
+                "image/gif"):
         if mime == "image/bmp":
             img = decode_bmp(payload)
         elif mime == "image/png":
@@ -198,6 +199,11 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> np.ndarray:
             if img.shape[2] == 1:  # gray → replicate to RGB contract
                 img = np.repeat(img, 3, axis=2)
             img = img[:, :, :3]  # drop alpha for the gray pool
+        elif mime == "image/gif":
+            from .imagesize import decode_gif_pixels
+
+            idx, pal = decode_gif_pixels(payload)
+            img = pal[idx]  # palette gather → (h, w, 3)
         else:
             img = decode_ppm(payload)
         return _pad(resize_gray(img, 4, 4).reshape(-1), dim)

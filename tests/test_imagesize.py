@@ -146,3 +146,55 @@ def test_png_decoder_gray_and_rgba():
     out = decode_png_pixels(build(3, 2, 6, 4, rgba))
     assert out.shape == (2, 3, 4)
     assert np.array_equal(out.reshape(2, 12), rgba)
+
+
+def test_gif_lzw_codec_roundtrip():
+    """Real GIF LZW: 60-image fuzz across palette sizes, plus a
+    repetitive image large enough to force 4096-entry dictionary
+    resets, plus variant rejection."""
+    import numpy as np
+    import pytest
+
+    from goobi_viewer_indexer_ray.stages.imagesize import (
+        decode_gif_pixels,
+        encode_gif_lzw,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(60):
+        h, w = int(rng.integers(1, 60)), int(rng.integers(1, 60))
+        ncol = int(rng.choice([2, 4, 16, 64, 256]))
+        img = rng.integers(0, ncol, (h, w)).astype(np.uint8)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        back, bpal = decode_gif_pixels(encode_gif_lzw(img, pal))
+        assert np.array_equal(back, img)
+        assert np.array_equal(bpal[:ncol], pal)
+    big = np.tile(np.arange(16, dtype=np.uint8), (200, 50))
+    back, _ = decode_gif_pixels(encode_gif_lzw(big))
+    assert np.array_equal(back, big)
+    with pytest.raises(ValueError):
+        decode_gif_pixels(b"GIF89a\x00\x00")
+    with pytest.raises(ValueError):
+        decode_gif_pixels(b"not a gif")
+
+
+def test_gif_feeds_media_extractor():
+    """image/gif now takes the REAL decode path in auto/real mode."""
+    import numpy as np
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.imagesize import encode_gif_lzw
+    from goobi_viewer_indexer_ray.stages.multimodal import MediaFeatureExtractor
+
+    img = np.zeros((8, 8), np.uint8)
+    img[:, :4] = 255  # left bright on the gray-ramp palette
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "uri": pa.array(["g"], pa.string()),
+        "payload": pa.array([encode_gif_lzw(img)], pa.binary()),
+        "mime": pa.array([""], pa.string()),
+    })
+    out = MediaFeatureExtractor(dim=8, mode="real")(t)
+    assert out.column("mime_sniffed").to_pylist() == ["image/gif"]
+    feats = np.array(out.column("feature").to_pylist())[0]
+    assert feats[0] > 0.9 and feats[3] < 0.05
