@@ -264,6 +264,7 @@ def run_bench() -> dict:
         "search_highlight",
         "image_png_ahash",
         "filter_chain",
+        "warc_gzip_ingest",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -548,6 +548,70 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+def q_dedup_eval(sf_dir: str):
+    """Dedup-method EVALUATION harness (the ``ranking_eval``
+    counterpart for the near-dup family): SimHash blocking at hamming
+    cutoffs 1/2/3 scored against the exact-Jaccard ≥ 0.5 ground
+    truth — integer TP/FP/FN per cutoff, so precision/recall are a
+    trivial downstream division and every count hash-matches.  This
+    is how a production curation run picks its hamming threshold:
+    the harness is corpus-specific evidence, not a fixed constant.
+
+    Scale shape: both pair sets come from the existing distributed
+    operators; the harness folds their (documented small-side) pair
+    lists driver-side."""
+    import pandas as pd
+
+    pred = _to_pd(dedup.simhash_pairs(_documents(sf_dir), max_hamming=3))
+    truth = _to_pd(dedup.jaccard_pairs(_documents(sf_dir), n=5,
+                                       threshold=0.5))
+    gset = set(zip(truth.doc_a.astype(int), truth.doc_b.astype(int)))
+    rows = []
+    for hmax in (1, 2, 3):
+        sub = pred[pred.hamming <= hmax]
+        pset = set(zip(sub.doc_a.astype(int), sub.doc_b.astype(int)))
+        tp = len(pset & gset)
+        rows.append({"max_hamming": hmax, "n_pred": len(pset),
+                     "n_truth": len(gset), "tp": tp,
+                     "fp": len(pset) - tp, "fn": len(gset) - tp})
+    return pd.DataFrame(rows, columns=["max_hamming", "n_pred", "n_truth",
+                                       "tp", "fp", "fn"])
+
+
+def _to_pd(ds):
+    import pandas as pd
+
+    return ds if isinstance(ds, pd.DataFrame) else ds.to_pandas()
+
+
+def _dedup_eval_sql() -> str:
+    truth_sql = _SQL_DEDUP_JACCARD.replace(">= 0.1", ">= 0.5")
+    return f"""
+WITH p AS ({_SQL_DEDUP_SIMHASH}),
+g AS ({truth_sql}),
+hm(h) AS (VALUES (1), (2), (3)),
+pred AS (
+  SELECT hm.h, p.doc_a, p.doc_b FROM hm, p WHERE p.hamming <= hm.h
+),
+tp AS (SELECT pred.h, count(*)::BIGINT AS c
+       FROM pred JOIN g ON g.doc_a = pred.doc_a AND g.doc_b = pred.doc_b
+       GROUP BY pred.h),
+np AS (SELECT h, count(*)::BIGINT AS c FROM pred GROUP BY h),
+ng AS (SELECT count(*)::BIGINT AS c FROM g)
+SELECT hm.h::BIGINT AS max_hamming,
+       coalesce(np.c, 0)::BIGINT AS n_pred,
+       ng.c AS n_truth,
+       coalesce(tp.c, 0)::BIGINT AS tp,
+       (coalesce(np.c, 0) - coalesce(tp.c, 0))::BIGINT AS fp,
+       (ng.c - coalesce(tp.c, 0))::BIGINT AS fn
+FROM hm
+LEFT JOIN np ON np.h = hm.h
+LEFT JOIN tp ON tp.h = hm.h
+CROSS JOIN ng
+ORDER BY max_hamming
+"""
+
+
 # ------------------------------------------------------------------- ann
 
 def _embeddings(sf_dir: str):
@@ -9131,6 +9195,7 @@ QUERIES = {
     "image_png_ahash": q_image_png_ahash,
     "filter_chain": q_filter_chain,
     "warc_gzip_ingest": q_warc_gzip_ingest,
+    "dedup_eval": q_dedup_eval,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9283,6 +9348,7 @@ ORACLE_SQL = {
     "image_png_ahash": _SQL_IMAGE_PNG_AHASH,
     "filter_chain": _filter_chain_sql(),
     "warc_gzip_ingest": _SQL_WARC_INGEST,
+    "dedup_eval": _dedup_eval_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -136,6 +136,7 @@ def _check(contract, con, name):
         "image_png_ahash",
         "filter_chain",
         "warc_gzip_ingest",
+        "dedup_eval",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
