@@ -548,6 +548,117 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+LTR_POOL = 20
+LTR_K = 10
+# fixed linear model (the Solr LTR plugin's LinearModel shape):
+# integer weights over integer-scaled features keep reranks oracle-exact
+LTR_W = {"bm25_mr": 3, "n_tokens": -2, "day": 5}
+
+
+def q_search_ltr(sf_dir: str):
+    """Solr Learning-to-Rank plugin parity (``LinearModel`` over a
+    feature store): the BM25 top-20 pool per query is re-scored by a
+    fixed linear model over three features — the BM25 score in
+    integer milli-units, the document token count (verbosity
+    penalty), and the ``doc_id % 28 + 1`` ingest-day proxy (recency
+    boost; the DATEUPDATED analog) — and re-cut to top-10 by
+    (score_ltr desc, doc_id).  All-integer feature scaling means
+    every rerank decision hash-matches.
+
+    Scale shape: candidate features travel in ONE streamed semi-join
+    pass with the pooled (query, doc) sets broadcast (the
+    ``search_boost`` pattern); the model itself is config."""
+    import ray
+
+    from .query import LocalIndex, topk_exact
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    pools: dict[int, dict[int, int]] = {}
+    for q in DOC_QUERIES:
+        d, s = topk_exact(idx, q["query"], idx.n_docs)
+        if d.size == 0:
+            continue
+        order = np.lexsort((d, -np.round(s, 4)))[:LTR_POOL]
+        # tenth-milli units: round(score,4)·10⁴ sits within 1e-9 of an
+        # integer, so Python round (half-even) and DuckDB round
+        # (half-away) can never disagree — no .5 boundary exists
+        pools[q["query_id"]] = {
+            int(doc): int(round(float(sc) * 10000))
+            for doc, sc in zip(d[order], np.round(s, 4)[order])
+        }
+    ref = ray.put(pools)
+
+    def feats(t: pa.Table) -> pa.Table:
+        pl = ray.get(ref)
+        ids = t.column("doc_id").to_numpy()
+        ntok = np.fromiter(
+            (len(tokenize(x or "")) for x in t.column("text").to_pylist()),
+            np.int64, count=len(t))
+        by_doc = {int(d): i for i, d in enumerate(ids)}
+        rows = {"query_id": [], "doc_id": [], "score_ltr": []}
+        for qid, pool in pl.items():
+            for doc, bm in pool.items():
+                i = by_doc.get(doc)
+                if i is None:
+                    continue
+                day = doc % 28 + 1
+                rows["query_id"].append(qid)
+                rows["doc_id"].append(doc)
+                rows["score_ltr"].append(
+                    LTR_W["bm25_mr"] * bm + LTR_W["n_tokens"] * int(ntok[i])
+                    + LTR_W["day"] * day)
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_ltr": pa.array(rows["score_ltr"], pa.int64()),
+        })
+
+    cand = (_documents(sf_dir).map_batches(feats, batch_format="pyarrow")
+            .to_pandas())
+    import pandas as pd
+
+    out = []
+    for qid, g in cand.groupby("query_id", sort=True):
+        g = g.sort_values(["score_ltr", "doc_id"],
+                          ascending=[False, True]).head(LTR_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)[
+        ["query_id", "doc_id", "score_ltr", "rank"]]
+
+
+def _ltr_sql() -> str:
+    base = _bm25_sql()
+    prefix = base[: base.index("ranked AS")]
+    return f"""{prefix}
+pool AS (
+  SELECT query_id, doc_id,
+         CAST(round(round(score, 4) * 10000) AS BIGINT) AS bm
+  FROM (SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(score, 4) DESC, doc_id)
+                 AS rn
+        FROM scored) WHERE rn <= {LTR_POOL}
+),
+tk AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM toks),
+f AS (
+  SELECT p.query_id, p.doc_id,
+         ({LTR_W['bm25_mr']} * p.bm + {LTR_W['n_tokens']} * tk.n_tokens
+          + {LTR_W['day']} * (p.doc_id % 28 + 1))::BIGINT AS score_ltr
+  FROM pool p JOIN tk ON tk.doc_id = p.doc_id
+),
+rr AS (
+  SELECT query_id, doc_id, score_ltr,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_ltr DESC, doc_id) AS rank
+  FROM f
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_ltr, rank::BIGINT AS rank
+FROM rr WHERE rank <= {LTR_K} ORDER BY query_id, rank
+"""
+
+
 def q_dedup_eval(sf_dir: str):
     """Dedup-method EVALUATION harness (the ``ranking_eval``
     counterpart for the near-dup family): SimHash blocking at hamming
@@ -9196,6 +9307,7 @@ QUERIES = {
     "filter_chain": q_filter_chain,
     "warc_gzip_ingest": q_warc_gzip_ingest,
     "dedup_eval": q_dedup_eval,
+    "search_ltr": q_search_ltr,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9349,6 +9461,7 @@ ORACLE_SQL = {
     "filter_chain": _filter_chain_sql(),
     "warc_gzip_ingest": _SQL_WARC_INGEST,
     "dedup_eval": _dedup_eval_sql(),
+    "search_ltr": _ltr_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -137,6 +137,7 @@ def _check(contract, con, name):
         "filter_chain",
         "warc_gzip_ingest",
         "dedup_eval",
+        "search_ltr",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
@@ -533,3 +534,18 @@ def test_containment_catches_asymmetric_pair(ray_session):
     assert p["inter"] == p["n_small"] == 8   # all 8 shingles of doc 1
     # symmetric Jaccard on the same pair is far below any dedup bar
     assert p["inter"] / (8 + 208 - 8) < 0.05
+
+
+def test_ltr_reranks_vs_bm25(contract):
+    """The linear model must actually rerank: at least one query's
+    LTR order differs from plain BM25 (the verbosity/recency features
+    have nonzero weight)."""
+    base = _to_df(contract.queries()["bm25_topk"](SF))
+    ltr = _to_df(contract.queries()["search_ltr"](SF))
+    changed = False
+    for qid in ltr.query_id.unique():
+        b = base[base.query_id == qid].sort_values("rank").doc_id.tolist()
+        p = ltr[ltr.query_id == qid].sort_values("rank").doc_id.tolist()
+        if b[: len(p)] != p:
+            changed = True
+    assert changed
