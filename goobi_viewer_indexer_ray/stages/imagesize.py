@@ -57,6 +57,8 @@ __all__ = [
     "decode_png_pixels",
     "encode_gif_lzw",
     "decode_gif_pixels",
+    "encode_tiff_gray",
+    "decode_tiff_gray",
 ]
 
 
@@ -629,3 +631,59 @@ def decode_gif_pixels(payload: bytes):
     if len(out) != w * h:
         raise ValueError(f"decoded {len(out)} pixels, expected {w * h}")
     return np.frombuffer(bytes(out), np.uint8).reshape(h, w), pal
+
+
+# ------------------------------------------------ real TIFF gray codec
+
+def encode_tiff_gray(img) -> bytes:
+    """Minimal REAL baseline-TIFF writer: 8-bit grayscale, no
+    compression, ONE strip, little-endian — every tag value inline
+    (SHORT/LONG), so the file round-trips through the same IFD walker
+    the dims probe uses."""
+    import numpy as np
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = a.shape
+    data = a.tobytes()
+    # header(8) + count(2) + 8 tags * 12 + next(4) = 110 → strip at 110
+    strip_off = 8 + 2 + 8 * 12 + 4
+    def tag(t, typ, val):
+        return struct.pack("<HHI4s", t, typ, 1,
+                           struct.pack("<I", val) if typ == 4
+                           else struct.pack("<HH", val, 0))
+    ifd = b"".join([
+        tag(256, 4, w),            # ImageWidth
+        tag(257, 4, h),            # ImageLength
+        tag(258, 3, 8),            # BitsPerSample
+        tag(259, 3, 1),            # Compression = none
+        tag(262, 3, 1),            # Photometric = BlackIsZero
+        tag(273, 4, strip_off),    # StripOffsets
+        tag(278, 4, h),            # RowsPerStrip
+        tag(279, 4, len(data)),    # StripByteCounts
+    ])
+    return (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 8)
+            + ifd + struct.pack("<I", 0) + data)
+
+
+def decode_tiff_gray(payload: bytes):
+    """REAL baseline-TIFF decoder (8-bit gray, uncompressed, one
+    strip, either byte order) → (h, w) uint8 array; anything else
+    raises ``ValueError`` (compressed/tiled/multi-strip TIFFs are the
+    documented integration point)."""
+    import numpy as np
+
+    tags = _tiff_ifd_tags(payload, {256, 257, 258, 259, 262, 273, 278, 279})
+    if not tags:
+        raise ValueError("not a TIFF")
+    for t in (256, 257, 273, 279):
+        if t not in tags:
+            raise ValueError(f"missing required tag {t}")
+    if tags.get(259, 1) != 1:
+        raise ValueError(f"unsupported compression {tags.get(259)}")
+    if tags.get(258, 8) != 8:
+        raise ValueError("only 8-bit samples supported")
+    w, h = tags[256], tags[257]
+    off, cnt = tags[273], tags[279]
+    if cnt != w * h or off + cnt > len(payload):
+        raise ValueError("strip does not cover exactly one gray plane")
+    return np.frombuffer(payload[off:off + cnt], np.uint8).reshape(h, w)

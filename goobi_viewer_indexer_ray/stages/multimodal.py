@@ -61,6 +61,8 @@ _MAGIC = [
     (b"GIF8", "image/gif"),
     (b"BM", "image/bmp"),
     (b"P6", "image/x-portable-pixmap"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
@@ -189,7 +191,7 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> np.ndarray:
         )
         return _pad(v, dim)
     if mime in ("image/bmp", "image/x-portable-pixmap", "image/png",
-                "image/gif"):
+                "image/gif", "image/tiff"):
         if mime == "image/bmp":
             img = decode_bmp(payload)
         elif mime == "image/png":
@@ -204,6 +206,10 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> np.ndarray:
 
             idx, pal = decode_gif_pixels(payload)
             img = pal[idx]  # palette gather → (h, w, 3)
+        elif mime == "image/tiff":
+            from .imagesize import decode_tiff_gray
+
+            img = np.repeat(decode_tiff_gray(payload)[:, :, None], 3, axis=2)
         else:
             img = decode_ppm(payload)
         return _pad(resize_gray(img, 4, 4).reshape(-1), dim)

@@ -198,3 +198,29 @@ def test_gif_feeds_media_extractor():
     assert out.column("mime_sniffed").to_pylist() == ["image/gif"]
     feats = np.array(out.column("feature").to_pylist())[0]
     assert feats[0] > 0.9 and feats[3] < 0.05
+
+
+def test_tiff_gray_codec_roundtrip():
+    """Baseline uncompressed-strip TIFF: 40-image fuzz, dims-probe
+    agreement, and variant rejection."""
+    import numpy as np
+    import pytest
+
+    from goobi_viewer_indexer_ray.stages.imagesize import (
+        decode_tiff_gray,
+        encode_tiff_gray,
+        image_dims,
+        image_format,
+    )
+
+    rng = np.random.default_rng(9)
+    for _ in range(40):
+        h, w = int(rng.integers(1, 80)), int(rng.integers(1, 80))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        buf = encode_tiff_gray(img)
+        assert np.array_equal(decode_tiff_gray(buf), img)
+        assert image_format(buf) == "tiff" and image_dims(buf) == (w, h)
+    with pytest.raises(ValueError):
+        decode_tiff_gray(b"II*\x00bogus")
+    with pytest.raises(ValueError):
+        decode_tiff_gray(b"not a tiff")

@@ -311,3 +311,24 @@ def test_audio_peak_tie_lowest_frame():
                                           pa.binary())})
     out = AudioFeatures()(batch).to_pydict()
     assert out["peak_frame"] == [0] and out["zero_crossings"] == [0]
+
+
+def test_tiff_feeds_media_extractor():
+    import numpy as np
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.imagesize import encode_tiff_gray
+    from goobi_viewer_indexer_ray.stages.multimodal import MediaFeatureExtractor
+
+    img = np.zeros((8, 8), np.uint8)
+    img[:, :4] = 255
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "uri": pa.array(["t"], pa.string()),
+        "payload": pa.array([encode_tiff_gray(img)], pa.binary()),
+        "mime": pa.array([""], pa.string()),
+    })
+    out = MediaFeatureExtractor(dim=8, mode="real")(t)
+    assert out.column("mime_sniffed").to_pylist() == ["image/tiff"]
+    feats = np.array(out.column("feature").to_pylist())[0]
+    assert feats[0] > 0.9 and feats[3] < 0.05
