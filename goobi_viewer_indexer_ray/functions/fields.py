@@ -350,3 +350,44 @@ DEFAULT_RULES: list[FieldRule] = [
     # engine-level OPENACCESS default (M15)
     FieldRule(name=ACCESS_FIELD, selectors=["meta.access", "meta.rights"]),
 ]
+
+
+# ------------------------------------------------- roman numerals (M9)
+
+_ROMAN_VALS = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500,
+               "m": 1000}
+_ROMAN_DIGITS = (
+    ("m", 1000), ("cm", 900), ("d", 500), ("cd", 400), ("c", 100),
+    ("xc", 90), ("l", 50), ("xl", 40), ("x", 10), ("ix", 9), ("v", 5),
+    ("iv", 4), ("i", 1),
+)
+
+
+def int_to_roman(n: int) -> str:
+    """Canonical lowercase roman numeral, 1..3999
+    (``RomanNumeral.java`` parity — the viewer's front-matter page
+    labels: i, ii, …, xii)."""
+    if not 1 <= n <= 3999:
+        raise ValueError(f"roman range is 1..3999, got {n}")
+    out = []
+    for sym, val in _ROMAN_DIGITS:
+        while n >= val:
+            out.append(sym)
+            n -= val
+    return "".join(out)
+
+
+def roman_to_int(s: str) -> int | None:
+    """Roman numeral → int via the standard subtractive rule (a
+    symbol smaller than its successor is negated) — the
+    ``ValueNormalizer.java`` convertRoman option.  Returns ``None``
+    for strings containing non-roman chars (the caller's
+    arabic/other fallback path)."""
+    low = s.lower()
+    if not low or any(c not in _ROMAN_VALS for c in low):
+        return None
+    vals = [_ROMAN_VALS[c] for c in low]
+    total = 0
+    for i, v in enumerate(vals):
+        total += -v if i + 1 < len(vals) and v < vals[i + 1] else v
+    return total

@@ -548,6 +548,90 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+def q_page_label_sort(sf_dir: str):
+    """Roman-numeral page-label normalization (``RomanNumeral.java``
+    + the ``ValueNormalizer.java`` convertRoman option — front-matter
+    pages are labeled i, ii, …, xii and must SORT numerically): a
+    third of docs get canonical roman labels, the rest arabic; the
+    engine GENERATES labels with :func:`functions.fields.int_to_roman`
+    and re-PARSES them with the independent subtractive-rule decoder
+    :func:`functions.fields.roman_to_int` (writer/parser share no
+    tables — a generation or parse bug breaks the hash).  The oracle
+    regenerates labels digit-by-digit in SQL and decodes them with a
+    lead-window subtractive sum.  One stateless vectorized pass."""
+    from ..functions.fields import int_to_roman, roman_to_int
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy()
+        is_roman = (ids % 3 == 0).astype(np.int64)
+        labels, sv = [], []
+        for did, rom in zip(ids, is_roman):
+            did = int(did)
+            if rom:
+                lab = int_to_roman(did % 399 + 1)
+                labels.append(lab)
+                sv.append(roman_to_int(lab))
+            else:
+                lab = str(did % 997 + 1)
+                labels.append(lab)
+                sv.append(int(lab))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "label": pa.array(labels, pa.string()),
+            "is_roman": pa.array(is_roman, pa.int64()),
+            "sort_value": pa.array(sv, pa.int64()),
+        })
+
+    return (_documents(sf_dir, columns=("doc_id",))
+            .map_batches(f, batch_format="pyarrow").sort("doc_id"))
+
+
+_SQL_PAGE_LABEL = """
+WITH d AS (
+  SELECT doc_id, (doc_id % 3 = 0) AS rom,
+         CASE WHEN doc_id % 3 = 0 THEN doc_id % 399 + 1
+              ELSE doc_id % 997 + 1 END AS n
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, rom, n,
+         CASE WHEN rom THEN
+           repeat('m', n // 1000)
+           || CASE (n % 1000) // 100 WHEN 9 THEN 'cm' WHEN 4 THEN 'cd'
+              ELSE repeat('d', ((n % 1000) // 100) // 5)
+                   || repeat('c', ((n % 1000) // 100) % 5) END
+           || CASE (n % 100) // 10 WHEN 9 THEN 'xc' WHEN 4 THEN 'xl'
+              ELSE repeat('l', ((n % 100) // 10) // 5)
+                   || repeat('x', ((n % 100) // 10) % 5) END
+           || CASE n % 10 WHEN 9 THEN 'ix' WHEN 4 THEN 'iv'
+              ELSE repeat('v', (n % 10) // 5)
+                   || repeat('i', (n % 10) % 5) END
+         ELSE n::VARCHAR END AS label
+  FROM d
+),
+ch AS (
+  SELECT doc_id, g.i,
+         CASE substr(label, g.i, 1)
+           WHEN 'i' THEN 1 WHEN 'v' THEN 5 WHEN 'x' THEN 10
+           WHEN 'l' THEN 50 WHEN 'c' THEN 100 WHEN 'd' THEN 500
+           WHEN 'm' THEN 1000 END AS v
+  FROM lab, unnest(generate_series(1, length(label))) AS g(i)
+  WHERE rom
+),
+sg AS (
+  SELECT doc_id, i, v,
+         CASE WHEN lead(v) OVER (PARTITION BY doc_id ORDER BY i) > v
+              THEN -v ELSE v END AS sv
+  FROM ch
+),
+dec AS (SELECT doc_id, sum(sv)::BIGINT AS sort_value FROM sg GROUP BY doc_id)
+SELECT l.doc_id, l.label, l.rom::BIGINT AS is_roman,
+       CASE WHEN l.rom THEN dec.sort_value ELSE l.n END::BIGINT AS sort_value
+FROM lab l LEFT JOIN dec ON dec.doc_id = l.doc_id
+ORDER BY l.doc_id
+"""
+
+
 LTR_POOL = 20
 LTR_K = 10
 # fixed linear model (the Solr LTR plugin's LinearModel shape):
@@ -9308,6 +9392,7 @@ QUERIES = {
     "warc_gzip_ingest": q_warc_gzip_ingest,
     "dedup_eval": q_dedup_eval,
     "search_ltr": q_search_ltr,
+    "page_label_sort": q_page_label_sort,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9462,6 +9547,7 @@ ORACLE_SQL = {
     "warc_gzip_ingest": _SQL_WARC_INGEST,
     "dedup_eval": _dedup_eval_sql(),
     "search_ltr": _ltr_sql(),
+    "page_label_sort": _SQL_PAGE_LABEL,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

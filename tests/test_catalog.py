@@ -138,6 +138,7 @@ def _check(contract, con, name):
         "warc_gzip_ingest",
         "dedup_eval",
         "search_ltr",
+        "page_label_sort",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",

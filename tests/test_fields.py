@@ -171,3 +171,25 @@ def test_lang_analyzers():
         from goobi_viewer_indexer_ray.functions import tokenize as _m
 
         _m._ANALYZERS.pop("xx", None)
+
+
+def test_roman_numeral_roundtrip():
+    """RomanNumeral.java parity: canonical generation 1..3999 and the
+    independent subtractive-rule parser agree; non-roman → None."""
+    from goobi_viewer_indexer_ray.functions.fields import (
+        int_to_roman,
+        roman_to_int,
+    )
+
+    for n in (1, 4, 9, 14, 40, 90, 400, 900, 1994, 3888, 3999):
+        assert roman_to_int(int_to_roman(n)) == n
+    assert int_to_roman(1994) == "mcmxciv"
+    assert roman_to_int("XII") == 12          # case-insensitive
+    assert roman_to_int("abc") is None
+    assert roman_to_int("") is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        int_to_roman(0)
+    with pytest.raises(ValueError):
+        int_to_roman(4000)
