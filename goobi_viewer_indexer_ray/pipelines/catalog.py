@@ -548,6 +548,66 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+def q_year_gap_fill(sf_dir: str):
+    """Year-range gap interpolation (``MetadataHelper.java:1132-1183``
+    ``completeCenturies/completeYears`` — the A5 detail the plain
+    date-parts entry does not cover: a record whose dates span
+    1820..1823 must carry EVERY year in between so decade/century
+    facets have no holes): per customer-record, the filled year range
+    of its orders with an observed flag and the reference's century
+    rule (``year // 100 + 1``).
+
+    Scale shape: batch-local (cust, year) dedup → ONE
+    ``groupby(cust)`` whose vectorized map_groups emits
+    ``arange(min, max+1)`` with an ``isin`` observed mask."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_custkey", "o_orderdate"])
+
+    def years(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").cast(pa.int64()).to_numpy()
+        yr = pc.year(t.column("o_orderdate")).to_numpy().astype(np.int64)
+        key = np.unique(cust * np.int64(1 << 16) + yr)
+        return pa.table({
+            "cust": pa.array(key >> np.int64(16), pa.int64()),
+            "year": pa.array(key & np.int64((1 << 16) - 1), pa.int64()),
+        })
+
+    def fill(g: pa.Table) -> pa.Table:
+        obs = np.unique(g.column("year").to_numpy())
+        full = np.arange(obs[0], obs[-1] + 1, dtype=np.int64)
+        return pa.table({
+            "c_custkey": pa.array(
+                np.full(full.size, int(g.column("cust")[0].as_py()),
+                        np.int64)),
+            "year": pa.array(full),
+            "is_observed": pa.array(np.isin(full, obs).astype(np.int64)),
+            "century": pa.array(full // 100 + 1),
+        })
+
+    return (ds.map_batches(years, batch_format="pyarrow")
+            .groupby("cust").map_groups(fill, batch_format="pyarrow")
+            .sort(["c_custkey", "year"]))
+
+
+_SQL_YEAR_GAP = """
+WITH y AS (
+  SELECT DISTINCT o_custkey::BIGINT AS cust,
+                  year(o_orderdate)::BIGINT AS y
+  FROM orders
+),
+r AS (SELECT cust, min(y) AS y0, max(y) AS y1 FROM y GROUP BY cust),
+f AS (
+  SELECT cust, g.yy AS year
+  FROM r, unnest(generate_series(y0, y1)) AS g(yy)
+)
+SELECT f.cust AS c_custkey, f.year,
+       (yo.y IS NOT NULL)::BIGINT AS is_observed,
+       (f.year // 100 + 1)::BIGINT AS century
+FROM f LEFT JOIN y yo ON yo.cust = f.cust AND yo.y = f.year
+ORDER BY c_custkey, year
+"""
+
+
 def q_page_label_sort(sf_dir: str):
     """Roman-numeral page-label normalization (``RomanNumeral.java``
     + the ``ValueNormalizer.java`` convertRoman option — front-matter
@@ -9393,6 +9453,7 @@ QUERIES = {
     "dedup_eval": q_dedup_eval,
     "search_ltr": q_search_ltr,
     "page_label_sort": q_page_label_sort,
+    "year_gap_fill": q_year_gap_fill,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9548,6 +9609,7 @@ ORACLE_SQL = {
     "dedup_eval": _dedup_eval_sql(),
     "search_ltr": _ltr_sql(),
     "page_label_sort": _SQL_PAGE_LABEL,
+    "year_gap_fill": _SQL_YEAR_GAP,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

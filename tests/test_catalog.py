@@ -139,6 +139,7 @@ def _check(contract, con, name):
         "dedup_eval",
         "search_ltr",
         "page_label_sort",
+        "year_gap_fill",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
