@@ -548,6 +548,118 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+SHARD_N = 8
+
+
+def q_shard_plan(sf_dir: str):
+    """Shard-plan audit — the byte-level evidence behind this
+    engine's doc-partitioned federation choice (vs term
+    partitioning): per shard, exact LEB128 postings bytes under
+    (a) doc partitioning (``doc % 8`` — every term present in every
+    shard, gaps re-encoded per shard) and (b) term partitioning
+    (md5-hash(term) % 8 — whole posting lists move, head terms make
+    shards lumpy), plus term/posting counts.  Both layouts come from
+    ONE ``TokenizePostings`` pass; the oracle replays gap byte
+    lengths and the md5 term route.
+
+    The interesting output: doc-partitioning costs slightly more
+    total bytes (shorter gap runs per shard) but balances within ~1 %,
+    while term-partitioning is minimal-bytes but skew-bound — the
+    trade the federated serving design documents."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.codec import encode_varints
+    from ..functions.hashing import md5_hash64_array
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def sizes(g: pa.Table) -> pa.Table:
+        term = g.column("term")[0].as_py()
+        d = np.sort(g.column("doc_id").to_numpy().astype(np.int64))
+        tshard = int(md5_hash64_array([term])[0] % np.uint64(SHARD_N))
+        rows = {"shard": [], "bytes_docpart": [], "bytes_termpart": [],
+                "n_terms_tp": [], "n_postings_dp": []}
+        # term-partitioned: the whole list lands on ONE shard
+        gaps = np.concatenate(([d[0]], np.diff(d))).astype(np.uint64)
+        rows["shard"].append(tshard)
+        rows["bytes_docpart"].append(0)
+        rows["bytes_termpart"].append(len(encode_varints(gaps)))
+        rows["n_terms_tp"].append(1)
+        rows["n_postings_dp"].append(0)
+        # doc-partitioned: per shard, re-encode that shard's sub-stream
+        sh = d % SHARD_N
+        for s in np.unique(sh):
+            ds_ = d[sh == s]
+            g2 = np.concatenate(([ds_[0]], np.diff(ds_))).astype(np.uint64)
+            rows["shard"].append(int(s))
+            rows["bytes_docpart"].append(len(encode_varints(g2)))
+            rows["bytes_termpart"].append(0)
+            rows["n_terms_tp"].append(0)
+            rows["n_postings_dp"].append(int(ds_.size))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    return (
+        postings.groupby("term")
+        .map_groups(sizes, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Sum("bytes_docpart", alias_name="bytes_docpart"),
+            Sum("bytes_termpart", alias_name="bytes_termpart"),
+            Sum("n_terms_tp", alias_name="n_terms_tp"),
+            Sum("n_postings_dp", alias_name="n_postings_dp"),
+        )
+        .sort("shard")
+    )
+
+
+_SQL_SHARD_PLAN = f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+tp AS (
+  SELECT term, doc_id,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                             ORDER BY doc_id), 0) AS v,
+         (('0x' || substr(md5(term), 1, 16))::UBIGINT % {SHARD_N})::BIGINT
+           AS tshard
+  FROM posting
+),
+tp_sz AS (
+  SELECT tshard AS shard,
+         sum(1 + (v >= 128)::INT + (v >= 16384)::INT + (v >= 2097152)::INT
+               + (v >= 268435456)::INT + (v >= 34359738368)::INT)::BIGINT
+           AS bytes_termpart,
+         count(DISTINCT term)::BIGINT AS n_terms_tp
+  FROM tp GROUP BY tshard
+),
+dp AS (
+  SELECT term, doc_id, (doc_id % {SHARD_N})::BIGINT AS shard,
+         doc_id - coalesce(lag(doc_id) OVER (
+             PARTITION BY term, doc_id % {SHARD_N}
+             ORDER BY doc_id), 0) AS v
+  FROM posting
+),
+dp_sz AS (
+  SELECT shard,
+         sum(1 + (v >= 128)::INT + (v >= 16384)::INT + (v >= 2097152)::INT
+               + (v >= 268435456)::INT + (v >= 34359738368)::INT)::BIGINT
+           AS bytes_docpart,
+         count(*)::BIGINT AS n_postings_dp
+  FROM dp GROUP BY shard
+)
+SELECT d.shard, d.bytes_docpart,
+       coalesce(t.bytes_termpart, 0)::BIGINT AS bytes_termpart,
+       coalesce(t.n_terms_tp, 0)::BIGINT AS n_terms_tp,
+       d.n_postings_dp
+FROM dp_sz d LEFT JOIN tp_sz t USING (shard)
+ORDER BY shard
+"""
+
+
 def q_year_gap_fill(sf_dir: str):
     """Year-range gap interpolation (``MetadataHelper.java:1132-1183``
     ``completeCenturies/completeYears`` — the A5 detail the plain
@@ -9454,6 +9566,7 @@ QUERIES = {
     "search_ltr": q_search_ltr,
     "page_label_sort": q_page_label_sort,
     "year_gap_fill": q_year_gap_fill,
+    "shard_plan": q_shard_plan,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9610,6 +9723,7 @@ ORACLE_SQL = {
     "search_ltr": _ltr_sql(),
     "page_label_sort": _SQL_PAGE_LABEL,
     "year_gap_fill": _SQL_YEAR_GAP,
+    "shard_plan": _SQL_SHARD_PLAN,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -140,6 +140,7 @@ def _check(contract, con, name):
         "search_ltr",
         "page_label_sort",
         "year_gap_fill",
+        "shard_plan",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
