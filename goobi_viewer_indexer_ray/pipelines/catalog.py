@@ -3906,6 +3906,48 @@ WHERE n_cociting >= 2 ORDER BY doc_a, doc_b
 """
 
 
+def q_link_coupling(sf_dir: str):
+    """Bibliographic coupling (Kessler 1963) — the dual of
+    ``link_cocitation``: two SOURCES that cite the same target are
+    related; per source pair, the number of shared out-link targets,
+    pairs with ≥ 2.  ONE ``groupby(dst)`` pair emission (in-degree is
+    rule-bounded small; a hub target would be capped or salted —
+    documented) then one pair-key count."""
+    from ray.data.aggregate import Count
+
+    _, edges = _link_edges(sf_dir)
+
+    def pairs_of_dst(g: pa.Table) -> pa.Table:
+        src = np.unique(g.column("src").to_numpy().astype(np.int64))
+        if src.size < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        a, b = np.triu_indices(src.size, k=1)
+        return pa.table({"doc_a": pa.array(src[a], pa.int64()),
+                         "doc_b": pa.array(src[b], pa.int64())})
+
+    return (
+        edges.groupby("dst").map_groups(pairs_of_dst, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_shared"))
+        .filter(lambda r: r["n_shared"] >= 2)
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+def _coupling_sql() -> str:
+    return f"""
+WITH {_EDGE_RULE_SQL.strip()},
+p AS (
+  SELECT a.src AS doc_a, b.src AS doc_b, count(*)::BIGINT AS n_shared
+  FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM p
+WHERE n_shared >= 2 ORDER BY doc_a, doc_b
+"""
+
+
 def q_link_pagerank(sf_dir: str):
     """Integer fixed-point PageRank over the fixture web graph
     (webtext-first operator family — crawl prioritization / quality
@@ -9567,6 +9609,7 @@ QUERIES = {
     "page_label_sort": q_page_label_sort,
     "year_gap_fill": q_year_gap_fill,
     "shard_plan": q_shard_plan,
+    "link_coupling": q_link_coupling,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9724,6 +9767,7 @@ ORACLE_SQL = {
     "page_label_sort": _SQL_PAGE_LABEL,
     "year_gap_fill": _SQL_YEAR_GAP,
     "shard_plan": _SQL_SHARD_PLAN,
+    "link_coupling": _coupling_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

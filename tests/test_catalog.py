@@ -141,6 +141,7 @@ def _check(contract, con, name):
         "page_label_sort",
         "year_gap_fill",
         "shard_plan",
+        "link_coupling",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
