@@ -551,6 +551,65 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 SHARD_N = 8
 
 
+def q_events_markov(sf_dir: str):
+    """User-journey transition matrix (the Markov-chain view of the
+    event log — the funnel's unordered generalization): per
+    (from_type, to_type), how many consecutive same-user event pairs
+    make that transition, with consecutive defined by (ts, event_id)
+    order (the same deterministic tie rule as ``events_funnel``).
+
+    Scale shape: ONE ``groupby(user_id)`` whose vectorized map_groups
+    sorts the user's small event stream and emits its transition
+    pairs; the final fold is a type²-bounded ``groupby``."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").cast(pa.int64()).to_numpy()
+        et = np.asarray(g.column("event_type").to_pylist(), object)
+        order = np.lexsort((eid, ts))
+        et = et[order]
+        if et.size < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        import pandas as pd
+
+        df = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+        cc = df.groupby(["from_type", "to_type"], sort=False).size()
+        cc = cc.reset_index(name="c")
+        return pa.table({
+            "from_type": pa.array(cc["from_type"], pa.string()),
+            "to_type": pa.array(cc["to_type"], pa.string()),
+            "c": pa.array(cc["c"].to_numpy().astype(np.int64)),
+        })
+
+    return (
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("c", alias_name="n_transitions"))
+        .sort(["from_type", "to_type"])
+    )
+
+
+_SQL_EVENTS_MARKOV = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       count(*)::BIGINT AS n_transitions
+FROM o WHERE nxt IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""
+
+
 def q_shard_plan(sf_dir: str):
     """Shard-plan audit — the byte-level evidence behind this
     engine's doc-partitioned federation choice (vs term
@@ -9610,6 +9669,7 @@ QUERIES = {
     "year_gap_fill": q_year_gap_fill,
     "shard_plan": q_shard_plan,
     "link_coupling": q_link_coupling,
+    "events_markov": q_events_markov,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9768,6 +9828,7 @@ ORACLE_SQL = {
     "year_gap_fill": _SQL_YEAR_GAP,
     "shard_plan": _SQL_SHARD_PLAN,
     "link_coupling": _coupling_sql(),
+    "events_markov": _SQL_EVENTS_MARKOV,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

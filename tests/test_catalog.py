@@ -142,6 +142,7 @@ def _check(contract, con, name):
         "year_gap_fill",
         "shard_plan",
         "link_coupling",
+        "events_markov",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
