@@ -265,6 +265,13 @@ def run_bench() -> dict:
         "image_png_ahash",
         "filter_chain",
         "warc_gzip_ingest",
+        "dedup_eval",
+        "search_ltr",
+        "page_label_sort",
+        "year_gap_fill",
+        "shard_plan",
+        "link_coupling",
+        "events_markov",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)
