@@ -3965,6 +3965,41 @@ WHERE n_cociting >= 2 ORDER BY doc_a, doc_b
 """
 
 
+def q_crawl_depth(sf_dir: str):
+    """Crawl-depth assignment — bounded BFS from the seed set over
+    the link graph (crawlers budget by hop distance from seeds; the
+    frontier-expansion primitive next to PageRank/HITS/CC): seeds are
+    ``doc_id % 97 == 0``, depth = min hops within 5 rounds, −1 beyond
+    the horizon.  The recurrence is integral, so the numpy fast path
+    and the per-round join+min distributed loop are bit-identical
+    (see :func:`stages.linkgraph.bfs_depth`); the oracle replays all
+    5 rounds as chained EXISTS CTEs."""
+    from ..stages.linkgraph import bfs_depth
+
+    docs, edges = _link_edges(sf_dir)
+    return bfs_depth(docs, edges, node_col="doc_id")
+
+
+def _crawl_depth_sql(rounds: int = 5) -> str:
+    ctes = [_EDGE_RULE_SQL.strip(),
+            "d0 AS (SELECT doc_id AS node, CASE WHEN doc_id % 97 = 0 "
+            "THEN 0 ELSE -1 END AS depth FROM documents)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+d{r} AS (
+  SELECT n.node,
+         CASE WHEN n.depth >= 0 THEN n.depth
+              WHEN EXISTS (SELECT 1 FROM edges e
+                           JOIN d{r-1} p ON p.node = e.src
+                                         AND p.depth = {r-1}
+                           WHERE e.dst = n.node) THEN {r}
+              ELSE -1 END AS depth
+  FROM d{r-1} n
+)""".strip())
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, depth FROM d{rounds} ORDER BY doc_id")
+
+
 def q_link_coupling(sf_dir: str):
     """Bibliographic coupling (Kessler 1963) — the dual of
     ``link_cocitation``: two SOURCES that cite the same target are
@@ -9670,6 +9705,7 @@ QUERIES = {
     "shard_plan": q_shard_plan,
     "link_coupling": q_link_coupling,
     "events_markov": q_events_markov,
+    "crawl_depth": q_crawl_depth,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9829,6 +9865,7 @@ ORACLE_SQL = {
     "shard_plan": _SQL_SHARD_PLAN,
     "link_coupling": _coupling_sql(),
     "events_markov": _SQL_EVENTS_MARKOV,
+    "crawl_depth": _crawl_depth_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

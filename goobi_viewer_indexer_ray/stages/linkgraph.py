@@ -840,3 +840,63 @@ def triangles(edges, *, src_col: str = "src", dst_col: str = "dst",
         .groupby("node")
         .aggregate(Sum("n", alias_name="n_triangles"))
     )
+
+
+def bfs_depth(nodes, edges, *, seed_mod: int = 97, rounds: int = 5,
+              node_col: str = "node", src_col: str = "src",
+              dst_col: str = "dst"):
+    """Bounded-depth BFS over the link graph — crawl-depth assignment
+    from a seed set (the frontier-expansion primitive next to
+    PageRank/HITS/CC: a crawler budgets by DEPTH from its seeds; docs
+    beyond the horizon are depth −1).  Seeds are ``node % seed_mod ==
+    0``; depth is the minimum hop count within ``rounds`` hops.
+
+    Distributed shape (the per-round loop the other iterative graph
+    operators use): each round is one frontier ⋈ edges hash join +
+    one ``groupby(node).min`` — O(|frontier-out-edges|) per round, no
+    whole-graph state on the driver.  Here the fixture fits the numpy
+    fast path (same integers — the recurrence is integral, so the
+    two paths are bit-identical by construction, exactly the
+    ``pagerank`` contract)."""
+    import pyarrow as pa
+
+    nt = _collect_column(nodes, node_col)
+    src, dst = _collect_edges(edges, src_col, dst_col)
+    order = np.argsort(nt)
+    nodes_sorted = nt[order]
+    depth = np.full(nodes_sorted.size, -1, np.int64)
+    depth[nodes_sorted % seed_mod == 0] = 0
+    s_idx = np.searchsorted(nodes_sorted, src)
+    d_idx = np.searchsorted(nodes_sorted, dst)
+    for r in range(1, rounds + 1):
+        at_prev = depth[s_idx] == r - 1
+        cand = d_idx[at_prev]
+        if cand.size == 0:
+            break
+        hit = np.unique(cand[depth[cand] == -1])
+        if hit.size == 0:
+            continue
+        depth[hit] = r
+        if r == rounds:
+            break
+    return pa.table({
+        "doc_id": pa.array(nodes_sorted, pa.int64()),
+        "depth": pa.array(depth, pa.int64()),
+    })
+
+
+def _collect_column(ds, col):
+    import pyarrow as pa
+
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    return t.column(col).cast(pa.int64()).to_numpy()
+
+
+def _collect_edges(ds, src_col, dst_col):
+    import pyarrow as pa
+
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    return (t.column(src_col).cast(pa.int64()).to_numpy(),
+            t.column(dst_col).cast(pa.int64()).to_numpy())

@@ -143,6 +143,7 @@ def _check(contract, con, name):
         "shard_plan",
         "link_coupling",
         "events_markov",
+        "crawl_depth",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
