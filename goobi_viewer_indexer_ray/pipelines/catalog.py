@@ -551,6 +551,82 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 SHARD_N = 8
 
 
+COOC_WINDOW = 5
+
+
+def q_cooc_window(sf_dir: str):
+    """Window-level term co-occurrence counts (the word2vec/GloVe
+    corpus statistic — pairs within ±5 tokens; DISTINCT from
+    ``term_cooccurrence``'s document-level df algebra): per unordered
+    term pair, the number of position pairs ``0 < j − i ≤ 5`` across
+    the corpus, top 100 by (count desc, pair).
+
+    Scale shape: per batch, 5 vectorized shifted-pair passes over the
+    integer code array with a batch-local combine (the shuffle
+    carries ≤ vocab² partial rows per batch, never positions); ONE
+    small ``groupby(pair)`` fold."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids, counts, codes, uniques = text_ops._flat_token_codes(batch)
+        if codes.size == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        # doc boundaries: forbid pairs spanning docs
+        rows = np.repeat(np.arange(ids.size, dtype=np.int64), counts)
+        nv = np.int64(uniques.size)
+        acc: dict[int, int] = {}
+        for d in range(1, COOC_WINDOW + 1):
+            if codes.size <= d:
+                break
+            ok = rows[d:] == rows[:-d]
+            a = codes[:-d][ok]
+            b = codes[d:][ok]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            key, cnt = np.unique(lo * nv + hi, return_counts=True)
+            for k, c in zip(key.tolist(), cnt.tolist()):
+                acc[k] = acc.get(k, 0) + c
+        keys = np.fromiter(acc.keys(), np.int64, count=len(acc))
+        vals = np.fromiter(acc.values(), np.int64, count=len(acc))
+        # canonicalize on the STRINGS, not the batch-local factorize
+        # codes — code order varies per batch, and a pair split as
+        # (a,b)/(b,a) across batches would never merge in the groupby
+        wa = uniques[keys // nv]
+        wb = uniques[keys % nv]
+        return pa.table({
+            "w1": pa.array(np.minimum(wa, wb), pa.string()),
+            "w2": pa.array(np.maximum(wa, wb), pa.string()),
+            "c": pa.array(vals, pa.int64()),
+        })
+
+    return (
+        _documents(sf_dir).map_batches(partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="n_cooc"))
+        .sort(["n_cooc", "w1", "w2"], descending=[True, False, False])
+        .limit(100)
+    )
+
+
+_SQL_COOC_WINDOW = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+pos AS (
+  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i
+  FROM toks
+),
+p AS (
+  SELECT least(a.t, b.t) AS w1, greatest(a.t, b.t) AS w2
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + {COOC_WINDOW}
+)
+SELECT w1, w2, count(*)::BIGINT AS n_cooc
+FROM p GROUP BY w1, w2
+ORDER BY n_cooc DESC, w1, w2 LIMIT 100
+"""
+
+
 def q_events_markov(sf_dir: str):
     """User-journey transition matrix (the Markov-chain view of the
     event log — the funnel's unordered generalization): per
@@ -9706,6 +9782,7 @@ QUERIES = {
     "link_coupling": q_link_coupling,
     "events_markov": q_events_markov,
     "crawl_depth": q_crawl_depth,
+    "cooc_window": q_cooc_window,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9866,6 +9943,7 @@ ORACLE_SQL = {
     "link_coupling": _coupling_sql(),
     "events_markov": _SQL_EVENTS_MARKOV,
     "crawl_depth": _crawl_depth_sql(),
+    "cooc_window": _SQL_COOC_WINDOW,
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -144,6 +144,7 @@ def _check(contract, con, name):
         "link_coupling",
         "events_markov",
         "crawl_depth",
+        "cooc_window",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
