@@ -1050,6 +1050,44 @@ FROM rr WHERE rank <= {LTR_K} ORDER BY query_id, rank
 """
 
 
+def q_ann_eval(sf_dir: str):
+    """ANN recall harness (the ``dedup_eval`` pattern applied to the
+    retrieval family): per query, integer overlap@10 of the LSH
+    bucketed top-k against brute-force cosine — the corpus-specific
+    recall evidence that picks the bucket radius, expressed as a
+    hash-exact count rather than a float recall.  Both legs are the
+    existing distributed operators; the fold joins two ≤ k·|Q| pair
+    lists."""
+    import pandas as pd
+
+    bf = _to_pd(q_ann_cosine(sf_dir))
+    ls = _to_pd(q_ann_lsh(sf_dir))
+    rows = []
+    for qid in sorted(bf.query_vec_id.unique()):
+        top_bf = set(bf[bf.query_vec_id == qid].vec_id.astype(int))
+        top_ls = set(ls[ls.query_vec_id == qid].vec_id.astype(int))
+        rows.append({"query_vec_id": int(qid), "n_brute": len(top_bf),
+                     "n_lsh": len(top_ls),
+                     "overlap": len(top_bf & top_ls)})
+    return pd.DataFrame(rows, columns=["query_vec_id", "n_brute",
+                                       "n_lsh", "overlap"])
+
+
+def _ann_eval_sql() -> str:
+    return f"""
+WITH bf AS ({_SQL_ANN}),
+ls AS ({_ann_lsh_sql()})
+SELECT bf.query_vec_id, count(DISTINCT bf.vec_id)::BIGINT AS n_brute,
+       (SELECT count(*) FROM ls l2
+        WHERE l2.query_vec_id = bf.query_vec_id)::BIGINT AS n_lsh,
+       count(DISTINCT CASE WHEN EXISTS (
+           SELECT 1 FROM ls WHERE ls.query_vec_id = bf.query_vec_id
+                              AND ls.vec_id = bf.vec_id)
+           THEN bf.vec_id END)::BIGINT AS overlap
+FROM bf GROUP BY bf.query_vec_id ORDER BY bf.query_vec_id
+"""
+
+
 def q_dedup_eval(sf_dir: str):
     """Dedup-method EVALUATION harness (the ``ranking_eval``
     counterpart for the near-dup family): SimHash blocking at hamming
@@ -9783,6 +9821,7 @@ QUERIES = {
     "events_markov": q_events_markov,
     "crawl_depth": q_crawl_depth,
     "cooc_window": q_cooc_window,
+    "ann_eval": q_ann_eval,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9944,6 +9983,7 @@ ORACLE_SQL = {
     "events_markov": _SQL_EVENTS_MARKOV,
     "crawl_depth": _crawl_depth_sql(),
     "cooc_window": _SQL_COOC_WINDOW,
+    "ann_eval": _ann_eval_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

@@ -145,6 +145,7 @@ def _check(contract, con, name):
         "events_markov",
         "crawl_depth",
         "cooc_window",
+        "ann_eval",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
