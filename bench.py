@@ -272,6 +272,9 @@ def run_bench() -> dict:
         "shard_plan",
         "link_coupling",
         "events_markov",
+        "crawl_depth",
+        "cooc_window",
+        "ann_eval",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)
