@@ -4860,6 +4860,42 @@ def _boolean_sql() -> str:
     )
 
 
+def q_search_facet_query(sf_dir: str):
+    """Solr ``facet.query`` parity — arbitrary-query facet COUNTS
+    (distinct from field faceting: the viewer renders "in stock /
+    digitized / open access" style toggle counts this way): for each
+    stored boolean query, its numFound, INCLUDING the zero-hit row
+    (facet.query always reports every configured facet).  Counts fold
+    from the same posting algebra as ``search_boolean``; only one
+    integer per facet leaves the serving node."""
+    from .query import LocalIndex
+    from .search_ops import boolean_docs
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    rows = []
+    for q in BOOL_QUERIES:
+        docs = boolean_docs(idx, must=q.get("must"), should=q.get("should"),
+                            must_not=q.get("must_not"))
+        rows.append((q["query_id"], int(docs.size)))
+    return pa.table({
+        "facet_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def _facet_query_sql() -> str:
+    base = _boolean_sql()
+    body = base[: base.rindex("ORDER BY")]
+    return f"""
+WITH hits AS ({body}),
+ids(facet_id) AS (VALUES (0), (1), (2), (3), (4))
+SELECT ids.facet_id::BIGINT AS facet_id,
+       count(hits.doc_id)::BIGINT AS n_docs
+FROM ids LEFT JOIN hits ON hits.query_id = ids.facet_id
+GROUP BY ids.facet_id ORDER BY facet_id
+"""
+
+
 SEARCH_PREFIXES = ["s", "qu", "val", "zz"]
 
 
@@ -9822,6 +9858,7 @@ QUERIES = {
     "crawl_depth": q_crawl_depth,
     "cooc_window": q_cooc_window,
     "ann_eval": q_ann_eval,
+    "search_facet_query": q_search_facet_query,
     "search_geo": q_search_geo,
     "search_join": q_search_join,
     "bpe_encode": q_bpe_encode,
@@ -9984,6 +10021,7 @@ ORACLE_SQL = {
     "crawl_depth": _crawl_depth_sql(),
     "cooc_window": _SQL_COOC_WINDOW,
     "ann_eval": _ann_eval_sql(),
+    "search_facet_query": _facet_query_sql(),
     "passage_topk": _passage_sql(),
     "rrf_fusion": _rrf_sql(),
     "ranking_eval": _ranking_eval_sql(),

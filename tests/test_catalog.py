@@ -146,6 +146,7 @@ def _check(contract, con, name):
         "crawl_depth",
         "cooc_window",
         "ann_eval",
+        "search_facet_query",
         "geo_wkt",
         "mixed_format_ingest",
         "ugc_annotations",
