@@ -275,6 +275,7 @@ def run_bench() -> dict:
         "crawl_depth",
         "cooc_window",
         "ann_eval",
+        "search_facet_query",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)
