@@ -226,13 +226,23 @@ def _manifest_runs_files(out_dir: str, docs_man: dict) -> list[str]:
 
 
 def _docs_manifest_ok(out_dir: str, fp: str) -> dict | None:
+    """Valid rollup manifest AND every listed part intact: data file
+    present and the per-part manifest readable with the recorded
+    fingerprint — a deleted/corrupt part manifest must trigger the
+    heal path (rewriting that part byte-identically), not a no-op
+    that leaves the tree inconsistent for a later incremental run."""
     m = manifest_valid(os.path.join(out_dir, "docs_manifest.json"), fp)
-    if m and all(
-        os.path.exists(os.path.join(part_dir(os.path.join(out_dir, "docs"), int(p["part"])), "data.parquet"))
-        for p in m["parts"]
-    ):
-        return m
-    return None
+    if not m:
+        return None
+    docs_dir = os.path.join(out_dir, "docs")
+    for p in m["parts"]:
+        pdir = part_dir(docs_dir, int(p["part"]))
+        if not os.path.exists(os.path.join(pdir, "data.parquet")):
+            return None
+        pm = load_manifest(os.path.join(pdir, "_manifest.json"))
+        if pm is None or pm.get("fingerprint") != p.get("fp", fp):
+            return None
+    return m
 
 
 def _index_manifest_ok(out_dir: str, fp: str) -> dict | None:

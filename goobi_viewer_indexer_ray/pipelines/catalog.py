@@ -491,6 +491,154 @@ WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
 """
 
 
+_BOILER = "boiler plate header tokens common shared "
+
+
+def q_dedup_jaccard_capped(sf_dir: str):
+    """Hot-shingle-defended exact Jaccard pairs (round-4 verdict #1).
+
+    Every doc gets the same 6-token boilerplate prefix — planting
+    shingles with df = n_docs, the web-scale failure mode (a shared
+    navbar/footer 5-gram) — then ``jaccard_pairs(max_df=50)`` runs the
+    df-capped path: hot shingles emit NO pairs (O(1) per group instead
+    of O(df²)) and are accounted in-band as
+    ``(doc_a=-1, doc_b=-1, inter=n_shingles_dropped, uni=df)`` rows.
+    The DuckDB oracle replays the cap exactly (df ≤ 50 shingles only,
+    full set sizes, plus the drop rows), so the drop ACCOUNTING is
+    hash-gated, not just logged."""
+    import pyarrow.compute as pc
+
+    def plant(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": pc.binary_join_element_wise(
+                    pa.scalar(_BOILER), pc.cast(t.column("text"), pa.string()), ""
+                ),
+            }
+        )
+
+    docs = _documents(sf_dir).map_batches(plant, batch_format="pyarrow")
+    ds = dedup.jaccard_pairs(docs, n=5, threshold=0.1, max_df=50)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": pc.cast(t.column("doc_a"), pa.int64()),
+                "doc_b": pc.cast(t.column("doc_b"), pa.int64()),
+                "inter": pc.cast(t.column("inter"), pa.int64()),
+                "uni": pc.cast(t.column("uni"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+_SQL_DEDUP_JACCARD_CAPPED = f"""
+WITH docs2 AS (
+  SELECT doc_id, '{_BOILER}' || text AS text FROM documents
+),
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM docs2),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+df AS (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM df WHERE df <= 50)
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT doc_a, doc_b, inter, (sa.n + sb.n - inter)::BIGINT AS uni
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
+),
+drops AS (
+  SELECT -1::BIGINT AS doc_a, -1::BIGINT AS doc_b,
+         count(*)::BIGINT AS inter, df AS uni
+  FROM df WHERE df > 50 GROUP BY df
+)
+SELECT * FROM kept UNION ALL SELECT * FROM drops
+"""
+
+
+def q_dedup_containment_capped(sf_dir: str):
+    """Hot-shingle-defended containment pairs — same planted
+    boilerplate + max_df=50 regime as ``dedup_jaccard_capped`` through
+    the shared ``_make_emit_pairs`` kernel; drop rows are
+    ``(doc_small=-1, doc_big=-1, inter=n_shingles_dropped, n_small=df)``."""
+    import pyarrow.compute as pc
+
+    def plant(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": pc.binary_join_element_wise(
+                    pa.scalar(_BOILER), pc.cast(t.column("text"), pa.string()), ""
+                ),
+            }
+        )
+
+    docs = _documents(sf_dir).map_batches(plant, batch_format="pyarrow")
+    ds = dedup.containment_pairs(docs, n=5, num=4, den=5, max_df=50)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_small": pc.cast(t.column("doc_small"), pa.int64()),
+                "doc_big": pc.cast(t.column("doc_big"), pa.int64()),
+                "inter": pc.cast(t.column("inter"), pa.int64()),
+                "n_small": pc.cast(t.column("n_small"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+_SQL_DEDUP_CONTAINMENT_CAPPED = f"""
+WITH docs2 AS (
+  SELECT doc_id, '{_BOILER}' || text AS text FROM documents
+),
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM docs2),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+df AS (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM df WHERE df <= 50)
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)
+              THEN doc_a ELSE doc_b END AS doc_small,
+         CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)
+              THEN doc_b ELSE doc_a END AS doc_big,
+         inter, least(sa.n, sb.n)::BIGINT AS n_small
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 5 * inter >= 4 * least(sa.n, sb.n)
+),
+drops AS (
+  SELECT -1::BIGINT AS doc_small, -1::BIGINT AS doc_big,
+         count(*)::BIGINT AS inter, df AS n_small
+  FROM df WHERE df > 50 GROUP BY df
+)
+SELECT * FROM kept UNION ALL SELECT * FROM drops
+"""
+
+
 def q_dedup_minhash_lsh(sf_dir: str):
     """MinHash-LSH near-dup pairs — hash-checked against the EXACT
     Jaccard oracle (same SQL as ``dedup_jaccard_pairs``).
@@ -9826,6 +9974,9 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 # long-stable relational basics (hash-green since round 1) sit in the
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
+    # --- round-5 additions ---
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
+    "dedup_containment_capped": q_dedup_containment_capped,
     # --- round-4 additions / re-oracled entries ---
     "quality_gopher": q_quality_gopher,
     "boilerplate_blocks": q_boilerplate_blocks,
@@ -9990,6 +10141,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_jaccard_capped": _SQL_DEDUP_JACCARD_CAPPED,
+    "dedup_containment_capped": _SQL_DEDUP_CONTAINMENT_CAPPED,
     "quality_gopher": _SQL_QUALITY_GOPHER,
     "boilerplate_blocks": _SQL_BOILERPLATE,
     "postings_ef": _SQL_POSTINGS_EF,

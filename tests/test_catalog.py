@@ -80,6 +80,8 @@ def _check(contract, con, name):
         "grouped_entities",
         "dedup_exact",
         "dedup_jaccard_pairs",
+        "dedup_jaccard_capped",
+        "dedup_containment_capped",
         "dedup_minhash_lsh",
         "dup_ngrams",
         "doc_packing",
@@ -543,6 +545,56 @@ def test_containment_catches_asymmetric_pair(ray_session):
     assert p["inter"] == p["n_small"] == 8   # all 8 shingles of doc 1
     # symmetric Jaccard on the same pair is far below any dedup bar
     assert p["inter"] / (8 + 208 - 8) < 0.05
+
+
+def test_hot_shingle_cap_bounds_pair_emission(ray_session):
+    """Round-4 verdict #1: a planted boilerplate shingle with df = 10⁴
+    must NOT emit O(df²) ≈ 5·10⁷ pair rows.  With ``max_df`` set the
+    hot group emits one O(1) sentinel instead, the drop is ACCOUNTED
+    in-band (one row per distinct dropped df, counting the shingles
+    dropped at that df), and pairs supported by rare shingles still
+    come out exact."""
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.dedup import containment_pairs, jaccard_pairs
+
+    n_docs = 10_000
+    boiler = "alpha beta gamma delta epsilon"  # one 5-gram, df = n_docs
+    rows = [
+        {"doc_id": i, "text": f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e"}
+        for i in range(n_docs)
+    ]
+    # one genuine near-dup pair sharing rare shingles on top
+    rows[0]["text"] = f"{boiler} same rare tail here one two three"
+    rows[1]["text"] = f"{boiler} same rare tail here one two nine"
+    ds = ray.data.from_items(rows).repartition(8)
+    out = pd.DataFrame(jaccard_pairs(ds, n=5, threshold=0.05, max_df=100).take_all())
+    drops = out[out.doc_a == -1]
+    pairs = out[out.doc_a != -1]
+    # bounded output: no df² blowup anywhere near 5·10⁷
+    assert len(out) < 50_000
+    # drop accounting: exactly the boiler 5-gram has df > 100 (the
+    # bridging windows mix unique tokens, so their df stays small)
+    assert len(drops) == 1
+    assert int(drops.iloc[0]["uni"]) == n_docs  # the dropped shingle's df
+    assert int(drops.iloc[0]["inter"]) == 1  # one shingle dropped at that df
+    # rare-shingle pairs survive with exact FULL set sizes in uni
+    p01 = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]
+    assert len(p01) == 1
+    # docs 0/1: 12 tokens → 8 distinct shingles each; shared rare
+    # shingles = windows 1..6 (window 0 is the capped boiler gram,
+    # window 7 differs in the last token)
+    assert int(p01.iloc[0]["inter"]) == 6
+    assert int(p01.iloc[0]["uni"]) == 8 + 8 - 6
+
+    cont = pd.DataFrame(
+        containment_pairs(ds.filter(lambda r: r["doc_id"] < 500),
+                          n=5, num=1, den=3, max_df=100).take_all()
+    )
+    cdrops = cont[cont.doc_small == -1]
+    assert len(cdrops) == 1 and int(cdrops.iloc[0]["n_small"]) == 500
+    c01 = cont[(cont.doc_small == 0) & (cont.doc_big == 1)]
+    assert len(c01) == 1 and int(c01.iloc[0]["inter"]) == 6
 
 
 def test_ltr_reranks_vs_bm25(contract):
