@@ -12,7 +12,7 @@ Commands::
     bench-corpus --out DIR --n N [--seed S]
     optimize --out DIR
     delete-query --out DIR --must "terms" [--must-not "terms"]
-    watch --out DIR --pages DIR [--interval S] [--max-polls N]
+    watch --out DIR --pages DIR [--interval S] [--max-polls N] [--config F]
 """
 
 from __future__ import annotations
@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--max-polls", type=int, default=None,
                    help="stop after N ticks (default: run forever)")
     w.add_argument("--auto-optimize", action="store_true")
+    w.add_argument("--config", default=None,
+                   help="watch config JSON, hot-reloaded every tick "
+                        "(interval_s, auto_optimize, rules[] with "
+                        "applies_to globs)")
 
     args = ap.parse_args(argv)
     ray = _init_ray()
@@ -135,7 +139,8 @@ def main(argv: list[str] | None = None) -> int:
             for r in watch(args.out, args.pages,
                            interval_s=args.interval,
                            max_polls=args.max_polls,
-                           auto_optimize=args.auto_optimize):
+                           auto_optimize=args.auto_optimize,
+                           config_path=args.config):
                 print(json.dumps(r), flush=True)
     finally:
         ray.shutdown()

@@ -189,6 +189,7 @@ def apply_updates(
     *,
     reason: str = "update",
     auto_optimize: bool = False,
+    trace: bool = True,
 ) -> dict:
     """Apply new/updated pages and url deletions to an existing build.
 
@@ -198,6 +199,10 @@ def apply_updates(
     build are serialized by an exclusive build-dir lockfile
     (:class:`_BuildLock`) — racing calls queue, they never interleave
     manifest writes.
+
+    ``trace=False`` is the ``.purge`` analog: same deletion, no
+    DATEDELETED tombstone-ledger rows
+    (``Hotfolder.removeFromIndex(createTraceDoc=false)``).
 
     ``auto_optimize`` transposes the reference's
     ``performance.autoOptimize`` (Configuration.java:441-443 — the
@@ -209,7 +214,7 @@ def apply_updates(
     """
     with _BuildLock(out_dir):
         man = _apply_updates_locked(out_dir, delta_pages, deleted_urls,
-                                    reason=reason)
+                                    reason=reason, trace=trace)
     if auto_optimize:
         from ..stages.optimize import optimize_index
 
@@ -225,6 +230,7 @@ def _apply_updates_locked(
     reason: str = "update",
     tombstones: str | None = None,
     deletes_fp: str = "",
+    trace: bool = True,
 ) -> dict:
     """``tombstones``/``deletes_fp`` are the streaming delete path
     (:func:`delete_by_query`): a directory of ``part=P/*.parquet`` url
@@ -306,7 +312,11 @@ def _apply_updates_locked(
         ])
         dirty |= set(pending)
 
-    if deleted_urls:  # tombstone ledger (DATEDELETED trace-doc analog)
+    if deleted_urls and trace:  # tombstone ledger (DATEDELETED trace-doc
+        # analog).  ``trace=False`` is the PURGE semantics
+        # (Hotfolder.java:752-761 -> removeFromIndex(createTraceDoc=false)):
+        # the docs/index rewrite is identical, only the DATEDELETED
+        # trace rows are skipped.
         with open(os.path.join(out_dir, "tombstones.jsonl"), "a") as f:
             for u in sorted(deleted_urls):
                 f.write(json.dumps({"url": u, "part": part_for(u, num_parts),

@@ -29,6 +29,31 @@ Each poll tick (:func:`watch_once`) takes a directory snapshot
    line); a data file REMOVED from the folder deletes the urls it
    contributed — except urls still contributed by a surviving file
    (dedup-keep-latest means the survivor's copy is authoritative).
+4. **Purges** (``*.purge``, ``Hotfolder.java:752-761``): same url-list
+   format and deletion path as ``.delete`` but WITHOUT the DATEDELETED
+   tombstone-ledger rows (``removeFromIndex(createTraceDoc=false)``).
+5. **Single-doc updates** (``*.docupdate``,
+   ``DocUpdateIndexer.java:78``): a JSON object (or list of objects)
+   ``{"url": ..., "html": str | "html_b64": base64, "lang"?: ...,
+   "warc_ts"?: iso8601}`` routed through :func:`~.updates.update_doc`
+   — exactly one docs partition and its doc-range bucket rewritten per
+   url.
+6. **Anchor acknowledgements** (``*.UPDATED``,
+   ``MetsIndexer.ANCHOR_UPDATE_EXTENSION``): the reference's
+   superupdate is a file-move into the data repository; with a
+   read-only hotfolder this is an exactly-once acknowledgement
+   recorded in the ledger (``report["acknowledged"]``), no index
+   mutation.
+7. **Config hot-reload** (``config_path=``, the
+   ``helper/Configuration.java`` reload-timer analog): the JSON config
+   is re-read every tick.  ``auto_optimize`` takes effect immediately;
+   each entry of ``rules`` is hashed individually and scoped by its
+   ``applies_to`` glob (default ``*``) — when a rule is added, removed
+   or modified, exactly the ledgered data files matching the CHANGED
+   rules' globs are forced back through :func:`apply_updates`
+   ("affected records only"); untouched files keep their partitions
+   byte-identical.  The first tick with a config only records the
+   baseline hashes.
 
 Per-file url sidecars (``out_dir/_watch/urls/<name>.parquet``, url
 column only) record each shard's contribution at ingest time — one
@@ -53,9 +78,9 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .updates import apply_updates
+from .updates import apply_updates, update_doc
 
-__all__ = ["watch_once", "watch", "load_state"]
+__all__ = ["watch_once", "watch", "load_state", "load_watch_config"]
 
 _STATE = "_watch_state.json"
 _URLS_DIR = os.path.join("_watch", "urls")
@@ -67,6 +92,55 @@ def load_state(out_dir: str) -> dict:
         with open(p) as f:
             return json.load(f)
     return {"files": {}, "commands": {}, "pending": {}}
+
+
+def load_watch_config(config_path: str | None) -> dict:
+    """Read the (optional) watch config JSON; missing path → ``{}``."""
+    if not config_path or not os.path.exists(config_path):
+        return {}
+    with open(config_path) as f:
+        return json.load(f)
+
+
+def _rule_hashes(cfg: dict) -> dict[str, dict]:
+    """name → {hash, glob} for each config rule.  The per-rule
+    granularity (and remembering each rule's ``applies_to`` glob, so a
+    REMOVED rule still scopes to its own files) is what makes
+    "affected records only" possible."""
+    from hashlib import blake2b
+
+    out = {}
+    for i, rule in enumerate(cfg.get("rules", []) or []):
+        name = str(rule.get("name", f"rule{i}"))
+        out[name] = {
+            "hash": blake2b(
+                json.dumps(rule, sort_keys=True).encode(), digest_size=16
+            ).hexdigest(),
+            "glob": str(rule.get("applies_to", "*")),
+        }
+    return out
+
+
+def _config_affected(old_rules: dict[str, dict], new_rules: dict[str, dict],
+                     ledgered: list[str]) -> list[str]:
+    """Data files matching any ADDED/REMOVED/CHANGED rule's
+    ``applies_to`` glob (a removed rule's glob comes from the ledger's
+    recorded copy)."""
+    import fnmatch
+
+    def h(m, n):
+        e = m.get(n)
+        return e.get("hash") if isinstance(e, dict) else e
+
+    changed = {n for n in set(old_rules) | set(new_rules)
+               if h(old_rules, n) != h(new_rules, n)}
+    if not changed:
+        return []
+    pats = []
+    for n in changed:
+        e = new_rules.get(n) or old_rules.get(n)
+        pats.append(e.get("glob", "*") if isinstance(e, dict) else "*")
+    return sorted({f for f in ledgered for p in pats if fnmatch.fnmatch(f, p)})
 
 
 def _save_state(out_dir: str, state: dict) -> None:
@@ -130,19 +204,26 @@ def _removed_urls(out_dir: str, removed: list[str], live: list[str]) -> list[str
 
 
 def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
-               auto_optimize: bool = False) -> dict:
+               auto_optimize: bool = False,
+               config_path: str | None = None) -> dict:
     """One poll tick.  Returns a report
-    ``{reindexed, indexed, deleted_urls, pending, removed}``; the
-    ledger is persisted to ``out_dir/_watch_state.json``."""
+    ``{reindexed, indexed, deleted_urls, purged_urls, updated_docs,
+    acknowledged, config_reindexed, pending, removed}``; the ledger is
+    persisted to ``out_dir/_watch_state.json``."""
     state = state if state is not None else load_state(out_dir)
     files: dict = state.setdefault("files", {})
     commands: dict = state.setdefault("commands", {})
     pending: dict = state.setdefault("pending", {})
     snap = _snapshot(pages_dir)
 
+    cfg = load_watch_config(config_path)
+    if cfg.get("auto_optimize") is not None:
+        auto_optimize = bool(cfg["auto_optimize"])
+
     data = {n: fp for n, fp in snap.items() if n.endswith(".parquet")}
     cmds = {n: fp for n, fp in snap.items()
-            if n.endswith((".reindex", ".delete"))}
+            if n.endswith((".reindex", ".delete", ".purge", ".docupdate",
+                           ".UPDATED"))}
 
     stable_memo: dict[str, bool] = {}
 
@@ -162,9 +243,33 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
         return ok
 
     report = {"reindexed": [], "indexed": [], "deleted_urls": 0,
-              "pending": [], "removed": []}
+              "purged_urls": 0, "updated_docs": [], "acknowledged": [],
+              "config_reindexed": [], "pending": [], "removed": []}
 
     built = os.path.exists(os.path.join(out_dir, "docs_manifest.json"))
+
+    # ---- 0. config hot-reload (Configuration.java reload-timer analog)
+    # Per-rule hashes: only files matching a CHANGED rule's
+    # ``applies_to`` glob are forced back through apply_updates.  The
+    # new hash baseline commits only when the affected set is empty or
+    # after the reindex below succeeds (an exception leaves the old
+    # hashes → next tick retries).
+    config_forced: list[str] = []
+    if config_path:
+        new_hashes = _rule_hashes(cfg)
+        old_hashes = state.get("config_rules")
+        if old_hashes is None:
+            state["config_rules"] = new_hashes  # first sighting: baseline
+        elif old_hashes != new_hashes:
+            if built:
+                config_forced = [
+                    n for n in _config_affected(old_hashes, new_hashes,
+                                                sorted(files))
+                    if n in data
+                ]
+            # unbuilt: nothing indexed under the old rules yet
+            if not config_forced:
+                state["config_rules"] = new_hashes
 
     # ---- 1. priority: re-index commands (Hotfolder.java:466-480) ----
     reindex_names: list[str] = []
@@ -190,18 +295,21 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
             continue
         reindex_names.extend(present)
         commands[name] = fp
-    reindex_names = sorted(set(reindex_names))
+    reindex_names = sorted(set(reindex_names) | set(config_forced))
     if reindex_names and built:
         apply_updates(
             out_dir,
             [os.path.join(pages_dir, n) for n in reindex_names],
-            reason="watch-reindex",
+            reason="watch-config" if config_forced else "watch-reindex",
             auto_optimize=auto_optimize,
         )
         for n in reindex_names:
             files[n] = data[n]
             _write_sidecar(out_dir, pages_dir, n)
-        report["reindexed"] = reindex_names
+        report["reindexed"] = sorted(set(reindex_names) - set(config_forced))
+        report["config_reindexed"] = config_forced
+        if config_forced:  # reindex committed → adopt the new baseline
+            state["config_rules"] = _rule_hashes(cfg)
     elif reindex_names:
         # nothing built yet — the files fold into the bootstrap below
         for n in reindex_names:
@@ -234,22 +342,68 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
             _write_sidecar(out_dir, pages_dir, n)
         report["indexed"] = fresh
 
-    # ---- 3. deletes: command files + removed shards ----
+    # ---- 2b. single-doc updates (.docupdate, DocUpdateIndexer.java:78)
+    # Processed only against an EXISTING build (update_doc requires
+    # one); unbuilt ticks leave the command unconsumed for later.
+    built = os.path.exists(os.path.join(out_dir, "docs_manifest.json"))
+    if built:
+        for name, fp in sorted(cmds.items()):
+            if not name.endswith(".docupdate") or commands.get(name) == fp:
+                continue
+            if not stable(name, fp):
+                report["pending"].append(name)
+                continue
+            with open(os.path.join(pages_dir, name)) as f:
+                spec = json.load(f)
+            for entry in spec if isinstance(spec, list) else [spec]:
+                url = entry["url"]
+                if "html_b64" in entry:
+                    import base64
+
+                    html = base64.b64decode(entry["html_b64"])
+                else:
+                    html = str(entry.get("html", "")).encode()
+                warc_ts = None
+                if entry.get("warc_ts"):
+                    import datetime
+
+                    warc_ts = datetime.datetime.fromisoformat(entry["warc_ts"])
+                update_doc(out_dir, url, html, warc_ts=warc_ts,
+                           lang=str(entry.get("lang", "")))
+                report["updated_docs"].append(url)
+            commands[name] = fp  # consumed exactly once
+
+    # ---- 2c. anchor acknowledgements (.UPDATED — superupdate analog)
+    # The reference moves the updated anchor file into the data
+    # repository (MetsIndexer.anchorSuperupdate); with a read-only
+    # hotfolder the exactly-once acknowledgement IS the move.
+    for name, fp in sorted(cmds.items()):
+        if not name.endswith(".UPDATED") or commands.get(name) == fp:
+            continue
+        if not stable(name, fp):
+            report["pending"].append(name)
+            continue
+        commands[name] = fp
+        report["acknowledged"].append(name)
+
+    # ---- 3. deletes: command files + removed shards; purges ----
     # Processed only against an EXISTING build: before anything is
     # built there is nothing to delete FROM, and consuming a command
     # then would silently lose it — so unbuilt ticks leave commands
     # untouched (re-read once the bootstrap has happened).
     built = os.path.exists(os.path.join(out_dir, "docs_manifest.json"))
     del_urls: list[str] = []
+    purge_urls: list[str] = []
     if built:
         for name, fp in sorted(cmds.items()):
-            if not name.endswith(".delete") or commands.get(name) == fp:
+            if not name.endswith((".delete", ".purge")) or commands.get(name) == fp:
                 continue
             if not stable(name, fp):
                 report["pending"].append(name)
                 continue
             with open(os.path.join(pages_dir, name)) as f:
-                del_urls.extend(ln.strip() for ln in f if ln.strip())
+                urls = [ln.strip() for ln in f if ln.strip()]
+            (del_urls if name.endswith(".delete") else purge_urls).extend(urls)
             commands[name] = fp
     removed = [n for n in list(files) if n not in data] if built else []
     if removed:
@@ -260,6 +414,11 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
         apply_updates(out_dir, None, del_urls, reason="watch-delete",
                       auto_optimize=auto_optimize)
         report["deleted_urls"] = len(del_urls)
+    if purge_urls:  # same deletion, NO DATEDELETED trace rows
+        purge_urls = sorted(set(purge_urls))
+        apply_updates(out_dir, None, purge_urls, reason="watch-purge",
+                      auto_optimize=auto_optimize, trace=False)
+        report["purged_urls"] = len(purge_urls)
     # the delete committed: NOW retire the removed shards' ledger
     # entries and sidecars (an exception above leaves both intact, so
     # the next tick retries with the evidence still on disk)
@@ -280,20 +439,24 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
 
 def watch(out_dir: str, pages_dir: str, *, interval_s: float = 5.0,
           max_polls: int | None = None, auto_optimize: bool = False,
-          sleep=None):
+          config_path: str | None = None, sleep=None):
     """The daemon loop: ``watch_once`` every ``interval_s`` seconds,
     ``max_polls`` ticks (None = forever).  A GENERATOR yielding one
     report per tick — run-forever mode holds no unbounded report
     list, and callers (the CLI) stream-print each tick.  ``sleep`` is
     injectable so tests drive discrete ticks without wall-clock
-    waits."""
+    waits.  With ``config_path``, ``interval_s``/``auto_optimize``
+    are re-read from the config every tick (hot-reload), and rule
+    changes trigger scoped re-indexing inside :func:`watch_once`."""
     import time as _time
 
     sleep = sleep or _time.sleep
     n = 0
     while max_polls is None or n < max_polls:
-        yield watch_once(out_dir, pages_dir, auto_optimize=auto_optimize)
+        yield watch_once(out_dir, pages_dir, auto_optimize=auto_optimize,
+                         config_path=config_path)
         n += 1
         if max_polls is not None and n >= max_polls:
             break
-        sleep(interval_s)
+        cfg = load_watch_config(config_path)
+        sleep(float(cfg.get("interval_s", interval_s)))

@@ -92,7 +92,8 @@ def test_watch_lifecycle(hot):
     # ---- tick 3: no changes → no-op
     r3 = watch_once(out, folder)
     assert r3 == {"reindexed": [], "indexed": [], "deleted_urls": 0,
-                  "pending": [], "removed": []}
+                  "purged_urls": 0, "updated_docs": [], "acknowledged": [],
+                  "config_reindexed": [], "pending": [], "removed": []}
 
     # ---- new shard dropped between polls ----
     new_urls = [f"https://watchnew.example/{i}" for i in range(6)]
@@ -304,3 +305,129 @@ def test_predelete_command_not_lost_before_build(ray_session, tmp_path_factory):
     r3 = watch_once(out, folder)  # now the old command fires
     assert r3["deleted_urls"] == 1
     assert victim not in _docs_urls(out)
+
+
+def test_watch_docupdate_purge_updated(ray_session, tmp_path_factory):
+    """Round-4 verdict #2: the three remaining hotfolder command
+    suffixes (Hotfolder.java:477 glob, :550-551 dispatch).
+    .docupdate → update_doc upsert; .purge → delete WITHOUT trace
+    rows; .UPDATED → exactly-once acknowledgement, no index mutation.
+    All exactly-once via the ledger; clean partitions byte-untouched."""
+    import base64
+
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot8"))
+    out = str(tmp_path_factory.mktemp("watch8") / "out")
+    os.makedirs(out, exist_ok=True)
+    urls = [f"https://cmd.example/{i}" for i in range(8)]
+    _write_shard(os.path.join(folder, "s0.parquet"), urls, "base")
+    watch_once(out, folder)
+    r = watch_once(out, folder)
+    assert r["indexed"] == ["s0.parquet"]
+
+    # ---- .docupdate: single-doc upsert (DocUpdateIndexer.java:78) ----
+    target = urls[3]
+    new_html = "<html><body><p>updated docupdate payload</p></body></html>"
+    with open(os.path.join(folder, "one.docupdate"), "w") as f:
+        json.dump({"url": target, "html_b64":
+                   base64.b64encode(new_html.encode()).decode(),
+                   "lang": "en", "warc_ts": "2032-01-01T00:00:00+00:00"}, f)
+    dirty = {part_for(target, NUM_PARTS)}
+    pre = _clean_part_hashes(out, dirty)
+    watch_once(out, folder)  # stability tick
+    r2 = watch_once(out, folder)
+    assert r2["updated_docs"] == [target]
+    assert _clean_part_hashes(out, dirty) == pre  # clean parts untouched
+    # content actually replaced (dedup-keep-latest: newer warc_ts wins)
+    part = part_for(target, NUM_PARTS)
+    t = pq.read_table(os.path.join(out, "docs", f"part={part:05d}", "data.parquet"))
+    row = t.filter(pa.compute.equal(t.column("url"), target))
+    assert row.num_rows == 1
+    assert "updated docupdate payload" in row.column("text")[0].as_py()
+    r3 = watch_once(out, folder)  # exactly once
+    assert r3["updated_docs"] == []
+
+    # ---- .purge: delete with NO tombstone-ledger trace rows ----
+    tomb = os.path.join(out, "tombstones.jsonl")
+    pre_lines = open(tomb).read().count("\n") if os.path.exists(tomb) else 0
+    victim = urls[5]
+    with open(os.path.join(folder, "gone.purge"), "w") as f:
+        f.write(victim + "\n")
+    watch_once(out, folder)
+    r4 = watch_once(out, folder)
+    assert r4["purged_urls"] == 1 and r4["deleted_urls"] == 0
+    assert victim not in _docs_urls(out)
+    post_lines = open(tomb).read().count("\n") if os.path.exists(tomb) else 0
+    assert post_lines == pre_lines  # purge leaves NO DATEDELETED rows
+    assert watch_once(out, folder)["purged_urls"] == 0  # exactly once
+
+    # .delete on another victim DOES add a trace row (contrast)
+    victim2 = urls[6]
+    with open(os.path.join(folder, "gone2.delete"), "w") as f:
+        f.write(victim2 + "\n")
+    watch_once(out, folder)
+    r5 = watch_once(out, folder)
+    assert r5["deleted_urls"] == 1
+    lines = [json.loads(x) for x in open(tomb) if x.strip()]
+    assert any(e.get("url") == victim2 for e in lines)
+    assert not any(e.get("url") == victim for e in lines)
+
+    # ---- .UPDATED: exactly-once acknowledgement, nothing rewritten ----
+    pre_all = _clean_part_hashes(out, set())
+    with open(os.path.join(folder, "anchor.UPDATED"), "w") as f:
+        f.write("superupdate\n")
+    watch_once(out, folder)
+    r6 = watch_once(out, folder)
+    assert r6["acknowledged"] == ["anchor.UPDATED"]
+    assert _clean_part_hashes(out, set()) == pre_all
+    assert watch_once(out, folder)["acknowledged"] == []
+
+
+def test_watch_config_hot_reload(ray_session, tmp_path_factory):
+    """Round-4 verdict #4 (Configuration.java reload-timer analog):
+    the config is re-read between polls; a changed rule re-indexes
+    ONLY the files matching its applies_to glob, exactly once; the
+    unaffected shard's partitions stay byte-identical."""
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot9"))
+    out = str(tmp_path_factory.mktemp("watch9") / "out")
+    os.makedirs(out, exist_ok=True)
+    cfgp = os.path.join(str(tmp_path_factory.mktemp("cfg9")), "watch.json")
+
+    def write_cfg(rules, auto_optimize=False):
+        with open(cfgp, "w") as f:
+            json.dump({"rules": rules, "auto_optimize": auto_optimize,
+                       "interval_s": 0.0}, f)
+
+    write_cfg([{"name": "a", "applies_to": "shard-a*", "opt": 1},
+               {"name": "b", "applies_to": "shard-b*", "opt": 1}])
+    ua = [f"https://cfg.example/a{i}" for i in range(5)]
+    ub = [f"https://cfg.example/b{i}" for i in range(5)]
+    _write_shard(os.path.join(folder, "shard-a.parquet"), ua, "a")
+    _write_shard(os.path.join(folder, "shard-b.parquet"), ub, "b")
+    watch_once(out, folder, config_path=cfgp)
+    r = watch_once(out, folder, config_path=cfgp)
+    assert sorted(r["indexed"]) == ["shard-a.parquet", "shard-b.parquet"]
+
+    # unchanged config → no reindex
+    r2 = watch_once(out, folder, config_path=cfgp)
+    assert r2["config_reindexed"] == []
+
+    # change rule a only → shard-a reindexed, shard-b byte-untouched
+    all_parts = _clean_part_hashes(out, set())
+    write_cfg([{"name": "a", "applies_to": "shard-a*", "opt": 2},
+               {"name": "b", "applies_to": "shard-b*", "opt": 1}])
+    r3 = watch_once(out, folder, config_path=cfgp)
+    assert r3["config_reindexed"] == ["shard-a.parquet"]
+    assert _clean_part_hashes(out, set()) == all_parts  # same content →
+    # dedup-keep-latest resolves identically; nothing byte-changes
+    # exactly once: hash baseline adopted after the reindex committed
+    r4 = watch_once(out, folder, config_path=cfgp)
+    assert r4["config_reindexed"] == []
+
+    # removing rule b re-indexes only shard-b
+    write_cfg([{"name": "a", "applies_to": "shard-a*", "opt": 2}])
+    r5 = watch_once(out, folder, config_path=cfgp)
+    assert r5["config_reindexed"] == ["shard-b.parquet"]
