@@ -6156,8 +6156,11 @@ def q_image_ahash(sf_dir: str):
              "payload": pa.array(payloads, pa.binary())}
         )
 
+    # callable INSTANCE (task pool): the PPM decode is a stateless
+    # header parse — per-execution actor spawns cost more than the
+    # whole decode at this corpus size (see q_image_png_ahash)
     hashed = ds.map_batches(synth, batch_format="pyarrow").map_batches(
-        AHash, concurrency=2, batch_size=64, batch_format="pyarrow"
+        AHash(), batch_size=256, batch_format="pyarrow"
     )
     return ahash_dup_stats(hashed)
 
@@ -6217,38 +6220,53 @@ def q_image_png_ahash(sf_dir: str):
     same integer block math.  The oracle recomputes every pixel from
     key arithmetic — a filter, zlib-framing, or stride bug anywhere
     in the codec breaks the hash.  Truncated decoys (k % 11 == 0)
-    are skipped (error-folder analog)."""
-    from ..stages.imagesize import decode_png_pixels, encode_png_rgb
+    are skipped (error-folder analog).
+
+    Vectorized end-to-end (round-4 verdict "what's wrong #2"): synth
+    computes ALL pixel arrays in one numpy pass and writes payloads
+    through :func:`encode_png_rgb_batch` (filter transform once per
+    row across images); the hash side decodes through
+    ``AHash(batch_decoder=decode_png_pixels_batch)`` (one vectorized
+    unfilter per shape group per batch) — the only remaining per-image
+    work is zlib, which is C.  With the decode stateless and batched,
+    AHash runs as a callable INSTANCE in the task pool (fuses with
+    synth, reuses warm worker processes) instead of an actor pool —
+    fresh actors would pay a full process spawn + import per
+    execution, which dominated this entry's wall-clock; the actor
+    form stays the right shape for heavy stateful decoders
+    (models, codec libraries).  The parquet read auto-splits into
+    blocks, so no repartition is needed."""
+    from ..stages.imagesize import decode_png_pixels_batch, encode_png_rgb_batch
     from ..stages.multimodal import AHash, ahash_dup_stats
 
     ds = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
                             columns=["c_custkey"])
 
     def synth(t: pa.Table) -> pa.Table:
-        keys = t.column("c_custkey").cast(pa.int64()).to_numpy()
-        ids, payloads = [], []
+        keys = t.column("c_custkey").cast(pa.int64()).to_numpy().astype(np.int64)
         j = np.arange(768, dtype=np.int64)
-        for k in keys:
-            k = int(k)
-            ids.append(k)
-            if k % 11 == 0:
-                payloads.append(b"\x89PNG\r\n\x1a\nbogus")
-                continue
-            kb, v = k - k % 4, k % 4
-            val = (kb * 7 + j * 5) % 256
-            if v > 0:
-                noisy = j % 53 == v
-                val = np.where(noisy, np.minimum(val + 17, 255), val)
-            payloads.append(encode_png_rgb(
-                val.astype(np.uint8).reshape(16, 16, 3)))
+        good = keys % 11 != 0
+        gk = keys[good]
+        kb = gk - gk % 4
+        v = gk % 4
+        val = (kb[:, None] * 7 + j[None, :] * 5) % 256
+        noisy = ((j[None, :] % 53) == v[:, None]) & (v > 0)[:, None]
+        val = np.where(noisy, np.minimum(val + 17, 255), val)
+        encoded = encode_png_rgb_batch(
+            val.astype(np.uint8).reshape(-1, 16, 16, 3)
+        ) if gk.size else []
+        it = iter(encoded)
+        payloads = [
+            next(it) if ok else b"\x89PNG\r\n\x1a\nbogus" for ok in good
+        ]
         return pa.table(
-            {"media_id": pa.array(ids, pa.int64()),
+            {"media_id": pa.array(keys, pa.int64()),
              "payload": pa.array(payloads, pa.binary())}
         )
 
     hashed = ds.map_batches(synth, batch_format="pyarrow").map_batches(
-        AHash, fn_constructor_kwargs={"decoder": decode_png_pixels},
-        concurrency=2, batch_size=64, batch_format="pyarrow",
+        AHash(batch_decoder=decode_png_pixels_batch),
+        batch_size=256, batch_format="pyarrow",
     )
     return ahash_dup_stats(hashed)
 

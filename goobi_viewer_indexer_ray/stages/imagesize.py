@@ -395,15 +395,12 @@ def encode_png_rgb(img, *, mixed_filters: bool = True) -> bytes:
     )
 
 
-def decode_png_pixels(payload: bytes):
-    """REAL PNG pixel decoder (8-bit, color types 0/2/6; all five
-    scanline filters; multi-IDAT) → ``(h, w, channels)`` uint8 array.
-    Filters None/Sub/Up unfilter vectorized (Sub is a per-stride
-    cumsum mod 256); Average/Paeth reconstruct left-to-right per row
-    (inherently sequential — the same data dependence C decoders
-    unroll).  Raises ``ValueError`` on anything else (interlace,
-    palette, 16-bit) — the documented integration point for exotic
-    variants."""
+def _parse_png(payload: bytes):
+    """Header + inflated scanline bytes of one PNG →
+    ``(h, w, channels, data)`` with ``data`` shaped ``(h, stride+1)``.
+    Raises ``ValueError`` on corrupt/unsupported input (interlace,
+    palette, 16-bit — the documented integration point for exotic
+    variants)."""
     import numpy as np
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -428,46 +425,172 @@ def decode_png_pixels(payload: bytes):
     channels = {0: 1, 2: 3, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported color type {ctype}")
-    bpp = channels
-    stride = w * bpp
+    stride = w * channels
     try:
         data = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     except zlib.error as e:  # corrupt stream → uniform corrupt-payload error
         raise ValueError(f"bad IDAT stream: {e}") from e
     if data.size != h * (stride + 1):
         raise ValueError("scanline payload size mismatch")
-    data = data.reshape(h, stride + 1)
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int64)
+    return h, w, channels, data.reshape(h, stride + 1)
+
+
+def _unfilter_rows(data, bpp: int):
+    """Vectorized PNG unfilter over a STACK of same-shape images:
+    ``data`` is ``(n, h, stride+1)`` uint8 (filter byte + scanline per
+    row, filters may differ per image per row) → ``(n, h, stride)``
+    uint8.
+
+    Row loop is sequential (each row references the previous — the
+    PNG data dependence); within a row everything is vectorized
+    ACROSS IMAGES: None/Up are single array ops, Sub is one cumsum
+    per row, and Average/Paeth — sequential only in x — run a
+    w-length loop over ``(k_images, bpp)`` lanes instead of the old
+    per-byte Python loop (round-4 ADVICE item; per-row work drops
+    from ``stride`` interpreted steps per image to ``w`` vector steps
+    per batch)."""
+    import numpy as np
+
+    n, h, s1 = data.shape
+    stride = s1 - 1
+    f = data[:, :, 0]
+    rows = data[:, :, 1:]
+    out = np.empty((n, h, stride), np.uint8)
+    prev = np.zeros((n, stride), np.int64)
+    known = f <= 4
+    if not known.all():
+        i, y = np.argwhere(~known)[0]
+        raise ValueError(f"bad filter {int(f[i, y])}")
     for y in range(h):
-        f = int(data[y, 0])
-        row = data[y, 1:].astype(np.int64)
-        if f == 0:
-            rec = row
-        elif f == 1:
-            rec = row.copy()
-            for r in range(bpp):  # per-stride cumsum mod 256
-                rec[r::bpp] = np.cumsum(rec[r::bpp]) % 256
-        elif f == 2:
-            rec = (row + prev) % 256
-        elif f in (3, 4):
-            rec = np.empty(stride, np.int64)
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                up = prev[i]
-                ul = prev[i - bpp] if i >= bpp else 0
-                if f == 3:
-                    pred = (left + up) // 2
-                else:
-                    p = left + up - ul
-                    pa_, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if pa_ <= pb and pa_ <= pc_ else (up if pb <= pc_ else ul)
-                rec[i] = (row[i] + pred) % 256
-        else:
-            raise ValueError(f"bad filter {f}")
-        out[y] = rec.astype(np.uint8)
+        fy = f[:, y]
+        row = rows[:, y, :].astype(np.int64)
+        rec = np.empty((n, stride), np.int64)
+        m = fy == 0
+        if m.any():
+            rec[m] = row[m]
+        m = fy == 1
+        if m.any():
+            r = row[m].reshape(-1, stride // bpp, bpp)
+            rec[m] = (np.cumsum(r, axis=1) % 256).reshape(-1, stride)
+        m = fy == 2
+        if m.any():
+            rec[m] = (row[m] + prev[m]) % 256
+        m = fy >= 3
+        if m.any():
+            k = int(m.sum())
+            r = row[m].reshape(k, -1, bpp)
+            pv = prev[m].reshape(k, -1, bpp)
+            is4 = (fy[m] == 4)[:, None]
+            rc = np.empty_like(r)
+            left = np.zeros((k, bpp), np.int64)
+            ul = np.zeros((k, bpp), np.int64)
+            for x in range(r.shape[1]):
+                up = pv[:, x]
+                p = left + up - ul
+                pa_ = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc_ = np.abs(p - ul)
+                paeth = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, ul)
+                )
+                cur = (r[:, x] + np.where(is4, paeth, (left + up) // 2)) % 256
+                rc[:, x] = cur
+                left = cur
+                ul = up
+            rec[m] = rc.reshape(k, stride)
+        out[:, y] = rec
         prev = rec
-    return out.reshape(h, w, channels)
+    return out
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decoder (8-bit, color types 0/2/6; all five
+    scanline filters; multi-IDAT) → ``(h, w, channels)`` uint8 array.
+    One-image front of the vectorized :func:`_unfilter_rows` kernel
+    (batch decode over many same-shape images:
+    :func:`decode_png_pixels_batch`)."""
+    h, w, channels, data = _parse_png(payload)
+    return _unfilter_rows(data[None], channels)[0].reshape(h, w, channels)
+
+
+def encode_png_rgb_batch(imgs, *, mixed_filters: bool = True) -> list[bytes]:
+    """Vectorized many-image PNG writer: ``imgs`` is ``(n, h, w, 3)``
+    uint8 (same shape — the synth-corpus case) → list of PNG bytes.
+    The filter transform runs ONCE per row across all images (filters
+    depend only on y in mixed mode); only the zlib deflate stays
+    per-image (C speed).  Byte-identical to per-image
+    :func:`encode_png_rgb`."""
+    import numpy as np
+
+    a = np.ascontiguousarray(imgs, dtype=np.uint8)
+    n, h, w, c = a.shape
+    assert c == 3
+    bpp = 3
+    stride = w * bpp
+    rows = a.reshape(n, h, stride).astype(np.int64)
+    raw = np.empty((n, h, stride + 1), np.uint8)
+    zero = np.zeros((n, bpp), np.int64)
+    prev = np.zeros((n, stride), np.int64)
+    for y in range(h):
+        row = rows[:, y]
+        f = (y % 5) if mixed_filters else 0
+        left = np.concatenate([zero, row[:, :-bpp]], axis=1)
+        if f == 0:
+            out = row
+        elif f == 1:
+            out = row - left
+        elif f == 2:
+            out = row - prev
+        elif f == 3:
+            out = row - (left + prev) // 2
+        else:  # Paeth
+            upleft = np.concatenate([zero, prev[:, :-bpp]], axis=1)
+            p = left + prev - upleft
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc_ = np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, upleft))
+            out = row - pred
+        raw[:, y, 0] = f
+        raw[:, y, 1:] = (out % 256).astype(np.uint8)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    head = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    tail = _png_chunk(b"IEND", b"")
+    return [
+        head + _png_chunk(b"IDAT", zlib.compress(raw[i].tobytes())) + tail
+        for i in range(n)
+    ]
+
+
+def decode_png_pixels_batch(payloads):
+    """Many PNG payloads → list of ``(h, w, c)`` uint8 arrays (``None``
+    for corrupt/unsupported ones — the error-folder skip contract).
+
+    Parses and inflates each payload individually (zlib is C-speed),
+    then groups images by shape and unfilters each group through ONE
+    vectorized :func:`_unfilter_rows` call — the per-image Python cost
+    collapses to the parse.  This is the hot path for actor-pool
+    media stages (``AHash(batch_decoder=...)``)."""
+    import numpy as np
+
+    parsed: list = [None] * len(payloads)
+    groups: dict = {}
+    for i, payload in enumerate(payloads):
+        try:
+            h, w, c, data = _parse_png(payload)
+        except (ValueError, struct.error):
+            continue
+        parsed[i] = (h, w, c)
+        groups.setdefault((h, w, c), []).append((i, data))
+    out: list = [None] * len(payloads)
+    for (h, w, c), items in groups.items():
+        stack = np.stack([d for _, d in items])
+        imgs = _unfilter_rows(stack, c).reshape(len(items), h, w, c)
+        for (i, _), img in zip(items, imgs):
+            out[i] = img
+    return out
 
 
 # ----------------------------------------------------- real GIF codec

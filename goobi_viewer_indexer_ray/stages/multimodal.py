@@ -219,6 +219,14 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> np.ndarray:
     )
 
 
+def _image_feature(img: np.ndarray, dim: int) -> np.ndarray:
+    """RGB array → the same 4×4 mean-pool grayscale descriptor
+    :func:`_real_decode` produces — so a Pillow-decoded image yields
+    features identical to the self-contained codecs on the formats
+    both can read (the pytest pin for ``mode="pil"``)."""
+    return _pad(resize_gray(img, 4, 4).reshape(-1), dim)
+
+
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in 'embedding': bytes → seeded vector.
 
@@ -241,12 +249,17 @@ class MediaFeatureExtractor:
     def __init__(self, dim: int = 16, deterministic_fake: bool = True,
                  mode: str | None = None):
         """``mode``: "fake" (deterministic stand-in features), "real"
-        (stdlib decoders; raises for undecodable formats), or "auto"
+        (stdlib decoders; raises for undecodable formats), "auto"
         (real where a decoder exists, fake fallback otherwise — the
-        robust pipeline default).  ``deterministic_fake`` is the
-        back-compat boolean alias for fake/real."""
+        robust pipeline default), or "pil" (Pillow decodes the image
+        formats — including JPEG/WebP, which the self-contained codecs
+        can't — loaded once per actor here in ``__init__``; audio
+        still routes through the stdlib WAV path).
+        ``deterministic_fake`` is the back-compat boolean alias for
+        fake/real."""
         self.dim = dim
         self.mode = mode or ("fake" if deterministic_fake else "real")
+        self._pil = _pil_decode_rgb() if self.mode == "pil" else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -258,6 +271,13 @@ class MediaFeatureExtractor:
             shas.append(hashlib.sha1(payload).hexdigest())
             if self.mode == "fake":
                 feats.append(_fake_feature(payload, self.dim).tolist())
+            elif self.mode == "pil":
+                if mimes[-1].startswith("image/"):
+                    feats.append(
+                        _image_feature(self._pil(payload), self.dim).tolist()
+                    )
+                else:
+                    feats.append(_real_decode(payload, mimes[-1], self.dim).tolist())
             elif self.mode == "real":
                 feats.append(_real_decode(payload, mimes[-1], self.dim).tolist())
             else:  # auto
@@ -374,6 +394,33 @@ class FrameSampler:
         )
 
 
+def _pil_decode_rgb():
+    """Pillow-backed image decoder factory (the ``decoder="pil"`` fast
+    path): returns ``payload -> (h, w, 3) uint8`` or raises
+    ImportError when Pillow is absent (this container ships no image
+    libs — the plumbing is real and tested, the import is the gate)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "decoder='pil' requires Pillow; install it or use the "
+            "self-contained codecs (decode_png_pixels / decode_ppm)"
+        ) from e
+
+    def decode(payload: bytes):
+        import numpy as np
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        except Exception as e:  # PIL raises many types → uniform contract
+            raise ValueError(f"pil decode failed: {e}") from e
+
+    return decode
+
+
 class AHash:
     """Actor-pool stage: image payload → 64-bit average hash — the
     image-modality member of the dedup family (aHash: 8×8 block means
@@ -386,25 +433,44 @@ class AHash:
     The 64 bits pack into ``(hash_hi, hash_lo)`` int32 halves (signed
     BIGINT has no 64th bit).
 
-    Decode is inherently per-payload (like :class:`FrameSampler`);
-    everything after the decode is one vectorized reshape/sum per
-    image.  Corrupt payloads are skipped (error-folder analog).
+    Decode runs through ``batch_decoder`` when given (one vectorized
+    call for the whole batch — e.g.
+    :func:`..stages.imagesize.decode_png_pixels_batch`, which
+    unfilters all same-shape images in one numpy pass), else
+    per-payload ``decoder``.  ``decoder="pil"`` selects a
+    Pillow-backed fast path (loaded once per actor in ``__init__`` —
+    the ST4 model-load pattern); it raises ``ImportError`` at actor
+    construction when Pillow isn't installed, and is pytest-pinned
+    pixel-identical to the self-contained codecs where it is.
+    Corrupt payloads are skipped (error-folder analog).
     """
 
-    def __init__(self, grid: int = 8, decoder=None):
+    def __init__(self, grid: int = 8, decoder=None, batch_decoder=None):
         self.grid = grid
+        if decoder == "pil":
+            decoder = _pil_decode_rgb()  # ImportError here = actor init
         self.decoder = decoder or decode_ppm
+        self.batch_decoder = batch_decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = self.grid
         ids = batch.column("media_id").to_numpy()
         payloads = batch.column("payload")
         out_id, out_hi, out_lo = [], [], []
+        if self.batch_decoder is not None:
+            imgs = self.batch_decoder([p.as_py() for p in payloads])
+        else:
+            imgs = None
         for i in range(len(ids)):
-            try:
-                img = self.decoder(payloads[i].as_py())
-            except (ValueError, NotImplementedError, IndexError):
-                continue  # corrupt decoy → skipped, not fatal
+            if imgs is not None:
+                img = imgs[i]
+                if img is None:
+                    continue  # corrupt decoy → skipped, not fatal
+            else:
+                try:
+                    img = self.decoder(payloads[i].as_py())
+                except (ValueError, NotImplementedError, IndexError):
+                    continue  # corrupt decoy → skipped, not fatal
             h, w, _ = img.shape
             if h % g or w % g:
                 continue

@@ -224,3 +224,62 @@ def test_tiff_gray_codec_roundtrip():
         decode_tiff_gray(b"II*\x00bogus")
     with pytest.raises(ValueError):
         decode_tiff_gray(b"not a tiff")
+
+
+def test_png_batch_codec_identity():
+    """Round-5: the vectorized batch paths must be byte/pixel-identical
+    to the per-image codecs — encode_png_rgb_batch writes the SAME
+    bytes, decode_png_pixels_batch recovers the SAME pixels, and
+    corrupt payloads map to None (error-folder skip), never raise."""
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.stages.imagesize import (
+        decode_png_pixels,
+        decode_png_pixels_batch,
+        encode_png_rgb,
+        encode_png_rgb_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = np.stack(
+        [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(37)]
+    )
+    singles = [encode_png_rgb(im) for im in imgs]
+    batch = encode_png_rgb_batch(imgs)
+    assert singles == batch  # byte-identical payloads
+    # mixed shapes + corrupt entries through the batch decoder
+    big = rng.integers(0, 256, (24, 10, 3), dtype=np.uint8)
+    payloads = [batch[0], b"\x89PNG\r\n\x1a\nbogus", encode_png_rgb(big),
+                batch[1], b"not a png at all"]
+    out = decode_png_pixels_batch(payloads)
+    assert np.array_equal(out[0], imgs[0])
+    assert out[1] is None and out[4] is None
+    assert np.array_equal(out[2], big)
+    assert np.array_equal(out[3], imgs[1])
+    # batch result equals the single-image decoder on every good payload
+    for p, o in zip(payloads, out):
+        if o is not None:
+            assert np.array_equal(decode_png_pixels(p), o)
+
+
+def test_png_unfilter_heterogeneous_filters():
+    """Images in one batch group may use DIFFERENT filters on the same
+    row index — the vectorized kernel masks per filter type."""
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.stages.imagesize import (
+        decode_png_pixels_batch,
+        encode_png_rgb,
+    )
+
+    rng = np.random.default_rng(12)
+    imgs = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(6)]
+    # alternate mixed-filter and all-None payloads: same shape, so they
+    # land in one _unfilter_rows group with heterogeneous filter bytes
+    payloads = [
+        encode_png_rgb(im, mixed_filters=(i % 2 == 0))
+        for i, im in enumerate(imgs)
+    ]
+    out = decode_png_pixels_batch(payloads)
+    for im, o in zip(imgs, out):
+        assert np.array_equal(o, im)

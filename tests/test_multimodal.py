@@ -332,3 +332,68 @@ def test_tiff_feeds_media_extractor():
     assert out.column("mime_sniffed").to_pylist() == ["image/tiff"]
     feats = np.array(out.column("feature").to_pylist())[0]
     assert feats[0] > 0.9 and feats[3] < 0.05
+
+
+def test_ahash_batch_decoder_matches_per_payload(ray_session):
+    """AHash(batch_decoder=...) must hash identically to the
+    per-payload decoder path, and skip corrupt payloads the same way."""
+    import numpy as np
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.imagesize import (
+        decode_png_pixels,
+        decode_png_pixels_batch,
+        encode_png_rgb,
+    )
+    from goobi_viewer_indexer_ray.stages.multimodal import AHash
+
+    rng = np.random.default_rng(21)
+    payloads = [encode_png_rgb(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+                for _ in range(9)]
+    payloads.insert(4, b"\x89PNG\r\n\x1a\nbogus")
+    t = pa.table({"media_id": pa.array(list(range(10)), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    a1 = AHash(decoder=decode_png_pixels)(t)
+    a2 = AHash(batch_decoder=decode_png_pixels_batch)(t)
+    assert a1.equals(a2)
+    assert 4 not in a1.column("media_id").to_pylist()  # corrupt skipped
+
+
+def test_pil_decoder_plumbing():
+    """decoder='pil' (round-4 verdict #3): when Pillow is installed the
+    PIL path must be pixel-identical to the self-contained codecs;
+    without it, actor construction fails LOUDLY with ImportError (the
+    documented gate), never silently falls back."""
+    import pytest
+
+    from goobi_viewer_indexer_ray.stages.multimodal import AHash, MediaFeatureExtractor
+
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        with pytest.raises(ImportError, match="Pillow"):
+            AHash(decoder="pil")
+        with pytest.raises(ImportError, match="Pillow"):
+            MediaFeatureExtractor(mode="pil")
+        return
+
+    import numpy as np
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.imagesize import decode_png_pixels, encode_png_rgb
+
+    rng = np.random.default_rng(31)
+    payloads = [encode_png_rgb(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+                for _ in range(6)]
+    t = pa.table({"media_id": pa.array(list(range(6)), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    ours = AHash(decoder=decode_png_pixels)(t)
+    pil = AHash(decoder="pil")(t)
+    assert ours.equals(pil)  # pixel-identical → hash-identical
+    mfe_real = MediaFeatureExtractor(mode="real")(t)
+    mfe_pil = MediaFeatureExtractor(mode="pil")(t)
+    assert mfe_real.column("feature").equals(mfe_pil.column("feature"))
