@@ -86,21 +86,69 @@ class _Shard:
         self.b_dls = sv.field("dls")
         field_names = [f.name for f in sv.type]
         self.b_poss = sv.field("poss") if "poss" in field_names else None
-        terms_np = np.asarray(t.column("term").to_pylist(), dtype=object)
-        if terms_np.size:
-            new_term = np.ones(terms_np.size, dtype=bool)
-            new_term[1:] = terms_np[1:] != terms_np[:-1]
+        terms_col = t.column("term").combine_chunks()
+        n = len(terms_col)
+        if n:
+            import pyarrow.compute as pc
+
+            # Arrow-native term dictionary (round-4 verdict #5): run
+            # boundaries via one vectorized slice-compare, uniques via
+            # one take — NO per-term Python objects at load time (the
+            # old ``to_pylist`` walk dominated actor warm-up on
+            # million-term vocabs).  Lookups binary-search the sorted
+            # Arrow array (:meth:`find`); the ``terms`` list stays
+            # available lazily for vocab-wide ops.
+            new_term = np.ones(n, dtype=bool)
+            if n > 1:
+                new_term[1:] = pc.not_equal(
+                    terms_col.slice(1), terms_col.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
             row_start = np.flatnonzero(new_term)
-            row_end = np.append(row_start[1:], terms_np.size)
+            row_end = np.append(row_start[1:], n)
             self.m_df = np.add.reduceat(row_df, row_start)
             self.m_cf = np.add.reduceat(row_cf, row_start)
             self.t_blk_s = self.blk_off[row_start]
             self.t_blk_e = self.blk_off[row_end]
-            self.terms = terms_np[new_term].tolist()
+            self.uniq_terms = terms_col.take(pa.array(row_start, pa.int64()))
         else:
             self.m_df = self.m_cf = np.empty(0, np.int64)
             self.t_blk_s = self.t_blk_e = np.empty(0, np.int64)
-            self.terms = []
+            self.uniq_terms = pa.array([], terms_col.type if n else pa.string())
+
+    @property
+    def n_terms(self) -> int:
+        return len(self.uniq_terms)
+
+    def term_at(self, row: int) -> str:
+        return self.uniq_terms[row].as_py()
+
+    def find(self, term: str) -> int:
+        """Row of ``term`` in the sorted unique-term array, or -1.
+
+        Binary search with O(log vocab) Arrow scalar reads — queries
+        touch a handful of terms, so the per-lookup cost is noise,
+        while load time stays free of per-term Python."""
+        lo, hi = 0, len(self.uniq_terms)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = self.uniq_terms[mid].as_py()
+            if v < term:
+                lo = mid + 1
+            elif v > term:
+                hi = mid
+            else:
+                return mid
+        return -1
+
+    @property
+    def terms(self) -> list:
+        """Unique terms as a Python list — LAZY (first use pays the
+        materialization; the serving path never calls this)."""
+        cached = getattr(self, "_terms_list", None)
+        if cached is None:
+            cached = self.uniq_terms.to_pylist()
+            self._terms_list = cached
+        return cached
 
 
 class TermRef:
@@ -296,7 +344,8 @@ class LocalIndex:
                 stats = json.load(f)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"]) or 1.0
-        self._lookup: dict[str, TermRef] = {}
+        self._shards: list[_Shard] = []
+        self._lookup_cache: dict[str, TermRef] | None = None
         if tables is None:
             assert out_dir is not None
             from concurrent.futures import ThreadPoolExecutor
@@ -320,15 +369,38 @@ class LocalIndex:
             sh = _Shard(_merge_segments(by_shard[sid]))
             sh.cache = cache  # shared LRUs across the index's shards
             sh.imp_cache = imp_cache
-            for i, term in enumerate(sh.terms):
-                self._lookup[term] = TermRef(sh, i)
+            self._shards.append(sh)
 
     @property
     def n_terms(self) -> int:
-        return len(self._lookup)
+        return sum(sh.n_terms for sh in self._shards)
 
     def lookup(self, term: str) -> TermRef | None:
-        return self._lookup.get(term)
+        """Term → handle, via per-shard binary search over the Arrow
+        term arrays.  Terms are hash-sharded (one shard owns a term),
+        so this scans the few shards with O(log vocab) reads each —
+        no load-time dict, no per-term Python objects (verdict #5)."""
+        for sh in self._shards:
+            row = sh.find(term)
+            if row >= 0:
+                return TermRef(sh, row)
+        return None
+
+    def iter_terms(self):
+        """Lazy (term, TermRef) stream across shards — the vocab-wide
+        iteration surface (suggesters, stats); serving never needs it."""
+        for sh in self._shards:
+            for i, term in enumerate(sh.terms):
+                yield term, TermRef(sh, i)
+
+    @property
+    def _lookup(self) -> dict:
+        """Back-compat full-vocab dict, built LAZILY on first access
+        (tests and explicit vocab-wide callers only — constructing
+        LocalIndex no longer materializes any per-term Python)."""
+        if self._lookup_cache is None:
+            self._lookup_cache = dict(self.iter_terms())
+        return self._lookup_cache
 
 
 def load_index_refs(out_dir: str):
@@ -576,30 +648,40 @@ class SearchEngine:
         pays the whole cost in ``__init__``, not across its first
         thousand user queries.
         """
-        seen: set[int] = set()
         total = 0
-        for ref in self.index._lookup.values():
-            sh = ref.shard
-            if id(sh) in seen:
-                continue
-            seen.add(id(sh))
+        for sh in self.index._shards:
             for col in (sh.b_docs, sh.b_tfs, sh.b_dls):
                 for buf in col.buffers():
                     if buf is not None:
                         total += int(np.frombuffer(buf, np.uint8).sum(dtype=np.int64))
         # pre-fill the posting/impact LRUs with the heaviest terms (the
         # ones queries will hit, Zipf) — this also faults in the cache
-        # allocations themselves, so steady-state queries never pay it
-        by_df = sorted(self.index._lookup.values(), key=lambda r: -r.df)
-        budget = self.index.cache_budget // 4  # prefill the head only
-        filled = 0
-        for ref in by_df:
-            if filled >= budget or ref.df < 1000:
-                break
-            ref.impacts(self.index.avgdl)
-            filled += ref.df
-        if by_df:
-            biggest_term = next(t for t, r in self.index._lookup.items() if r is by_df[0])
+        # allocations themselves, so steady-state queries never pay it.
+        # Heavy-term selection works on the per-shard df ARRAYS (one
+        # argsort over numpy), not a vocab-wide Python dict (verdict
+        # #5: actor warm-up must not materialize per-term objects).
+        dfs = [sh.m_df for sh in self.index._shards if sh.n_terms]
+        if dfs:
+            flat_df = np.concatenate(dfs)
+            sh_of = np.concatenate([
+                np.full(sh.n_terms, i, np.int64)
+                for i, sh in enumerate(self.index._shards) if sh.n_terms
+            ])
+            row_of = np.concatenate([
+                np.arange(sh.n_terms, dtype=np.int64)
+                for sh in self.index._shards if sh.n_terms
+            ])
+            order = np.argsort(-flat_df, kind="stable")
+            budget = self.index.cache_budget // 4  # prefill the head only
+            filled = 0
+            for j in order:
+                if filled >= budget or flat_df[j] < 1000:
+                    break
+                ref = TermRef(self.index._shards[int(sh_of[j])], int(row_of[j]))
+                ref.impacts(self.index.avgdl)
+                filled += ref.df
+            top = int(order[0])
+            biggest_term = self.index._shards[int(sh_of[top])].term_at(int(row_of[top]))
             topk_exact(self.index, biggest_term, 10)
             topk_wand(self.index, biggest_term, 10)
         return True
