@@ -5967,10 +5967,11 @@ def q_bpe_encode(sf_dir: str):
     (:func:`stages.bpe.bpe_encode`)."""
     from ..stages.bpe import bpe_encode, bpe_train
 
-    m = bpe_train(_documents(sf_dir), n_merges=BPE_MERGES)
+    m, vocab = bpe_train(_documents(sf_dir), n_merges=BPE_MERGES,
+                         return_vocab=True)
     merges = list(zip(m.column("lft").to_pylist(),
                       m.column("rgt").to_pylist()))
-    return bpe_encode(_documents(sf_dir), merges)
+    return bpe_encode(_documents(sf_dir), merges, vocab=vocab)
 
 
 def _bpe_encode_sql(n: int = BPE_MERGES) -> str:

@@ -104,3 +104,39 @@ def test_bpe_encode_drops_empty_and_partition_invariant(ray_session):
     assert a.equals(b)
     # empty docs (ids 1, 5, 9, 13) are dropped
     assert set(a.doc_id) == set(range(len(texts))) - {1, 5, 9, 13}
+
+
+def test_local_and_distributed_rounds_identical(ray_session):
+    """Round-5: the driver-local merge-round fast path must be
+    bit-identical to the distributed groupby rounds (same merges, same
+    counts, same tie-breaks), and the returned vocab's n_bpe must match
+    what encode's merge replay derives."""
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.bpe import bpe_encode, bpe_train
+
+    rows = [
+        {"doc_id": i,
+         "text": f"banana bandana {'spam ' * (i % 4)}band banal {i}"}
+        for i in range(60)
+    ]
+    docs = lambda: ray.data.from_items(rows).repartition(4)  # noqa: E731
+    local = bpe_train(docs(), n_merges=6)  # vocab tiny → local path
+    dist = bpe_train(docs(), n_merges=6, local_threshold=0)  # forced dist
+    assert local.equals(dist)
+
+    merges_t, vocab = bpe_train(docs(), n_merges=6, return_vocab=True)
+    assert merges_t.equals(local)
+    merges = list(zip(merges_t.column("lft").to_pylist(),
+                      merges_t.column("rgt").to_pylist()))
+    via_vocab = bpe_encode(docs(), merges, vocab=vocab).to_pandas()
+    via_replay = bpe_encode(docs(), merges).to_pandas()
+    key = ["doc_id"]
+    assert via_vocab.sort_values(key).reset_index(drop=True).equals(
+        via_replay.sort_values(key).reset_index(drop=True))
+    # OOV fallback: encode a corpus with words the vocab never saw
+    other = ray.data.from_items(
+        [{"doc_id": 900, "text": "zzzunseen banana wordsz"}])
+    a = bpe_encode(other, merges, vocab=vocab).to_pandas()
+    b = bpe_encode(other, merges).to_pandas()
+    assert a.equals(b)
