@@ -198,15 +198,49 @@ def kmeans_assign(ds, *, k: int = KM_K, iters: int = KM_ITERS):
     return dsq.map_batches(final, batch_format="pyarrow")
 
 
+SEM_TILE = 2048  # hot-cluster bound: members above this fan out into
+#                  block×block tile pairs instead of one N×N Gram task
+
+_SENTINEL = np.int64(1) << np.int64(62)
+
+
+def _splitmix_block(ids: np.ndarray, num_blocks: int) -> np.ndarray:
+    """splitmix64-finalized block id — uniform even for strided or
+    clustered vec_id spaces (the ``embedding_dup_pairs`` rule)."""
+    x = ids.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x % np.uint64(num_blocks)).astype(np.int64)
+
+
 def semantic_dedup(ds, *, k: int = KM_K, iters: int = KM_ITERS,
-                   num: int = SEM_NUM, den: int = SEM_DEN):
+                   num: int = SEM_NUM, den: int = SEM_DEN,
+                   tile: int = SEM_TILE):
     """SemDeDup: Dataset of ``(vec_id, cluster, dup_of, keep)`` where
     ``dup_of`` is the LOWEST-id cluster-mate with quantized cosine ≥
     √(num/den) (−1 if none) and ``keep = dup_of < 0``.  Blocking =
-    the trained k-means clusters; one ``groupby(cluster).map_groups``
-    does all pairwise work inside the block.  No join: the final
-    assignment is recomputed from the broadcast centroid matrix inside
-    the same pass that carries the vectors to their cluster's group."""
+    the trained k-means clusters; within-cluster pairwise work runs in
+    one ``groupby(cluster).map_groups`` Gram task per NORMAL cluster.
+
+    **Hot-cluster sharding** (round-4 verdict #7 — the caveat made
+    real): clusters larger than ``tile`` members no longer run one
+    |cluster|²-memory task.  Their rows fan out once per block
+    (``blk = splitmix64(vec_id) % B``, ``B = ⌈n/tile⌉``) into every
+    unordered block pair; a ``groupby(cluster, blk_a, blk_b)`` tile
+    kernel emits, per vector, the lowest matching lower-id mate seen
+    IN THAT TILE, plus one sentinel row per member from its home tile
+    (so no-match vectors survive); a final ``groupby(vec_id).min``
+    folds tile minima into the exact global ``dup_of``.  Per-task
+    memory is bounded by ``2·tile`` vectors regardless of cluster
+    size; communication is members × B rows — the inherent exact
+    all-pairs cost, same as :func:`..stages.ann.embedding_dup_pairs`.
+    With no hot clusters the plan is EXACTLY the old single-shuffle
+    one (cold path untouched → hash-green by construction)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
     dsq = _quantized_ds(ds)
     C = _lloyd(dsq, k=k, iters=iters)
 
@@ -241,7 +275,153 @@ def semantic_dedup(ds, *, k: int = KM_K, iters: int = KM_ITERS,
             }
         )
 
-    return joined.groupby("cluster").map_groups(dedup_group, batch_format="pyarrow")
+    # cluster sizes: k tiny rows to the driver (one extra map-only
+    # re-execution of the tag pass — cheaper than materializing the
+    # tagged corpus, and zero when everything is cold anyway)
+    sizes = {int(r["cluster"]): int(r["count()"])
+             for r in joined.groupby("cluster").count().take_all()}
+    hot = {c: n for c, n in sizes.items() if n > tile}
+    if not hot:
+        return joined.groupby("cluster").map_groups(
+            dedup_group, batch_format="pyarrow"
+        )
+
+    hot_arr = pa.array(sorted(hot), pa.int64())
+    blocks_of = {c: -(-n // tile) for c, n in hot.items()}
+
+    cold = joined.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t.column("cluster"), value_set=hot_arr))
+        ),
+        batch_format="pyarrow",
+    )
+    cold_out = cold.groupby("cluster").map_groups(
+        dedup_group, batch_format="pyarrow"
+    )
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_in(t.column("cluster"), value_set=hot_arr))
+        ids = sub.column("vec_id").to_numpy().astype(np.int64)
+        cl = sub.column("cluster").to_numpy().astype(np.int64)
+        parts = []
+        for c in np.unique(cl):
+            B = blocks_of[int(c)]
+            m = cl == c
+            cids = ids[m]
+            rows = sub.filter(pa.array(m))
+            blk = _splitmix_block(cids, B)
+            others = np.arange(B, dtype=np.int64)
+            rep_idx = np.repeat(np.arange(cids.size, dtype=np.int64), B)
+            rep_blk = np.repeat(blk, B)
+            rep_other = np.tile(others, cids.size)
+            rt = rows.take(pa.array(rep_idx))
+            parts.append(
+                rt.append_column(
+                    "blk", pa.array(rep_blk, pa.int64())
+                ).append_column(
+                    "blk_a", pa.array(np.minimum(rep_blk, rep_other), pa.int64())
+                ).append_column(
+                    "blk_b", pa.array(np.maximum(rep_blk, rep_other), pa.int64())
+                )
+            )
+        if not parts:
+            sch = t.schema.append(pa.field("blk", pa.int64()))
+            sch = sch.append(pa.field("blk_a", pa.int64()))
+            sch = sch.append(pa.field("blk_b", pa.int64()))
+            return sch.empty_table()
+        return pa.concat_tables(parts)
+
+    def tile_kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "dup_of": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        ids = g.column("vec_id").to_numpy().astype(np.int64)
+        blk = g.column("blk").to_numpy().astype(np.int64)
+        cluster = int(g.column("cluster")[0].as_py())
+        ba = int(g.column("blk_a")[0].as_py())
+        bb = int(g.column("blk_b")[0].as_py())
+        _all_ids, qs = _q_matrix(g)
+        qu = qs - 127
+        out_v, out_d = [], []
+        if ba == bb:
+            # home tile: sentinel rows (each member exactly once across
+            # all its tile pairs) + within-tile pairs
+            m = blk == ba
+            tids, tqu = ids[m], qu[m]
+            order = np.argsort(tids, kind="stable")
+            tids, tqu = tids[order], tqu[order]
+            out_v.extend(tids.tolist())
+            out_d.extend([int(_SENTINEL)] * tids.size)
+            if tids.size > 1:
+                G = tqu @ tqu.T
+                n2 = np.diag(G).copy()
+                ok = (G > 0) & (den * G * G >= num * np.outer(n2, n2))
+                np.fill_diagonal(ok, False)
+                ok[:, :] = np.tril(ok, -1)
+                has = ok.any(axis=1)
+                first = ok.argmax(axis=1)
+                out_v.extend(tids[has].tolist())
+                out_d.extend(tids[first[has]].tolist())
+        else:
+            ma, mb = blk == ba, blk == bb
+            ia, qa = ids[ma], qu[ma]
+            ib, qb = ids[mb], qu[mb]
+            if ia.size and ib.size:
+                G = qb @ qa.T  # (nb, na) cross gram
+                n2a = np.einsum("ij,ij->i", qa, qa)
+                n2b = np.einsum("ij,ij->i", qb, qb)
+                ok = (G > 0) & (den * G * G >= num * np.outer(n2b, n2a))
+                # lower-id mate in EITHER direction across the tiles
+                lower_ba = ia[None, :] < ib[:, None]  # a-side mate lower
+                okb = ok & lower_ba
+                hasb = okb.any(axis=1)
+                if hasb.any():
+                    cand = np.where(okb, ia[None, :], _SENTINEL).min(axis=1)
+                    out_v.extend(ib[hasb].tolist())
+                    out_d.extend(cand[hasb].tolist())
+                oka = ok & ~lower_ba
+                hasa = oka.any(axis=0)
+                if hasa.any():
+                    cand = np.where(oka, ib[:, None], _SENTINEL).min(axis=0)
+                    out_v.extend(ia[hasa].tolist())
+                    out_d.extend(cand[hasa].tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cluster": pa.array(
+                    np.full(len(out_v), cluster, np.int64), pa.int64()
+                ),
+                "dup_of": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    folded = (
+        joined.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["cluster", "blk_a", "blk_b"])
+        .map_groups(tile_kernel, batch_format="pyarrow")
+        .groupby(["vec_id", "cluster"])
+        .aggregate(Min("dup_of", alias_name="dup_of"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("dup_of").to_numpy().astype(np.int64)
+        none = d >= int(_SENTINEL)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+                "cluster": pc.cast(t.column("cluster"), pa.int64()),
+                "dup_of": pa.array(np.where(none, np.int64(-1), d), pa.int64()),
+                "keep": pa.array(none),
+            }
+        )
+
+    return cold_out.union(folded.map_batches(finish, batch_format="pyarrow"))
 
 
 # ----------------------------------------------- centroid classifier
