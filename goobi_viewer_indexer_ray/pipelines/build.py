@@ -139,7 +139,43 @@ def _resolve_pages(pages: str | list[str]) -> list[str]:
     return sorted(pages)
 
 
-def _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size, use_actors, concurrency):
+def _plan_partition_map(paths, out_dir, strategy):
+    """Assign every input url a partition through a STATEFUL strategy
+    (functions/partition.py) and persist the ledger.
+
+    The (url, nbytes) pairs are computed by a pruned distributed scan;
+    the sequential smallest-sufficient-space fold then runs on the
+    driver in (url-sorted) deterministic order — the reference assigns
+    per record file on its single hotfolder thread, and this is the
+    same hotfolder-scale policy surface (bounded by the ingest batch,
+    NOT a corpus-wide materialization: the default hash strategy skips
+    all of this).  Sticky: urls already in the ledger keep their
+    partition; the extended ledger is re-persisted atomically."""
+    from ..functions.partition import save_ledger
+
+    def sizes(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "nbytes": pc.cast(pc.binary_length(t.column("html")), pa.int64()),
+            }
+        )
+
+    small = (
+        ray.data.read_parquet(paths, columns=["url", "html"])
+        .map_batches(sizes, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url", kind="stable")
+    )
+    strategy.assign(small["url"].tolist(), small["nbytes"].tolist())
+    save_ledger(out_dir, strategy)
+    return dict(strategy.assign_map)
+
+
+def _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size,
+                   use_actors, concurrency, part_map=None):
     """pages files → Dataset of compressed per-part SPIMI run rows,
     writing docs/part=* and runs/part=* files as side effects."""
     ds = ray.data.read_parquet(paths, columns=["url", "warc_ts", "html", "lang"])
@@ -147,7 +183,8 @@ def _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size, use_ac
         pool = concurrency or max(1, _cpus() - 2)
         ds = ds.map_batches(
             ExtractPages,
-            fn_constructor_kwargs={"num_parts": num_parts},
+            fn_constructor_kwargs={"num_parts": num_parts,
+                                   "part_map": part_map},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=pool,
@@ -155,7 +192,8 @@ def _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size, use_ac
         )
     else:
         ds = ds.map_batches(
-            ExtractPages(num_parts), batch_format="pyarrow", batch_size=batch_size
+            ExtractPages(num_parts, part_map), batch_format="pyarrow",
+            batch_size=batch_size
         )
     writer = DocsPartWriter(
         os.path.join(out_dir, "docs"), os.path.join(out_dir, "runs"), fp, num_shards
@@ -167,8 +205,21 @@ def _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size, use_ac
     return ds.groupby("part").map_groups(write_docs_part, batch_format="pyarrow")
 
 
+def _strategy_fp(out_dir: str, strategy) -> str:
+    """Manifest record of the partition policy: the explicit strategy,
+    else whatever ledger a previous build persisted (updates must not
+    re-stamp a strategy build as hash-partitioned), else hash."""
+    if strategy is not None:
+        return strategy.fingerprint()
+    from ..functions.partition import load_ledger
+
+    led = load_ledger(out_dir)
+    return led.fingerprint() if led is not None else "hash"
+
+
 def _collect_docs_manifest(out_dir: str, fp: str, num_parts: int, num_shards: int,
-                           part_fps: dict[int, str] | None = None) -> dict:
+                           part_fps: dict[int, str] | None = None,
+                           strategy=None) -> dict:
     """Fold per-part manifests into the docs manifest.
 
     Enumerates part ids ``0..num_parts-1`` (NEVER a ``part=*`` glob —
@@ -198,6 +249,7 @@ def _collect_docs_manifest(out_dir: str, fp: str, num_parts: int, num_shards: in
             "total_tokens": total_tokens,
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "n_dups_removed": int(sum(p["n_dups_removed"] for p in parts)),
+            "partition_strategy": _strategy_fp(out_dir, strategy),
             "parts": [
                 {"part": int(p["part"]), "n_rows": int(p["n_rows"]),
                  "fp": p["fingerprint"]}
@@ -322,6 +374,7 @@ def build_docs(
     batch_size: int = 256,
     use_actors: bool = False,
     resume: bool = True,
+    partition_strategy=None,
 ) -> dict:
     """pages parquet → deduped docs table + per-part SPIMI run cache.
 
@@ -338,15 +391,27 @@ def build_docs(
     charset models, ML scorers — SURVEY.md §2.3 ST4).
     """
     paths = _resolve_pages(pages)
-    num_parts = _auto_parts(paths, num_parts)
+    if partition_strategy is not None:
+        num_parts = partition_strategy.num_parts
+    else:
+        num_parts = _auto_parts(paths, num_parts)
     num_shards = num_shards or num_parts
-    fp = _job_fp(input_fingerprint(paths), num_parts=num_parts, num_shards=num_shards)
+    fp = _job_fp(
+        input_fingerprint(paths), num_parts=num_parts, num_shards=num_shards,
+        strategy=(partition_strategy.fingerprint()
+                  if partition_strategy is not None else ""),
+    )
     if resume and (m := _docs_manifest_ok(out_dir, fp)):
         return m
+    part_map = (
+        _plan_partition_map(paths, out_dir, partition_strategy)
+        if partition_strategy is not None else None
+    )
     rows = _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size,
-                          use_actors, concurrency)
+                          use_actors, concurrency, part_map=part_map)
     rows.count()  # drive the stream; outputs land as side-effect files
-    return _collect_docs_manifest(out_dir, fp, num_parts, num_shards)
+    return _collect_docs_manifest(out_dir, fp, num_parts, num_shards,
+                                  strategy=partition_strategy)
 
 
 def read_docs(out_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
@@ -435,16 +500,30 @@ def build_all(
     concurrency: int | None = None,
     use_actors: bool = False,
     resume: bool = True,
+    partition_strategy=None,
 ) -> dict:
     """Fused pipeline: pages → docs → index in ONE streaming execution.
 
-    Returns the index manifest.
+    Returns the index manifest.  ``partition_strategy`` swaps the
+    default url-hash partitioner for a stateful policy
+    (``functions/partition.py`` — RemainingSpace / MaxRecordNumber,
+    the reference's data-repository strategies); its ledger persists
+    under ``out_dir`` and the strategy fingerprint enters the job
+    fingerprint, so a policy change invalidates resume while a rerun
+    under the same policy is a byte-identical no-op.
     """
     paths = _resolve_pages(pages)
-    num_parts = _auto_parts(paths, num_parts)
+    if partition_strategy is not None:
+        num_parts = partition_strategy.num_parts
+    else:
+        num_parts = _auto_parts(paths, num_parts)
     num_shards = num_shards or num_parts
     ppb, bucket_size_docs = _bucketing(num_parts, num_range_buckets)
-    docs_fp = _job_fp(input_fingerprint(paths), num_parts=num_parts, num_shards=num_shards)
+    docs_fp = _job_fp(
+        input_fingerprint(paths), num_parts=num_parts, num_shards=num_shards,
+        strategy=(partition_strategy.fingerprint()
+                  if partition_strategy is not None else ""),
+    )
     index_fp = _job_fp(docs_fp, num_shards=num_shards, ppb=ppb)
 
     docs_ok = _docs_manifest_ok(out_dir, docs_fp) if resume else None
@@ -455,13 +534,18 @@ def build_all(
         return build_index(out_dir, num_shards=num_shards,
                            num_range_buckets=num_range_buckets, resume=resume)
 
+    part_map = (
+        _plan_partition_map(paths, out_dir, partition_strategy)
+        if partition_strategy is not None else None
+    )
     seg_fps = _segment_fps(num_parts, ppb, num_shards,
                            {p: docs_fp for p in range(num_parts)})
     runs_rows = _docs_pipeline(paths, out_dir, docs_fp, num_parts, num_shards, 256,
-                               use_actors, concurrency)
+                               use_actors, concurrency, part_map=part_map)
     seg_rows = _merge_runs(runs_rows, os.path.join(out_dir, "index"), index_fp,
                            bucket_size_docs=bucket_size_docs, seg_fps=seg_fps)
-    docs_man = _collect_docs_manifest(out_dir, docs_fp, num_parts, num_shards)
+    docs_man = _collect_docs_manifest(out_dir, docs_fp, num_parts, num_shards,
+                                      strategy=partition_strategy)
     # reconcile: the fused path seeded segment fps assuming every part
     # produces docs; if any part came up empty, the canonical fp (from
     # the collected manifest's part list — what build_index/apply_updates

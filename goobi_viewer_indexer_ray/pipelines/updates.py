@@ -274,9 +274,23 @@ def _apply_updates_locked(
         op="update",
     )
 
+    # partition routing honors a persisted strategy ledger when the
+    # build used one (functions/partition.py): sticky urls keep their
+    # recorded part; everything else falls back to the url hash
+    from ..functions.partition import load_ledger
+
+    ledger = load_ledger(out_dir)
+
+    def _part_of(u: str) -> int:
+        if ledger is not None:
+            got = ledger.assign_map.get(u)
+            if got is not None:
+                return int(got)
+        return part_for(u, num_parts)
+
     deletes_by_part: dict[int, list[str] | str] = {}
     for u in deleted_urls:
-        deletes_by_part.setdefault(part_for(u, num_parts), []).append(u)  # type: ignore[union-attr]
+        deletes_by_part.setdefault(_part_of(u), []).append(u)  # type: ignore[union-attr]
     if tombstones:
         for name in sorted(os.listdir(tombstones)):
             if not name.startswith("part="):
@@ -292,7 +306,18 @@ def _apply_updates_locked(
         # streaming delta: extract → shuffle by part → merge in-place
         ds = rd.read_parquet(_resolve_pages(delta_pages),
                              columns=["url", "warc_ts", "html", "lang"])
-        ds = ds.map_batches(ExtractPages(num_parts), batch_format="pyarrow")
+        part_map = None
+        if ledger is not None:
+            # extend the sticky ledger over the delta's NEW urls (the
+            # delta is the small side of an update) and re-persist —
+            # the reference's "previous repository wins" rule
+            from .build import _plan_partition_map
+
+            part_map = _plan_partition_map(
+                _resolve_pages(delta_pages), out_dir, ledger
+            )  # _plan_partition_map re-persists the extended ledger
+        ds = ds.map_batches(ExtractPages(num_parts, part_map),
+                            batch_format="pyarrow")
         merger = _DeltaPartMerger(out_dir, fp, num_shards, deletes_by_part)
 
         def merge_delta_part(g: pa.Table) -> pa.Table:
@@ -319,7 +344,7 @@ def _apply_updates_locked(
         # trace rows are skipped.
         with open(os.path.join(out_dir, "tombstones.jsonl"), "a") as f:
             for u in sorted(deleted_urls):
-                f.write(json.dumps({"url": u, "part": part_for(u, num_parts),
+                f.write(json.dumps({"url": u, "part": _part_of(u),
                                     "reason": reason, "deleted_at": time.time()}) + "\n")
 
     # expected per-part fingerprints: dirty parts carry the update fp,

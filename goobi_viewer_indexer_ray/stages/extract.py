@@ -12,6 +12,7 @@ must not travel further down the pipeline).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..functions.extract import extract_text
@@ -42,8 +43,13 @@ class ExtractPages:
     than trusting stale index state).
     """
 
-    def __init__(self, num_parts: int):
+    def __init__(self, num_parts: int, part_map: dict[str, int] | None = None):
         self.num_parts = num_parts
+        # optional explicit url → part assignment (a partition
+        # STRATEGY's ledger — functions/partition.py); urls not in the
+        # map fall back to the hash.  The map rides the closure/actor
+        # init: it is the ingest-batch small side, never corpus-sized.
+        self.part_map = part_map
         # touch the module-level compiled regexes once per actor
         self._extract = extract_text
         self._tokenize = tokenize
@@ -59,6 +65,13 @@ class ExtractPages:
             texts.append(t)
             doc_lens.append(len(tok(t)))
         urls = batch.column("url")
+        url_list = urls.to_pylist()
+        parts = part_array(url_list, self.num_parts)
+        if self.part_map:
+            pm = self.part_map
+            parts = np.array(
+                [pm.get(u, int(h)) for u, h in zip(url_list, parts)], np.int32
+            )
         return pa.table(
             {
                 "url": urls,
@@ -66,6 +79,6 @@ class ExtractPages:
                 "lang": batch.column("lang"),
                 "text": pa.array(texts, pa.string()),
                 "doc_len": pa.array(doc_lens, pa.int32()),
-                "part": pa.array(part_array(urls.to_pylist(), self.num_parts)),
+                "part": pa.array(parts),
             }
         )
