@@ -348,15 +348,37 @@ def encode_frontcoded_block(terms: list[str]) -> bytes:
 
 
 def decode_frontcoded_block(buf: bytes | memoryview) -> list[str]:
-    """Inverse of :func:`encode_frontcoded_block`."""
+    """Inverse of :func:`encode_frontcoded_block`.
+
+    Corrupt input (truncated bytes, zero term count, an lcp longer
+    than the previous term, trailing garbage) raises ``ValueError`` —
+    the same fail-loud contract as the sibling decoders
+    (``decode_ef``, ``decode_png_pixels``, ``decode_gif_pixels``)."""
     b = bytes(buf)
+    if len(b) < 2:
+        raise ValueError("frontcoded block: truncated header")
     n = b[0]
+    if n == 0:
+        raise ValueError("frontcoded block: zero term count")
     ln = b[1]
     pos = 2 + ln
+    if pos > len(b):
+        raise ValueError("frontcoded block: truncated first term")
     terms = [b[2:pos]]
     for _ in range(n - 1):
+        if pos + 2 > len(b):
+            raise ValueError("frontcoded block: truncated entry header")
         lcp, sl = b[pos], b[pos + 1]
+        if lcp > len(terms[-1]):
+            raise ValueError(
+                f"frontcoded block: lcp {lcp} exceeds previous term "
+                f"length {len(terms[-1])}"
+            )
         pos += 2
+        if pos + sl > len(b):
+            raise ValueError("frontcoded block: truncated suffix bytes")
         terms.append(terms[-1][:lcp] + b[pos:pos + sl])
         pos += sl
+    if pos != len(b):
+        raise ValueError("frontcoded block: trailing bytes after last term")
     return [t.decode("utf-8") for t in terms]

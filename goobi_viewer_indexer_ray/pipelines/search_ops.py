@@ -1256,6 +1256,9 @@ def parse_querystring(s: str):
 
     def take():
         nonlocal pos
+        if pos >= len(toks):  # 'foo AND', '(', trailing NOT — fail with
+            # the module's documented error type, not an IndexError
+            raise ValueError("unexpected end of query")
         t = toks[pos]
         pos += 1
         return t

@@ -868,6 +868,20 @@ def bfs_depth(nodes, edges, *, seed_mod: int = 97, rounds: int = 5,
     depth[nodes_sorted % seed_mod == 0] = 0
     s_idx = np.searchsorted(nodes_sorted, src)
     d_idx = np.searchsorted(nodes_sorted, dst)
+    # endpoint validation (ADVICE r4): an edge touching a node absent
+    # from the node table must not silently alias into a neighbor slot
+    # (or index past the array for endpoints > max(node)) — the other
+    # graph operators' node-closed contract, enforced
+    for idx, ep, what in ((s_idx, src, "src"), (d_idx, dst, "dst")):
+        bad = (idx >= nodes_sorted.size) | (
+            nodes_sorted[np.minimum(idx, nodes_sorted.size - 1)] != ep
+        )
+        if bad.any():
+            raise ValueError(
+                f"bfs_depth: {int(bad.sum())} edge {what} endpoints are "
+                f"not in the node table (first: {int(ep[bad.argmax()])}) — "
+                "the edge set must be node-closed"
+            )
     for r in range(1, rounds + 1):
         at_prev = depth[s_idx] == r - 1
         cand = d_idx[at_prev]

@@ -157,3 +157,29 @@ def test_frontcode_roundtrip_and_size():
         encode_frontcoded_block(["b", "a"])
     with pytest.raises(ValueError):
         encode_frontcoded_block([])
+
+
+def test_frontcoded_corrupt_inputs_raise():
+    """Round-4 ADVICE: corrupt buffers must raise ValueError like the
+    sibling decoders, never silently return wrong terms."""
+    import pytest
+
+    from goobi_viewer_indexer_ray.functions.codec import (
+        decode_frontcoded_block,
+        encode_frontcoded_block,
+    )
+
+    good = encode_frontcoded_block(["alpha", "alphabet", "beta"])
+    assert decode_frontcoded_block(good) == ["alpha", "alphabet", "beta"]
+    cases = [
+        b"",                       # truncated header
+        b"\x00",                   # truncated header
+        bytes([0, 1]) + b"a",      # zero term count
+        good[:-1],                 # truncated suffix bytes
+        good + b"x",               # trailing garbage
+        bytes([2, 1]) + b"a" + bytes([5, 0]),  # lcp > previous term
+        bytes([3, 1]) + b"a",      # truncated entry header
+    ]
+    for c in cases:
+        with pytest.raises(ValueError):
+            decode_frontcoded_block(c)

@@ -284,3 +284,25 @@ def test_triangles_methods_identical(ray_session):
     )
     assert len(fast) > 0
     assert fast.equals(dist)
+
+
+def test_bfs_depth_rejects_non_node_closed_edges(ray_session):
+    """Round-4 ADVICE: an edge endpoint absent from the node table must
+    raise, not silently alias into a neighboring node slot."""
+    import pytest
+    import ray.data
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import bfs_depth
+
+    nodes = ray.data.from_items([{"node": n} for n in (0, 5, 10)])
+    ok = bfs_depth(nodes, ray.data.from_items(
+        [{"src": 0, "dst": 5}]), rounds=2).to_pydict()
+    assert dict(zip(ok["doc_id"], ok["depth"])) == {0: 0, 5: 1, 10: -1}
+    # dst=7 not in nodes → would have aliased into node 10's slot
+    with pytest.raises(ValueError, match="node-closed"):
+        bfs_depth(ray.data.from_items([{"node": n} for n in (0, 5, 10)]),
+                  ray.data.from_items([{"src": 0, "dst": 7}]), rounds=2)
+    # endpoint beyond max(node) → would have indexed past the array
+    with pytest.raises(ValueError, match="node-closed"):
+        bfs_depth(ray.data.from_items([{"node": n} for n in (0, 5, 10)]),
+                  ray.data.from_items([{"src": 0, "dst": 99}]), rounds=2)

@@ -298,3 +298,18 @@ def test_parse_querystring_grammar():
     assert p("NOT (a OR b)") == ("not", ("or", [("term", "a"), ("term", "b")]))
     assert p('"x y" AND z') == ("and", [("phrase", "x y"), ("term", "z")])
     assert p("((a))") == ("term", "a")
+
+
+def test_parse_querystring_truncated_raises_valueerror():
+    """Round-4 ADVICE: truncated/malformed query strings raise the
+    module's documented ValueError, not an internal IndexError."""
+    import pytest
+
+    from goobi_viewer_indexer_ray.pipelines.search_ops import parse_querystring
+
+    for bad in ("foo AND", "(", "NOT", "-", "a OR (b AND"):
+        with pytest.raises(ValueError, match="unexpected end of query"):
+            parse_querystring(bad)
+    # well-formed queries still parse
+    assert parse_querystring('a AND (b OR "c d")') == (
+        "and", [("term", "a"), ("or", [("term", "b"), ("phrase", "c d")])])
