@@ -205,7 +205,8 @@ def _removed_urls(out_dir: str, removed: list[str], live: list[str]) -> list[str
 
 def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
                auto_optimize: bool = False,
-               config_path: str | None = None) -> dict:
+               config_path: str | None = None,
+               notify=None) -> dict:
     """One poll tick.  Returns a report
     ``{reindexed, indexed, deleted_urls, purged_urls, updated_docs,
     acknowledged, config_reindexed, pending, removed}``; the ledger is
@@ -434,12 +435,36 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
         del pending[name]
 
     _save_state(out_dir, state)
+
+    # success callback (Utils.submitDataToViewer, Hotfolder.java:737
+    # and the per-record calls at :762,:770,:780): after a tick that
+    # changed the index, notify the viewer-side consumer with what
+    # changed and how many record/command files remain in the
+    # hotfolder (countRecordFiles analog).  ``notify`` is a pluggable
+    # callable — no network in this engine; the REST POST is one
+    # requests.post away at this integration point.  Exceptions are
+    # swallowed (the reference logs-and-continues on notify failure;
+    # indexing must never roll back because the viewer is down).
+    if notify is not None and (
+        report["indexed"] or report["reindexed"] or report["updated_docs"]
+        or report["config_reindexed"] or report["deleted_urls"]
+        or report["purged_urls"] or report["removed"]
+    ):
+        remaining = sum(
+            1 for n, fp_ in snap.items()
+            if (n in data and files.get(n) != fp_)
+            or (n in cmds and commands.get(n) != fp_)
+        )
+        try:
+            notify(dict(report), remaining)
+        except Exception:  # noqa: BLE001 - notify is best-effort
+            pass
     return report
 
 
 def watch(out_dir: str, pages_dir: str, *, interval_s: float = 5.0,
           max_polls: int | None = None, auto_optimize: bool = False,
-          config_path: str | None = None, sleep=None):
+          config_path: str | None = None, notify=None, sleep=None):
     """The daemon loop: ``watch_once`` every ``interval_s`` seconds,
     ``max_polls`` ticks (None = forever).  A GENERATOR yielding one
     report per tick — run-forever mode holds no unbounded report
@@ -454,7 +479,7 @@ def watch(out_dir: str, pages_dir: str, *, interval_s: float = 5.0,
     n = 0
     while max_polls is None or n < max_polls:
         yield watch_once(out_dir, pages_dir, auto_optimize=auto_optimize,
-                         config_path=config_path)
+                         config_path=config_path, notify=notify)
         n += 1
         if max_polls is not None and n >= max_polls:
             break

@@ -431,3 +431,36 @@ def test_watch_config_hot_reload(ray_session, tmp_path_factory):
     write_cfg([{"name": "a", "applies_to": "shard-a*", "opt": 2}])
     r5 = watch_once(out, folder, config_path=cfgp)
     assert r5["config_reindexed"] == ["shard-b.parquet"]
+
+
+def test_watch_notify_callback(ray_session, tmp_path_factory):
+    """Viewer success-callback analog (Utils.submitDataToViewer,
+    Hotfolder.java:737): fires once per mutating tick with the report
+    and the remaining-hotfolder-files count; never on a no-op tick;
+    notify failures never break the tick."""
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot10"))
+    out = str(tmp_path_factory.mktemp("watch10") / "out")
+    os.makedirs(out, exist_ok=True)
+    calls = []
+    notify = lambda rep, remaining: calls.append((rep, remaining))  # noqa: E731
+    _write_shard(os.path.join(folder, "s0.parquet"),
+                 ["https://n.example/0", "https://n.example/1"], "n")
+    watch_once(out, folder, notify=notify)
+    assert calls == []  # stability tick: nothing happened yet
+    watch_once(out, folder, notify=notify)
+    assert len(calls) == 1
+    rep, remaining = calls[0]
+    assert rep["indexed"] == ["s0.parquet"] and remaining == 0
+    watch_once(out, folder, notify=notify)
+    assert len(calls) == 1  # no-op tick → no call
+
+    def boom(rep, remaining):
+        raise RuntimeError("viewer down")
+
+    with open(os.path.join(folder, "gone.delete"), "w") as f:
+        f.write("https://n.example/0\n")
+    watch_once(out, folder, notify=boom)
+    r = watch_once(out, folder, notify=boom)  # must not raise
+    assert r["deleted_urls"] == 1
