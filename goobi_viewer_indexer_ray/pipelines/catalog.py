@@ -10327,3 +10327,39 @@ ORACLE_SQL = {
     "frequent_terms": _SQL_FREQUENT,
     "curation_pipeline": _curate_sql(),
 }
+
+
+# Driver-window rotation (round-4 verdict #9): the driver verifies
+# entries in dict order and may stop after ~50, so the entries TOUCHED
+# THIS ROUND — new capped dedup ops, the shared pair-emission kernel's
+# consumers, the vectorized image/bpe/kmeans paths, the bfs/frontcode/
+# querystring guard fixes, and the query surface riding the
+# Arrow-native term dictionary — come first; everything else keeps its
+# prior relative order (all remain oracle-gated).
+_R5_FRONT = [
+    "dedup_jaccard_capped", "dedup_containment_capped",
+    "dedup_jaccard_pairs", "dedup_containment", "dedup_eval",
+    "dedup_minhash_lsh", "dup_ngrams",
+    "image_png_ahash", "image_ahash", "media_dims", "audio_energy",
+    "video_frames",
+    "bpe_encode", "bpe_train", "subword_counts",
+    "semantic_dedup", "embedding_kmeans", "embedding_classify",
+    "crawl_depth", "terms_frontcode", "search_querystring",
+    "pages_engine_e2e", "index_stats", "bm25_topk", "term_df_top100",
+    "search_boolean", "search_prefix", "search_fuzzy", "search_wildcard",
+    "search_phrase", "search_phrase_positional", "search_proximity",
+    "search_kwic", "search_suggest", "search_spellcheck", "search_mm",
+    "search_cursor", "search_explain", "search_collapse",
+    "search_group_topn", "search_stats", "search_range_facet",
+    "more_like_this", "bm25f_topk", "search_lmdirichlet", "search_mmr",
+    "search_prf", "passage_topk", "rrf_fusion", "ranking_eval",
+]
+assert set(_R5_FRONT) <= set(QUERIES), "rotation names must exist"
+QUERIES = {
+    **{n: QUERIES[n] for n in _R5_FRONT},
+    **{n: f for n, f in QUERIES.items() if n not in set(_R5_FRONT)},
+}
+ORACLE_SQL = {
+    **{n: ORACLE_SQL[n] for n in _R5_FRONT if n in ORACLE_SQL},
+    **{n: q for n, q in ORACLE_SQL.items() if n not in set(_R5_FRONT)},
+}
