@@ -94,12 +94,19 @@ def load_state(out_dir: str) -> dict:
     return {"files": {}, "commands": {}, "pending": {}}
 
 
-def load_watch_config(config_path: str | None) -> dict:
-    """Read the (optional) watch config JSON; missing path → ``{}``."""
+def load_watch_config(config_path: str | None) -> dict | None:
+    """Read the (optional) watch config JSON; missing path → ``{}``;
+    MALFORMED file → ``None`` (a daemon polling while the operator
+    half-writes the config must neither crash nor read "no rules" and
+    storm-reindex everything — the tick just skips config processing
+    and retries next poll)."""
     if not config_path or not os.path.exists(config_path):
         return {}
-    with open(config_path) as f:
-        return json.load(f)
+    try:
+        with open(config_path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
 
 
 def _rule_hashes(cfg: dict) -> dict[str, dict]:
@@ -218,6 +225,8 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
     snap = _snapshot(pages_dir)
 
     cfg = load_watch_config(config_path)
+    if cfg is None:  # half-written config: skip config lane this tick
+        cfg, config_path = {}, None
     if cfg.get("auto_optimize") is not None:
         auto_optimize = bool(cfg["auto_optimize"])
 
@@ -484,4 +493,4 @@ def watch(out_dir: str, pages_dir: str, *, interval_s: float = 5.0,
         if max_polls is not None and n >= max_polls:
             break
         cfg = load_watch_config(config_path)
-        sleep(float(cfg.get("interval_s", interval_s)))
+        sleep(float((cfg or {}).get("interval_s", interval_s)))

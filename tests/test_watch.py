@@ -464,3 +464,27 @@ def test_watch_notify_callback(ray_session, tmp_path_factory):
     watch_once(out, folder, notify=boom)
     r = watch_once(out, folder, notify=boom)  # must not raise
     assert r["deleted_urls"] == 1
+
+
+def test_watch_config_malformed_is_skipped(ray_session, tmp_path_factory):
+    """A half-written config file must neither crash the tick nor read
+    as 'all rules removed' (which would storm-reindex everything)."""
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot11"))
+    out = str(tmp_path_factory.mktemp("watch11") / "out")
+    os.makedirs(out, exist_ok=True)
+    cfgp = os.path.join(str(tmp_path_factory.mktemp("cfg11")), "watch.json")
+    with open(cfgp, "w") as f:
+        json.dump({"rules": [{"name": "a", "applies_to": "*", "opt": 1}]}, f)
+    _write_shard(os.path.join(folder, "s0.parquet"),
+                 ["https://m.example/0"], "m")
+    watch_once(out, folder, config_path=cfgp)
+    watch_once(out, folder, config_path=cfgp)  # indexed under rule a
+    with open(cfgp, "w") as f:
+        f.write('{"rules": [{"na')  # torn write
+    r = watch_once(out, folder, config_path=cfgp)  # must not raise
+    assert r["config_reindexed"] == []
+    with open(cfgp, "w") as f:  # config restored unchanged → still quiet
+        json.dump({"rules": [{"name": "a", "applies_to": "*", "opt": 1}]}, f)
+    assert watch_once(out, folder, config_path=cfgp)["config_reindexed"] == []
