@@ -260,6 +260,8 @@ def run_bench() -> dict:
         "search_elevate",
         "search_terms_regex",
         "dedup_containment",
+        "dedup_jaccard_capped",
+        "dedup_containment_capped",
         "link_cocitation",
         "search_highlight",
         "image_png_ahash",
