@@ -262,6 +262,7 @@ def run_bench() -> dict:
         "dedup_containment",
         "dedup_jaccard_capped",
         "dedup_containment_capped",
+        "partition_max_records",
         "link_cocitation",
         "search_highlight",
         "image_png_ahash",

@@ -491,6 +491,49 @@ WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
 """
 
 
+def q_partition_max_records(sf_dir: str):
+    """Data-repository partition planning under the record-cap policy
+    (``MaxRecordNumberStrategy.java:55-120`` via
+    :class:`functions.partition.MaxRecordNumberStrategy`): every doc
+    gets a url, the plan assigns urls in url order to the FIRST
+    partition under the cap (cap = ⌈n/4⌉ over 4 partitions here), and
+    the oracle replays the first-fit fold as one window function —
+    ``part = (row_number() OVER (ORDER BY url) − 1) // cap``.  The
+    sequential strategy fold runs on the driver (the hotfolder-scale
+    policy small side — see functions/partition.py); its sticky ledger
+    semantics are pytest-pinned in tests/test_partition.py."""
+    from ..functions.partition import MaxRecordNumberStrategy
+
+    t = pa.concat_tables(
+        _documents(sf_dir, columns=("doc_id",)).iter_batches(
+            batch_format="pyarrow", batch_size=None)
+    )
+    ids = t.column("doc_id").cast(pa.int64()).to_pylist()
+    urls = [f"https://docs.example/{i}" for i in ids]
+    order = sorted(range(len(urls)), key=lambda j: urls[j])
+    cap = -(-len(ids) // 4)
+    st = MaxRecordNumberStrategy(4, max_records=cap)
+    parts = st.assign([urls[j] for j in order])
+    out_ids = [ids[j] for j in order]
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "part_id": pa.array(parts, pa.int64()),
+        }
+    )
+
+
+_SQL_PARTITION_MAX_RECORDS = """
+WITH u AS (
+  SELECT doc_id, 'https://docs.example/' || doc_id AS url FROM documents
+),
+c AS (SELECT ((count(*) + 3) // 4)::BIGINT AS cap FROM u),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY url) AS rn FROM u)
+SELECT doc_id::BIGINT AS doc_id, ((rn - 1) // cap)::BIGINT AS part_id
+FROM r, c
+"""
+
+
 _BOILER = "boiler plate header tokens common shared "
 
 
@@ -9994,6 +10037,7 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-5 additions ---
+    "partition_max_records": q_partition_max_records,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_containment_capped": q_dedup_containment_capped,
     # --- round-4 additions / re-oracled entries ---
@@ -10160,6 +10204,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "partition_max_records": _SQL_PARTITION_MAX_RECORDS,
     "dedup_jaccard_capped": _SQL_DEDUP_JACCARD_CAPPED,
     "dedup_containment_capped": _SQL_DEDUP_CONTAINMENT_CAPPED,
     "quality_gopher": _SQL_QUALITY_GOPHER,
@@ -10337,6 +10382,7 @@ ORACLE_SQL = {
 # Arrow-native term dictionary — come first; everything else keeps its
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
+    "partition_max_records",
     "dedup_jaccard_capped", "dedup_containment_capped",
     "dedup_jaccard_pairs", "dedup_containment", "dedup_eval",
     "dedup_minhash_lsh", "dup_ngrams",

@@ -82,6 +82,7 @@ def _check(contract, con, name):
         "dedup_jaccard_pairs",
         "dedup_jaccard_capped",
         "dedup_containment_capped",
+        "partition_max_records",
         "dedup_minhash_lsh",
         "dup_ngrams",
         "doc_packing",
