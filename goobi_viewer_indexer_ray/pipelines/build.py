@@ -174,6 +174,22 @@ def _plan_partition_map(paths, out_dir, strategy):
     return dict(strategy.assign_map)
 
 
+def _fresh_part_map(paths, out_dir, partition_strategy):
+    """Partition map for a FRESH (non-resumed) build.  With a strategy:
+    plan + persist the ledger.  Without one: REMOVE any ledger a
+    previous strategy build left behind — a hash rebuild re-routes
+    every url, and a stale ledger would keep misdirecting later
+    deletes/updates to strategy-era partitions."""
+    from ..functions.partition import LEDGER_NAME
+
+    if partition_strategy is not None:
+        return _plan_partition_map(paths, out_dir, partition_strategy)
+    stale = os.path.join(out_dir, LEDGER_NAME)
+    if os.path.exists(stale):
+        os.remove(stale)
+    return None
+
+
 def _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size,
                    use_actors, concurrency, part_map=None):
     """pages files → Dataset of compressed per-part SPIMI run rows,
@@ -396,17 +412,16 @@ def build_docs(
     else:
         num_parts = _auto_parts(paths, num_parts)
     num_shards = num_shards or num_parts
-    fp = _job_fp(
-        input_fingerprint(paths), num_parts=num_parts, num_shards=num_shards,
-        strategy=(partition_strategy.fingerprint()
-                  if partition_strategy is not None else ""),
-    )
+    # the strategy kwarg is added ONLY when a strategy is in play —
+    # adding strategy="" unconditionally would change every existing
+    # hash build's fingerprint and silently invalidate resume
+    fp_kw = ({"strategy": partition_strategy.fingerprint()}
+             if partition_strategy is not None else {})
+    fp = _job_fp(input_fingerprint(paths), num_parts=num_parts,
+                 num_shards=num_shards, **fp_kw)
     if resume and (m := _docs_manifest_ok(out_dir, fp)):
         return m
-    part_map = (
-        _plan_partition_map(paths, out_dir, partition_strategy)
-        if partition_strategy is not None else None
-    )
+    part_map = _fresh_part_map(paths, out_dir, partition_strategy)
     rows = _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size,
                           use_actors, concurrency, part_map=part_map)
     rows.count()  # drive the stream; outputs land as side-effect files
@@ -519,11 +534,10 @@ def build_all(
         num_parts = _auto_parts(paths, num_parts)
     num_shards = num_shards or num_parts
     ppb, bucket_size_docs = _bucketing(num_parts, num_range_buckets)
-    docs_fp = _job_fp(
-        input_fingerprint(paths), num_parts=num_parts, num_shards=num_shards,
-        strategy=(partition_strategy.fingerprint()
-                  if partition_strategy is not None else ""),
-    )
+    fp_kw = ({"strategy": partition_strategy.fingerprint()}
+             if partition_strategy is not None else {})
+    docs_fp = _job_fp(input_fingerprint(paths), num_parts=num_parts,
+                      num_shards=num_shards, **fp_kw)
     index_fp = _job_fp(docs_fp, num_shards=num_shards, ppb=ppb)
 
     docs_ok = _docs_manifest_ok(out_dir, docs_fp) if resume else None
@@ -534,10 +548,7 @@ def build_all(
         return build_index(out_dir, num_shards=num_shards,
                            num_range_buckets=num_range_buckets, resume=resume)
 
-    part_map = (
-        _plan_partition_map(paths, out_dir, partition_strategy)
-        if partition_strategy is not None else None
-    )
+    part_map = _fresh_part_map(paths, out_dir, partition_strategy)
     seg_fps = _segment_fps(num_parts, ppb, num_shards,
                            {p: docs_fp for p in range(num_parts)})
     runs_rows = _docs_pipeline(paths, out_dir, docs_fp, num_parts, num_shards, 256,

@@ -145,8 +145,12 @@ def _config_affected(old_rules: dict[str, dict], new_rules: dict[str, dict],
         return []
     pats = []
     for n in changed:
-        e = new_rules.get(n) or old_rules.get(n)
-        pats.append(e.get("glob", "*") if isinstance(e, dict) else "*")
+        # a MODIFIED rule contributes BOTH its old and new globs: a
+        # file that only matched the old scope leaves the rule's
+        # governance and must be re-processed too (review finding)
+        for e in (old_rules.get(n), new_rules.get(n)):
+            if e is not None:
+                pats.append(e.get("glob", "*") if isinstance(e, dict) else "*")
     return sorted({f for f in ledgered for p in pats if fnmatch.fnmatch(f, p)})
 
 
@@ -254,7 +258,8 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
 
     report = {"reindexed": [], "indexed": [], "deleted_urls": 0,
               "purged_urls": 0, "updated_docs": [], "acknowledged": [],
-              "config_reindexed": [], "pending": [], "removed": []}
+              "config_reindexed": [], "pending": [], "removed": [],
+              "errors": []}
 
     built = os.path.exists(os.path.join(out_dir, "docs_manifest.json"))
 
@@ -271,14 +276,26 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
         if old_hashes is None:
             state["config_rules"] = new_hashes  # first sighting: baseline
         elif old_hashes != new_hashes:
-            if built:
-                config_forced = [
-                    n for n in _config_affected(old_hashes, new_hashes,
-                                                sorted(files))
-                    if n in data
-                ]
-            # unbuilt: nothing indexed under the old rules yet
-            if not config_forced:
+            affected = [
+                n for n in _config_affected(old_hashes, new_hashes,
+                                            sorted(files))
+                if n in data
+            ] if built else []
+            # the growing-upload guard applies to config targets too
+            # (review finding): any unstable target defers the WHOLE
+            # config change — hashes stay old, next tick retries
+            ready = all(
+                data[n] == files.get(n) or stable(n, data[n])
+                for n in affected
+            )
+            if not ready:
+                report["pending"].extend(
+                    n for n in affected
+                    if data[n] != files.get(n) and not stable_memo.get(n, False)
+                )
+            elif affected:
+                config_forced = affected
+            else:  # nothing indexed under the old rules yet
                 state["config_rules"] = new_hashes
 
     # ---- 1. priority: re-index commands (Hotfolder.java:466-480) ----
@@ -363,25 +380,35 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
             if not stable(name, fp):
                 report["pending"].append(name)
                 continue
-            with open(os.path.join(pages_dir, name)) as f:
-                spec = json.load(f)
-            for entry in spec if isinstance(spec, list) else [spec]:
-                url = entry["url"]
-                if "html_b64" in entry:
-                    import base64
+            try:
+                with open(os.path.join(pages_dir, name)) as f:
+                    spec = json.load(f)
+                for entry in spec if isinstance(spec, list) else [spec]:
+                    url = entry["url"]
+                    if "html_b64" in entry:
+                        import base64
 
-                    html = base64.b64decode(entry["html_b64"])
-                else:
-                    html = str(entry.get("html", "")).encode()
-                warc_ts = None
-                if entry.get("warc_ts"):
-                    import datetime
+                        html = base64.b64decode(entry["html_b64"],
+                                                validate=True)
+                    else:
+                        html = str(entry.get("html", "")).encode()
+                    warc_ts = None
+                    if entry.get("warc_ts"):
+                        import datetime
 
-                    warc_ts = datetime.datetime.fromisoformat(entry["warc_ts"])
-                update_doc(out_dir, url, html, warc_ts=warc_ts,
-                           lang=str(entry.get("lang", "")))
-                report["updated_docs"].append(url)
-            commands[name] = fp  # consumed exactly once
+                        warc_ts = datetime.datetime.fromisoformat(
+                            entry["warc_ts"])
+                    update_doc(out_dir, url, html, warc_ts=warc_ts,
+                               lang=str(entry.get("lang", "")))
+                    report["updated_docs"].append(url)
+            except (json.JSONDecodeError, KeyError, ValueError, TypeError,
+                    OSError) as ex:
+                # a malformed command file must not crash-loop the
+                # daemon (review finding; the reference deletes bad
+                # files and continues, Hotfolder.java:782-790) — it is
+                # consumed exactly once and surfaced in the report
+                report["errors"].append(f"{name}: {type(ex).__name__}: {ex}")
+            commands[name] = fp  # consumed exactly once (also on error)
 
     # ---- 2c. anchor acknowledgements (.UPDATED — superupdate analog)
     # The reference moves the updated anchor file into the data

@@ -56,6 +56,9 @@ __all__ = ["bpe_train", "bpe_encode", "END_MARKER"]
 # can never collide with a real character symbol
 END_MARKER = "§"  # '§'
 
+# per-worker broadcast-vocab cache (see bpe_encode): ref.hex → dict
+_VOCAB_CACHE: dict = {}
+
 
 def _word_count_partials(t: pa.Table) -> pa.Table:
     """Per-batch (word, cnt) partials via the engine's tokenizer."""
@@ -330,6 +333,7 @@ def bpe_encode(docs, merges: list[tuple[str, str]], *,
 
     vocab_ref = None
     if vocab is not None:
+        global _VOCAB_CACHE
         w = vocab.column("word")
         w = w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
         vocab_ref = ray.put(
@@ -361,7 +365,16 @@ def bpe_encode(docs, merges: list[tuple[str, str]], *,
         ids, counts, codes, uniq = _flat_token_codes(t)
         if len(uniq):
             if vocab_ref is not None:
-                lut = ray.get(vocab_ref)
+                # resolve the broadcast dict ONCE per worker process —
+                # ray.get of a dict deserializes the whole map, so a
+                # per-batch get would scale with vocab size (review
+                # finding); the module-level cache keys on the ref
+                key = vocab_ref.hex()
+                lut = _VOCAB_CACHE.get(key)
+                if lut is None:
+                    lut = ray.get(vocab_ref)
+                    _VOCAB_CACHE.clear()  # one live vocab per worker
+                    _VOCAB_CACHE[key] = lut
                 n_sym = np.empty(len(uniq), np.int64)
                 oov_idx, oov_words = [], []
                 for i, w_ in enumerate(uniq):

@@ -575,14 +575,17 @@ def decode_png_pixels_batch(payloads):
     media stages (``AHash(batch_decoder=...)``)."""
     import numpy as np
 
-    parsed: list = [None] * len(payloads)
     groups: dict = {}
     for i, payload in enumerate(payloads):
         try:
             h, w, c, data = _parse_png(payload)
         except (ValueError, struct.error):
             continue
-        parsed[i] = (h, w, c)
+        if (data[:, 0] > 4).any():
+            # invalid filter byte = corrupt payload: reject it HERE so
+            # one bad image can't abort its whole shape group (review
+            # finding; _unfilter_rows keeps raising for direct misuse)
+            continue
         groups.setdefault((h, w, c), []).append((i, data))
     out: list = [None] * len(payloads)
     for (h, w, c), items in groups.items():

@@ -249,7 +249,12 @@ def semantic_dedup(ds, *, k: int = KM_K, iters: int = KM_ITERS,
         a = _dist2(qs, C).argmin(axis=1)
         return t.append_column("cluster", pa.array(a.astype(np.int64), pa.int64()))
 
-    joined = dsq.map_batches(tag, batch_format="pyarrow")
+    # materialize the tagged corpus ONCE: three consumers follow
+    # (cluster-size count, cold-path filter, hot-path fan-out) and an
+    # un-materialized Dataset would re-run quantize+tag for each
+    # (review finding) — this is the checkpoint trade the object
+    # store exists for, and it replaces up to 3 corpus re-scans
+    joined = dsq.map_batches(tag, batch_format="pyarrow").materialize()
 
     def dedup_group(t: pa.Table) -> pa.Table:
         ids, qs = _q_matrix(t)
@@ -275,9 +280,7 @@ def semantic_dedup(ds, *, k: int = KM_K, iters: int = KM_ITERS,
             }
         )
 
-    # cluster sizes: k tiny rows to the driver (one extra map-only
-    # re-execution of the tag pass — cheaper than materializing the
-    # tagged corpus, and zero when everything is cold anyway)
+    # cluster sizes: k tiny rows to the driver off the materialized pass
     sizes = {int(r["cluster"]): int(r["count()"])
              for r in joined.groupby("cluster").count().take_all()}
     hot = {c: n for c, n in sizes.items() if n > tile}

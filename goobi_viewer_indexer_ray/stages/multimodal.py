@@ -458,7 +458,13 @@ class AHash:
         payloads = batch.column("payload")
         out_id, out_hi, out_lo = [], [], []
         if self.batch_decoder is not None:
-            imgs = self.batch_decoder([p.as_py() for p in payloads])
+            try:
+                imgs = self.batch_decoder([p.as_py() for p in payloads])
+            except (ValueError, NotImplementedError):
+                # a batch decoder that rejects the whole batch must
+                # degrade to skip-all, not fail the Ray task (the
+                # error-folder contract)
+                imgs = [None] * len(payloads)
         else:
             imgs = None
         for i in range(len(ids)):

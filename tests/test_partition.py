@@ -125,3 +125,40 @@ def test_strategy_build_resume_and_update(ray_session, tmp_path_factory):
     for f in glob.glob(os.path.join(out, "docs", "part=*", "data.parquet")):
         all_urls += pq.read_table(f, columns=["url"]).column("url").to_pylist()
     assert new_url not in all_urls and old_url in all_urls
+
+
+def test_hash_rebuild_clears_stale_ledger(ray_session, tmp_path_factory):
+    """Review finding: rebuilding an out_dir WITHOUT a strategy must
+    remove the previous strategy build's ledger — otherwise later
+    updates/deletes would route urls to strategy-era partitions that
+    no longer hold them."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.functions.partition import (
+        LEDGER_NAME, MaxRecordNumberStrategy, load_ledger,
+    )
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+
+    folder = tmp_path_factory.mktemp("srcclear")
+    out = str(tmp_path_factory.mktemp("clearout") / "out")
+    ts = datetime.datetime(2031, 1, 1, tzinfo=datetime.timezone.utc)
+    urls = [f"https://clear.example/{i}" for i in range(8)]
+    pq.write_table(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([ts] * 8, pa.timestamp("us", tz="UTC")),
+        "html": pa.array([f"<p>{u}</p>".encode() for u in urls], pa.binary()),
+        "text": pa.array([None] * 8, pa.string()),
+        "lang": pa.array(["en"] * 8, pa.string()),
+    }), str(folder / "s0.parquet"))
+
+    build_all(str(folder / "s0.parquet"), out, num_shards=2,
+              partition_strategy=MaxRecordNumberStrategy(4, max_records=4))
+    assert load_ledger(out) is not None
+    build_all(str(folder / "s0.parquet"), out, num_shards=2)  # hash rebuild
+    assert load_ledger(out) is None
+    assert not os.path.exists(os.path.join(out, LEDGER_NAME))
+    man = json.load(open(os.path.join(out, "docs_manifest.json")))
+    assert man["partition_strategy"] == "hash"

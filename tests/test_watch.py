@@ -93,7 +93,8 @@ def test_watch_lifecycle(hot):
     r3 = watch_once(out, folder)
     assert r3 == {"reindexed": [], "indexed": [], "deleted_urls": 0,
                   "purged_urls": 0, "updated_docs": [], "acknowledged": [],
-                  "config_reindexed": [], "pending": [], "removed": []}
+                  "config_reindexed": [], "pending": [], "removed": [],
+                  "errors": []}
 
     # ---- new shard dropped between polls ----
     new_urls = [f"https://watchnew.example/{i}" for i in range(6)]
@@ -488,3 +489,85 @@ def test_watch_config_malformed_is_skipped(ray_session, tmp_path_factory):
     with open(cfgp, "w") as f:  # config restored unchanged → still quiet
         json.dump({"rules": [{"name": "a", "applies_to": "*", "opt": 1}]}, f)
     assert watch_once(out, folder, config_path=cfgp)["config_reindexed"] == []
+
+
+def test_docupdate_malformed_consumed_once(ray_session, tmp_path_factory):
+    """Review finding: a malformed .docupdate must not crash-loop the
+    daemon — it is consumed exactly once and surfaced in
+    report['errors'] (the reference deletes bad files and continues)."""
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot12"))
+    out = str(tmp_path_factory.mktemp("watch12") / "out")
+    os.makedirs(out, exist_ok=True)
+    _write_shard(os.path.join(folder, "s0.parquet"), ["https://e.example/0"], "e")
+    watch_once(out, folder)
+    watch_once(out, folder)  # bootstrap
+    with open(os.path.join(folder, "bad.docupdate"), "w") as f:
+        f.write('{"no_url_key": true')  # torn AND missing url
+    watch_once(out, folder)
+    r = watch_once(out, folder)  # must not raise
+    assert r["updated_docs"] == []
+    assert len(r["errors"]) == 1 and "bad.docupdate" in r["errors"][0]
+    r2 = watch_once(out, folder)  # consumed exactly once — no retry loop
+    assert r2["errors"] == []
+
+
+def test_config_change_defers_on_unstable_target(ray_session, tmp_path_factory):
+    """Review finding: a config change must not push a still-uploading
+    (unstable) target through apply_updates; the whole change defers
+    until the target stabilizes, then fires exactly once."""
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot13"))
+    out = str(tmp_path_factory.mktemp("watch13") / "out")
+    os.makedirs(out, exist_ok=True)
+    cfgp = os.path.join(str(tmp_path_factory.mktemp("cfg13")), "w.json")
+
+    def write_cfg(opt):
+        with open(cfgp, "w") as f:
+            json.dump({"rules": [{"name": "a", "applies_to": "*", "opt": opt}]}, f)
+
+    write_cfg(1)
+    urls = [f"https://cfgu.example/{i}" for i in range(4)]
+    _write_shard(os.path.join(folder, "s0.parquet"), urls, "v1")
+    watch_once(out, folder, config_path=cfgp)
+    watch_once(out, folder, config_path=cfgp)  # indexed
+    # shard starts re-uploading AND the rule changes in the same tick
+    _write_shard(os.path.join(folder, "s0.parquet"), urls, "v2")
+    write_cfg(2)
+    r = watch_once(out, folder, config_path=cfgp)
+    assert r["config_reindexed"] == []  # deferred, not half-applied
+    r2 = watch_once(out, folder, config_path=cfgp)  # now stable
+    # the shard re-enters through one lane exactly once
+    assert (r2["config_reindexed"] == ["s0.parquet"]) ^ (
+        r2["indexed"] == ["s0.parquet"])
+    r3 = watch_once(out, folder, config_path=cfgp)
+    assert r3["config_reindexed"] == [] and r3["indexed"] == []
+
+
+def test_config_modified_glob_covers_old_scope(ray_session, tmp_path_factory):
+    """Review finding: when a rule's applies_to glob CHANGES, files
+    matching only the OLD glob leave the rule's governance and must be
+    re-forced too (union of old+new scopes)."""
+    from goobi_viewer_indexer_ray.pipelines.watch import watch_once
+
+    folder = str(tmp_path_factory.mktemp("hot14"))
+    out = str(tmp_path_factory.mktemp("watch14") / "out")
+    os.makedirs(out, exist_ok=True)
+    cfgp = os.path.join(str(tmp_path_factory.mktemp("cfg14")), "w.json")
+
+    def write_cfg(glob_):
+        with open(cfgp, "w") as f:
+            json.dump({"rules": [{"name": "a", "applies_to": glob_}]}, f)
+
+    write_cfg("shard-a*")
+    _write_shard(os.path.join(folder, "shard-a.parquet"),
+                 ["https://g.example/a"], "a")
+    _write_shard(os.path.join(folder, "shard-b.parquet"),
+                 ["https://g.example/b"], "b")
+    watch_once(out, folder, config_path=cfgp)
+    watch_once(out, folder, config_path=cfgp)
+    write_cfg("shard-b*")  # rule moves scope a → b
+    r = watch_once(out, folder, config_path=cfgp)
+    assert sorted(r["config_reindexed"]) == ["shard-a.parquet", "shard-b.parquet"]
