@@ -118,16 +118,27 @@ class DocsPartWriter:
     # ---- compute part content ----
         n_in = group.num_rows
         g = dedup_and_rank(group)
+        # no doc_len column → the tokenizer derives counts itself, and
+        # those counts BECOME the stored doc_len: one tokenize pass per
+        # corpus instead of two (extract used to tokenize a second
+        # time just for doc_len)
         doc_rows = pa.table(
             {
                 "doc_id": pa.array(
                     part * PART_STRIDE + np.arange(g.num_rows, dtype=np.int64)
                 ),
                 "text": g.column("text"),
-                "doc_len": g.column("doc_len"),
             }
         )
-        runs = self.tokenizer(doc_rows) if g.num_rows else RUNS_SCHEMA.empty_table()
+        if g.num_rows:
+            runs, doc_lens = self.tokenizer.encode_with_doc_lens(doc_rows)
+            g = g.set_column(
+                g.schema.get_field_index("doc_len"),
+                "doc_len",
+                pa.array(doc_lens.astype(np.int32), pa.int32()),
+            )
+        else:
+            runs = RUNS_SCHEMA.empty_table()
 
         buf = io.BytesIO()
         pq.write_table(g, buf, compression="zstd")

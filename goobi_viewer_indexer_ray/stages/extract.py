@@ -34,7 +34,13 @@ DOCS_RAW_SCHEMA = pa.schema(
 
 
 class ExtractPages:
-    """html → canonical text + token count + url-hash partition id.
+    """html → canonical text + url-hash partition id.
+
+    ``doc_len`` is emitted as a 0 placeholder: the docs writer fills it
+    from the SAME tokenization that builds the posting runs
+    (``TokenizeEncodeRuns.encode_with_doc_lens``), so the corpus is
+    tokenized ONCE per build instead of twice — tokenizing here would
+    also waste work on rows dedup later drops.
 
     Engine policy for the optional pre-extracted ``text`` input column:
     it is *ignored* — text is always re-derived from ``html`` so the
@@ -57,13 +63,10 @@ class ExtractPages:
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch.column("html")
         texts: list[str] = []
-        doc_lens: list[int] = []
         extract = self._extract
-        tok = self._tokenize
         for v in htmls:
-            t = extract(v.as_py())
-            texts.append(t)
-            doc_lens.append(len(tok(t)))
+            texts.append(extract(v.as_py()))
+        doc_lens = [0] * len(texts)  # finalized by the docs writer
         urls = batch.column("url")
         url_list = urls.to_pylist()
         parts = part_array(url_list, self.num_parts)

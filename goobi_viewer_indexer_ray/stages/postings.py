@@ -171,6 +171,7 @@ def _count_batch(batch: pa.Table):
         doc[order],
         tf[order].astype(np.int64),
         doc_lens[u_row][order].astype(np.int64),
+        counts,  # per-input-row token counts (writer doc_len source)
     )
 
 
@@ -184,7 +185,7 @@ class TokenizePostings:
         res = _count_batch(batch)
         if res is None:
             return POSTINGS_SCHEMA.empty_table()
-        uniques, codes, doc, tf, dl = res
+        uniques, codes, doc, tf, dl, _counts = res
         terms = uniques[codes]
         shard = (hash64_array(terms) % np.uint64(self.num_shards)).astype(np.int32)
         return pa.table(
@@ -216,16 +217,25 @@ class TokenizeEncodeRuns:
         self.with_positions = with_positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.encode_with_doc_lens(batch)[0]
+
+    def encode_with_doc_lens(self, batch: pa.Table):
+        """(runs table, per-input-row token counts) — the counts are
+        what the docs writer stores as ``doc_len``, computed from the
+        SAME tokenization that builds the postings (one tokenize pass
+        per corpus; the extract stage no longer tokenizes)."""
+        n_rows = batch.num_rows
         if self.with_positions:
             res = _count_batch_pos(batch)
             if res is None:
-                return RUNS_POS_SCHEMA.empty_table()
+                return RUNS_POS_SCHEMA.empty_table(), np.zeros(n_rows, np.int64)
             uniques, codes, doc, tf, dl, pos_flat = res
+            counts = None  # positional adapter: callers keep doc_len
         else:
             res = _count_batch(batch)
             if res is None:
-                return RUNS_SCHEMA.empty_table()
-            uniques, codes, doc, tf, dl = res
+                return RUNS_SCHEMA.empty_table(), np.zeros(n_rows, np.int64)
+            uniques, codes, doc, tf, dl, counts = res
             pos_flat = None
 
         # run boundaries: one run per distinct term code (codes sorted);
@@ -272,4 +282,4 @@ class TokenizeEncodeRuns:
             cols["poss"] = pa.array(
                 encode_varints_segmented(pos_gaps, run_occ_starts), pa.binary()
             )
-        return pa.table(cols)
+        return pa.table(cols), counts
