@@ -175,19 +175,27 @@ def _plan_partition_map(paths, out_dir, strategy):
 
 
 def _fresh_part_map(paths, out_dir, partition_strategy):
-    """Partition map for a FRESH (non-resumed) build.  With a strategy:
-    plan + persist the ledger.  Without one: REMOVE any ledger a
-    previous strategy build left behind — a hash rebuild re-routes
-    every url, and a stale ledger would keep misdirecting later
-    deletes/updates to strategy-era partitions."""
-    from ..functions.partition import LEDGER_NAME
-
+    """Partition map for a FRESH (non-resumed) build: plan + persist
+    the ledger when a strategy is given, else None (hash)."""
     if partition_strategy is not None:
         return _plan_partition_map(paths, out_dir, partition_strategy)
-    stale = os.path.join(out_dir, LEDGER_NAME)
-    if os.path.exists(stale):
-        os.remove(stale)
     return None
+
+
+def _clear_stale_ledger(out_dir: str, partition_strategy) -> None:
+    """AFTER a hash build commits its manifest, remove any ledger a
+    previous strategy build left behind.  Deleting before the commit
+    would open a crash window (old strategy-era docs still live, no
+    ledger → deletes misroute); update routing ALSO validates the
+    ledger against the manifest's recorded strategy
+    (updates.py:_apply_updates_locked), so even a failed deletion
+    can't resurrect stale routing."""
+    from ..functions.partition import LEDGER_NAME
+
+    if partition_strategy is None:
+        stale = os.path.join(out_dir, LEDGER_NAME)
+        if os.path.exists(stale):
+            os.remove(stale)
 
 
 def _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size,
@@ -221,21 +229,9 @@ def _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size,
     return ds.groupby("part").map_groups(write_docs_part, batch_format="pyarrow")
 
 
-def _strategy_fp(out_dir: str, strategy) -> str:
-    """Manifest record of the partition policy: the explicit strategy,
-    else whatever ledger a previous build persisted (updates must not
-    re-stamp a strategy build as hash-partitioned), else hash."""
-    if strategy is not None:
-        return strategy.fingerprint()
-    from ..functions.partition import load_ledger
-
-    led = load_ledger(out_dir)
-    return led.fingerprint() if led is not None else "hash"
-
-
 def _collect_docs_manifest(out_dir: str, fp: str, num_parts: int, num_shards: int,
                            part_fps: dict[int, str] | None = None,
-                           strategy=None) -> dict:
+                           strategy=None, strategy_fp: str | None = None) -> dict:
     """Fold per-part manifests into the docs manifest.
 
     Enumerates part ids ``0..num_parts-1`` (NEVER a ``part=*`` glob —
@@ -265,7 +261,14 @@ def _collect_docs_manifest(out_dir: str, fp: str, num_parts: int, num_shards: in
             "total_tokens": total_tokens,
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "n_dups_removed": int(sum(p["n_dups_removed"] for p in parts)),
-            "partition_strategy": _strategy_fp(out_dir, strategy),
+            # explicit per-call-site policy record: build paths pass
+            # their own strategy; the updates refold passes the prior
+            # manifest's value through (NEVER inferred from a ledger
+            # file, which may be stale after a hash rebuild)
+            "partition_strategy": (
+                strategy_fp if strategy_fp is not None
+                else (strategy.fingerprint() if strategy is not None else "hash")
+            ),
             "parts": [
                 {"part": int(p["part"]), "n_rows": int(p["n_rows"]),
                  "fp": p["fingerprint"]}
@@ -412,9 +415,11 @@ def build_docs(
     else:
         num_parts = _auto_parts(paths, num_parts)
     num_shards = num_shards or num_parts
-    # the strategy kwarg is added ONLY when a strategy is in play —
-    # adding strategy="" unconditionally would change every existing
-    # hash build's fingerprint and silently invalidate resume
+    # the strategy kwarg enters the fingerprint ONLY when a strategy
+    # is in play, so hash builds keep their pre-round-5 fingerprints
+    # and resume byte-identically (an interim revision briefly hashed
+    # strategy="" unconditionally; builds made at that revision rebuild
+    # once)
     fp_kw = ({"strategy": partition_strategy.fingerprint()}
              if partition_strategy is not None else {})
     fp = _job_fp(input_fingerprint(paths), num_parts=num_parts,
@@ -425,8 +430,10 @@ def build_docs(
     rows = _docs_pipeline(paths, out_dir, fp, num_parts, num_shards, batch_size,
                           use_actors, concurrency, part_map=part_map)
     rows.count()  # drive the stream; outputs land as side-effect files
-    return _collect_docs_manifest(out_dir, fp, num_parts, num_shards,
-                                  strategy=partition_strategy)
+    man = _collect_docs_manifest(out_dir, fp, num_parts, num_shards,
+                                 strategy=partition_strategy)
+    _clear_stale_ledger(out_dir, partition_strategy)
+    return man
 
 
 def read_docs(out_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
@@ -577,8 +584,10 @@ def build_all(
                 m["fingerprint"] = want
                 atomic_write_json(man_path, m)
             seg_rows.at[i, "fp"] = want
-    return _write_index_manifest(out_dir, index_fp, num_shards, bucket_size_docs,
-                                 seg_rows, docs_man)
+    man = _write_index_manifest(out_dir, index_fp, num_shards, bucket_size_docs,
+                                seg_rows, docs_man)
+    _clear_stale_ledger(out_dir, partition_strategy)
+    return man
 
 
 def build_text_index(

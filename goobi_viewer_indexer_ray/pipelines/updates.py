@@ -276,10 +276,17 @@ def _apply_updates_locked(
 
     # partition routing honors a persisted strategy ledger when the
     # build used one (functions/partition.py): sticky urls keep their
-    # recorded part; everything else falls back to the url hash
+    # recorded part; everything else falls back to the url hash.
+    # The ledger must MATCH the manifest's recorded strategy — a stale
+    # file surviving a hash rebuild (crash between manifest commit and
+    # ledger cleanup) is ignored rather than trusted (review finding)
     from ..functions.partition import load_ledger
 
     ledger = load_ledger(out_dir)
+    if ledger is not None and docs_man.get(
+        "partition_strategy", "hash"
+    ) != ledger.fingerprint():
+        ledger = None
 
     def _part_of(u: str) -> int:
         if ledger is not None:
@@ -353,8 +360,10 @@ def _apply_updates_locked(
     part_fps = _part_fp_map(docs_man)
     for p in dirty:
         part_fps[int(p)] = fp
-    new_docs_man = _collect_docs_manifest(out_dir, fp, num_parts, num_shards,
-                                          part_fps=part_fps)
+    new_docs_man = _collect_docs_manifest(
+        out_dir, fp, num_parts, num_shards, part_fps=part_fps,
+        strategy_fp=docs_man.get("partition_strategy", "hash"),
+    )
 
     # ---- index: re-merge ONLY the dirty doc-range buckets ----
     seg_fps = _segment_fps(num_parts, ppb, num_shards, _part_fp_map(new_docs_man))

@@ -380,16 +380,23 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
             if not stable(name, fp):
                 report["pending"].append(name)
                 continue
+            # two phases (review finding): PARSE errors mean the file
+            # itself is bad — consume it exactly once and surface the
+            # error (the reference deletes bad files and continues,
+            # Hotfolder.java:782-790).  APPLY errors are infrastructure
+            # (stale run cache, ENOSPC, crash recovery) — propagate
+            # like every other lane so the un-consumed command retries
+            # next tick instead of being silently dropped.
             try:
                 with open(os.path.join(pages_dir, name)) as f:
                     spec = json.load(f)
+                parsed = []
                 for entry in spec if isinstance(spec, list) else [spec]:
                     url = entry["url"]
                     if "html_b64" in entry:
                         import base64
 
-                        html = base64.b64decode(entry["html_b64"],
-                                                validate=True)
+                        html = base64.b64decode(entry["html_b64"])
                     else:
                         html = str(entry.get("html", "")).encode()
                     warc_ts = None
@@ -398,17 +405,17 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
 
                         warc_ts = datetime.datetime.fromisoformat(
                             entry["warc_ts"])
-                    update_doc(out_dir, url, html, warc_ts=warc_ts,
-                               lang=str(entry.get("lang", "")))
-                    report["updated_docs"].append(url)
-            except (json.JSONDecodeError, KeyError, ValueError, TypeError,
-                    OSError) as ex:
-                # a malformed command file must not crash-loop the
-                # daemon (review finding; the reference deletes bad
-                # files and continues, Hotfolder.java:782-790) — it is
-                # consumed exactly once and surfaced in the report
+                    parsed.append((url, html, warc_ts,
+                                   str(entry.get("lang", ""))))
+            except (json.JSONDecodeError, KeyError, ValueError,
+                    TypeError) as ex:
                 report["errors"].append(f"{name}: {type(ex).__name__}: {ex}")
-            commands[name] = fp  # consumed exactly once (also on error)
+                commands[name] = fp  # bad file: consumed exactly once
+                continue
+            for url, html, warc_ts, lang in parsed:
+                update_doc(out_dir, url, html, warc_ts=warc_ts, lang=lang)
+                report["updated_docs"].append(url)
+            commands[name] = fp  # consumed exactly once
 
     # ---- 2c. anchor acknowledgements (.UPDATED — superupdate analog)
     # The reference moves the updated anchor file into the data
@@ -469,6 +476,10 @@ def watch_once(out_dir: str, pages_dir: str, *, state: dict | None = None,
     # forget pending entries whose file vanished before stabilizing
     for name in [n for n in pending if n not in snap]:
         del pending[name]
+
+    # one report line per pending file even when two lanes saw it
+    # (config lane + ingest lane — review finding)
+    report["pending"] = sorted(set(report["pending"]))
 
     _save_state(out_dir, state)
 

@@ -373,7 +373,10 @@ def bpe_encode(docs, merges: list[tuple[str, str]], *,
                 lut = _VOCAB_CACHE.get(key)
                 if lut is None:
                     lut = ray.get(vocab_ref)
-                    _VOCAB_CACHE.clear()  # one live vocab per worker
+                    while len(_VOCAB_CACHE) >= 4:  # small FIFO: two
+                        # interleaved encode jobs must not evict each
+                        # other every batch (review finding)
+                        _VOCAB_CACHE.pop(next(iter(_VOCAB_CACHE)))
                     _VOCAB_CACHE[key] = lut
                 n_sym = np.empty(len(uniq), np.int64)
                 oov_idx, oov_words = [], []

@@ -17,7 +17,6 @@ import pyarrow as pa
 
 from ..functions.extract import extract_text
 from ..functions.hashing import part_array
-from ..functions.tokenize import tokenize
 
 __all__ = ["ExtractPages", "DOCS_RAW_SCHEMA"]
 
@@ -58,7 +57,6 @@ class ExtractPages:
         self.part_map = part_map
         # touch the module-level compiled regexes once per actor
         self._extract = extract_text
-        self._tokenize = tokenize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch.column("html")

@@ -126,6 +126,7 @@ def _count_batch_pos(batch: pa.Table):
         tf[order].astype(np.int64),
         doc_lens[u_row][order].astype(np.int64),
         pos_final,
+        counts,  # per-input-row token counts (writer doc_len source)
     )
 
 
@@ -229,8 +230,7 @@ class TokenizeEncodeRuns:
             res = _count_batch_pos(batch)
             if res is None:
                 return RUNS_POS_SCHEMA.empty_table(), np.zeros(n_rows, np.int64)
-            uniques, codes, doc, tf, dl, pos_flat = res
-            counts = None  # positional adapter: callers keep doc_len
+            uniques, codes, doc, tf, dl, pos_flat, counts = res
         else:
             res = _count_batch(batch)
             if res is None:

@@ -162,3 +162,48 @@ def test_hash_rebuild_clears_stale_ledger(ray_session, tmp_path_factory):
     assert not os.path.exists(os.path.join(out, LEDGER_NAME))
     man = json.load(open(os.path.join(out, "docs_manifest.json")))
     assert man["partition_strategy"] == "hash"
+
+
+def test_stale_ledger_ignored_when_manifest_says_hash(ray_session, tmp_path_factory):
+    """Review finding (crash window): if a stale strategy ledger
+    survives a hash rebuild (e.g. cleanup crashed), update routing must
+    IGNORE it — the manifest's recorded strategy is authoritative."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.functions.partition import (
+        LEDGER_NAME, MaxRecordNumberStrategy, save_ledger,
+    )
+    from goobi_viewer_indexer_ray.pipelines.build import build_all
+    from goobi_viewer_indexer_ray.pipelines.updates import apply_updates
+
+    folder = tmp_path_factory.mktemp("srcstale")
+    out = str(tmp_path_factory.mktemp("staleout") / "out")
+    ts = datetime.datetime(2031, 1, 1, tzinfo=datetime.timezone.utc)
+    urls = [f"https://stale.example/{i}" for i in range(6)]
+
+    def shard(path, us):
+        pq.write_table(pa.table({
+            "url": pa.array(us, pa.string()),
+            "warc_ts": pa.array([ts] * len(us), pa.timestamp("us", tz="UTC")),
+            "html": pa.array([f"<p>{u} text</p>".encode() for u in us], pa.binary()),
+            "text": pa.array([None] * len(us), pa.string()),
+            "lang": pa.array(["en"] * len(us), pa.string()),
+        }), str(path))
+
+    shard(folder / "s0.parquet", urls)
+    build_all(str(folder / "s0.parquet"), out, num_shards=2)  # hash build
+    # plant a stale ledger that routes every url to a WRONG partition
+    stale = MaxRecordNumberStrategy(4, max_records=100)
+    stale.assign_map = {u: 3 for u in urls}
+    save_ledger(out, stale)
+    assert os.path.exists(os.path.join(out, LEDGER_NAME))
+    # the delete must still land (hash routing, ledger ignored)
+    apply_updates(out, None, [urls[0]])
+    remaining = []
+    for f in glob.glob(os.path.join(out, "docs", "part=*", "data.parquet")):
+        import pyarrow.parquet as _pq
+        remaining += _pq.read_table(f, columns=["url"]).column("url").to_pylist()
+    assert urls[0] not in remaining and set(urls[1:]) <= set(remaining)

@@ -571,3 +571,38 @@ def test_config_modified_glob_covers_old_scope(ray_session, tmp_path_factory):
     write_cfg("shard-b*")  # rule moves scope a → b
     r = watch_once(out, folder, config_path=cfgp)
     assert sorted(r["config_reindexed"]) == ["shard-a.parquet", "shard-b.parquet"]
+
+
+def test_docupdate_infra_error_retries(ray_session, tmp_path_factory, monkeypatch):
+    """Review finding: an APPLY-phase failure (infra, not a bad file)
+    must leave the command unconsumed so the next tick retries —
+    only parse errors consume the file."""
+    from goobi_viewer_indexer_ray.pipelines import watch as watch_mod
+
+    folder = str(tmp_path_factory.mktemp("hot15"))
+    out = str(tmp_path_factory.mktemp("watch15") / "out")
+    os.makedirs(out, exist_ok=True)
+    url = "https://retry.example/0"
+    _write_shard(os.path.join(folder, "s0.parquet"), [url], "r")
+    watch_mod.watch_once(out, folder)
+    watch_mod.watch_once(out, folder)  # bootstrap
+    with open(os.path.join(folder, "up.docupdate"), "w") as f:
+        json.dump({"url": url, "html": "<p>retried payload zq</p>"}, f)
+    watch_mod.watch_once(out, folder)  # stability tick
+
+    calls = {"n": 0}
+    real = watch_mod.update_doc
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("transient ENOSPC")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(watch_mod, "update_doc", flaky)
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        watch_mod.watch_once(out, folder)  # infra failure propagates
+    r = watch_mod.watch_once(out, folder)  # retried and applied
+    assert r["updated_docs"] == [url]
+    assert watch_mod.watch_once(out, folder)["updated_docs"] == []
