@@ -534,6 +534,76 @@ FROM r, c
 """
 
 
+def q_crawl_diff(sf_dir: str):
+    """Re-crawl snapshot diff (:func:`stages.recrawl.snapshot_diff` —
+    the hotfolder (re)index/skip/delete decision lifted to two crawl
+    manifests; ``Hotfolder.java`` dispatch semantics).  Two snapshots
+    are derived deterministically from the documents table: snapshot B
+    drops every ``doc_id % 11 == 3`` (→ removed), rewrites the text of
+    every remaining ``doc_id % 7 == 2`` (→ changed, detected by HASH
+    INEQUALITY in the diff, never by the rule), and snapshot A lacks
+    every ``doc_id % 13 == 5`` (→ added).  One tagged union + ONE
+    ``groupby(url)`` aggregate classifies every url; the oracle
+    recomputes both sides' md5-prefix hashes and the precedence CASE."""
+    from ..stages.recrawl import content_hash64, snapshot_diff
+
+    def snap(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            texts = t.column("text").to_pylist()
+            h = content_hash64(texts)
+            added = ids % 13 == 5
+            removed = (~added) & (ids % 11 == 3)
+            changed = (~added) & (~removed) & (ids % 7 == 2)
+            if side == "a":
+                mask, hh = ~added, h
+            else:
+                mask = ~removed
+                hh = h.copy()
+                idx = np.flatnonzero(changed)
+                if idx.size:
+                    hh[idx] = content_hash64([texts[i] + " v2" for i in idx])
+            urls = np.array([f"https://docs.example/{i}" for i in ids], dtype=object)
+            return pa.table(
+                {
+                    "url": pa.array(urls[mask], pa.string()),
+                    "doc_id": pa.array(ids[mask], pa.int64()),
+                    "h": pa.array(hh[mask], pa.int64()),
+                }
+            )
+
+        return fn
+
+    docs = _documents(sf_dir)
+    snap_a = docs.map_batches(snap("a"), batch_format="pyarrow")
+    snap_b = docs.map_batches(snap("b"), batch_format="pyarrow")
+    return snapshot_diff(snap_a, snap_b)
+
+
+_SQL_CRAWL_DIFF = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         'https://docs.example/' || doc_id AS url,
+         (('0x' || substr(md5(text), 1, 16))::UBIGINT
+          % 9223372036854775807)::BIGINT AS h,
+         (('0x' || substr(md5(text || ' v2'), 1, 16))::UBIGINT
+          % 9223372036854775807)::BIGINT AS h2
+  FROM documents
+)
+SELECT url, doc_id,
+       CASE WHEN doc_id % 13 = 5 THEN 'added'
+            WHEN doc_id % 11 = 3 THEN 'removed'
+            WHEN doc_id % 7 = 2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN doc_id % 13 = 5 THEN 0::BIGINT ELSE h END AS h_a,
+       CASE WHEN doc_id % 13 = 5 THEN h
+            WHEN doc_id % 11 = 3 THEN 0::BIGINT
+            WHEN doc_id % 7 = 2 THEN h2
+            ELSE h END AS h_b
+FROM d
+"""
+
+
 _BOILER = "boiler plate header tokens common shared "
 
 
@@ -10037,6 +10107,7 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-5 additions ---
+    "crawl_diff": q_crawl_diff,
     "partition_max_records": q_partition_max_records,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_containment_capped": q_dedup_containment_capped,
@@ -10204,6 +10275,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "crawl_diff": _SQL_CRAWL_DIFF,
     "partition_max_records": _SQL_PARTITION_MAX_RECORDS,
     "dedup_jaccard_capped": _SQL_DEDUP_JACCARD_CAPPED,
     "dedup_containment_capped": _SQL_DEDUP_CONTAINMENT_CAPPED,
@@ -10382,6 +10454,7 @@ ORACLE_SQL = {
 # Arrow-native term dictionary — come first; everything else keeps its
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
+    "crawl_diff",
     "partition_max_records",
     "dedup_jaccard_capped", "dedup_containment_capped",
     "dedup_jaccard_pairs", "dedup_containment", "dedup_eval",

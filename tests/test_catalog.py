@@ -83,6 +83,7 @@ def _check(contract, con, name):
         "dedup_jaccard_capped",
         "dedup_containment_capped",
         "partition_max_records",
+        "crawl_diff",
         "dedup_minhash_lsh",
         "dup_ngrams",
         "doc_packing",

@@ -483,3 +483,32 @@ def test_warc_gzip_member_framing():
         gunzip_members(per_member + b"junk")
     # gzipped NON-warc decoy: decompresses fine, sniffed out as None
     assert parse_warc_bytes(gzip.compress(b"not warc"), strict=True) is None
+
+
+def test_snapshot_diff_semantics(ray_session):
+    """snapshot_diff classifies by presence + hash inequality: a url in
+    both snapshots with identical hashes is unchanged even when other
+    urls around it change; absent sides surface h=0."""
+    import ray
+
+    from goobi_viewer_indexer_ray.stages.recrawl import snapshot_diff
+
+    a_rows = [
+        {"url": "u/keep", "doc_id": 1, "h": 11},
+        {"url": "u/gone", "doc_id": 2, "h": 22},
+        {"url": "u/edit", "doc_id": 3, "h": 33},
+    ]
+    b_rows = [
+        {"url": "u/keep", "doc_id": 1, "h": 11},
+        {"url": "u/edit", "doc_id": 3, "h": 34},
+        {"url": "u/new", "doc_id": 4, "h": 44},
+    ]
+    out = snapshot_diff(
+        ray.data.from_items(a_rows), ray.data.from_items(b_rows)
+    ).to_pandas().set_index("url")
+    assert out.loc["u/keep", "status"] == "unchanged"
+    assert out.loc["u/gone", "status"] == "removed"
+    assert out.loc["u/edit", "status"] == "changed"
+    assert out.loc["u/new", "status"] == "added"
+    assert out.loc["u/gone", "h_b"] == 0 and out.loc["u/new", "h_a"] == 0
+    assert int(out.loc["u/edit", "h_a"]) == 33 and int(out.loc["u/edit", "h_b"]) == 34
