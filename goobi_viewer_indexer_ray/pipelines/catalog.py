@@ -4724,6 +4724,40 @@ FROM agg
 """
 
 
+def q_distinct_hll(sf_dir: str):
+    """Per-source HyperLogLog registers over distinct bigrams
+    (:func:`stages.frequency.hll_registers_bigrams`, p=6 → 64
+    buckets).  The comparable OUTPUT is the integer register table
+    ``(source, bucket, max_rho)`` — not the harmonic-mean estimate —
+    so the oracle replays bucket split and leading-rank rho
+    bit-for-bit: ``bucket = hv >> 58``, ``rho = 59 − bitlen(rem)``
+    (rem = low 58 bits; rem = 0 → 59).  Registers are max-mergeable,
+    which is exactly the ``groupby(source, bucket).max`` the stage
+    runs — shuffle volume is register-bounded (≤ sources × 2^p rows
+    per batch), corpus-size independent."""
+    from ..stages.frequency import hll_registers_bigrams
+
+    return hll_registers_bigrams(
+        _documents(sf_dir, columns=("text", "source")), p=6
+    )
+
+
+_SQL_DISTINCT_HLL = f"""
+WITH toks AS (SELECT source, {_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT DISTINCT source, ts[i] || ' ' || ts[i + 1] AS b
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+),
+h AS (SELECT DISTINCT source,
+             ('0x' || substr(md5(b), 1, 16))::UBIGINT AS hv FROM bg)
+SELECT source, (hv >> 58)::BIGINT AS bucket,
+       max(CASE WHEN (hv & ((1::UBIGINT << 58) - 1)) = 0 THEN 59
+                ELSE 59 - length(bin(hv & ((1::UBIGINT << 58) - 1)))
+           END)::BIGINT AS max_rho
+FROM h GROUP BY source, bucket
+"""
+
+
 def q_sample_weighted(sf_dir: str):
     """Exact-100 weighted document sample, priority ∝ 1/n_chars
     (:func:`stages.sampling.weighted_bottom_k` — integer bottom-k
@@ -10107,6 +10141,7 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-5 additions ---
+    "distinct_hll": q_distinct_hll,
     "crawl_diff": q_crawl_diff,
     "partition_max_records": q_partition_max_records,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
@@ -10275,6 +10310,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "distinct_hll": _SQL_DISTINCT_HLL,
     "crawl_diff": _SQL_CRAWL_DIFF,
     "partition_max_records": _SQL_PARTITION_MAX_RECORDS,
     "dedup_jaccard_capped": _SQL_DEDUP_JACCARD_CAPPED,
@@ -10454,6 +10490,7 @@ ORACLE_SQL = {
 # Arrow-native term dictionary — come first; everything else keeps its
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
+    "distinct_hll",
     "crawl_diff",
     "partition_max_records",
     "dedup_jaccard_capped", "dedup_containment_capped",

@@ -37,10 +37,11 @@ import unicodedata
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.tokenize import TOKEN_RE
 
-__all__ = ["frequent_terms", "kmv_distinct_bigrams", "TOTAL_SENTINEL"]
+__all__ = ["frequent_terms", "kmv_distinct_bigrams", "hll_registers_bigrams", "TOTAL_SENTINEL"]
 
 TOTAL_SENTINEL = "_total_"  # unreachable by the underscore-free tokenizer
 
@@ -142,45 +143,15 @@ def kmv_distinct_bigrams(ds, *, k: int = 64, with_exact: bool = True):
     k rows × sources × batches, and the estimate is IDENTICAL because
     the global bottom-k survives per-batch bottom-k truncation
     (pytest pins both modes equal)."""
-    from ..functions.hashing import md5_hash64_array
-
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        codes_src, src_uniq = pd.factorize(
-            np.asarray(batch.column("source").to_pylist(), dtype=object)
-        )
-        findall = TOKEN_RE.findall
-        norm = unicodedata.normalize
-        counts = np.empty(len(texts), dtype=np.int64)
-        flat: list[str] = []
-        for i, t in enumerate(texts):
-            toks = findall(norm("NFC", t).lower()) if t else []
-            counts[i] = len(toks)
-            flat.extend(toks)
+        src_uniq, psrc, hv = _batch_distinct_bigram_hashes(batch)
         empty = pa.table(
             {"source": pa.array([], pa.string()), "hv": pa.array([], pa.uint64())}
         )
-        if len(flat) < 2:
+        if hv.size == 0:
             return empty
-        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-        valid = np.ones(codes.size, dtype=bool)
-        ends = np.cumsum(counts[counts > 0])
-        valid[ends - 1] = False
-        lead = np.flatnonzero(valid)
-        if lead.size == 0:
-            return empty
-        v = np.int64(uniq.size)
-        key = codes[lead] * v + codes[lead + 1]
-        src_per_tok = np.repeat(codes_src, counts)[lead]
-        pair = np.unique(src_per_tok.astype(np.int64) * (v * v) + key)
-        psrc, pkey = pair // (v * v), pair % (v * v)
-        # md5 only on the batch-unique bigram strings
-        ukey, inv = np.unique(pkey, return_inverse=True)
-        w1, w2 = uniq[(ukey // v)], uniq[(ukey % v)]
-        hv_uniq = md5_hash64_array([a + " " + b for a, b in zip(w1, w2)])
-        hv = hv_uniq[inv]
         if not with_exact:
-            keep = np.zeros(pair.size, dtype=bool)
+            keep = np.zeros(hv.size, dtype=bool)
             for s in np.unique(psrc):
                 idx = np.flatnonzero(psrc == s)
                 if idx.size > k:
@@ -210,3 +181,131 @@ def kmv_distinct_bigrams(ds, *, k: int = 64, with_exact: bool = True):
         .groupby("source")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def _batch_distinct_bigram_hashes(batch: pa.Table):
+    """Batch-distinct (source, bigram) md5-prefix hashes, fully
+    vectorized: factorize tokens → composite bigram codes → md5 only
+    on the batch-unique bigram strings.  Returns ``(src_uniq, psrc,
+    hv)`` — the unique source strings, per-pair source codes into it,
+    and the uint64 hashes (empty arrays when no bigram exists).
+    Shared core of the KMV and HLL cardinality sketches."""
+    from ..functions.hashing import md5_hash64_array
+
+    def _empty():
+        return (
+            np.empty(0, dtype=object),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+        )
+
+    texts = batch.column("text").to_pylist()
+    codes_src, src_uniq = pd.factorize(
+        np.asarray(batch.column("source").to_pylist(), dtype=object)
+    )
+    findall = TOKEN_RE.findall
+    norm = unicodedata.normalize
+    counts = np.empty(len(texts), dtype=np.int64)
+    flat: list[str] = []
+    for i, t in enumerate(texts):
+        toks = findall(norm("NFC", t).lower()) if t else []
+        counts[i] = len(toks)
+        flat.extend(toks)
+    if len(flat) < 2:
+        return _empty()
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    valid = np.ones(codes.size, dtype=bool)
+    ends = np.cumsum(counts[counts > 0])
+    valid[ends - 1] = False
+    lead = np.flatnonzero(valid)
+    if lead.size == 0:
+        return _empty()
+    v = np.int64(uniq.size)
+    key = codes[lead] * v + codes[lead + 1]
+    src_per_tok = np.repeat(codes_src, counts)[lead]
+    pair = np.unique(src_per_tok.astype(np.int64) * (v * v) + key)
+    psrc, pkey = pair // (v * v), pair % (v * v)
+    # md5 only on the batch-unique bigram strings
+    ukey, inv = np.unique(pkey, return_inverse=True)
+    w1, w2 = uniq[(ukey // v)], uniq[(ukey % v)]
+    hv_uniq = md5_hash64_array([a + " " + b for a, b in zip(w1, w2)])
+    return np.asarray(src_uniq, dtype=object), psrc, hv_uniq[inv]
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Exact bit length of uint64 values (0 → 0), vectorized with
+    integer shifts — float ``log2`` misrounds near powers of two above
+    2⁵³ (e.g. 2⁵⁸−1 rounds UP), so no floats anywhere."""
+    x = x.astype(np.uint64, copy=True)
+    r = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        r[m] += s
+        x[m] >>= np.uint64(s)
+    r[x > 0] += 1
+    return r
+
+
+def hll_registers_bigrams(ds, *, p: int = 6):
+    """HyperLogLog registers per ``source`` over distinct bigrams —
+    the float-free HLL gate: the OUTPUT is the integer register table
+    ``(source, bucket, max_rho)`` (2^p buckets; rho = leading-zero
+    count of the remaining 64−p hash bits + 1), not the harmonic-mean
+    estimate, so the DuckDB oracle replays it bit-for-bit with
+    ``length(bin(rem))`` (the estimate is a deterministic driver-side
+    fold over ≤ 2^p rows per source if a caller wants it).
+
+    Shape: the KMV sketch's shared vectorized core
+    (:func:`_batch_distinct_bigram_hashes`) per batch, reduced to
+    ≤ sources × 2^p register rows per batch (``np.maximum.at``), then
+    ONE ``groupby(source, bucket).max`` — shuffle volume is
+    register-bounded, corpus-size independent, the production HLL
+    merge shape (registers are max-mergeable)."""
+    from ray.data.aggregate import Max
+
+    shift = np.uint64(64 - p)
+    mask = np.uint64((1 << (64 - p)) - 1)
+    rho_cap = np.int64(64 - p + 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src_uniq, psrc, hv = _batch_distinct_bigram_hashes(batch)
+        if hv.size == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        bucket = (hv >> shift).astype(np.int64)
+        rem = hv & mask
+        rho = rho_cap - _bitlen_u64(rem)  # rem == 0 → rho_cap
+        # per-batch register fold: one row per (source, bucket) seen
+        code = psrc * (1 << p) + bucket
+        ucode, inv = np.unique(code, return_inverse=True)
+        reg = np.zeros(ucode.size, dtype=np.int64)
+        np.maximum.at(reg, inv, rho)
+        return pa.table(
+            {
+                "source": pa.array(src_uniq[ucode // (1 << p)], pa.string()),
+                "bucket": pa.array(ucode % (1 << p), pa.int64()),
+                "rho": pa.array(reg, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(Max("rho"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "bucket": pc.cast(t.column("bucket"), pa.int64()),
+                "max_rho": pc.cast(t.column("max(rho)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -93,6 +93,7 @@ def _check(contract, con, name):
         "link_pagerank",
         "link_anchors",
         "distinct_kmv",
+        "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
         "ann_pq_adc",

@@ -97,3 +97,48 @@ def test_kmv_modes_identical_and_exact_below_k(ray_session):
     # source b has 2 distinct bigrams < k=4 -> sketch is exact
     b = full[full["source"] == "b"].iloc[0]
     assert b["kmv_est"] == b["n_exact"] == 2
+
+
+def test_hll_registers_match_bruteforce(ray_session):
+    import ray.data
+
+    from goobi_viewer_indexer_ray.functions.hashing import md5_hash64_array
+    from goobi_viewer_indexer_ray.functions.tokenize import TOKEN_RE
+    from goobi_viewer_indexer_ray.stages.frequency import hll_registers_bigrams
+
+    texts = (
+        ["the quick brown fox " * 5, "jumps over the lazy dog", "the quick fox"]
+        * 10
+    )
+    srcs = (["a"] * 2 + ["b"]) * 10
+    t = pa.table(
+        {"text": pa.array(texts, pa.string()), "source": pa.array(srcs, pa.string())}
+    )
+    p = 4
+    out = (
+        hll_registers_bigrams(ray.data.from_arrow(t).repartition(5), p=p)
+        .to_pandas()
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+
+    # brute-force replay: distinct (source, bigram) -> bucket/rho -> max
+    want: dict[tuple[str, int], int] = {}
+    pairs = set()
+    for s, txt in zip(srcs, texts):
+        toks = TOKEN_RE.findall(txt.lower())
+        for a, b in zip(toks, toks[1:]):
+            pairs.add((s, a + " " + b))
+    for s, bg in pairs:
+        hv = int(md5_hash64_array([bg])[0])
+        bucket = hv >> (64 - p)
+        rem = hv & ((1 << (64 - p)) - 1)
+        rho = (64 - p + 1) - rem.bit_length()
+        k = (s, bucket)
+        want[k] = max(want.get(k, 0), rho)
+    got = {
+        (r.source, int(r.bucket)): int(r.max_rho) for r in out.itertuples()
+    }
+    assert got == want
+    # registers only for buckets actually hit; rho within [1, 64-p+1]
+    assert out["max_rho"].between(1, 64 - p + 1).all()
