@@ -373,6 +373,65 @@ def q_doc_token_count(sf_dir: str):
 _SQL_TOKEN_COUNT = f"SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents"
 
 
+def q_norm_quantize(sf_dir: str):
+    """Scoring-norm byte: quantize each doc's token length into the
+    SmallFloat-style one-byte code Solr stores per doc for BM25 length
+    normalization (reference delegates to Lucene; SURVEY §1.2).  Two
+    chained per-row maps, no shuffle; the oracle replays the integer
+    bit arithmetic via DuckDB ``bin()``/shifts — bit-exact."""
+    return (
+        _documents(sf_dir)
+        .map_batches(text_ops.token_count_batch, batch_format="pyarrow")
+        .map_batches(text_ops.norm_quantize_batch, batch_format="pyarrow")
+    )
+
+
+_SQL_NORM_QUANTIZE = f"""
+WITH t AS (SELECT doc_id, len({_TOKS})::BIGINT AS dl FROM documents),
+c AS (
+  SELECT doc_id, dl,
+         CASE WHEN dl < 32 THEN dl
+              ELSE 16 * (len(bin(dl)) - 5) + (dl >> (len(bin(dl)) - 5))
+         END::BIGINT AS norm_code
+  FROM t)
+SELECT doc_id, dl, norm_code,
+       CASE WHEN norm_code < 32 THEN norm_code
+            ELSE (norm_code - 16 * (norm_code // 16 - 1)) << (norm_code // 16 - 1)
+       END::BIGINT AS dl_lossy
+FROM c
+"""
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Type/token ratio + hapax share per doc (quality screens beside
+    the Gopher rules).  ONE factorize per batch, composite (doc, type)
+    key through ``np.unique`` — per-row map, no shuffle; integer basis
+    points keep the oracle exact."""
+    return _documents(sf_dir).map_batches(
+        text_ops.lexical_diversity_batch, batch_format="pyarrow"
+    )
+
+
+_SQL_LEXICAL_DIVERSITY = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+g AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM t)
+  GROUP BY doc_id, tok),
+s AS (
+  SELECT doc_id, count(*)::BIGINT AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+  FROM g GROUP BY doc_id)
+SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+       coalesce(s.n_types, 0)::BIGINT AS n_types,
+       coalesce(s.n_hapax, 0)::BIGINT AS n_hapax,
+       CASE WHEN len(t.ts) > 0
+            THEN 10000 * coalesce(s.n_types, 0) // len(t.ts)
+            ELSE 0 END::BIGINT AS ttr_bp
+FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     return _documents(sf_dir).map_batches(text_ops.fingerprint_batch, batch_format="pyarrow")
 
@@ -10141,6 +10200,8 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-5 additions ---
+    "norm_quantize": q_norm_quantize,
+    "lexical_diversity": q_lexical_diversity,
     "distinct_hll": q_distinct_hll,
     "crawl_diff": q_crawl_diff,
     "partition_max_records": q_partition_max_records,
@@ -10310,6 +10371,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "norm_quantize": _SQL_NORM_QUANTIZE,
+    "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
     "distinct_hll": _SQL_DISTINCT_HLL,
     "crawl_diff": _SQL_CRAWL_DIFF,
     "partition_max_records": _SQL_PARTITION_MAX_RECORDS,
@@ -10490,6 +10553,8 @@ ORACLE_SQL = {
 # Arrow-native term dictionary — come first; everything else keeps its
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
+    "norm_quantize",
+    "lexical_diversity",
     "distinct_hll",
     "crawl_diff",
     "partition_max_records",

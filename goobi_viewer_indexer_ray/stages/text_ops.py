@@ -28,6 +28,8 @@ __all__ = [
     "repetition_batch",
     "subword_count_batch",
     "token_count_batch",
+    "norm_quantize_batch",
+    "lexical_diversity_batch",
     "fingerprint_batch",
     "shingles_batch",
     "simhash_batch",
@@ -1110,3 +1112,83 @@ def s_stem_array(terms: np.ndarray) -> np.ndarray:
     if idx23.size:
         out[idx23] = [w[:-1] for w in t[idx23]]
     return out
+
+
+def norm_quantize_batch(batch: pa.Table) -> pa.Table:
+    """Lossy doc-length "norm" quantization — the scoring-norm byte
+    the reference delegates to Lucene's ``SmallFloat`` (Solr encodes
+    each doc's length into one byte for BM25's length normalization;
+    see SURVEY.md §1.2 — norms are the last piece of the delegated
+    Solr surface we re-own).  Same quantizer class, exact integer
+    semantics so a SQL oracle can replay it bit-for-bit:
+
+    - ``dl < 32`` → ``code = dl``  (exact region)
+    - else ``e = bitlen(dl) − 5``; ``code = 16·e + (dl >> e)``
+      (4-bit mantissa with hidden high bit: ``dl >> e`` ∈ [16, 31]) —
+      monotone, relative error < 1/16
+    - decode: ``dl_lossy = (code − 16·e) << e`` with
+      ``e = code//16 − 1`` (floor of the quantization cell)
+
+    Input ``(doc_id, n_tokens)`` partials from ``token_count_batch``;
+    output ``(doc_id, dl, norm_code, dl_lossy)``.  Pure per-row map —
+    no shuffle; bit length via integer shifts (float ``log2``
+    misrounds near powers of two)."""
+    dl = batch.column("n_tokens").to_numpy().astype(np.int64)
+    code = dl.copy()
+    big = dl >= 32
+    if big.any():
+        x = dl[big].copy()
+        bl = np.zeros(x.size, dtype=np.int64)
+        for s in (32, 16, 8, 4, 2, 1):
+            m = x >= (np.int64(1) << np.int64(s))
+            bl[m] += s
+            x[m] >>= np.int64(s)
+        bl += 1  # x is now 1 for every entry (dl >= 32 > 0)
+        e = bl - 5
+        code[big] = 16 * e + (dl[big] >> e.astype(np.int64))
+    lossy = code.copy()
+    dec = code >= 32
+    if dec.any():
+        e = code[dec] // 16 - 1
+        lossy[dec] = (code[dec] - 16 * e) << e
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+            "norm_code": pa.array(code, pa.int64()),
+            "dl_lossy": pa.array(lossy, pa.int64()),
+        }
+    )
+
+
+def lexical_diversity_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc lexical-diversity signals — type/token ratio and hapax
+    share, the classic corpus-quality screens next to the Gopher rules
+    (machine-generated spam skews low-TTR; OCR noise skews hapax-high).
+    Integer basis points so the oracle replays exactly.
+
+    Output ``(doc_id, n_tokens, n_types, n_hapax, ttr_bp)`` with
+    ``ttr_bp = 10000·n_types // n_tokens`` (0 for empty docs).  Fully
+    vectorized: ONE factorize, composite ``(doc, type)`` key through
+    ``np.unique`` — per-row map, no shuffle."""
+    ids, counts, codes, uniq = _flat_token_codes(batch)
+    n_docs = len(ids)
+    types = np.zeros(n_docs, dtype=np.int64)
+    hapax = np.zeros(n_docs, dtype=np.int64)
+    if codes.size:
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        v = np.int64(uniq.size)
+        key = doc_idx * v + codes
+        ukey, kcnt = np.unique(key, return_counts=True)
+        np.add.at(types, ukey // v, 1)
+        np.add.at(hapax, (ukey // v)[kcnt == 1], 1)
+    ttr = np.where(counts > 0, 10000 * types // np.maximum(counts, 1), 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_types": pa.array(types, pa.int64()),
+            "n_hapax": pa.array(hapax, pa.int64()),
+            "ttr_bp": pa.array(ttr, pa.int64()),
+        }
+    )

@@ -74,6 +74,8 @@ def _check(contract, con, name):
         "term_df_top100",
         "bm25_topk",
         "doc_token_count",
+        "norm_quantize",
+        "lexical_diversity",
         "doc_fingerprint",
         "langid",
         "quality_signals",

@@ -512,3 +512,47 @@ def test_snapshot_diff_semantics(ray_session):
     assert out.loc["u/new", "status"] == "added"
     assert out.loc["u/gone", "h_b"] == 0 and out.loc["u/new", "h_a"] == 0
     assert int(out.loc["u/edit", "h_a"]) == 33 and int(out.loc["u/edit", "h_b"]) == 34
+
+
+def test_norm_quantize_semantics():
+    """SmallFloat-style norm byte: exact below 32, 4-bit mantissa above;
+    monotone code; decode is the floor of the quantization cell."""
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.stages.text_ops import norm_quantize_batch
+
+    dls = np.array([0, 1, 31, 32, 33, 63, 64, 100, 1023, 1024, 2**20 + 7])
+    t = pa.table({"doc_id": pa.array(range(len(dls)), pa.int64()),
+                  "n_tokens": pa.array(dls, pa.int64())})
+    out = norm_quantize_batch(t)
+    code = out.column("norm_code").to_numpy()
+    lossy = out.column("dl_lossy").to_numpy()
+    # exact region
+    assert list(code[:3]) == [0, 1, 31] and list(lossy[:3]) == [0, 1, 31]
+    # dl=32: bitlen 6, e=1, code = 16+16 = 32, decode 32 (exact power of two)
+    assert code[3] == 32 and lossy[3] == 32
+    # dl=33 rounds DOWN into the same cell
+    assert code[4] == 32 and lossy[4] == 32
+    # dl=63: 63>>1 = 31 -> code 47, decode 62
+    assert code[5] == 47 and lossy[5] == 62
+    # monotone in dl, decode never exceeds dl, relative error < 1/16
+    assert (np.diff(code) >= 0).all()
+    assert (lossy <= dls).all()
+    big = dls >= 32
+    assert ((dls[big] - lossy[big]) * 16 < dls[big]).all()
+
+
+def test_lexical_diversity_semantics():
+    """TTR/hapax: 'a a b' -> 3 tokens, 2 types, 1 hapax, ttr 6666bp;
+    empty doc -> all zeros; all-distinct doc -> ttr 10000."""
+    from goobi_viewer_indexer_ray.stages.text_ops import lexical_diversity_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["A a b", "", "one two three"], pa.string()),
+    })
+    out = lexical_diversity_batch(t).to_pydict()
+    assert out["n_tokens"] == [3, 0, 3]
+    assert out["n_types"] == [2, 0, 3]
+    assert out["n_hapax"] == [1, 0, 3]
+    assert out["ttr_bp"] == [6666, 0, 10000]
