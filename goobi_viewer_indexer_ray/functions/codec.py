@@ -44,6 +44,10 @@ __all__ = [
     "decode_ef",
     "encode_frontcoded_block",
     "decode_frontcoded_block",
+    "ROARING_ARRAY_MAX",
+    "encode_roaring",
+    "decode_roaring",
+    "roaring_container_stats",
 ]
 
 BLOCK_SIZE = 128
@@ -382,3 +386,114 @@ def decode_frontcoded_block(buf: bytes | memoryview) -> list[str]:
     if pos != len(b):
         raise ValueError("frontcoded block: trailing bytes after last term")
     return [t.decode("utf-8") for t in terms]
+
+
+ROARING_ARRAY_MAX = 4096  # array→bitmap container switch cardinality
+
+
+def encode_roaring(doc_ids: np.ndarray) -> bytes:
+    """Roaring bitmap over a strictly-increasing doc-id set < 2³²
+    (Chambi/Lemire/Kaser/Godin, "Better bitmap performance with
+    Roaring bitmaps", SPE 2016 — the doc-id-set container Lucene uses
+    for live-docs / filter caches, fourth member of the posting codec
+    family next to LEB128/FOR/Elias-Fano):
+
+        [n_containers: u32 LE]
+        per container (ascending key):
+          [key: u16 LE][card-1: u16 LE]
+          array container  (card ≤ 4096): card × u16 LE sorted low bits
+          bitmap container (card > 4096): 8192 bytes, LSB-first bits
+
+    so the total size is exactly
+    ``4 + Σ (4 + (2·card if card ≤ 4096 else 8192))`` — the integer
+    formula a SQL oracle can replay from per-``doc_id // 65536``
+    cardinalities.  Fully vectorized: one ``np.unique`` on the high
+    halves, ``tobytes`` per array container, one boolean scatter +
+    ``np.packbits`` per bitmap container."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    if d.size == 0:
+        raise ValueError("empty sequence")
+    if d.size > 1 and not (d[1:] > d[:-1]).all():
+        raise ValueError("doc ids must be strictly increasing")
+    if int(d[-1]) >> 32:
+        raise ValueError("roaring requires ids < 2**32")
+    high = (d >> np.uint64(16)).astype(np.uint32)
+    low = (d & np.uint64(0xFFFF)).astype("<u2")
+    keys, starts = np.unique(high, return_index=True)
+    ends = np.append(starts[1:], d.size)
+    out = [np.uint32(keys.size).tobytes()]
+    for key, s, e in zip(keys, starts, ends):
+        card = int(e - s)
+        hdr = np.empty(2, "<u2")
+        hdr[0] = key
+        hdr[1] = card - 1
+        out.append(hdr.tobytes())
+        if card <= ROARING_ARRAY_MAX:
+            out.append(low[s:e].tobytes())
+        else:
+            bits = np.zeros(65536, np.uint8)
+            bits[low[s:e]] = 1
+            out.append(np.packbits(bits, bitorder="little").tobytes())
+    return b"".join(out)
+
+
+def decode_roaring(buf: bytes | memoryview) -> np.ndarray:
+    """Inverse of :func:`encode_roaring` → strictly-increasing int64
+    id array.  Corrupt input (truncation, unsorted/duplicate container
+    keys, non-increasing array values, trailing bytes, bitmap
+    popcount ≠ card) raises ``ValueError`` — the module's fail-loud
+    decoder contract."""
+    b = np.frombuffer(buf, np.uint8)
+    if b.size < 4:
+        raise ValueError("roaring: truncated header")
+    n_cont = int(np.frombuffer(b[:4].tobytes(), np.uint32)[0])
+    if n_cont == 0:
+        raise ValueError("roaring: zero containers")
+    pos = 4
+    parts: list[np.ndarray] = []
+    prev_key = -1
+    for _ in range(n_cont):
+        if pos + 4 > b.size:
+            raise ValueError("roaring: truncated container header")
+        key = int(np.frombuffer(b[pos:pos + 2].tobytes(), "<u2")[0])
+        card = int(np.frombuffer(b[pos + 2:pos + 4].tobytes(), "<u2")[0]) + 1
+        if key <= prev_key:
+            raise ValueError("roaring: container keys not ascending")
+        prev_key = key
+        pos += 4
+        if card <= ROARING_ARRAY_MAX:
+            if pos + 2 * card > b.size:
+                raise ValueError("roaring: truncated array container")
+            lows = np.frombuffer(b[pos:pos + 2 * card].tobytes(), "<u2")
+            if card > 1 and not (lows[1:] > lows[:-1]).all():
+                raise ValueError("roaring: array container not increasing")
+            pos += 2 * card
+        else:
+            if pos + 8192 > b.size:
+                raise ValueError("roaring: truncated bitmap container")
+            lows = np.flatnonzero(
+                np.unpackbits(b[pos:pos + 8192], bitorder="little")
+            )
+            if lows.size != card:
+                raise ValueError(
+                    f"roaring: bitmap popcount {lows.size} != card {card}"
+                )
+            pos += 8192
+        parts.append(
+            (np.uint64(key) << np.uint64(16))
+            | lows.astype(np.uint64)
+        )
+    if pos != b.size:
+        raise ValueError("roaring: trailing bytes")
+    return np.concatenate(parts).astype(np.int64)
+
+
+def roaring_container_stats(doc_ids: np.ndarray) -> tuple[int, int]:
+    """(n array containers, n bitmap containers) the REAL encoder
+    would emit — accounting twin of :func:`encode_roaring` for the
+    catalog's storage meter."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    high = (d >> np.uint64(16)).astype(np.uint32)
+    _, counts = np.unique(high, return_counts=True)
+    n_bitmap = int((counts > ROARING_ARRAY_MAX).sum())
+    return int(counts.size) - n_bitmap, n_bitmap

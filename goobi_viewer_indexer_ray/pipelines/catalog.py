@@ -432,6 +432,283 @@ FROM t LEFT JOIN s ON t.doc_id = s.doc_id
 """
 
 
+def q_postings_roaring(sf_dir: str):
+    """Roaring-bitmap doc-id-set accounting — fourth member of the
+    posting codec family (LEB128 / FOR / Elias-Fano / Roaring; Lucene
+    keeps live-docs and filter caches in this container): per term,
+    the EXACT encoded byte size under 16-bit-keyed array/bitmap
+    containers plus the container-type split, top 100 terms by
+    (df desc, term).  Engine sizes come from the REAL encoder
+    (:func:`functions.codec.encode_roaring`, roundtrip-fuzzed in
+    pytest incl. the >4096-cardinality bitmap branch the sf corpora
+    can't reach); the oracle replays the container formula from
+    per-``doc_id // 65536`` cardinalities — byte-for-byte agreement
+    pins the layout."""
+    from ..functions.codec import encode_roaring, roaring_container_stats
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def sizes(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("doc_id").to_numpy().astype(np.int64))
+        n_array, n_bitmap = roaring_container_stats(d)
+        return pa.table(
+            {
+                "term": g.column("term").slice(0, 1),
+                "df": pa.array([d.size], pa.int64()),
+                "raw_bytes": pa.array([8 * d.size], pa.int64()),
+                "roaring_bytes": pa.array(
+                    [len(encode_roaring(d.astype(np.uint64)))], pa.int64()
+                ),
+                "n_array": pa.array([n_array], pa.int64()),
+                "n_bitmap": pa.array([n_bitmap], pa.int64()),
+            }
+        )
+
+    return (
+        postings.groupby("term")
+        .map_groups(sizes, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+_SQL_POSTINGS_ROARING = f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+cont AS (
+  SELECT term, doc_id // 65536 AS hi, count(*)::BIGINT AS card
+  FROM posting GROUP BY term, doc_id // 65536
+),
+sz AS (
+  SELECT term, sum(card)::BIGINT AS df,
+         (4 + sum(4 + CASE WHEN card <= 4096
+                           THEN 2 * card ELSE 8192 END))::BIGINT
+           AS roaring_bytes,
+         sum(CASE WHEN card <= 4096 THEN 1 ELSE 0 END)::BIGINT AS n_array,
+         sum(CASE WHEN card > 4096 THEN 1 ELSE 0 END)::BIGINT AS n_bitmap
+  FROM cont GROUP BY term
+)
+SELECT term, df, (8 * df)::BIGINT AS raw_bytes, roaring_bytes,
+       n_array, n_bitmap
+FROM sz ORDER BY df DESC, term LIMIT 100
+"""
+
+_CHAMPION_M = 8
+_CHAMPION_TERMS = 50
+
+
+def q_champion_lists(sf_dir: str):
+    """Champion lists / tiered index (Manning IIR §7.1.3 — the
+    static-pruning fast tier Lucene exposes as impact-ordered
+    postings): for the top 50 terms by (df desc, term) among terms
+    with a FULL list (df ≥ m), the m = 8 highest-impact postings
+    ordered (tf desc, doc_id).  One posting pass + one
+    ``groupby(term)`` that emits ≤ m rows per term (the per-group
+    output is bounded by m, never df — the property that makes the
+    tier cheap to build at corpus scale); restricting to full lists
+    makes the trailing ``limit(50·m)`` align exactly with term
+    boundaries, so no term is half-included."""
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def champs(g: pa.Table) -> pa.Table:
+        if g.num_rows < _CHAMPION_M:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        tf = g.column("tf").to_numpy().astype(np.int64)
+        doc = g.column("doc_id").to_numpy().astype(np.int64)
+        order = np.lexsort((doc, -tf))[:_CHAMPION_M]
+        return pa.table(
+            {
+                "term": pa.array(
+                    [g.column("term")[0].as_py()] * _CHAMPION_M, pa.string()
+                ),
+                "df": pa.array([g.num_rows] * _CHAMPION_M, pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, _CHAMPION_M + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(doc[order], pa.int64()),
+                "tf": pa.array(tf[order], pa.int64()),
+            }
+        )
+
+    return (
+        postings.groupby("term")
+        .map_groups(champs, batch_format="pyarrow")
+        .sort(["df", "term", "rank"], descending=[True, False, False])
+        .limit(_CHAMPION_TERMS * _CHAMPION_M)
+    )
+
+
+_SQL_CHAMPION_LISTS = f"""
+WITH t AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+d AS (SELECT tok, count(*)::BIGINT AS df FROM t GROUP BY tok),
+top AS (
+  SELECT tok, df FROM d WHERE df >= {_CHAMPION_M}
+  ORDER BY df DESC, tok LIMIT {_CHAMPION_TERMS}
+),
+r AS (
+  SELECT t.tok AS term, top.df, t.doc_id, t.tf,
+         row_number() OVER (
+           PARTITION BY t.tok ORDER BY t.tf DESC, t.doc_id
+         )::BIGINT AS rank
+  FROM t JOIN top ON t.tok = top.tok
+)
+SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
+"""
+
+_ZIPF_TOP = 100
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency fit over the corpus vocabulary (the
+    collection-statistics sibling of ``vocab_growth``'s Heaps law):
+    least-squares slope/intercept/R² of ln(cf) on ln(rank) over the
+    top 100 terms by collection frequency.  One posting pass + one
+    ``groupby(term)`` sum + sort/limit; the regression runs on the
+    100-row bounded result (driver-safe by construction — the classic
+    partial-top-k-then-merge shape).  Oracle replays it with DuckDB's
+    ``regr_slope``/``regr_intercept``/``regr_r2`` — same closed-form
+    normal equations, 4 dp."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.postings import TokenizePostings
+
+    top = (
+        _documents(sf_dir)
+        .map_batches(TokenizePostings(num_shards=1), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="cf"))
+        .sort(["cf", "term"], descending=[True, False])
+        .limit(_ZIPF_TOP)
+        .take_all()
+    )
+    cf = np.array([r["cf"] for r in top], np.float64)
+    x = np.log(np.arange(1, cf.size + 1, dtype=np.float64))
+    y = np.log(cf)
+    xc, yc = x - x.mean(), y - y.mean()
+    sxx, sxy, syy = (xc * xc).sum(), (xc * yc).sum(), (yc * yc).sum()
+    slope = sxy / sxx
+    return pa.table(
+        {
+            "n_terms": pa.array([cf.size], pa.int64()),
+            "zipf_slope": pa.array([round(slope, 4)], pa.float64()),
+            "zipf_intercept": pa.array(
+                [round(y.mean() - slope * x.mean(), 4)], pa.float64()
+            ),
+            "zipf_r2": pa.array([round(sxy * sxy / (sxx * syy), 4)], pa.float64()),
+        }
+    )
+
+
+_SQL_ZIPF_SLOPE = f"""
+WITH cf AS (
+  SELECT tok, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok
+),
+top AS (
+  SELECT cf, row_number() OVER (ORDER BY cf DESC, tok) AS rnk
+  FROM cf ORDER BY cf DESC, tok LIMIT {_ZIPF_TOP}
+)
+SELECT count(*)::BIGINT AS n_terms,
+       round(regr_slope(ln(cf), ln(rnk)), 4) AS zipf_slope,
+       round(regr_intercept(ln(cf), ln(rnk)), 4) AS zipf_intercept,
+       round(regr_r2(ln(cf), ln(rnk)), 4) AS zipf_r2
+FROM top
+"""
+
+
+def q_term_dispersion(sf_dir: str):
+    """Term burstiness / dispersion (Church & Gale 1995 — a bursty
+    term concentrates its occurrences in few docs; a function word
+    spreads evenly): per term df, cf, max tf, the integer variance
+    numerator ``df·Σtf² − cf²`` (= df²·Var(tf), exact int64 — no
+    float variance crosses the oracle) and mean tf in basis points,
+    top 100 terms by (cf desc, term).  Map-side tf partials ride ONE
+    ``groupby(term)`` of four commutative aggregates — no per-group
+    Python, corpus-size-independent group count."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.postings import TokenizePostings
+
+    def with_tf2(batch: pa.Table) -> pa.Table:
+        tf = pc.cast(batch.column("tf"), pa.int64())
+        return batch.append_column("tf2", pc.multiply(tf, tf))
+
+    stats = (
+        _documents(sf_dir)
+        .map_batches(TokenizePostings(num_shards=1), batch_format="pyarrow")
+        .map_batches(with_tf2, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Count(alias_name="df"),
+            Sum("tf", alias_name="cf"),
+            Max("tf", alias_name="max_tf"),
+            Sum("tf2", alias_name="sum_tf2"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pc.cast(batch.column("df"), pa.int64())
+        cf = pc.cast(batch.column("cf"), pa.int64())
+        sum_tf2 = pc.cast(batch.column("sum_tf2"), pa.int64())
+        return pa.table(
+            {
+                "term": batch.column("term"),
+                "df": df,
+                "cf": cf,
+                "max_tf": pc.cast(batch.column("max_tf"), pa.int64()),
+                "var_num": pc.subtract(
+                    pc.multiply(df, sum_tf2), pc.multiply(cf, cf)
+                ),
+                "mean_tf_bp": pc.divide(pc.multiply(cf, pa.scalar(10000)), df),
+            }
+        )
+
+    return (
+        stats.map_batches(finish, batch_format="pyarrow")
+        .sort(["cf", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+_SQL_TERM_DISPERSION = f"""
+WITH t AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+g AS (
+  SELECT tok AS term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+         max(tf)::BIGINT AS max_tf, sum(tf * tf)::BIGINT AS sum_tf2
+  FROM t GROUP BY tok
+)
+SELECT term, df, cf, max_tf,
+       (df * sum_tf2 - cf * cf)::BIGINT AS var_num,
+       (10000 * cf // df)::BIGINT AS mean_tf_bp
+FROM g ORDER BY cf DESC, term LIMIT 100
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     return _documents(sf_dir).map_batches(text_ops.fingerprint_batch, batch_format="pyarrow")
 
@@ -10200,6 +10477,10 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-5 additions ---
+    "postings_roaring": q_postings_roaring,
+    "champion_lists": q_champion_lists,
+    "zipf_slope": q_zipf_slope,
+    "term_dispersion": q_term_dispersion,
     "norm_quantize": q_norm_quantize,
     "lexical_diversity": q_lexical_diversity,
     "distinct_hll": q_distinct_hll,
@@ -10371,6 +10652,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "postings_roaring": _SQL_POSTINGS_ROARING,
+    "champion_lists": _SQL_CHAMPION_LISTS,
+    "zipf_slope": _SQL_ZIPF_SLOPE,
+    "term_dispersion": _SQL_TERM_DISPERSION,
     "norm_quantize": _SQL_NORM_QUANTIZE,
     "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
     "distinct_hll": _SQL_DISTINCT_HLL,
@@ -10553,6 +10838,10 @@ ORACLE_SQL = {
 # Arrow-native term dictionary — come first; everything else keeps its
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
+    "postings_roaring",
+    "champion_lists",
+    "zipf_slope",
+    "term_dispersion",
     "norm_quantize",
     "lexical_diversity",
     "distinct_hll",

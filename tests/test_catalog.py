@@ -76,6 +76,10 @@ def _check(contract, con, name):
         "doc_token_count",
         "norm_quantize",
         "lexical_diversity",
+        "postings_roaring",
+        "champion_lists",
+        "zipf_slope",
+        "term_dispersion",
         "doc_fingerprint",
         "langid",
         "quality_signals",

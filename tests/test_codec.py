@@ -183,3 +183,70 @@ def test_frontcoded_corrupt_inputs_raise():
     for c in cases:
         with pytest.raises(ValueError):
             decode_frontcoded_block(c)
+
+
+def test_roaring_roundtrip_and_size_formula():
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.functions.codec import (
+        decode_roaring,
+        encode_roaring,
+        roaring_container_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    # sparse (array containers), boundary 4096/4097, multi-container,
+    # and dense (bitmap containers) streams
+    cases = [
+        np.array([0], np.uint64),
+        np.array([65535, 65536], np.uint64),  # container boundary
+        np.sort(rng.choice(1_000_000, 4096, replace=False)).astype(np.uint64),
+        np.sort(rng.choice(200_000, 9000, replace=False)).astype(np.uint64),
+        np.arange(100_000, 170_000, dtype=np.uint64),  # dense → bitmap
+    ]
+    for ids in cases:
+        buf = encode_roaring(ids)
+        assert (decode_roaring(buf) == ids.astype(np.int64)).all()
+        # exact size formula: 4 + per-container (4 + payload)
+        high = ids >> np.uint64(16)
+        _, cards = np.unique(high, return_counts=True)
+        want = 4 + sum(
+            4 + (2 * int(c) if c <= 4096 else 8192) for c in cards
+        )
+        assert len(buf) == want
+        n_array, n_bitmap = roaring_container_stats(ids)
+        assert n_array == int((cards <= 4096).sum())
+        assert n_bitmap == int((cards > 4096).sum())
+    # a single 65536-dense container is exactly 4 + 4 + 8192 bytes
+    full = np.arange(65536, dtype=np.uint64)
+    assert len(encode_roaring(full)) == 4 + 4 + 8192
+
+
+def test_roaring_corrupt_inputs_raise():
+    import numpy as np
+    import pytest
+
+    from goobi_viewer_indexer_ray.functions.codec import (
+        decode_roaring,
+        encode_roaring,
+    )
+
+    good = encode_roaring(np.array([1, 2, 70000], np.uint64))
+    assert (decode_roaring(good) == [1, 2, 70000]).all()
+    bad = [
+        b"",                      # truncated header
+        b"\x00\x00\x00\x00",      # zero containers
+        good[:-1],                # truncated payload
+        good + b"\x00",           # trailing bytes
+        # keys not ascending: swap the two container records
+        good[:4] + good[4 + 8:] + good[4:4 + 8],
+    ]
+    for c in bad:
+        with pytest.raises(ValueError):
+            decode_roaring(c)
+    with pytest.raises(ValueError):
+        encode_roaring(np.array([], np.uint64))
+    with pytest.raises(ValueError):
+        encode_roaring(np.array([5, 5], np.uint64))  # not increasing
+    with pytest.raises(ValueError):
+        encode_roaring(np.array([1 << 33], np.uint64))  # ≥ 2³²
