@@ -709,6 +709,69 @@ FROM g ORDER BY cf DESC, term LIMIT 100
 """
 
 
+def q_readability(sf_dir: str):
+    """Flesch-Kincaid readability basis per doc (quality screen next
+    to ``quality_gopher``/``lexical_diversity``): word / sentence /
+    vowel-run-syllable counts + the exact integer numerator and
+    denominator of 100·FK_grade, so NO float division crosses the
+    oracle.  Pure per-row map over the documents table."""
+    return _documents(sf_dir).map_batches(
+        text_ops.readability_batch, batch_format="pyarrow"
+    )
+
+
+_SQL_READABILITY = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS ws,
+         len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sent
+  FROM documents),
+s AS (
+  SELECT doc_id, n_sent, len(ws)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(ws,
+             w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+           0)::BIGINT AS n_syll
+  FROM t)
+SELECT doc_id, n_words, n_sent, n_syll,
+       CASE WHEN n_words * n_sent > 0
+            THEN 39 * n_words * n_words + 1180 * n_syll * n_sent
+                 - 1559 * n_words * n_sent
+            ELSE 0 END::BIGINT AS fk_num,
+       (n_words * n_sent)::BIGINT AS fk_den
+FROM s
+"""
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-doc Shannon entropy over the [a-z0-9] character stream —
+    the gibberish screen (single-char spam ≈ 0 bits, prose ≈ 4.1).
+    Exact integer char/distinct counts + the 4 dp entropy, same
+    ``Σ c(ln N − ln c)/(N ln 2)`` expression tree both sides."""
+    return _documents(sf_dir).map_batches(
+        text_ops.char_entropy_batch, batch_format="pyarrow"
+    )
+
+
+_SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS c
+  FROM documents),
+g AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY doc_id, c),
+t AS (SELECT doc_id, sum(n)::BIGINT AS n_chars,
+             count(*)::BIGINT AS n_distinct FROM g GROUP BY doc_id),
+e AS (
+  SELECT g.doc_id,
+         sum(g.n * (ln(t.n_chars) - ln(g.n))) / (t.n_chars * ln(2)) AS ent
+  FROM g JOIN t USING (doc_id) GROUP BY g.doc_id, t.n_chars)
+SELECT d.doc_id,
+       coalesce(t.n_chars, 0)::BIGINT AS n_chars,
+       coalesce(t.n_distinct, 0)::BIGINT AS n_distinct,
+       coalesce(round(e.ent, 4), 0.0) AS entropy_bits
+FROM documents d
+LEFT JOIN t ON d.doc_id = t.doc_id
+LEFT JOIN e ON d.doc_id = e.doc_id
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     return _documents(sf_dir).map_batches(text_ops.fingerprint_batch, batch_format="pyarrow")
 
@@ -10481,6 +10544,8 @@ QUERIES = {
     "champion_lists": q_champion_lists,
     "zipf_slope": q_zipf_slope,
     "term_dispersion": q_term_dispersion,
+    "readability": q_readability,
+    "char_entropy": q_char_entropy,
     "norm_quantize": q_norm_quantize,
     "lexical_diversity": q_lexical_diversity,
     "distinct_hll": q_distinct_hll,
@@ -10656,6 +10721,8 @@ ORACLE_SQL = {
     "champion_lists": _SQL_CHAMPION_LISTS,
     "zipf_slope": _SQL_ZIPF_SLOPE,
     "term_dispersion": _SQL_TERM_DISPERSION,
+    "readability": _SQL_READABILITY,
+    "char_entropy": _SQL_CHAR_ENTROPY,
     "norm_quantize": _SQL_NORM_QUANTIZE,
     "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
     "distinct_hll": _SQL_DISTINCT_HLL,
@@ -10842,6 +10909,8 @@ _R5_FRONT = [
     "champion_lists",
     "zipf_slope",
     "term_dispersion",
+    "readability",
+    "char_entropy",
     "norm_quantize",
     "lexical_diversity",
     "distinct_hll",

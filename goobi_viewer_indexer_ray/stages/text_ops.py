@@ -1192,3 +1192,97 @@ def lexical_diversity_batch(batch: pa.Table) -> pa.Table:
             "ttr_bp": pa.array(ttr, pa.int64()),
         }
     )
+
+
+_VOWEL_RUN_RE = r"[aeiouy]+"
+_SENT_RUN_RE = r"[.!?]+"
+
+
+def readability_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Flesch-Kincaid readability basis (Kincaid et al. 1975
+    — the grade-level screen web-quality pipelines run next to the
+    Gopher rules; too-low and too-high grades both flag non-prose):
+    word / sentence / syllable counts plus the EXACT integer
+    numerator/denominator of ``100·FK_grade``::
+
+        FK = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+        fk_num = 39·W² + 1180·Y·S − 1559·W·S,  fk_den = W·S
+
+    so no float division crosses the oracle (the ratio is the grade
+    ×100; ``fk_den = 0`` when a doc has no words or no sentences).
+    Syllables are vowel-group runs per word (min 1 — the classic
+    heuristic); sentences are ``[.!?]+`` runs in the RAW text.
+    Vectorized: syllable regex runs once per VOCAB entry (not per
+    token) and broadcasts through the factorize codes; sentence
+    counting is one Arrow ``count_substring_regex`` kernel."""
+    ids, counts, codes, uniques = _flat_token_codes(batch)
+    n_sent = pc.fill_null(
+        pc.count_substring_regex(
+            pc.cast(batch.column("text"), pa.string()), _SENT_RUN_RE
+        ),
+        0,
+    ).to_numpy().astype(np.int64)
+    syll = np.zeros(len(ids), dtype=np.int64)
+    if codes.size:
+        syl_u = pc.count_substring_regex(
+            pa.array(uniques, pa.string()), _VOWEL_RUN_RE
+        ).to_numpy().astype(np.int64)
+        np.maximum(syl_u, 1, out=syl_u)  # every word ≥ 1 syllable
+        syll = _seg_sums(syl_u[codes], counts)
+    w, s = counts, n_sent
+    fk_den = w * s
+    fk_num = np.where(fk_den > 0, 39 * w * w + 1180 * syll * s - 1559 * fk_den, 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "n_words": pa.array(w, pa.int64()),
+            "n_sent": pa.array(s, pa.int64()),
+            "n_syll": pa.array(syll, pa.int64()),
+            "fk_num": pa.array(fk_num, pa.int64()),
+            "fk_den": pa.array(fk_den, pa.int64()),
+        }
+    )
+
+
+def char_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Shannon entropy (bits) over the lowercased [a-z0-9]
+    character stream — the gibberish/low-diversity screen (CCNet-family
+    quality signal: keyboard-mash and single-char spam sit near 0,
+    English prose near 4.1).  ``H = Σ cᵢ(ln N − ln cᵢ) / (N ln 2)``,
+    emitted at 4 dp next to the exact integer char/distinct counts so
+    the oracle replays the identical expression tree.  Vectorized: one
+    utf-8 byte scan, 36-symbol ``bincount`` per batch, no per-char
+    Python."""
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    texts = batch.column("text").to_pylist()
+    enc = [(t.lower().encode("utf-8") if t else b"") for t in texts]
+    lens = np.fromiter((len(b) for b in enc), np.int64, len(enc))
+    n_docs = len(ids)
+    hist = np.zeros((n_docs, 36), dtype=np.int64)
+    if lens.sum():
+        flat = np.frombuffer(b"".join(enc), np.uint8)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        code = np.full(flat.shape, -1, np.int64)
+        digit = (flat >= 48) & (flat <= 57)
+        letter = (flat >= 97) & (flat <= 122)
+        code[digit] = flat[digit] - 48
+        code[letter] = flat[letter] - 87
+        keep = code >= 0
+        np.add.at(
+            hist.reshape(-1), doc_idx[keep] * 36 + code[keep], 1
+        )
+    n_chars = hist.sum(axis=1)
+    n_distinct = (hist > 0).sum(axis=1).astype(np.int64)
+    safe_n = np.maximum(n_chars, 1).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        contrib = hist * (np.log(safe_n)[:, None] - np.log(np.maximum(hist, 1)))
+    ent = contrib.sum(axis=1) / (safe_n * np.log(2.0))
+    ent = np.where(n_chars > 0, np.round(ent, 4), 0.0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "entropy_bits": pa.array(ent, pa.float64()),
+        }
+    )

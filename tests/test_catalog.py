@@ -80,6 +80,8 @@ def _check(contract, con, name):
         "champion_lists",
         "zipf_slope",
         "term_dispersion",
+        "readability",
+        "char_entropy",
         "doc_fingerprint",
         "langid",
         "quality_signals",

@@ -556,3 +556,54 @@ def test_lexical_diversity_semantics():
     assert out["n_types"] == [2, 0, 3]
     assert out["n_hapax"] == [1, 0, 3]
     assert out["ttr_bp"] == [6666, 0, 10000]
+
+
+def test_readability_semantics():
+    """FK basis: hand-counted words/sentences/vowel-run syllables and
+    the exact integer numerator/denominator; zero-sentence and empty
+    docs get fk_den 0 / fk_num 0."""
+    from goobi_viewer_indexer_ray.stages.text_ops import readability_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(
+            ["The cat sat. It purred!", "no punctuation here", ""],
+            pa.string(),
+        ),
+    })
+    out = readability_batch(t).to_pydict()
+    # doc 1: words the/cat/sat/it/purred -> 5; sentences '.'+'!' -> 2;
+    # syllables: e,a,a,i,u+e -> 1+1+1+1+2 = 6
+    assert out["n_words"] == [5, 3, 0]
+    assert out["n_sent"] == [2, 0, 0]
+    assert out["n_syll"] == [6, 6, 0]  # no/punctuation/here: o + u,ua,io + e,e
+    w, s, y = 5, 2, 6
+    assert out["fk_num"][0] == 39 * w * w + 1180 * y * s - 1559 * w * s
+    assert out["fk_den"] == [10, 0, 0]
+    assert out["fk_num"][1:] == [0, 0]
+    # '2024' is a word with no vowel runs -> clamped to 1 syllable
+    t2 = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "text": pa.array(["2024."], pa.string())})
+    o2 = readability_batch(t2).to_pydict()
+    assert o2["n_words"] == [1] and o2["n_syll"] == [1] and o2["n_sent"] == [1]
+
+
+def test_char_entropy_semantics():
+    """Entropy: uniform 2-symbol stream -> exactly 1 bit; single
+    repeated char -> 0; empty/non-alnum docs -> zeros; punctuation and
+    case are excluded/folded."""
+    import math
+
+    from goobi_viewer_indexer_ray.stages.text_ops import char_entropy_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["abab", "aaaa", "?! ..", "AbC"], pa.string()),
+    })
+    out = char_entropy_batch(t).to_pydict()
+    assert out["n_chars"] == [4, 4, 0, 3]
+    assert out["n_distinct"] == [2, 1, 0, 3]
+    assert out["entropy_bits"][0] == 1.0
+    assert out["entropy_bits"][1] == 0.0
+    assert out["entropy_bits"][2] == 0.0
+    assert out["entropy_bits"][3] == round(math.log2(3), 4)
