@@ -279,6 +279,16 @@ def run_bench() -> dict:
         "cooc_window",
         "ann_eval",
         "search_facet_query",
+        "norm_quantize",
+        "lexical_diversity",
+        "distinct_hll",
+        "crawl_diff",
+        "postings_roaring",
+        "champion_lists",
+        "zipf_slope",
+        "term_dispersion",
+        "readability",
+        "char_entropy",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)
