@@ -289,6 +289,7 @@ def run_bench() -> dict:
         "term_dispersion",
         "readability",
         "char_entropy",
+        "kmeans_silhouette",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

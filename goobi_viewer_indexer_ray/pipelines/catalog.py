@@ -9632,6 +9632,40 @@ def _kmeans_sql() -> str:
     )
 
 
+def q_kmeans_silhouette(sf_dir: str):
+    """Clustering-quality meter for the trained k-means (simplified
+    silhouette, centroid form, integer basis points over quantized
+    squared distances — own-centroid distance is the argmin so the
+    numerator is never negative): per cluster n / sum / min / max of
+    ``10⁴·(b²−a²) // max(a², b², 1)``.  One GEMM per batch + ONE
+    k-group aggregate; the oracle extends the shared Lloyd CTE chain
+    with an other-centroid min — every register exact int64."""
+    from ..stages.kmeans import kmeans_silhouette
+
+    return kmeans_silhouette(_embeddings(sf_dir))
+
+
+def _kmeans_silhouette_sql() -> str:
+    from ..stages.kmeans import KM_ITERS, KM_K
+
+    return f"""
+WITH {_kmeans_ctes(KM_K, KM_ITERS)},
+oth AS (
+  SELECT d.vec_id, min(d.dist2)::BIGINT AS b2
+  FROM dfin d JOIN afin a ON a.vec_id = d.vec_id AND d.cluster <> a.cluster
+  GROUP BY d.vec_id),
+s AS (
+  SELECT a.cluster,
+         (10000 * (o.b2 - a.dist2)
+          // greatest(a.dist2, o.b2, 1))::BIGINT AS s_bp
+  FROM afin a JOIN oth o USING (vec_id))
+SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n,
+       sum(s_bp)::BIGINT AS sum_s_bp, min(s_bp)::BIGINT AS min_s_bp,
+       max(s_bp)::BIGINT AS max_s_bp
+FROM s GROUP BY cluster
+"""
+
+
 def _semantic_dedup_sql() -> str:
     from ..stages.kmeans import KM_ITERS, KM_K, SEM_DEN, SEM_NUM
 
@@ -10546,6 +10580,7 @@ QUERIES = {
     "term_dispersion": q_term_dispersion,
     "readability": q_readability,
     "char_entropy": q_char_entropy,
+    "kmeans_silhouette": q_kmeans_silhouette,
     "norm_quantize": q_norm_quantize,
     "lexical_diversity": q_lexical_diversity,
     "distinct_hll": q_distinct_hll,
@@ -10723,6 +10758,7 @@ ORACLE_SQL = {
     "term_dispersion": _SQL_TERM_DISPERSION,
     "readability": _SQL_READABILITY,
     "char_entropy": _SQL_CHAR_ENTROPY,
+    "kmeans_silhouette": _kmeans_silhouette_sql(),
     "norm_quantize": _SQL_NORM_QUANTIZE,
     "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
     "distinct_hll": _SQL_DISTINCT_HLL,
@@ -10911,6 +10947,7 @@ _R5_FRONT = [
     "term_dispersion",
     "readability",
     "char_entropy",
+    "kmeans_silhouette",
     "norm_quantize",
     "lexical_diversity",
     "distinct_hll",

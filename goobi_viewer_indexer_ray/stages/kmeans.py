@@ -198,6 +198,53 @@ def kmeans_assign(ds, *, k: int = KM_K, iters: int = KM_ITERS):
     return dsq.map_batches(final, batch_format="pyarrow")
 
 
+def kmeans_silhouette(ds, *, k: int = KM_K, iters: int = KM_ITERS):
+    """Per-cluster simplified-silhouette summary over the TRAINED
+    clustering (Rousseeuw 1987, centroid form — the clustering-quality
+    meter a curation pipeline reads before trusting SemDeDup's
+    blocks): for each point ``a² = dist² to own centroid`` (the argmin
+    — so ``b² ≥ a²`` by construction and the score is never negative),
+    ``b² = min dist² to any OTHER centroid``, score
+    ``s_bp = 10⁴·(b²−a²) // max(a², b², 1)`` — all int64 over the
+    quantized embeddings, so every row is bit-exact under any
+    partitioning (the module's contract).  Returns a ``k``-row Dataset
+    ``(cluster, n, sum_s_bp, min_s_bp, max_s_bp)``: one distance GEMM
+    per batch against the broadcast centroids + ONE k-group
+    aggregate — no pairwise work, corpus-size-linear."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    dsq = _quantized_ds(ds)
+    C = _lloyd(dsq, k=k, iters=iters)
+
+    def score(t: pa.Table, C=C) -> pa.Table:
+        ids, qs = _q_matrix(t)
+        d2 = _dist2(qs, C)
+        a = d2.argmin(axis=1)
+        rows = np.arange(a.size)
+        a2 = d2[rows, a]
+        d2m = d2.copy()
+        d2m[rows, a] = np.iinfo(np.int64).max
+        b2 = d2m.min(axis=1)
+        s_bp = 10000 * (b2 - a2) // np.maximum(np.maximum(a2, b2), 1)
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "s_bp": pa.array(s_bp.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        dsq.map_batches(score, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("s_bp", alias_name="sum_s_bp"),
+            Min("s_bp", alias_name="min_s_bp"),
+            Max("s_bp", alias_name="max_s_bp"),
+        )
+    )
+
+
 SEM_TILE = 2048  # hot-cluster bound: members above this fan out into
 #                  block×block tile pairs instead of one N×N Gram task
 

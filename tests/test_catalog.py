@@ -82,6 +82,7 @@ def _check(contract, con, name):
         "term_dispersion",
         "readability",
         "char_entropy",
+        "kmeans_silhouette",
         "doc_fingerprint",
         "langid",
         "quality_signals",

@@ -250,3 +250,19 @@ def test_roaring_corrupt_inputs_raise():
         encode_roaring(np.array([5, 5], np.uint64))  # not increasing
     with pytest.raises(ValueError):
         encode_roaring(np.array([1 << 33], np.uint64))  # ≥ 2³²
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.sets(
+        st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=400
+    )
+)
+def test_roaring_roundtrip_property(vals):
+    from goobi_viewer_indexer_ray.functions.codec import (
+        decode_roaring,
+        encode_roaring,
+    )
+
+    ids = np.array(sorted(vals), np.uint64)
+    assert (decode_roaring(encode_roaring(ids)) == ids.astype(np.int64)).all()

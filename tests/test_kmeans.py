@@ -176,3 +176,42 @@ def test_hot_cluster_sharding_exact_and_bounded(ray_session):
     blk = km._splitmix_block(ids, 10)
     counts = np.bincount(blk, minlength=10)
     assert counts.max() * 2 <= 4 * 64  # every tile pair ≤ 2 blocks' rows
+
+
+def test_kmeans_silhouette_semantics(ray_session):
+    """Silhouette: scores live in [0, 10000], Σn == corpus size, and a
+    perfectly separated 2-blob corpus scores near-10000 everywhere
+    (b² ≫ a²); partition-invariant like every kmeans output."""
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.kmeans import kmeans_silhouette
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(0.0, 0.01, size=(40, 8)) + 1.0
+    b = rng.normal(0.0, 0.01, size=(40, 8)) - 1.0
+    m = np.vstack([a, b]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(80, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in m]),
+        }
+    )
+    out = (
+        kmeans_silhouette(rd.from_arrow(t), k=2, iters=2)
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    assert out.n.sum() == 80
+    assert (out.min_s_bp >= 0).all() and (out.max_s_bp <= 10000).all()
+    # tight separated blobs: every point's own-centroid distance is
+    # tiny vs the other blob's centroid
+    assert (out.min_s_bp > 9000).all()
+    # partition invariance (bit-exact integer contract)
+    out13 = (
+        kmeans_silhouette(rd.from_arrow(t).repartition(13), k=2, iters=2)
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out13)
