@@ -290,6 +290,8 @@ def run_bench() -> dict:
         "readability",
         "char_entropy",
         "kmeans_silhouette",
+        "events_cusum",
+        "source_cap",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

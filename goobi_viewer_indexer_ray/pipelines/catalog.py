@@ -2817,6 +2817,130 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_cusum(sf_dir: str):
+    """CUSUM change-point detection over the hourly event stream
+    (Page 1954 — the sequential drift detector next to
+    ``events_outliers``' pointwise z-flags: a sustained small rate
+    shift never trips a z-score but accumulates in the CUSUM): per
+    event type, hourly counts, the one-sided integer CUSUM
+    ``S_t = max(0, S_{t−1} + n_t − drift)`` with ``drift = Σn // H``
+    (vectorized as ``C_t − min(0, running_min C_t)`` — same
+    recurrence, one cumsum + one ``minimum.accumulate``), and the
+    ``S_t ≥ 8·drift`` alarm flag.  Map-side hour partials ride ONE
+    ``groupby(type, hour)`` count; the per-type series walk is a
+    ``groupby(type).map_groups`` over type-count-bounded groups (the
+    window-partition assumption every sequential detector needs —
+    hours per type, not events, bound the task)."""
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def hourify(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour_id": pa.array(us // 3_600_000_000, pa.int64()),
+            }
+        )
+
+    hourly = (
+        ds.map_batches(hourify, batch_format="pyarrow")
+        .groupby(["event_type", "hour_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def walk(g: pa.Table) -> pa.Table:
+        hr = g.column("hour_id").to_numpy().astype(np.int64)
+        n = pc.cast(g.column("n"), pa.int64()).to_numpy()
+        order = np.argsort(hr)
+        hr, n = hr[order], n[order]
+        drift = int(n.sum()) // n.size
+        cu = np.cumsum(n - drift)
+        s = cu - np.minimum(np.minimum.accumulate(cu), 0)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g.column("event_type")[0].as_py()] * hr.size, pa.string()
+                ),
+                "hour_id": pa.array(hr, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "cusum": pa.array(s, pa.int64()),
+                "flagged": pa.array(s >= 8 * max(drift, 1), pa.bool_()),
+            }
+        )
+
+    return hourly.groupby("event_type").map_groups(walk, batch_format="pyarrow")
+
+
+_SQL_EVENTS_CUSUM = """
+WITH h AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hour_id,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+k AS (SELECT event_type, (sum(n) // count(*))::BIGINT AS drift
+      FROM h GROUP BY 1),
+c AS (
+  SELECT h.event_type, hour_id, n, k.drift,
+         (sum(n - drift) OVER w)::BIGINT AS cu
+  FROM h JOIN k USING (event_type)
+  WINDOW w AS (PARTITION BY h.event_type ORDER BY hour_id)),
+s AS (
+  SELECT event_type, hour_id, n, drift,
+         (cu - least(min(cu) OVER w, 0))::BIGINT AS cusum
+  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour_id))
+SELECT event_type, hour_id, n, cusum,
+       (cusum >= 8 * greatest(drift, 1)) AS flagged
+FROM s
+"""
+
+_SOURCE_CAP = 50
+
+
+def q_source_cap(sf_dir: str):
+    """Domain-diversity cap (the Dolma/C4 per-host document budget —
+    a handful of template-heavy hosts must not dominate the training
+    mix): keep the first 50 docs per source by doc_id, emitting rank
+    and the EXACT pre-cap group size in-band (the capped-dedup
+    no-silent-truncation rule).  ONE ``groupby(source)`` whose
+    per-group output is bounded by the cap, never the group size."""
+
+    def cap(g: pa.Table) -> pa.Table:
+        doc = np.sort(g.column("doc_id").to_numpy().astype(np.int64))
+        keep = doc[:_SOURCE_CAP]
+        return pa.table(
+            {
+                "doc_id": pa.array(keep, pa.int64()),
+                "source": pa.array(
+                    [g.column("source")[0].as_py()] * keep.size, pa.string()
+                ),
+                "rank": pa.array(
+                    np.arange(1, keep.size + 1, dtype=np.int64), pa.int64()
+                ),
+                "group_size": pa.array([g.num_rows] * keep.size, pa.int64()),
+            }
+        )
+
+    return (
+        _documents(sf_dir, columns=("doc_id", "source"))
+        .groupby("source")
+        .map_groups(cap, batch_format="pyarrow")
+    )
+
+
+_SQL_SOURCE_CAP = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT
+           AS rank,
+         count(*) OVER (PARTITION BY source)::BIGINT AS group_size
+  FROM documents)
+SELECT doc_id, source, rank, group_size FROM r WHERE rank <= {_SOURCE_CAP}
+"""
+
+
 def q_events_date_parts(sf_dir: str):
     """Year/century derivation (A5 analog: MetadataHelper
     parseDatesAndCenturies, ``:1053-1123``) over the event stream."""
@@ -10581,6 +10705,8 @@ QUERIES = {
     "readability": q_readability,
     "char_entropy": q_char_entropy,
     "kmeans_silhouette": q_kmeans_silhouette,
+    "events_cusum": q_events_cusum,
+    "source_cap": q_source_cap,
     "norm_quantize": q_norm_quantize,
     "lexical_diversity": q_lexical_diversity,
     "distinct_hll": q_distinct_hll,
@@ -10759,6 +10885,8 @@ ORACLE_SQL = {
     "readability": _SQL_READABILITY,
     "char_entropy": _SQL_CHAR_ENTROPY,
     "kmeans_silhouette": _kmeans_silhouette_sql(),
+    "events_cusum": _SQL_EVENTS_CUSUM,
+    "source_cap": _SQL_SOURCE_CAP,
     "norm_quantize": _SQL_NORM_QUANTIZE,
     "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
     "distinct_hll": _SQL_DISTINCT_HLL,
@@ -10948,6 +11076,8 @@ _R5_FRONT = [
     "readability",
     "char_entropy",
     "kmeans_silhouette",
+    "events_cusum",
+    "source_cap",
     "norm_quantize",
     "lexical_diversity",
     "distinct_hll",

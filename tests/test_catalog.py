@@ -83,6 +83,8 @@ def _check(contract, con, name):
         "readability",
         "char_entropy",
         "kmeans_silhouette",
+        "events_cusum",
+        "source_cap",
         "doc_fingerprint",
         "langid",
         "quality_signals",

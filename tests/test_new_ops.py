@@ -607,3 +607,78 @@ def test_char_entropy_semantics():
     assert out["entropy_bits"][1] == 0.0
     assert out["entropy_bits"][2] == 0.0
     assert out["entropy_bits"][3] == round(math.log2(3), 4)
+
+
+def test_events_cusum_semantics(ray_session):
+    """CUSUM recurrence: the vectorized cumsum-minus-running-min form
+    equals the sequential max(0, S+n-drift) walk; a planted sustained
+    shift trips the 8·drift alarm while baseline noise does not."""
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_events_cusum
+
+    # 48 baseline hours at 10/hour, then 24 shifted hours at 20/hour
+    # (drift = (480+480)//72 = 13; S_end = 24*(20-13) = 168 >= 8*13 =
+    #  104 alarms; baseline 10-13 < 0 never accumulates)
+    rows = []
+    eid = 0
+    for h in range(72):
+        n = 10 if h < 48 else 20
+        for i in range(n):
+            rows.append({
+                "event_type": "click",
+                "ts": np.datetime64(h * 3600 * 10**6 + i, "us"),
+            })
+            eid += 1
+    t = pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+    })
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = (
+        q_events_cusum(d).to_pandas().sort_values("hour_id").reset_index(drop=True)
+    )
+    n = out.n.to_numpy()
+    drift = int(n.sum()) // n.size  # 11
+    # sequential reference walk
+    s, ref = 0, []
+    for x in n:
+        s = max(0, s + int(x) - drift)
+        ref.append(s)
+    assert out.cusum.tolist() == ref
+    assert not out.flagged[:48].any()      # baseline never alarms
+    assert out.flagged.iloc[-1]            # sustained shift does
+    assert (out.cusum >= 0).all()
+
+
+def test_source_cap_semantics(ray_session):
+    """Per-source cap: a 120-doc source keeps exactly its 50 lowest
+    doc_ids with group_size 120 in-band; an under-cap source survives
+    whole."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_source_cap
+
+    doc_id = list(range(120)) + list(range(1000, 1007))
+    source = ["big"] * 120 + ["small"] * 7
+    t = pa.table({
+        "doc_id": pa.array(doc_id, pa.int64()),
+        "source": pa.array(source, pa.string()),
+        "text": pa.array(["x"] * 127, pa.string()),
+    })
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = q_source_cap(d).to_pandas()
+    big = out[out.source == "big"].sort_values("rank")
+    small = out[out.source == "small"]
+    assert len(big) == 50 and big.doc_id.tolist() == list(range(50))
+    assert (big.group_size == 120).all()
+    assert len(small) == 7 and (small.group_size == 7).all()
