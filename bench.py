@@ -292,6 +292,7 @@ def run_bench() -> dict:
         "kmeans_silhouette",
         "events_cusum",
         "source_cap",
+        "image_entropy",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

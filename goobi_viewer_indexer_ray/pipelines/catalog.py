@@ -6878,6 +6878,86 @@ ORDER BY media_id
 """
 
 
+def q_image_entropy(sf_dir: str):
+    """Gray-histogram entropy over REAL PNG payloads — the
+    flat/synthetic-image screen beside ``image_png_ahash``'s dedup
+    (a solid banner ≈ 0 bits, textured content high): per decoded
+    image the pixel count, distinct gray levels, modal count, and
+    4 dp Shannon entropy over ``(r+g+b)//3``.  Decode runs the
+    vectorized batch PNG unfilter inside the shared task-pool stage;
+    the oracle regenerates every pixel from key arithmetic and replays
+    the identical entropy expression — a codec bug anywhere breaks
+    n_distinct/modal before it ever reaches the float."""
+    from ..stages.imagesize import decode_png_pixels_batch
+    from ..stages.multimodal import ImageEntropy
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                            columns=["c_custkey"])
+    return ds.map_batches(_png_media_synth, batch_format="pyarrow").map_batches(
+        ImageEntropy(batch_decoder=decode_png_pixels_batch),
+        batch_size=256, batch_format="pyarrow",
+    )
+
+
+_SQL_IMAGE_ENTROPY = """
+WITH k AS (
+  SELECT c_custkey::BIGINT AS media_id,
+         (c_custkey - c_custkey % 4)::BIGINT AS kb,
+         (c_custkey % 4)::BIGINT AS v
+  FROM customer WHERE c_custkey % 11 <> 0),
+b AS (
+  SELECT media_id, j // 3 AS p,
+         CASE WHEN (j % 53) = v AND v > 0
+              THEN least((kb * 7 + j * 5) % 256 + 17, 255)
+              ELSE (kb * 7 + j * 5) % 256 END AS val
+  FROM k, unnest(generate_series(0, 767)) AS g(j)),
+gr AS (SELECT media_id, p, (sum(val) // 3)::BIGINT AS gray
+       FROM b GROUP BY media_id, p),
+h AS (SELECT media_id, gray, count(*)::BIGINT AS c
+      FROM gr GROUP BY media_id, gray),
+t AS (SELECT media_id, sum(c)::BIGINT AS n_px,
+             count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS modal_n
+      FROM h GROUP BY media_id),
+e AS (SELECT media_id,
+             sum(c * (ln(256) - ln(c))) / (256 * ln(2)) AS ent
+      FROM h GROUP BY media_id)
+SELECT t.media_id, t.n_px, t.n_distinct, t.modal_n,
+       round(e.ent, 4) AS entropy_bits
+FROM t JOIN e USING (media_id)
+"""
+
+
+def _png_media_synth(t: pa.Table) -> pa.Table:
+    """Customer keys → REAL PNG payloads from key arithmetic (16×16
+    RGB, byte ``j`` of image ``k`` is ``(kb·7 + j·5) % 256`` with a
+    ``+17``-capped noise stripe on ``j % 53 == k % 4`` for non-zero
+    variants; ``k % 11 == 0`` keys become truncated decoys).  Shared
+    by ``image_png_ahash`` and ``image_entropy`` — both oracles replay
+    the same pixel arithmetic in SQL."""
+    from ..stages.imagesize import encode_png_rgb_batch
+
+    keys = t.column("c_custkey").cast(pa.int64()).to_numpy().astype(np.int64)
+    j = np.arange(768, dtype=np.int64)
+    good = keys % 11 != 0
+    gk = keys[good]
+    kb = gk - gk % 4
+    v = gk % 4
+    val = (kb[:, None] * 7 + j[None, :] * 5) % 256
+    noisy = ((j[None, :] % 53) == v[:, None]) & (v > 0)[:, None]
+    val = np.where(noisy, np.minimum(val + 17, 255), val)
+    encoded = encode_png_rgb_batch(
+        val.astype(np.uint8).reshape(-1, 16, 16, 3)
+    ) if gk.size else []
+    it = iter(encoded)
+    payloads = [
+        next(it) if ok else b"\x89PNG\r\n\x1a\nbogus" for ok in good
+    ]
+    return pa.table(
+        {"media_id": pa.array(keys, pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+
+
 def q_image_png_ahash(sf_dir: str):
     """Average-hash dedup over REAL PNG payloads — the compressed-
     format upgrade of ``image_ahash`` (VERDICT r3 flagged M12 partial
@@ -6907,35 +6987,13 @@ def q_image_png_ahash(sf_dir: str):
     form stays the right shape for heavy stateful decoders
     (models, codec libraries).  The parquet read auto-splits into
     blocks, so no repartition is needed."""
-    from ..stages.imagesize import decode_png_pixels_batch, encode_png_rgb_batch
+    from ..stages.imagesize import decode_png_pixels_batch
     from ..stages.multimodal import AHash, ahash_dup_stats
 
     ds = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
                             columns=["c_custkey"])
 
-    def synth(t: pa.Table) -> pa.Table:
-        keys = t.column("c_custkey").cast(pa.int64()).to_numpy().astype(np.int64)
-        j = np.arange(768, dtype=np.int64)
-        good = keys % 11 != 0
-        gk = keys[good]
-        kb = gk - gk % 4
-        v = gk % 4
-        val = (kb[:, None] * 7 + j[None, :] * 5) % 256
-        noisy = ((j[None, :] % 53) == v[:, None]) & (v > 0)[:, None]
-        val = np.where(noisy, np.minimum(val + 17, 255), val)
-        encoded = encode_png_rgb_batch(
-            val.astype(np.uint8).reshape(-1, 16, 16, 3)
-        ) if gk.size else []
-        it = iter(encoded)
-        payloads = [
-            next(it) if ok else b"\x89PNG\r\n\x1a\nbogus" for ok in good
-        ]
-        return pa.table(
-            {"media_id": pa.array(keys, pa.int64()),
-             "payload": pa.array(payloads, pa.binary())}
-        )
-
-    hashed = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+    hashed = ds.map_batches(_png_media_synth, batch_format="pyarrow").map_batches(
         AHash(batch_decoder=decode_png_pixels_batch),
         batch_size=256, batch_format="pyarrow",
     )
@@ -10707,6 +10765,7 @@ QUERIES = {
     "kmeans_silhouette": q_kmeans_silhouette,
     "events_cusum": q_events_cusum,
     "source_cap": q_source_cap,
+    "image_entropy": q_image_entropy,
     "norm_quantize": q_norm_quantize,
     "lexical_diversity": q_lexical_diversity,
     "distinct_hll": q_distinct_hll,
@@ -10887,6 +10946,7 @@ ORACLE_SQL = {
     "kmeans_silhouette": _kmeans_silhouette_sql(),
     "events_cusum": _SQL_EVENTS_CUSUM,
     "source_cap": _SQL_SOURCE_CAP,
+    "image_entropy": _SQL_IMAGE_ENTROPY,
     "norm_quantize": _SQL_NORM_QUANTIZE,
     "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
     "distinct_hll": _SQL_DISTINCT_HLL,
@@ -11078,6 +11138,7 @@ _R5_FRONT = [
     "kmeans_silhouette",
     "events_cusum",
     "source_cap",
+    "image_entropy",
     "norm_quantize",
     "lexical_diversity",
     "distinct_hll",

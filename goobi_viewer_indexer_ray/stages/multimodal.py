@@ -528,6 +528,66 @@ def ahash_dup_stats(hashed):
 
 # ------------------------------------------------------------- audio
 
+class ImageEntropy:
+    """Task/actor-pool stage: image payload → gray-histogram features
+    — the flat/synthetic-image screen of the multimodal quality family
+    (a solid-color banner scores 0 bits; a natural photo scores high):
+    per image the pixel count, distinct gray levels, modal-level
+    count, and 4 dp Shannon entropy ``Σ c(ln N − ln c)/(N ln 2)`` over
+    the integer gray channel ``(r+g+b)//3``.  Same decode plumbing
+    and corrupt-skip contract as :class:`AHash` (shared
+    ``batch_decoder`` fast path); the histogram is ONE ``bincount``
+    per image — no per-pixel Python."""
+
+    def __init__(self, decoder=None, batch_decoder=None):
+        if decoder == "pil":
+            decoder = _pil_decode_rgb()
+        self.decoder = decoder or decode_ppm
+        self.batch_decoder = batch_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload")
+        out = {"media_id": [], "n_px": [], "n_distinct": [],
+               "modal_n": [], "entropy_bits": []}
+        if self.batch_decoder is not None:
+            try:
+                imgs = self.batch_decoder([p.as_py() for p in payloads])
+            except (ValueError, NotImplementedError):
+                imgs = [None] * len(payloads)
+        else:
+            imgs = None
+        for i in range(len(ids)):
+            if imgs is not None:
+                img = imgs[i]
+                if img is None:
+                    continue
+            else:
+                try:
+                    img = self.decoder(payloads[i].as_py())
+                except (ValueError, NotImplementedError, IndexError):
+                    continue
+            gray = img.astype(np.int64).sum(axis=2) // img.shape[2]
+            c = np.bincount(gray.ravel(), minlength=256)
+            c = c[c > 0]
+            n = int(gray.size)
+            ent = float((c * (np.log(n) - np.log(c))).sum() / (n * np.log(2.0)))
+            out["media_id"].append(int(ids[i]))
+            out["n_px"].append(n)
+            out["n_distinct"].append(int(c.size))
+            out["modal_n"].append(int(c.max()))
+            out["entropy_bits"].append(round(ent, 4))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "n_px": pa.array(out["n_px"], pa.int64()),
+                "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+                "modal_n": pa.array(out["modal_n"], pa.int64()),
+                "entropy_bits": pa.array(out["entropy_bits"], pa.float64()),
+            }
+        )
+
+
 def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
     """Mono 16-bit PCM RIFF/WAVE writer — struct-level, deliberately
     independent of the stdlib ``wave`` module the READER uses, so the

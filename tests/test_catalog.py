@@ -85,6 +85,7 @@ def _check(contract, con, name):
         "kmeans_silhouette",
         "events_cusum",
         "source_cap",
+        "image_entropy",
         "doc_fingerprint",
         "langid",
         "quality_signals",

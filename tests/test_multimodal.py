@@ -397,3 +397,38 @@ def test_pil_decoder_plumbing():
     mfe_real = MediaFeatureExtractor(mode="real")(t)
     mfe_pil = MediaFeatureExtractor(mode="pil")(t)
     assert mfe_real.column("feature").equals(mfe_pil.column("feature"))
+
+
+def test_image_entropy_semantics():
+    """ImageEntropy: solid image → 0 bits / 1 distinct level;
+    half-half two-level image → exactly 1 bit; corrupt payload
+    skipped; batch decoder path identical to per-payload."""
+    import numpy as np
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.imagesize import (
+        decode_png_pixels,
+        decode_png_pixels_batch,
+        encode_png_rgb_batch,
+    )
+    from goobi_viewer_indexer_ray.stages.multimodal import ImageEntropy
+
+    solid = np.full((16, 16, 3), 100, np.uint8)
+    half = np.full((16, 16, 3), 10, np.uint8)
+    half[8:] = 200
+    payloads = encode_png_rgb_batch(np.stack([solid, half]))
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(list(payloads) + [b"\x89PNGbogus"], pa.binary()),
+        }
+    )
+    out = ImageEntropy(batch_decoder=decode_png_pixels_batch)(batch).to_pydict()
+    assert out["media_id"] == [1, 2]  # corrupt decoy skipped
+    assert out["n_px"] == [256, 256]
+    assert out["n_distinct"] == [1, 2]
+    assert out["modal_n"] == [256, 128]
+    assert out["entropy_bits"] == [0.0, 1.0]
+    # per-payload decoder path agrees
+    out2 = ImageEntropy(decoder=decode_png_pixels)(batch).to_pydict()
+    assert out == out2
