@@ -293,6 +293,7 @@ def run_bench() -> dict:
         "events_cusum",
         "source_cap",
         "image_entropy",
+        "tfidf_topk",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -10644,6 +10644,186 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Classic vector-space TF-IDF cosine ranking (SMART lnc.ltc,
+    Salton & Buckley 1988 — the pre-BM25 ranker rounding out the
+    similarity surface beside BM25/BM25F/LMDirichlet/LTR; Lucene ships
+    it as ``ClassicSimilarity``): ``w_td = (1+ln tf)·ln(N/df)``,
+    query weight = idf, score = dot / (‖d‖·‖q‖) over TRUE full-document
+    norms (every term of the doc, not just matched ones — the part
+    naive ports skip).  Honest distributed shape: ONE ``groupby(term)``
+    attaches df to each posting, ONE ``groupby(doc_id)`` folds the
+    tagged union of norm rows (w², all terms) and query-contribution
+    rows (w·idf, matched terms only) — the ``crawl_diff`` union
+    pattern, so no corpus-sized driver state and no broadcast of the
+    vocabulary; only the ≤|q| query-term dfs ride the driver.  Top-10
+    by (round(score,4) desc, doc_id)."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    from ..stages.postings import TokenizePostings
+
+    terms_by_q = {
+        q["query_id"]: sorted(set(tokenize(q["query"]))) for q in DOC_QUERIES
+    }
+    term_set = frozenset(t for ts in terms_by_q.values() for t in ts)
+    ds = _documents(sf_dir)
+    n_docs = float(ds.count())
+    postings = ds.map_batches(TokenizePostings(num_shards=1),
+                              batch_format="pyarrow")
+
+    def only_query_terms(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("term"),
+                                 pa.array(sorted(term_set), pa.string())))
+
+    qdf = {
+        r["term"]: int(r["df"])
+        for r in postings.map_batches(only_query_terms, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .take_all()
+    }
+    idf_q = {t: math.log(n_docs / df) for t, df in qdf.items()}
+    q_of_term: dict[str, list[int]] = {}
+    qnrm: dict[int, float] = {}
+    for qid, ts in terms_by_q.items():
+        live = [t for t in ts if t in idf_q]
+        if not live:
+            continue
+        qnrm[qid] = math.sqrt(sum(idf_q[t] ** 2 for t in live))
+        for t in live:
+            q_of_term.setdefault(t, []).append(qid)
+
+    def with_df(g: pa.Table) -> pa.Table:
+        return g.select(["term", "doc_id", "tf"]).append_column(
+            "df", pa.array(np.full(g.num_rows, g.num_rows, np.int64), pa.int64())
+        )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        df = t.column("df").to_numpy().astype(np.float64)
+        docs = t.column("doc_id").to_numpy().astype(np.int64)
+        # SAME expression tree as the SQL: (1+ln tf)·ln(N/df)
+        w = (1.0 + np.log(tf)) * np.log(n_docs / df)
+        out_doc = [docs]
+        out_qid = [np.full(docs.size, -1, np.int64)]
+        out_val = [w * w]  # kind 0: norm rows (qid −1)
+        codes, uterms = pd.factorize(terms)
+        for code, term in enumerate(uterms):
+            qids = q_of_term.get(term)
+            if not qids:
+                continue
+            m = codes == code
+            c = w[m] * idf_q[term]
+            for qid in qids:
+                out_doc.append(docs[m])
+                out_qid.append(np.full(int(m.sum()), qid, np.int64))
+                out_val.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "query_id": pa.array(np.concatenate(out_qid), pa.int64()),
+                "val": pa.array(np.concatenate(out_val), pa.float64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        qid = g.column("query_id").to_numpy().astype(np.int64)
+        val = g.column("val").to_numpy()
+        doc = int(g.column("doc_id")[0].as_py())
+        nrm = math.sqrt(float(val[qid < 0].sum()))
+        m = qid >= 0
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score_r": pa.array([], pa.float64()),
+            }
+        )
+        if not m.any():
+            return empty
+        uq, inv = np.unique(qid[m], return_inverse=True)
+        dots = np.bincount(inv, weights=val[m])
+        score = np.round(dots / (nrm * np.array([qnrm[int(q)] for q in uq])), 4)
+        return pa.table(
+            {
+                "query_id": pa.array(uq, pa.int64()),
+                "doc_id": pa.array(np.full(uq.size, doc, np.int64), pa.int64()),
+                "score_r": pa.array(score, pa.float64()),
+            }
+        )
+
+    def topk(g: pa.Table) -> pa.Table:
+        s = g.column("score_r").to_numpy()
+        d = g.column("doc_id").to_numpy().astype(np.int64)
+        order = np.lexsort((d, -s))[:10]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(order.size, int(g.column("query_id")[0].as_py()),
+                            np.int64), pa.int64()),
+                "doc_id": pa.array(d[order], pa.int64()),
+                "score_r": pa.array(s[order], pa.float64()),
+                "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64),
+                                 pa.int64()),
+            }
+        )
+
+    return (
+        postings.groupby("term")
+        .map_groups(with_df, batch_format="pyarrow")
+        .map_batches(weigh, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def _tfidf_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    return f"""
+WITH t AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok),
+n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+d AS (SELECT tok, count(*)::BIGINT AS df FROM t GROUP BY tok),
+w AS (
+  SELECT t.doc_id, t.tok, (1 + ln(t.tf)) * ln(n.nd / d.df) AS w
+  FROM t JOIN d USING (tok) CROSS JOIN n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+q(query_id, term) AS (VALUES {vals}),
+qw AS (
+  SELECT q.query_id, q.term, ln(n.nd / d.df) AS idf
+  FROM q JOIN d ON d.tok = q.term CROSS JOIN n),
+qn AS (SELECT query_id, sqrt(sum(idf * idf)) AS qnrm
+       FROM qw GROUP BY query_id),
+s AS (
+  SELECT qw.query_id, w.doc_id, sum(w.w * qw.idf) AS dot
+  FROM qw JOIN w ON w.tok = qw.term GROUP BY qw.query_id, w.doc_id),
+r AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.dot / (nrm.nrm * qn.qnrm), 4) AS score_r,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(s.dot / (nrm.nrm * qn.qnrm), 4) DESC, s.doc_id
+         ) AS rank
+  FROM s JOIN nrm USING (doc_id) JOIN qn USING (query_id))
+SELECT query_id::BIGINT AS query_id, doc_id, score_r,
+       rank::BIGINT AS rank
+FROM r WHERE rank <= 10
+"""
+
+
 PPL_MODEL_SOURCE = "src0"
 PPL_KEEP_BELOW = 5_000_000  # micro-bits ≈ 32 ppl; splits every test sf
 
@@ -10766,6 +10946,7 @@ QUERIES = {
     "events_cusum": q_events_cusum,
     "source_cap": q_source_cap,
     "image_entropy": q_image_entropy,
+    "tfidf_topk": q_tfidf_topk,
     "norm_quantize": q_norm_quantize,
     "lexical_diversity": q_lexical_diversity,
     "distinct_hll": q_distinct_hll,
@@ -10947,6 +11128,7 @@ ORACLE_SQL = {
     "events_cusum": _SQL_EVENTS_CUSUM,
     "source_cap": _SQL_SOURCE_CAP,
     "image_entropy": _SQL_IMAGE_ENTROPY,
+    "tfidf_topk": _tfidf_sql(),
     "norm_quantize": _SQL_NORM_QUANTIZE,
     "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
     "distinct_hll": _SQL_DISTINCT_HLL,
@@ -11139,6 +11321,7 @@ _R5_FRONT = [
     "events_cusum",
     "source_cap",
     "image_entropy",
+    "tfidf_topk",
     "norm_quantize",
     "lexical_diversity",
     "distinct_hll",

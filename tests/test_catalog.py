@@ -86,6 +86,7 @@ def _check(contract, con, name):
         "events_cusum",
         "source_cap",
         "image_entropy",
+        "tfidf_topk",
         "doc_fingerprint",
         "langid",
         "quality_signals",

@@ -682,3 +682,33 @@ def test_source_cap_semantics(ray_session):
     assert len(big) == 50 and big.doc_id.tolist() == list(range(50))
     assert (big.group_size == 120).all()
     assert len(small) == 7 and (small.group_size == 7).all()
+
+
+def test_tfidf_cosine_semantics(ray_session):
+    """lnc.ltc cosine: a doc that is EXACTLY the query's live terms
+    (tf=1 each) scores 1.0; a doc with the same match plus extra terms
+    scores < 1 (the full-document norm at work — the part matched-only
+    norms get wrong)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_tfidf_topk
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(
+            ["hash join",
+             "hash join kitchen sink verbiage",
+             "unrelated filler words entirely"],
+            pa.string(),
+        ),
+    })
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = q_tfidf_topk(d).to_pandas()
+    q0 = out[out.query_id == 0].sort_values("rank")
+    assert q0.doc_id.tolist()[:2] == [1, 2]
+    assert q0.score_r.iloc[0] == 1.0
+    assert q0.score_r.iloc[1] < 1.0
