@@ -294,6 +294,8 @@ def run_bench() -> dict:
         "source_cap",
         "image_entropy",
         "tfidf_topk",
+        "oov_rate",
+        "bigram_pmi",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

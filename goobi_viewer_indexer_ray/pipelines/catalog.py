@@ -772,6 +772,160 @@ LEFT JOIN e ON d.doc_id = e.doc_id
 """
 
 
+_OOV_VOCAB = 16
+
+
+def q_oov_rate(sf_dir: str):
+    """Out-of-vocabulary rate per doc against the top-16-cf corpus
+    vocabulary — the tokenizer-coverage screen (a doc full of tokens a
+    budgeted vocab can't cover costs disproportionate subwords; the
+    per-doc twin of ``subword_counts``' corpus view).  One cf
+    aggregate + sort/limit picks the vocab (bounded rows to the
+    driver, broadcast as a set), then a pure per-row map scores docs;
+    ``oov_bp = 10⁴·n_oov // n_tokens`` integer-exact."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.postings import TokenizePostings
+
+    vocab = {
+        r["term"]
+        for r in _documents(sf_dir)
+        .map_batches(TokenizePostings(num_shards=1), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="cf"))
+        .sort(["cf", "term"], descending=[True, False])
+        .limit(_OOV_VOCAB)
+        .take_all()
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        oov = np.zeros(len(ids), np.int64)
+        if codes.size:
+            is_oov = ~np.isin(uniq, sorted(vocab))
+            oov = text_ops._seg_sums(is_oov[codes].astype(np.int64), counts)
+        bp = np.where(counts > 0, 10000 * oov // np.maximum(counts, 1), 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(counts, pa.int64()),
+                "n_oov": pa.array(oov, pa.int64()),
+                "oov_bp": pa.array(bp, pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+_SQL_OOV_RATE = f"""
+WITH cf AS (
+  SELECT tok, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok),
+top AS (SELECT tok FROM cf ORDER BY cf DESC, tok LIMIT {_OOV_VOCAB}),
+u AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+s AS (
+  SELECT u.doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN top.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+  FROM u LEFT JOIN top ON top.tok = u.tok GROUP BY u.doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.n_oov, 0)::BIGINT AS n_oov,
+       CASE WHEN coalesce(s.n_tokens, 0) > 0
+            THEN 10000 * s.n_oov // s.n_tokens ELSE 0 END::BIGINT AS oov_bp
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+_PMI_SCALE = 1_000_000
+_PMI_TOP = 50
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation strength: pointwise mutual information over the
+    ≥5-support adjacent bigrams (Church & Hanks 1990 — the ranking
+    that separates 'hash join' from 'of the'), as the EXACT scaled
+    integer ``10⁶·N_bg·c_xy // (c_x·c_y)`` (monotone in PMI, so the
+    top-50 ordering is integer-identical both sides — no cross-engine
+    float ratio ordering).  Same map-side bigram partials and ONE
+    ``groupby(w1,w2)`` as ``bigram_counts``; the unigram cf table
+    rides the driver (vocab-bounded, the ``search_lmdirichlet``
+    stats contract)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.postings import TokenizePostings
+
+    ds = _documents(sf_dir)
+    cfs = {
+        r["term"]: int(r["cf"])
+        for r in ds.map_batches(TokenizePostings(num_shards=1),
+                                batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="cf"))
+        .take_all()
+    }
+    parts = ds.map_batches(text_ops.bigram_counts_batch, batch_format="pyarrow")
+    n_bg = int(parts.sum("n"))
+    agg = parts.groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n"), BIGRAM_MIN_COUNT))
+        w1 = t.column("w1").to_numpy(zero_copy_only=False)
+        w2 = t.column("w2").to_numpy(zero_copy_only=False)
+        n = pc.cast(t.column("n"), pa.int64()).to_numpy()
+        c1 = np.array([cfs[w] for w in w1], np.int64)
+        c2 = np.array([cfs[w] for w in w2], np.int64)
+        # Python-int arithmetic: 10⁶·N_bg·c_xy can pass 2⁶³ on big
+        # corpora and numpy would wrap silently; rows here are already
+        # min-support-filtered (≤ vocab²), so the loop is bounded
+        pmi = np.array(
+            [
+                _PMI_SCALE * n_bg * int(ni) // (int(a) * int(b))
+                for ni, a, b in zip(n, c1, c2)
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "c1": pa.array(c1, pa.int64()),
+                "c2": pa.array(c2, pa.int64()),
+                "pmi_scaled": pa.array(pmi, pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(fin, batch_format="pyarrow")
+        .sort(["pmi_scaled", "w1", "w2"], descending=[True, False, False])
+        .limit(_PMI_TOP)
+    )
+
+
+def _bigram_pmi_sql() -> str:
+    return f"""
+WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
+cf AS (
+  SELECT tok, count(*)::BIGINT AS cf
+  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
+bg AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2)),
+nb AS (SELECT count(*)::BIGINT AS n_bg FROM bg),
+g AS (
+  SELECT w1, w2, count(*)::BIGINT AS n
+  FROM bg GROUP BY w1, w2 HAVING count(*) >= {BIGRAM_MIN_COUNT}),
+p AS (
+  SELECT g.w1, g.w2, g.n, a.cf AS c1, b.cf AS c2,
+         ({_PMI_SCALE} * nb.n_bg * g.n // (a.cf * b.cf))::BIGINT
+           AS pmi_scaled
+  FROM g JOIN cf a ON a.tok = g.w1 JOIN cf b ON b.tok = g.w2
+  CROSS JOIN nb)
+SELECT w1, w2, n, c1, c2, pmi_scaled
+FROM p ORDER BY pmi_scaled DESC, w1, w2 LIMIT {_PMI_TOP}
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     return _documents(sf_dir).map_batches(text_ops.fingerprint_batch, batch_format="pyarrow")
 
@@ -10947,6 +11101,8 @@ QUERIES = {
     "source_cap": q_source_cap,
     "image_entropy": q_image_entropy,
     "tfidf_topk": q_tfidf_topk,
+    "oov_rate": q_oov_rate,
+    "bigram_pmi": q_bigram_pmi,
     "norm_quantize": q_norm_quantize,
     "lexical_diversity": q_lexical_diversity,
     "distinct_hll": q_distinct_hll,
@@ -11129,6 +11285,8 @@ ORACLE_SQL = {
     "source_cap": _SQL_SOURCE_CAP,
     "image_entropy": _SQL_IMAGE_ENTROPY,
     "tfidf_topk": _tfidf_sql(),
+    "oov_rate": _SQL_OOV_RATE,
+    "bigram_pmi": _bigram_pmi_sql(),
     "norm_quantize": _SQL_NORM_QUANTIZE,
     "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
     "distinct_hll": _SQL_DISTINCT_HLL,
@@ -11322,6 +11480,8 @@ _R5_FRONT = [
     "source_cap",
     "image_entropy",
     "tfidf_topk",
+    "oov_rate",
+    "bigram_pmi",
     "norm_quantize",
     "lexical_diversity",
     "distinct_hll",

@@ -87,6 +87,8 @@ def _check(contract, con, name):
         "source_cap",
         "image_entropy",
         "tfidf_topk",
+        "oov_rate",
+        "bigram_pmi",
         "doc_fingerprint",
         "langid",
         "quality_signals",

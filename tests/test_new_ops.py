@@ -712,3 +712,53 @@ def test_tfidf_cosine_semantics(ray_session):
     assert q0.doc_id.tolist()[:2] == [1, 2]
     assert q0.score_r.iloc[0] == 1.0
     assert q0.score_r.iloc[1] < 1.0
+
+
+def test_oov_rate_semantics(ray_session):
+    """OOV against the top-16 cf vocab: a doc made entirely of rare
+    singletons scores 10000 bp, a doc of head terms 0; empty doc 0."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_oov_rate
+
+    # 16 head terms (cf >= 3 each), plus singleton junk in doc 99
+    head = " ".join(f"t{i:02d}" for i in range(16))
+    rows = [{"doc_id": i, "text": head} for i in range(3)]
+    rows.append({"doc_id": 99, "text": "zzq1 zzq2 zzq3 zzq4"})
+    rows.append({"doc_id": 100, "text": ""})
+    t = pa.Table.from_pylist(rows)
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = q_oov_rate(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "oov_bp"] == 0 and out.loc[0, "n_oov"] == 0
+    assert out.loc[99, "oov_bp"] == 10000 and out.loc[99, "n_oov"] == 4
+    assert out.loc[100, "n_tokens"] == 0 and out.loc[100, "oov_bp"] == 0
+
+
+def test_bigram_pmi_semantics(ray_session):
+    """PMI ranks the exclusive collocation above the promiscuous one:
+    'alpha beta' always adjacent beats 'the the' filler, with the
+    integer-scaled score exact."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_bigram_pmi
+
+    rows = [{"doc_id": i, "text": "alpha beta " + "the " * 10} for i in range(5)]
+    t = pa.Table.from_pylist(rows)
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = q_bigram_pmi(d).to_pandas()
+    pairs = list(zip(out.w1, out.w2))
+    assert ("alpha", "beta") in pairs and ("the", "the") in pairs
+    ab = out[(out.w1 == "alpha") & (out.w2 == "beta")].iloc[0]
+    tt = out[(out.w1 == "the") & (out.w2 == "the")].iloc[0]
+    assert ab.pmi_scaled > tt.pmi_scaled
+    # exact integer replay: n_bg = 5 docs * 11 bigrams
+    n_bg = 5 * 11
+    assert ab.pmi_scaled == 1_000_000 * n_bg * int(ab.n) // (int(ab.c1) * int(ab.c2))
