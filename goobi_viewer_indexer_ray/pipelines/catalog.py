@@ -603,6 +603,8 @@ def q_zipf_slope(sf_dir: str):
         .take_all()
     )
     cf = np.array([r["cf"] for r in top], np.float64)
+    if cf.size < 2:  # a 1-term vocab has no rank axis to regress on
+        raise ValueError("zipf_slope: need >= 2 distinct terms")
     x = np.log(np.arange(1, cf.size + 1, dtype=np.float64))
     y = np.log(cf)
     xc, yc = x - x.mean(), y - y.mean()
