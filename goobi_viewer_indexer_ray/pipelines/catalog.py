@@ -10279,6 +10279,123 @@ FROM sel GROUP BY doc_id
 """
 
 
+_WINNOW_PAIR_CAP = 64
+_WINNOW_MIN_SHARED = 2
+
+
+def q_winnow_pairs(sf_dir: str):
+    """MOSS match detection (Schleimer et al. 2003 §4 — the step after
+    fingerprinting): documents sharing ≥2 selected winnow fingerprint
+    HASHES (position-stripped ``key ≫ 24``; packed keys carry the
+    position field and never collide across docs) become reuse
+    candidates with ``overlap_bp = 10⁴·shared // min(n_a, n_b)`` — the
+    containment-style score MOSS reports.  Same shuffle shape as the
+    exact-Jaccard family: selected-hash rows (2/(w+1) the k-gram
+    volume) → ``groupby(sh)`` pair emission through the SHARED
+    df-capped kernel (hot boilerplate fingerprints emit O(1) sentinel
+    rows, accounted in-band as ``(-1, -1, n_dropped, df, 0, 0)``) →
+    ONE pair-key count.  The oracle replays selection, cap, and score
+    integer-for-integer."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import _make_emit_pairs
+    from ..stages.winnow import winnow_hash_rows
+
+    rows = winnow_hash_rows(_documents(sf_dir))
+    pairs = rows.groupby("sh").map_groups(
+        _make_emit_pairs(_WINNOW_PAIR_CAP, "winnow_pairs"),
+        batch_format="pyarrow",
+    )
+    inter = pairs.groupby(["doc_a", "doc_b", "n_a", "n_b"]).aggregate(
+        Count(alias_name="shared")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        da = t.column("doc_a").to_numpy().astype(np.int64)
+        db = t.column("doc_b").to_numpy().astype(np.int64)
+        na = t.column("n_a").to_numpy().astype(np.int64)
+        nb = t.column("n_b").to_numpy().astype(np.int64)
+        sh = t.column("shared").to_numpy().astype(np.int64)
+        sent = da == -1
+        keep = (~sent) & (sh >= _WINNOW_MIN_SHARED)
+        bp = 10000 * sh[keep] // np.minimum(na[keep], nb[keep])
+        out = pa.table(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "shared": pa.array(sh[keep], pa.int64()),
+                "n_a": pa.array(na[keep], pa.int64()),
+                "n_b": pa.array(nb[keep], pa.int64()),
+                "overlap_bp": pa.array(bp, pa.int64()),
+            }
+        )
+        if not sent.any():
+            return out
+        z = np.zeros(int(sent.sum()), np.int64)
+        drops = pa.table(
+            {
+                "doc_a": pa.array(da[sent], pa.int64()),
+                "doc_b": pa.array(db[sent], pa.int64()),
+                "shared": pa.array(sh[sent], pa.int64()),  # hashes dropped
+                "n_a": pa.array(na[sent], pa.int64()),  # at this df
+                "n_b": pa.array(z, pa.int64()),
+                "overlap_bp": pa.array(z, pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, drops])
+
+    return inter.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_WINNOW_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+kg AS (
+  SELECT doc_id, i, len(ts) - 2 AS nkg,
+         ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 10))::UBIGINT AS h
+  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS g(i)
+  WHERE len(ts) >= 3
+),
+keyed AS (
+  SELECT doc_id, i, nkg,
+         h * 16777216::UBIGINT + (16777215 - (i - 1))::UBIGINT AS key
+  FROM kg
+),
+wins AS (
+  SELECT doc_id, i, nkg,
+         min(key) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+  FROM keyed
+),
+hsel AS (
+  SELECT DISTINCT doc_id, (wmin >> 24)::BIGINT AS h
+  FROM wins WHERE i >= least(4, nkg)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM hsel GROUP BY doc_id),
+df AS (SELECT h, count(*)::BIGINT AS df FROM hsel GROUP BY h),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+  FROM hsel a JOIN hsel b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.h IN (SELECT h FROM df WHERE df <= {_WINNOW_PAIR_CAP})
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+         (10000 * shared // least(sa.n, sb.n))::BIGINT AS overlap_bp
+  FROM pr
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE shared >= {_WINNOW_MIN_SHARED}
+),
+drops AS (
+  SELECT -1::BIGINT AS doc_a, -1::BIGINT AS doc_b,
+         count(*)::BIGINT AS shared, df AS n_a,
+         0::BIGINT AS n_b, 0::BIGINT AS overlap_bp
+  FROM df WHERE df > {_WINNOW_PAIR_CAP} GROUP BY df
+)
+SELECT * FROM kept UNION ALL SELECT * FROM drops
+"""
+
+
 def q_search_suggest(sf_dir: str):
     """Autocomplete / Suggester parity (the viewer's search box runs
     Solr suggest against this indexer's fields): per prefix, the top-10
@@ -11181,6 +11298,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "postings_varint": q_postings_varint,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_pairs": q_winnow_pairs,
     "search_lmdirichlet": q_search_lmdirichlet,
     "budget_select": q_budget_select,
     "search_suggest": q_search_suggest,
@@ -11350,6 +11468,7 @@ ORACLE_SQL = {
     "semantic_dedup": _semantic_dedup_sql(),
     "postings_varint": _SQL_POSTINGS_VARINT,
     "winnow_fingerprints": _SQL_WINNOW,
+    "winnow_pairs": _SQL_WINNOW_PAIRS,
     "search_lmdirichlet": _lmdirichlet_sql(),
     "budget_select": _SQL_BUDGET_SELECT,
     "search_suggest": _suggest_sql(),
@@ -11471,6 +11590,7 @@ ORACLE_SQL = {
 # Arrow-native term dictionary — come first; everything else keeps its
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
+    "winnow_pairs",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -45,7 +45,7 @@ import pyarrow as pa
 
 from .text_ops import _flat_token_codes
 
-__all__ = ["winnow_fingerprints", "WIN_K", "WIN_W"]
+__all__ = ["winnow_fingerprints", "winnow_hash_rows", "WIN_K", "WIN_W"]
 
 WIN_K = 3          # tokens per k-gram
 WIN_W = 4          # k-gram hashes per window
@@ -88,20 +88,17 @@ def _kgram_hashes(counts: np.ndarray, codes: np.ndarray, uniq: np.ndarray):
     return hs[inv], nkg
 
 
-def winnow_batch(t: pa.Table) -> pa.Table:
+def _selected_keys(t: pa.Table):
+    """Batch-flat winnow selection shared by both output shapes:
+    ``(out_ids, out_nkg, sel_doc, sel_key)`` where ``sel_doc`` indexes
+    into ``out_ids`` and ``sel_key`` are the selected (NOT yet
+    deduplicated) packed ``h·2²⁴ + pos`` window-min keys."""
     ids, counts, codes, uniq = _flat_token_codes(t)
     h, nkg = _kgram_hashes(counts, codes, uniq)
     keep = nkg > 0
     out_ids, out_nkg = ids[keep], nkg[keep]
     if h.size == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "n_kgrams": pa.array([], pa.int64()),
-                "n_fps": pa.array([], pa.int64()),
-                "fp_xor": pa.array([], pa.int64()),
-            }
-        )
+        return out_ids, out_nkg, np.empty(0, np.int64), np.empty(0, np.uint64)
     kg_starts = np.cumsum(out_nkg) - out_nkg
     pos = np.arange(h.size, dtype=np.uint64) - np.repeat(
         kg_starts.astype(np.uint64), out_nkg
@@ -123,9 +120,21 @@ def winnow_batch(t: pa.Table) -> pa.Table:
     # plus the single partial window of a short doc)
     cutoff = np.minimum(out_nkg, WIN_W).astype(np.uint64) - np.uint64(1)
     valid = pos >= np.repeat(cutoff, out_nkg)
+    return out_ids, out_nkg, doc_of[valid], wmin[valid]
 
+
+def winnow_batch(t: pa.Table) -> pa.Table:
+    out_ids, out_nkg, sel_doc, sel_key = _selected_keys(t)
+    if sel_key.size == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_kgrams": pa.array([], pa.int64()),
+                "n_fps": pa.array([], pa.int64()),
+                "fp_xor": pa.array([], pa.int64()),
+            }
+        )
     # per-doc distinct selected keys → count + 63-bit-masked XOR
-    sel_doc, sel_key = doc_of[valid], wmin[valid]
     order = np.lexsort((sel_key, sel_doc))
     sd, sk = sel_doc[order], sel_key[order]
     first = np.ones(sd.size, bool)
@@ -148,3 +157,45 @@ def winnow_fingerprints(ds):
     """Dataset of ``(doc_id, n_kgrams, n_fps, fp_xor)`` — see module
     docstring.  One stateless vectorized pass, no shuffle."""
     return ds.map_batches(winnow_batch, batch_format="pyarrow")
+
+
+def winnow_hash_rows_batch(t: pa.Table) -> pa.Table:
+    """Selected fingerprints as join rows: ``(doc_id, sh, n)``.
+
+    ``sh`` is the POSITION-STRIPPED 40-bit k-gram hash (``key ≫ 24``)
+    — cross-doc matching must compare hashes, not packed keys, since
+    the position field differs between documents; ``n`` is the doc's
+    distinct selected-hash count, riding every row so the pair reducer
+    gets both set sizes for free (the ``_verify_pairs`` contract in
+    :mod:`stages.dedup`)."""
+    out_ids, out_nkg, sel_doc, sel_key = _selected_keys(t)
+    if sel_key.size == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "sh": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    h = (sel_key >> np.uint64(_POS_BITS)).astype(np.int64)
+    order = np.lexsort((h, sel_doc))
+    sd, sk = sel_doc[order], h[order]
+    first = np.ones(sd.size, bool)
+    first[1:] = (sd[1:] != sd[:-1]) | (sk[1:] != sk[:-1])
+    sd, sk = sd[first], sk[first]
+    seg = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+    n_per_doc = np.diff(np.r_[seg, sd.size])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids[sd], pa.int64()),
+            "sh": pa.array(sk, pa.int64()),
+            "n": pa.array(np.repeat(n_per_doc, n_per_doc), pa.int64()),
+        }
+    )
+
+
+def winnow_hash_rows(ds):
+    """Dataset of ``(doc_id, sh, n)`` selected-hash rows — the
+    2/(w+1)-density input to the MOSS-style reuse pair join
+    (``catalog.q_winnow_pairs``)."""
+    return ds.map_batches(winnow_hash_rows_batch, batch_format="pyarrow")

@@ -214,6 +214,7 @@ def _check(contract, con, name):
         "semantic_dedup",
         "postings_varint",
         "winnow_fingerprints",
+        "winnow_pairs",
         "search_lmdirichlet",
         "budget_select",
         "search_suggest",

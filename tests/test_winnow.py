@@ -95,3 +95,28 @@ def test_partition_invariance_and_short_docs(ray_session):
     assert one.equals(many)
     assert set(one.doc_id) == {0, 1, 3}
     assert one.set_index("doc_id").loc[1, "n_fps"] == 1
+
+
+def test_hash_rows_match_selection_and_pairs(ray_session):
+    """winnow_hash_rows emits exactly the position-stripped distinct
+    selected hashes with full per-doc counts; two docs sharing a long
+    run surface as a winnow_pairs candidate with shared >= 2."""
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.winnow import winnow_hash_rows
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    texts = {
+        0: "alpha beta gamma " + shared + " delta",
+        1: "one two three " + shared + " four",
+        2: "totally unrelated words here none common",
+    }
+    rows = winnow_hash_rows(rd.from_arrow(_tbl(texts))).to_pandas()
+    for i, txt in texts.items():
+        want = {k >> 24 for k in _selected_keys(txt)}
+        got = set(rows[rows.doc_id == i].sh)
+        assert got == want, i
+        assert (rows[rows.doc_id == i].n == len(want)).all(), i
+    h0 = set(rows[rows.doc_id == 0].sh)
+    h1 = set(rows[rows.doc_id == 1].sh)
+    assert len(h0 & h1) >= 2  # the 12-token shared run guarantees it
