@@ -5437,6 +5437,47 @@ FROM h GROUP BY source, bucket
 """
 
 
+_CMS_TOP = 20
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-Min sketch frequency estimates vs exact counts for the
+    top-20 corpus terms (:func:`stages.frequency.cms_heavy_hitters`,
+    d=4 × w=64) — the frequency sketch next to KMV/HLL's cardinality
+    sketches, with the same sketch-plus-exact-recount verification
+    contract.  Sketch merge is ONE bounded ``groupby(r, cell)`` (≤ d·w
+    rows per batch cross the wire, corpus-size independent); the
+    oracle replays cell hashing and the min-fold integer-for-integer,
+    so ``cms_est ≥ cf`` and the exact overcount are both hash-gated."""
+    from ..stages.frequency import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _documents(sf_dir, columns=("text",)), top=_CMS_TOP
+    )
+
+
+_SQL_CMS = f"""
+WITH u AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+cf AS (SELECT tok, count(*)::BIGINT AS cf FROM u GROUP BY tok),
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+cells AS (
+  SELECT rows_.r,
+         (('0x' || substr(md5(rows_.r::VARCHAR || ':' || cf.tok), 1, 16))
+            ::UBIGINT % 64)::BIGINT AS cell,
+         sum(cf.cf)::BIGINT AS cnt
+  FROM cf CROSS JOIN rows_ GROUP BY 1, 2
+),
+top AS (SELECT tok, cf FROM cf ORDER BY cf DESC, tok LIMIT {_CMS_TOP})
+SELECT t.tok AS term, t.cf, min(c.cnt)::BIGINT AS cms_est
+FROM top t CROSS JOIN rows_
+JOIN cells c
+  ON c.r = rows_.r
+ AND c.cell = (('0x' || substr(md5(rows_.r::VARCHAR || ':' || t.tok), 1, 16))
+                 ::UBIGINT % 64)::BIGINT
+GROUP BY t.tok, t.cf
+"""
+
+
 def q_sample_weighted(sf_dir: str):
     """Exact-100 weighted document sample, priority ∝ 1/n_chars
     (:func:`stages.sampling.weighted_bottom_k` — integer bottom-k
@@ -11225,6 +11266,7 @@ QUERIES = {
     "norm_quantize": q_norm_quantize,
     "lexical_diversity": q_lexical_diversity,
     "distinct_hll": q_distinct_hll,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "crawl_diff": q_crawl_diff,
     "partition_max_records": q_partition_max_records,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
@@ -11410,6 +11452,7 @@ ORACLE_SQL = {
     "norm_quantize": _SQL_NORM_QUANTIZE,
     "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
     "distinct_hll": _SQL_DISTINCT_HLL,
+    "cms_heavy_hitters": _SQL_CMS,
     "crawl_diff": _SQL_CRAWL_DIFF,
     "partition_max_records": _SQL_PARTITION_MAX_RECORDS,
     "dedup_jaccard_capped": _SQL_DEDUP_JACCARD_CAPPED,
@@ -11591,6 +11634,7 @@ ORACLE_SQL = {
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
     "winnow_pairs",
+    "cms_heavy_hitters",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

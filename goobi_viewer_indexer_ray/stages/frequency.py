@@ -41,7 +41,8 @@ import pyarrow.compute as pc
 
 from ..functions.tokenize import TOKEN_RE
 
-__all__ = ["frequent_terms", "kmv_distinct_bigrams", "hll_registers_bigrams", "TOTAL_SENTINEL"]
+__all__ = ["frequent_terms", "kmv_distinct_bigrams", "hll_registers_bigrams",
+           "cms_heavy_hitters", "TOTAL_SENTINEL"]
 
 TOTAL_SENTINEL = "_total_"  # unreachable by the underscore-free tokenizer
 
@@ -309,3 +310,103 @@ def hll_registers_bigrams(ds, *, p: int = 6):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+CMS_D = 4    # hash rows
+CMS_W = 64   # cells per row
+
+
+def cms_heavy_hitters(ds, *, d: int = CMS_D, w: int = CMS_W, top: int = 20):
+    """Count-Min sketch heavy-hitter estimates (Cormode &
+    Muthukrishnan 2005) next to the exact counts — the third sketch of
+    the cardinality/frequency family (KMV, HLL, CMS).  The sketch is a
+    ``d × w`` integer counter matrix; every term occurrence increments
+    one cell per row (``cell = md5_u64(f"{r}:{term}") % w``), and a
+    term's estimate is the MIN over its ``d`` cells — never an
+    underestimate, with the paper's ε = e/w overcount bound whp.
+
+    Shape: ONE ``map_batches`` pass emits per-batch partial cell
+    counts (≤ d·w rows per batch — the sketch, not the vocabulary,
+    crosses the wire) + ONE bounded ``groupby(r, cell)``; counter
+    matrices are entrywise-addable, which is exactly that groupby-sum.
+    The exact side (for the ``top`` comparison terms) is the usual
+    term groupby.  Both the cell hash and the min-fold are integer, so
+    the DuckDB oracle replays the sketch bit-for-bit.
+
+    Returns ``(term, cf, cms_est)`` for the top-``top`` terms by
+    (cf desc, term) — ``cms_est ≥ cf`` always (pytest-pinned)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hash64_array
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        codes, uniq = _batch_token_codes(batch)
+        if codes is None:
+            return pa.table(
+                {
+                    "r": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        cf = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        mat = np.zeros((d, w), np.int64)
+        for r in range(d):
+            cells = (md5_hash64_array([f"{r}:{t}" for t in uniq])
+                     % np.uint64(w)).astype(np.int64)
+            np.add.at(mat[r], cells, cf)
+        rr, cc = np.nonzero(mat)
+        return pa.table(
+            {
+                "r": pa.array(rr.astype(np.int64), pa.int64()),
+                "cell": pa.array(cc.astype(np.int64), pa.int64()),
+                "cnt": pa.array(mat[rr, cc], pa.int64()),
+            }
+        )
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        codes, uniq = _batch_token_codes(batch)
+        if codes is None:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "cf": pa.array([], pa.int64())}
+            )
+        cf = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"term": pa.array(uniq.astype(str), pa.string()),
+             "cf": pa.array(cf, pa.int64())}
+        )
+
+    # the sketch is d·w rows BY CONSTRUCTION — the documented bounded
+    # small side (corpus-size independent), safe on the driver
+    sketch = np.zeros((d, w), np.int64)
+    for row in (
+        ds.map_batches(sketch_partial, batch_format="pyarrow")
+        .groupby(["r", "cell"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    ):
+        sketch[int(row["r"]), int(row["cell"])] = int(row["cnt"])
+
+    cand = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .sort(["cf", "term"], descending=[True, False])
+        .limit(top)
+        .take_all()
+    )
+    terms = [r["term"] for r in cand]
+    cfs = np.array([int(r["cf"]) for r in cand], np.int64)
+    est = np.full(len(terms), np.iinfo(np.int64).max, np.int64)
+    for r in range(d):
+        cells = (md5_hash64_array([f"{r}:{t}" for t in terms])
+                 % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, sketch[r, cells])
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "cf": pa.array(cfs, pa.int64()),
+            "cms_est": pa.array(est, pa.int64()),
+        }
+    )

@@ -108,6 +108,7 @@ def _check(contract, con, name):
         "link_pagerank",
         "link_anchors",
         "distinct_kmv",
+        "cms_heavy_hitters",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

@@ -142,3 +142,33 @@ def test_hll_registers_match_bruteforce(ray_session):
     assert got == want
     # registers only for buckets actually hit; rho within [1, 64-p+1]
     assert out["max_rho"].between(1, 64 - p + 1).all()
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(ray_session):
+    """CMS property pins: est >= true count always; with a vocabulary
+    far smaller than d*w cells and a single batch, the top terms'
+    estimates still bound their exact counts, and partitioning the
+    input never changes the merged sketch output (counter matrices are
+    entrywise-addable)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.frequency import cms_heavy_hitters
+
+    rng = np.random.default_rng(7)
+    texts = [
+        " ".join(rng.choice(["aa", "bb", "cc", "dd", "ee"],
+                            p=[0.5, 0.2, 0.15, 0.1, 0.05], size=40))
+        for _ in range(30)
+    ]
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    one = cms_heavy_hitters(rd.from_arrow(tbl), top=5).to_pandas()
+    many = cms_heavy_hitters(rd.from_arrow(tbl).repartition(4), top=5).to_pandas()
+    assert one.equals(many)
+    assert (one.cms_est >= one.cf).all()
+    # exact counts recomputed independently
+    from collections import Counter
+    cnt = Counter(w for t in texts for w in t.split())
+    for _, r in one.iterrows():
+        assert cnt[r.term] == r.cf
