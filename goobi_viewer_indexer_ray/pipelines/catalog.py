@@ -5478,6 +5478,52 @@ GROUP BY t.tok, t.cf
 """
 
 
+def q_source_ks(sf_dir: str):
+    """Per-source doc-length distribution drift vs the corpus as the
+    INTEGER two-sample KS statistic (:func:`stages.frequency.ks_drift`
+    — sup|F_src − F| on the common denominator ``N·n_src``, evaluated
+    at observed lengths only).  The quality-drift twin of
+    ``events_cusum``: CUSUM watches a stream's mean over time, KS
+    watches a partition's whole distribution against the pool.  ONE
+    ``groupby(source, n_chars)`` shuffle; the (sources × distinct
+    lengths) summary folds on the driver — the documented bounded
+    small side."""
+    from ..stages.frequency import ks_drift
+
+    return ks_drift(
+        _documents(sf_dir, columns=("source", "n_chars")),
+        group_col="source",
+        value_col="n_chars",
+    )
+
+
+_SQL_SOURCE_KS = """
+WITH g AS (
+  SELECT source, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+ns AS (SELECT source, sum(c)::BIGINT AS n_s FROM g GROUP BY source),
+vals AS (SELECT DISTINCT v FROM g),
+base AS (
+  SELECT s.source, vals.v, coalesce(g.c, 0)::BIGINT AS c
+  FROM (SELECT DISTINCT source FROM g) s
+  CROSS JOIN vals
+  LEFT JOIN g ON g.source = s.source AND g.v = vals.v),
+cs AS (
+  SELECT source, v,
+         sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cs
+  FROM base),
+gv AS (SELECT v, sum(c)::BIGINT AS c FROM g GROUP BY v),
+ca AS (SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS ca FROM gv)
+SELECT cs.source, ns.n_s AS n_docs,
+       max(abs(cs.cs * tot.n - ca.ca * ns.n_s))::BIGINT AS ks_num,
+       (10000 * max(abs(cs.cs * tot.n - ca.ca * ns.n_s))
+          // (tot.n * ns.n_s))::BIGINT AS ks_bp
+FROM cs JOIN ca USING (v) JOIN ns USING (source) CROSS JOIN tot
+GROUP BY cs.source, ns.n_s, tot.n
+"""
+
+
 def q_sample_weighted(sf_dir: str):
     """Exact-100 weighted document sample, priority ∝ 1/n_chars
     (:func:`stages.sampling.weighted_bottom_k` — integer bottom-k
@@ -11267,6 +11313,7 @@ QUERIES = {
     "lexical_diversity": q_lexical_diversity,
     "distinct_hll": q_distinct_hll,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "source_ks": q_source_ks,
     "crawl_diff": q_crawl_diff,
     "partition_max_records": q_partition_max_records,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
@@ -11453,6 +11500,7 @@ ORACLE_SQL = {
     "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
     "distinct_hll": _SQL_DISTINCT_HLL,
     "cms_heavy_hitters": _SQL_CMS,
+    "source_ks": _SQL_SOURCE_KS,
     "crawl_diff": _SQL_CRAWL_DIFF,
     "partition_max_records": _SQL_PARTITION_MAX_RECORDS,
     "dedup_jaccard_capped": _SQL_DEDUP_JACCARD_CAPPED,
@@ -11635,6 +11683,7 @@ ORACLE_SQL = {
 _R5_FRONT = [
     "winnow_pairs",
     "cms_heavy_hitters",
+    "source_ks",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 from ..functions.tokenize import TOKEN_RE
 
 __all__ = ["frequent_terms", "kmv_distinct_bigrams", "hll_registers_bigrams",
-           "cms_heavy_hitters", "TOTAL_SENTINEL"]
+           "cms_heavy_hitters", "ks_drift", "TOTAL_SENTINEL"]
 
 TOTAL_SENTINEL = "_total_"  # unreachable by the underscore-free tokenizer
 
@@ -408,5 +408,65 @@ def cms_heavy_hitters(ds, *, d: int = CMS_D, w: int = CMS_W, top: int = 20):
             "term": pa.array(terms, pa.string()),
             "cf": pa.array(cfs, pa.int64()),
             "cms_est": pa.array(est, pa.int64()),
+        }
+    )
+
+
+def ks_drift(ds, *, group_col: str = "source", value_col: str = "n_chars"):
+    """Per-group two-sample Kolmogorov-Smirnov drift vs the whole
+    corpus, INTEGER-exact — the distribution-shift screen a curation
+    pipeline runs per crawl source / per snapshot (is this source's
+    doc-length profile drifting from the corpus?).
+
+    The KS statistic sup|F_g − F| is evaluated only at observed
+    values, and both ECDFs are rational with denominators n_g·N — so
+    the comparison runs on the integer numerator
+    ``ks_num = max over v of |cum_g(v)·N − cum_all(v)·n_g|`` and
+    ``ks_bp = 10⁴·ks_num // (N·n_g)``; no float boundary anywhere.
+
+    Shape: ONE ``groupby(group, value).count()`` — the only shuffle —
+    then the finalize folds the (groups × distinct values) summary on
+    the driver.  That summary is the documented small side for
+    bounded-cardinality metrics (lengths, scores, bucketed values); an
+    unbounded continuous metric should be bucketed upstream first,
+    which only coarsens the sup."""
+    grouped = ds.groupby([group_col, value_col]).count().take_all()
+    if not grouped:
+        return pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "ks_num": pa.array([], pa.int64()),
+                "ks_bp": pa.array([], pa.int64()),
+            }
+        )
+    src = np.asarray([r[group_col] for r in grouped], dtype=object)
+    val = np.asarray([int(r[value_col]) for r in grouped], np.int64)
+    cnt = np.asarray([int(r["count()"]) for r in grouped], np.int64)
+    vals = np.unique(val)
+    vpos = np.searchsorted(vals, val)
+    total = np.zeros(vals.size, np.int64)
+    np.add.at(total, vpos, cnt)
+    ca = np.cumsum(total)
+    n_all = int(ca[-1])
+    groups = np.unique(src)
+    out_g, out_n, out_num, out_bp = [], [], [], []
+    for g in groups:
+        m = src == g
+        per = np.zeros(vals.size, np.int64)
+        np.add.at(per, vpos[m], cnt[m])
+        cs = np.cumsum(per)
+        n_g = int(cs[-1])
+        d = int(np.max(np.abs(cs * n_all - ca * n_g)))
+        out_g.append(g)
+        out_n.append(n_g)
+        out_num.append(d)
+        out_bp.append(10000 * d // (n_all * n_g))
+    return pa.table(
+        {
+            group_col: pa.array(out_g, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "ks_num": pa.array(out_num, pa.int64()),
+            "ks_bp": pa.array(out_bp, pa.int64()),
         }
     )

@@ -109,6 +109,7 @@ def _check(contract, con, name):
         "link_anchors",
         "distinct_kmv",
         "cms_heavy_hitters",
+        "source_ks",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

@@ -172,3 +172,38 @@ def test_cms_never_underestimates_and_exact_when_sparse(ray_session):
     cnt = Counter(w for t in texts for w in t.split())
     for _, r in one.iterrows():
         assert cnt[r.term] == r.cf
+
+
+def test_ks_drift_matches_scipy_style_reference(ray_session):
+    """ks_num/denominator equals the classic two-sample KS statistic
+    computed directly on the raw samples; identical distributions give
+    0, disjoint ones approach 1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.frequency import ks_drift
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 30, size=200)          # src "a": uniform 0..29
+    b = rng.integers(20, 60, size=100)         # src "b": shifted
+    tbl = pa.table(
+        {
+            "source": pa.array(["a"] * a.size + ["b"] * b.size, pa.string()),
+            "n_chars": pa.array(np.r_[a, b], pa.int64()),
+        }
+    )
+    out = ks_drift(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    out = out.set_index("source")
+    allv = np.r_[a, b]
+    n = allv.size
+    for name, s in (("a", a), ("b", b)):
+        d_ref = max(
+            abs(int((s <= v).sum()) * n - int((allv <= v).sum()) * s.size)
+            for v in np.unique(allv)
+        )
+        assert int(out.loc[name, "ks_num"]) == d_ref
+        assert int(out.loc[name, "n_docs"]) == s.size
+        assert int(out.loc[name, "ks_bp"]) == 10000 * d_ref // (n * s.size)
+    # the shifted source must show real drift
+    assert out.loc["b", "ks_bp"] > 2000
