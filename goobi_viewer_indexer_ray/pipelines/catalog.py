@@ -10254,6 +10254,68 @@ ORDER BY v.df DESC, v.term LIMIT 100
 """
 
 
+_SKIP_EVERY = 4
+_SKIP_MIN_DF = 8
+
+
+def q_postings_skips(sf_dir: str):
+    """Skip-pointer layer over the inverted index (the fourth member
+    of the postings-structure family after varint/FOR/EF sizes; the
+    reference's Solr/Lucene index keeps multi-level skip lists so
+    conjunctive queries can leap over postings): for every term with
+    df ≥ 8, one skip entry every 4 postings — ``(term, skip_idx,
+    doc_id, df)`` where ``doc_id`` is the entry's landing posting in
+    doc-id order.  This is exactly the structure ``search_boolean``'s
+    intersection would consult at scale.  Same groupby(term) shape as
+    the codec-size entries; output volume is df/4 rows per term."""
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def skips(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("doc_id").to_numpy().astype(np.int64))
+        if d.size < _SKIP_MIN_DF:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "skip_idx": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.arange(0, d.size, _SKIP_EVERY)
+        term = g.column("term").to_pylist()[0]
+        return pa.table(
+            {
+                "term": pa.array([term] * pos.size, pa.string()),
+                "skip_idx": pa.array(pos // _SKIP_EVERY, pa.int64()),
+                "doc_id": pa.array(d[pos], pa.int64()),
+                "df": pa.array(np.full(pos.size, d.size, np.int64)),
+            }
+        )
+
+    return postings.groupby("term").map_groups(skips, batch_format="pyarrow")
+
+
+_SQL_POSTINGS_SKIPS = f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+r AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY term) AS df
+  FROM posting
+)
+SELECT term, ((rn - 1) // {_SKIP_EVERY})::BIGINT AS skip_idx,
+       doc_id::BIGINT AS doc_id, df::BIGINT AS df
+FROM r WHERE df >= {_SKIP_MIN_DF} AND (rn - 1) % {_SKIP_EVERY} = 0
+"""
+
+
 def q_postings_ef(sf_dir: str):
     """Elias-Fano postings accounting — the third codec of the
     north-star family (Vigna WSDM 2013; quasi-succinct indices): per
@@ -11357,6 +11419,7 @@ QUERIES = {
     "embedding_classify": q_embedding_classify,
     "search_cursor": q_search_cursor,
     "postings_for": q_postings_for,
+    "postings_skips": q_postings_skips,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -11616,6 +11679,7 @@ ORACLE_SQL = {
     "embedding_classify": _embedding_classify_sql(),
     "search_cursor": _search_cursor_sql(),
     "postings_for": _postings_for_sql(),
+    "postings_skips": _SQL_POSTINGS_SKIPS,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -11684,6 +11748,7 @@ _R5_FRONT = [
     "winnow_pairs",
     "cms_heavy_hitters",
     "source_ks",
+    "postings_skips",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

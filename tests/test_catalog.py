@@ -241,6 +241,7 @@ def _check(contract, con, name):
         "embedding_classify",
         "search_cursor",
         "postings_for",
+        "postings_skips",
         "search_mm",
         "crawl_schedule",
         "image_ahash",
