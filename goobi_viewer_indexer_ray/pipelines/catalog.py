@@ -10254,6 +10254,83 @@ ORDER BY v.df DESC, v.term LIMIT 100
 """
 
 
+_HEAD_K = 8
+
+
+def q_head_dedup(sf_dir: str):
+    """Duplicate-head detection — the template screen (same title /
+    nav / licence intro pasted across a crawl): per document, how many
+    corpus docs share its first-{8}-token head, and the dup flag.
+    Heads are compared by the md5-prefix u64 hash on BOTH engines, so
+    the (astronomically unlikely) collision behaves identically and
+    integer keys — not strings — cross the one ``groupby(hh)``
+    shuffle; per-group emission is df rows, so output is exactly one
+    row per document.  Tokenless docs skip the shuffle entirely and
+    ride a zero-row union branch."""
+    from ..functions.hashing import md5_hash64_array
+
+    def head_rows(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        k = np.minimum(counts, _HEAD_K)
+        keep = counts > 0
+        starts = np.cumsum(counts) - counts
+        heads = []
+        for s, n in zip(starts[keep], k[keep]):
+            heads.append(" ".join(uniq[codes[s:s + n]]))
+        hh = np.zeros(0, np.uint64) if not heads else md5_hash64_array(heads)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+                "hh": pa.array(hh.astype(np.uint64), pa.uint64()),
+            }
+        )
+
+    def zeros(t: pa.Table) -> pa.Table:
+        ids, counts, _codes, _uniq = text_ops._flat_token_codes(t)
+        keep = counts == 0
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+                "head_df": pa.array(np.zeros(n, np.int64)),
+                "dup_head": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        df = g.num_rows
+        return pa.table(
+            {
+                "doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+                "head_df": pa.array(np.full(df, df, np.int64)),
+                "dup_head": pa.array(np.full(df, int(df >= 2), np.int64)),
+            }
+        )
+
+    docs = _documents(sf_dir)
+    dup = (
+        docs.map_batches(head_rows, batch_format="pyarrow")
+        .groupby("hh")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
+    return dup.union(docs.map_batches(zeros, batch_format="pyarrow"))
+
+
+_SQL_HEAD_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+hd AS (
+  SELECT doc_id, len(ts) AS n,
+         ('0x' || substr(md5(array_to_string(ts[1:{_HEAD_K}], ' ')), 1, 16))
+           ::UBIGINT AS hh
+  FROM toks),
+df AS (SELECT hh, count(*)::BIGINT AS df FROM hd WHERE n > 0 GROUP BY hh)
+SELECT h.doc_id,
+       CASE WHEN h.n = 0 THEN 0 ELSE df.df END::BIGINT AS head_df,
+       CASE WHEN h.n = 0 THEN 0 ELSE (df.df >= 2)::INT END::BIGINT AS dup_head
+FROM hd h LEFT JOIN df ON h.n > 0 AND df.hh = h.hh
+"""
+
+
 _SKIP_EVERY = 4
 _SKIP_MIN_DF = 8
 
@@ -11420,6 +11497,7 @@ QUERIES = {
     "search_cursor": q_search_cursor,
     "postings_for": q_postings_for,
     "postings_skips": q_postings_skips,
+    "head_dedup": q_head_dedup,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -11680,6 +11758,7 @@ ORACLE_SQL = {
     "search_cursor": _search_cursor_sql(),
     "postings_for": _postings_for_sql(),
     "postings_skips": _SQL_POSTINGS_SKIPS,
+    "head_dedup": _SQL_HEAD_DEDUP,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -11749,6 +11828,7 @@ _R5_FRONT = [
     "cms_heavy_hitters",
     "source_ks",
     "postings_skips",
+    "head_dedup",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

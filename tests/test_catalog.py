@@ -110,6 +110,7 @@ def _check(contract, con, name):
         "distinct_kmv",
         "cms_heavy_hitters",
         "source_ks",
+        "head_dedup",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

@@ -34,3 +34,31 @@ def test_skip_entries_land_every_fourth_posting(ray_session):
     assert list(hot.doc_id) == [0, 4, 8]
     assert list(hot.skip_idx) == [0, 1, 2]
     assert (hot.df == 10).all()
+
+
+def test_head_dedup_flags_planted_template(ray_session):
+    """Three docs sharing an 8-token intro flag as dup heads; a doc
+    differing at token 8 does not; a tokenless doc gets df 0."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_head_dedup
+
+    intro = "one two three four five six seven eight"
+    texts = [
+        intro + " alpha beta",
+        intro + " gamma",
+        intro,
+        "one two three four five six seven NINE tail",
+        "???",  # tokenizes to nothing
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    out = q_head_dedup(d).to_pandas().set_index("doc_id").sort_index()
+    assert list(out.head_df) == [3, 3, 3, 1, 0]
+    assert list(out.dup_head) == [1, 1, 1, 0, 0]
