@@ -576,6 +576,203 @@ r AS (
 SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
 """
 
+_TIER_M = 8
+_TIER_K = 10
+
+
+def q_search_tiered_topk(sf_dir: str):
+    """Tiered retrieval eval (Manning IIR §7.1.2 — the champion-list
+    FAST PATH actually answering queries, where ``champion_lists``
+    only builds the structure): tier-1 candidates are the union of
+    each query term's top-8 impact postings; candidates are scored
+    with FULL global BM25 stats (tiering prunes candidates, never
+    statistics), ranked by (round(score,4) desc, doc_id), and each
+    tier-1 hit carries its rank in the EXHAUSTIVE ranking
+    (``exact_rank``, 0 if outside the exhaustive top-10) — the
+    agreement audit that tells an operator whether m=8 is safe to
+    serve.
+
+    Scale shape: postings are filtered to query terms at the map
+    (df-bounded subset, materialized once, reused for champions / df /
+    candidate tf); champions are a per-term ``map_groups`` emitting ≤m
+    rows; every driver fold is candidate-bounded (≤ m·|terms| docs).
+    The exhaustive side reuses the compressed-index engine
+    (``documents_bm25_topk``)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.postings import TokenizePostings
+
+    qterms = {q["query_id"]: sorted(set(tokenize(q["query"]))) for q in DOC_QUERIES}
+    all_terms = sorted(set().union(*qterms.values()))
+    term_arr = pa.array(all_terms, pa.string())
+
+    def only_query_terms(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("term"), value_set=term_arr))
+
+    qp = (
+        _documents(sf_dir)
+        .map_batches(TokenizePostings(num_shards=1), batch_format="pyarrow")
+        .map_batches(only_query_terms, batch_format="pyarrow")
+        .materialize()
+    )
+
+    tc = _documents(sf_dir).map_batches(
+        text_ops.token_count_batch, batch_format="pyarrow"
+    )
+    agg = tc.aggregate(Count(), Sum("n_tokens", alias_name="tt"))
+    n_docs = int(agg["count()"])
+    avgdl = int(agg["tt"]) / n_docs
+
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in qp.groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .take_all()
+    }
+
+    def champs(g: pa.Table) -> pa.Table:
+        tf = g.column("tf").to_numpy().astype(np.int64)
+        doc = g.column("doc_id").to_numpy().astype(np.int64)
+        order = np.lexsort((doc, -tf))[:_TIER_M]
+        return pa.table(
+            {
+                "term": pa.array([g.column("term")[0].as_py()] * order.size,
+                                 pa.string()),
+                "doc_id": pa.array(doc[order], pa.int64()),
+            }
+        )
+
+    champ_by_term: dict[str, list[int]] = {}
+    for r in qp.groupby("term").map_groups(champs, batch_format="pyarrow").take_all():
+        champ_by_term.setdefault(r["term"], []).append(int(r["doc_id"]))
+
+    cand = {
+        qid: sorted(set().union(*[set(champ_by_term.get(t, [])) for t in ts]))
+        if ts else []
+        for qid, ts in qterms.items()
+    }
+    cand_all = sorted(set().union(*[set(c) for c in cand.values()]))
+    cand_arr = pa.array(cand_all, pa.int64())
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=cand_arr))
+
+    tf_of: dict[tuple[str, int], int] = {}
+    dl_of: dict[int, int] = {}
+    for r in qp.map_batches(cand_rows, batch_format="pyarrow").take_all():
+        tf_of[(r["term"], int(r["doc_id"]))] = int(r["tf"])
+        dl_of[int(r["doc_id"])] = int(r["dl"])
+
+    full = documents_bm25_topk(sf_dir, k=_TIER_K)
+    xrank = {
+        (int(q), int(d)): int(rk)
+        for q, d, rk in zip(
+            full.column("query_id").to_pylist(),
+            full.column("doc_id").to_pylist(),
+            full.column("rank").to_pylist(),
+        )
+    }
+
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_r": [],
+            "exact_rank": []}
+    for qid, ts in qterms.items():
+        scored = []
+        for d in cand[qid]:
+            s = 0.0
+            for t in ts:
+                tf = tf_of.get((t, d))
+                if tf is None:
+                    continue
+                idf = math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                s += idf * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * dl_of[d] / avgdl)
+                )
+            scored.append((d, float(np.round(s, 4))))
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        for rk, (d, s) in enumerate(scored[:_TIER_K], 1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rk)
+            rows["doc_id"].append(d)
+            rows["score_r"].append(s)
+            rows["exact_rank"].append(xrank.get((qid, d), 0))
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_r": pa.array(rows["score_r"], pa.float64()),
+            "exact_rank": pa.array(rows["exact_rank"], pa.int64()),
+        }
+    )
+
+
+def _tiered_sql() -> str:
+    values = ", ".join(
+        f"({q['query_id']}, '{t}')"
+        for q in DOC_QUERIES
+        for t in sorted(set(tokenize(q["query"])))
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+ch AS (
+  SELECT q.query_id, p.doc_id,
+         row_number() OVER (PARTITION BY q.query_id, p.term
+                            ORDER BY p.tf DESC, p.doc_id) AS rn
+  FROM q JOIN posting p ON p.term = q.term
+),
+cand AS (SELECT DISTINCT query_id, doc_id FROM ch WHERE rn <= {_TIER_M}),
+sc AS (
+  SELECT c.query_id, c.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN posting p ON p.term = q.term AND p.doc_id = c.doc_id
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY c.query_id, c.doc_id
+),
+t1 AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM sc
+),
+fsc AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+fr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS xr
+  FROM fsc
+)
+SELECT t1.query_id::BIGINT AS query_id, t1.rank::BIGINT AS rank,
+       t1.doc_id::BIGINT AS doc_id, t1.score_r,
+       coalesce(fx.xr, 0)::BIGINT AS exact_rank
+FROM t1 LEFT JOIN (SELECT * FROM fr WHERE xr <= {_TIER_K}) fx
+  ON fx.query_id = t1.query_id AND fx.doc_id = t1.doc_id
+WHERE t1.rank <= {_TIER_K}
+"""
+
+
 _ZIPF_TOP = 100
 
 
@@ -11498,6 +11695,7 @@ QUERIES = {
     "postings_for": q_postings_for,
     "postings_skips": q_postings_skips,
     "head_dedup": q_head_dedup,
+    "search_tiered_topk": q_search_tiered_topk,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -11759,6 +11957,7 @@ ORACLE_SQL = {
     "postings_for": _postings_for_sql(),
     "postings_skips": _SQL_POSTINGS_SKIPS,
     "head_dedup": _SQL_HEAD_DEDUP,
+    "search_tiered_topk": _tiered_sql(),
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -11829,6 +12028,7 @@ _R5_FRONT = [
     "source_ks",
     "postings_skips",
     "head_dedup",
+    "search_tiered_topk",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

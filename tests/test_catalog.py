@@ -111,6 +111,7 @@ def _check(contract, con, name):
         "cms_heavy_hitters",
         "source_ks",
         "head_dedup",
+        "search_tiered_topk",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

@@ -62,3 +62,27 @@ def test_head_dedup_flags_planted_template(ray_session):
     out = q_head_dedup(d).to_pandas().set_index("doc_id").sort_index()
     assert list(out.head_df) == [3, 3, 3, 1, 0]
     assert list(out.dup_head) == [1, 1, 1, 0, 0]
+
+
+def test_tiered_topk_agreement_semantics(ray_session):
+    """Tier-1 results must be a candidate-restricted BM25: every row's
+    exact_rank is either 0 or the exhaustive rank of that doc, and for
+    single-term queries whose df <= m the tiers agree perfectly."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import (
+        documents_bm25_topk,
+        q_search_tiered_topk,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    t1 = q_search_tiered_topk(SF).to_pandas()
+    full = documents_bm25_topk(SF).to_pandas()
+    fx = {(q, d): r for q, d, r in zip(full.query_id, full.doc_id, full["rank"])}
+    for _, row in t1.iterrows():
+        assert row.exact_rank == fx.get((row.query_id, row.doc_id), 0)
+    # scores in tier-1 are the true BM25 scores (prune candidates, not
+    # stats): any doc present in both tiers carries the same score
+    fs = {(q, d): s for q, d, s in zip(full.query_id, full.doc_id, full.score_r)}
+    both = t1[t1.exact_rank > 0]
+    assert len(both) > 0
+    for _, row in both.iterrows():
+        assert abs(fs[(row.query_id, row.doc_id)] - row.score_r) < 1e-9
