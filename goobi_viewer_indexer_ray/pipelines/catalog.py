@@ -6334,6 +6334,160 @@ def _proximity_sql() -> str:
     )
 
 
+RESCORE_QUERIES = [(0, "hash", "join"), (1, "slow", "query"),
+                   (2, "merge", "batch"), (3, "table", "zzznope")]
+_RESCORE_N = 30     # base-tier depth handed to the rescorer
+_RESCORE_K = 10
+_RESCORE_W = repr(0.5)
+
+
+def q_search_rescore(sf_dir: str):
+    """Two-stage rescoring (Solr ``rescore`` / Lucene QueryRescorer):
+    the base BM25 top-30 per two-term query is re-ranked by a
+    proximity bonus ``w / (1 + min|pos_a − pos_b|)`` from the
+    positional index — the standard serving trick that keeps the
+    expensive positional work off the full corpus (it touches only
+    base-tier docs; ``search_tiered_topk`` prunes candidates, this
+    prunes the EXPENSIVE FEATURE).  Bonus arithmetic starts from the
+    4-dp-rounded base score both engines already agree on, so
+    ``score2_r`` is deterministic cross-engine; docs missing either
+    term keep their base score (min_dist 0 = no co-occurrence)."""
+    from .query import LocalIndex
+
+    base = documents_bm25_topk(
+        sf_dir,
+        queries=[{"query_id": qid, "query": f"{a} {b}", "k": _RESCORE_N}
+                 for qid, a, b in RESCORE_QUERIES],
+        k=_RESCORE_N,
+    )
+    idx = LocalIndex(ensure_documents_index_pos(sf_dir))
+
+    def min_dists(ta: str, tb: str, wanted: set[int]) -> dict[int, int]:
+        ra, rb = idx.lookup(ta), idx.lookup(tb)
+        if ra is None or rb is None:
+            return {}
+        da, tfa, pa_flat, offa = ra.positions_all()
+        db, tfb, pb_flat, offb = rb.positions_all()
+        common, ia, ib = np.intersect1d(da, db, return_indices=True)
+        out: dict[int, int] = {}
+        for d, i, j in zip(common.tolist(), ia, ib):
+            if d not in wanted:
+                continue
+            A = pa_flat[offa[i]:offa[i] + tfa[i]]
+            Bp = pb_flat[offb[j]:offb[j] + tfb[j]]
+            k = np.searchsorted(Bp, A)
+            best = np.iinfo(np.int64).max
+            m = k < Bp.size
+            if m.any():
+                best = min(best, int(np.min(Bp[k[m]] - A[m])))
+            m = k > 0
+            if m.any():
+                best = min(best, int(np.min(A[m] - Bp[k[m] - 1])))
+            out[int(d)] = best
+        return out
+
+    qid_c = base.column("query_id").to_numpy()
+    doc_c = base.column("doc_id").to_numpy()
+    sc_c = base.column("score_r").to_numpy()
+    rows = {"query_id": [], "doc_id": [], "score_r": [], "min_dist": [],
+            "score2_r": [], "rank2": []}
+    for qid, a, b in RESCORE_QUERIES:
+        sel = qid_c == qid
+        docs, scores = doc_c[sel], sc_c[sel]
+        md = min_dists(tokenize(a)[0], tokenize(b)[0], set(docs.tolist()))
+        scored = []
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            mind = md.get(d, 0)
+            bonus = 0.5 / (1 + mind) if d in md else 0.0
+            scored.append((d, s, mind, float(np.round(s + bonus, 4))))
+        scored.sort(key=lambda p: (-p[3], p[0]))
+        for rk, (d, s, mind, s2) in enumerate(scored[:_RESCORE_K], 1):
+            rows["query_id"].append(qid)
+            rows["doc_id"].append(d)
+            rows["score_r"].append(s)
+            rows["min_dist"].append(mind)
+            rows["score2_r"].append(s2)
+            rows["rank2"].append(rk)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_r": pa.array(rows["score_r"], pa.float64()),
+            "min_dist": pa.array(rows["min_dist"], pa.int64()),
+            "score2_r": pa.array(rows["score2_r"], pa.float64()),
+            "rank2": pa.array(rows["rank2"], pa.int64()),
+        }
+    )
+
+
+def _rescore_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{tokenize(a)[0]}'), ({qid}, '{tokenize(b)[0]}')"
+        for qid, a, b in RESCORE_QUERIES
+    )
+    pairs = ", ".join(
+        f"({qid}, '{tokenize(a)[0]}', '{tokenize(b)[0]}')"
+        for qid, a, b in RESCORE_QUERIES
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+q2(query_id, ta, tb) AS (VALUES {pairs}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+base AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM scored
+),
+pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks),
+occ AS (SELECT doc_id, ts[i] AS t, i FROM pos),
+mind AS (
+  SELECT q2.query_id, a.doc_id, min(abs(a.i - b.i))::BIGINT AS mind
+  FROM q2
+  JOIN occ a ON a.t = q2.ta
+  JOIN occ b ON b.t = q2.tb AND b.doc_id = a.doc_id
+  GROUP BY 1, 2
+),
+resc AS (
+  SELECT b.query_id, b.doc_id, b.score_r,
+         coalesce(m.mind, 0)::BIGINT AS min_dist,
+         round(b.score_r + CASE WHEN m.mind IS NOT NULL
+                                THEN {_RESCORE_W} / (1 + m.mind)
+                                ELSE 0 END, 4) AS score2_r
+  FROM base b
+  LEFT JOIN mind m ON m.query_id = b.query_id AND m.doc_id = b.doc_id
+  WHERE b.rn <= {_RESCORE_N}
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       score_r, min_dist, score2_r, rank2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score2_r DESC, doc_id
+                              )::BIGINT AS rank2
+  FROM resc
+)
+WHERE rank2 <= {_RESCORE_K}
+"""
+
+
 PASSAGE_QUERIES = [(0, "hash join"), (1, "customer order stream"),
                    (2, "vector"), (3, "slow query zzznope")]
 PASSAGE_WIDTH = 16
@@ -11696,6 +11850,7 @@ QUERIES = {
     "postings_skips": q_postings_skips,
     "head_dedup": q_head_dedup,
     "search_tiered_topk": q_search_tiered_topk,
+    "search_rescore": q_search_rescore,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -11958,6 +12113,7 @@ ORACLE_SQL = {
     "postings_skips": _SQL_POSTINGS_SKIPS,
     "head_dedup": _SQL_HEAD_DEDUP,
     "search_tiered_topk": _tiered_sql(),
+    "search_rescore": _rescore_sql(),
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -12029,6 +12185,7 @@ _R5_FRONT = [
     "postings_skips",
     "head_dedup",
     "search_tiered_topk",
+    "search_rescore",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -112,6 +112,7 @@ def _check(contract, con, name):
         "source_ks",
         "head_dedup",
         "search_tiered_topk",
+        "search_rescore",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

@@ -86,3 +86,24 @@ def test_tiered_topk_agreement_semantics(ray_session):
     assert len(both) > 0
     for _, row in both.iterrows():
         assert abs(fs[(row.query_id, row.doc_id)] - row.score_r) < 1e-9
+
+
+def test_rescore_bonus_monotone_in_proximity(ray_session):
+    """A doc where the pair is adjacent must gain a strictly larger
+    bonus than one where the pair is far apart, and docs missing a
+    term keep their base score untouched."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_search_rescore
+
+    out = q_search_rescore("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    got_bonus = out[out.min_dist > 0]
+    assert len(got_bonus) > 0
+    for _, r in out.iterrows():
+        if r.min_dist == 0:  # no co-occurrence -> base kept
+            assert abs(r.score2_r - r.score_r) < 1e-9
+        else:
+            expect = round(float(r.score_r) + 0.5 / (1 + int(r.min_dist)), 4)
+            assert abs(r.score2_r - expect) < 1e-9
+    # ranks are 1..k dense per query
+    for qid, g in out.groupby("query_id"):
+        assert sorted(g.rank2) == list(range(1, len(g) + 1))
