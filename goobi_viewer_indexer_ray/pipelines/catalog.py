@@ -1034,6 +1034,68 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id)
 """
 
+def q_doc_rarity(sf_dir: str):
+    """Mean-IDF document difficulty — the curriculum-ordering /
+    domain-specificity signal (a doc of rare terms reads 'hard', a doc
+    of function words reads 'easy'; data-selection pipelines sort or
+    band by exactly this): per doc, ``avg_idf = Σ ln(N/df(t)) / n``
+    over token OCCURRENCES, 4 dp.  The df table rides the driver
+    (vocab-bounded — the ``search_lmdirichlet`` stats contract) and
+    scoring is one stateless vectorized pass: idf per batch-unique
+    term, gather through the factorized codes, one prefix-sum fold per
+    doc."""
+    from ray.data.aggregate import Count
+
+    from ..stages.postings import TokenizePostings
+
+    ds = _documents(sf_dir)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in ds.map_batches(TokenizePostings(num_shards=1),
+                                batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .take_all()
+    }
+    n_docs = ds.count()
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        avg = np.zeros(len(ids), np.float64)
+        if codes.size:
+            idf_u = np.log(float(n_docs) / np.array([dfs[u] for u in uniq],
+                                                    np.float64))
+            cs = np.concatenate([[0.0], np.cumsum(idf_u[codes])])
+            ends = np.cumsum(counts)
+            sums = cs[ends] - cs[ends - counts]
+            avg = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(counts, pa.int64()),
+                "avg_idf_r": pa.array(np.round(avg, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+_SQL_DOC_RARITY = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+u AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+dfs AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM u GROUP BY tok),
+s AS (
+  SELECT u.doc_id, count(*)::BIGINT AS n_tokens,
+         round(sum(ln(nn.n / f.df)) / count(*), 4) AS avg_idf_r
+  FROM u JOIN dfs f ON f.tok = u.tok CROSS JOIN nn
+  GROUP BY u.doc_id)
+SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.avg_idf_r, 0.0) AS avg_idf_r
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 _PMI_SCALE = 1_000_000
 _PMI_TOP = 50
 
@@ -11851,6 +11913,7 @@ QUERIES = {
     "head_dedup": q_head_dedup,
     "search_tiered_topk": q_search_tiered_topk,
     "search_rescore": q_search_rescore,
+    "doc_rarity": q_doc_rarity,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -12114,6 +12177,7 @@ ORACLE_SQL = {
     "head_dedup": _SQL_HEAD_DEDUP,
     "search_tiered_topk": _tiered_sql(),
     "search_rescore": _rescore_sql(),
+    "doc_rarity": _SQL_DOC_RARITY,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -12186,6 +12250,7 @@ _R5_FRONT = [
     "head_dedup",
     "search_tiered_topk",
     "search_rescore",
+    "doc_rarity",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

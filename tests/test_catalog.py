@@ -113,6 +113,7 @@ def _check(contract, con, name):
         "head_dedup",
         "search_tiered_topk",
         "search_rescore",
+        "doc_rarity",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
