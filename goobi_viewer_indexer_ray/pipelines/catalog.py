@@ -576,6 +576,110 @@ r AS (
 SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
 """
 
+_REDIR_HOPS = 16
+
+
+def q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution — the URL-canonicalization step a web
+    indexer runs before dedup (3xx chains must collapse to their final
+    target; cycles and over-long chains must be flagged, not followed
+    forever).  Synthetic rule: ``doc_id % 5 == 1`` redirects to
+    ``(3·doc_id + 7) % n`` (self-loops excluded); everything else is
+    terminal.  Per doc: ``(final_id, hops, status)`` with status
+    0 = terminal, 1 = resolved within 16 hops, 2 = unresolved at the
+    16-hop cap (cycle or long chain) — final_id is then ``f¹⁶(doc)``,
+    exactly what the oracle's depth-capped recursive CTE reports.
+
+    Scale shape: the walk runs as ≤16 vectorized gathers over the
+    redirect MAP only (the ~20 % subset; one state row per redirect,
+    never per doc), then docs stream through one broadcast lookup.
+    The distributed swap-in for a map that outgrows the driver is the
+    peel join of :mod:`stages.hierarchy` (one hash join per hop,
+    active set shrinking); the cap bounds it at 16 rounds."""
+    import ray
+
+    docs = _documents(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def synth(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").cast(pa.int64()).to_numpy()
+        dst = (3 * k + 7) % np.int64(n)
+        m = (k % 5 == 1) & (dst != k)
+        return pa.table(
+            {"src": pa.array(k[m], pa.int64()),
+             "dst": pa.array(dst[m], pa.int64())}
+        )
+
+    red = docs.map_batches(synth, batch_format="pyarrow").take_all()
+    src = np.array([r["src"] for r in red], np.int64)
+    dst = np.array([r["dst"] for r in red], np.int64)
+    order = np.argsort(src)
+    s_sorted, d_sorted = src[order], dst[order]
+
+    def in_map(x: np.ndarray) -> np.ndarray:
+        pos = np.clip(np.searchsorted(s_sorted, x), 0, s_sorted.size - 1)
+        return s_sorted[pos] == x if s_sorted.size else np.zeros(x.size, bool)
+
+    cur = d_sorted.copy()
+    hops = np.ones(cur.size, np.int64)
+    done = ~in_map(cur)
+    for _ in range(_REDIR_HOPS - 1):
+        active = np.flatnonzero(~done)
+        if active.size == 0:
+            break
+        idx = np.searchsorted(s_sorted, cur[active])
+        cur[active] = d_sorted[idx]
+        hops[active] += 1
+        done[active] = ~in_map(cur[active])
+    status = np.where(done, 1, 2).astype(np.int64)
+    ref = ray.put((s_sorted, cur, hops, status))
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys, fin, hp, st = ray.get(ref)
+        k = t.column("doc_id").cast(pa.int64()).to_numpy()
+        pos = np.clip(np.searchsorted(keys, k), 0, max(keys.size - 1, 0))
+        hit = (keys[pos] == k) if keys.size else np.zeros(k.size, bool)
+        return pa.table(
+            {
+                "doc_id": pa.array(k, pa.int64()),
+                "final_id": pa.array(np.where(hit, fin[pos], k), pa.int64()),
+                "hops": pa.array(np.where(hit, hp[pos], 0), pa.int64()),
+                "status": pa.array(np.where(hit, st[pos], 0), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+_SQL_REDIRECTS = f"""
+WITH RECURSIVE
+nn AS (SELECT count(*)::BIGINT AS c FROM documents),
+red AS (
+  SELECT doc_id::BIGINT AS src, (3 * doc_id + 7) % nn.c AS dst
+  FROM documents, nn
+  WHERE doc_id % 5 = 1 AND (3 * doc_id + 7) % nn.c <> doc_id),
+red2 AS (
+  SELECT src, dst, dst IN (SELECT src FROM red) AS dst_red FROM red),
+walk(src, cur, hops, done) AS (
+  SELECT src, dst, 1::BIGINT, NOT dst_red FROM red2
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1, NOT r.dst_red
+  FROM walk w JOIN red2 r ON r.src = w.cur
+  WHERE NOT w.done AND w.hops < {_REDIR_HOPS}),
+last AS (
+  SELECT src, cur, hops, done,
+         row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+  FROM walk)
+SELECT d.doc_id,
+       CASE WHEN l.src IS NULL THEN d.doc_id ELSE l.cur END::BIGINT AS final_id,
+       coalesce(l.hops, 0)::BIGINT AS hops,
+       CASE WHEN l.src IS NULL THEN 0 WHEN l.done THEN 1 ELSE 2 END::BIGINT
+         AS status
+FROM documents d
+LEFT JOIN (SELECT * FROM last WHERE rn = 1) l ON l.src = d.doc_id
+"""
+
+
 _TIER_M = 8
 _TIER_K = 10
 
@@ -11914,6 +12018,7 @@ QUERIES = {
     "search_tiered_topk": q_search_tiered_topk,
     "search_rescore": q_search_rescore,
     "doc_rarity": q_doc_rarity,
+    "redirect_resolve": q_redirect_resolve,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -12178,6 +12283,7 @@ ORACLE_SQL = {
     "search_tiered_topk": _tiered_sql(),
     "search_rescore": _rescore_sql(),
     "doc_rarity": _SQL_DOC_RARITY,
+    "redirect_resolve": _SQL_REDIRECTS,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -12251,6 +12357,7 @@ _R5_FRONT = [
     "search_tiered_topk",
     "search_rescore",
     "doc_rarity",
+    "redirect_resolve",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -114,6 +114,7 @@ def _check(contract, con, name):
         "search_tiered_topk",
         "search_rescore",
         "doc_rarity",
+        "redirect_resolve",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

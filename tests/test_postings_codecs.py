@@ -107,3 +107,39 @@ def test_rescore_bonus_monotone_in_proximity(ray_session):
     # ranks are 1..k dense per query
     for qid, g in out.groupby("query_id"):
         assert sorted(g.rank2) == list(range(1, len(g) + 1))
+
+
+def test_redirect_resolve_semantics(ray_session):
+    """Every resolved chain must land on a terminal node in exactly
+    `hops` steps of the synthetic rule; unresolved rows sit at the
+    16-hop cap on a node f^16(src)."""
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import (
+        _REDIR_HOPS,
+        q_redirect_resolve,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    n = pq.read_metadata(SF + "/documents.parquet").num_rows
+    out = q_redirect_resolve(SF).to_pandas()
+    assert len(out) == n
+
+    def f(x):
+        return (3 * x + 7) % n
+
+    def is_red(x):
+        return x % 5 == 1 and f(x) != x
+
+    for _, r in out.iterrows():
+        if r.status == 0:
+            assert not is_red(r.doc_id)
+            assert r.final_id == r.doc_id and r.hops == 0
+            continue
+        x, steps = int(r.doc_id), 0
+        while is_red(x) and steps < _REDIR_HOPS:
+            x = f(x)
+            steps += 1
+        assert x == r.final_id, r.doc_id
+        assert steps == r.hops
+        assert (r.status == 1) == (not is_red(x))
