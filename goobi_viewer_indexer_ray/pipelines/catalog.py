@@ -576,6 +576,138 @@ r AS (
 SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
 """
 
+_KEY_SCALE = 1_000_000
+_KEY_MIN_CF = 5
+_KEY_TOP = 10
+
+
+def q_source_keyness(sf_dir: str):
+    """Distinctive vocabulary per source — corpus-comparison keyness
+    (the Monroe et al. 'Fightin' Words' / corpus-linguistics keyword
+    screen: which terms does THIS crawl source over-use vs the rest?):
+    per source the top-10 terms with cf ≥ 5 by the EXACT scaled
+    integer ``10⁶·cf_s·T_rest // ((cf_rest + 1)·T_s)`` — the
+    +1-smoothed relative-frequency ratio, monotone in the ratio so the
+    ranking is integer-identical cross-engine (the ``bigram_pmi``
+    contract).  Shape: map-side (source, term) partials → ONE
+    ``groupby(source, term)`` → term totals attach in a
+    ``groupby(term).map_groups`` over ≤|sources| rows per group →
+    per-batch partial top-10 per source → one tiny ``groupby(source)``
+    rank."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def src_term_counts(t: pa.Table) -> pa.Table:
+        _ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        src, src_uniq = pd.factorize(
+            np.asarray(t.column("source").to_pylist(), dtype=object)
+        )
+        if codes.size == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "term": pa.array([], pa.string()),
+                 "cf": pa.array([], pa.int64())}
+            )
+        per_tok_src = np.repeat(src.astype(np.int64), counts)
+        comp = per_tok_src * np.int64(len(uniq)) + codes
+        uc, cnt = np.unique(comp, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(src_uniq[(uc // len(uniq))], pa.string()),
+                "term": pa.array(uniq[(uc % len(uniq))], pa.string()),
+                "cf": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = (
+        _documents(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(src_term_counts, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("cf", alias_name="cf"))
+        .materialize()
+    )
+    ts = {
+        r["source"]: int(r["t"])
+        for r in g.groupby("source").aggregate(Sum("cf", alias_name="t")).take_all()
+    }
+    tot = sum(ts.values())
+
+    def keyness_grp(grp: pa.Table) -> pa.Table:
+        cf = grp.column("cf").to_numpy().astype(np.int64)
+        cft = int(cf.sum())
+        keep = cf >= _KEY_MIN_CF
+        src = np.asarray(grp.column("source").to_pylist(), dtype=object)[keep]
+        term = np.asarray(grp.column("term").to_pylist(), dtype=object)[keep]
+        cfk = cf[keep]
+        # Python-int arithmetic: 10⁶·cf·T_rest overflows int64 at
+        # corpus scale; rows here are ≤ |sources| per term group
+        key = np.array(
+            [
+                _KEY_SCALE * int(c) * (tot - ts[s])
+                // ((cft - int(c) + 1) * ts[s])
+                for s, c in zip(src, cfk)
+            ],
+            np.int64,
+        ) if cfk.size else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "term": pa.array(term, pa.string()),
+                "cf": pa.array(cfk, pa.int64()),
+                "keyness": pa.array(key, pa.int64()),
+            }
+        )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        if df.empty:
+            return t
+        df = (
+            df.sort_values(["keyness", "term"], ascending=[False, True])
+            .groupby("source", sort=False)
+            .head(_KEY_TOP)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topk(grp: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = grp.to_pandas().sort_values(
+            ["keyness", "term"], ascending=[False, True]
+        ).head(_KEY_TOP)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        g.groupby("term")
+        .map_groups(keyness_grp, batch_format="pyarrow")
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+_SQL_SOURCE_KEYNESS = f"""
+WITH u AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+g AS (SELECT source, tok, count(*)::BIGINT AS cf FROM u GROUP BY 1, 2),
+ts AS (SELECT source, sum(cf)::BIGINT AS t FROM g GROUP BY source),
+tt AS (SELECT tok, sum(cf)::BIGINT AS cft FROM g GROUP BY tok),
+tot AS (SELECT sum(cf)::BIGINT AS t FROM g),
+k AS (
+  SELECT g.source, g.tok AS term, g.cf,
+         ({_KEY_SCALE}::HUGEINT * g.cf * (tot.t - ts.t)
+            // ((tt.cft - g.cf + 1) * ts.t))::BIGINT AS keyness
+  FROM g JOIN ts USING (source) JOIN tt USING (tok) CROSS JOIN tot
+  WHERE g.cf >= {_KEY_MIN_CF}),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY keyness DESC, term) AS rn
+      FROM k)
+SELECT source, term, cf, keyness FROM r WHERE rn <= {_KEY_TOP}
+"""
+
+
 _REDIR_HOPS = 16
 
 
@@ -12019,6 +12151,7 @@ QUERIES = {
     "search_rescore": q_search_rescore,
     "doc_rarity": q_doc_rarity,
     "redirect_resolve": q_redirect_resolve,
+    "source_keyness": q_source_keyness,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -12284,6 +12417,7 @@ ORACLE_SQL = {
     "search_rescore": _rescore_sql(),
     "doc_rarity": _SQL_DOC_RARITY,
     "redirect_resolve": _SQL_REDIRECTS,
+    "source_keyness": _SQL_SOURCE_KEYNESS,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -12358,6 +12492,7 @@ _R5_FRONT = [
     "search_rescore",
     "doc_rarity",
     "redirect_resolve",
+    "source_keyness",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

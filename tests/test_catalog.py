@@ -115,6 +115,7 @@ def _check(contract, con, name):
         "search_rescore",
         "doc_rarity",
         "redirect_resolve",
+        "source_keyness",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
