@@ -296,6 +296,17 @@ def run_bench() -> dict:
         "tfidf_topk",
         "oov_rate",
         "bigram_pmi",
+        "winnow_pairs",
+        "cms_heavy_hitters",
+        "source_ks",
+        "postings_skips",
+        "head_dedup",
+        "search_tiered_topk",
+        "search_rescore",
+        "doc_rarity",
+        "redirect_resolve",
+        "source_keyness",
+        "postings_blockmax",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -576,6 +576,91 @@ r AS (
 SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
 """
 
+_BMAX_BLOCK = 32
+_BMAX_TERMS = 50
+
+
+def q_postings_blockmax(sf_dir: str):
+    """Block-max metadata over the inverted index (Ducci et al. /
+    block-max WAND, the structure ``topk_wand`` sweeps in the engine —
+    this entry exposes it to the oracle): for the top-50 terms by
+    (df desc, term), each 32-posting block's size, max tf, and last
+    doc id in doc-id order.  max-tf is the block's score upper-bound
+    ingredient and last-doc the skip boundary; together they are the
+    exact data a block-max sweep prunes with.  The top-term list is a
+    bounded driver fold (50 rows); block emission is the same
+    ``groupby(term)`` shape as the skip/codec entries, filtered to
+    those terms at the map."""
+    from ray.data.aggregate import Count
+
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+    top = (
+        postings.groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .sort(["df", "term"], descending=[True, False])
+        .limit(_BMAX_TERMS)
+        .take_all()
+    )
+    top_arr = pa.array(sorted(r["term"] for r in top), pa.string())
+
+    def only_top(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("term"), value_set=top_arr))
+
+    def blocks(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy().astype(np.int64)
+        tf = g.column("tf").to_numpy().astype(np.int64)
+        order = np.argsort(doc)
+        doc, tf = doc[order], tf[order]
+        blk = np.arange(doc.size) // _BMAX_BLOCK
+        nb = int(blk[-1]) + 1
+        n = np.bincount(blk, minlength=nb).astype(np.int64)
+        mx = np.zeros(nb, np.int64)
+        np.maximum.at(mx, blk, tf)
+        last = doc[np.cumsum(n) - 1]
+        term = g.column("term")[0].as_py()
+        return pa.table(
+            {
+                "term": pa.array([term] * nb, pa.string()),
+                "df": pa.array(np.full(nb, doc.size, np.int64)),
+                "blk": pa.array(np.arange(nb, dtype=np.int64)),
+                "n": pa.array(n, pa.int64()),
+                "max_tf": pa.array(mx, pa.int64()),
+                "last_doc": pa.array(last, pa.int64()),
+            }
+        )
+
+    return (
+        postings.map_batches(only_top, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(blocks, batch_format="pyarrow")
+    )
+
+
+_SQL_POSTINGS_BLOCKMAX = f"""
+WITH posting AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+d AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+top AS (SELECT term, df FROM d ORDER BY df DESC, term LIMIT {_BMAX_TERMS}),
+r AS (
+  SELECT p.term, top.df, p.doc_id, p.tf,
+         (row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id) - 1)
+           // {_BMAX_BLOCK} AS blk
+  FROM posting p JOIN top ON top.term = p.term
+)
+SELECT term, any_value(df)::BIGINT AS df, blk::BIGINT AS blk,
+       count(*)::BIGINT AS n, max(tf)::BIGINT AS max_tf,
+       max(doc_id)::BIGINT AS last_doc
+FROM r GROUP BY term, blk
+"""
+
+
 _KEY_SCALE = 1_000_000
 _KEY_MIN_CF = 5
 _KEY_TOP = 10
@@ -12152,6 +12237,7 @@ QUERIES = {
     "doc_rarity": q_doc_rarity,
     "redirect_resolve": q_redirect_resolve,
     "source_keyness": q_source_keyness,
+    "postings_blockmax": q_postings_blockmax,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -12418,6 +12504,7 @@ ORACLE_SQL = {
     "doc_rarity": _SQL_DOC_RARITY,
     "redirect_resolve": _SQL_REDIRECTS,
     "source_keyness": _SQL_SOURCE_KEYNESS,
+    "postings_blockmax": _SQL_POSTINGS_BLOCKMAX,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -12493,6 +12580,7 @@ _R5_FRONT = [
     "doc_rarity",
     "redirect_resolve",
     "source_keyness",
+    "postings_blockmax",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -116,6 +116,7 @@ def _check(contract, con, name):
         "doc_rarity",
         "redirect_resolve",
         "source_keyness",
+        "postings_blockmax",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

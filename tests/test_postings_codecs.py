@@ -143,3 +143,34 @@ def test_redirect_resolve_semantics(ray_session):
         assert x == r.final_id, r.doc_id
         assert steps == r.hops
         assert (r.status == 1) == (not is_red(x))
+
+
+def test_blockmax_is_wand_consistent(ray_session):
+    """Block-max metadata must upper-bound every posting it covers:
+    re-derive the blocks from the raw postings of one term and check
+    the WAND pruning invariants (max_tf >= any tf in block, last_doc
+    is the block's final docid, blocks partition the list)."""
+    import duckdb
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import (
+        _BMAX_BLOCK,
+        q_postings_blockmax,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    out = q_postings_blockmax(SF).to_pandas()
+    term = out.term.iloc[0]
+    con = duckdb.connect()
+    raw = con.execute(f"""
+        SELECT doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+              '[a-z0-9]+')) AS t FROM '{SF}/documents.parquet')
+        WHERE t = '{term}' GROUP BY doc_id ORDER BY doc_id
+    """).fetchdf()
+    g = out[out.term == term].sort_values("blk")
+    assert g.n.sum() == len(raw)
+    for _, b in g.iterrows():
+        lo, hi = int(b.blk) * _BMAX_BLOCK, int(b.blk) * _BMAX_BLOCK + int(b.n)
+        chunk = raw.iloc[lo:hi]
+        assert int(b.max_tf) == chunk.tf.max()
+        assert int(b.last_doc) == chunk.doc_id.iloc[-1]
