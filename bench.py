@@ -307,6 +307,7 @@ def run_bench() -> dict:
         "redirect_resolve",
         "source_keyness",
         "postings_blockmax",
+        "events_iat",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -576,6 +576,71 @@ r AS (
 SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
 """
 
+_IAT_Q = [0.5, 0.9]
+
+
+def q_events_iat(sf_dir: str):
+    """Per-event-type inter-arrival-time quantiles — the traffic-shape
+    profile next to ``events_sessions``' gap THRESHOLD (sessions ask
+    "gap > 30 min?", this asks "what IS the gap distribution, p50/p90,
+    sliced by the event type that follows the gap") — the signal that
+    sets the session threshold and the crawler's revisit cadence.
+    Gaps are exact integer microseconds between a user's consecutive
+    events ((ts, event_id) order); quantiles are EXACT via the
+    established grouped-histogram fold (``groupby(type, gap).count()``
+    shuffle, CDF pick on the types × distinct-gaps small side)."""
+    from ..stages.sampling import grouped_quantiles
+
+    ev = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").cast(pa.int64()).to_numpy()
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts))
+        ts, et = ts[order], et[order]
+        if ts.size < 2:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "gap_us": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(et[1:], pa.string()),
+                "gap_us": pa.array(ts[1:] - ts[:-1], pa.int64()),
+            }
+        )
+
+    gap_ds = ev.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+    return grouped_quantiles(
+        gap_ds, group_col="event_type", col="gap_us", qs=_IAT_Q
+    )
+
+
+def _events_iat_sql() -> str:
+    vals = ", ".join(f"({q})" for q in _IAT_Q)
+    return f"""
+WITH o AS (
+  SELECT event_type,
+         epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events),
+g AS (SELECT event_type, (tu - prev)::BIGINT AS gap_us
+      FROM o WHERE prev IS NOT NULL),
+c AS (SELECT event_type, gap_us,
+             cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY gap_us) AS cd
+      FROM g)
+SELECT c.event_type, v.q::DOUBLE AS q, min(c.gap_us)::BIGINT AS value
+FROM (VALUES {vals}) v(q) JOIN c ON c.cd >= v.q
+GROUP BY c.event_type, v.q
+"""
+
+
 _BMAX_BLOCK = 32
 _BMAX_TERMS = 50
 
@@ -12238,6 +12303,7 @@ QUERIES = {
     "redirect_resolve": q_redirect_resolve,
     "source_keyness": q_source_keyness,
     "postings_blockmax": q_postings_blockmax,
+    "events_iat": q_events_iat,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -12505,6 +12571,7 @@ ORACLE_SQL = {
     "redirect_resolve": _SQL_REDIRECTS,
     "source_keyness": _SQL_SOURCE_KEYNESS,
     "postings_blockmax": _SQL_POSTINGS_BLOCKMAX,
+    "events_iat": _events_iat_sql(),
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -12581,6 +12648,7 @@ _R5_FRONT = [
     "redirect_resolve",
     "source_keyness",
     "postings_blockmax",
+    "events_iat",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

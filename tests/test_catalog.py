@@ -117,6 +117,7 @@ def _check(contract, con, name):
         "redirect_resolve",
         "source_keyness",
         "postings_blockmax",
+        "events_iat",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
