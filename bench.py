@@ -308,6 +308,8 @@ def run_bench() -> dict:
         "source_keyness",
         "postings_blockmax",
         "events_iat",
+        "host_budget",
+        "doc_length_pctile",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -576,6 +576,120 @@ r AS (
 SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
 """
 
+_HOST_BUDGET = 200
+_HOST_MOD = 50
+
+
+def q_host_budget(sf_dir: str):
+    """Proportional-fair fetch-budget apportionment across hosts —
+    the frontier scheduler's allocation step upstream of
+    ``crawl_schedule``'s per-host ordering: a global budget of 200
+    fetch slots split by backlog share with the EXACT largest-remainder
+    (Hamilton) method, so allocations are integers, sum exactly to the
+    budget, and every tie is broken deterministically (remainder desc,
+    host asc).  One ``groupby(host).count()`` shuffle; the apportion
+    fold runs on the host-bounded summary (the same small side the
+    ``source_ks`` finalize documents)."""
+    docs = _documents(sf_dir, columns=("doc_id",))
+
+    def hosts(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").cast(pa.int64()).to_numpy()
+        return pa.table({"host": pa.array(k % _HOST_MOD, pa.int64())})
+
+    rows = (
+        docs.map_batches(hosts, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .take_all()
+    )
+    host = np.array([int(r["host"]) for r in rows], np.int64)
+    backlog = np.array([int(r["count()"]) for r in rows], np.int64)
+    tot = int(backlog.sum())
+    base = _HOST_BUDGET * backlog // tot
+    rem = _HOST_BUDGET * backlog % tot
+    left = _HOST_BUDGET - int(base.sum())
+    order = np.lexsort((host, -rem))
+    alloc = base.copy()
+    alloc[order[:left]] += 1
+    srt = np.argsort(host)
+    return pa.table(
+        {
+            "host": pa.array(host[srt], pa.int64()),
+            "backlog": pa.array(backlog[srt], pa.int64()),
+            "alloc": pa.array(alloc[srt], pa.int64()),
+        }
+    )
+
+
+_SQL_HOST_BUDGET = f"""
+WITH b AS (
+  SELECT doc_id % {_HOST_MOD} AS host, count(*)::BIGINT AS backlog
+  FROM documents GROUP BY 1),
+t AS (SELECT sum(backlog)::BIGINT AS tot FROM b),
+c AS (
+  SELECT host, backlog,
+         ({_HOST_BUDGET} * backlog) // t.tot AS base,
+         ({_HOST_BUDGET} * backlog) % t.tot AS rem
+  FROM b, t),
+l AS (SELECT ({_HOST_BUDGET} - sum(base))::BIGINT AS leftover FROM c),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rn FROM c)
+SELECT host::BIGINT AS host, backlog,
+       (base + CASE WHEN rn <= l.leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM r, l
+"""
+
+
+def q_doc_length_pctile(sf_dir: str):
+    """Per-doc corpus-length percentile band — the positioning signal
+    length-based curation filters threshold on (drop the bottom x %,
+    band the middle): ``pct_bp = 10⁴·|{len ≤ mine}| // N`` integer
+    basis points, plus the decile band.  ONE
+    ``groupby(n_chars).count()`` histogram shuffle; the cumulative map
+    is value-bounded, broadcast once, and docs stream through a
+    searchsorted lookup."""
+    import ray
+
+    docs = _documents(sf_dir, columns=("doc_id", "n_chars"))
+    hist = docs.groupby("n_chars").count().take_all()
+    vals = np.array([int(r["n_chars"]) for r in hist], np.int64)
+    cnts = np.array([int(r["count()"]) for r in hist], np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    ref = ray.put((vals, cum))
+
+    def assign(t: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        x = t.column("n_chars").cast(pa.int64()).to_numpy()
+        pos = np.searchsorted(v, x)  # x always present in v
+        bp = 10000 * c[pos] // n
+        return pa.table(
+            {
+                "doc_id": pa.array(t.column("doc_id").cast(pa.int64())),
+                "n_chars": pa.array(x, pa.int64()),
+                "pct_bp": pa.array(bp, pa.int64()),
+                "decile": pa.array(np.minimum(bp // 1000, 9), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+_SQL_DOC_PCTILE = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         count(*) OVER (ORDER BY n_chars RANGE UNBOUNDED PRECEDING)
+           ::BIGINT AS cume,
+         count(*) OVER ()::BIGINT AS n
+  FROM documents)
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       (10000 * cume // n)::BIGINT AS pct_bp,
+       least((10000 * cume // n) // 1000, 9)::BIGINT AS decile
+FROM c
+"""
+
+
 _IAT_Q = [0.5, 0.9]
 
 
@@ -12304,6 +12418,8 @@ QUERIES = {
     "source_keyness": q_source_keyness,
     "postings_blockmax": q_postings_blockmax,
     "events_iat": q_events_iat,
+    "host_budget": q_host_budget,
+    "doc_length_pctile": q_doc_length_pctile,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -12572,6 +12688,8 @@ ORACLE_SQL = {
     "source_keyness": _SQL_SOURCE_KEYNESS,
     "postings_blockmax": _SQL_POSTINGS_BLOCKMAX,
     "events_iat": _events_iat_sql(),
+    "host_budget": _SQL_HOST_BUDGET,
+    "doc_length_pctile": _SQL_DOC_PCTILE,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -12649,6 +12767,8 @@ _R5_FRONT = [
     "source_keyness",
     "postings_blockmax",
     "events_iat",
+    "host_budget",
+    "doc_length_pctile",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -118,6 +118,8 @@ def _check(contract, con, name):
         "source_keyness",
         "postings_blockmax",
         "events_iat",
+        "host_budget",
+        "doc_length_pctile",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

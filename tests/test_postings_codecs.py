@@ -174,3 +174,21 @@ def test_blockmax_is_wand_consistent(ray_session):
         chunk = raw.iloc[lo:hi]
         assert int(b.max_tf) == chunk.tf.max()
         assert int(b.last_doc) == chunk.doc_id.iloc[-1]
+
+
+def test_host_budget_is_exact_apportionment(ray_session):
+    """Largest-remainder invariants: allocations sum exactly to the
+    budget, every host within 1 of its ideal share, monotone in
+    backlog (a strictly larger backlog never gets a smaller alloc)."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import (
+        _HOST_BUDGET,
+        q_host_budget,
+    )
+
+    out = q_host_budget("/root/testdata/sf0.001").to_pandas()
+    assert out.alloc.sum() == _HOST_BUDGET
+    tot = out.backlog.sum()
+    ideal = _HOST_BUDGET * out.backlog / tot
+    assert ((out.alloc - ideal).abs() < 1).all()
+    m = out.sort_values(["backlog", "alloc"])
+    assert m.groupby("backlog").alloc.max().is_monotonic_increasing
