@@ -310,6 +310,8 @@ def run_bench() -> dict:
         "events_iat",
         "host_budget",
         "doc_length_pctile",
+        "terms_trie_stats",
+        "embedding_drift",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -576,6 +576,168 @@ r AS (
 SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
 """
 
+def q_terms_trie_stats(sf_dir: str):
+    """Term-dictionary prefix-trie statistics at depths 1-2 — the
+    structural profile of the Lucene-style terms dict next to
+    ``terms_frontcode``'s byte accounting (branching factor and
+    prefix-bucket sizes drive FST/front-coding block layout and
+    wildcard fan-out): per prefix, #terms below it and #distinct next
+    characters.  Vocab comes from the one ``groupby(term)`` every
+    dictionary entry shares; per-batch partials carry a 36-bit
+    next-char bitmask (the [a-z0-9] alphabet), so children merge as a
+    bitwise OR over ≤ 36+36² bounded groups."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.postings import TokenizePostings
+
+    vocab = (
+        _documents(sf_dir)
+        .map_batches(TokenizePostings(num_shards=1), batch_format="pyarrow")
+        .groupby("term")
+        .count()
+    )
+    _ALPHA = "0123456789abcdefghijklmnopqrstuvwxyz"
+    code = {c: i for i, c in enumerate(_ALPHA)}
+
+    def partials(t: pa.Table) -> pa.Table:
+        terms = t.column("term").to_pylist()
+        rows: dict[tuple[int, str], list[int]] = {}
+        for w in terms:
+            for d in (1, 2):
+                if len(w) < d:
+                    continue
+                key = (d, w[:d])
+                r = rows.setdefault(key, [0, 0])
+                r[0] += 1
+                if len(w) > d:
+                    r[1] |= 1 << code[w[d]]
+        return pa.table(
+            {
+                "depth": pa.array([k[0] for k in rows], pa.int64()),
+                "prefix": pa.array([k[1] for k in rows], pa.string()),
+                "n_terms": pa.array([v[0] for v in rows.values()], pa.int64()),
+                "mask": pa.array([v[1] for v in rows.values()], pa.int64()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        mask = 0
+        for m in g.column("mask").to_pylist():
+            mask |= m
+        return pa.table(
+            {
+                "depth": g.column("depth").slice(0, 1).cast(pa.int64()),
+                "prefix": g.column("prefix").slice(0, 1),
+                "n_terms": pa.array(
+                    [int(pc.sum(g.column("n_terms")).as_py())], pa.int64()
+                ),
+                "n_children": pa.array([bin(mask).count("1")], pa.int64()),
+            }
+        )
+
+    return (
+        vocab.map_batches(partials, batch_format="pyarrow")
+        .groupby(["depth", "prefix"])
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+_SQL_TRIE = f"""
+WITH v AS (SELECT DISTINCT unnest({_TOKS}) AS t FROM documents),
+d1 AS (
+  SELECT 1::BIGINT AS depth, substr(t, 1, 1) AS prefix,
+         count(*)::BIGINT AS n_terms,
+         count(DISTINCT CASE WHEN length(t) > 1 THEN substr(t, 2, 1) END)
+           ::BIGINT AS n_children
+  FROM v GROUP BY 2),
+d2 AS (
+  SELECT 2::BIGINT, substr(t, 1, 2), count(*)::BIGINT,
+         count(DISTINCT CASE WHEN length(t) > 2 THEN substr(t, 3, 1) END)
+           ::BIGINT
+  FROM v WHERE length(t) >= 2 GROUP BY 2)
+SELECT * FROM d1 UNION ALL SELECT * FROM d2
+"""
+
+
+def q_embedding_drift(sf_dir: str):
+    """Per-label embedding drift — the monitoring op for a vector
+    corpus (is cluster/label X's centroid wandering away from the
+    pool?  the vector twin of ``source_ks``): per label, member count
+    and the cosine of (label centroid, global centroid), 4 dp.
+    Per-batch partials are per-(label, dim) sums — ONE bounded
+    ``groupby(label, dim)`` (labels × dims rows) and a driver fold on
+    that summary; per-dim centroids divide BEFORE the dot product on
+    both engines, so expression trees match."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.ann import _as_matrix
+
+    emb = _embeddings(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        lab = t.column("label").cast(pa.int64()).to_numpy()
+        m = _as_matrix(t.column("embedding"))
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((uniq.size, m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        k, d = uniq.size, m.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(cnt, d), pa.int64()),
+            }
+        )
+
+    rows = (
+        emb.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .take_all()
+    )  # labels × dims — bounded by construction
+    labs = sorted({int(r["label"]) for r in rows})
+    dims = 1 + max(int(r["dim"]) for r in rows)
+    sums = np.zeros((len(labs), dims), np.float64)
+    ns = np.zeros(len(labs), np.int64)
+    pos = {l: i for i, l in enumerate(labs)}
+    for r in rows:
+        i = pos[int(r["label"])]
+        sums[i, int(r["dim"])] = float(r["s"])
+        ns[i] = int(r["n"])  # every dim row of a label carries the same sum
+    cent = sums / ns[:, None]
+    g = sums.sum(axis=0) / ns.sum()
+    cos = (cent @ g) / (np.linalg.norm(cent, axis=1) * np.linalg.norm(g))
+    return pa.table(
+        {
+            "label": pa.array(labs, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "cos_r": pa.array(np.round(cos, 4), pa.float64()),
+        }
+    )
+
+
+_SQL_EMBEDDING_DRIFT = """
+WITH e AS (
+  SELECT label, g.i AS dim, embedding[g.i] AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+sl AS (SELECT label, dim, sum(x) AS s, count(*)::BIGINT AS n
+       FROM e GROUP BY 1, 2),
+cl AS (SELECT label, dim, s / n AS c, n FROM sl),
+gl AS (SELECT dim, sum(s) / sum(n) AS c FROM sl GROUP BY dim),
+dot AS (
+  SELECT cl.label, any_value(cl.n) AS n,
+         sum(cl.c * gl.c) AS d,
+         sqrt(sum(cl.c * cl.c)) AS na,
+         sqrt(sum(gl.c * gl.c)) AS nb
+  FROM cl JOIN gl USING (dim) GROUP BY cl.label)
+SELECT label::BIGINT AS label, n::BIGINT AS n,
+       round(d / (na * nb), 4) AS cos_r
+FROM dot
+"""
+
+
 _HOST_BUDGET = 200
 _HOST_MOD = 50
 
@@ -12420,6 +12582,8 @@ QUERIES = {
     "events_iat": q_events_iat,
     "host_budget": q_host_budget,
     "doc_length_pctile": q_doc_length_pctile,
+    "terms_trie_stats": q_terms_trie_stats,
+    "embedding_drift": q_embedding_drift,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -12690,6 +12854,8 @@ ORACLE_SQL = {
     "events_iat": _events_iat_sql(),
     "host_budget": _SQL_HOST_BUDGET,
     "doc_length_pctile": _SQL_DOC_PCTILE,
+    "terms_trie_stats": _SQL_TRIE,
+    "embedding_drift": _SQL_EMBEDDING_DRIFT,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -12769,6 +12935,8 @@ _R5_FRONT = [
     "events_iat",
     "host_budget",
     "doc_length_pctile",
+    "terms_trie_stats",
+    "embedding_drift",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

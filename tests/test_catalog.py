@@ -120,6 +120,8 @@ def _check(contract, con, name):
         "events_iat",
         "host_budget",
         "doc_length_pctile",
+        "terms_trie_stats",
+        "embedding_drift",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
