@@ -312,6 +312,7 @@ def run_bench() -> dict:
         "doc_length_pctile",
         "terms_trie_stats",
         "embedding_drift",
+        "ccnet_buckets",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -12416,9 +12416,11 @@ def q_perplexity_filter(sf_dir: str):
     return perplexity_score(ds, model, keep_below=PPL_KEEP_BELOW)
 
 
-def _perplexity_sql() -> str:
-    return f"""
-WITH mtoks AS (
+def _ppl_scored_cte() -> str:
+    """The shared bigram-LM scoring CTE chain: defines ``scored``
+    (doc_id, n_bigrams, tot) — consumed by both the keep-gate and the
+    CCNet tercile-bucket oracles."""
+    return f"""mtoks AS (
   SELECT doc_id, {_TOKS} AS ts FROM documents WHERE source = '{PPL_MODEL_SOURCE}'
 ),
 v AS (
@@ -12448,10 +12450,79 @@ scored AS (
   LEFT JOIN heads h USING (w1)
   CROSS JOIN v
   GROUP BY doc_id
-)
+)"""
+
+
+def _perplexity_sql() -> str:
+    return f"""
+WITH {_ppl_scored_cte()}
 SELECT doc_id, n_bigrams, (tot // n_bigrams)::BIGINT AS ce_micro,
        (tot // n_bigrams) <= {PPL_KEEP_BELOW} AS keep
 FROM scored
+"""
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3 —
+    the step AFTER the LM gate: split the corpus into perplexity
+    terciles so training can upsample the fluent head): every scored
+    doc gets its EXACT tercile bucket, thresholds picked by the
+    integer CDF rule ``t_q = min v with 3·cume(v) ≥ q·N`` — no float
+    quantile crosses the engines.  Rides ``perplexity_score``'s
+    integer micro-bit surprisal; one histogram ``groupby(ce_micro)``
+    picks both thresholds, then docs stream through a two-compare
+    map."""
+    from ..stages.lm import bigram_lm_model, perplexity_score
+
+    ds = _documents(sf_dir, columns=("doc_id", "text", "source"))
+    model = bigram_lm_model(ds, model_source=PPL_MODEL_SOURCE)
+    scored = perplexity_score(
+        ds, model, keep_below=PPL_KEEP_BELOW
+    ).drop_columns(["keep"]).materialize()
+
+    hist = scored.groupby("ce_micro").count().take_all()
+    vals = np.array([int(r["ce_micro"]) for r in hist], np.int64)
+    cnts = np.array([int(r["count()"]) for r in hist], np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cume = np.cumsum(cnts)
+    n = int(cume[-1])
+    t1 = int(vals[np.flatnonzero(3 * cume >= n)[0]])
+    t2 = int(vals[np.flatnonzero(3 * cume >= 2 * n)[0]])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ce = t.column("ce_micro").to_numpy()
+        b = np.where(ce <= t1, 0, np.where(ce <= t2, 1, 2)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(t.column("doc_id").cast(pa.int64())),
+                "n_bigrams": pa.array(t.column("n_bigrams").cast(pa.int64())),
+                "ce_micro": pa.array(ce, pa.int64()),
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    return scored.map_batches(bucket, batch_format="pyarrow")
+
+
+def _ccnet_sql() -> str:
+    return f"""
+WITH {_ppl_scored_cte()},
+ce AS (
+  SELECT doc_id, n_bigrams, (tot // n_bigrams)::BIGINT AS ce_micro
+  FROM scored),
+h AS (SELECT ce_micro, count(*)::BIGINT AS c FROM ce GROUP BY 1),
+cum AS (
+  SELECT ce_micro,
+         sum(c) OVER (ORDER BY ce_micro)::BIGINT AS cume,
+         sum(c) OVER ()::BIGINT AS n
+  FROM h),
+t1 AS (SELECT min(ce_micro) AS t FROM cum WHERE 3 * cume >= n),
+t2 AS (SELECT min(ce_micro) AS t FROM cum WHERE 3 * cume >= 2 * n)
+SELECT ce.doc_id, ce.n_bigrams, ce.ce_micro,
+       (CASE WHEN ce.ce_micro <= t1.t THEN 0
+             WHEN ce.ce_micro <= t2.t THEN 1 ELSE 2 END)::BIGINT AS bucket
+FROM ce, t1, t2
 """
 
 
@@ -12584,6 +12655,7 @@ QUERIES = {
     "doc_length_pctile": q_doc_length_pctile,
     "terms_trie_stats": q_terms_trie_stats,
     "embedding_drift": q_embedding_drift,
+    "ccnet_buckets": q_ccnet_buckets,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -12856,6 +12928,7 @@ ORACLE_SQL = {
     "doc_length_pctile": _SQL_DOC_PCTILE,
     "terms_trie_stats": _SQL_TRIE,
     "embedding_drift": _SQL_EMBEDDING_DRIFT,
+    "ccnet_buckets": _ccnet_sql(),
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -12937,6 +13010,7 @@ _R5_FRONT = [
     "doc_length_pctile",
     "terms_trie_stats",
     "embedding_drift",
+    "ccnet_buckets",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

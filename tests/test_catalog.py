@@ -122,6 +122,7 @@ def _check(contract, con, name):
         "doc_length_pctile",
         "terms_trie_stats",
         "embedding_drift",
+        "ccnet_buckets",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

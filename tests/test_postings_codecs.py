@@ -192,3 +192,17 @@ def test_host_budget_is_exact_apportionment(ray_session):
     assert ((out.alloc - ideal).abs() < 1).all()
     m = out.sort_values(["backlog", "alloc"])
     assert m.groupby("backlog").alloc.max().is_monotonic_increasing
+
+
+def test_ccnet_buckets_are_balanced_terciles(ray_session):
+    """Tercile semantics: buckets are ordered by surprisal (every head
+    doc <= every middle doc <= every tail doc) and each holds ~N/3
+    within the tie-granularity of the threshold values."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_ccnet_buckets
+
+    out = q_ccnet_buckets("/root/testdata/sf0.001").to_pandas()
+    assert set(out.bucket) == {0, 1, 2}
+    assert out[out.bucket == 0].ce_micro.max() <= out[out.bucket == 1].ce_micro.min()
+    assert out[out.bucket == 1].ce_micro.max() <= out[out.bucket == 2].ce_micro.min()
+    n = len(out)
+    assert out.bucket.value_counts().max() <= n // 3 + (out.ce_micro.duplicated().sum() + 1)
