@@ -313,6 +313,7 @@ def run_bench() -> dict:
         "terms_trie_stats",
         "embedding_drift",
         "ccnet_buckets",
+        "dedup_bbit",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -576,6 +576,153 @@ r AS (
 SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
 """
 
+_BBIT_PERMS = 32
+_BBIT_MOD = (1 << 61) - 1
+
+
+def _bbit_params() -> tuple[list[int], list[int]]:
+    """Baked affine coefficients (a, b < 2³²) for the b-bit sketch —
+    deterministic rng so the SQL VALUES block and the engine agree."""
+    rng = np.random.default_rng(424242)
+    a = rng.integers(1, 1 << 32, size=_BBIT_PERMS, dtype=np.int64)
+    b = rng.integers(0, 1 << 32, size=_BBIT_PERMS, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def q_dedup_bbit(sf_dir: str):
+    """b-bit minwise hashing (Li & König 2011, b=2): store only the
+    low 2 bits of each of 32 MinHash values — 1/32nd the signature
+    bytes — and audit the estimator against exact Jaccard on the same
+    pairs.  Estimator: with collision floor C=1/4,
+    ``R̂ = (m/k − C)/(1 − C)``, emitted as the exact integer
+    ``10⁴·max(4m−k, 0) // 3k`` next to exact ``j_bp``.  Shingle hashes
+    are md5-prefix (SQL-replayable, unlike the production blake2b
+    sketch family) masked to 32 bits so the affine map fits uint64;
+    the pair set is the exact-Jaccard join (the documented small
+    side), so signature extraction filters to pair docs and the match
+    fold is driver-side over pair-bounded rows."""
+    import ray
+
+    from ..stages.dedup import jaccard_pairs
+    from ..functions.hashing import md5_hash64_array
+
+    docs = _documents(sf_dir)
+    pairs = [
+        r for r in jaccard_pairs(docs, n=5, threshold=0.1).take_all()
+    ]
+    pair_docs = sorted({int(r["doc_a"]) for r in pairs}
+                       | {int(r["doc_b"]) for r in pairs})
+    a_c, b_c = _bbit_params()
+    a_np = np.array(a_c, np.uint64)
+    b_np = np.array(b_c, np.uint64)
+    wanted = ray.put(np.array(pair_docs, np.int64))
+
+    def sigs(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("doc_id"),
+            value_set=pa.array(ray.get(wanted), pa.int64()),
+        )
+        t = t.filter(keep)
+        out_ids, out_v = [], []
+        if t.num_rows:
+            sh = text_ops.shingles_batch(t, 5)
+            ids = sh.column("doc_id").to_numpy()
+            h32 = md5_hash64_array(sh.column("sh").to_pylist()) & np.uint64(
+                0xFFFFFFFF
+            )
+            starts = np.flatnonzero(np.diff(ids, prepend=-1))
+            prods = (a_np[:, None] * h32[None, :] + b_np[:, None]) % np.uint64(
+                _BBIT_MOD
+            )
+            mins = np.minimum.reduceat(prods, starts, axis=1)  # (P, docs)
+            vs = (mins & np.uint64(3)).T.astype(np.int64)  # (docs, P)
+            out_ids = ids[starts].tolist()
+            out_v = vs.tolist()
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "v": pa.array(out_v, pa.list_(pa.int64())),
+            }
+        )
+
+    sig_rows = docs.map_batches(sigs, batch_format="pyarrow").take_all()
+    vmap = {int(r["doc_id"]): np.array(r["v"], np.int64) for r in sig_rows}
+    out = {"doc_a": [], "doc_b": [], "j_bp": [], "m_bbit": [],
+           "r_bbit_scaled": []}
+    for r in pairs:
+        da, db = int(r["doc_a"]), int(r["doc_b"])
+        m = int((vmap[da] == vmap[db]).sum())
+        out["doc_a"].append(da)
+        out["doc_b"].append(db)
+        out["j_bp"].append(10000 * int(r["inter"]) // int(r["uni"]))
+        out["m_bbit"].append(m)
+        out["r_bbit_scaled"].append(
+            10000 * max(4 * m - _BBIT_PERMS, 0) // (3 * _BBIT_PERMS)
+        )
+    return pa.table(
+        {
+            "doc_a": pa.array(out["doc_a"], pa.int64()),
+            "doc_b": pa.array(out["doc_b"], pa.int64()),
+            "j_bp": pa.array(out["j_bp"], pa.int64()),
+            "m_bbit": pa.array(out["m_bbit"], pa.int64()),
+            "r_bbit_scaled": pa.array(out["r_bbit_scaled"], pa.int64()),
+        }
+    )
+
+
+def _bbit_sql() -> str:
+    a_c, b_c = _bbit_params()
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in
+                     enumerate(zip(a_c, b_c)))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+flt AS (
+  SELECT doc_a, doc_b, inter, (sa.n + sb.n - inter)::BIGINT AS uni
+  FROM pr
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
+),
+h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(s), 1, 16))::UBIGINT & 4294967295)
+           ::UBIGINT AS h32
+  FROM sh
+),
+p(i, a, b) AS (VALUES {vals}),
+sig AS (
+  SELECT h.doc_id, p.i,
+         min((p.a::HUGEINT * h.h32 + p.b) % {_BBIT_MOD}) AS mh
+  FROM h CROSS JOIN p GROUP BY 1, 2
+),
+bb AS (SELECT doc_id, i, (mh % 4)::BIGINT AS v FROM sig),
+m AS (
+  SELECT f.doc_a, f.doc_b,
+         any_value(f.inter) AS inter, any_value(f.uni) AS uni,
+         sum((a.v = b.v)::INT)::BIGINT AS m_bbit
+  FROM flt f
+  JOIN bb a ON a.doc_id = f.doc_a
+  JOIN bb b ON b.doc_id = f.doc_b AND b.i = a.i
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, (10000 * inter // uni)::BIGINT AS j_bp, m_bbit,
+       (10000 * greatest(4 * m_bbit - {_BBIT_PERMS}, 0)
+          // (3 * {_BBIT_PERMS}))::BIGINT AS r_bbit_scaled
+FROM m
+"""
+
+
 def q_terms_trie_stats(sf_dir: str):
     """Term-dictionary prefix-trie statistics at depths 1-2 — the
     structural profile of the Lucene-style terms dict next to
@@ -12656,6 +12803,7 @@ QUERIES = {
     "terms_trie_stats": q_terms_trie_stats,
     "embedding_drift": q_embedding_drift,
     "ccnet_buckets": q_ccnet_buckets,
+    "dedup_bbit": q_dedup_bbit,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -12929,6 +13077,7 @@ ORACLE_SQL = {
     "terms_trie_stats": _SQL_TRIE,
     "embedding_drift": _SQL_EMBEDDING_DRIFT,
     "ccnet_buckets": _ccnet_sql(),
+    "dedup_bbit": _bbit_sql(),
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13011,6 +13160,7 @@ _R5_FRONT = [
     "terms_trie_stats",
     "embedding_drift",
     "ccnet_buckets",
+    "dedup_bbit",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -123,6 +123,7 @@ def _check(contract, con, name):
         "terms_trie_stats",
         "embedding_drift",
         "ccnet_buckets",
+        "dedup_bbit",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

@@ -206,3 +206,22 @@ def test_ccnet_buckets_are_balanced_terciles(ray_session):
     assert out[out.bucket == 1].ce_micro.max() <= out[out.bucket == 2].ce_micro.min()
     n = len(out)
     assert out.bucket.value_counts().max() <= n // 3 + (out.ce_micro.duplicated().sum() + 1)
+
+
+def test_bbit_estimator_tracks_true_jaccard(ray_session):
+    """On near-identical docs the 2-bit estimator must read high; the
+    collision-floor correction keeps unrelated-ish pairs low.  Also
+    pins the estimator formula from the match counts."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import (
+        _BBIT_PERMS,
+        q_dedup_bbit,
+    )
+
+    out = q_dedup_bbit("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        expect = 10000 * max(4 * int(r.m_bbit) - _BBIT_PERMS, 0) // (3 * _BBIT_PERMS)
+        assert r.r_bbit_scaled == expect
+    hi = out[out.j_bp >= 9000]
+    if len(hi):
+        assert (hi.r_bbit_scaled >= 7000).all()
