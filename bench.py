@@ -314,6 +314,7 @@ def run_bench() -> dict:
         "embedding_drift",
         "ccnet_buckets",
         "dedup_bbit",
+        "reuse_spans",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -576,6 +576,150 @@ r AS (
 SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
 """
 
+def q_reuse_spans(sf_dir: str):
+    """Longest shared contiguous run per duplicate pair — the span
+    EXTRACTION step after pair detection (BLAST-style diagonal
+    extension / the Lee et al. exact-substring criterion: a pair whose
+    overlap is one long verbatim block is quotation or mirroring; the
+    same Jaccard spread across the doc is paraphrase-ish): for every
+    exact-Jaccard pair, the longest diagonal run of positionally
+    consecutive shared 5-gram shingles, reported in TOKENS (run+4).
+
+    Shape: the pair set is the documented small side; positioned
+    shingles are extracted only for pair docs (one filtered pass) and
+    each pair's diagonal-island fold is O(matches) in numpy on the
+    driver.  The oracle replays it with the gaps-and-islands window
+    idiom."""
+    import ray
+
+    from ..stages.dedup import jaccard_pairs
+    from ..stages.text_ops import _tokens_of
+
+    docs = _documents(sf_dir)
+    pairs = jaccard_pairs(docs, n=5, threshold=0.1).take_all()
+    pair_docs = sorted({int(r["doc_a"]) for r in pairs}
+                       | {int(r["doc_b"]) for r in pairs})
+    wanted = ray.put(np.array(pair_docs, np.int64))
+
+    def posh(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("doc_id"), value_set=pa.array(ray.get(wanted), pa.int64())
+        )
+        t = t.filter(keep)
+        ids, toks = _tokens_of(t)
+        out_d, out_i, out_s = [], [], []
+        for did, ts in zip(ids, toks):
+            for i in range(len(ts) - 4):
+                out_d.append(did)
+                out_i.append(i + 1)  # 1-based, the SQL generate_series twin
+                out_s.append(" ".join(ts[i:i + 5]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "i": pa.array(out_i, pa.int64()),
+                "s": pa.array(out_s, pa.string()),
+            }
+        )
+
+    rows = docs.map_batches(posh, batch_format="pyarrow").take_all()
+    by_doc: dict[int, dict[str, list[int]]] = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), {}).setdefault(
+            r["s"], []
+        ).append(int(r["i"]))
+
+    out = {"doc_a": [], "doc_b": [], "n_matches": [], "max_run_tokens": []}
+    for r in pairs:
+        da, db = int(r["doc_a"]), int(r["doc_b"])
+        sa, sb = by_doc.get(da, {}), by_doc.get(db, {})
+        cells = set()
+        for s, ias in sa.items():
+            ibs = sb.get(s)
+            if not ibs:
+                continue
+            for ia in ias:
+                for ib in ibs:
+                    cells.add((ia - ib, ia))
+        best = 0
+        if cells:
+            arr = np.array(sorted(cells), np.int64)
+            d, ia = arr[:, 0], arr[:, 1]
+            new = np.ones(arr.shape[0], bool)
+            new[1:] = (d[1:] != d[:-1]) | (ia[1:] != ia[:-1] + 1)
+            seg = np.flatnonzero(new)
+            best = int(np.diff(np.r_[seg, arr.shape[0]]).max())
+        out["doc_a"].append(da)
+        out["doc_b"].append(db)
+        out["n_matches"].append(len(cells))
+        out["max_run_tokens"].append(best + 4 if best else 0)
+    return pa.table(
+        {
+            "doc_a": pa.array(out["doc_a"], pa.int64()),
+            "doc_b": pa.array(out["doc_b"], pa.int64()),
+            "n_matches": pa.array(out["n_matches"], pa.int64()),
+            "max_run_tokens": pa.array(out["max_run_tokens"], pa.int64()),
+        }
+    )
+
+
+_SQL_REUSE_SPANS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+flt AS (
+  SELECT doc_a, doc_b FROM pr
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
+),
+posh AS (
+  SELECT doc_id, g.i AS i,
+         ts[g.i] || ' ' || ts[g.i+1] || ' ' || ts[g.i+2] || ' ' ||
+           ts[g.i+3] || ' ' || ts[g.i+4] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+),
+cells AS (
+  SELECT DISTINCT f.doc_a, f.doc_b, a.i - b.i AS d, a.i AS ia
+  FROM flt f
+  JOIN posh a ON a.doc_id = f.doc_a
+  JOIN posh b ON b.doc_id = f.doc_b AND b.s = a.s
+),
+isl AS (
+  SELECT doc_a, doc_b, d, ia,
+         ia - row_number() OVER (PARTITION BY doc_a, doc_b, d
+                                 ORDER BY ia) AS grp
+  FROM cells
+),
+runs AS (
+  SELECT doc_a, doc_b, count(*)::BIGINT AS len
+  FROM isl GROUP BY doc_a, doc_b, d, grp
+),
+agg AS (
+  SELECT doc_a, doc_b, max(len) AS best FROM runs GROUP BY 1, 2
+),
+nm AS (
+  SELECT doc_a, doc_b, count(*)::BIGINT AS n_matches
+  FROM cells GROUP BY 1, 2
+)
+SELECT f.doc_a, f.doc_b,
+       coalesce(nm.n_matches, 0)::BIGINT AS n_matches,
+       CASE WHEN agg.best IS NULL THEN 0 ELSE agg.best + 4 END::BIGINT
+         AS max_run_tokens
+FROM flt f
+LEFT JOIN nm ON nm.doc_a = f.doc_a AND nm.doc_b = f.doc_b
+LEFT JOIN agg ON agg.doc_a = f.doc_a AND agg.doc_b = f.doc_b
+"""
+
+
 _BBIT_PERMS = 32
 _BBIT_MOD = (1 << 61) - 1
 
@@ -12804,6 +12948,7 @@ QUERIES = {
     "embedding_drift": q_embedding_drift,
     "ccnet_buckets": q_ccnet_buckets,
     "dedup_bbit": q_dedup_bbit,
+    "reuse_spans": q_reuse_spans,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13078,6 +13223,7 @@ ORACLE_SQL = {
     "embedding_drift": _SQL_EMBEDDING_DRIFT,
     "ccnet_buckets": _ccnet_sql(),
     "dedup_bbit": _bbit_sql(),
+    "reuse_spans": _SQL_REUSE_SPANS,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13161,6 +13307,7 @@ _R5_FRONT = [
     "embedding_drift",
     "ccnet_buckets",
     "dedup_bbit",
+    "reuse_spans",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -124,6 +124,7 @@ def _check(contract, con, name):
         "embedding_drift",
         "ccnet_buckets",
         "dedup_bbit",
+        "reuse_spans",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

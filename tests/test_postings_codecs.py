@@ -225,3 +225,33 @@ def test_bbit_estimator_tracks_true_jaccard(ray_session):
     hi = out[out.j_bp >= 9000]
     if len(hi):
         assert (hi.r_bbit_scaled >= 7000).all()
+
+
+def test_reuse_spans_finds_planted_run(ray_session):
+    """A verbatim 20-token block shared by two docs must surface as a
+    max_run_tokens >= 20 span for that pair."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_reuse_spans
+
+    rng = np.random.default_rng(5)
+    block = " ".join(f"b{i}" for i in range(20))
+    filler = lambda: " ".join(f"w{rng.integers(0, 40)}" for _ in range(30))
+    texts = [
+        filler() + " " + block + " " + filler(),
+        block + " " + filler(),
+        filler(),
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    out = q_reuse_spans(d).to_pandas()
+    hit = out[(out.doc_a == 0) & (out.doc_b == 1)]
+    assert len(hit) == 1
+    assert int(hit.max_run_tokens.iloc[0]) >= 20
