@@ -315,6 +315,7 @@ def run_bench() -> dict:
         "ccnet_buckets",
         "dedup_bbit",
         "reuse_spans",
+        "video_scene_cuts",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -5982,6 +5982,111 @@ FROM part
 """
 
 
+def _synth_rawv_batch(t: pa.Table) -> pa.Table:
+    """Deterministic RAWV payloads from the part key (shared by the
+    frame-sampling and scene-cut entries; ``k % 13 == 0`` keys are
+    corrupt decoys — the error-folder analog)."""
+    from ..stages.multimodal import encode_rawv
+
+    keys = t.column("p_partkey").cast(pa.int64()).to_numpy()
+    ids, payloads = [], []
+    for k in keys:
+        k = int(k)
+        if k % 13 == 0:
+            payloads.append(b"\x00corrupt" + k.to_bytes(8, "big"))
+        else:
+            n, h, w = k % 10 + 1, (k * 3) % 8 + 1, k % 8 + 1
+            base = (k + 11 * np.arange(n, dtype=np.int64)) % 256
+            frames = (base[:, None] + np.arange(h * w, dtype=np.int64)[None, :]) % 256
+            payloads.append(encode_rawv(frames.astype(np.uint8).reshape(n, h, w)))
+        ids.append(k)
+    return pa.table(
+        {"media_id": pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+_CUT_FACTOR = 3  # cut when |Δ pixel sum| > factor · plane size
+
+
+def q_video_scene_cuts(sf_dir: str):
+    """Shot-boundary detection over the sampled frame stream — the
+    scene-segmentation step a video-curation pipeline runs before
+    clip extraction (pick one frame per shot, not per stride): every
+    frame's pixel sum (``FrameSampler(every_k=1)``, same actor-pool
+    stage as ``video_frames``) is differenced per media and a cut is
+    declared when ``|Δsum| > 3·h·w`` — the classic global-intensity
+    threshold detector.  Per media: frame count, cut count, first cut
+    index (−1 if none).  The oracle recomputes every frame sum from
+    key arithmetic and replays the lag/threshold fold."""
+    from ..stages.multimodal import FrameSampler
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+    )
+    frames = ds.map_batches(_synth_rawv_batch, batch_format="pyarrow").map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_k": 1},
+        concurrency=2,
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+
+    def cuts(g: pa.Table) -> pa.Table:
+        fi = g.column("frame_idx").to_numpy().astype(np.int64)
+        s = g.column("sum_px").to_numpy().astype(np.int64)
+        h = int(g.column("height")[0].as_py())
+        w = int(g.column("width")[0].as_py())
+        order = np.argsort(fi)
+        fi, s = fi[order], s[order]
+        d = np.abs(np.diff(s))
+        cut = d > _CUT_FACTOR * h * w
+        first = int(fi[1:][cut][0]) if cut.any() else -1
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    [int(g.column("media_id")[0].as_py())], pa.int64()
+                ),
+                "n_frames": pa.array([fi.size], pa.int64()),
+                "n_cuts": pa.array([int(cut.sum())], pa.int64()),
+                "first_cut": pa.array([first], pa.int64()),
+            }
+        )
+
+    return frames.groupby("media_id").map_groups(cuts, batch_format="pyarrow")
+
+
+_SQL_VIDEO_SCENE_CUTS = f"""
+WITH dims AS (
+  SELECT p_partkey::BIGINT AS k,
+         p_partkey % 10 + 1 AS n,
+         (p_partkey * 3) % 8 + 1 AS h,
+         p_partkey % 8 + 1 AS w
+  FROM part WHERE p_partkey % 13 <> 0
+),
+frames AS (
+  SELECT k, h, w, h * w AS hw, g.fi AS fi, (k + 11 * g.fi) % 256 AS base
+  FROM dims, unnest(generate_series(0, n - 1)) AS g(fi)
+),
+sums AS (
+  SELECT k, hw, fi,
+         (hw * base + hw * (hw - 1) // 2
+          - 256 * GREATEST(0, base + hw - 256))::BIGINT AS sum_px
+  FROM frames
+),
+d AS (
+  SELECT k, hw, fi,
+         sum_px - lag(sum_px) OVER (PARTITION BY k ORDER BY fi) AS dl
+  FROM sums
+)
+SELECT k AS media_id, count(*)::BIGINT AS n_frames,
+       sum(CASE WHEN abs(dl) > {_CUT_FACTOR} * hw THEN 1 ELSE 0 END)
+         ::BIGINT AS n_cuts,
+       coalesce(min(CASE WHEN abs(dl) > {_CUT_FACTOR} * hw THEN fi END), -1)
+         ::BIGINT AS first_cut
+FROM d GROUP BY k
+"""
+
+
 def q_video_frames(sf_dir: str):
     """Video frame sampling (driver-brief multimodal family — the
     frame-sample-before-vision-encoder curation stage): deterministic
@@ -6001,28 +6106,10 @@ def q_video_frames(sf_dir: str):
     in Arrow binary buffers; frames are materialized one at a time via
     zero-copy ``np.frombuffer`` slices (memory-aware: only sampled
     planes are touched)."""
-    from ..stages.multimodal import FrameSampler, encode_rawv
+    from ..stages.multimodal import FrameSampler
 
     ds = _rd().read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
-
-    def synth(t: pa.Table) -> pa.Table:
-        keys = t.column("p_partkey").cast(pa.int64()).to_numpy()
-        ids, payloads = [], []
-        for k in keys:
-            k = int(k)
-            if k % 13 == 0:
-                payloads.append(b"\x00corrupt" + k.to_bytes(8, "big"))
-            else:
-                n, h, w = k % 10 + 1, (k * 3) % 8 + 1, k % 8 + 1
-                base = (k + 11 * np.arange(n, dtype=np.int64)) % 256
-                frames = (base[:, None] + np.arange(h * w, dtype=np.int64)[None, :]) % 256
-                payloads.append(encode_rawv(frames.astype(np.uint8).reshape(n, h, w)))
-            ids.append(k)
-        return pa.table(
-            {"media_id": pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())}
-        )
-
-    media = ds.map_batches(synth, batch_format="pyarrow")
+    media = ds.map_batches(_synth_rawv_batch, batch_format="pyarrow")
     return media.map_batches(
         FrameSampler,
         fn_constructor_kwargs={"every_k": 3},
@@ -12949,6 +13036,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "dedup_bbit": q_dedup_bbit,
     "reuse_spans": q_reuse_spans,
+    "video_scene_cuts": q_video_scene_cuts,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13224,6 +13312,7 @@ ORACLE_SQL = {
     "ccnet_buckets": _ccnet_sql(),
     "dedup_bbit": _bbit_sql(),
     "reuse_spans": _SQL_REUSE_SPANS,
+    "video_scene_cuts": _SQL_VIDEO_SCENE_CUTS,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13308,6 +13397,7 @@ _R5_FRONT = [
     "ccnet_buckets",
     "dedup_bbit",
     "reuse_spans",
+    "video_scene_cuts",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -125,6 +125,7 @@ def _check(contract, con, name):
         "ccnet_buckets",
         "dedup_bbit",
         "reuse_spans",
+        "video_scene_cuts",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
