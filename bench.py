@@ -316,6 +316,7 @@ def run_bench() -> dict:
         "dedup_bbit",
         "reuse_spans",
         "video_scene_cuts",
+        "image_dhash",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -8483,6 +8483,94 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _ppm_media_synth(t: pa.Table) -> pa.Table:
+    """Deterministic 16×16 P6 PPM payloads from the supplier key —
+    4-key families share a base image, non-base variants carry sparse
+    +17 noise, ``k % 11 == 0`` are corrupt decoys.  Shared by the
+    aHash and dHash entries."""
+    keys = t.column("s_suppkey").cast(pa.int64()).to_numpy()
+    ids, payloads = [], []
+    j = np.arange(768, dtype=np.int64)
+    for k in keys:
+        k = int(k)
+        ids.append(k)
+        if k % 11 == 0:
+            payloads.append(b"P5 bogus " + k.to_bytes(8, "big"))
+            continue
+        kb, v = k - k % 4, k % 4
+        val = (kb * 7 + j * 5) % 256
+        if v > 0:
+            noisy = j % 53 == v
+            val = np.where(noisy, np.minimum(val + 17, 255), val)
+        payloads.append(b"P6\n16 16\n255\n" +
+                        val.astype(np.uint8).tobytes())
+    return pa.table(
+        {"media_id": pa.array(ids, pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_image_dhash(sf_dir: str):
+    """Image near-dup via the 64-bit gradient (difference) hash —
+    aHash's brightness-invariant sibling (crawl-scale image dedup
+    runs both: aHash catches global structure, dHash survives
+    exposure shifts): same real PPM decode and block grid, bit(r,c) =
+    block > its right neighbor (row-wraparound), same ONE
+    ``groupby(hash)`` bucket fold.  The oracle recomputes every pixel,
+    block sum, and neighbor comparison from key arithmetic."""
+    from ..stages.multimodal import DHash, ahash_dup_stats
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey"])
+    hashed = ds.map_batches(_ppm_media_synth, batch_format="pyarrow").map_batches(
+        DHash(), batch_size=256, batch_format="pyarrow"
+    )
+    return ahash_dup_stats(hashed)
+
+
+_SQL_IMAGE_DHASH = """
+WITH keys AS (
+  SELECT s_suppkey::BIGINT AS k,
+         (s_suppkey - s_suppkey % 4)::BIGINT AS kb,
+         (s_suppkey % 4)::BIGINT AS v
+  FROM supplier WHERE s_suppkey % 11 <> 0
+),
+px AS (
+  SELECT k, g.j AS j,
+         CASE WHEN v > 0 AND (g.j % 53) = v
+              THEN LEAST((kb * 7 + g.j * 5) % 256 + 17, 255)
+              ELSE (kb * 7 + g.j * 5) % 256 END AS val
+  FROM keys, unnest(generate_series(0, 767)) AS g(j)
+),
+gray AS (SELECT k, j // 3 AS p, sum(val)::BIGINT AS gv FROM px GROUP BY 1, 2),
+blk AS (
+  SELECT k, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS b,
+         sum(gv)::BIGINT AS bs
+  FROM gray GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.k, a.b, (a.bs > n.bs)::BIGINT AS bit
+  FROM blk a
+  JOIN blk n ON n.k = a.k
+            AND n.b = (a.b // 8) * 8 + ((a.b % 8) + 1) % 8
+),
+h AS (
+  SELECT k,
+         sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END)::BIGINT AS hash_hi,
+         sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END)::BIGINT AS hash_lo
+  FROM bits GROUP BY k
+),
+d AS (
+  SELECT hash_hi, hash_lo, count(*)::BIGINT AS n_same, min(k)::BIGINT AS canon
+  FROM h GROUP BY 1, 2
+)
+SELECT h.k AS media_id, h.hash_hi, h.hash_lo, d.n_same, d.canon,
+       (h.k <> d.canon)::BIGINT AS is_dup
+FROM h JOIN d USING (hash_hi, hash_lo)
+ORDER BY media_id
+"""
+
+
 def q_image_ahash(sf_dir: str):
     """Image near-dup via 64-bit average hash (the image-modality
     dedup the driver brief asks for next to the text/embedding
@@ -8500,33 +8588,10 @@ def q_image_ahash(sf_dir: str):
 
     ds = _rd().read_parquet(os.path.join(sf_dir, "supplier.parquet"),
                             columns=["s_suppkey"])
-
-    def synth(t: pa.Table) -> pa.Table:
-        keys = t.column("s_suppkey").cast(pa.int64()).to_numpy()
-        ids, payloads = [], []
-        j = np.arange(768, dtype=np.int64)
-        for k in keys:
-            k = int(k)
-            ids.append(k)
-            if k % 11 == 0:
-                payloads.append(b"P5 bogus " + k.to_bytes(8, "big"))
-                continue
-            kb, v = k - k % 4, k % 4
-            val = (kb * 7 + j * 5) % 256
-            if v > 0:
-                noisy = j % 53 == v
-                val = np.where(noisy, np.minimum(val + 17, 255), val)
-            payloads.append(b"P6\n16 16\n255\n" +
-                            val.astype(np.uint8).tobytes())
-        return pa.table(
-            {"media_id": pa.array(ids, pa.int64()),
-             "payload": pa.array(payloads, pa.binary())}
-        )
-
     # callable INSTANCE (task pool): the PPM decode is a stateless
     # header parse — per-execution actor spawns cost more than the
     # whole decode at this corpus size (see q_image_png_ahash)
-    hashed = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+    hashed = ds.map_batches(_ppm_media_synth, batch_format="pyarrow").map_batches(
         AHash(), batch_size=256, batch_format="pyarrow"
     )
     return ahash_dup_stats(hashed)
@@ -13037,6 +13102,7 @@ QUERIES = {
     "dedup_bbit": q_dedup_bbit,
     "reuse_spans": q_reuse_spans,
     "video_scene_cuts": q_video_scene_cuts,
+    "image_dhash": q_image_dhash,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13313,6 +13379,7 @@ ORACLE_SQL = {
     "dedup_bbit": _bbit_sql(),
     "reuse_spans": _SQL_REUSE_SPANS,
     "video_scene_cuts": _SQL_VIDEO_SCENE_CUTS,
+    "image_dhash": _SQL_IMAGE_DHASH,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13398,6 +13465,7 @@ _R5_FRONT = [
     "dedup_bbit",
     "reuse_spans",
     "video_scene_cuts",
+    "image_dhash",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

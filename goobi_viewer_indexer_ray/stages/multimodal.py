@@ -30,6 +30,9 @@ __all__ = [
     "MEDIA_SCHEMA",
     "MEDIA_FEATURES_SCHEMA",
     "FrameSampler",
+    "AHash",
+    "DHash",
+    "ahash_dup_stats",
     "MediaFeatureExtractor",
     "decode_rawv_header",
     "encode_rawv",
@@ -452,6 +455,10 @@ class AHash:
         self.decoder = decoder or decode_ppm
         self.batch_decoder = batch_decoder
 
+    def _bits(self, bs: np.ndarray) -> np.ndarray:
+        g = self.grid
+        return (g * g * bs.ravel() > bs.sum()).astype(np.int64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = self.grid
         ids = batch.column("media_id").to_numpy()
@@ -482,7 +489,7 @@ class AHash:
                 continue
             gray = img.astype(np.int64).sum(axis=2)
             bs = gray.reshape(g, h // g, g, w // g).sum(axis=(1, 3))
-            bits = (g * g * bs.ravel() > bs.sum()).astype(np.int64)
+            bits = self._bits(bs)
             lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
             hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
             out_id.append(int(ids[i]))
@@ -495,6 +502,19 @@ class AHash:
                 "hash_lo": pa.array(out_lo, pa.int64()),
             }
         )
+
+
+class DHash(AHash):
+    """Gradient (difference) hash over the same block grid: bit(r, c)
+    = block[r][c] > block[r][(c+1) mod g] — the row-wise gradient
+    signature.  Invariant to global brightness shifts (a +d on every
+    pixel flips no dHash bit, while aHash bits near the mean can
+    flip), which is why crawl-scale image dedup runs both.  Same
+    decode paths, skip contract, and (hash_hi, hash_lo) packing as
+    :class:`AHash`."""
+
+    def _bits(self, bs: np.ndarray) -> np.ndarray:
+        return (bs > np.roll(bs, -1, axis=1)).ravel().astype(np.int64)
 
 
 def ahash_dup_stats(hashed):

@@ -126,6 +126,7 @@ def _check(contract, con, name):
         "dedup_bbit",
         "reuse_spans",
         "video_scene_cuts",
+        "image_dhash",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

@@ -255,3 +255,30 @@ def test_reuse_spans_finds_planted_run(ray_session):
     hit = out[(out.doc_a == 0) & (out.doc_b == 1)]
     assert len(hit) == 1
     assert int(hit.max_run_tokens.iloc[0]) >= 20
+
+
+def test_dhash_brightness_invariance_vs_ahash(ray_session):
+    """The defining property split: a uniform +delta on every pixel
+    leaves the dHash unchanged (row gradients preserved) while aHash
+    may flip bits near the mean.  Pinned directly on the stage."""
+    import numpy as np
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.multimodal import AHash, DHash
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+    bright = np.minimum(img.astype(np.int64) + 40, 255).astype(np.uint8)
+
+    def ppm(a):
+        return b"P6\n16 16\n255\n" + a.tobytes()
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([ppm(img), ppm(bright)], pa.binary()),
+        }
+    )
+    d = DHash()(tbl).to_pandas().set_index("media_id")
+    assert d.loc[0, "hash_hi"] == d.loc[1, "hash_hi"]
+    assert d.loc[0, "hash_lo"] == d.loc[1, "hash_lo"]
