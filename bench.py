@@ -317,6 +317,7 @@ def run_bench() -> dict:
         "reuse_spans",
         "video_scene_cuts",
         "image_dhash",
+        "audio_silence",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

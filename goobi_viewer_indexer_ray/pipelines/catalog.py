@@ -9866,6 +9866,95 @@ def q_audio_energy(sf_dir: str):
     )
 
 
+def q_audio_silence(sf_dir: str):
+    """Silence segmentation over PCM WAV — the VAD pre-pass beside
+    ``audio_energy``'s feature extraction (how much of the clip is
+    dead air, in how many stretches?): the synth plants near-silence
+    in every third 256-sample frame (tiny ±3 dither, so the silent
+    frames still exercise sign handling), the INDEPENDENT stdlib
+    ``wave`` reader decodes, and
+    :class:`stages.multimodal.SilenceSegments` emits per-media frame /
+    silent / segment counts and the longest run.  The oracle
+    regenerates every sample from key arithmetic and replays the
+    frame-sum threshold + gaps-and-islands run fold."""
+    from ..stages.multimodal import SilenceSegments, encode_wav_pcm16
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        keys = t.column("p_partkey").cast(pa.int64()).to_numpy()
+        ids, payloads = [], []
+        for k in keys:
+            k = int(k)
+            ids.append(k)
+            if k % 13 == 0:
+                payloads.append(b"RIFF\x00\x00\x00\x00")  # truncated decoy
+                continue
+            n = 512 + k % 1024
+            i = np.arange(n, dtype=np.int64)
+            loud = ((k + 1) * (i + 1) * 2654435761) % 65536 - 32768
+            quiet = (k + i) % 7 - 3
+            x = np.where((i // 256) % 3 == 2, quiet, loud)
+            payloads.append(encode_wav_pcm16(x, 8000))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    return (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(SilenceSegments, concurrency=2, batch_size=64,
+                     batch_format="pyarrow")
+        .sort("media_id")
+    )
+
+
+_SQL_AUDIO_SILENCE = """
+WITH k AS (
+  SELECT p_partkey::BIGINT AS key FROM part WHERE p_partkey % 13 != 0
+),
+s AS (
+  SELECT key, i,
+         CASE WHEN (i // 256) % 3 = 2 THEN (key + i) % 7 - 3
+              ELSE ((key + 1) * (i + 1) * 2654435761) % 65536 - 32768
+         END AS x
+  FROM k, unnest(generate_series(0, 512 + key % 1024 - 1)) AS g(i)
+),
+fr AS (
+  SELECT key, (i // 256)::BIGINT AS f, sum(abs(x))::BIGINT AS sa,
+         count(*)::BIGINT AS cnt
+  FROM s GROUP BY 1, 2
+),
+ff AS (SELECT key, f, sa FROM fr WHERE cnt = 256),
+sil AS (SELECT key, f FROM ff WHERE sa < 256 * 100),
+isl AS (
+  SELECT key, f,
+         f - row_number() OVER (PARTITION BY key ORDER BY f) AS grp
+  FROM sil
+),
+runs AS (SELECT key, count(*)::BIGINT AS len FROM isl GROUP BY key, grp),
+agg AS (
+  SELECT ff.key, count(*)::BIGINT AS n_frames FROM ff GROUP BY 1
+),
+sagg AS (
+  SELECT key, count(*)::BIGINT AS n_silent FROM sil GROUP BY key
+),
+ragg AS (
+  SELECT key, count(*)::BIGINT AS n_segments, max(len)::BIGINT AS longest
+  FROM runs GROUP BY key
+)
+SELECT a.key AS media_id, a.n_frames,
+       coalesce(sagg.n_silent, 0)::BIGINT AS n_silent,
+       coalesce(ragg.n_segments, 0)::BIGINT AS n_segments,
+       coalesce(ragg.longest, 0)::BIGINT AS longest_run
+FROM agg a
+LEFT JOIN sagg USING (key)
+LEFT JOIN ragg USING (key)
+ORDER BY media_id
+"""
+
+
 _SQL_AUDIO_ENERGY = """
 WITH k AS (
   SELECT p_partkey::BIGINT AS key FROM part WHERE p_partkey % 13 != 0
@@ -13103,6 +13192,7 @@ QUERIES = {
     "reuse_spans": q_reuse_spans,
     "video_scene_cuts": q_video_scene_cuts,
     "image_dhash": q_image_dhash,
+    "audio_silence": q_audio_silence,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13380,6 +13470,7 @@ ORACLE_SQL = {
     "reuse_spans": _SQL_REUSE_SPANS,
     "video_scene_cuts": _SQL_VIDEO_SCENE_CUTS,
     "image_dhash": _SQL_IMAGE_DHASH,
+    "audio_silence": _SQL_AUDIO_SILENCE,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13466,6 +13557,7 @@ _R5_FRONT = [
     "reuse_spans",
     "video_scene_cuts",
     "image_dhash",
+    "audio_silence",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

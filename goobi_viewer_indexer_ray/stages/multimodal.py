@@ -33,6 +33,7 @@ __all__ = [
     "AHash",
     "DHash",
     "ahash_dup_stats",
+    "SilenceSegments",
     "MediaFeatureExtractor",
     "decode_rawv_header",
     "encode_rawv",
@@ -547,6 +548,62 @@ def ahash_dup_stats(hashed):
 
 
 # ------------------------------------------------------------- audio
+
+class SilenceSegments:
+    """Actor-pool stage: PCM WAV payload → silence segmentation (the
+    VAD pre-pass a speech-curation pipeline runs before transcription:
+    how much of this clip is dead air, and in how many stretches?).
+
+    A full ``frame_size``-sample frame is SILENT when ``Σ|x| <
+    frame_size · amp_floor`` (mean amplitude below the floor — integer
+    compare, no division); the trailing partial frame is ignored so
+    every frame has equal weight.  Per decodable payload:
+    ``(media_id, n_frames, n_silent, n_segments, longest_run)`` where
+    segments are maximal silent runs.  Same skip contract as
+    :class:`AudioFeatures`."""
+
+    def __init__(self, frame_size: int = 256, amp_floor: int = 100):
+        self.frame_size = frame_size
+        self.amp_floor = amp_floor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        fs = self.frame_size
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload")
+        rows: list[tuple[int, ...]] = []
+        for i in range(len(ids)):
+            try:
+                with wave.open(io.BytesIO(payloads[i].as_py())) as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        continue
+                    x = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+            except (wave.Error, EOFError, ValueError):
+                continue  # corrupt decoy → skipped, not fatal
+            nf = x.size // fs
+            if nf == 0:
+                continue
+            xi = np.abs(x[: nf * fs].astype(np.int64)).reshape(nf, fs)
+            silent = xi.sum(axis=1) < fs * self.amp_floor
+            starts = silent & ~np.r_[False, silent[:-1]]
+            n_seg = int(starts.sum())
+            longest = 0
+            if n_seg:
+                idx = np.flatnonzero(np.r_[~silent, True])
+                prev = -1
+                for j in idx:
+                    longest = max(longest, j - prev - 1)
+                    prev = j
+            rows.append((int(ids[i]), nf, int(silent.sum()), n_seg, longest))
+        cols = list(zip(*rows)) if rows else [[]] * 5
+        names = ["media_id", "n_frames", "n_silent", "n_segments",
+                 "longest_run"]
+        return pa.table({n: pa.array(list(c), pa.int64())
+                         for n, c in zip(names, cols)})
+
+
 
 class ImageEntropy:
     """Task/actor-pool stage: image payload → gray-histogram features

@@ -127,6 +127,7 @@ def _check(contract, con, name):
         "reuse_spans",
         "video_scene_cuts",
         "image_dhash",
+        "audio_silence",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

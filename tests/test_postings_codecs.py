@@ -282,3 +282,30 @@ def test_dhash_brightness_invariance_vs_ahash(ray_session):
     d = DHash()(tbl).to_pandas().set_index("media_id")
     assert d.loc[0, "hash_hi"] == d.loc[1, "hash_hi"]
     assert d.loc[0, "hash_lo"] == d.loc[1, "hash_lo"]
+
+
+def test_silence_segments_hand_built(ray_session):
+    """Hand-built WAV: loud / silent / loud / silent-silent frames →
+    2 segments, longest run 2, trailing partial frame ignored."""
+    import numpy as np
+    import pyarrow as pa
+
+    from goobi_viewer_indexer_ray.stages.multimodal import (
+        SilenceSegments,
+        encode_wav_pcm16,
+    )
+
+    loud = np.full(256, 5000, np.int64)
+    quiet = np.zeros(256, np.int64)
+    x = np.concatenate([loud, quiet, loud, quiet, quiet, loud[:100]])
+    tbl = pa.table(
+        {
+            "media_id": pa.array([7], pa.int64()),
+            "payload": pa.array([encode_wav_pcm16(x, 8000)], pa.binary()),
+        }
+    )
+    out = SilenceSegments()(tbl).to_pandas()
+    assert out.iloc[0].n_frames == 5  # partial 100-sample tail dropped
+    assert out.iloc[0].n_silent == 3
+    assert out.iloc[0].n_segments == 2
+    assert out.iloc[0].longest_run == 2
