@@ -318,6 +318,7 @@ def run_bench() -> dict:
         "video_scene_cuts",
         "image_dhash",
         "audio_silence",
+        "orders_rfm",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -867,6 +867,131 @@ FROM m
 """
 
 
+def q_orders_rfm(sf_dir: str):
+    """RFM customer segmentation over the orders stream — the classic
+    recency / frequency / monetary banding (the usage-analytics
+    sibling of ``events_retention``; a crawl scheduler applies the
+    same shape to hosts: recently-changed, frequently-crawled,
+    high-value): per customer ``r_days`` (days since last order vs the
+    corpus max date, integer), ``f`` (#orders), ``m_cents`` (total
+    price in exact integer cents), each banded into terciles by the
+    integer CDF rule ``3·cume ≥ q·N`` (the ``ccnet_buckets``
+    contract — no float quantile crosses the engines).  One
+    ``groupby(custkey)`` aggregate; three value-bounded histogram
+    folds pick the six thresholds; bands assign in one streaming
+    map."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": t.column("o_custkey").cast(pa.int64()),
+                "ts": t.column("o_orderdate").cast(pa.int64()),
+                "price": t.column("o_totalprice"),
+            }
+        )
+
+    g = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(
+            Max("ts", alias_name="tmax"),
+            Count(alias_name="f"),
+            Sum("price", alias_name="m"),
+        )
+        .materialize()
+    )
+    gmax = int(g.max("tmax"))
+
+    def to_rfm(t: pa.Table) -> pa.Table:
+        tmax = t.column("tmax").to_numpy().astype(np.int64)
+        m = t.column("m").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "custkey": pa.array(t.column("custkey").cast(pa.int64())),
+                "r_days": pa.array((gmax - tmax) // 86_400_000_000, pa.int64()),
+                "f": pa.array(t.column("f").cast(pa.int64())),
+                "m_cents": pa.array(np.round(m * 100).astype(np.int64),
+                                    pa.int64()),
+            }
+        )
+
+    rfm = g.map_batches(to_rfm, batch_format="pyarrow").materialize()
+
+    def terciles(col: str) -> tuple[int, int]:
+        hist = rfm.groupby(col).count().take_all()
+        v = np.array([int(r[col]) for r in hist], np.int64)
+        c = np.array([int(r["count()"]) for r in hist], np.int64)
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        cume = np.cumsum(c)
+        n = int(cume[-1])
+        return (
+            int(v[np.flatnonzero(3 * cume >= n)[0]]),
+            int(v[np.flatnonzero(3 * cume >= 2 * n)[0]]),
+        )
+
+    th = {col: terciles(col) for col in ("r_days", "f", "m_cents")}
+    ref = ray.put(th)
+
+    def band(t: pa.Table) -> pa.Table:
+        thr = ray.get(ref)
+        out = {c: t.column(c) for c in ("custkey", "r_days", "f", "m_cents")}
+        for col in ("r_days", "f", "m_cents"):
+            x = t.column(col).to_numpy()
+            t1, t2 = thr[col]
+            out[col.split("_")[0] + "_band"] = pa.array(
+                np.where(x <= t1, 0, np.where(x <= t2, 1, 2)).astype(np.int64)
+            )
+        return pa.table(out)
+
+    return rfm.map_batches(band, batch_format="pyarrow")
+
+
+_SQL_ORDERS_RFM = """
+WITH c AS (
+  SELECT o_custkey::BIGINT AS custkey,
+         max(epoch_us(o_orderdate))::BIGINT AS tmax,
+         count(*)::BIGINT AS f,
+         round(sum(o_totalprice) * 100)::BIGINT AS m_cents
+  FROM orders GROUP BY 1),
+g AS (SELECT max(tmax) AS gmax, count(*)::BIGINT AS n FROM c),
+r AS (
+  SELECT custkey, ((g.gmax - tmax) // 86400000000)::BIGINT AS r_days,
+         f, m_cents
+  FROM c, g),
+t_r AS (
+  SELECT min(v) FILTER (WHERE 3 * cume >= n) AS t1,
+         min(v) FILTER (WHERE 3 * cume >= 2 * n) AS t2
+  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cume, sum(c) OVER () AS n
+        FROM (SELECT r_days AS v, count(*)::BIGINT AS c FROM r GROUP BY 1))),
+t_f AS (
+  SELECT min(v) FILTER (WHERE 3 * cume >= n) AS t1,
+         min(v) FILTER (WHERE 3 * cume >= 2 * n) AS t2
+  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cume, sum(c) OVER () AS n
+        FROM (SELECT f AS v, count(*)::BIGINT AS c FROM r GROUP BY 1))),
+t_m AS (
+  SELECT min(v) FILTER (WHERE 3 * cume >= n) AS t1,
+         min(v) FILTER (WHERE 3 * cume >= 2 * n) AS t2
+  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cume, sum(c) OVER () AS n
+        FROM (SELECT m_cents AS v, count(*)::BIGINT AS c FROM r GROUP BY 1)))
+SELECT r.custkey, r.r_days, r.f, r.m_cents,
+       (CASE WHEN r.r_days <= t_r.t1 THEN 0
+             WHEN r.r_days <= t_r.t2 THEN 1 ELSE 2 END)::BIGINT AS r_band,
+       (CASE WHEN r.f <= t_f.t1 THEN 0
+             WHEN r.f <= t_f.t2 THEN 1 ELSE 2 END)::BIGINT AS f_band,
+       (CASE WHEN r.m_cents <= t_m.t1 THEN 0
+             WHEN r.m_cents <= t_m.t2 THEN 1 ELSE 2 END)::BIGINT AS m_band
+FROM r, t_r, t_f, t_m
+"""
+
+
 def q_terms_trie_stats(sf_dir: str):
     """Term-dictionary prefix-trie statistics at depths 1-2 — the
     structural profile of the Lucene-style terms dict next to
@@ -13193,6 +13318,7 @@ QUERIES = {
     "video_scene_cuts": q_video_scene_cuts,
     "image_dhash": q_image_dhash,
     "audio_silence": q_audio_silence,
+    "orders_rfm": q_orders_rfm,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13471,6 +13597,7 @@ ORACLE_SQL = {
     "video_scene_cuts": _SQL_VIDEO_SCENE_CUTS,
     "image_dhash": _SQL_IMAGE_DHASH,
     "audio_silence": _SQL_AUDIO_SILENCE,
+    "orders_rfm": _SQL_ORDERS_RFM,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13558,6 +13685,7 @@ _R5_FRONT = [
     "video_scene_cuts",
     "image_dhash",
     "audio_silence",
+    "orders_rfm",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -128,6 +128,7 @@ def _check(contract, con, name):
         "video_scene_cuts",
         "image_dhash",
         "audio_silence",
+        "orders_rfm",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
