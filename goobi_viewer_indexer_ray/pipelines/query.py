@@ -626,7 +626,18 @@ class SearchEngine:
     """
 
     def __init__(self, out_dir: str | None = None, use_wand: bool = True,
-                 *, index_refs=None, stats: dict | None = None, warmup: bool = False):
+                 *, index_refs=None, stats: dict | None = None, warmup: bool = False,
+                 result_cache_size: int = 0):
+        """``result_cache_size``: >0 enables the queryResultCache
+        (Solr's ``queryResultCache`` parity — the reference's Solr
+        keeps an LRU of (query, k) → ranked page so repeated viewer
+        queries skip scoring entirely).  Per-actor and
+        generation-free by construction: actors are rebuilt on index
+        swap (``SearchService`` lifecycle), so a stale entry cannot
+        survive an update — the same invalidation rule as Solr's
+        new-searcher cache flush."""
+        from collections import OrderedDict
+
         if index_refs is not None:
             import ray
 
@@ -636,8 +647,22 @@ class SearchEngine:
         else:
             self.index = LocalIndex(out_dir)
         self.scorer = topk_wand if use_wand else topk_exact
+        self._rcache: "OrderedDict[tuple[str, int], tuple]" | None = (
+            OrderedDict() if result_cache_size > 0 else None
+        )
+        self._rcache_cap = result_cache_size
+        self.cache_hits = 0
+        self.cache_misses = 0
         if warmup:
             self.warm()
+
+    def cache_stats(self) -> dict:
+        """(hits, misses, entries) — the Solr cache-MBean analog."""
+        return {
+            "hits": self.cache_hits,
+            "misses": self.cache_misses,
+            "entries": len(self._rcache) if self._rcache is not None else 0,
+        }
 
     def warm(self) -> bool:
         """Fault-in every index buffer + exercise the scoring paths.
@@ -696,7 +721,21 @@ class SearchEngine:
             zip(batch.column("query_id").to_pylist(), batch.column("query").to_pylist())
         ):
             k = int(ks[i]) if ks else 10
-            d, s = self.scorer(self.index, q, k)
+            if self._rcache is not None:
+                key = (q, k)
+                hit = self._rcache.get(key)
+                if hit is not None:
+                    self._rcache.move_to_end(key)
+                    self.cache_hits += 1
+                    d, s = hit
+                else:
+                    self.cache_misses += 1
+                    d, s = self.scorer(self.index, q, k)
+                    self._rcache[key] = (d, s)
+                    if len(self._rcache) > self._rcache_cap:
+                        self._rcache.popitem(last=False)
+            else:
+                d, s = self.scorer(self.index, q, k)
             qid_parts.append(np.full(d.size, qid, dtype=np.int64))
             r_parts.append(np.arange(1, d.size + 1, dtype=np.int32))
             d_parts.append(d.astype(np.int64, copy=False))
@@ -724,7 +763,8 @@ class SearchService:
     """
 
     def __init__(self, out_dir: str, n_actors: int = 4, use_wand: bool = True,
-                 share_via_object_store: bool = False):
+                 share_via_object_store: bool = False,
+                 result_cache_size: int = 0):
         """``share_via_object_store``: True shares one copy of the index
         through Ray's object store (zero-copy mmap — the multi-node /
         RAM-constrained mode); False (default) has each actor load the
@@ -738,12 +778,14 @@ class SearchService:
         if share_via_object_store:
             stats, refs = load_index_refs(out_dir)
             self.actors = [
-                engine.remote(use_wand=use_wand, index_refs=refs, stats=stats, warmup=True)
+                engine.remote(use_wand=use_wand, index_refs=refs, stats=stats,
+                              warmup=True, result_cache_size=result_cache_size)
                 for _ in range(n_actors)
             ]
         else:
             self.actors = [
-                engine.remote(out_dir=out_dir, use_wand=use_wand, warmup=True)
+                engine.remote(out_dir=out_dir, use_wand=use_wand, warmup=True,
+                              result_cache_size=result_cache_size)
                 for _ in range(n_actors)
             ]
         ray.get([a.warm.remote() for a in self.actors])  # block until warm

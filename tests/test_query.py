@@ -6,6 +6,7 @@ block-max pruned scorer must equal the exhaustive scorer.
 """
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from goobi_viewer_indexer_ray.pipelines.oracle import REFERENCE_QUERIES, oracle_topk
@@ -90,3 +91,37 @@ def test_wand_prunes(index):
         TermRef.decode_blocks = orig
     total_blocks = index.lookup("baba").n_blocks + index.lookup("beba").n_blocks
     assert 0 < calls["n"] <= total_blocks
+
+
+def test_query_result_cache(ray_session, tiny_build):
+    """queryResultCache parity: a repeated (query, k) is served from
+    the per-actor LRU with results identical to the scored path; the
+    LRU evicts oldest beyond capacity; cache off by default."""
+    from goobi_viewer_indexer_ray.pipelines.query import SearchEngine
+
+    eng = SearchEngine(tiny_build, result_cache_size=2)
+    plain = SearchEngine(tiny_build)
+    assert plain._rcache is None
+
+    def one(e, q):
+        t = pa.table(
+            {
+                "query_id": pa.array([0], pa.int64()),
+                "query": pa.array([q], pa.string()),
+                "k": pa.array([5], pa.int32()),
+            }
+        )
+        return e(t).to_pandas()
+
+    first = one(eng, "baba")
+    assert eng.cache_stats() == {"hits": 0, "misses": 1, "entries": 1}
+    again = one(eng, "baba")
+    assert eng.cache_stats()["hits"] == 1
+    assert first.equals(again)
+    assert first.equals(one(plain, "baba"))
+    # capacity 2: touching two more keys evicts the oldest
+    one(eng, "beba")
+    one(eng, "bibo")
+    assert eng.cache_stats()["entries"] == 2
+    one(eng, "baba")  # evicted -> miss again
+    assert eng.cache_stats()["misses"] == 4
