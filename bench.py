@@ -137,6 +137,18 @@ def run_bench() -> dict:
         t_q = t_try if t_q is None else min(t_q, t_try)
     timings["bm25_query_batch"] = round(t_q, 3)
 
+    # repeated-query workload against the queryResultCache serving mode
+    # (Solr queryResultCache parity): second pass is all cache hits
+    cached = SearchService(
+        out_dir,
+        n_actors=max(2, min(8, NUM_CPUS // 2)),
+        result_cache_size=512,
+    )
+    cached.query_table(queries)  # populate (untimed)
+    t0 = time.perf_counter()
+    cached.query_table(queries)
+    timings["bm25_query_batch_cached"] = round(time.perf_counter() - t0, 3)
+
     # per-query latency on a loaded index (p50)
     idx = LocalIndex(out_dir)
     lat = []
