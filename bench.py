@@ -331,6 +331,7 @@ def run_bench() -> dict:
         "image_dhash",
         "audio_silence",
         "orders_rfm",
+        "host_linkstats",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -6790,6 +6790,102 @@ FROM agg a JOIN top t ON t.dst = a.dst AND t.rn = 1
 """
 
 
+_HL_MOD = 50
+
+
+def q_host_linkstats(sf_dir: str):
+    """Site-level link structure — the host-graph aggregation a web
+    ranker runs above the page graph (intra-site links are navigation,
+    not endorsement; a high intra-share flags nepotistic linking —
+    the site-level complement of ``link_degree_stats``' reciprocity):
+    pages fold onto hosts (``doc_id % 50``, the ``url_normalize``
+    host family) and per host we report page count, out/in edge
+    totals, and the intra-site share of out-edges in basis points.
+    Map-side host partials → ONE host-bounded ``groupby``."""
+    from ray.data.aggregate import Sum
+
+    docs, edges = _link_edges(sf_dir)
+
+    def edge_partials(t: pa.Table) -> pa.Table:
+        src = t.column("src").cast(pa.int64()).to_numpy() % _HL_MOD
+        dst = t.column("dst").cast(pa.int64()).to_numpy() % _HL_MOD
+        intra = (src == dst).astype(np.int64)
+        hosts = np.concatenate([src, dst])
+        outs = np.concatenate([np.ones(src.size, np.int64),
+                               np.zeros(dst.size, np.int64)])
+        ins = 1 - outs
+        intr = np.concatenate([intra, np.zeros(dst.size, np.int64)])
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        def fold(x):
+            return np.bincount(inv, weights=x, minlength=uniq.size).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(uniq, pa.int64()),
+                "n_docs": pa.array(np.zeros(uniq.size, np.int64)),
+                "out_edges": pa.array(fold(outs)),
+                "in_edges": pa.array(fold(ins)),
+                "intra_out": pa.array(fold(intr)),
+            }
+        )
+
+    def doc_partials(t: pa.Table) -> pa.Table:
+        h = t.column("doc_id").cast(pa.int64()).to_numpy() % _HL_MOD
+        uniq, cnt = np.unique(h, return_counts=True)
+        z = np.zeros(uniq.size, np.int64)
+        return pa.table(
+            {
+                "host": pa.array(uniq, pa.int64()),
+                "n_docs": pa.array(cnt.astype(np.int64)),
+                "out_edges": pa.array(z), "in_edges": pa.array(z),
+                "intra_out": pa.array(z),
+            }
+        )
+
+    cols = ["n_docs", "out_edges", "in_edges", "intra_out"]
+    agg = (
+        docs.map_batches(doc_partials, batch_format="pyarrow")
+        .union(edges.map_batches(edge_partials, batch_format="pyarrow"))
+        .groupby("host")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        out = pc.cast(t.column("out_edges"), pa.int64()).to_numpy()
+        intra = pc.cast(t.column("intra_out"), pa.int64()).to_numpy()
+        bp = np.where(out > 0, 10000 * intra // np.maximum(out, 1), 0)
+        return pa.table(
+            {
+                "host": pc.cast(t.column("host"), pa.int64()),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "out_edges": pa.array(out, pa.int64()),
+                "in_edges": pc.cast(t.column("in_edges"), pa.int64()),
+                "intra_out_bp": pa.array(bp, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_HOST_LINKSTATS = f"""
+WITH {_EDGE_RULE_SQL.strip()},
+he AS (SELECT src % {_HL_MOD} AS hs, dst % {_HL_MOD} AS hd FROM edges),
+outs AS (
+  SELECT hs AS host, count(*)::BIGINT AS out_edges,
+         sum((hs = hd)::INT)::BIGINT AS intra_out
+  FROM he GROUP BY 1),
+ins AS (SELECT hd AS host, count(*)::BIGINT AS in_edges FROM he GROUP BY 1),
+nd AS (SELECT doc_id % {_HL_MOD} AS host, count(*)::BIGINT AS n_docs
+       FROM documents GROUP BY 1)
+SELECT nd.host, nd.n_docs,
+       coalesce(outs.out_edges, 0)::BIGINT AS out_edges,
+       coalesce(ins.in_edges, 0)::BIGINT AS in_edges,
+       CASE WHEN coalesce(outs.out_edges, 0) > 0
+            THEN 10000 * outs.intra_out // outs.out_edges
+            ELSE 0 END::BIGINT AS intra_out_bp
+FROM nd LEFT JOIN outs USING (host) LEFT JOIN ins USING (host)
+"""
+
+
 def q_distinct_kmv(sf_dir: str):
     """Per-source distinct-bigram cardinality via the KMV sketch
     (:func:`stages.frequency.kmv_distinct_bigrams`, k=64) with the
@@ -13319,6 +13415,7 @@ QUERIES = {
     "image_dhash": q_image_dhash,
     "audio_silence": q_audio_silence,
     "orders_rfm": q_orders_rfm,
+    "host_linkstats": q_host_linkstats,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13598,6 +13695,7 @@ ORACLE_SQL = {
     "image_dhash": _SQL_IMAGE_DHASH,
     "audio_silence": _SQL_AUDIO_SILENCE,
     "orders_rfm": _SQL_ORDERS_RFM,
+    "host_linkstats": _SQL_HOST_LINKSTATS,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13686,6 +13784,7 @@ _R5_FRONT = [
     "image_dhash",
     "audio_silence",
     "orders_rfm",
+    "host_linkstats",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -129,6 +129,7 @@ def _check(contract, con, name):
         "image_dhash",
         "audio_silence",
         "orders_rfm",
+        "host_linkstats",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
