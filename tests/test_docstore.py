@@ -45,3 +45,23 @@ def test_docstore_search_roundtrip(ray_session, tiny_build):
     rows = DocStore(tiny_build).get(d.tolist())
     assert rows.num_rows == len(set(d.tolist()))
     assert set(rows.column("doc_id").to_pylist()) == set(int(x) for x in d)
+
+
+def test_query_frontend_end_to_end(ray_session, tiny_build, tiny_oracle):
+    """Facade flow: rank == oracle ranking, every hit carries its
+    stored url and a snippet containing a query term (or the doc head
+    for score-without-substring cases)."""
+    from goobi_viewer_indexer_ray.pipelines.oracle import oracle_topk
+    from goobi_viewer_indexer_ray.pipelines.serve import QueryFrontend
+
+    fe = QueryFrontend(tiny_build, n_actors=2)
+    out = fe.query("baba", k=5).to_pandas()
+    want = oracle_topk(tiny_oracle, "baba", 5)
+    assert list(out.doc_id) == [d for d, _ in want]
+    assert list(out["rank"]) == list(range(1, len(want) + 1))
+    assert (out.url.str.len() > 0).all()
+    assert (out.snippet.str.len() > 0).all()
+    assert out.snippet.str.lower().str.contains("baba").any()
+    # cached second call is identical
+    again = fe.query("baba", k=5).to_pandas()
+    assert out.equals(again)
