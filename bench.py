@@ -332,6 +332,7 @@ def run_bench() -> dict:
         "audio_silence",
         "orders_rfm",
         "host_linkstats",
+        "doc_novelty",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

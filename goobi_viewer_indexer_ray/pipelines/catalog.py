@@ -576,6 +576,96 @@ r AS (
 SELECT term, df, rank, doc_id, tf FROM r WHERE rank <= {_CHAMPION_M}
 """
 
+def q_doc_novelty(sf_dir: str):
+    """First-occurrence novelty per document — 'what fraction of this
+    doc's text appears here FIRST?' (Lee et al. 2022's framing of
+    train-set duplication: later copies carry no new text): each
+    distinct 5-gram shingle is attributed to its minimum doc_id, and a
+    doc's novelty is ``10⁴·|{sh: owner(sh) = doc}| // n_sh``.  Two
+    shuffles: ``groupby(sh).min(doc)`` attributes owners (owner counts
+    fold map-side per batch), then ONE ``groupby(doc)`` joins the
+    owned-count against the doc's shingle count via a tagged union —
+    no doc-keyed join of two corpus-sized relations."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.text_ops import shingles_batch
+
+    sh = _documents(sf_dir).map_batches(
+        lambda t: shingles_batch(t, 5), batch_format="pyarrow"
+    )
+
+    owners = sh.groupby("sh").aggregate(Min("doc_id", alias_name="owner"))
+
+    def owner_counts(t: pa.Table) -> pa.Table:
+        o = t.column("owner").to_numpy().astype(np.int64)
+        uniq, cnt = np.unique(o, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_owned": pa.array(cnt.astype(np.int64), pa.int64()),
+                "n_sh": pa.array(np.zeros(uniq.size, np.int64)),
+            }
+        )
+
+    def size_rows(t: pa.Table) -> pa.Table:
+        # one row per doc FROM the documents batch (a doc is never
+        # split across batches here, unlike re-batched shingle blocks)
+        tt = shingles_batch(t, 5)
+        d = tt.column("doc_id").to_numpy().astype(np.int64)
+        n = tt.column("n").to_numpy().astype(np.int64)
+        first = np.ones(d.size, bool)
+        first[1:] = d[1:] != d[:-1]  # shingles_batch emits per-doc runs
+        return pa.table(
+            {
+                "doc_id": pa.array(d[first], pa.int64()),
+                "n_owned": pa.array(np.zeros(int(first.sum()), np.int64)),
+                "n_sh": pa.array(n[first], pa.int64()),
+            }
+        )
+
+    agg = (
+        owners.map_batches(owner_counts, batch_format="pyarrow")
+        .union(_documents(sf_dir).map_batches(size_rows, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .aggregate(Sum("n_owned", alias_name="n_owned"),
+                   Sum("n_sh", alias_name="n_sh"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        owned = pc.cast(t.column("n_owned"), pa.int64()).to_numpy()
+        n = pc.cast(t.column("n_sh"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_sh": pa.array(n, pa.int64()),
+                "n_owned": pa.array(owned, pa.int64()),
+                "novelty_bp": pa.array(
+                    np.where(n > 0, 10000 * owned // np.maximum(n, 1), 0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_DOC_NOVELTY = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+),
+own AS (SELECT s, min(doc_id)::BIGINT AS owner FROM sh GROUP BY s),
+oc AS (SELECT owner AS doc_id, count(*)::BIGINT AS n_owned
+       FROM own GROUP BY 1),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1)
+SELECT sz.doc_id, sz.n_sh, coalesce(oc.n_owned, 0)::BIGINT AS n_owned,
+       (10000 * coalesce(oc.n_owned, 0) // sz.n_sh)::BIGINT AS novelty_bp
+FROM sz LEFT JOIN oc USING (doc_id)
+"""
+
+
 def q_reuse_spans(sf_dir: str):
     """Longest shared contiguous run per duplicate pair — the span
     EXTRACTION step after pair detection (BLAST-style diagonal
@@ -13416,6 +13506,7 @@ QUERIES = {
     "audio_silence": q_audio_silence,
     "orders_rfm": q_orders_rfm,
     "host_linkstats": q_host_linkstats,
+    "doc_novelty": q_doc_novelty,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13696,6 +13787,7 @@ ORACLE_SQL = {
     "audio_silence": _SQL_AUDIO_SILENCE,
     "orders_rfm": _SQL_ORDERS_RFM,
     "host_linkstats": _SQL_HOST_LINKSTATS,
+    "doc_novelty": _SQL_DOC_NOVELTY,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13785,6 +13877,7 @@ _R5_FRONT = [
     "audio_silence",
     "orders_rfm",
     "host_linkstats",
+    "doc_novelty",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -130,6 +130,7 @@ def _check(contract, con, name):
         "audio_silence",
         "orders_rfm",
         "host_linkstats",
+        "doc_novelty",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
