@@ -333,6 +333,7 @@ def run_bench() -> dict:
         "orders_rfm",
         "host_linkstats",
         "doc_novelty",
+        "recrawl_policy",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -2586,6 +2586,58 @@ FROM d
 """
 
 
+def q_recrawl_policy(sf_dir: str):
+    """Adaptive re-crawl scheduling from the snapshot diff (Cho &
+    Garcia-Molina's change-rate revisiting, the step AFTER
+    ``crawl_diff`` classifies: pages that changed get revisited twice
+    as often, unchanged pages back off): prior interval
+    ``2^(doc_id % 5)`` days, then changed → halve (floor 1),
+    unchanged → double (cap 16), added → 1, removed → 0 (leave the
+    frontier).  A pure streaming map over the diff — the policy adds
+    no shuffle of its own."""
+    diff = q_crawl_diff(sf_dir)
+
+    def policy(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").cast(pa.int64()).to_numpy()
+        st = np.asarray(t.column("status").to_pylist(), dtype=object)
+        prev = np.int64(1) << (d % 5)
+        nxt = np.where(
+            st == "added", 1,
+            np.where(
+                st == "removed", 0,
+                np.where(st == "changed",
+                         np.maximum(prev // 2, 1),
+                         np.minimum(prev * 2, 16)),
+            ),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "doc_id": pa.array(d, pa.int64()),
+                "status": t.column("status"),
+                "prev_days": pa.array(prev, pa.int64()),
+                "next_days": pa.array(nxt, pa.int64()),
+            }
+        )
+
+    return diff.map_batches(policy, batch_format="pyarrow")
+
+
+def _recrawl_policy_sql() -> str:
+    return f"""
+WITH diff AS ({_SQL_CRAWL_DIFF})
+SELECT url, doc_id, status,
+       (1 << (doc_id % 5))::BIGINT AS prev_days,
+       CASE status
+            WHEN 'added' THEN 1
+            WHEN 'removed' THEN 0
+            WHEN 'changed' THEN greatest((1 << (doc_id % 5)) // 2, 1)
+            ELSE least((1 << (doc_id % 5)) * 2, 16)
+       END::BIGINT AS next_days
+FROM diff
+"""
+
+
 _BOILER = "boiler plate header tokens common shared "
 
 
@@ -13507,6 +13559,7 @@ QUERIES = {
     "orders_rfm": q_orders_rfm,
     "host_linkstats": q_host_linkstats,
     "doc_novelty": q_doc_novelty,
+    "recrawl_policy": q_recrawl_policy,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13788,6 +13841,7 @@ ORACLE_SQL = {
     "orders_rfm": _SQL_ORDERS_RFM,
     "host_linkstats": _SQL_HOST_LINKSTATS,
     "doc_novelty": _SQL_DOC_NOVELTY,
+    "recrawl_policy": _recrawl_policy_sql(),
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13878,6 +13932,7 @@ _R5_FRONT = [
     "orders_rfm",
     "host_linkstats",
     "doc_novelty",
+    "recrawl_policy",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

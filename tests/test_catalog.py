@@ -131,6 +131,7 @@ def _check(contract, con, name):
         "orders_rfm",
         "host_linkstats",
         "doc_novelty",
+        "recrawl_policy",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
