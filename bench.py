@@ -334,6 +334,7 @@ def run_bench() -> dict:
         "host_linkstats",
         "doc_novelty",
         "recrawl_policy",
+        "lang_source_chi2",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -2586,6 +2586,61 @@ FROM d
 """
 
 
+_CHI2_SCALE = 1_000_000
+
+
+def q_lang_source_chi2(sf_dir: str):
+    """Language × source independence audit — the stratification check
+    behind ``mixture_resample`` (if language mix varies wildly by
+    source, per-source sampling weights skew language balance): the
+    χ² contingency contribution per cell as the EXACT scaled integer
+    ``10⁶·(N·o − r·c)² // (N·r·c)`` (= 10⁶·N·(o−e)²/e — monotone in
+    the float contribution, Python-int arithmetic since N·o squared
+    passes 2⁶³ at corpus scale).  ONE ``groupby(lang, source)``
+    shuffle; marginals fold on the cell summary (langs × sources
+    bounded)."""
+    rows = (
+        _documents(sf_dir, columns=("lang", "source"))
+        .groupby(["lang", "source"])
+        .count()
+        .take_all()
+    )
+    langs = np.asarray([r["lang"] for r in rows], dtype=object)
+    srcs = np.asarray([r["source"] for r in rows], dtype=object)
+    obs = np.array([int(r["count()"]) for r in rows], np.int64)
+    n = int(obs.sum())
+    r_tot = {l: int(obs[langs == l].sum()) for l in set(langs)}
+    c_tot = {s: int(obs[srcs == s].sum()) for s in set(srcs)}
+    contrib = [
+        _CHI2_SCALE * (n * int(o) - r_tot[l] * c_tot[s]) ** 2
+        // (n * r_tot[l] * c_tot[s])
+        for l, s, o in zip(langs, srcs, obs)
+    ]
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n": pa.array(obs, pa.int64()),
+            "chi2_micro": pa.array(np.array(contrib, np.int64), pa.int64()),
+        }
+    )
+
+
+_SQL_LANG_SOURCE_CHI2 = f"""
+WITH g AS (
+  SELECT lang, source, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(n)::BIGINT AS rt FROM g GROUP BY lang),
+c AS (SELECT source, sum(n)::BIGINT AS ct FROM g GROUP BY source),
+t AS (SELECT sum(n)::BIGINT AS tot FROM g)
+SELECT g.lang, g.source, g.n,
+       ({_CHI2_SCALE}::HUGEINT
+          * (t.tot * g.n - r.rt * c.ct) * (t.tot * g.n - r.rt * c.ct)
+          // (t.tot * r.rt * c.ct))::BIGINT AS chi2_micro
+FROM g JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+"""
+
+
 def q_recrawl_policy(sf_dir: str):
     """Adaptive re-crawl scheduling from the snapshot diff (Cho &
     Garcia-Molina's change-rate revisiting, the step AFTER
@@ -13560,6 +13615,7 @@ QUERIES = {
     "host_linkstats": q_host_linkstats,
     "doc_novelty": q_doc_novelty,
     "recrawl_policy": q_recrawl_policy,
+    "lang_source_chi2": q_lang_source_chi2,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13842,6 +13898,7 @@ ORACLE_SQL = {
     "host_linkstats": _SQL_HOST_LINKSTATS,
     "doc_novelty": _SQL_DOC_NOVELTY,
     "recrawl_policy": _recrawl_policy_sql(),
+    "lang_source_chi2": _SQL_LANG_SOURCE_CHI2,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13933,6 +13990,7 @@ _R5_FRONT = [
     "host_linkstats",
     "doc_novelty",
     "recrawl_policy",
+    "lang_source_chi2",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

@@ -132,6 +132,7 @@ def _check(contract, con, name):
         "host_linkstats",
         "doc_novelty",
         "recrawl_policy",
+        "lang_source_chi2",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",
