@@ -148,6 +148,8 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     cached.query_table(queries)
     timings["bm25_query_batch_cached"] = round(time.perf_counter() - t0, 3)
+    cached.shutdown()
+    service.shutdown()  # free both pools' CPU slots before federated/catalog
 
     # per-query latency on a loaded index (p50)
     idx = LocalIndex(out_dir)

@@ -811,6 +811,16 @@ class SearchService:
         ]
         return pa.concat_tables(ray.get(futs))
 
+    def shutdown(self) -> None:
+        """Release the pool's actor CPU slots (same contract as
+        ``FederatedSearch.shutdown`` — a bench or batch job must not
+        starve whatever runs next)."""
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
 
 def search(out_dir: str, queries, *, use_wand: bool = True, concurrency: int = 2):
     """Queries (Dataset or list of dicts) → results Dataset.

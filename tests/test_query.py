@@ -125,3 +125,13 @@ def test_query_result_cache(ray_session, tiny_build):
     assert eng.cache_stats()["entries"] == 2
     one(eng, "baba")  # evicted -> miss again
     assert eng.cache_stats()["misses"] == 4
+
+
+def test_search_service_shutdown_releases_actors(ray_session, tiny_build):
+    from goobi_viewer_indexer_ray.pipelines.query import SearchService
+
+    svc = SearchService(tiny_build, n_actors=2)
+    res = svc.query_table([{"query_id": 0, "query": "baba", "k": 3}])
+    assert res.num_rows > 0
+    svc.shutdown()
+    assert svc.actors == []
