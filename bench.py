@@ -337,6 +337,7 @@ def run_bench() -> dict:
         "doc_novelty",
         "recrawl_policy",
         "lang_source_chi2",
+        "stupid_backoff",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

@@ -13412,6 +13412,77 @@ FROM scored
 """
 
 
+def q_stupid_backoff(sf_dir: str):
+    """Stupid Backoff LM scoring (Brants et al. 2007 — the web-scale
+    smoothing that replaces normalization with a fixed 0.4 backoff;
+    THE production alternative to the Laplace gate when the model is
+    a trillion-token count table): per doc the mean Stupid-Backoff
+    surprisal in micro-bits and the backed-off share of bigram
+    positions (the out-of-model-distribution signal).  Same trusted
+    ``src0`` model slice, broadcast tables, and
+    one-float-per-distinct-bigram contract as ``perplexity_filter``;
+    the oracle replays seen-ratio and backoff branches with the
+    identical rational arguments."""
+    from ..stages.lm import stupid_backoff_model, stupid_backoff_score
+
+    ds = _documents(sf_dir, columns=("doc_id", "text", "source"))
+    model = stupid_backoff_model(ds, model_source=PPL_MODEL_SOURCE)
+    return stupid_backoff_score(ds, model)
+
+
+def _stupid_backoff_sql() -> str:
+    return f"""
+WITH mtoks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents WHERE source = '{PPL_MODEL_SOURCE}'
+),
+v AS (
+  SELECT count(DISTINCT t)::BIGINT AS v
+  FROM (SELECT unnest(ts) AS t FROM mtoks)
+),
+mbg AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2, count(*)::BIGINT AS c
+  FROM mtoks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+heads AS (SELECT w1, sum(c)::BIGINT AS ch FROM mbg GROUP BY 1),
+uni AS (
+  SELECT t, count(*)::BIGINT AS cu
+  FROM (SELECT unnest(ts) AS t FROM mtoks) GROUP BY t
+),
+tt AS (
+  SELECT count(*)::BIGINT AS t
+  FROM (SELECT unnest(ts) AS t FROM mtoks)
+),
+dbg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, {_TOKS} AS ts FROM documents),
+       unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT dbg.doc_id,
+         sum(cnt)::BIGINT AS n_bigrams,
+         sum(cnt * CASE WHEN m.c IS NOT NULL AND m.c > 0
+               THEN round(log2(h.ch::DOUBLE / m.c) * 1000000)::BIGINT
+               ELSE round(log2((5.0 * (tt.t + v.v))
+                               / (2.0 * (coalesce(u.cu, 0) + 1)))
+                          * 1000000)::BIGINT
+             END)::BIGINT AS tot,
+         sum(cnt * CASE WHEN m.c IS NOT NULL AND m.c > 0
+                        THEN 0 ELSE 1 END)::BIGINT AS n_back
+  FROM dbg
+  LEFT JOIN mbg m USING (w1, w2)
+  LEFT JOIN heads h USING (w1)
+  LEFT JOIN uni u ON u.t = dbg.w2
+  CROSS JOIN v CROSS JOIN tt
+  GROUP BY dbg.doc_id
+)
+SELECT doc_id, n_bigrams, (tot // n_bigrams)::BIGINT AS sb_micro,
+       (10000 * n_back // n_bigrams)::BIGINT AS backoff_bp
+FROM sc
+"""
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3 —
     the step AFTER the LM gate: split the corpus into perplexity
@@ -13616,6 +13687,7 @@ QUERIES = {
     "doc_novelty": q_doc_novelty,
     "recrawl_policy": q_recrawl_policy,
     "lang_source_chi2": q_lang_source_chi2,
+    "stupid_backoff": q_stupid_backoff,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13899,6 +13971,7 @@ ORACLE_SQL = {
     "doc_novelty": _SQL_DOC_NOVELTY,
     "recrawl_policy": _recrawl_policy_sql(),
     "lang_source_chi2": _SQL_LANG_SOURCE_CHI2,
+    "stupid_backoff": _stupid_backoff_sql(),
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -13991,6 +14064,7 @@ _R5_FRONT = [
     "doc_novelty",
     "recrawl_policy",
     "lang_source_chi2",
+    "stupid_backoff",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

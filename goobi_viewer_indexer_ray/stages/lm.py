@@ -46,7 +46,8 @@ import pyarrow.compute as pc
 
 from .text_ops import _flat_token_codes, _seg_sums, bigram_counts_batch
 
-__all__ = ["bigram_lm_model", "perplexity_score"]
+__all__ = ["bigram_lm_model", "perplexity_score",
+           "stupid_backoff_model", "stupid_backoff_score"]
 
 MICRO = 1_000_000
 
@@ -138,6 +139,108 @@ def perplexity_score(ds, model: dict, *, keep_below: int):
                 "n_bigrams": pa.array(nbg[sel], pa.int64()),
                 "ce_micro": pa.array(ce, pa.int64()),
                 "keep": pa.array(ce <= keep_below, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def stupid_backoff_model(ds, *, model_source: str) -> dict:
+    """Laplace-bigram model PLUS the unigram table Stupid Backoff
+    (Brants et al. 2007 — the web-scale smoothing that skips
+    normalization entirely) backs off to: adds ``uni`` (model-slice
+    token counts) and ``t`` (slice token total) to
+    :func:`bigram_lm_model`'s output."""
+    from ray.data.aggregate import Sum
+
+    m = bigram_lm_model(ds, model_source=model_source)
+
+    def uni_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("source"), model_source))
+        _ids, _counts, codes, uniq = _flat_token_codes(t)
+        if codes.size == 0:
+            return pa.table({"t": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"t": pa.array(uniq, pa.string()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    uni: dict[str, int] = {}
+    for r in (
+        ds.map_batches(uni_part, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    ):
+        uni[r["t"]] = int(r["n"])
+    m["uni"] = uni
+    m["t"] = sum(uni.values())
+    return m
+
+
+def _sb_surprisal_micro(model: dict, w1: str, w2: str) -> tuple[int, int]:
+    """(micro-bits, backed_off 0/1) under Stupid Backoff: seen bigram
+    scores ``−log2(c_bg/c_head)``; otherwise ``−log2(0.4 · (c_uni+1) /
+    (T+V))`` — every ratio rational, so the single rounding step never
+    sits on a half-microbit boundary (the :mod:`lm` float contract)."""
+    cb = model["bg"].get((w1, w2), 0)
+    if cb > 0:
+        ch = model["heads"][w1]
+        return int(np.round(np.log2(ch / cb) * MICRO)), 0
+    cu = model["uni"].get(w2, 0)
+    ratio = (5.0 * (model["t"] + model["v"])) / (2.0 * (cu + 1))
+    return int(np.round(np.log2(ratio) * MICRO)), 1
+
+
+def stupid_backoff_score(ds, model: dict):
+    """Documents → ``(doc_id, n_bigrams, sb_micro, backoff_bp)``:
+    mean Stupid-Backoff surprisal in micro-bits plus the share of
+    bigram positions that backed off to the unigram (the
+    out-of-model-distribution signal).  Same one-pass
+    distinct-bigram-lookup shape as :func:`perplexity_score`."""
+    import ray
+
+    ref = ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids, counts, codes, uniq = _flat_token_codes(t)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "sb_micro": pa.array([], pa.int64()),
+                "backoff_bp": pa.array([], pa.int64()),
+            }
+        )
+        if codes.size < 2:
+            return empty
+        valid = np.ones(codes.size, dtype=bool)
+        ends = np.cumsum(counts[counts > 0])
+        valid[ends - 1] = False
+        lead = np.flatnonzero(valid)
+        if lead.size == 0:
+            return empty
+        v = np.int64(uniq.size)
+        key = codes[lead] * v + codes[lead + 1]
+        ukey, inv = np.unique(key, return_inverse=True)
+        pairs = [_sb_surprisal_micro(m, uniq[k // v], uniq[k % v])
+                 for k in ukey]
+        lut = np.array([p[0] for p in pairs], np.int64)
+        bo = np.array([p[1] for p in pairs], np.int64)
+        per_pos = lut[inv]
+        per_bo = bo[inv]
+        nbg = np.maximum(counts - 1, 0)
+        tot = _seg_sums(per_pos, nbg)
+        nback = _seg_sums(per_bo, nbg)
+        sel = nbg > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "n_bigrams": pa.array(nbg[sel], pa.int64()),
+                "sb_micro": pa.array(tot[sel] // nbg[sel], pa.int64()),
+                "backoff_bp": pa.array(
+                    10000 * nback[sel] // nbg[sel], pa.int64()),
             }
         )
 

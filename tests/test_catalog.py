@@ -133,6 +133,7 @@ def _check(contract, con, name):
         "doc_novelty",
         "recrawl_policy",
         "lang_source_chi2",
+        "stupid_backoff",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

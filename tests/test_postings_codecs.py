@@ -309,3 +309,48 @@ def test_silence_segments_hand_built(ray_session):
     assert out.iloc[0].n_silent == 3
     assert out.iloc[0].n_segments == 2
     assert out.iloc[0].longest_run == 2
+
+
+def test_stupid_backoff_semantics(ray_session):
+    """Seen bigrams score -log2(c_bg/c_head); unseen back off to the
+    0.4-weighted unigram; backoff share is 0 for a pure model-slice
+    doc and 10000 for a fully out-of-model doc."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.stages.lm import (
+        stupid_backoff_model,
+        stupid_backoff_score,
+    )
+    import ray.data as rd
+
+    texts = [
+        ("a b a b a b", "src0"),   # model slice
+        ("a b a b", "srcX"),       # all bigrams seen
+        ("q r q r", "srcX"),       # nothing seen
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([t for t, _ in texts], pa.string()),
+            "source": pa.array([s for _, s in texts], pa.string()),
+        }
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    ds = rd.read_parquet(os.path.join(d, "documents.parquet"))
+    m = stupid_backoff_model(ds, model_source="src0")
+    out = stupid_backoff_score(ds, m).to_pandas().set_index("doc_id")
+    assert out.loc[1, "backoff_bp"] == 0
+    assert out.loc[2, "backoff_bp"] == 10000
+    # doc 1: bigrams (a,b) x2, (b,a) x1; heads a=3,b=2; c(a,b)=3, c(b,a)=2
+    la = round(np.log2(3 / 3) * 1e6)   # 0
+    lb = round(np.log2(2 / 2) * 1e6)   # 0
+    assert out.loc[1, "sb_micro"] == (2 * la + lb) // 3 == 0
+    # doc 2: unseen everywhere; cu(r)=0, cu(q)=0, T=6, V=2
+    lu = round(np.log2((5.0 * (6 + 2)) / (2.0 * 1)) * 1e6)
+    assert out.loc[2, "sb_micro"] == lu
