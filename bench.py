@@ -338,6 +338,7 @@ def run_bench() -> dict:
         "recrawl_policy",
         "lang_source_chi2",
         "stupid_backoff",
+        "postings_impacts",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

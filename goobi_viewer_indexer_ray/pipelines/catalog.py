@@ -12356,6 +12356,114 @@ FROM hd h LEFT JOIN df ON h.n > 0 AND df.hh = h.hh
 """
 
 
+_IMPACT_TERMS = 20
+
+
+def q_postings_impacts(sf_dir: str):
+    """Competitive impact pairs per term (the Lucene ``Impacts`` API —
+    what ``norm_quantize`` feeds and block-max WAND consumes: per
+    posting the score depends only on (tf, norm byte); a pruner needs
+    the PARETO-COMPETITIVE pairs — no other pair with ≥tf and ≤norm):
+    for the top-20 df terms, each competitive ``(tf, norm_code)`` pair
+    with its posting count.  TokenizePostings already carries dl per
+    row, so quantization is a vectorized map; the Pareto filter runs
+    per term over the (distinct tf × norm) summary — pairs-bounded,
+    never df-bounded."""
+    from ray.data.aggregate import Count
+
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+    top = (
+        postings.groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .sort(["df", "term"], descending=[True, False])
+        .limit(_IMPACT_TERMS)
+        .take_all()
+    )
+    top_arr = pa.array(sorted(r["term"] for r in top), pa.string())
+
+    def quantized_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("term"), value_set=top_arr))
+        dl = t.column("dl").cast(pa.int64()).to_numpy()
+        code = dl.copy()
+        big = dl >= 32
+        if big.any():
+            x = dl[big].copy()
+            bl = np.zeros(x.size, np.int64)
+            for s in (32, 16, 8, 4, 2, 1):
+                m = x >= (np.int64(1) << np.int64(s))
+                bl[m] += s
+                x[m] >>= np.int64(s)
+            e = bl + 1 - 5
+            code[big] = 16 * e + (dl[big] >> e)
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "tf": t.column("tf").cast(pa.int64()),
+                "norm_code": pa.array(code, pa.int64()),
+            }
+        )
+
+    pairs = (
+        postings.map_batches(quantized_pairs, batch_format="pyarrow")
+        .groupby(["term", "tf", "norm_code"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def pareto(g: pa.Table) -> pa.Table:
+        tf = g.column("tf").to_numpy().astype(np.int64)
+        nc = g.column("norm_code").to_numpy().astype(np.int64)
+        n = pc.cast(g.column("n"), pa.int64()).to_numpy()
+        # vectorized O(p²): a pair is dominated if ANY other has
+        # tf' >= tf and norm' <= norm with at least one strict
+        dom = (
+            (tf[None, :] >= tf[:, None])
+            & (nc[None, :] <= nc[:, None])
+            & ((tf[None, :] > tf[:, None]) | (nc[None, :] < nc[:, None]))
+        ).any(axis=1)
+        keep = ~dom
+        return pa.table(
+            {
+                "term": g.column("term").filter(pa.array(keep)),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "norm_code": pa.array(nc[keep], pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    return pairs.groupby("term").map_groups(pareto, batch_format="pyarrow")
+
+
+_SQL_POSTINGS_IMPACTS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) < 32 THEN len(ts)
+              ELSE 16 * (len(bin(len(ts)::BIGINT)) - 5)
+                   + (len(ts) >> (len(bin(len(ts)::BIGINT)) - 5))
+         END::BIGINT AS norm_code
+  FROM toks),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t),
+d AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+top AS (SELECT term FROM d ORDER BY df DESC, term LIMIT {_IMPACT_TERMS}),
+pairs AS (
+  SELECT p.term, p.tf, dl.norm_code, count(*)::BIGINT AS n
+  FROM posting p JOIN top USING (term) JOIN dl USING (doc_id)
+  GROUP BY 1, 2, 3)
+SELECT a.term, a.tf, a.norm_code, a.n
+FROM pairs a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs b
+  WHERE b.term = a.term AND b.tf >= a.tf AND b.norm_code <= a.norm_code
+    AND (b.tf > a.tf OR b.norm_code < a.norm_code))
+"""
+
+
 _SKIP_EVERY = 4
 _SKIP_MIN_DF = 8
 
@@ -13688,6 +13796,7 @@ QUERIES = {
     "recrawl_policy": q_recrawl_policy,
     "lang_source_chi2": q_lang_source_chi2,
     "stupid_backoff": q_stupid_backoff,
+    "postings_impacts": q_postings_impacts,
     "search_mm": q_search_mm,
     "crawl_schedule": q_crawl_schedule,
     "image_ahash": q_image_ahash,
@@ -13972,6 +14081,7 @@ ORACLE_SQL = {
     "recrawl_policy": _recrawl_policy_sql(),
     "lang_source_chi2": _SQL_LANG_SOURCE_CHI2,
     "stupid_backoff": _stupid_backoff_sql(),
+    "postings_impacts": _SQL_POSTINGS_IMPACTS,
     "search_mm": _search_mm_sql(),
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "image_ahash": _SQL_IMAGE_AHASH,
@@ -14065,6 +14175,7 @@ _R5_FRONT = [
     "recrawl_policy",
     "lang_source_chi2",
     "stupid_backoff",
+    "postings_impacts",
     "postings_roaring",
     "champion_lists",
     "zipf_slope",

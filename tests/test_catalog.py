@@ -134,6 +134,7 @@ def _check(contract, con, name):
         "recrawl_policy",
         "lang_source_chi2",
         "stupid_backoff",
+        "postings_impacts",
         "distinct_hll",
         "sample_weighted",
         "ann_pq_codes",

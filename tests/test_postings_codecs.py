@@ -354,3 +354,19 @@ def test_stupid_backoff_semantics(ray_session):
     # doc 2: unseen everywhere; cu(r)=0, cu(q)=0, T=6, V=2
     lu = round(np.log2((5.0 * (6 + 2)) / (2.0 * 1)) * 1e6)
     assert out.loc[2, "sb_micro"] == lu
+
+
+def test_impacts_are_pareto_frontier(ray_session):
+    """No surviving pair may be dominated (another pair with >= tf and
+    <= norm, strict in one) and every term keeps its max-tf pair."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_postings_impacts
+
+    out = q_postings_impacts("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    for term, g in out.groupby("term"):
+        tf = g.tf.to_numpy()
+        nc = g.norm_code.to_numpy()
+        for i in range(len(g)):
+            dom = (tf >= tf[i]) & (nc <= nc[i]) & ((tf > tf[i]) | (nc < nc[i]))
+            assert not dom.any(), (term, tf[i], nc[i])
+        assert tf.max() == g.tf.max()
