@@ -370,3 +370,43 @@ def test_impacts_are_pareto_frontier(ray_session):
             dom = (tf >= tf[i]) & (nc <= nc[i]) & ((tf > tf[i]) | (nc < nc[i]))
             assert not dom.any(), (term, tf[i], nc[i])
         assert tf.max() == g.tf.max()
+
+
+def test_doc_novelty_planted_duplicate(ray_session):
+    """An exact copy with a higher doc_id owns nothing (novelty 0);
+    the original owns everything it doesn't share with earlier docs."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_doc_novelty
+
+    base = " ".join(f"w{i}" for i in range(30))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([base, base], pa.string()),
+        }
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    out = q_doc_novelty(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "novelty_bp"] == 10000
+    assert out.loc[1, "novelty_bp"] == 0
+    assert out.loc[1, "n_sh"] == out.loc[0, "n_sh"]
+
+
+def test_doc_length_pctile_monotone(ray_session):
+    """pct_bp is monotone in n_chars and tops out at 10000."""
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_doc_length_pctile
+
+    out = (
+        q_doc_length_pctile("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    assert out.pct_bp.is_monotonic_increasing
+    assert out.pct_bp.iloc[-1] == 10000
+    assert out.decile.between(0, 9).all()
