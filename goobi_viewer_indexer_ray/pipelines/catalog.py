@@ -13701,6 +13701,119 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 """
 
 
+BURST_MIN_DF = 20
+
+
+def q_term_burstiness(sf_dir: str):
+    """Church–Gale term burstiness: among terms with df ≥ 20, the
+    mean within-document occurrence rate ``burst1000 = ⌊1000·cf/df⌋``
+    (a bursty content word concentrates repeats in the documents it
+    appears in; a function word's ratio stays near 1000) — the classic
+    adaptive-LM / keyword-ness diagnostic.  Same single
+    ``groupby(term)`` shuffle as ``term_df_top100`` (map-side partials
+    from :class:`TokenizePostings`); the ratio and top-100 cut are a
+    finalizer over the already-tiny per-term stats."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+    agg = postings.groupby("term").aggregate(
+        Count(alias_name="df"), Sum("tf", alias_name="cf")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        df = pc.cast(t.column("df"), pa.int64())
+        cf = pc.cast(t.column("cf"), pa.int64())
+        keep = pc.greater_equal(df, BURST_MIN_DF)
+        t2 = pa.table(
+            {
+                "term": t.column("term"),
+                "df": df,
+                "cf": cf,
+                # int64 multiply-then-truncate ≡ floor for positives —
+                # bit-identical to DuckDB's (cf * 1000) // df
+                "burst1000": pc.divide(pc.multiply(cf, 1000), df),
+            }
+        )
+        return t2.filter(keep)
+
+    return (
+        agg.map_batches(fin, batch_format="pyarrow")
+        .sort(["burst1000", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+_SQL_TERM_BURSTINESS = f"""
+WITH postings AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+stats AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM postings GROUP BY term
+)
+SELECT term, df, cf, ((cf * 1000) // df)::BIGINT AS burst1000
+FROM stats WHERE df >= {BURST_MIN_DF}
+ORDER BY burst1000 DESC, term LIMIT 100
+"""
+
+
+NEXTWORD_HEADS = ["hash", "sort", "the", "window"]
+
+
+def q_nextword_index(sf_dir: str):
+    """Next-word index over frequent first words (Williams/Zobel/Bahle
+    "Fast phrase querying with combined indexes": for the head words a
+    phrase query usually starts with, store successor lists so a
+    two-word phrase resolves with NO positional intersection).  One
+    map-side vectorized pass emits per-(doc, head, next) partials
+    (:func:`stages.text_ops.nextword_counts_batch` — one row per doc
+    per pair, so the reducer's Count is exact document frequency), then
+    a single tiny ``groupby(head, nxt)``."""
+    from ray.data.aggregate import Count, Sum
+
+    parts = _documents(sf_dir).map_batches(
+        lambda t: text_ops.nextword_counts_batch(t, NEXTWORD_HEADS),
+        batch_format="pyarrow",
+    )
+    agg = parts.groupby(["head", "nxt"]).aggregate(
+        Sum("n", alias_name="n_pairs"), Count(alias_name="n_docs")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "head": t.column("head"),
+                "nxt": t.column("nxt"),
+                "n_pairs": pc.cast(t.column("n_pairs"), pa.int64()),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort(["head", "nxt"])
+
+
+def _nextword_sql() -> str:
+    heads = ", ".join(f"'{h}'" for h in sorted(NEXTWORD_HEADS))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT doc_id, ts[i] AS head, ts[i + 1] AS nxt
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2)
+)
+SELECT head, nxt, count(*)::BIGINT AS n_pairs,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM bg WHERE head IN ({heads})
+GROUP BY head, nxt ORDER BY head, nxt
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -13710,6 +13823,8 @@ ORDER BY n_occ DESC, chunk_md5 LIMIT 200
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-5 additions ---
+    "term_burstiness": q_term_burstiness,
+    "nextword_index": q_nextword_index,
     "postings_roaring": q_postings_roaring,
     "champion_lists": q_champion_lists,
     "zipf_slope": q_zipf_slope,
@@ -13923,6 +14038,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "term_burstiness": _SQL_TERM_BURSTINESS,
+    "nextword_index": _nextword_sql(),
     "postings_roaring": _SQL_POSTINGS_ROARING,
     "champion_lists": _SQL_CHAMPION_LISTS,
     "zipf_slope": _SQL_ZIPF_SLOPE,
@@ -14147,6 +14264,8 @@ ORACLE_SQL = {
 # Arrow-native term dictionary — come first; everything else keeps its
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
+    "term_burstiness",
+    "nextword_index",
     "winnow_pairs",
     "cms_heavy_hitters",
     "source_ks",

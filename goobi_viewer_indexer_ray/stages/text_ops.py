@@ -918,6 +918,57 @@ def bigram_counts_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def nextword_counts_batch(batch: pa.Table, heads: list[str]) -> pa.Table:
+    """Partial next-word postings for one batch — the map-side half of
+    a Williams/Zobel-style *next-word index* (phrase-query
+    acceleration: for a set of frequent first words, the list of
+    successor words with pair/document counts replaces a positional
+    intersection).  Same vectorized shape as
+    :func:`bigram_counts_batch`, plus the per-doc key so the downstream
+    ``groupby(head, nxt)`` can count distinct documents exactly: each
+    document's tokens live in ONE input row, so one partial row per
+    ``(doc, head, nxt)`` is emitted and the reducer's ``Count`` IS the
+    document frequency — no distinct-shuffle needed."""
+    ids, counts, codes, uniq = _flat_token_codes(batch)
+    empty = pa.table(
+        {
+            "head": pa.array([], pa.string()),
+            "nxt": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if codes.size < 2:
+        return empty
+    valid = np.ones(codes.size, dtype=bool)
+    ends = np.cumsum(counts[counts > 0])
+    valid[ends - 1] = False
+    code_of = {w: i for i, w in enumerate(uniq)}
+    head_codes = np.array(
+        sorted(code_of[h] for h in heads if h in code_of), dtype=np.int64
+    )
+    if head_codes.size == 0:
+        return empty
+    lead = np.flatnonzero(valid & np.isin(codes, head_codes))
+    if lead.size == 0:
+        return empty
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    v = np.int64(uniq.size)
+    key = (doc_idx[lead] * v + codes[lead]) * v + codes[lead + 1]
+    ukey, n = np.unique(key, return_counts=True)
+    w2 = ukey % v
+    w1 = (ukey // v) % v
+    d = ukey // (v * v)
+    return pa.table(
+        {
+            "head": pa.array(uniq[w1], pa.string()),
+            "nxt": pa.array(uniq[w2], pa.string()),
+            "doc_id": pa.array(ids[d], pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def vocab_growth(ds, checkpoints: list[int], *, bucket_size: int = 65_536):
     """Heaps'-law vocabulary growth: for each token-count checkpoint N,
     how many distinct unigrams / bigrams appear within the first N

@@ -110,6 +110,8 @@ def _check(contract, con, name):
         "distinct_kmv",
         "cms_heavy_hitters",
         "source_ks",
+        "term_burstiness",
+        "nextword_index",
         "head_dedup",
         "search_tiered_topk",
         "search_rescore",
