@@ -13814,6 +13814,151 @@ GROUP BY head, nxt ORDER BY head, nxt
 """
 
 
+REMAP_TOP_TERMS = 50
+
+
+def q_docid_remap(sf_dir: str):
+    """Docid-reassignment compression study (Silvestri ECIR'07): per
+    top-50-df term, the postings delta bit cost Σ bit_length(gap)
+    under the original docid order vs ids densely re-ranked by
+    (lang, source, doc_id) — similar docs adjacent ⇒ smaller gaps ⇒
+    fewer bits in every delta codec.  The permutation is a distributed
+    two-level scan and the measurement one hash join + one
+    ``groupby(term)`` reduce — see :mod:`stages.remap`."""
+    from ..stages.remap import gap_bits_study
+
+    docs = _documents(sf_dir, columns=("doc_id", "text", "lang", "source"))
+    return gap_bits_study(docs, top_terms=REMAP_TOP_TERMS)
+
+
+_SQL_DOCID_REMAP = f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+top AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term
+  ORDER BY df DESC, term LIMIT {REMAP_TOP_TERMS}
+),
+remap AS (
+  SELECT doc_id,
+         (row_number() OVER (ORDER BY lang, source, doc_id) - 1)::BIGINT
+           AS new_id
+  FROM documents
+),
+p AS (
+  SELECT t.term, t.df, pp.doc_id, r.new_id
+  FROM postings pp JOIN top t USING (term) JOIN remap r USING (doc_id)
+),
+ga AS (
+  SELECT term, df,
+         doc_id - lag(doc_id, 1, -1) OVER (PARTITION BY term ORDER BY doc_id)
+           AS g
+  FROM p
+),
+gb AS (
+  SELECT term, df,
+         new_id - lag(new_id, 1, -1) OVER (PARTITION BY term ORDER BY new_id)
+           AS g
+  FROM p
+)
+SELECT a.term, a.df,
+       a.bits AS bits_orig,
+       b.bits AS bits_remap
+FROM (SELECT term, df, sum(length(bin(g)))::BIGINT AS bits FROM ga GROUP BY 1, 2) a
+JOIN (SELECT term, df, sum(length(bin(g)))::BIGINT AS bits FROM gb GROUP BY 1, 2) b
+  USING (term, df)
+ORDER BY term
+"""
+
+
+PRUNE_MIN_DF = 5
+
+
+def q_index_prune(sf_dir: str):
+    """Static index pruning (Carmel et al., SIGIR'01: keep each term's
+    top postings by impact, serve the long tail from the full index):
+    per term with df ≥ 5, keep k = ⌈df/5⌉ postings by tf-descending
+    and report the kept collection frequency.  Scale-safe shape: the
+    per-doc rows never cross a per-term reduce — one map-side
+    ``groupby(term, tf)`` HISTOGRAM (distinct-tf-bounded, head-term
+    safe where a naive per-term sort of 10¹² postings is not), then a
+    tiny ``groupby(term)`` fold over histogram rows; the boundary tf
+    class contributes ``(k - n_above)·tf`` exactly, so no doc ids are
+    needed at all."""
+    from ray.data.aggregate import Count
+
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "tf": pc.cast(t.column("tf"), pa.int64()),
+            }
+        )
+
+    hist = (
+        postings.map_batches(hist_part, batch_format="pyarrow")
+        .groupby(["term", "tf"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        tf = g.column("tf").to_numpy().astype(np.int64)
+        n = g.column("n").to_numpy().astype(np.int64)
+        order = np.argsort(-tf)
+        tf, n = tf[order], n[order]
+        df = int(n.sum())
+        if df < PRUNE_MIN_DF:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "kept": pa.array([], pa.int64()),
+                    "cf_kept": pa.array([], pa.int64()),
+                }
+            )
+        k = (df + 4) // 5
+        cum = np.cumsum(n)
+        b = int(np.searchsorted(cum, k))  # boundary tf class index
+        above = int(cum[b - 1]) if b > 0 else 0
+        cf = int((tf[:b] * n[:b]).sum() + (k - above) * tf[b])
+        return pa.table(
+            {
+                "term": pa.array([g.column("term")[0].as_py()], pa.string()),
+                "df": pa.array([df], pa.int64()),
+                "kept": pa.array([k], pa.int64()),
+                "cf_kept": pa.array([cf], pa.int64()),
+            }
+        )
+
+    return hist.groupby("term").map_groups(fold, batch_format="pyarrow").sort("term")
+
+
+_SQL_INDEX_PRUNE = f"""
+WITH postings AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+rk AS (
+  SELECT term, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY term) AS df
+  FROM postings
+)
+SELECT term, df::BIGINT AS df, ((df + 4) // 5)::BIGINT AS kept,
+       sum(CASE WHEN rn <= (df + 4) // 5 THEN tf ELSE 0 END)::BIGINT AS cf_kept
+FROM rk WHERE df >= {PRUNE_MIN_DF}
+GROUP BY term, df ORDER BY term
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -13825,6 +13970,8 @@ QUERIES = {
     # --- round-5 additions ---
     "term_burstiness": q_term_burstiness,
     "nextword_index": q_nextword_index,
+    "docid_remap": q_docid_remap,
+    "index_prune": q_index_prune,
     "postings_roaring": q_postings_roaring,
     "champion_lists": q_champion_lists,
     "zipf_slope": q_zipf_slope,
@@ -14040,6 +14187,8 @@ QUERIES = {
 ORACLE_SQL = {
     "term_burstiness": _SQL_TERM_BURSTINESS,
     "nextword_index": _nextword_sql(),
+    "docid_remap": _SQL_DOCID_REMAP,
+    "index_prune": _SQL_INDEX_PRUNE,
     "postings_roaring": _SQL_POSTINGS_ROARING,
     "champion_lists": _SQL_CHAMPION_LISTS,
     "zipf_slope": _SQL_ZIPF_SLOPE,
@@ -14266,6 +14415,8 @@ ORACLE_SQL = {
 _R5_FRONT = [
     "term_burstiness",
     "nextword_index",
+    "docid_remap",
+    "index_prune",
     "winnow_pairs",
     "cms_heavy_hitters",
     "source_ks",

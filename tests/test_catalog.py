@@ -112,6 +112,8 @@ def _check(contract, con, name):
         "source_ks",
         "term_burstiness",
         "nextword_index",
+        "docid_remap",
+        "index_prune",
         "head_dedup",
         "search_tiered_topk",
         "search_rescore",

@@ -762,3 +762,65 @@ def test_bigram_pmi_semantics(ray_session):
     # exact integer replay: n_bg = 5 docs * 11 bigrams
     n_bg = 5 * 11
     assert ab.pmi_scaled == 1_000_000 * n_bg * int(ab.n) // (int(ab.c1) * int(ab.c2))
+
+
+def test_nextword_kernel_doc_boundaries():
+    """A head word at a document's END must not pair with the next
+    doc's first token; per-(doc, head, next) partial rows carry exact
+    within-doc pair counts."""
+    from goobi_viewer_indexer_ray.stages.text_ops import nextword_counts_batch
+
+    t = pa.Table.from_pylist(
+        [
+            {"doc_id": 1, "text": "hash join hash"},
+            {"doc_id": 2, "text": "sort hash"},
+            {"doc_id": 3, "text": ""},
+        ]
+    )
+    out = nextword_counts_batch(t, ["hash", "sort"]).to_pandas()
+    rows = {(r.head, r.nxt, r.doc_id): r.n for r in out.itertuples()}
+    # doc 1: 'hash join' once; trailing 'hash' pairs with NOTHING
+    assert rows == {("hash", "join", 1): 1, ("sort", "hash", 2): 1}
+
+
+def test_docid_rank_dense_permutation(ray_session):
+    """docid_rank is a dense 0..n-1 permutation ordered by
+    (lang, source, doc_id) — validated against a local sort."""
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.remap import docid_rank
+
+    rows = [
+        {"doc_id": i, "lang": ["de", "en"][i % 2], "source": f"s{i % 3}"}
+        for i in range(40)
+    ]
+    got = docid_rank(rd.from_items(rows)).to_pandas()
+    want = sorted(rows, key=lambda r: (r["lang"], r["source"], r["doc_id"]))
+    expect = {r["doc_id"]: i for i, r in enumerate(want)}
+    assert dict(zip(got.doc_id, got.new_id)) == expect
+    assert sorted(got.new_id) == list(range(40))
+
+
+def test_index_prune_boundary_classes(ray_session):
+    """cf_kept takes the boundary tf class exactly: with df=5 and tfs
+    [5,3,3,1,1], k=1 keeps only tf=5."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import q_index_prune
+
+    rows = [
+        {"doc_id": 0, "text": "w w w w w"},
+        {"doc_id": 1, "text": "w w w"},
+        {"doc_id": 2, "text": "w w w"},
+        {"doc_id": 3, "text": "w"},
+        {"doc_id": 4, "text": "w"},
+    ]
+    t = pa.Table.from_pylist(rows)
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = q_index_prune(d).to_pandas()
+    r = out[out.term == "w"].iloc[0]
+    assert (r.df, r.kept, r.cf_kept) == (5, 1, 5)
