@@ -13959,6 +13959,217 @@ GROUP BY term, df ORDER BY term
 """
 
 
+def q_query_clarity(sf_dir: str):
+    """Query-performance prediction: the Cronen-Townsend CLARITY score
+    (SIGIR'02) — KL divergence between the top-10 result set's language
+    model and the collection LM; low clarity predicts a poorly-focused
+    query.  Integer-exact transposition: per query,
+    ``clarity_sum = Σ_w tfR(w) · round(1e6·log2(tfR(w)·T / (lenR·cf(w))))``
+    (every ratio rational, so the single rounding step is safe — the
+    :mod:`stages.lm` argument).  Shape: top-10 ids ride the driver
+    (bounded k·|Q|), ONE broadcast-filtered pass collects result-set
+    term counts, ONE vocab-filtered pass collects the needed collection
+    frequencies, one light pass sums T; the final fold touches only the
+    tiny (query, term) table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.postings import TokenizePostings
+
+    top = documents_bm25_topk(sf_dir)
+    qids = top.column("query_id").to_numpy()
+    dids = top.column("doc_id").to_numpy()
+    doc2q: dict[int, list[int]] = {}
+    for qd, dd in zip(qids, dids):
+        doc2q.setdefault(int(dd), []).append(int(qd))
+    ref = ray.put(doc2q)
+
+    ds = _documents(sf_dir)
+    postings = ds.map_batches(TokenizePostings(num_shards=1),
+                              batch_format="pyarrow")
+
+    def expand(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        d = t.column("doc_id").to_numpy()
+        member = np.array([x in m for x in d], dtype=bool)
+        t2 = t.filter(pa.array(member))
+        d2 = t2.column("doc_id").to_numpy()
+        reps = np.array([len(m[int(x)]) for x in d2], dtype=np.int64)
+        idx = np.repeat(np.arange(len(d2)), reps)
+        qs = np.concatenate([m[int(x)] for x in d2]) if len(d2) else np.array([], np.int64)
+        t3 = t2.take(pa.array(idx))
+        return pa.table(
+            {
+                "query_id": pa.array(qs.astype(np.int64), pa.int64()),
+                "term": t3.column("term"),
+                "tf": pc.cast(t3.column("tf"), pa.int64()),
+            }
+        )
+
+    rtf_tbl = pa.concat_tables(
+        postings.map_batches(expand, batch_format="pyarrow")
+        .groupby(["query_id", "term"])
+        .aggregate(Sum("tf", alias_name="tfr"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    r_terms = sorted(set(rtf_tbl.column("term").to_pylist()))
+    terms_ref = ray.put(r_terms)
+
+    def cf_part(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("term"), value_set=pa.array(ray.get(terms_ref), pa.string())
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {"term": t.column("term"), "tf": pc.cast(t.column("tf"), pa.int64())}
+        )
+
+    cf_tbl = pa.concat_tables(
+        postings.map_batches(cf_part, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="cf"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    big_t = int(
+        ds.map_batches(text_ops.token_count_batch, batch_format="pyarrow")
+        .sum("n_tokens")
+    )
+
+    cf_of = dict(zip(cf_tbl.column("term").to_pylist(),
+                     cf_tbl.column("cf").to_numpy()))
+    qv = rtf_tbl.column("query_id").to_numpy()
+    tv = rtf_tbl.column("term").to_pylist()
+    fv = rtf_tbl.column("tfr").to_numpy().astype(np.int64)
+    len_r: dict[int, int] = {}
+    n_docs: dict[int, int] = {}
+    for qd in qids:
+        n_docs[int(qd)] = n_docs.get(int(qd), 0) + 1
+    for qd, f in zip(qv, fv):
+        len_r[int(qd)] = len_r.get(int(qd), 0) + int(f)
+    out: dict[int, int] = {}
+    for qd, tm, f in zip(qv, tv, fv):
+        contrib = int(
+            np.round(
+                np.log2((int(f) * big_t) / (len_r[int(qd)] * int(cf_of[tm])))
+                * 1_000_000
+            )
+        )
+        out[int(qd)] = out.get(int(qd), 0) + int(f) * contrib
+    ks = sorted(out)
+    return pa.table(
+        {
+            "query_id": pa.array(ks, pa.int64()),
+            "n_docs": pa.array([n_docs[k] for k in ks], pa.int64()),
+            "len_r": pa.array([len_r[k] for k in ks], pa.int64()),
+            "clarity_sum": pa.array([out[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def _clarity_sql() -> str:
+    return f"""
+WITH ranked10 AS (
+  SELECT query_id, doc_id FROM ({_bm25_sql().strip()})
+),
+rtf AS (
+  SELECT r.query_id, x.t AS term, count(*)::BIGINT AS tfr
+  FROM ranked10 r
+  JOIN (SELECT doc_id, unnest({_TOKS}) AS t FROM documents) x
+    USING (doc_id)
+  GROUP BY 1, 2
+),
+lenr AS (SELECT query_id, sum(tfr)::BIGINT AS len_r FROM rtf GROUP BY 1),
+nd AS (SELECT query_id, count(*)::BIGINT AS n_docs FROM ranked10 GROUP BY 1),
+cf AS (
+  SELECT t AS term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::BIGINT AS t
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+)
+SELECT rtf.query_id, nd.n_docs, lenr.len_r,
+       sum(rtf.tfr
+           * round(log2((rtf.tfr::DOUBLE * tot.t)
+                        / (lenr.len_r::DOUBLE * cf.cf)) * 1000000)
+          )::BIGINT AS clarity_sum
+FROM rtf
+JOIN lenr USING (query_id) JOIN nd USING (query_id)
+JOIN cf USING (term) CROSS JOIN tot
+GROUP BY 1, 2, 3 ORDER BY query_id
+"""
+
+
+def q_ranker_agreement(sf_dir: str):
+    """Inter-ranker agreement audit (the eval-harness companion to
+    ``ranking_eval``): per query, how much the BM25 and the classic
+    TF-IDF top-10 agree — overlap size, Spearman FOOTRULE Σ|rankΔ| on
+    the intersection, and exact Kendall concordant/discordant pair
+    counts.  Both rankings are bounded k·|Q| tables, so the fold is
+    driver-side integer arithmetic on ≤ 200 rows — no extra corpus
+    pass at all."""
+    a = documents_bm25_topk(sf_dir).to_pandas()
+    b = q_tfidf_topk(sf_dir).to_pandas()
+    j = a.merge(b, on=["query_id", "doc_id"], suffixes=("_a", "_b"))
+    rows = []
+    for qid, g in j.groupby("query_id", sort=True):
+        ra = g["rank_a"].to_numpy(np.int64)
+        rb = g["rank_b"].to_numpy(np.int64)
+        n = len(g)
+        foot = int(np.abs(ra - rb).sum())
+        conc = disc = 0
+        if n >= 2:
+            da = ra[:, None] - ra[None, :]
+            db = rb[:, None] - rb[None, :]
+            upper = np.triu(np.ones((n, n), dtype=bool), 1)
+            prod = (da * db)[upper]
+            conc = int((prod > 0).sum())
+            disc = int((prod < 0).sum())
+        rows.append((int(qid), n, foot, conc, disc))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_common": pa.array([r[1] for r in rows], pa.int64()),
+            "footrule": pa.array([r[2] for r in rows], pa.int64()),
+            "concordant": pa.array([r[3] for r in rows], pa.int64()),
+            "discordant": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _ranker_agreement_sql() -> str:
+    return f"""
+WITH a AS (
+  SELECT query_id, doc_id, rank AS ra FROM ({_bm25_sql().strip()})
+),
+b AS (
+  SELECT query_id, doc_id, rank AS rb FROM ({_tfidf_sql().strip()})
+),
+j AS (
+  SELECT a.query_id, a.doc_id, a.ra, b.rb
+  FROM a JOIN b USING (query_id, doc_id)
+),
+base AS (
+  SELECT query_id, count(*)::BIGINT AS n_common,
+         sum(abs(ra - rb))::BIGINT AS footrule
+  FROM j GROUP BY 1
+),
+pairs AS (
+  SELECT x.query_id,
+         sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+         sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0 THEN 1 ELSE 0 END)::BIGINT AS discordant
+  FROM j x JOIN j y
+    ON x.query_id = y.query_id AND x.doc_id < y.doc_id
+  GROUP BY 1
+)
+SELECT base.query_id, base.n_common, base.footrule,
+       coalesce(pairs.concordant, 0)::BIGINT AS concordant,
+       coalesce(pairs.discordant, 0)::BIGINT AS discordant
+FROM base LEFT JOIN pairs USING (query_id)
+ORDER BY query_id
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -13972,6 +14183,8 @@ QUERIES = {
     "nextword_index": q_nextword_index,
     "docid_remap": q_docid_remap,
     "index_prune": q_index_prune,
+    "query_clarity": q_query_clarity,
+    "ranker_agreement": q_ranker_agreement,
     "postings_roaring": q_postings_roaring,
     "champion_lists": q_champion_lists,
     "zipf_slope": q_zipf_slope,
@@ -14189,6 +14402,8 @@ ORACLE_SQL = {
     "nextword_index": _nextword_sql(),
     "docid_remap": _SQL_DOCID_REMAP,
     "index_prune": _SQL_INDEX_PRUNE,
+    "query_clarity": _clarity_sql(),
+    "ranker_agreement": _ranker_agreement_sql(),
     "postings_roaring": _SQL_POSTINGS_ROARING,
     "champion_lists": _SQL_CHAMPION_LISTS,
     "zipf_slope": _SQL_ZIPF_SLOPE,
@@ -14417,6 +14632,8 @@ _R5_FRONT = [
     "nextword_index",
     "docid_remap",
     "index_prune",
+    "query_clarity",
+    "ranker_agreement",
     "winnow_pairs",
     "cms_heavy_hitters",
     "source_ks",

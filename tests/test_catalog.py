@@ -114,6 +114,8 @@ def _check(contract, con, name):
         "nextword_index",
         "docid_remap",
         "index_prune",
+        "query_clarity",
+        "ranker_agreement",
         "head_dedup",
         "search_tiered_topk",
         "search_rescore",
