@@ -14170,6 +14170,51 @@ ORDER BY query_id
 """
 
 
+MAXSCORE_SLACK = 16  # raw-rank buffer above the published top-10
+
+
+def q_bm25_maxscore(sf_dir: str):
+    """BM25 top-10 answered by the MAXSCORE dynamic-pruning scorer
+    (Turtle & Flood 1995 — the second classic pruning family beside
+    block-max WAND; Lucene ships both): terms split into essential /
+    non-essential by upper bound, unvisited-suffix stop, cold terms
+    decoded block-selectively.  Self-audit IN the entry: the raw
+    top-16 (docs AND float64 scores) must be bit-identical to the
+    exhaustive scorer before anything is published — the same
+    exhaustive-agreement contract as ``search_tiered_topk``; the
+    published ranking then follows the engine-wide (round(score,4)
+    desc, doc_id) protocol so the exhaustive SQL oracle re-verifies it
+    end-to-end."""
+    from .query import LocalIndex, topk_exact, topk_maxscore
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    rows_q, rows_d, rows_s, rows_r = [], [], [], []
+    for q in DOC_QUERIES:
+        d_m, s_m = topk_maxscore(idx, q["query"], MAXSCORE_SLACK)
+        d_e, s_e = topk_exact(idx, q["query"], MAXSCORE_SLACK)
+        if d_m.tolist() != d_e.tolist() or s_m.tolist() != s_e.tolist():
+            raise AssertionError(
+                f"maxscore != exact for query {q['query_id']}"
+            )
+        if d_m.size == 0:
+            continue
+        s_r = np.round(s_m, 4)
+        order = np.lexsort((d_m, -s_r))[:10]
+        for r, i in enumerate(order, 1):
+            rows_q.append(q["query_id"])
+            rows_d.append(int(d_m[i]))
+            rows_s.append(float(s_r[i]))
+            rows_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "score_r": pa.array(rows_s, pa.float64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -14185,6 +14230,7 @@ QUERIES = {
     "index_prune": q_index_prune,
     "query_clarity": q_query_clarity,
     "ranker_agreement": q_ranker_agreement,
+    "bm25_maxscore": q_bm25_maxscore,
     "postings_roaring": q_postings_roaring,
     "champion_lists": q_champion_lists,
     "zipf_slope": q_zipf_slope,
@@ -14404,6 +14450,7 @@ ORACLE_SQL = {
     "index_prune": _SQL_INDEX_PRUNE,
     "query_clarity": _clarity_sql(),
     "ranker_agreement": _ranker_agreement_sql(),
+    "bm25_maxscore": _bm25_sql(),
     "postings_roaring": _SQL_POSTINGS_ROARING,
     "champion_lists": _SQL_CHAMPION_LISTS,
     "zipf_slope": _SQL_ZIPF_SLOPE,
@@ -14634,6 +14681,7 @@ _R5_FRONT = [
     "index_prune",
     "query_clarity",
     "ranker_agreement",
+    "bm25_maxscore",
     "winnow_pairs",
     "cms_heavy_hitters",
     "source_ks",

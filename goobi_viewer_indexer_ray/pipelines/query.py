@@ -618,6 +618,105 @@ def topk_wand(index: LocalIndex, query: str, k: int):
     return _rank_topk(d_all, s_all, k)
 
 
+def _impacts_for(ref: TermRef, docs: np.ndarray, avgdl: float):
+    """Block-selective lookup: decode only the blocks the candidate
+    ``docs`` can land in (same ``decode_blocks`` path WAND uses) and
+    return (docs, impact) for those blocks."""
+    first, bmax, _mt, _md = ref.block_meta()
+    j = np.searchsorted(bmax, docs)  # first block whose max ≥ d
+    ok = j < bmax.size
+    jj = np.minimum(j, bmax.size - 1)
+    ok &= first[jj] <= docs
+    sel = np.unique(j[ok])
+    if sel.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    d, t, dl = ref.decode_blocks(sel)
+    return d, impact(t, dl, avgdl)
+
+
+def topk_maxscore(index: LocalIndex, query: str, k: int):
+    """MaxScore dynamic pruning (Turtle & Flood, IPM 1995), set-at-a-
+    time: terms are visited in DESCENDING upper-bound order (term ub =
+    max block-max impact — no postings decode to compute); each visit
+    decodes that term and exactly scores its not-yet-seen docs,
+    gathering every OTHER term's contribution by binary search — cold
+    (not-yet-visited) terms decode only the blocks those candidates
+    land in.  After each term, if the unvisited suffix's ub sum falls
+    STRICTLY below the kth score, no unseen doc can reach the top-k
+    (unseen ⇒ it appears only in unvisited terms ⇒ score ≤ suffix ub)
+    and iteration stops: the tail terms are never fully decoded — the
+    essential/non-essential split that defines MaxScore.
+
+    Exactness: candidate scores accumulate in ascending-term
+    association order with the same per-(term, doc) float contribution
+    as :func:`topk_exact`, so the returned (docs, scores) are
+    bit-identical to it (θ-pruning is strict, preserving θ-ties for
+    the doc_id tie-break).
+    """
+    terms = _query_terms(index, query)
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    if len(terms) == 1:
+        return _topk_single_term(index, terms[0][0], terms[0][1], k)
+
+    n = len(terms)
+    ubs = np.empty(n, np.float64)
+    for i, (w, ref) in enumerate(terms):
+        _f, _m, max_tf, min_dl = ref.block_meta()
+        ubs[i] = w * float(np.max(impact(max_tf, min_dl, index.avgdl)))
+    order = np.argsort(-ubs, kind="stable")
+    suf = np.concatenate([np.cumsum(ubs[order][::-1])[::-1], [0.0]])
+
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    cand_d: list[np.ndarray] = []
+    cand_s: list[np.ndarray] = []
+    seen = np.empty(0, np.int64)
+    theta = -np.inf
+    n_scored = 0
+
+    for pos in range(n):
+        if n_scored >= k and suf[pos] < theta:
+            break
+        oi = int(order[pos])
+        w, ref = terms[oi]
+        docs, imp = ref.impacts(index.avgdl)
+        decoded[oi] = (docs, imp)
+        new = docs[~np.isin(docs, seen, assume_unique=True)] if seen.size else docs
+        if new.size == 0:
+            continue
+        doc_parts, contrib_parts = [], []
+        for ti in range(n):  # ascending term order = association order
+            wt, rt = terms[ti]
+            if ti in decoded:
+                d_t, i_t = decoded[ti]
+            else:
+                d_t, i_t = _impacts_for(rt, new, index.avgdl)
+            if d_t.size == 0:
+                continue
+            at = np.searchsorted(d_t, new)
+            ok = at < d_t.size
+            att = np.minimum(at, d_t.size - 1)
+            ok &= d_t[att] == new
+            doc_parts.append(new[ok])
+            contrib_parts.append(wt * i_t[att[ok]])
+        all_docs = np.concatenate(doc_parts)
+        all_contrib = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.zeros(uniq.size, np.float64)
+        np.add.at(scores, inv, all_contrib)
+        cand_d.append(uniq)
+        cand_s.append(scores)
+        n_scored += uniq.size
+        seen = np.union1d(seen, uniq)
+        if n_scored >= k:
+            s_all = np.concatenate(cand_s) if len(cand_s) > 1 else cand_s[0]
+            theta = np.partition(s_all, s_all.size - k)[s_all.size - k]
+
+    if not cand_d:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    return _rank_topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
+
+
 class SearchEngine:
     """Actor-pool query scorer: ``map_batches(SearchEngine, concurrency=N)``.
 

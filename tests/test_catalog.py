@@ -116,6 +116,7 @@ def _check(contract, con, name):
         "index_prune",
         "query_clarity",
         "ranker_agreement",
+        "bm25_maxscore",
         "head_dedup",
         "search_tiered_topk",
         "search_rescore",

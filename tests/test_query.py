@@ -135,3 +135,26 @@ def test_search_service_shutdown_releases_actors(ray_session, tiny_build):
     assert res.num_rows > 0
     svc.shutdown()
     assert svc.actors == []
+
+
+def test_maxscore_equals_exact(index):
+    """MaxScore (essential/non-essential term split) must be
+    bit-identical to the exhaustive scorer at every k — including k
+    small enough that the suffix-ub stop actually fires."""
+    from goobi_viewer_indexer_ray.pipelines.query import topk_exact, topk_maxscore
+
+    for q in REFERENCE_QUERIES:
+        for k in (1, 3, 10, 100):
+            d_e, s_e = topk_exact(index, q["query"], k)
+            d_m, s_m = topk_maxscore(index, q["query"], k)
+            assert d_e.tolist() == d_m.tolist(), (q, k)
+            assert s_e.tolist() == s_m.tolist(), (q, k)
+
+
+def test_maxscore_absent_and_empty(index):
+    from goobi_viewer_indexer_ray.pipelines.query import topk_maxscore
+
+    d, s = topk_maxscore(index, "zzzneverseen qqqabsent", 10)
+    assert d.size == 0 and s.size == 0
+    d, s = topk_maxscore(index, "", 10)
+    assert d.size == 0
