@@ -199,9 +199,13 @@ def _bm25_sql() -> str:
     )
 
 
-def _bm25_sql_for(pairs: list[tuple[int, list[str]]]) -> str:
+def _bm25_sql_for(pairs: list[tuple[int, list[str]]],
+                  where_doc: str = "") -> str:
     """The BM25 oracle template over an explicit ``(query_id, terms)``
-    list — shared by the plain and synonym-expanded entries."""
+    list — shared by the plain and synonym-expanded entries.
+    ``where_doc``: optional SQL predicate over ``doc_id`` applied to
+    the scored rows BEFORE ranking (fq= semantics: candidates pruned,
+    statistics untouched)."""
     values = []
     for qid, terms in pairs:
         for t in terms:
@@ -232,7 +236,7 @@ ranked AS (
   SELECT query_id, doc_id, round(score, 4) AS score_r,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 4) DESC, doc_id) AS rank
-  FROM scored
+  FROM scored{(" WHERE " + where_doc) if where_doc else ""}
 )
 SELECT query_id::BIGINT AS query_id, doc_id, score_r, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 10
@@ -14215,6 +14219,164 @@ def q_bm25_maxscore(sf_dir: str):
     )
 
 
+FQ_LANG = "en"
+
+
+def q_search_fq(sf_dir: str):
+    """Filter query (Solr ``fq=`` — what the reference's viewer sends
+    with EVERY search: ACCESSCONDITION and collection filters,
+    ``SolrSearchIndex.java:175`` callers): BM25 top-10 restricted to
+    ``lang = 'en'`` documents with CORPUS-GLOBAL statistics (fq prunes
+    candidates, never idf/avgdl).  Engine:
+    :func:`pipelines.query.topk_exact_filtered` intersects each term's
+    postings with the sorted allowed-id array before accumulation —
+    at cluster scale that array is one bitmap per doc-range segment;
+    the driver-side id array here is the single-node equivalent and is
+    itself produced by a pruned two-column read."""
+    from .query import LocalIndex, topk_exact_filtered
+
+    docs = _documents(sf_dir, columns=("doc_id", "lang"))
+
+    def only_allowed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("lang"), FQ_LANG))
+        return t.select(["doc_id"])
+
+    allowed = np.sort(
+        pa.concat_tables(
+            docs.map_batches(only_allowed, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        .column("doc_id")
+        .to_numpy()
+    )
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    rows_q, rows_d, rows_s, rows_r = [], [], [], []
+    for q in DOC_QUERIES:
+        d, s = topk_exact_filtered(idx, q["query"], allowed, idx.n_docs)
+        if d.size == 0:
+            continue
+        s_r = np.round(s, 4)
+        order = np.lexsort((d, -s_r))[:10]
+        for r, i in enumerate(order, 1):
+            rows_q.append(q["query_id"])
+            rows_d.append(int(d[i]))
+            rows_s.append(float(s_r[i]))
+            rows_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "score_r": pa.array(rows_s, pa.float64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
+def _search_fq_sql() -> str:
+    return _bm25_sql_for(
+        [(q["query_id"], sorted(set(tokenize(q["query"])))) for q in DOC_QUERIES],
+        where_doc=(
+            f"doc_id IN (SELECT doc_id FROM documents WHERE lang = '{FQ_LANG}')"
+        ),
+    )
+
+
+def q_phrase_selectivity(sf_dir: str):
+    """Phrase cardinality estimation audit (the query-planner signal a
+    positional engine uses to decide next-word-index vs positional
+    intersection): for every observed (head, next) pair over the
+    next-word heads, the INDEPENDENCE estimate
+    ``est_milli = ⌊1000·df_head·df_nxt / N⌋`` vs the ACTUAL phrase
+    document frequency — adjacency correlates terms, so actual ≫ est
+    flags collocations where the estimator breaks.  One extra
+    vocab-bounded df pull beside the nextword partials; all integer."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.postings import TokenizePostings
+
+    ds = _documents(sf_dir)
+    n_docs = ds.count()
+    parts = ds.map_batches(
+        lambda t: text_ops.nextword_counts_batch(t, NEXTWORD_HEADS),
+        batch_format="pyarrow",
+    )
+    pair_tbl = pa.concat_tables(
+        parts.groupby(["head", "nxt"])
+        .aggregate(Count(alias_name="actual_docs"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    need = sorted(
+        set(pair_tbl.column("head").to_pylist())
+        | set(pair_tbl.column("nxt").to_pylist())
+    )
+    need_ref = ray.put(need)
+
+    def only_need(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t.column("term"),
+                     value_set=pa.array(ray.get(need_ref), pa.string()))
+        )
+
+    df_tbl = pa.concat_tables(
+        ds.map_batches(TokenizePostings(num_shards=1), batch_format="pyarrow")
+        .map_batches(only_need, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    df_of = dict(zip(df_tbl.column("term").to_pylist(),
+                     df_tbl.column("df").to_numpy()))
+    heads = pair_tbl.column("head").to_pylist()
+    nxts = pair_tbl.column("nxt").to_pylist()
+    actual = pair_tbl.column("actual_docs").to_numpy().astype(np.int64)
+    dfh = np.array([int(df_of[h]) for h in heads], np.int64)
+    dfn = np.array([int(df_of[x]) for x in nxts], np.int64)
+    est = dfh * dfn * 1000 // n_docs
+    out = pa.table(
+        {
+            "head": pa.array(heads, pa.string()),
+            "nxt": pa.array(nxts, pa.string()),
+            "df_head": pa.array(dfh, pa.int64()),
+            "df_nxt": pa.array(dfn, pa.int64()),
+            "est_milli": pa.array(est, pa.int64()),
+            "actual_docs": pa.array(actual, pa.int64()),
+        }
+    )
+    return out.sort_by([("head", "ascending"), ("nxt", "ascending")])
+
+
+def _phrase_selectivity_sql() -> str:
+    heads = ", ".join(f"'{h}'" for h in sorted(NEXTWORD_HEADS))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+bg AS (
+  SELECT doc_id, ts[i] AS head, ts[i + 1] AS nxt
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2)
+),
+pairs AS (
+  SELECT head, nxt, count(DISTINCT doc_id)::BIGINT AS actual_docs
+  FROM bg WHERE head IN ({heads}) GROUP BY 1, 2
+),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, t AS term
+        FROM (SELECT doc_id, unnest(ts) AS t FROM toks))
+  GROUP BY term
+)
+SELECT p.head, p.nxt, h.df AS df_head, x.df AS df_nxt,
+       ((h.df * x.df * 1000) // n.nd)::BIGINT AS est_milli,
+       p.actual_docs
+FROM pairs p
+JOIN dfs h ON h.term = p.head
+JOIN dfs x ON x.term = p.nxt
+CROSS JOIN n
+ORDER BY p.head, p.nxt
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -14231,6 +14393,8 @@ QUERIES = {
     "query_clarity": q_query_clarity,
     "ranker_agreement": q_ranker_agreement,
     "bm25_maxscore": q_bm25_maxscore,
+    "search_fq": q_search_fq,
+    "phrase_selectivity": q_phrase_selectivity,
     "postings_roaring": q_postings_roaring,
     "champion_lists": q_champion_lists,
     "zipf_slope": q_zipf_slope,
@@ -14451,6 +14615,8 @@ ORACLE_SQL = {
     "query_clarity": _clarity_sql(),
     "ranker_agreement": _ranker_agreement_sql(),
     "bm25_maxscore": _bm25_sql(),
+    "search_fq": _search_fq_sql(),
+    "phrase_selectivity": _phrase_selectivity_sql(),
     "postings_roaring": _SQL_POSTINGS_ROARING,
     "champion_lists": _SQL_CHAMPION_LISTS,
     "zipf_slope": _SQL_ZIPF_SLOPE,
@@ -14682,6 +14848,8 @@ _R5_FRONT = [
     "query_clarity",
     "ranker_agreement",
     "bm25_maxscore",
+    "search_fq",
+    "phrase_selectivity",
     "winnow_pairs",
     "cms_heavy_hitters",
     "source_ks",

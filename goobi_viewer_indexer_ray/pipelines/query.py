@@ -618,6 +618,42 @@ def topk_wand(index: LocalIndex, query: str, k: int):
     return _rank_topk(d_all, s_all, k)
 
 
+def topk_exact_filtered(index: LocalIndex, query: str,
+                        allowed: np.ndarray, k: int):
+    """Exact BM25 restricted to an ALLOWED doc set — the Solr ``fq=``
+    filter query the reference's viewer issues on every search
+    (ACCESSCONDITION / collection filters, ``SolrSearchIndex.search``
+    callers pass fq lists).  Semantics: the filter prunes CANDIDATES,
+    never statistics — idf/avgdl stay corpus-global — so each term's
+    postings are intersected with the sorted allowed array BEFORE
+    accumulation (filter-then-score, the filterCache order) and the
+    association order is unchanged: surviving docs score bit-identical
+    to :func:`topk_exact`.  At cluster scale the allowed set lives as
+    one bitmap per doc-range segment (the index is doc-range
+    bucketed), each shard probing only its slice; the sorted-id array
+    is the single-node equivalent."""
+    terms = _query_terms(index, query)
+    if not terms or allowed.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    doc_parts, contrib_parts = [], []
+    for w, ref in terms:
+        docs, imp = ref.impacts(index.avgdl)
+        j = np.searchsorted(allowed, docs)
+        ok = j < allowed.size
+        jj = np.minimum(j, allowed.size - 1)
+        ok &= allowed[jj] == docs
+        doc_parts.append(docs[ok])
+        contrib_parts.append(w * imp[ok])
+    all_docs = np.concatenate(doc_parts)
+    if all_docs.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    all_contrib = np.concatenate(contrib_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(uniq.size, np.float64)
+    np.add.at(scores, inv, all_contrib)
+    return _rank_topk(uniq, scores, k)
+
+
 def _impacts_for(ref: TermRef, docs: np.ndarray, avgdl: float):
     """Block-selective lookup: decode only the blocks the candidate
     ``docs`` can land in (same ``decode_blocks`` path WAND uses) and

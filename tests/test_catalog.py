@@ -117,6 +117,8 @@ def _check(contract, con, name):
         "query_clarity",
         "ranker_agreement",
         "bm25_maxscore",
+        "search_fq",
+        "phrase_selectivity",
         "head_dedup",
         "search_tiered_topk",
         "search_rescore",

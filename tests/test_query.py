@@ -158,3 +158,26 @@ def test_maxscore_absent_and_empty(index):
     assert d.size == 0 and s.size == 0
     d, s = topk_maxscore(index, "", 10)
     assert d.size == 0
+
+
+def test_filtered_equals_exact_on_allowed_subset(index):
+    """fq semantics: the filtered scorer returns exactly the exact
+    scorer's ranking restricted to the allowed set, with the SAME
+    (corpus-global) scores for surviving docs."""
+    from goobi_viewer_indexer_ray.pipelines.query import (
+        topk_exact,
+        topk_exact_filtered,
+    )
+
+    d_all, s_all = topk_exact(index, "baba beba", 10_000)
+    allowed = np.sort(d_all[::2])  # every other hit
+    d_f, s_f = topk_exact_filtered(index, "baba beba", allowed, 10_000)
+    keep = np.isin(d_all, allowed)
+    want = sorted(zip(d_all[keep], s_all[keep]),
+                  key=lambda t: (-t[1], t[0]))
+    assert [(int(a), float(b)) for a, b in zip(d_f, s_f)] == [
+        (int(a), float(b)) for a, b in want
+    ]
+    # empty allowed set -> no hits
+    d0, s0 = topk_exact_filtered(index, "baba", np.empty(0, np.int64), 10)
+    assert d0.size == 0
