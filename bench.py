@@ -339,6 +339,9 @@ def run_bench() -> dict:
         "lang_source_chi2",
         "stupid_backoff",
         "postings_impacts",
+        "federated_topk",
+        "search_dismax",
+        "search_boost_fn",
     ]
     if catalog_names:
         shutil.rmtree("/tmp/gvi_catalog", ignore_errors=True)

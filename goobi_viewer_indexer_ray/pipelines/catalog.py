@@ -14377,6 +14377,317 @@ ORDER BY p.head, p.nxt
 """
 
 
+def q_federated_topk(sf_dir: str):
+    """Distributed-IDF federated BM25 — the oracle-gated claim that the
+    two-phase DF-exchange protocol (``pipelines/federated.py``: phase 1
+    each doc-range member reports local df, coordinator folds GLOBAL
+    idf; phase 2 members score with identical coordinator weights) is
+    rank- and score-identical to the single-index engine, i.e. to the
+    same DuckDB oracle ``bm25_topk`` passes against.  Stock per-shard-
+    idf federation fails this — only exact global stats do (the Solr
+    ``distrib=true`` global-IDF contract the viewer relies on across
+    shards; reference delegates to one Solr core,
+    ``helper/SolrSearchIndex.java``).
+
+    Scale shape: phase 1 moves O(members·terms) integers, phase 2
+    scatter is O(terms) floats per member and the gather is k rows per
+    member — coordinator traffic is independent of corpus size."""
+    from .federated import FederatedSearch
+
+    out = ensure_documents_index(sf_dir)
+    fed = FederatedSearch(out, n_members=4)
+    try:
+        n_docs = int(fed.stats["n_docs"])
+        rows_q, rows_d, rows_s, rows_r = [], [], [], []
+        for q in DOC_QUERIES:
+            d, s = fed.topk(q["query"], k=n_docs)  # full merged ranking
+            if d.size == 0:
+                continue
+            s_r = np.round(s, 4)
+            order = np.lexsort((d, -s_r))[:10]
+            for r, i in enumerate(order, 1):
+                rows_q.append(q["query_id"])
+                rows_d.append(int(d[i]))
+                rows_s.append(float(s_r[i]))
+                rows_r.append(r)
+    finally:
+        fed.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "score_r": pa.array(rows_s, pa.float64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
+# DisMax: Lucene DisjunctionMaxQuery over the two derived fields the
+# BM25F entry defines (title = first DM_TITLE_LEN tokens, body = rest)
+# — but unlike BM25F (weighted tf folded BEFORE saturation) DisMax
+# scores each FIELD as an independent BM25 subquery (field-local df,
+# dl, avgdl) and combines per doc as max + tie·(sum − max).  tie=0 is
+# pure max, tie=1 is SUM — Solr's dismax/edismax default deployment
+# uses a small tie.
+DM_TITLE_LEN = 8
+DM_TIE = 0.3
+
+
+def q_search_dismax(sf_dir: str):
+    """Solr dismax query parser parity (``defType=dismax``,
+    ``qf=title body``, ``tie=0.3`` — DisjunctionMaxQuery semantics;
+    the viewer's edismax search handler sits on exactly this scorer).
+
+    Engine path: ONE positional-postings pull per query term — title
+    tf is the count of within-doc positions < DM_TITLE_LEN (no second
+    corpus pass, the positional index already carries the split), dl
+    splits as min(dl, L)/(dl − min(dl, L)); field avgdl comes from a
+    two-integer corpus aggregate.  Per-field accumulation runs in
+    ascending term order (the spec's fixed association order);
+    ranking by (round(score,4) desc, doc_id)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .query import LocalIndex
+
+    idx = LocalIndex(ensure_documents_index_pos(sf_dir))
+    n_docs = idx.n_docs
+
+    def dl_split(t: pa.Table) -> pa.Table:
+        tb = text_ops.token_count_batch(t)
+        n = tb.column("n_tokens")
+        dl_t = pc.min_element_wise(n, DM_TITLE_LEN)
+        return pa.table({"dl_t": dl_t, "dl_b": pc.subtract(n, dl_t)})
+
+    agg = (
+        _documents(sf_dir)
+        .map_batches(dl_split, batch_format="pyarrow")
+        .aggregate(Count(), Sum("dl_t", alias_name="st"),
+                   Sum("dl_b", alias_name="sb"))
+    )
+    avgdl_t = float(agg["st"]) / n_docs
+    avgdl_b = float(agg["sb"]) / n_docs if agg["sb"] else 1.0
+
+    from ..functions.scoring import idf as _idf, impact as _impact
+
+    rows_q, rows_d, rows_s, rows_r = [], [], [], []
+    for q in DOC_QUERIES:
+        terms = sorted(set(tokenize(q["query"])))
+        doc_parts, ct_parts, cb_parts = [], [], []
+        for t in terms:
+            ref = idx.lookup(t)
+            if ref is None:
+                continue
+            docs, tfs, dls = ref.decode_all()
+            _, _, pos, starts = ref.positions_all()
+            # per-posting title tf: occurrences at positions < L
+            hits = (pos < DM_TITLE_LEN).astype(np.int64)
+            tf_t = np.add.reduceat(hits, starts) if hits.size else hits
+            tf_b = tfs - tf_t
+            dl_t = np.minimum(dls, DM_TITLE_LEN)
+            dl_b = dls - dl_t
+            df_t = int((tf_t > 0).sum())
+            df_b = int((tf_b > 0).sum())
+            c_t = (_idf(n_docs, df_t) * _impact(tf_t, dl_t, avgdl_t)
+                   if df_t else np.zeros(docs.size))
+            c_b = (_idf(n_docs, df_b) * _impact(tf_b, dl_b, avgdl_b)
+                   if df_b else np.zeros(docs.size))
+            doc_parts.append(docs)
+            ct_parts.append(c_t)
+            cb_parts.append(c_b)
+        if not doc_parts:
+            continue
+        all_docs = np.concatenate(doc_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        st = np.zeros(uniq.size)
+        sb = np.zeros(uniq.size)
+        np.add.at(st, inv, np.concatenate(ct_parts))
+        np.add.at(sb, inv, np.concatenate(cb_parts))
+        mx = np.maximum(st, sb)
+        score = (1.0 - DM_TIE) * mx + DM_TIE * (st + sb)
+        s_r = np.round(score, 4)
+        order = np.lexsort((uniq, -s_r))[:10]
+        for r, i in enumerate(order, 1):
+            rows_q.append(q["query_id"])
+            rows_d.append(int(uniq[i]))
+            rows_s.append(float(s_r[i]))
+            rows_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "score_r": pa.array(rows_s, pa.float64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
+def _search_dismax_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    L = DM_TITLE_LEN
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+fields AS (
+  SELECT doc_id, ts[1:{L}] AS tts, ts[{L + 1}:len(ts)] AS bts FROM toks
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(len(tts))::DOUBLE / count(*) AS avgdl_t,
+         sum(len(bts))::DOUBLE / count(*) AS avgdl_b
+  FROM fields
+),
+pt AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(tts) AS t FROM fields) GROUP BY 1, 2
+),
+pb AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(bts) AS t FROM fields) GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM pt GROUP BY term),
+dfb AS (SELECT term, count(*)::DOUBLE AS df FROM pb GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+st AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * len(fl.tts) / s.avgdl_t))) ) AS sc
+  FROM q JOIN pt p ON p.term = q.term
+  JOIN dft f ON f.term = q.term
+  JOIN fields fl ON fl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+sb AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * len(fl.bts) / s.avgdl_b))) ) AS sc
+  FROM q JOIN pb p ON p.term = q.term
+  JOIN dfb f ON f.term = q.term
+  JOIN fields fl ON fl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+dmx AS (
+  SELECT coalesce(st.query_id, sb.query_id) AS query_id,
+         coalesce(st.doc_id, sb.doc_id) AS doc_id,
+         coalesce(st.sc, 0) AS sct, coalesce(sb.sc, 0) AS scb
+  FROM st FULL OUTER JOIN sb
+    ON st.query_id = sb.query_id AND st.doc_id = sb.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         round((1.0 - {DM_TIE!r}) * greatest(sct, scb)
+               + {DM_TIE!r} * (sct + scb), 4) AS score_r,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round((1.0 - {DM_TIE!r}) * greatest(sct, scb)
+                          + {DM_TIE!r} * (sct + scb), 4) DESC, doc_id
+         ) AS rank
+  FROM dmx
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# Function-query boost: Solr {!boost b=...} / edismax `boost=` —
+# multiplicative document prior over the relevance score.  The boost
+# here is a length prior ln(2 + n_chars/1000): a pure per-doc field
+# function, the exact shape the viewer uses for e.g. recency or
+# page-count boosts on this indexer's date/num fields.
+BOOST_DIV = 1000.0
+
+
+def q_search_boost_fn(sf_dir: str):
+    """Multiplicative function-query boost over BM25
+    (``{!boost b=ln(2+n_chars/1000)}`` — Lucene
+    ``FunctionScoreQuery``).  The boost re-orders the ranking, so the
+    engine scores the FULL match set (exact accumulation, same kernel
+    as ``bm25_topk``), multiplies by the per-doc function, and ranks
+    by (round(score·boost, 4) desc, doc_id).  The field column rides
+    a pruned two-column read; at cluster scale it is the docvalues
+    column the serving actor already holds."""
+    from .query import LocalIndex, topk_exact
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    meta = pa.concat_tables(
+        _documents(sf_dir, columns=("doc_id", "n_chars"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    m_ids = meta.column("doc_id").to_numpy()
+    m_chars = meta.column("n_chars").to_numpy().astype(np.float64)
+    order_m = np.argsort(m_ids)
+    m_ids, m_chars = m_ids[order_m], m_chars[order_m]
+
+    rows_q, rows_d, rows_s, rows_r = [], [], [], []
+    for q in DOC_QUERIES:
+        d, s = topk_exact(idx, q["query"], idx.n_docs)  # full ranking
+        if d.size == 0:
+            continue
+        pos = np.searchsorted(m_ids, d)
+        boost = np.log(2.0 + m_chars[pos] / BOOST_DIV)
+        s_r = np.round(s * boost, 4)
+        order = np.lexsort((d, -s_r))[:10]
+        for r, i in enumerate(order, 1):
+            rows_q.append(q["query_id"])
+            rows_d.append(int(d[i]))
+            rows_s.append(float(s_r[i]))
+            rows_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "score_r": pa.array(rows_s, pa.float64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
+def _search_boost_fn_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {_K1P1} / (p.tf + {_K1} * ({_1MB} + {_B} * dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id,
+         round(sc.score * ln(2.0 + d.n_chars / {BOOST_DIV!r}), 4) AS score_r,
+         row_number() OVER (
+           PARTITION BY sc.query_id
+           ORDER BY round(sc.score * ln(2.0 + d.n_chars / {BOOST_DIV!r}), 4)
+                    DESC, sc.doc_id
+         ) AS rank
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -14386,6 +14697,9 @@ ORDER BY p.head, p.nxt
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-5 additions ---
+    "federated_topk": q_federated_topk,
+    "search_dismax": q_search_dismax,
+    "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
     "nextword_index": q_nextword_index,
     "docid_remap": q_docid_remap,
@@ -14608,6 +14922,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "federated_topk": _bm25_sql(),
+    "search_dismax": _search_dismax_sql(),
+    "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
     "nextword_index": _nextword_sql(),
     "docid_remap": _SQL_DOCID_REMAP,
@@ -14841,6 +15158,9 @@ ORACLE_SQL = {
 # Arrow-native term dictionary — come first; everything else keeps its
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
+    "federated_topk",
+    "search_dismax",
+    "search_boost_fn",
     "term_burstiness",
     "nextword_index",
     "docid_remap",

@@ -71,6 +71,9 @@ def _check(contract, con, name):
     "name",
     [
         "index_stats",
+        "federated_topk",
+        "search_dismax",
+        "search_boost_fn",
         "term_df_top100",
         "bm25_topk",
         "doc_token_count",
