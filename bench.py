@@ -340,6 +340,8 @@ def run_bench() -> dict:
         "stupid_backoff",
         "postings_impacts",
         "federated_topk",
+        "dsir_select",
+        "hll_estimate",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -14688,6 +14688,252 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): rank raw documents by
+# the log importance ratio of a TARGET unigram LM over the RAW-corpus
+# unigram LM (add-1 smoothing over the shared vocab), the hashed-ngram
+# estimator's n=1 case.  Target here = the `lang = 'en'` slice (the
+# "wiki-like" target the paper samples toward).
+DSIR_LANG = "en"
+DSIR_TOPN = 100
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR importance selection: per-doc weight
+    ``w(d) = Σ_occurrences ln p_tgt(t) − ln p_raw(t)``, top
+    ``DSIR_TOPN`` docs by (round(w,4) desc, doc_id).
+
+    Distributed shape: ONE streamed pass emits per-batch per-term
+    partial counts (term, cf_all, cf_tgt) — pre-aggregated before the
+    vocab-bounded ``groupby(term)`` shuffle; the log-ratio table
+    broadcasts once (``ray.put``); a second pass scores docs
+    vectorized (token-code lookup + segment sums) and emits only its
+    LOCAL top-N, so the driver merges ≤ N·n_batches candidate rows —
+    never per-doc corpus rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        if codes.size == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cf_all": pa.array([], pa.int64()),
+                             "cf_tgt": pa.array([], pa.int64())})
+        is_tgt = pc.equal(t.column("lang"), DSIR_LANG).to_numpy(zero_copy_only=False)
+        tok_tgt = np.repeat(is_tgt.astype(np.int64), counts)
+        cf_all = np.bincount(codes, minlength=uniq.size)
+        cf_tgt = np.bincount(codes, weights=tok_tgt, minlength=uniq.size)
+        return pa.table({
+            "term": pa.array(uniq, pa.string()),
+            "cf_all": pa.array(cf_all.astype(np.int64), pa.int64()),
+            "cf_tgt": pa.array(cf_tgt.astype(np.int64), pa.int64()),
+        })
+
+    cf = pa.concat_tables(
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf_all", alias_name="cf_all"),
+                   Sum("cf_tgt", alias_name="cf_tgt"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vocab = cf.column("term").to_numpy(zero_copy_only=False)
+    order_v = np.argsort(vocab)
+    vocab = vocab[order_v]
+    c_all = cf.column("cf_all").to_numpy().astype(np.float64)[order_v]
+    c_tgt = cf.column("cf_tgt").to_numpy().astype(np.float64)[order_v]
+    t_all, t_tgt, v = c_all.sum(), c_tgt.sum(), float(vocab.size)
+    lr = np.log((c_tgt + 1.0) / (t_tgt + v)) - np.log((c_all + 1.0) / (t_all + v))
+    vocab_ref = ray.put(vocab)
+    lr_ref = ray.put(lr)
+
+    def local_topn(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        keep = counts > 0  # SQL's join drops token-less docs
+        if codes.size == 0 or not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "w_r": pa.array([], pa.float64())})
+        vb, lb = ray.get(vocab_ref), ray.get(lr_ref)
+        lr_u = lb[np.searchsorted(vb, uniq)]
+        # float segment sums (text_ops._seg_sums accumulates int64)
+        cs = np.concatenate([[0.0], np.cumsum(lr_u[codes])])
+        ends = np.cumsum(counts)
+        w = (cs[ends] - cs[ends - counts])[keep]
+        ids = ids[keep]
+        w_r = np.round(w, 4)
+        sel = np.lexsort((ids, -w_r))[:DSIR_TOPN]
+        return pa.table({"doc_id": pa.array(ids[sel], pa.int64()),
+                         "w_r": pa.array(w_r[sel], pa.float64())})
+
+    cand = pa.concat_tables(
+        ds.map_batches(local_topn, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    ids = cand.column("doc_id").to_numpy()
+    w_r = cand.column("w_r").to_numpy()
+    sel = np.lexsort((ids, -w_r))[:DSIR_TOPN]
+    return pa.table({
+        "doc_id": pa.array(ids[sel], pa.int64()),
+        "w_r": pa.array(w_r[sel], pa.float64()),
+        "rank": pa.array(np.arange(1, sel.size + 1), pa.int64()),
+    })
+
+
+def _dsir_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKS}) AS t FROM documents
+),
+cf AS (
+  SELECT t, count(*)::DOUBLE AS call,
+         (count(*) FILTER (lang = '{DSIR_LANG}'))::DOUBLE AS ctgt
+  FROM tok GROUP BY t
+),
+tot AS (SELECT sum(call) AS ta, sum(ctgt) AS tt, count(*)::DOUBLE AS v FROM cf),
+lr AS (
+  SELECT t, ln((ctgt + 1) / (tt + v)) - ln((call + 1) / (ta + v)) AS lr
+  FROM cf CROSS JOIN tot
+),
+w AS (
+  SELECT tok.doc_id, sum(lr.lr) AS w
+  FROM tok JOIN lr ON lr.t = tok.t GROUP BY tok.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(w, 4) AS w_r,
+         row_number() OVER (ORDER BY round(w, 4) DESC, doc_id) AS rank
+  FROM w
+)
+SELECT doc_id, w_r, rank::BIGINT AS rank FROM ranked WHERE rank <= {DSIR_TOPN}
+"""
+
+
+# HyperLogLog (Flajolet et al. 2007) distinct-term sketch, p=10 —
+# beside the KMV sketch (A9) as the OTHER classic mergeable
+# cardinality estimator.  md5-prefix hashing keeps every register
+# SQL-replayable (the same contract as SimHash/LSH): the oracle
+# recomputes all 1024 registers bit-for-bit and only the final
+# harmonic estimate is rounded.
+HLL_P = 10
+HLL_M = 1 << HLL_P
+
+
+def q_hll_estimate(sf_dir: str):
+    """HLL vocabulary-cardinality estimate with integer-exact register
+    verification: per batch, DISTINCT terms hash to (bucket = top p
+    bits, rho = leading-zero rank of the low 54 bits); registers merge
+    with ONE bounded ``groupby(bucket).max`` (≤ 1024 rows cross the
+    shuffle regardless of corpus size — the textbook mergeability that
+    makes HLL the 100-TB distinct counter).  Output: m, v_zero,
+    reg_sum (both exact), the bias-corrected estimate (4 dp), and the
+    exact distinct count for reference."""
+    from ray.data.aggregate import Count, Max
+
+    from ..functions.hashing import md5_hash64_array
+
+    mask = np.uint64((1 << 54) - 1)
+
+    def partial_regs(t: pa.Table) -> pa.Table:
+        _ids, _counts, _codes, uniq = text_ops._flat_token_codes(t)
+        if uniq.size == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = md5_hash64_array(uniq.tolist())
+        bucket = (h >> np.uint64(54)).astype(np.int64)
+        rest = h & mask
+        # int.bit_length is exact (float log2 mis-rounds near 2^k)
+        rho = np.fromiter((55 - int(r).bit_length() for r in rest),
+                          np.int64, count=rest.size)
+        return pa.table({"bucket": pa.array(bucket, pa.int64()),
+                         "rho": pa.array(rho, pa.int64())})
+
+    postings = _documents(sf_dir).map_batches(partial_regs, batch_format="pyarrow")
+    regs_tbl = pa.concat_tables(
+        postings.groupby("bucket").aggregate(Max("rho", alias_name="reg"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    regs = np.zeros(HLL_M, np.int64)
+    regs[regs_tbl.column("bucket").to_numpy()] = regs_tbl.column("reg").to_numpy()
+
+    # exact distinct for the accuracy column (vocab-bounded shuffle)
+    def distinct_terms(t: pa.Table) -> pa.Table:
+        _ids, _counts, _codes, uniq = text_ops._flat_token_codes(t)
+        return pa.table({"term": pa.array(uniq, pa.string())})
+
+    n_exact = (
+        _documents(sf_dir).map_batches(distinct_terms, batch_format="pyarrow")
+        .groupby("term").aggregate(Count(alias_name="n")).count()
+    )
+
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    est = alpha * m * m / s
+    v_zero = int((regs == 0).sum())
+    if est <= 2.5 * m and v_zero > 0:
+        est = m * math.log(m / v_zero)
+    return pa.table({
+        "m": pa.array([HLL_M], pa.int64()),
+        "v_zero": pa.array([v_zero], pa.int64()),
+        "reg_sum": pa.array([int(regs.sum())], pa.int64()),
+        "est_r": pa.array([float(np.round(est, 4))], pa.float64()),
+        "n_exact": pa.array([int(n_exact)], pa.int64()),
+    })
+
+
+def _hll_sql() -> str:
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT t AS term FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+),
+h AS (
+  SELECT (('0x' || substr(md5(term), 1, 16))::UBIGINT) AS hv FROM terms
+),
+br AS (
+  SELECT (hv >> 54)::BIGINT AS bucket,
+         (hv & ((1::UBIGINT << 54) - 1)) AS rest
+  FROM h
+),
+bl AS (
+  SELECT bucket,
+         CASE WHEN rest = 0 THEN 55
+              ELSE 55 - bit_count(s5 | (s5 >> 32))::BIGINT END AS rho
+  FROM (
+    SELECT bucket, rest, s4 | (s4 >> 16) AS s5 FROM (
+      SELECT bucket, rest, s3 | (s3 >> 8) AS s4 FROM (
+        SELECT bucket, rest, s2 | (s2 >> 4) AS s3 FROM (
+          SELECT bucket, rest, s1 | (s1 >> 2) AS s2 FROM (
+            SELECT bucket, rest, rest | (rest >> 1) AS s1 FROM br)))))
+),
+regs AS (SELECT bucket, max(rho) AS reg FROM bl GROUP BY bucket),
+filled AS (
+  SELECT gs.b AS bucket, coalesce(r.reg, 0) AS reg
+  FROM (SELECT unnest(generate_series(0, {HLL_M - 1})) AS b) gs
+  LEFT JOIN regs r ON r.bucket = gs.b
+),
+agg AS (
+  SELECT (count(*) FILTER (reg = 0))::BIGINT AS v_zero,
+         sum(reg)::BIGINT AS reg_sum,
+         sum(power(2.0, -reg)) AS s
+  FROM filled
+),
+est AS (
+  SELECT v_zero, reg_sum,
+         (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0 / s AS raw
+  FROM agg
+)
+SELECT {HLL_M}::BIGINT AS m, v_zero, reg_sum,
+       round(CASE WHEN raw <= 2.5 * {HLL_M} AND v_zero > 0
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / v_zero) ELSE raw END, 4)
+         AS est_r,
+       (SELECT count(*) FROM terms)::BIGINT AS n_exact
+FROM est
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -14698,6 +14944,8 @@ FROM ranked WHERE rank <= 10
 QUERIES = {
     # --- round-5 additions ---
     "federated_topk": q_federated_topk,
+    "dsir_select": q_dsir_select,
+    "hll_estimate": q_hll_estimate,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -14923,6 +15171,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "federated_topk": _bm25_sql(),
+    "dsir_select": _dsir_sql(),
+    "hll_estimate": _hll_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -15159,6 +15409,8 @@ ORACLE_SQL = {
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
     "federated_topk",
+    "dsir_select",
+    "hll_estimate",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -72,6 +72,8 @@ def _check(contract, con, name):
     [
         "index_stats",
         "federated_topk",
+        "dsir_select",
+        "hll_estimate",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
