@@ -342,6 +342,8 @@ def run_bench() -> dict:
         "federated_topk",
         "dsir_select",
         "hll_estimate",
+        "search_earlyterm",
+        "nb_lang_classify",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -14934,6 +14934,270 @@ FROM est
 """
 
 
+# Index-sorted early termination (Lucene index sorting +
+# TopFieldCollector.earlyTerminate: when segment order == query sort
+# order, a sorted-index scan stops after k collected hits).  Static
+# key here = (n_chars desc, doc_id asc) — the quality prior an index
+# would be sorted by; `examined` is the static rank of the k-th hit,
+# i.e. exactly how deep the early-terminating scan goes vs the corpus.
+ET_K = 5
+
+
+def q_search_earlyterm(sf_dir: str):
+    """Early-terminated sorted-index retrieval audit: per conjunctive
+    (boolean AND) query, the first ``ET_K`` matches in static order,
+    plus ``examined`` (scan depth = global static rank of the last
+    collected hit) and ``n_matches`` (what an un-terminated scan
+    would touch).  Engine shape: the match set comes from posting-
+    list intersection (df-bounded, ``search_ops.boolean_docs``); the
+    static key joins in via ONE pruned two-column read, and the scan
+    depth is one vectorized rank count over the (n_chars, doc_id)
+    arrays — no corpus sort is ever materialized."""
+    from .query import LocalIndex
+    from .search_ops import boolean_docs
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    meta = pa.concat_tables(
+        _documents(sf_dir, columns=("doc_id", "n_chars"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    m_ids = meta.column("doc_id").to_numpy()
+    m_chars = meta.column("n_chars").to_numpy().astype(np.int64)
+    order_m = np.argsort(m_ids)
+    m_ids, m_chars = m_ids[order_m], m_chars[order_m]
+
+    rows = {k: [] for k in
+            ("query_id", "rank", "doc_id", "n_chars", "examined", "n_matches")}
+    for q in DOC_QUERIES:
+        terms = sorted(set(tokenize(q["query"])))
+        if not terms:
+            continue
+        hits = boolean_docs(idx, must=terms)
+        if hits.size == 0:
+            continue
+        ch = m_chars[np.searchsorted(m_ids, hits)]
+        order = np.lexsort((hits, -ch))[:ET_K]
+        top_d, top_c = hits[order], ch[order]
+        last_c, last_d = int(top_c[-1]), int(top_d[-1])
+        # static rank of the last collected hit over the WHOLE corpus
+        examined = int(
+            (m_chars > last_c).sum()
+            + ((m_chars == last_c) & (m_ids <= last_d)).sum()
+        )
+        for r in range(top_d.size):
+            rows["query_id"].append(q["query_id"])
+            rows["rank"].append(r + 1)
+            rows["doc_id"].append(int(top_d[r]))
+            rows["n_chars"].append(int(top_c[r]))
+            rows["examined"].append(examined)
+            rows["n_matches"].append(int(hits.size))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "n_chars": pa.array(rows["n_chars"], pa.int64()),
+        "examined": pa.array(rows["examined"], pa.int64()),
+        "n_matches": pa.array(rows["n_matches"], pa.int64()),
+    })
+
+
+def _earlyterm_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    return f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+q(query_id, term) AS (VALUES {vals}),
+nq AS (SELECT query_id, count(*)::BIGINT AS nt FROM q GROUP BY query_id),
+m AS (
+  SELECT q.query_id, p.doc_id
+  FROM q JOIN posting p USING (term)
+  GROUP BY q.query_id, p.doc_id
+  HAVING count(*) = (SELECT nt FROM nq WHERE nq.query_id = q.query_id)
+),
+static AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS srank
+  FROM documents
+),
+ranked AS (
+  SELECT m.query_id, s.doc_id, s.n_chars, s.srank,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.srank)
+           AS rank,
+         count(*) OVER (PARTITION BY m.query_id) AS n_matches
+  FROM m JOIN static s USING (doc_id)
+),
+top AS (SELECT * FROM ranked WHERE rank <= {ET_K})
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       n_chars::BIGINT AS n_chars,
+       (max(srank) OVER (PARTITION BY query_id))::BIGINT AS examined,
+       n_matches::BIGINT AS n_matches
+FROM top
+"""
+
+
+# Multinomial Naive Bayes language classifier (add-1 smoothing, log
+# priors) — the classic generative text classifier beside the Rocchio
+# centroid one (`embedding_classify`); trained and applied in two
+# streamed passes, confusion matrix out.  Per-class scores round to
+# 4 dp before argmax (class asc tie-break) so both engines pick
+# identically — the house cross-engine float policy.
+NB_CLASSES = ["de", "en", "es", "fr", "zh"]
+
+
+def q_nb_lang_classify(sf_dir: str):
+    """Train multinomial NB on (lang | tokens) over the WHOLE corpus,
+    classify every doc, emit the confusion matrix
+    ``(lang_true, lang_pred, n)``.
+
+    Distributed shape: pass 1 emits per-batch per-term PER-CLASS
+    partial counts (5 fixed columns — map-side combined before the
+    vocab-bounded ``groupby(term)``); the smoothed log-likelihood
+    table broadcasts once; pass 2 scores all 5 classes per doc
+    vectorized (token-code gather + segment sums per class), argmaxes,
+    and emits per-batch confusion PARTIALS, so the final shuffle is
+    ≤ 25 rows per batch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        cols = {"term": pa.array(uniq, pa.string())}
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        tok_lang = np.repeat(langs, counts)
+        for c in NB_CLASSES:
+            w = (tok_lang == c).astype(np.float64)
+            cf = (np.bincount(codes, weights=w, minlength=uniq.size)
+                  if codes.size else np.zeros(uniq.size))
+            cols[f"cf_{c}"] = pa.array(cf.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"cf_{c}", alias_name=f"cf_{c}") for c in NB_CLASSES]
+    cf = pa.concat_tables(
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term").aggregate(*aggs)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vocab = cf.column("term").to_numpy(zero_copy_only=False)
+    order_v = np.argsort(vocab)
+    vocab = vocab[order_v]
+    v = float(vocab.size)
+    ll = {}
+    totals = {}
+    for c in NB_CLASSES:
+        cc = cf.column(f"cf_{c}").to_numpy().astype(np.float64)[order_v]
+        totals[c] = cc.sum()
+        ll[c] = np.log((cc + 1.0) / (totals[c] + v))
+
+    # class priors from doc counts
+    from ray.data.aggregate import Count
+
+    pri_tbl = pa.concat_tables(
+        ds.groupby("lang").aggregate(Count(alias_name="n"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    n_by = dict(zip(pri_tbl.column("lang").to_pylist(),
+                    pri_tbl.column("n").to_pylist()))
+    n_total = float(sum(n_by.values()))
+    prior = {c: math.log(n_by.get(c, 0) / n_total) for c in NB_CLASSES}
+
+    vocab_ref = ray.put(vocab)
+    ll_ref = ray.put(np.stack([ll[c] for c in NB_CLASSES]))
+    prior_vec = np.array([prior[c] for c in NB_CLASSES])
+
+    def confusion(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        keep = counts > 0
+        if codes.size == 0 or not keep.any():
+            return pa.table({"lang_true": pa.array([], pa.string()),
+                             "lang_pred": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vb = ray.get(vocab_ref)
+        lm = ray.get(ll_ref)  # (5, |V|)
+        pos = np.searchsorted(vb, uniq)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        scores = np.empty((len(NB_CLASSES), counts.size))
+        for ci in range(len(NB_CLASSES)):
+            per_tok = lm[ci][pos][codes]
+            cs = np.concatenate([[0.0], np.cumsum(per_tok)])
+            scores[ci] = prior_vec[ci] + (cs[ends] - cs[starts])
+        s_r = np.round(scores, 4)
+        # argmax by (score desc, class asc): first max index wins
+        pred_idx = np.argmax(s_r, axis=0)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        cls_arr = np.array(NB_CLASSES, dtype=object)
+        tru_idx = np.searchsorted(cls_arr, langs[keep])
+        cell = np.bincount(tru_idx * len(NB_CLASSES) + pred_idx[keep],
+                           minlength=len(NB_CLASSES) ** 2)
+        nz = np.flatnonzero(cell)
+        return pa.table({
+            "lang_true": pa.array(cls_arr[nz // len(NB_CLASSES)], pa.string()),
+            "lang_pred": pa.array(cls_arr[nz % len(NB_CLASSES)], pa.string()),
+            "n": pa.array(cell[nz].astype(np.int64), pa.int64()),
+        })
+
+    out = pa.concat_tables(
+        ds.map_batches(confusion, batch_format="pyarrow")
+        .groupby(["lang_true", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return out.sort_by([("lang_true", "ascending"), ("lang_pred", "ascending")])
+
+
+def _nb_sql() -> str:
+    cls_vals = ", ".join(f"('{c}')" for c in NB_CLASSES)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKS}) AS t FROM documents
+),
+cls(c) AS (VALUES {cls_vals}),
+cf AS (
+  SELECT t, c, count(*) FILTER (tok.lang = cls.c)::DOUBLE AS cnt
+  FROM tok CROSS JOIN cls GROUP BY t, c
+),
+tot AS (SELECT c, sum(cnt) AS tc FROM cf GROUP BY c),
+vs AS (SELECT count(DISTINCT t)::DOUBLE AS v FROM cf),
+ll AS (
+  SELECT cf.t, cf.c, ln((cf.cnt + 1) / (tot.tc + vs.v)) AS ll
+  FROM cf JOIN tot USING (c) CROSS JOIN vs
+),
+pri AS (
+  SELECT lang AS c, ln(count(*)::DOUBLE
+         / (SELECT count(*) FROM documents)) AS lp
+  FROM documents GROUP BY lang
+),
+sc AS (
+  SELECT tok.doc_id, ll.c, any_value(pri.lp) + sum(ll.ll) AS score
+  FROM tok JOIN ll ON ll.t = tok.t
+  JOIN pri ON pri.c = ll.c
+  GROUP BY tok.doc_id, ll.c
+),
+pred AS (
+  SELECT doc_id, c AS lang_pred,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 4) DESC, c) AS rn
+  FROM sc
+)
+SELECT d.lang AS lang_true, p.lang_pred, count(*)::BIGINT AS n
+FROM pred p JOIN documents d USING (doc_id)
+WHERE p.rn = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -14946,6 +15210,8 @@ QUERIES = {
     "federated_topk": q_federated_topk,
     "dsir_select": q_dsir_select,
     "hll_estimate": q_hll_estimate,
+    "search_earlyterm": q_search_earlyterm,
+    "nb_lang_classify": q_nb_lang_classify,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -15173,6 +15439,8 @@ ORACLE_SQL = {
     "federated_topk": _bm25_sql(),
     "dsir_select": _dsir_sql(),
     "hll_estimate": _hll_sql(),
+    "search_earlyterm": _earlyterm_sql(),
+    "nb_lang_classify": _nb_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -15411,6 +15679,8 @@ _R5_FRONT = [
     "federated_topk",
     "dsir_select",
     "hll_estimate",
+    "search_earlyterm",
+    "nb_lang_classify",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -74,6 +74,8 @@ def _check(contract, con, name):
         "federated_topk",
         "dsir_select",
         "hll_estimate",
+        "search_earlyterm",
+        "nb_lang_classify",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
