@@ -344,6 +344,8 @@ def run_bench() -> dict:
         "hll_estimate",
         "search_earlyterm",
         "nb_lang_classify",
+        "postings_pfor",
+        "kneser_ney",
         "search_dismax",
         "search_boost_fn",
     ]

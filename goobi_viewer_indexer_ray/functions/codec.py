@@ -38,6 +38,9 @@ __all__ = [
     "decode_block",
     "decode_term",
     "encode_for_block",
+    "encode_pfor_block",
+    "decode_pfor_block",
+    "pfor_encoded_size",
     "decode_for_block",
     "for_encoded_size",
     "encode_ef",
@@ -254,6 +257,112 @@ def for_encoded_size(doc_ids: np.ndarray, block_size: int = BLOCK_SIZE) -> int:
     total = 0
     for i in range(0, d.size, block_size):
         total += len(encode_for_block(d[i:i + block_size]))
+    return total
+
+
+def _pfor_size_at(bls: np.ndarray, m: int, w: int) -> int:
+    """Exact NewPFD block size at candidate width ``w`` for gap
+    bit-lengths ``bls``: header 10 (width u8, n_exc u8, first_doc u64)
+    + ``ceil(m·w/8)`` packed low bits + per exception 1 position byte
+    + ``ceil((bl−w)/7)`` LEB128 bytes for the high part."""
+    exc = bls > w
+    exc_bytes = int((1 + (bls[exc] - w + 6) // 7).sum())
+    return 10 + (m * w + 7) // 8 + exc_bytes
+
+
+def encode_pfor_block(doc_ids: np.ndarray) -> bytes:
+    """NewPFD patched frame-of-reference (Yan/Ding/Suel, WWW'09 — the
+    PForDelta member of the north-star codec family): ONE
+    ≤``BLOCK_SIZE`` block of strictly-increasing doc ids as::
+
+        [width: u8][n_exc: u8][first_doc: u64 LE]
+        [gap LOW ``width`` bits, value-major LSB-first — exceptions
+         store their low bits in place]
+        [exception positions: u8 each, ascending]
+        [exception HIGH parts (gap >> width): LEB128 each]
+
+    ``width`` is chosen by exhaustive argmin of the EXACT size formula
+    (ties → smallest width) — unlike plain FOR the frame width no
+    longer pays for one outlier gap, the classic skewed-gap win.
+    ``n_exc ≤ m ≤ BLOCK_SIZE−1 ≤ 127`` fits the u8 by construction.
+    """
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    gaps = np.diff(d)
+    head = np.empty(10, np.uint8)
+    head[2:] = np.frombuffer(d[:1].tobytes(), np.uint8)  # first_doc LE
+    if gaps.size == 0:
+        head[0] = head[1] = 0
+        return head.tobytes()
+    m = gaps.size
+    bls = np.array([int(g).bit_length() for g in gaps], np.int64)
+    max_bl = int(bls.max())
+    best_w, best_sz = 0, None
+    for w in range(max_bl + 1):
+        sz = _pfor_size_at(bls, m, w)
+        if best_sz is None or sz < best_sz:
+            best_w, best_sz = w, sz
+    w = best_w
+    exc_pos = np.flatnonzero(bls > w)
+    head[0] = w
+    head[1] = exc_pos.size
+    out = bytearray(head.tobytes())
+    if w:
+        lows = gaps & np.uint64((1 << w) - 1)
+        bits = (
+            (lows[:, None] >> np.arange(w, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.uint8)
+        out += np.packbits(bits.ravel(), bitorder="little").tobytes()
+    out += exc_pos.astype(np.uint8).tobytes()
+    if exc_pos.size:
+        out += encode_varints(gaps[exc_pos] >> np.uint64(w))
+    assert len(out) == best_sz, (len(out), best_sz)
+    return bytes(out)
+
+
+def decode_pfor_block(buf: bytes | memoryview, n: int) -> np.ndarray:
+    """Inverse of :func:`encode_pfor_block` for ``n`` postings →
+    int64 doc ids.  Raises ``ValueError`` on truncated input (the
+    fail-loud codec contract)."""
+    b = np.frombuffer(buf, np.uint8)
+    if b.size < 10:
+        raise ValueError("pfor block: truncated header")
+    w = int(b[0])
+    n_exc = int(b[1])
+    first = int(np.frombuffer(b[2:10].tobytes(), np.uint64)[0])
+    if n == 1:
+        return np.array([first], np.int64)
+    m = n - 1
+    low_bytes = (m * w + 7) // 8
+    if b.size < 10 + low_bytes + n_exc:
+        raise ValueError("pfor block: truncated body")
+    if w:
+        bits = np.unpackbits(b[10:10 + low_bytes],
+                             bitorder="little")[: m * w].reshape(m, w)
+        gaps = (
+            bits.astype(np.uint64)
+            * (np.uint64(1) << np.arange(w, dtype=np.uint64))[None, :]
+        ).sum(axis=1)
+    else:
+        gaps = np.zeros(m, np.uint64)
+    pos = b[10 + low_bytes:10 + low_bytes + n_exc].astype(np.int64)
+    if n_exc:
+        highs = decode_varints(
+            b[10 + low_bytes + n_exc:].tobytes()
+        )[:n_exc].astype(np.uint64)
+        gaps[pos] |= highs << np.uint64(w)
+    if np.any(gaps == 0):
+        raise ValueError("pfor block: zero gap (corrupt)")
+    return (first + np.concatenate(([0], np.cumsum(gaps)))).astype(np.int64)
+
+
+def pfor_encoded_size(doc_ids: np.ndarray, block_size: int = BLOCK_SIZE) -> int:
+    """Total NewPFD bytes of a doc-id stream in ``block_size`` blocks —
+    computed by ENCODING with the real codec (pins the packer)."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    total = 0
+    for i in range(0, d.size, block_size):
+        total += len(encode_pfor_block(d[i:i + block_size]))
     return total
 
 

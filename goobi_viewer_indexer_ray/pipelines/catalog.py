@@ -15198,6 +15198,237 @@ ORDER BY 1, 2
 """
 
 
+def q_postings_pfor(sf_dir: str):
+    """NewPFD patched-FOR postings accounting (Yan/Ding/Suel WWW'09) —
+    the codec that fixes plain FOR's one-outlier-pays-for-all width:
+    per 128-block the width is the exact-size argmin and outlier gaps
+    ship as (position, LEB128 high-part) patches.  Engine sizes come
+    from the REAL packer (:func:`functions.codec.encode_pfor_block`,
+    roundtrip-fuzzed); the oracle replays the full width search from
+    the gap bit-length histogram, so byte totals pin the codec's
+    argmin too.  Top 100 terms by (df desc, term), FOR and varint
+    sizes alongside for the compression-ratio story."""
+    from ..functions.codec import (encode_varints, for_encoded_size,
+                                   pfor_encoded_size)
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def sizes(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("doc_id").to_numpy().astype(np.int64))
+        vals = np.concatenate(([d[0]], np.diff(d))).astype(np.uint64)
+        return pa.table(
+            {
+                "term": g.column("term").slice(0, 1),
+                "df": pa.array([d.size], pa.int64()),
+                "varint_bytes": pa.array([len(encode_varints(vals))],
+                                         pa.int64()),
+                "for_bytes": pa.array([for_encoded_size(d)], pa.int64()),
+                "pfor_bytes": pa.array([pfor_encoded_size(d)], pa.int64()),
+            }
+        )
+
+    return (
+        postings.groupby("term")
+        .map_groups(sizes, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def _postings_pfor_sql() -> str:
+    from ..functions.codec import BLOCK_SIZE
+
+    return f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+r AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+  FROM posting
+),
+g AS (
+  SELECT term, (rk - 1) // {BLOCK_SIZE} AS blk, (rk - 1) % {BLOCK_SIZE} AS pos,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY rk), 0) AS v
+  FROM r
+),
+vsz AS (
+  SELECT term, count(*)::BIGINT AS df,
+         sum(1 + (v >= 128)::INT + (v >= 16384)::INT + (v >= 2097152)::INT
+               + (v >= 268435456)::INT + (v >= 34359738368)::INT)::BIGINT AS varint_bytes
+  FROM g GROUP BY term
+),
+fb AS (
+  SELECT term, blk,
+         count(*) FILTER (pos != 0)::BIGINT AS m,
+         coalesce(max(length(bin(v))) FILTER (pos != 0), 0)::BIGINT AS w
+  FROM g GROUP BY term, blk
+),
+fsz AS (
+  SELECT term, sum(9 + (m * w + 7) // 8)::BIGINT AS for_bytes
+  FROM fb GROUP BY term
+),
+pw AS (
+  SELECT g.term, g.blk, ws.w,
+         10 + ((count(*) FILTER (g.pos != 0)) * ws.w + 7) // 8
+           + coalesce(sum(1 + (length(bin(g.v)) - ws.w + 6) // 7)
+                      FILTER (g.pos != 0 AND length(bin(g.v)) > ws.w),
+                      0) AS sz
+  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 48)) AS w) ws
+  GROUP BY g.term, g.blk, ws.w
+),
+pb AS (
+  SELECT term, blk, sz,
+         row_number() OVER (PARTITION BY term, blk ORDER BY sz, w) AS rn
+  FROM pw
+),
+psz AS (
+  SELECT term, sum(sz)::BIGINT AS pfor_bytes FROM pb WHERE rn = 1
+  GROUP BY term
+)
+SELECT v.term, v.df, v.varint_bytes, f.for_bytes, p.pfor_bytes
+FROM vsz v JOIN fsz f USING (term) JOIN psz p USING (term)
+ORDER BY v.df DESC, v.term LIMIT 100
+"""
+
+
+# Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+# Goodman's fixed-discount formulation, D=0.75) — the third smoothing
+# member beside Laplace (`perplexity_filter`) and Stupid Backoff:
+# probability mass discounted per SEEN bigram and redistributed by the
+# CONTINUATION count (how many distinct left contexts a word follows),
+# the fix for "Francisco is frequent but only follows San".
+KN_D = 0.75
+
+
+def q_kneser_ney(sf_dir: str):
+    """Per-source mean KN bigram log-probability
+    ``P(w2|w1) = (c(w1w2)−D)/c(w1·) + (D·N1+(w1·)/c(w1·))·N1+(·w2)/|B|``
+    (every scored bigram is in-corpus, so the first term is positive
+    by construction).
+
+    Distributed shape: the bigram table rides the SAME map-side
+    partial + ONE ``groupby(w1,w2)`` as `bigram_counts`/`bigram_pmi`
+    (vocab²-bounded); the probability table broadcasts once; a second
+    streamed pass sums per-doc pair log-probs vectorized (composite
+    pair-key searchsorted) and emits per-batch per-source partials —
+    so the final shuffle is |sources| rows per batch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    cb = pa.concat_tables(
+        ds.map_batches(text_ops.bigram_counts_batch, batch_format="pyarrow")
+        .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    w1 = cb.column("w1").to_numpy(zero_copy_only=False)
+    w2 = cb.column("w2").to_numpy(zero_copy_only=False)
+    c = cb.column("n").to_numpy().astype(np.float64)
+    vocab = np.unique(np.concatenate([w1, w2]))
+    g1 = np.searchsorted(vocab, w1)
+    g2 = np.searchsorted(vocab, w2)
+    nv = np.int64(vocab.size)
+    # left-context totals and fan-outs, continuation fan-ins
+    c1 = np.zeros(vocab.size)
+    n1f = np.zeros(vocab.size)
+    n1b = np.zeros(vocab.size)
+    np.add.at(c1, g1, c)
+    np.add.at(n1f, g1, 1.0)
+    np.add.at(n1b, g2, 1.0)
+    nbb = float(c.size)
+    prob = (c - KN_D) / c1[g1] + (KN_D * n1f[g1] / c1[g1]) * (n1b[g2] / nbb)
+    pair_key = g1 * nv + g2
+    order_p = np.argsort(pair_key)
+    keys_sorted = pair_key[order_p]
+    lnp_sorted = np.log(prob)[order_p]
+    vocab_ref = ray.put(vocab)
+    keys_ref = ray.put(keys_sorted)
+    lnp_ref = ray.put(lnp_sorted)
+
+    def per_source(t: pa.Table) -> pa.Table:
+        _ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "ll": pa.array([], pa.float64()),
+                          "n_bigrams": pa.array([], pa.int64())})
+        if codes.size < 2:
+            return empty
+        vb = ray.get(vocab_ref)
+        ks = ray.get(keys_ref)
+        lp = ray.get(lnp_ref)
+        gidx = np.searchsorted(vb, uniq)
+        valid = np.ones(codes.size, dtype=bool)
+        ends = np.cumsum(counts[counts > 0])
+        valid[ends - 1] = False
+        lead = np.flatnonzero(valid)
+        if lead.size == 0:
+            return empty
+        key = gidx[codes[lead]] * np.int64(vb.size) + gidx[codes[lead + 1]]
+        lnp = lp[np.searchsorted(ks, key)]
+        # per-doc pair counts → per-source partials
+        doc_of = np.repeat(np.arange(counts.size), np.maximum(counts - 1, 0))
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        s_uniq, s_inv = np.unique(src[doc_of], return_inverse=True)
+        ll = np.zeros(s_uniq.size)
+        np.add.at(ll, s_inv, lnp)
+        nbg = np.bincount(s_inv, minlength=s_uniq.size)
+        return pa.table({"source": pa.array(s_uniq, pa.string()),
+                         "ll": pa.array(ll, pa.float64()),
+                         "n_bigrams": pa.array(nbg.astype(np.int64), pa.int64())})
+
+    agg = pa.concat_tables(
+        ds.map_batches(per_source, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("ll", alias_name="ll"),
+                   Sum("n_bigrams", alias_name="n_bigrams"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    src = agg.column("source").to_numpy(zero_copy_only=False)
+    order_s = np.argsort(src)
+    ll = agg.column("ll").to_numpy()[order_s]
+    nbg = agg.column("n_bigrams").to_numpy().astype(np.int64)[order_s]
+    return pa.table({
+        "source": pa.array(src[order_s], pa.string()),
+        "n_bigrams": pa.array(nbg, pa.int64()),
+        "avg_ll_r": pa.array(np.round(ll / nbg, 4), pa.float64()),
+    })
+
+
+def _kneser_ney_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT doc_id, source, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, source, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2)
+),
+cb AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c) AS c1, count(*)::DOUBLE AS n1f FROM cb GROUP BY w1),
+cr AS (SELECT w2, count(*)::DOUBLE AS n1b FROM cb GROUP BY w2),
+nb AS (SELECT count(*)::DOUBLE AS nbb FROM cb),
+p AS (
+  SELECT cb.w1, cb.w2,
+         (cb.c - {KN_D!r}) / c1.c1
+           + ({KN_D!r} * c1.n1f / c1.c1) * (cr.n1b / nb.nbb) AS prob
+  FROM cb JOIN c1 USING (w1) JOIN cr USING (w2) CROSS JOIN nb
+),
+s AS (
+  SELECT bg.source, sum(ln(p.prob)) AS ll, count(*)::BIGINT AS n_bigrams
+  FROM bg JOIN p ON p.w1 = bg.w1 AND p.w2 = bg.w2
+  GROUP BY bg.source
+)
+SELECT source, n_bigrams, round(ll / n_bigrams, 4) AS avg_ll_r
+FROM s ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -15212,6 +15443,8 @@ QUERIES = {
     "hll_estimate": q_hll_estimate,
     "search_earlyterm": q_search_earlyterm,
     "nb_lang_classify": q_nb_lang_classify,
+    "postings_pfor": q_postings_pfor,
+    "kneser_ney": q_kneser_ney,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -15441,6 +15674,8 @@ ORACLE_SQL = {
     "hll_estimate": _hll_sql(),
     "search_earlyterm": _earlyterm_sql(),
     "nb_lang_classify": _nb_sql(),
+    "postings_pfor": _postings_pfor_sql(),
+    "kneser_ney": _kneser_ney_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -15681,6 +15916,8 @@ _R5_FRONT = [
     "hll_estimate",
     "search_earlyterm",
     "nb_lang_classify",
+    "postings_pfor",
+    "kneser_ney",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -76,6 +76,8 @@ def _check(contract, con, name):
         "hll_estimate",
         "search_earlyterm",
         "nb_lang_classify",
+        "postings_pfor",
+        "kneser_ney",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",

@@ -410,3 +410,45 @@ def test_doc_length_pctile_monotone(ray_session):
     assert out.pct_bp.is_monotonic_increasing
     assert out.pct_bp.iloc[-1] == 10000
     assert out.decile.between(0, 9).all()
+
+
+def test_pfor_roundtrip_fuzz():
+    """NewPFD encode/decode roundtrip across widths, exception rates,
+    and block sizes — incl. the one-outlier block plain FOR loses on."""
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.functions.codec import (
+        decode_pfor_block, encode_pfor_block, for_encoded_size,
+        pfor_encoded_size)
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        n = int(rng.integers(1, 129))
+        gaps = rng.choice(
+            [1, 2, 3, 7, 63, 4097, 1 << 30],
+            size=n - 1, p=[.35, .2, .15, .1, .1, .07, .03],
+        ) if n > 1 else np.empty(0, np.int64)
+        ids = np.cumsum(
+            np.concatenate(([int(rng.integers(0, 10_000))], gaps))
+        ).astype(np.uint64)
+        back = decode_pfor_block(encode_pfor_block(ids), n)
+        assert np.array_equal(back, ids.astype(np.int64))
+    # skewed block: 126 unit gaps + one 10^9 outlier — the patched
+    # codec must not pay the 30-bit frame for every value
+    ids = np.cumsum([5] + [1] * 126 + [10 ** 9]).astype(np.uint64)
+    assert pfor_encoded_size(ids) < for_encoded_size(ids) // 10
+
+
+def test_pfor_corrupt_raises():
+    import numpy as np
+    import pytest
+
+    from goobi_viewer_indexer_ray.functions.codec import (
+        decode_pfor_block, encode_pfor_block)
+
+    ids = np.cumsum([3] + [5] * 40).astype(np.uint64)
+    buf = encode_pfor_block(ids)
+    with pytest.raises(ValueError):
+        decode_pfor_block(buf[:6], 41)
+    with pytest.raises(ValueError):
+        decode_pfor_block(buf[:12], 41)
