@@ -346,6 +346,8 @@ def run_bench() -> dict:
         "nb_lang_classify",
         "postings_pfor",
         "kneser_ney",
+        "crawl_opic",
+        "bm25_param_sweep",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -15429,6 +15429,193 @@ FROM s ORDER BY source
 """
 
 
+OPIC_ITERS = 6
+OPIC_SCALE = 10**6
+
+
+def q_crawl_opic(sf_dir: str):
+    """On-line Page Importance Computation over the fixture web graph
+    (Abiteboul/Preda/Cobena WWW'03 — the crawl-frontier prioritizer
+    that is useful from round one, unlike PageRank's
+    converge-then-rank): synchronous cash/history rounds, dangling
+    cash and floor remainders pooled and redistributed uniformly.
+    Integer fixed-point ⇒ bit-exact under any partitioning (the
+    ``pagerank`` contract); the oracle replays all rounds as chained
+    MATERIALIZED CTEs — raw integers, no float tolerance.  See
+    :func:`stages.linkgraph.opic` (numpy fast path == distributed
+    join loop, pytest-pinned)."""
+    from ..stages.linkgraph import opic
+
+    docs, edges = _link_edges(sf_dir)
+    out = opic(docs, edges, node_col="doc_id",
+               iters=OPIC_ITERS, scale=OPIC_SCALE)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("node"),
+            "hist": t.column("hist"),
+            "cash": t.column("cash"),
+            "out_deg": t.column("out_deg"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _opic_sql(iters: int = OPIC_ITERS, scale: int = OPIC_SCALE) -> str:
+    ctes = [
+        _EDGE_RULE_SQL.strip(),
+        "odt AS (SELECT src AS node, count(*)::BIGINT AS od FROM edges GROUP BY src)",
+        f"""o0 AS MATERIALIZED (
+  SELECT d.doc_id::BIGINT AS node, coalesce(odt.od, 0) AS od,
+         {scale}::BIGINT AS cash, 0::BIGINT AS hist
+  FROM documents d LEFT JOIN odt ON odt.node = d.doc_id
+)""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"o{i - 1}"
+        ctes.append(
+            f"""o{i} AS MATERIALIZED (
+  SELECT p.node, p.od,
+         coalesce(s.inc, 0) + pool.sh AS cash,
+         p.hist + p.cash AS hist
+  FROM {p} p
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(q.cash // q.od)::BIGINT AS inc
+    FROM edges e JOIN {p} q ON q.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = p.node
+  CROSS JOIN (
+    SELECT coalesce(sum(CASE WHEN od = 0 THEN cash
+                              ELSE cash - od * (cash // od) END), 0)
+             // (SELECT c FROM nn) AS sh
+    FROM {p}
+  ) pool
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, hist::BIGINT AS hist,"
+          f" cash::BIGINT AS cash, od::BIGINT AS out_deg FROM o{iters}"
+          " ORDER BY doc_id"
+    )
+
+
+# BM25 parameter-sensitivity sweep — the tuning audit every serious
+# deployment runs before fixing (k1, b): how much does the top-10
+# actually move off the Robertson defaults?  Parameters as exact
+# milli-integers in the output so the hash compare never touches a
+# float key column.
+BM25_SWEEP = [(0.9, 0.4), (1.2, 0.3), (1.2, 0.75), (2.0, 0.75)]
+BM25_DEFAULT = (1.2, 0.75)
+
+
+def q_bm25_param_sweep(sf_dir: str):
+    """Per (query, k1, b): overlap@10 against the default-parameter
+    ranking (|top10(k1,b) ∩ top10(1.2,0.75)|).  One postings decode
+    per query term serves ALL parameter points (idf is k1/b-free;
+    only the saturation term re-evaluates) — the sweep costs four
+    vectorized re-scores, not four index reads."""
+    from ..functions.scoring import idf as _idf
+    from .query import LocalIndex
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    avgdl = idx.avgdl
+    n = idx.n_docs
+    rows_q, rows_k, rows_b, rows_o = [], [], [], []
+    for q in DOC_QUERIES:
+        terms = sorted(set(tokenize(q["query"])))
+        decoded = []
+        for t in terms:
+            ref = idx.lookup(t)
+            if ref is None:
+                continue
+            docs, tfs, dls = ref.decode_all()
+            decoded.append((float(_idf(n, ref.df)), docs,
+                            tfs.astype(np.float64), dls.astype(np.float64)))
+        if not decoded:
+            continue
+        tops = {}
+        for k1, b in BM25_SWEEP:
+            doc_parts, c_parts = [], []
+            for w, docs, tfs, dls in decoded:
+                imp = tfs * (k1 + 1.0) / (
+                    tfs + k1 * (1.0 - b + b * dls / avgdl)
+                )
+                doc_parts.append(docs)
+                c_parts.append(w * imp)
+            all_docs = np.concatenate(doc_parts)
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            sc = np.zeros(uniq.size)
+            np.add.at(sc, inv, np.concatenate(c_parts))
+            s_r = np.round(sc, 4)
+            order = np.lexsort((uniq, -s_r))[:10]
+            tops[(k1, b)] = set(uniq[order].tolist())
+        base = tops[BM25_DEFAULT]
+        for k1, b in BM25_SWEEP:
+            rows_q.append(q["query_id"])
+            rows_k.append(int(round(k1 * 1000)))
+            rows_b.append(int(round(b * 1000)))
+            rows_o.append(len(tops[(k1, b)] & base))
+    return pa.table({
+        "query_id": pa.array(rows_q, pa.int64()),
+        "k1_milli": pa.array(rows_k, pa.int64()),
+        "b_milli": pa.array(rows_b, pa.int64()),
+        "overlap10": pa.array(rows_o, pa.int64()),
+    })
+
+
+def _bm25_sweep_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    pvals = ", ".join(f"({k1!r}, {b!r})" for k1, b in BM25_SWEEP)
+    dk, db = BM25_DEFAULT
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+params(k1, b) AS (VALUES {pvals}),
+scored AS (
+  SELECT q.query_id, pr.k1, pr.b, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * (pr.k1 + 1.0)
+                 / (p.tf + pr.k1 * (1.0 - pr.b + pr.b * dl.dl / s.avgdl))) )
+           AS score
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  CROSS JOIN params pr
+  GROUP BY q.query_id, pr.k1, pr.b, p.doc_id
+),
+ranked AS (
+  SELECT query_id, k1, b, doc_id,
+         row_number() OVER (PARTITION BY query_id, k1, b
+                            ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM scored
+),
+top AS (SELECT * FROM ranked WHERE rank <= 10),
+dflt AS (SELECT query_id, doc_id FROM top WHERE k1 = {dk!r} AND b = {db!r})
+SELECT t.query_id, (t.k1 * 1000)::BIGINT AS k1_milli,
+       (t.b * 1000)::BIGINT AS b_milli,
+       count(d.doc_id)::BIGINT AS overlap10
+FROM top t
+LEFT JOIN dflt d ON d.query_id = t.query_id AND d.doc_id = t.doc_id
+GROUP BY t.query_id, t.k1, t.b
+ORDER BY t.query_id, k1_milli, b_milli
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -15445,6 +15632,8 @@ QUERIES = {
     "nb_lang_classify": q_nb_lang_classify,
     "postings_pfor": q_postings_pfor,
     "kneser_ney": q_kneser_ney,
+    "crawl_opic": q_crawl_opic,
+    "bm25_param_sweep": q_bm25_param_sweep,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -15676,6 +15865,8 @@ ORACLE_SQL = {
     "nb_lang_classify": _nb_sql(),
     "postings_pfor": _postings_pfor_sql(),
     "kneser_ney": _kneser_ney_sql(),
+    "crawl_opic": _opic_sql(),
+    "bm25_param_sweep": _bm25_sweep_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -15918,6 +16109,8 @@ _R5_FRONT = [
     "nb_lang_classify",
     "postings_pfor",
     "kneser_ney",
+    "crawl_opic",
+    "bm25_param_sweep",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

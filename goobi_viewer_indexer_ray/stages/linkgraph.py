@@ -57,7 +57,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["anchor_stats", "hits", "pagerank", "synth_edges", "triangles"]
+__all__ = ["anchor_stats", "hits", "opic", "pagerank", "synth_edges", "triangles"]
 
 
 # --------------------------------------------------------------- synth
@@ -390,6 +390,181 @@ def _pagerank_distributed(
                 with open(os.path.join(p, "_COMPLETE"), "w") as f:
                     f.write("ok\n")
     return state
+
+
+# ------------------------------------------------------------- OPIC
+
+def opic(nodes, edges, *, node_col: str = "node", src_col: str = "src",
+         dst_col: str = "dst", iters: int = 6, scale: int = 10**6,
+         method: str = "auto", small_graph_threshold: int = 2_000_000,
+         num_partitions: int = 16):
+    """On-line Page Importance Computation (Abiteboul/Preda/Cobena,
+    WWW 2003) — the crawl-frontier importance estimator that needs no
+    convergence before it's useful: every node starts with equal CASH;
+    each (synchronous) round a node banks its cash into HISTORY and
+    distributes it equally over its out-links; dangling cash and the
+    integer-division remainders pool and redistribute uniformly
+    (``pool // n`` each — total cash is conserved up to the dropped
+    ``pool % n``, a documented floor artifact that keeps the
+    recurrence INTEGER and therefore bit-exact under any partitioning,
+    the ``pagerank`` contract).  Returns ``(node, hist, cash,
+    out_deg)`` after ``iters`` rounds; ``hist`` is the importance
+    signal a crawler schedules by.
+
+    Distributed path: per round ONE edges ⋈ cash hash join + one
+    ``groupby(dst).sum`` — O(|E|) rows moved per round, nothing
+    corpus-sized on the driver (the pool is a scalar)."""
+    import ray
+
+    n_edges = edges.count()
+    n_nodes = nodes.count()
+    if method not in ("auto", "numpy", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "numpy" or (
+        method == "auto" and n_edges + n_nodes <= small_graph_threshold
+    ):
+        nt = nodes.select_columns([node_col]).to_arrow_refs()
+        et = edges.select_columns([src_col, dst_col]).to_arrow_refs()
+        nid = pa.concat_tables(ray.get(nt)).column(node_col).to_numpy()
+        etab = pa.concat_tables(ray.get(et))
+        hist, cash, od = _opic_numpy(
+            nid, etab.column(src_col).to_numpy(),
+            etab.column(dst_col).to_numpy(), iters=iters, scale=scale,
+        )
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(np.sort(nid), pa.int64()),
+            "hist": pa.array(hist, pa.int64()),
+            "cash": pa.array(cash, pa.int64()),
+            "out_deg": pa.array(od, pa.int64()),
+        }))
+    return _opic_distributed(
+        nodes, edges, node_col=node_col, src_col=src_col, dst_col=dst_col,
+        iters=iters, scale=scale, num_partitions=num_partitions,
+    )
+
+
+def _opic_numpy(nid, src, dst, *, iters: int, scale: int):
+    order = np.argsort(nid)
+    ns = nid[order]
+    n = ns.size
+    s_idx = np.searchsorted(ns, src)
+    d_idx = np.searchsorted(ns, dst)
+    for idx, ep, what in ((s_idx, src, "src"), (d_idx, dst, "dst")):
+        bad = (idx >= n) | (ns[np.minimum(idx, n - 1)] != ep)
+        if bad.any():
+            raise ValueError(f"opic: edge {what} endpoint not in nodes")
+    od = np.bincount(s_idx, minlength=n).astype(np.int64)
+    cash = np.full(n, scale, np.int64)
+    hist = np.zeros(n, np.int64)
+    for _ in range(iters):
+        hist += cash
+        gv = np.where(od > 0, cash // np.maximum(od, 1), 0)
+        pool = int(cash[od == 0].sum()) + int((cash - od * gv)[od > 0].sum())
+        inc = np.zeros(n, np.int64)
+        np.add.at(inc, d_idx, gv[s_idx])
+        cash = inc + pool // n
+    return hist, cash, od
+
+
+def _opic_distributed(nodes, edges, *, node_col, src_col, dst_col,
+                      iters, scale, num_partitions):
+    """The join-loop twin of :func:`_opic_numpy` — same integers by
+    construction (integer recurrence, association-free sums)."""
+    e = edges.map_batches(
+        lambda t, s=src_col, d=dst_col: pa.table(
+            {"esrc": t.column(s).cast(pa.int64()),
+             "edst": t.column(d).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def part_od(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(t.column("esrc").to_numpy(), return_counts=True)
+        return pa.table({"node": pa.array(vals, pa.int64()),
+                         "od_p": pa.array(counts, pa.int64())})
+
+    od = e.map_batches(part_od, batch_format="pyarrow").groupby("node").sum("od_p")
+    base = nodes.map_batches(
+        lambda t, c=node_col: pa.table({"node": t.column(c).cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    state = (
+        base.join(od, join_type="left_outer", num_partitions=num_partitions,
+                  on=("node",))
+        .map_batches(
+            lambda t, s=scale: pa.table({
+                "node": t.column("node"),
+                "out_deg": pc.coalesce(t.column("sum(od_p)"),
+                                       pa.scalar(0, pa.int64())),
+                "cash": pa.array(np.full(t.num_rows, s, np.int64)),
+                "hist": pa.array(np.zeros(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n = state.count()
+    for _ in range(iters):
+        # the round's redistribution pool — one scalar to the driver
+        def pool_part(t: pa.Table) -> pa.Table:
+            odv = t.column("out_deg").to_numpy()
+            ca = t.column("cash").to_numpy()
+            gv = np.where(odv > 0, ca // np.maximum(odv, 1), 0)
+            p = int(ca[odv == 0].sum()) + int((ca - odv * gv)[odv > 0].sum())
+            return pa.table({"p": pa.array([p], pa.int64())})
+
+        pool = int(state.map_batches(pool_part, batch_format="pyarrow")
+                   .sum("p") or 0)
+        share = pool // n
+        shares = state.map_batches(
+            lambda t: (
+                lambda k: pa.table({
+                    "snode": k.column("node"),
+                    "gv": pc.divide(k.column("cash"), k.column("out_deg")),
+                })
+            )(t.filter(pc.greater(t.column("out_deg"), 0))),
+            batch_format="pyarrow",
+        )
+        inc = (
+            e.join(shares, join_type="inner", num_partitions=num_partitions,
+                   on=("esrc",), right_on=("snode",))
+            .map_batches(
+                lambda t: pa.table({"cnode": t.column("edst"),
+                                    "c": t.column("gv")}),
+                batch_format="pyarrow",
+            )
+            .groupby("cnode").sum("c")
+        )
+        state = (
+            state.join(inc, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("node",), right_on=("cnode",))
+            .map_batches(
+                lambda t, sh=share: pa.table({
+                    "node": t.column("node"),
+                    "out_deg": t.column("out_deg"),
+                    "cash": pc.add(
+                        pc.coalesce(t.column("sum(c)"),
+                                    pa.scalar(0, pa.int64())),
+                        pa.scalar(sh, pa.int64()),
+                    ),
+                    "hist": pc.add(t.column("hist"), t.column("cash")),
+                }),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return state.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "hist": t.column("hist"),
+            "cash": t.column("cash"),
+            "out_deg": t.column("out_deg"),
+        }),
+        batch_format="pyarrow",
+    ).sort("node")
 
 
 # -------------------------------------------------------- anchor stats

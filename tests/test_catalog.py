@@ -78,6 +78,8 @@ def _check(contract, con, name):
         "nb_lang_classify",
         "postings_pfor",
         "kneser_ney",
+        "crawl_opic",
+        "bm25_param_sweep",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",

@@ -306,3 +306,40 @@ def test_bfs_depth_rejects_non_node_closed_edges(ray_session):
     with pytest.raises(ValueError, match="node-closed"):
         bfs_depth(ray.data.from_items([{"node": n} for n in (0, 5, 10)]),
                   ray.data.from_items([{"src": 0, "dst": 99}]), rounds=2)
+
+
+def test_opic_numpy_equals_distributed(ray_session):
+    """The OPIC integer recurrence is identical on both paths —
+    the pagerank bit-exactness contract."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import opic, synth_edges
+
+    ids = np.arange(300, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    edges = rd.from_arrow(synth_edges(ids, 300))
+    a = (opic(docs, edges, node_col="doc_id", method="numpy")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (opic(docs, edges, node_col="doc_id", method="distributed",
+              num_partitions=4)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
+    # history grows monotonically with rounds and dominates cash
+    assert int(a["hist"].sum()) > int(a["cash"].sum())
+
+
+def test_opic_rejects_open_edges(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import opic
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([0, 1, 2], pa.int64())}))
+    edges = rd.from_arrow(pa.table({"src": pa.array([0, 9], pa.int64()),
+                                    "dst": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="endpoint not in nodes"):
+        opic(docs, edges, node_col="doc_id", method="numpy")
