@@ -348,6 +348,8 @@ def run_bench() -> dict:
         "kneser_ney",
         "crawl_opic",
         "bm25_param_sweep",
+        "link_components",
+        "link_trustrank",
         "search_dismax",
         "search_boost_fn",
     ]

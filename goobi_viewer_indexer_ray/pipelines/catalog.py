@@ -15616,6 +15616,147 @@ ORDER BY t.query_id, k1_milli, b_milli
 """
 
 
+CC_BLOCK = 25
+
+
+def q_link_components(sf_dir: str):
+    """Connected components of the link graph — the web-graph
+    clustering primitive (mirror families, redirect chains and
+    near-dup clusters all reduce to CC; reference: the grouped-record
+    families GroupDocstruct builds, `MetsIndexer.java` group handling,
+    generalized to graph closure).  Fixture: the synth edges filtered
+    to same-block (``src // 25 == dst // 25``) so the graph is
+    genuinely multi-component.  Output per doc: canonical component
+    label (min doc_id reachable) + component size.  See
+    :func:`stages.linkgraph.connected_components` (BSP hash-min with
+    pointer-jumping; numpy == distributed, pytest-pinned)."""
+    from ..stages.linkgraph import connected_components
+
+    docs, edges = _link_edges(sf_dir)
+    ef = edges.map_batches(
+        lambda t, b=CC_BLOCK: t.filter(pc.equal(
+            pc.divide(t.column("src"), pa.scalar(b, pa.int64())),
+            pc.divide(t.column("dst"), pa.scalar(b, pa.int64())))),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(docs, ef, node_col="doc_id")
+    sizes = comp.groupby("comp").count()
+
+    joined = comp.join(
+        sizes.map_batches(
+            lambda t: pa.table({"scomp": t.column("comp"),
+                                "comp_size": t.column("count()")}),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=8,
+        on=("comp",), right_on=("scomp",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("node"),
+            "comp": t.column("comp"),
+            "comp_size": t.column("comp_size").cast(pa.int64()),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_LINK_COMPONENTS = f"""
+WITH RECURSIVE {_EDGE_RULE_SQL.strip()},
+ef AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src // {CC_BLOCK} = dst // {CC_BLOCK}
+),
+ue AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM ef UNION SELECT dst, src FROM ef
+),
+reach(node, lab) AS (
+  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+  UNION
+  SELECT ue.b, r.lab FROM reach r JOIN ue ON ue.a = r.node
+),
+comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+sizes AS (SELECT comp, count(*)::BIGINT AS comp_size FROM comp GROUP BY comp)
+SELECT c.node AS doc_id, c.comp, s.comp_size
+FROM comp c JOIN sizes s USING (comp) ORDER BY doc_id
+"""
+
+
+TRUST_SEED_MOD = 50
+TRUST_ITERS = 6
+TRUST_SCALE = 10**9
+
+
+def q_link_trustrank(sf_dir: str):
+    """TrustRank over the fixture web graph (Gyöngyi et al., VLDB'04
+    — spam demotion by propagating trust from a seed whitelist;
+    teleport and dangling mass go ONLY to seeds).  Integer fixed-point
+    ⇒ bit-exact under any partitioning; oracle replays all rounds as
+    chained MATERIALIZED CTEs.  See :func:`stages.linkgraph.trustrank`
+    (numpy == distributed join loop, pytest-pinned)."""
+    from ..stages.linkgraph import trustrank
+
+    docs, edges = _link_edges(sf_dir)
+    out = trustrank(docs, edges, node_col="doc_id",
+                    seed_mod=TRUST_SEED_MOD, iters=TRUST_ITERS,
+                    scale=TRUST_SCALE)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("node"),
+            "trust": t.column("trust"),
+            "is_seed": t.column("is_seed"),
+            "out_deg": t.column("out_deg"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _trustrank_sql(seed_mod: int = TRUST_SEED_MOD,
+                   iters: int = TRUST_ITERS,
+                   scale: int = TRUST_SCALE) -> str:
+    ctes = [
+        _EDGE_RULE_SQL.strip(),
+        "odt AS (SELECT src AS node, count(*)::BIGINT AS od FROM edges GROUP BY src)",
+        f"""sd AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS c FROM documents WHERE doc_id % {seed_mod} = 0
+)""",
+        f"""t0 AS MATERIALIZED (
+  SELECT d.doc_id::BIGINT AS node, coalesce(odt.od, 0) AS od,
+         (CASE WHEN d.doc_id % {seed_mod} = 0 THEN 1 ELSE 0 END)::BIGINT AS seed,
+         (CASE WHEN d.doc_id % {seed_mod} = 0 THEN {scale} ELSE 0 END)::BIGINT AS trust
+  FROM documents d LEFT JOIN odt ON odt.node = d.doc_id
+)""",
+    ]
+    base = (15 * scale) // 100
+    for i in range(1, iters + 1):
+        p = f"t{i - 1}"
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT p.node, p.od, p.seed,
+         p.seed * {base}
+           + (85 * (coalesce(s.inc, 0) + p.seed * dg.per_seed)) // 100
+           AS trust
+  FROM {p} p
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(q.trust // q.od)::BIGINT AS inc
+    FROM edges e JOIN {p} q ON q.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = p.node
+  CROSS JOIN (
+    SELECT coalesce(sum(CASE WHEN od = 0 THEN trust ELSE 0 END), 0)
+             // (SELECT c FROM sd) AS per_seed
+    FROM {p}
+  ) dg
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, trust::BIGINT AS trust,"
+          f" seed::BIGINT AS is_seed, od::BIGINT AS out_deg"
+          f" FROM t{iters} ORDER BY doc_id"
+    )
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -15634,6 +15775,8 @@ QUERIES = {
     "kneser_ney": q_kneser_ney,
     "crawl_opic": q_crawl_opic,
     "bm25_param_sweep": q_bm25_param_sweep,
+    "link_components": q_link_components,
+    "link_trustrank": q_link_trustrank,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -15867,6 +16010,8 @@ ORACLE_SQL = {
     "kneser_ney": _kneser_ney_sql(),
     "crawl_opic": _opic_sql(),
     "bm25_param_sweep": _bm25_sweep_sql(),
+    "link_components": _SQL_LINK_COMPONENTS,
+    "link_trustrank": _trustrank_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -16111,6 +16256,8 @@ _R5_FRONT = [
     "kneser_ney",
     "crawl_opic",
     "bm25_param_sweep",
+    "link_components",
+    "link_trustrank",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -57,7 +57,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["anchor_stats", "hits", "opic", "pagerank", "synth_edges", "triangles"]
+__all__ = ["anchor_stats", "connected_components", "hits", "opic",
+           "pagerank", "synth_edges", "triangles", "trustrank"]
 
 
 # --------------------------------------------------------------- synth
@@ -1089,3 +1090,357 @@ def _collect_edges(ds, src_col, dst_col):
                                          batch_size=None))
     return (t.column(src_col).cast(pa.int64()).to_numpy(),
             t.column(dst_col).cast(pa.int64()).to_numpy())
+
+
+# ------------------------------------------------- connected components
+
+def _cc_numpy(nid, src, dst):
+    """Hash-min labels over the UNDIRECTED closure of (src, dst) with
+    pointer-jumping shortcuts — converges in O(log diameter) sweeps.
+    Labels are node IDs (min reachable id), so the fixpoint is unique
+    and partition-independent."""
+    order = np.argsort(nid)
+    ns = nid[order]
+    n = ns.size
+    s_idx = np.searchsorted(ns, src)
+    d_idx = np.searchsorted(ns, dst)
+    for idx, ep, what in ((s_idx, src, "src"), (d_idx, dst, "dst")):
+        bad = (idx >= n) | (ns[np.minimum(idx, n - 1)] != ep)
+        if bad.any():
+            raise ValueError(
+                f"connected_components: edge {what} endpoint not in nodes")
+    a = np.concatenate([s_idx, d_idx])
+    b = np.concatenate([d_idx, s_idx])
+    lab = ns.copy()
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, b, lab[a])          # hash-min over neighbors
+        new = np.minimum(new, lab[np.searchsorted(ns, new)])  # shortcut
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    return lab[inv]
+
+
+def connected_components(nodes, edges, *, node_col: str = "node",
+                         src_col: str = "src", dst_col: str = "dst",
+                         method: str = "auto",
+                         small_graph_threshold: int = 2_000_000,
+                         num_partitions: int = 16,
+                         max_rounds: int = 64):
+    """Connected components of the UNDIRECTED link graph (Datasets in,
+    Dataset out: ``(node, comp)`` with ``comp`` = min node id in the
+    component — the canonical label, identical under any partitioning).
+    The web-graph dedup primitive: near-dup edge sets, mirror clusters
+    and redirect families all reduce to CC.
+
+    Distributed path = BSP hash-min (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 family): per round
+    ONE undirected-edges ⋈ labels hash join + ``groupby(node).min``
+    + a label-of-label shortcut join (pointer jumping), so rounds
+    grow with log(diameter), not diameter.  Per-round driver traffic
+    is one scalar (the changed-label count)."""
+    import ray
+
+    n_edges = edges.count()
+    n_nodes = nodes.count()
+    if method not in ("auto", "numpy", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "numpy" or (
+        method == "auto" and n_edges + n_nodes <= small_graph_threshold
+    ):
+        nid = _collect_column(nodes, node_col)
+        src, dst = _collect_edges(edges, src_col, dst_col)
+        lab = _cc_numpy(nid, src, dst)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nid, pa.int64()),
+            "comp": pa.array(lab, pa.int64()),
+        }))
+    return _cc_distributed(
+        nodes, edges, node_col=node_col, src_col=src_col, dst_col=dst_col,
+        num_partitions=num_partitions, max_rounds=max_rounds,
+    )
+
+
+def _cc_distributed(nodes, edges, *, node_col, src_col, dst_col,
+                    num_partitions, max_rounds):
+    """Join-loop twin of :func:`_cc_numpy` — min is associative and
+    commutative, so the fixpoint labels are bit-identical."""
+    ue = edges.map_batches(
+        lambda t, s=src_col, d=dst_col: pa.table({
+            "ea": pa.concat_arrays([
+                t.column(s).cast(pa.int64()).combine_chunks(),
+                t.column(d).cast(pa.int64()).combine_chunks()]),
+            "eb": pa.concat_arrays([
+                t.column(d).cast(pa.int64()).combine_chunks(),
+                t.column(s).cast(pa.int64()).combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    state = nodes.map_batches(
+        lambda t, c=node_col: (
+            lambda ids: pa.table({"node": ids, "comp": ids}))(
+                t.column(c).cast(pa.int64())),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(max_rounds):
+        msgs = (
+            ue.join(state, join_type="inner", num_partitions=num_partitions,
+                    on=("ea",), right_on=("node",))
+            .map_batches(
+                lambda t: pa.table({"mnode": t.column("eb"),
+                                    "mlab": t.column("comp")}),
+                batch_format="pyarrow",
+            )
+            .groupby("mnode").min("mlab")
+        )
+        merged = (
+            state.join(msgs, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("node",), right_on=("mnode",))
+            .map_batches(
+                lambda t: pa.table({
+                    "node": t.column("node"),
+                    "old": t.column("comp"),
+                    "comp": pc.min_element_wise(
+                        t.column("comp"),
+                        pc.coalesce(t.column("min(mlab)"),
+                                    t.column("comp"))),
+                }),
+                batch_format="pyarrow",
+            )
+            # merged feeds TWO consumers below — materialize, or each
+            # join re-executes every prior round's lineage (exponential)
+            .materialize()
+        )
+        # pointer jumping: comp <- min(comp, comp[comp]) via one join
+        # of the label column against the state keyed by node
+        state2 = (
+            merged
+            .join(merged.map_batches(
+                      lambda t: pa.table({"lnode": t.column("node"),
+                                          "llab": t.column("comp")}),
+                      batch_format="pyarrow"),
+                  join_type="inner", num_partitions=num_partitions,
+                  on=("comp",), right_on=("lnode",))
+            .map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "old": t.column("old"),
+                                    "comp": pc.min_element_wise(
+                                        t.column("comp"),
+                                        t.column("llab"))}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+        def changed_part(t: pa.Table) -> pa.Table:
+            ch = pc.sum(pc.cast(pc.not_equal(t.column("comp"),
+                                             t.column("old")),
+                                pa.int64())).as_py() or 0
+            return pa.table({"c": pa.array([ch], pa.int64())})
+
+        changed = int(state2.map_batches(changed_part,
+                                         batch_format="pyarrow").sum("c") or 0)
+        state = state2.select_columns(["node", "comp"]).materialize()
+        if changed == 0:
+            break
+    return state
+
+
+# --------------------------------------------------------- TrustRank
+
+def trustrank(nodes, edges, *, node_col: str = "node",
+              src_col: str = "src", dst_col: str = "dst",
+              seed_mod: int = 50, iters: int = 6, scale: int = 10**9,
+              method: str = "auto",
+              small_graph_threshold: int = 2_000_000,
+              num_partitions: int = 16):
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB'04): PageRank
+    with teleport AND dangling mass restricted to a trusted seed set
+    (``node % seed_mod == 0``) — spam demotion by trust attenuation
+    along links.  Integer fixed-point recurrence (the ``pagerank``
+    contract: floor divisions only, so any partitioning produces the
+    same bits):
+
+        gv      = trust // out_deg              (linked nodes)
+        dang    = Σ trust[out_deg == 0]
+        trust'  = is_seed * (15*scale)//100
+                + (85 * (insum + is_seed * dang//|seeds|)) // 100
+
+    Returns ``(node, trust, is_seed, out_deg)``."""
+    import ray
+
+    n_edges = edges.count()
+    n_nodes = nodes.count()
+    if method not in ("auto", "numpy", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "numpy" or (
+        method == "auto" and n_edges + n_nodes <= small_graph_threshold
+    ):
+        nid = _collect_column(nodes, node_col)
+        src, dst = _collect_edges(edges, src_col, dst_col)
+        tr, seed, od = _trustrank_numpy(nid, src, dst, seed_mod=seed_mod,
+                                        iters=iters, scale=scale)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nid, pa.int64()),
+            "trust": pa.array(tr, pa.int64()),
+            "is_seed": pa.array(seed, pa.int64()),
+            "out_deg": pa.array(od, pa.int64()),
+        }))
+    return _trustrank_distributed(
+        nodes, edges, node_col=node_col, src_col=src_col, dst_col=dst_col,
+        seed_mod=seed_mod, iters=iters, scale=scale,
+        num_partitions=num_partitions,
+    )
+
+
+def _trustrank_numpy(nid, src, dst, *, seed_mod, iters, scale):
+    order = np.argsort(nid)
+    ns = nid[order]
+    n = ns.size
+    s_idx = np.searchsorted(ns, src)
+    d_idx = np.searchsorted(ns, dst)
+    for idx, ep, what in ((s_idx, src, "src"), (d_idx, dst, "dst")):
+        bad = (idx >= n) | (ns[np.minimum(idx, n - 1)] != ep)
+        if bad.any():
+            raise ValueError(f"trustrank: edge {what} endpoint not in nodes")
+    od = np.bincount(s_idx, minlength=n).astype(np.int64)
+    seed = (ns % seed_mod == 0).astype(np.int64)
+    nseeds = int(seed.sum())
+    if nseeds == 0:
+        raise ValueError("trustrank: empty seed set")
+    linked = od > 0
+    tr = seed * scale
+    base = seed * ((15 * scale) // 100)
+    for _ in range(iters):
+        gv = np.zeros(n, np.int64)
+        gv[linked] = tr[linked] // od[linked]
+        dang = int(tr[~linked].sum())
+        insum = np.zeros(n, np.int64)
+        np.add.at(insum, d_idx, gv[s_idx])
+        tr = base + (85 * (insum + seed * (dang // nseeds))) // 100
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    return tr[inv], seed[inv], od[inv]
+
+
+def _trustrank_distributed(nodes, edges, *, node_col, src_col, dst_col,
+                           seed_mod, iters, scale, num_partitions):
+    """Join-loop twin of :func:`_trustrank_numpy` (same integers)."""
+    e = edges.map_batches(
+        lambda t, s=src_col, d=dst_col: pa.table(
+            {"esrc": t.column(s).cast(pa.int64()),
+             "edst": t.column(d).cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def part_od(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(t.column("esrc").to_numpy(),
+                                 return_counts=True)
+        return pa.table({"node": pa.array(vals, pa.int64()),
+                         "od_p": pa.array(counts, pa.int64())})
+
+    od = e.map_batches(part_od, batch_format="pyarrow") \
+          .groupby("node").sum("od_p")
+    state = (
+        nodes.map_batches(
+            lambda t, c=node_col: pa.table(
+                {"node": t.column(c).cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .join(od, join_type="left_outer", num_partitions=num_partitions,
+              on=("node",))
+        .map_batches(
+            lambda t, sm=seed_mod, s=scale: (
+                lambda ids, odv: pa.table({
+                    "node": t.column("node"),
+                    "out_deg": pc.coalesce(t.column("sum(od_p)"),
+                                           pa.scalar(0, pa.int64())),
+                    "is_seed": pa.array((ids % sm == 0).astype(np.int64)),
+                    "trust": pa.array(
+                        np.where(ids % sm == 0, s, 0).astype(np.int64)),
+                }))(t.column("node").to_numpy(), None),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def seeds_part(t: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array(
+            [pc.sum(t.column("is_seed")).as_py() or 0], pa.int64())})
+
+    nseeds = int(state.map_batches(seeds_part,
+                                   batch_format="pyarrow").sum("s") or 0)
+    if nseeds == 0:
+        raise ValueError("trustrank: empty seed set")
+    for _ in range(iters):
+        def dang_part(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("out_deg"), pa.scalar(0, pa.int64()))
+            d = pc.sum(pc.if_else(m, t.column("trust"),
+                                  pa.scalar(0, pa.int64()))).as_py() or 0
+            return pa.table({"d": pa.array([d], pa.int64())})
+
+        dang = int(state.map_batches(dang_part,
+                                     batch_format="pyarrow").sum("d") or 0)
+        per_seed = dang // nseeds
+        shares = state.map_batches(
+            lambda t: (
+                lambda k: pa.table({
+                    "snode": k.column("node"),
+                    "gv": pc.divide(k.column("trust"), k.column("out_deg")),
+                })
+            )(t.filter(pc.greater(t.column("out_deg"), 0))),
+            batch_format="pyarrow",
+        )
+        inc = (
+            e.join(shares, join_type="inner", num_partitions=num_partitions,
+                   on=("esrc",), right_on=("snode",))
+            .map_batches(
+                lambda t: pa.table({"cnode": t.column("edst"),
+                                    "c": t.column("gv")}),
+                batch_format="pyarrow",
+            )
+            .groupby("cnode").sum("c")
+        )
+        state = (
+            state.join(inc, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("node",), right_on=("cnode",))
+            .map_batches(
+                lambda t, ps=per_seed, s=scale: pa.table({
+                    "node": t.column("node"),
+                    "out_deg": t.column("out_deg"),
+                    "is_seed": t.column("is_seed"),
+                    "trust": pc.add(
+                        pc.multiply(t.column("is_seed"),
+                                    pa.scalar((15 * s) // 100, pa.int64())),
+                        pc.divide(
+                            pc.multiply(
+                                pa.scalar(85, pa.int64()),
+                                pc.add(
+                                    pc.coalesce(t.column("sum(c)"),
+                                                pa.scalar(0, pa.int64())),
+                                    pc.multiply(t.column("is_seed"),
+                                                pa.scalar(ps, pa.int64())))),
+                            pa.scalar(100, pa.int64()))),
+                }),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return state.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "trust": t.column("trust"),
+            "is_seed": t.column("is_seed"),
+            "out_deg": t.column("out_deg"),
+        }),
+        batch_format="pyarrow",
+    ).sort("node")

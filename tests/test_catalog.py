@@ -80,6 +80,8 @@ def _check(contract, con, name):
         "kneser_ney",
         "crawl_opic",
         "bm25_param_sweep",
+        "link_components",
+        "link_trustrank",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",

@@ -343,3 +343,89 @@ def test_opic_rejects_open_edges(ray_session):
                                     "dst": pa.array([1, 2], pa.int64())}))
     with pytest.raises(ValueError, match="endpoint not in nodes"):
         opic(docs, edges, node_col="doc_id", method="numpy")
+
+
+def test_cc_numpy_equals_distributed_and_labels(ray_session):
+    """Hash-min CC: numpy fixpoint == distributed join loop, and the
+    label is the min node id of the component (checked against a
+    brute-force union-find)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import (
+        connected_components, synth_edges)
+
+    ids = np.arange(200, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    # same-block filter => many components (the catalog fixture rule)
+    et = synth_edges(ids, 200)
+    src = et.column("src").to_numpy()
+    dst = et.column("dst").to_numpy()
+    keep = (src // 25) == (dst // 25)
+    edges = rd.from_arrow(pa.table({"src": pa.array(src[keep], pa.int64()),
+                                    "dst": pa.array(dst[keep], pa.int64())}))
+    a = (connected_components(docs, edges, node_col="doc_id",
+                              method="numpy")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (connected_components(docs, edges, node_col="doc_id",
+                              method="distributed", num_partitions=4)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
+
+    # brute-force union-find oracle
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(src[keep], dst[keep]):
+        rs, rd_ = find(int(s)), find(int(d))
+        if rs != rd_:
+            parent[max(rs, rd_)] = min(rs, rd_)
+    want = np.array([min(i for i in range(200) if find(i) == find(j))
+                     for j in range(200)], np.int64)
+    assert np.array_equal(a["comp"].to_numpy(), want)
+    assert len(set(want.tolist())) > 5  # genuinely multi-component
+
+
+def test_trustrank_numpy_equals_distributed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import (
+        synth_edges, trustrank)
+
+    ids = np.arange(300, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    edges = rd.from_arrow(synth_edges(ids, 300))
+    a = (trustrank(docs, edges, node_col="doc_id", method="numpy")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (trustrank(docs, edges, node_col="doc_id", method="distributed",
+                   num_partitions=4)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
+    # seeds hold trust; a non-seed with no trusted in-path decays to ~0
+    seeds = a[a["is_seed"] == 1]
+    assert (seeds["trust"] > 0).all()
+    assert int(a["trust"].sum()) > 0
+
+
+def test_trustrank_rejects_empty_seeds(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import trustrank
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([1, 3], pa.int64())}))
+    edges = rd.from_arrow(pa.table({"src": pa.array([1], pa.int64()),
+                                    "dst": pa.array([3], pa.int64())}))
+    with pytest.raises(ValueError, match="empty seed set"):
+        trustrank(docs, edges, node_col="doc_id", seed_mod=50,
+                  method="numpy")
