@@ -350,6 +350,8 @@ def run_bench() -> dict:
         "bm25_param_sweep",
         "link_components",
         "link_trustrank",
+        "postings_intersect",
+        "terms_suffix_infix",
         "search_dismax",
         "search_boost_fn",
     ]

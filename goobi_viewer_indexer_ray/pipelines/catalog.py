@@ -15757,6 +15757,125 @@ def _trustrank_sql(seed_mod: int = TRUST_SEED_MOD,
     )
 
 
+# all unordered token 2-combinations of the multi-term DOC_QUERIES —
+# the conjunctive (AND) workload the intersection audit runs over
+INTERSECT_PAIRS: list[tuple[str, str]] = sorted({
+    (a, b)
+    for q in DOC_QUERIES
+    for ts in [sorted(set(tokenize(q["query"])))]
+    if len(ts) >= 2
+    for i, a in enumerate(ts)
+    for b in ts[i + 1:]
+})
+
+
+def q_postings_intersect(sf_dir: str):
+    """Conjunctive (AND) posting-list intersection audit — the SvS
+    small-vs-sorted galloping intersect every boolean AND and every
+    WAND pivot-advance runs on (reference: the Solr boolean queries
+    `SolrSearchIndex.java` issues; Culpepper/Moffat TOIS'10 for the
+    SvS shape).  Per term pair: df of both sides + |A ∩ B| computed
+    by binary-searching the SMALLER list into the larger (vectorized
+    ``np.searchsorted`` — C-speed galloping), self-checked in-process
+    against ``np.intersect1d`` so a drift in either path fails loudly
+    before the oracle ever sees it."""
+    from .query import LocalIndex
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    ra_, rb_, na_, nb_, nboth_ = [], [], [], [], []
+    for a, b in INTERSECT_PAIRS:
+        ta, tb = idx.lookup(a), idx.lookup(b)
+        da = ta.decode_all()[0] if ta is not None else np.empty(0, np.int64)
+        db = tb.decode_all()[0] if tb is not None else np.empty(0, np.int64)
+        small, big = (da, db) if da.size <= db.size else (db, da)
+        pos = np.searchsorted(big, small)
+        ok = pos < big.size
+        n_both = int((big[pos[ok]] == small[ok]).sum())
+        assert n_both == np.intersect1d(da, db).size  # audit invariant
+        ra_.append(a)
+        rb_.append(b)
+        na_.append(da.size)
+        nb_.append(db.size)
+        nboth_.append(n_both)
+    return pa.table({
+        "term_a": pa.array(ra_, pa.string()),
+        "term_b": pa.array(rb_, pa.string()),
+        "n_a": pa.array(na_, pa.int64()),
+        "n_b": pa.array(nb_, pa.int64()),
+        "n_both": pa.array(nboth_, pa.int64()),
+    })
+
+
+def _postings_intersect_sql() -> str:
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in INTERSECT_PAIRS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+),
+pairs(term_a, term_b) AS (VALUES {vals})
+SELECT p.term_a, p.term_b,
+  (SELECT count(*) FROM posting WHERE term = p.term_a)::BIGINT AS n_a,
+  (SELECT count(*) FROM posting WHERE term = p.term_b)::BIGINT AS n_b,
+  (SELECT count(*) FROM posting a JOIN posting b USING (doc_id)
+   WHERE a.term = p.term_a AND b.term = p.term_b)::BIGINT AS n_both
+FROM pairs p ORDER BY term_a, term_b
+"""
+
+
+INFIX_PATTERNS = ["am", "at", "ba", "er", "in", "low", "rge", "zz"]
+
+
+def q_terms_suffix_infix(sf_dir: str):
+    """Infix (leading-wildcard) term search over the index term
+    dictionary via a suffix array — the reference's Solr layer
+    answers ``*foo*`` wildcards (ReversedWildcardFilter-style); a SA
+    over the per-shard vocab answers them in O(|pat|·log Σ|term|)
+    (see :mod:`functions.suffix`).  Per pattern: matching-term count
+    and their summed df, exact ``LIKE '%pat%'`` semantics."""
+    from ..functions.suffix import TermSuffixArray
+    from .query import LocalIndex
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    vocab, dfs = [], []
+    for term, ref in idx.iter_terms():
+        vocab.append(term)
+        dfs.append(ref.df)
+    dfs_arr = np.asarray(dfs, np.int64)
+    sa = TermSuffixArray(vocab)
+    pats, n_terms, sum_df = [], [], []
+    for p in INFIX_PATTERNS:
+        hits = sa.infix(p)
+        pats.append(p)
+        n_terms.append(int(hits.size))
+        sum_df.append(int(dfs_arr[hits].sum()))
+    return pa.table({
+        "pattern": pa.array(pats, pa.string()),
+        "n_terms": pa.array(n_terms, pa.int64()),
+        "sum_df": pa.array(sum_df, pa.int64()),
+    })
+
+
+def _terms_suffix_infix_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in INFIX_PATTERNS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+pats(pattern) AS (VALUES {vals})
+SELECT p.pattern,
+       count(f.term)::BIGINT AS n_terms,
+       coalesce(sum(f.df), 0)::BIGINT AS sum_df
+FROM pats p
+LEFT JOIN dfs f ON f.term LIKE '%' || p.pattern || '%'
+GROUP BY p.pattern ORDER BY p.pattern
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -15777,6 +15896,8 @@ QUERIES = {
     "bm25_param_sweep": q_bm25_param_sweep,
     "link_components": q_link_components,
     "link_trustrank": q_link_trustrank,
+    "postings_intersect": q_postings_intersect,
+    "terms_suffix_infix": q_terms_suffix_infix,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -16012,6 +16133,8 @@ ORACLE_SQL = {
     "bm25_param_sweep": _bm25_sweep_sql(),
     "link_components": _SQL_LINK_COMPONENTS,
     "link_trustrank": _trustrank_sql(),
+    "postings_intersect": _postings_intersect_sql(),
+    "terms_suffix_infix": _terms_suffix_infix_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -16258,6 +16381,8 @@ _R5_FRONT = [
     "bm25_param_sweep",
     "link_components",
     "link_trustrank",
+    "postings_intersect",
+    "terms_suffix_infix",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -82,6 +82,8 @@ def _check(contract, con, name):
         "bm25_param_sweep",
         "link_components",
         "link_trustrank",
+        "postings_intersect",
+        "terms_suffix_infix",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",

@@ -824,3 +824,32 @@ def test_index_prune_boundary_classes(ray_session):
     out = q_index_prune(d).to_pandas()
     r = out[out.term == "w"].iloc[0]
     assert (r.df, r.kept, r.cf_kept) == (5, 1, 5)
+
+
+# ------------------------------------------------------- suffix array
+
+def test_suffix_array_matches_bruteforce():
+    """SA infix == Python `in` substring scan on a mixed vocab,
+    including unicode, repeats-inside-term, and absent patterns."""
+    import numpy as np
+
+    from goobi_viewer_indexer_ray.functions.suffix import TermSuffixArray
+
+    vocab = ["banana", "bandana", "ana", "café", "fée", "zzz",
+             "merge", "merger", "emerge", "a", "", "aa"]
+    sa = TermSuffixArray(vocab)
+    for pat in ["an", "ana", "na", "é", "merge", "zz", "q", "a", "aa",
+                "banana", "bananas"]:
+        want = np.array([i for i, t in enumerate(vocab) if pat in t],
+                        np.int64)
+        got = sa.infix(pat)
+        assert np.array_equal(got, want), (pat, got, want)
+    # empty pattern matches every term (LIKE '%%')
+    assert sa.infix("").size == len(vocab)
+
+
+def test_intersect_pairs_nonempty():
+    from goobi_viewer_indexer_ray.pipelines.catalog import INTERSECT_PAIRS
+
+    assert len(INTERSECT_PAIRS) >= 8
+    assert all(a < b for a, b in INTERSECT_PAIRS)
