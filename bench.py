@@ -352,6 +352,8 @@ def run_bench() -> dict:
         "link_trustrank",
         "postings_intersect",
         "terms_suffix_infix",
+        "search_jm",
+        "host_ratelimit",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -15876,6 +15876,260 @@ GROUP BY p.pattern ORDER BY p.pattern
 """
 
 
+JM_LAMBDA = 0.7  # Solr LMJelinekMercerSimilarity shipped default
+
+
+def q_search_jm(sf_dir: str):
+    """Query likelihood with Jelinek-Mercer smoothing (Zhai &
+    Lafferty 2001; Lucene ``LMJelinekMercerSimilarity``, the third
+    pluggable Solr similarity beside BM25 and LMDirichlet — this
+    completes that per-field similarity surface).  Score per
+    (query, doc) over matched terms (zero-cf terms drop)::
+
+        Σ_t ln(1 + ((1-λ)·tf/dl) / (λ·cf_t/|C|))
+
+    Same streamed shape as :func:`q_search_lmdirichlet`: one pass
+    emits (term, doc, tf, dl) for the query-term union, the tiny cf
+    aggregates ride the driver, ONE ``groupby(query_id, doc_id)``
+    fold; top-10 by (round(score,4) desc, doc_id).  Identical
+    expression trees on both sides keep float64 parity."""
+    from ray.data.aggregate import Sum
+
+    terms_by_q = {
+        q["query_id"]: sorted(set(tokenize(q["query"]))) for q in DOC_QUERIES
+    }
+    term_set = frozenset(t for ts in terms_by_q.values() for t in ts)
+    ds = _documents(sf_dir)
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        empty = pa.table({
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
+        })
+        if codes.size == 0:
+            return empty
+        doc_of = np.repeat(np.arange(ids.size), counts)
+        sel = np.isin(uniq, list(term_set))[codes]
+        if not sel.any():
+            return empty
+        key = doc_of[sel] * np.int64(uniq.size) + codes[sel]
+        ukey, tf = np.unique(key, return_counts=True)
+        didx = (ukey // uniq.size).astype(np.int64)
+        return pa.table({
+            "term": pa.array(uniq[(ukey % uniq.size)], pa.string()),
+            "doc_id": pa.array(ids[didx], pa.int64()),
+            "tf": pa.array(tf, pa.int64()),
+            "dl": pa.array(counts[didx], pa.int64()),
+        })
+
+    c_total = float(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"dl": pa.array(text_ops._flat_token_codes(t)[1], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("dl")
+    )
+    matches = ds.map_batches(rows, batch_format="pyarrow")
+    cfs = {
+        r["term"]: int(r["cf"])
+        for r in matches.groupby("term")
+        .aggregate(Sum("tf", alias_name="cf"))
+        .take_all()
+    }
+    q_of_term: dict[str, list[int]] = {}
+    for qid, ts in terms_by_q.items():
+        for t in ts:
+            if cfs.get(t, 0) > 0:
+                q_of_term.setdefault(t, []).append(qid)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        dl = t.column("dl").to_numpy().astype(np.float64)
+        docs = t.column("doc_id").to_numpy()
+        codes, uterms = pd.factorize(terms)
+        parts = {"q": [], "d": [], "c": []}
+        for code, term in enumerate(uterms):
+            if term not in q_of_term:
+                continue
+            m = codes == code
+            # SAME expression tree as the SQL
+            cvals = np.log(1.0 + ((1.0 - JM_LAMBDA) * tf[m] / dl[m])
+                           / (JM_LAMBDA * cfs[term] / c_total))
+            for qid in q_of_term[term]:
+                parts["q"].append(np.full(int(m.sum()), qid, np.int64))
+                parts["d"].append(docs[m])
+                parts["c"].append(cvals)
+        if not parts["q"]:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "c": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(parts["q"]), pa.int64()),
+            "doc_id": pa.array(np.concatenate(parts["d"]), pa.int64()),
+            "c": pa.array(np.concatenate(parts["c"]), pa.float64()),
+        })
+
+    scored = (
+        matches.map_batches(contrib, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("c", alias_name="s"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        qid = int(g.column("query_id")[0].as_py())
+        s_r = np.round(g.column("s").to_numpy(), 4)
+        d = g.column("doc_id").to_numpy()
+        order = np.lexsort((d, -s_r))[:10]
+        return pa.table({
+            "query_id": pa.array(np.full(order.size, qid, np.int64)),
+            "doc_id": pa.array(d[order], pa.int64()),
+            "score_r": pa.array(s_r[order], pa.float64()),
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        })
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+def _search_jm_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    lam = repr(JM_LAMBDA)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT sum(dl) AS c FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+  GROUP BY doc_id, t
+),
+cfs AS (SELECT term, sum(tf) AS cf FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(ln(1 + ((1 - {lam}) * p.tf / dl.dl)
+                    / ({lam} * f.cf / s.c))) AS s
+  FROM q
+  JOIN posting p ON p.term = q.term
+  JOIN cfs f ON f.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# token-bucket politeness: capacity 5 tokens, 1 token / 2 s refill,
+# cost 1 token per fetch — micro-token integers, so the clamped
+# recurrence is exact on both sides
+RL_CAP_U = 5_000_000
+RL_COST_U = 1_000_000
+RL_REFILL_DIV = 2  # µtokens per µs = 1/2  ⇔  1 token per 2 seconds
+
+
+def q_host_ratelimit(sf_dir: str):
+    """Per-host token-bucket politeness replay — the crawler-side
+    rate limiter (reference analog: the hotfolder's one-record-at-a-
+    time queue discipline `Hotfolder.java:113`, generalized to the
+    per-host budget every polite fetcher enforces; events stand in as
+    the fetch log, ``user_id`` as the host key).  The clamped
+    recurrence is inherently sequential per host, so the distributed
+    shape is the honest one: ``groupby(host).map_groups`` — parallel
+    ACROSS hosts, ordered replay within (ts, then event_id).  Integer
+    micro-tokens ⇒ bit-exact; the oracle replays the same recurrence
+    as a recursive CTE."""
+    ev = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+
+    def replay(g: pa.Table) -> pa.Table:
+        uid = int(g.column("user_id")[0].as_py())
+        eid = g.column("event_id").cast(pa.int64()).to_numpy()
+        tus = g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, tus))
+        t = tus[order]
+        dt = np.diff(t, prepend=t[:1])
+        refill = dt // RL_REFILL_DIV
+        tokens = RL_CAP_U
+        allowed = 0
+        # clamped token-bucket: irreducible sequential recurrence —
+        # the loop is per-host (≤ a host's fetch count), not corpus-wide
+        for r in refill:
+            tokens = min(RL_CAP_U, tokens + int(r))
+            if tokens >= RL_COST_U:
+                allowed += 1
+                tokens -= RL_COST_U
+        return pa.table({
+            "user_id": pa.array([uid], pa.int64()),
+            "n_events": pa.array([len(t)], pa.int64()),
+            "n_allowed": pa.array([allowed], pa.int64()),
+            "tokens_end": pa.array([tokens], pa.int64()),
+        })
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(replay, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+_SQL_HOST_RATELIMIT = f"""
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+         epoch_us(ts) AS tus,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+rec(user_id, rn, tus, tokens, allowed) AS (
+  SELECT user_id, rn, tus,
+         {RL_CAP_U} - (CASE WHEN {RL_CAP_U} >= {RL_COST_U}
+                            THEN {RL_COST_U} ELSE 0 END),
+         (CASE WHEN {RL_CAP_U} >= {RL_COST_U} THEN 1 ELSE 0 END)::BIGINT
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.tus,
+         refilled - (CASE WHEN refilled >= {RL_COST_U}
+                          THEN {RL_COST_U} ELSE 0 END),
+         (CASE WHEN refilled >= {RL_COST_U} THEN 1 ELSE 0 END)::BIGINT
+  FROM rec r
+  JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1,
+  LATERAL (SELECT least({RL_CAP_U}, r.tokens + (e.tus - r.tus) // {RL_REFILL_DIV})
+           AS refilled) l
+),
+agg AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         sum(allowed)::BIGINT AS n_allowed,
+         max(rn) AS last_rn
+  FROM rec GROUP BY user_id
+)
+SELECT a.user_id, a.n_events, a.n_allowed, r.tokens::BIGINT AS tokens_end
+FROM agg a JOIN rec r ON r.user_id = a.user_id AND r.rn = a.last_rn
+ORDER BY a.user_id
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -15898,6 +16152,8 @@ QUERIES = {
     "link_trustrank": q_link_trustrank,
     "postings_intersect": q_postings_intersect,
     "terms_suffix_infix": q_terms_suffix_infix,
+    "search_jm": q_search_jm,
+    "host_ratelimit": q_host_ratelimit,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -16135,6 +16391,8 @@ ORACLE_SQL = {
     "link_trustrank": _trustrank_sql(),
     "postings_intersect": _postings_intersect_sql(),
     "terms_suffix_infix": _terms_suffix_infix_sql(),
+    "search_jm": _search_jm_sql(),
+    "host_ratelimit": _SQL_HOST_RATELIMIT,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -16383,6 +16641,8 @@ _R5_FRONT = [
     "link_trustrank",
     "postings_intersect",
     "terms_suffix_infix",
+    "search_jm",
+    "host_ratelimit",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -84,6 +84,8 @@ def _check(contract, con, name):
         "link_trustrank",
         "postings_intersect",
         "terms_suffix_infix",
+        "search_jm",
+        "host_ratelimit",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",

@@ -853,3 +853,36 @@ def test_intersect_pairs_nonempty():
 
     assert len(INTERSECT_PAIRS) >= 8
     assert all(a < b for a, b in INTERSECT_PAIRS)
+
+
+def test_host_ratelimit_bucket_semantics(ray_session):
+    """Planted replay: burst drains the bucket, refill restores at
+    1 token / 2 s, clamp at capacity."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.pipelines.catalog import (
+        RL_CAP_U, RL_COST_U, q_host_ratelimit)
+
+    # 7 events at t=0 (burst: 5 allowed, 2 denied), one at +4 s
+    # (2 tokens refilled -> allowed), one at +10 min (clamped refill
+    # -> allowed)
+    base = 1_700_000_000_000_000
+    ts = [base] * 7 + [base + 4_000_000, base + 600_000_000]
+    t = pa.table({
+        "event_id": pa.array(list(range(9)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 9, pa.int64()),
+    })
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = q_host_ratelimit(d).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert int(row["n_events"]) == 9
+    assert int(row["n_allowed"]) == 7  # 5 burst + refill + clamped refill
+    # last event drains from a full bucket
+    assert int(row["tokens_end"]) == RL_CAP_U - RL_COST_U
