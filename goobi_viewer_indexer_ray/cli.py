@@ -12,6 +12,7 @@ Commands::
     bench-corpus --out DIR --n N [--seed S]
     optimize --out DIR
     delete-query --out DIR --must "terms" [--must-not "terms"]
+    check-index --out DIR [--strict]
     watch --out DIR --pages DIR [--interval S] [--max-polls N] [--config F]
 """
 
@@ -74,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     dq.add_argument("--must", action="append", default=[], required=True)
     dq.add_argument("--must-not", action="append", default=[])
 
+    ci = sub.add_parser("check-index", help="CheckIndex-style integrity "
+                        "audit of every segment + manifest totals")
+    ci.add_argument("--out", required=True)
+    ci.add_argument("--strict", action="store_true",
+                    help="exit non-zero on any failed invariant")
+
     w = sub.add_parser("watch", help="hotfolder poll loop: snapshot-diff "
                        "an input dir, route new/changed/deleted records")
     w.add_argument("--out", required=True)
@@ -133,6 +140,14 @@ def main(argv: list[str] | None = None) -> int:
             m, n = delete_by_query(args.out, must=args.must,
                                    must_not=args.must_not)
             print(json.dumps({"n_deleted": n, "n_terms": m.get("n_terms")}))
+        elif args.cmd == "check-index":
+            from .pipelines.check import check_index
+
+            r = check_index(args.out, strict=args.strict)
+            print(json.dumps({"segments": r["segments"],
+                              "checks": r["checks"],
+                              "failures": r["failures"][:20],
+                              "ok": not r["failures"]}))
         elif args.cmd == "watch":
             from .pipelines.watch import watch
 
