@@ -354,6 +354,8 @@ def run_bench() -> dict:
         "terms_suffix_infix",
         "search_jm",
         "host_ratelimit",
+        "geo_quadkey",
+        "geo_nearest",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -16130,6 +16130,150 @@ ORDER BY a.user_id
 """
 
 
+QK_LEVEL = 4  # quadkey zoom level (16×16 equirectangular tiles)
+
+
+def q_geo_quadkey(sf_dir: str):
+    """Map-tile bucketing of the supplier geo points (Bing-maps
+    quadkey addressing over an equirectangular grid — the spatial
+    partition key a 100 TB geo corpus shards by; sibling of
+    ``search_geo``'s radius scan).  All-integer tile math (floor
+    divisions + bit interleaving), so the tile ids and 4-digit
+    quadkeys are bit-exact.  Output per supplier: tile coords, the
+    quadkey string, and the tile's point count (4^L ≤ 256 tiles —
+    the count table is broadcast-joined, never shuffled)."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey"])
+
+    def tiles(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").cast(pa.int64()).to_numpy()
+        x = (k * 37) % 360 - 180
+        y = (k * 53) % 180 - 90
+        n = 1 << QK_LEVEL
+        tx = ((x + 180) * n) // 360
+        ty = ((y + 90) * n) // 180
+        digits = [
+            ((ty >> (QK_LEVEL - 1 - i)) & 1) * 2
+            + ((tx >> (QK_LEVEL - 1 - i)) & 1)
+            for i in range(QK_LEVEL)
+        ]
+        qk = np.array(["".join(str(int(d[j])) for d in digits)
+                       for j in range(k.size)], object)
+        return pa.table({
+            "s_suppkey": pa.array(k, pa.int64()),
+            "tile_x": pa.array(tx, pa.int64()),
+            "tile_y": pa.array(ty, pa.int64()),
+            "quadkey": pa.array(qk, pa.string()),
+        })
+
+    tiled = ds.map_batches(tiles, batch_format="pyarrow")
+    counts = {
+        (int(r["tile_x"]), int(r["tile_y"])): int(r["count()"])
+        for r in tiled.groupby(["tile_x", "tile_y"]).count().take_all()
+    }
+
+    def attach(t: pa.Table) -> pa.Table:
+        tx = t.column("tile_x").to_numpy()
+        ty = t.column("tile_y").to_numpy()
+        c = np.array([counts[(int(a), int(b))] for a, b in zip(tx, ty)],
+                     np.int64)
+        return t.append_column("n_in_tile", pa.array(c, pa.int64()))
+
+    return tiled.map_batches(attach, batch_format="pyarrow")
+
+
+_SQL_GEO_QUADKEY = f"""
+WITH pts AS (
+  SELECT s_suppkey::BIGINT AS s_suppkey,
+         (s_suppkey * 37) % 360 - 180 AS x,
+         (s_suppkey * 53) % 180 - 90 AS y
+  FROM supplier
+),
+tiles AS (
+  SELECT s_suppkey,
+         ((x + 180) * {1 << QK_LEVEL}) // 360 AS tile_x,
+         ((y + 90) * {1 << QK_LEVEL}) // 180 AS tile_y
+  FROM pts
+)
+SELECT s_suppkey, tile_x, tile_y,
+       cast(((tile_y >> 3) & 1) * 2 + ((tile_x >> 3) & 1) AS VARCHAR)
+       || cast(((tile_y >> 2) & 1) * 2 + ((tile_x >> 2) & 1) AS VARCHAR)
+       || cast(((tile_y >> 1) & 1) * 2 + ((tile_x >> 1) & 1) AS VARCHAR)
+       || cast((tile_y & 1) * 2 + (tile_x & 1) AS VARCHAR) AS quadkey,
+       count(*) OVER (PARTITION BY tile_x, tile_y)::BIGINT AS n_in_tile
+FROM tiles ORDER BY s_suppkey
+"""
+
+
+def q_geo_nearest(sf_dir: str):
+    """Nearest-supplier spatial join: every customer point (same
+    key-arithmetic coordinate rule) is matched to its closest
+    supplier by squared euclidean distance on the integer grid,
+    tie-broken by min ``s_suppkey`` — the broadcast-NN join shape
+    (suppliers are the SMALL side: ``ray.put`` once, full numpy
+    distance matrix per customer batch; never a shuffle join).
+    Integer distances ⇒ exact."""
+    import ray
+
+    sup = _rd().read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey"])
+    sk = np.sort(np.concatenate(
+        [b.column("s_suppkey").cast(pa.int64()).to_numpy()
+         for b in sup.iter_batches(batch_format="pyarrow",
+                                   batch_size=None)]))
+    sx = (sk * 37) % 360 - 180
+    sy = (sk * 53) % 180 - 90
+    sup_ref = ray.put((sk, sx, sy))
+
+    cust = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey"])
+
+    def nearest(t: pa.Table) -> pa.Table:
+        k, x, y = ray.get(sup_ref)
+        ck = t.column("c_custkey").cast(pa.int64()).to_numpy()
+        cx = (ck * 41) % 360 - 180
+        cy = (ck * 59) % 180 - 90
+        # (batch × suppliers) integer distance matrix — the small side
+        # is ~100 rows, so this is a few MB at batch_size 4096
+        d2 = ((cx[:, None] - x[None, :]) ** 2
+              + (cy[:, None] - y[None, :]) ** 2)
+        best = np.argmin(d2, axis=1)  # first minimum = min suppkey (k sorted)
+        return pa.table({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "s_suppkey": pa.array(k[best], pa.int64()),
+            "dist2": pa.array(d2[np.arange(ck.size), best], pa.int64()),
+        })
+
+    return cust.map_batches(nearest, batch_format="pyarrow")
+
+
+_SQL_GEO_NEAREST = """
+WITH sp AS (
+  SELECT s_suppkey::BIGINT AS s_suppkey,
+         (s_suppkey * 37) % 360 - 180 AS x,
+         (s_suppkey * 53) % 180 - 90 AS y
+  FROM supplier
+),
+cp AS (
+  SELECT c_custkey::BIGINT AS c_custkey,
+         (c_custkey * 41) % 360 - 180 AS x,
+         (c_custkey * 59) % 180 - 90 AS y
+  FROM customer
+),
+pairs AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2,
+         row_number() OVER (PARTITION BY c.c_custkey
+                            ORDER BY (c.x - s.x) * (c.x - s.x)
+                                     + (c.y - s.y) * (c.y - s.y),
+                                     s.s_suppkey) AS rn
+  FROM cp c CROSS JOIN sp s
+)
+SELECT c_custkey, s_suppkey, d2::BIGINT AS dist2
+FROM pairs WHERE rn = 1 ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -16154,6 +16298,8 @@ QUERIES = {
     "terms_suffix_infix": q_terms_suffix_infix,
     "search_jm": q_search_jm,
     "host_ratelimit": q_host_ratelimit,
+    "geo_quadkey": q_geo_quadkey,
+    "geo_nearest": q_geo_nearest,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -16393,6 +16539,8 @@ ORACLE_SQL = {
     "terms_suffix_infix": _terms_suffix_infix_sql(),
     "search_jm": _search_jm_sql(),
     "host_ratelimit": _SQL_HOST_RATELIMIT,
+    "geo_quadkey": _SQL_GEO_QUADKEY,
+    "geo_nearest": _SQL_GEO_NEAREST,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -16643,6 +16791,8 @@ _R5_FRONT = [
     "terms_suffix_infix",
     "search_jm",
     "host_ratelimit",
+    "geo_quadkey",
+    "geo_nearest",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -86,6 +86,8 @@ def _check(contract, con, name):
         "terms_suffix_infix",
         "search_jm",
         "host_ratelimit",
+        "geo_quadkey",
+        "geo_nearest",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
