@@ -356,6 +356,7 @@ def run_bench() -> dict:
         "host_ratelimit",
         "geo_quadkey",
         "geo_nearest",
+        "link_communities",
         "search_dismax",
         "search_boost_fn",
     ]

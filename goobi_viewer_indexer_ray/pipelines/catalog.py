@@ -16274,6 +16274,89 @@ FROM pairs WHERE rn = 1 ORDER BY c_custkey
 """
 
 
+LPA_ITERS = 3
+
+
+def q_link_communities(sf_dir: str):
+    """Community detection by deterministic synchronous label
+    propagation (Raghavan et al. 2007) over the same multi-component
+    fixture graph as ``link_components`` — communities are FINER than
+    components (modal-neighbor label vs reachability), the spam-farm
+    / mirror-family structure a web index demotes by.  See
+    :func:`stages.linkgraph.label_propagation` (packed-max argmax,
+    numpy == distributed pytest-pinned).  Output per doc: final label
+    + community size."""
+    from ..stages.linkgraph import label_propagation
+
+    docs, edges = _link_edges(sf_dir)
+    ef = edges.map_batches(
+        lambda t, b=CC_BLOCK: t.filter(pc.equal(
+            pc.divide(t.column("src"), pa.scalar(b, pa.int64())),
+            pc.divide(t.column("dst"), pa.scalar(b, pa.int64())))),
+        batch_format="pyarrow",
+    )
+    lab = label_propagation(docs, ef, node_col="doc_id", iters=LPA_ITERS)
+    sizes = lab.groupby("label").count()
+    joined = lab.join(
+        sizes.map_batches(
+            lambda t: pa.table({"slabel": t.column("label"),
+                                "n_in_label": t.column("count()")}),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=8,
+        on=("label",), right_on=("slabel",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("node"),
+            "label": t.column("label"),
+            "n_in_label": t.column("n_in_label").cast(pa.int64()),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def _link_communities_sql(iters: int = LPA_ITERS) -> str:
+    ctes = [
+        _EDGE_RULE_SQL.strip(),
+        f"""ef AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src // {CC_BLOCK} = dst // {CC_BLOCK}
+)""",
+        """ue AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM ef UNION SELECT dst, src FROM ef
+)""",
+        "l0 AS MATERIALIZED (SELECT doc_id::BIGINT AS node, doc_id::BIGINT AS lab FROM documents)",
+    ]
+    for r in range(1, iters + 1):
+        p = f"l{r - 1}"
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT n.node, coalesce(w.lab, n.lab) AS lab
+  FROM {p} n
+  LEFT JOIN (
+    SELECT node, lab FROM (
+      SELECT x.node, x.lab,
+             row_number() OVER (PARTITION BY x.node
+                                ORDER BY x.cnt DESC, x.lab) AS rn
+      FROM (
+        SELECT ue.a AS node, l.lab, count(*) AS cnt
+        FROM ue JOIN {p} l ON l.node = ue.b
+        GROUP BY ue.a, l.lab
+      ) x
+    ) WHERE rn = 1
+  ) w ON w.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+, sizes AS (SELECT lab, count(*)::BIGINT AS n_in_label
+            FROM l{iters} GROUP BY lab)
+SELECT l.node AS doc_id, l.lab AS label, s.n_in_label
+FROM l{iters} l JOIN sizes s ON s.lab = l.lab ORDER BY doc_id"""
+    )
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -16300,6 +16383,7 @@ QUERIES = {
     "host_ratelimit": q_host_ratelimit,
     "geo_quadkey": q_geo_quadkey,
     "geo_nearest": q_geo_nearest,
+    "link_communities": q_link_communities,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -16541,6 +16625,7 @@ ORACLE_SQL = {
     "host_ratelimit": _SQL_HOST_RATELIMIT,
     "geo_quadkey": _SQL_GEO_QUADKEY,
     "geo_nearest": _SQL_GEO_NEAREST,
+    "link_communities": _link_communities_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -16793,6 +16878,7 @@ _R5_FRONT = [
     "host_ratelimit",
     "geo_quadkey",
     "geo_nearest",
+    "link_communities",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -57,8 +57,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["anchor_stats", "connected_components", "hits", "opic",
-           "pagerank", "synth_edges", "triangles", "trustrank"]
+__all__ = ["anchor_stats", "connected_components", "hits", "label_propagation",
+           "opic", "pagerank", "synth_edges", "triangles", "trustrank"]
 
 
 # --------------------------------------------------------------- synth
@@ -1444,3 +1444,154 @@ def _trustrank_distributed(nodes, edges, *, node_col, src_col, dst_col,
         }),
         batch_format="pyarrow",
     ).sort("node")
+
+
+# ------------------------------------------------ label propagation
+
+def _lpa_numpy(nid, src, dst, *, iters: int):
+    """Synchronous label propagation (Raghavan et al. 2007, made
+    deterministic): new label = most frequent neighbor label, ties to
+    the SMALLEST label, isolated nodes keep their own.  All updates
+    are simultaneous (labels read from the previous round), so the
+    result is partition-independent."""
+    order = np.argsort(nid)
+    ns = nid[order]
+    n = ns.size
+    s_idx = np.searchsorted(ns, src)
+    d_idx = np.searchsorted(ns, dst)
+    for idx, ep, what in ((s_idx, src, "src"), (d_idx, dst, "dst")):
+        bad = (idx >= n) | (ns[np.minimum(idx, n - 1)] != ep)
+        if bad.any():
+            raise ValueError(
+                f"label_propagation: edge {what} endpoint not in nodes")
+    a = np.concatenate([s_idx, d_idx])
+    b = np.concatenate([d_idx, s_idx])
+    lab = ns.copy().astype(np.int64)
+    big = np.int64(ns.max()) + 1 if n else np.int64(1)
+    for _ in range(iters):
+        key = a.astype(np.int64) * big + lab[b]
+        ukey, cnt = np.unique(key, return_counts=True)
+        knode = ukey // big
+        klab = ukey % big
+        # priority = (count desc, label asc): packed so ONE max decides
+        packed = cnt.astype(np.int64) * big * big + (big - 1 - klab)
+        best = np.full(n, -1, np.int64)
+        np.maximum.at(best, knode, packed)
+        new = lab.copy()
+        has = best >= 0
+        new[has] = big - 1 - (best[has] % (big * big)) % big
+        lab = new
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    return lab[inv]
+
+
+def label_propagation(nodes, edges, *, node_col: str = "node",
+                      src_col: str = "src", dst_col: str = "dst",
+                      iters: int = 3, method: str = "auto",
+                      small_graph_threshold: int = 2_000_000,
+                      num_partitions: int = 16):
+    """Community detection by synchronous label propagation over the
+    UNDIRECTED graph (Datasets in, Dataset out ``(node, label)``).
+
+    Distributed path per round: ONE undirected-edges ⋈ labels hash
+    join emits (node, neighbor-label) pairs, ``groupby(node,
+    label).count`` folds them, and a PACKED integer max
+    (``count·B² + (B−1−label)``) picks the winner per node in a
+    second small ``groupby(node).max`` — never a per-node
+    ``map_groups`` (the 2-row-group antipattern).  Ties and isolated
+    nodes are deterministic, so both paths emit identical labels."""
+    import ray
+
+    n_edges = edges.count()
+    n_nodes = nodes.count()
+    if method not in ("auto", "numpy", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "numpy" or (
+        method == "auto" and n_edges + n_nodes <= small_graph_threshold
+    ):
+        nid = _collect_column(nodes, node_col)
+        src, dst = _collect_edges(edges, src_col, dst_col)
+        lab = _lpa_numpy(nid, src, dst, iters=iters)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nid, pa.int64()),
+            "label": pa.array(lab, pa.int64()),
+        }))
+    return _lpa_distributed(
+        nodes, edges, node_col=node_col, src_col=src_col, dst_col=dst_col,
+        iters=iters, num_partitions=num_partitions,
+    )
+
+
+def _lpa_distributed(nodes, edges, *, node_col, src_col, dst_col,
+                     iters, num_partitions):
+    """Join-loop twin of :func:`_lpa_numpy` — identical labels (the
+    packed-max argmax is associative)."""
+    ue = edges.map_batches(
+        lambda t, s=src_col, d=dst_col: pa.table({
+            "ea": pa.concat_arrays([
+                t.column(s).cast(pa.int64()).combine_chunks(),
+                t.column(d).cast(pa.int64()).combine_chunks()]),
+            "eb": pa.concat_arrays([
+                t.column(d).cast(pa.int64()).combine_chunks(),
+                t.column(s).cast(pa.int64()).combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    state = nodes.map_batches(
+        lambda t, c=node_col: (
+            lambda ids: pa.table({"node": ids, "label": ids}))(
+                t.column(c).cast(pa.int64())),
+        batch_format="pyarrow",
+    ).materialize()
+    big = int(state.max("node") or 0) + 1
+    for _ in range(iters):
+        pairs = (
+            ue.join(state, join_type="inner", num_partitions=num_partitions,
+                    on=("eb",), right_on=("node",))
+            .map_batches(
+                lambda t: pa.table({"pnode": t.column("ea"),
+                                    "plab": t.column("label")}),
+                batch_format="pyarrow",
+            )
+        )
+        counted = pairs.groupby(["pnode", "plab"]).count()
+        best = (
+            counted.map_batches(
+                lambda t, b=big: pa.table({
+                    "bnode": t.column("pnode"),
+                    "packed": pc.add(
+                        pc.multiply(t.column("count()").cast(pa.int64()),
+                                    pa.scalar(b * b, pa.int64())),
+                        pc.subtract(pa.scalar(b - 1, pa.int64()),
+                                    t.column("plab"))),
+                }),
+                batch_format="pyarrow",
+            )
+            .groupby("bnode").max("packed")
+        )
+        state = (
+            state.join(best, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("node",), right_on=("bnode",))
+            .map_batches(
+                lambda t, b=big: pa.table({
+                    "node": t.column("node"),
+                    "label": pc.coalesce(
+                        pc.subtract(
+                            pa.scalar(b - 1, pa.int64()),
+                            pc.subtract(
+                                t.column("max(packed)"),
+                                pc.multiply(
+                                    pc.divide(t.column("max(packed)"),
+                                              pa.scalar(b * b, pa.int64())),
+                                    pa.scalar(b * b, pa.int64())))),
+                        t.column("label")),
+                }),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return state

@@ -57,7 +57,7 @@ from ..functions.codec import decode_varints, encode_varints_segmented
 from ..state.manifest import load_manifest, write_manifest
 from .index_merge import SegmentWriter, segment_dir
 
-__all__ = ["segments_to_runs", "optimize_index"]
+__all__ = ["segments_to_runs", "optimize_index", "select_merges"]
 
 
 def segments_to_runs(merged: pa.Table, shard: int, bucket: int = 0) -> pa.Table:
@@ -283,3 +283,70 @@ def _cleanup(out_dir: str, man: dict) -> None:
                 if ((f.endswith(".parquet") or f.startswith("_manifest-"))
                         and f not in keep_files):
                     os.remove(os.path.join(sdir, f))
+
+
+# --------------------------------------------- tiered merge planning
+
+def select_merges(segment_bytes: list[int], *, segs_per_tier: int = 10,
+                  max_merge_at_once: int = 10,
+                  floor_bytes: int = 2 * 1024 * 1024) -> list[list[int]]:
+    """TieredMergePolicy-style merge planning (Lucene's default policy
+    — the one the reference's Solr core runs between the explicit
+    ``autoOptimize`` forceMerges): given live segment sizes, return
+    the list of merges (index groups into ``segment_bytes``) that
+    brings the count back under budget.  Deterministic transposition
+    of the policy's core rules:
+
+    - sizes below ``floor_bytes`` count AS ``floor_bytes`` (the floor
+      rule: a dust pile of tiny flush segments doesn't excuse an
+      over-long tail);
+    - allowed count = ``segs_per_tier`` per size tier, tiers stepping
+      ×``max_merge_at_once`` from the floor;
+    - while over budget, merge the ``max_merge_at_once`` SMALLEST
+      segments (cheapest merge first — the policy's preference for
+      low-cost merges, made deterministic by (size, index) order);
+    - cascades: a produced merge is itself a live segment and may be
+      merged again in a later round.
+
+    Pure planning — O(n log n), no I/O; callers apply the groups with
+    the same segment-compaction machinery as :func:`optimize_index`.
+    """
+    if segs_per_tier < 2 or max_merge_at_once < 2:
+        raise ValueError("segs_per_tier and max_merge_at_once must be >= 2")
+    # live = (floored_size, original_indices_it_covers)
+    live: list[tuple[int, list[int]]] = [
+        (max(int(b), floor_bytes), [i]) for i, b in enumerate(segment_bytes)
+    ]
+    merges: list[list[int]] = []
+
+    def allowed_count() -> int:
+        # Lucene TieredMergePolicy.getMaxAllowedSegs transposed: walk
+        # size tiers from the floor; each full tier may hold
+        # segs_per_tier segments, the last (partial) tier its ceil
+        bytes_left = sum(s for s, _ in live)
+        level = floor_bytes
+        allowed = 0
+        while True:
+            seg_count_level = bytes_left / level
+            if seg_count_level < segs_per_tier:
+                allowed += int(np.ceil(seg_count_level))
+                break
+            allowed += segs_per_tier
+            bytes_left -= segs_per_tier * level
+            level *= max_merge_at_once
+        return max(allowed, segs_per_tier)
+
+    while len(live) > allowed_count():
+        # merge the max_merge_at_once smallest (ties by original index)
+        order = sorted(range(len(live)),
+                       key=lambda i: (live[i][0], live[i][1][0]))
+        pick = sorted(order[:max_merge_at_once])
+        group: list[int] = []
+        size = 0
+        for i in pick:
+            size += live[i][0]
+            group.extend(live[i][1])
+        merges.append(sorted(group))
+        live = [x for i, x in enumerate(live) if i not in set(pick)]
+        live.append((size, sorted(group)))
+    return merges

@@ -88,6 +88,7 @@ def _check(contract, con, name):
         "host_ratelimit",
         "geo_quadkey",
         "geo_nearest",
+        "link_communities",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",

@@ -429,3 +429,32 @@ def test_trustrank_rejects_empty_seeds(ray_session):
     with pytest.raises(ValueError, match="empty seed set"):
         trustrank(docs, edges, node_col="doc_id", seed_mod=50,
                   method="numpy")
+
+
+def test_lpa_numpy_equals_distributed(ray_session):
+    """Synchronous LPA with deterministic ties: numpy == join loop."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import (
+        label_propagation, synth_edges)
+
+    ids = np.arange(200, dtype=np.int64)
+    et = synth_edges(ids, 200)
+    src = et.column("src").to_numpy()
+    dst = et.column("dst").to_numpy()
+    keep = (src // 25) == (dst // 25)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    edges = rd.from_arrow(pa.table({"src": pa.array(src[keep], pa.int64()),
+                                    "dst": pa.array(dst[keep], pa.int64())}))
+    a = (label_propagation(docs, edges, node_col="doc_id", method="numpy")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (label_propagation(docs, edges, node_col="doc_id",
+                           method="distributed", num_partitions=4)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
+    # labels are node ids and non-trivial (some node adopted another's)
+    labs = a["label"].to_numpy()
+    assert set(labs.tolist()) <= set(ids.tolist())
+    assert (labs != ids).any()

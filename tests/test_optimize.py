@@ -301,3 +301,52 @@ def test_repeated_optimize_cycles_leave_no_orphan_sidecars(
             assert len(sidecars) <= 1, (d, seg, files)
             parquets = [f for f in files if f.endswith(".parquet")]
             assert len(parquets) == 1, (d, seg, files)
+
+
+# ------------------------------------------- tiered merge planning
+
+def test_select_merges_under_budget_is_noop():
+    from goobi_viewer_indexer_ray.stages.optimize import select_merges
+
+    # 8 segments, budget >= 10 -> nothing to do
+    assert select_merges([10 << 20] * 8) == []
+
+
+def test_select_merges_merges_smallest_first():
+    from goobi_viewer_indexer_ray.stages.optimize import select_merges
+
+    f = 2 * 1024 * 1024
+    # 15 floor-sized flush segments: level-1 tier allows 10 + ceil
+    # residual -> over budget -> one cheapest merge of 10 smallest
+    merges = select_merges([f] * 15, segs_per_tier=10,
+                           max_merge_at_once=10)
+    assert merges, "over-budget tier must trigger a merge"
+    assert len(merges[0]) == 10
+    # a big-segment tail inflates the byte budget: same 15 smalls
+    # plus three 400 MB segments fit the allowance -> TMP does NOT
+    # merge (the policy scales allowed count with index bytes)
+    assert select_merges([f] * 12 + [400 << 20] * 3,
+                         segs_per_tier=10, max_merge_at_once=10) == []
+
+
+def test_select_merges_cascades_and_covers_each_index_once_per_round():
+    from goobi_viewer_indexer_ray.stages.optimize import select_merges
+
+    f = 2 * 1024 * 1024
+    merges = select_merges([f] * 120, segs_per_tier=4, max_merge_at_once=4)
+    # every original index appears in at least one merge; within one
+    # merge no duplicates
+    for g in merges:
+        assert len(g) == len(set(g))
+    # cascade: later merges may contain previously-merged indices, and
+    # the plan terminates (bounded rounds)
+    assert len(merges) >= 30
+
+
+def test_select_merges_rejects_degenerate_params():
+    import pytest
+
+    from goobi_viewer_indexer_ray.stages.optimize import select_merges
+
+    with pytest.raises(ValueError):
+        select_merges([1], segs_per_tier=1)
