@@ -357,6 +357,8 @@ def run_bench() -> dict:
         "geo_quadkey",
         "geo_nearest",
         "link_communities",
+        "q5_local_volume",
+        "events_decayed_counts",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -16357,6 +16357,189 @@ FROM l{iters} l JOIN sizes s ON s.lab = l.lab ORDER BY doc_id"""
     )
 
 
+Q5_REGION = "ASIA"
+Q5_YEAR = 1996
+
+
+def q_q5_local_volume(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): revenue per nation for
+    orders in one year where the customer's and the supplier's nation
+    coincide inside one region — the canonical six-table analytic
+    join.  Scale shape: region→nation→customer and supplier are the
+    SMALL sides (broadcast once via ``ray.put``; the big-to-big
+    lineitem ⋈ orders is the ONLY hash-shuffle join; the nation
+    equality filter runs vectorized inside ``map_batches`` before the
+    final tiny ``groupby(nation)``.  Revenue rounded to cents on both
+    sides."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _collect(name, cols):
+        return pa.concat_tables(
+            _rd().read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                               columns=cols)
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+
+    region = _collect("region", ["r_regionkey", "r_name"])
+    rk = region.filter(pc.equal(region.column("r_name"),
+                                Q5_REGION)).column("r_regionkey")
+    nation = _collect("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"), value_set=rk))
+    nat_keys = nat.column("n_nationkey").cast(pa.int64()).combine_chunks()
+    nat_names = nat.column("n_name").combine_chunks()
+    cust = _collect("customer", ["c_custkey", "c_nationkey"])
+    sup = _collect("supplier", ["s_suppkey", "s_nationkey"])
+    side = ray.put((
+        nat_keys, nat_names,
+        cust.column("c_custkey").cast(pa.int64()).combine_chunks(),
+        cust.column("c_nationkey").cast(pa.int64()).combine_chunks(),
+        sup.column("s_suppkey").cast(pa.int64()).combine_chunks(),
+        sup.column("s_nationkey").cast(pa.int64()).combine_chunks(),
+    ))
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        nk, _, ck, cn, _, _ = ray.get(side)
+        yr = pc.year(t.column("o_orderdate"))
+        t = t.filter(pc.equal(yr, pa.scalar(Q5_YEAR, pa.int32())))
+        idx = pc.index_in(t.column("o_custkey").cast(pa.int64()),
+                          value_set=ck)
+        cnat = pc.take(cn, idx)
+        keep = pc.is_in(cnat, value_set=nk)
+        return pa.table({
+            "okey": t.column("o_orderkey").cast(pa.int64()),
+            "cnat": cnat,
+        }).filter(keep)
+
+    o_small = orders.map_batches(o_prep, batch_format="pyarrow")
+
+    li = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    joined = li.map_batches(
+        lambda t: pa.table({
+            "lkey": t.column("l_orderkey").cast(pa.int64()),
+            "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "rev": pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+        }),
+        batch_format="pyarrow",
+    ).join(o_small, join_type="inner", num_partitions=16,
+           on=("lkey",), right_on=("okey",))
+
+    def nat_filter(t: pa.Table) -> pa.Table:
+        _, _, _, _, sk, sn = ray.get(side)
+        idx = pc.index_in(t.column("l_suppkey"), value_set=sk)
+        snat = pc.take(sn, idx)
+        t = t.append_column("snat", snat)
+        return t.filter(pc.equal(t.column("snat"), t.column("cnat"))) \
+                .select(["cnat", "rev"])
+
+    agg = (joined.map_batches(nat_filter, batch_format="pyarrow")
+           .groupby("cnat").aggregate(Sum("rev", alias_name="revenue")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nk, nn, *_ = ray.get(side)
+        idx = pc.index_in(t.column("cnat").cast(pa.int64()), value_set=nk)
+        return pa.table({
+            "n_name": pc.take(nn, idx),
+            "revenue": pa.array(
+                np.round(t.column("revenue").to_numpy(), 2)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("n_name")
+
+
+_SQL_Q5_LOCAL_VOLUME = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND year(o_orderdate) = {Q5_YEAR}
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+DECAY_MAX_H = 10  # half-life 1 h; weights: 1000 >> age_h, 0 past 10 h
+
+
+def q_events_decayed_counts(sf_dir: str):
+    """Exponentially-decayed event frequency (half-life 1 hour,
+    integer milli-weights ``1000 >> age_hours`` clamped to 0 past
+    {DECAY_MAX_H} h) — the streaming 'trending now' counter (Cormode
+    & al. forward-decay family), evaluated at the corpus max(ts).
+    One vectorized pass + per-batch partial sums → tiny
+    ``groupby(event_type)``; integer weights ⇒ exact hash parity."""
+    ev = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type"])
+    max_us = int(
+        ev.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [pc.max(t.column("ts").cast(pa.timestamp("us"))
+                        .cast(pa.int64())).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow",
+        ).max("m"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tus = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        age_h = (max_us - tus) // 3_600_000_000
+        w = np.where(age_h >= DECAY_MAX_H, 0,
+                     1000 >> np.minimum(age_h, DECAY_MAX_H).astype(np.int64))
+        codes, uniq = pd.factorize(et)
+        sums = np.bincount(codes, weights=w, minlength=len(uniq))
+        cnts = np.bincount(codes, minlength=len(uniq))
+        return pa.table({
+            "event_type": pa.array(uniq, pa.string()),
+            "w_p": pa.array(sums.astype(np.int64), pa.int64()),
+            "n_p": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["w_p", "n_p"])
+        .map_batches(
+            lambda t: pa.table({
+                "event_type": t.column("event_type"),
+                "decayed_milli": t.column("sum(w_p)").cast(pa.int64()),
+                "n_events": t.column("sum(n_p)").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("event_type")
+    )
+
+
+_SQL_EVENTS_DECAYED = f"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+w AS (
+  SELECT event_type,
+         CASE WHEN (mx.m - epoch_us(ts)) // 3600000000 >= {DECAY_MAX_H}
+              THEN 0
+              ELSE 1000 >> ((mx.m - epoch_us(ts)) // 3600000000)
+         END AS wt
+  FROM events, mx
+)
+SELECT event_type, sum(wt)::BIGINT AS decayed_milli,
+       count(*)::BIGINT AS n_events
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -16384,6 +16567,8 @@ QUERIES = {
     "geo_quadkey": q_geo_quadkey,
     "geo_nearest": q_geo_nearest,
     "link_communities": q_link_communities,
+    "q5_local_volume": q_q5_local_volume,
+    "events_decayed_counts": q_events_decayed_counts,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -16626,6 +16811,8 @@ ORACLE_SQL = {
     "geo_quadkey": _SQL_GEO_QUADKEY,
     "geo_nearest": _SQL_GEO_NEAREST,
     "link_communities": _link_communities_sql(),
+    "q5_local_volume": _SQL_Q5_LOCAL_VOLUME,
+    "events_decayed_counts": _SQL_EVENTS_DECAYED,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -16879,6 +17066,8 @@ _R5_FRONT = [
     "geo_quadkey",
     "geo_nearest",
     "link_communities",
+    "q5_local_volume",
+    "events_decayed_counts",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

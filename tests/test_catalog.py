@@ -89,6 +89,8 @@ def _check(contract, con, name):
         "geo_quadkey",
         "geo_nearest",
         "link_communities",
+        "q5_local_volume",
+        "events_decayed_counts",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
