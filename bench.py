@@ -359,6 +359,7 @@ def run_bench() -> dict:
         "link_communities",
         "q5_local_volume",
         "events_decayed_counts",
+        "fuzzy_robustness",
         "search_dismax",
         "search_boost_fn",
     ]

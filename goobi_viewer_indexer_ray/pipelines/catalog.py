@@ -16540,6 +16540,144 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+def _typo(term: str) -> str:
+    """Deterministic 1-edit typo: swap the last two characters."""
+    return term[:-2] + term[-1] + term[-2] if len(term) >= 2 else term
+
+
+def _typo_queries() -> dict[int, tuple[list[str], list[str]]]:
+    """query_id → (original terms, typo'd terms): the LONGEST term
+    (ties to the lexicographically first) gets the swap."""
+    out = {}
+    for q in DOC_QUERIES:
+        ts = sorted(set(tokenize(q["query"])))
+        if not ts:
+            continue
+        victim = sorted(ts, key=lambda t: (-len(t), t))[0]
+        ts2 = sorted({_typo(t) if t == victim else t for t in ts})
+        out[q["query_id"]] = (ts, ts2)
+    return out
+
+
+def q_fuzzy_robustness(sf_dir: str):
+    """Typo-degradation audit: how much of the BM25 top-10 survives a
+    deterministic 1-edit typo in the query's longest term?  (The
+    robustness check behind the reference's fuzzy/spellcheck surface
+    — ``search_fuzzy`` / ``search_spellcheck`` recover typos; this
+    measures what is LOST without them.)  Per query: top-10 overlap
+    and the typo'd query's hit count.  One postings decode serves
+    both rankings."""
+    from ..functions.scoring import idf as _idf
+    from .query import LocalIndex
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    avgdl, n = idx.avgdl, idx.n_docs
+
+    def top10(terms: list[str]) -> tuple[set, int]:
+        doc_parts, c_parts = [], []
+        for t in terms:
+            ref = idx.lookup(t)
+            if ref is None:
+                continue
+            docs, tfs, dls = ref.decode_all()
+            tfs = tfs.astype(np.float64)
+            dls = dls.astype(np.float64)
+            imp = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            doc_parts.append(docs)
+            c_parts.append(float(_idf(n, ref.df)) * imp)
+        if not doc_parts:
+            return set(), 0
+        all_docs = np.concatenate(doc_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        sc = np.zeros(uniq.size)
+        np.add.at(sc, inv, np.concatenate(c_parts))
+        s_r = np.round(sc, 4)
+        order = np.lexsort((uniq, -s_r))[:10]
+        return set(uniq[order].tolist()), int(uniq.size)
+
+    rows_q, rows_o, rows_h = [], [], []
+    for qid, (orig, typo) in sorted(_typo_queries().items()):
+        base, _ = top10(orig)
+        degraded, n_hits = top10(typo)
+        rows_q.append(qid)
+        rows_o.append(len(base & degraded))
+        rows_h.append(n_hits)
+    return pa.table({
+        "query_id": pa.array(rows_q, pa.int64()),
+        "overlap10": pa.array(rows_o, pa.int64()),
+        "typo_hits": pa.array(rows_h, pa.int64()),
+    })
+
+
+def _fuzzy_robustness_sql() -> str:
+    ovals, tvals, qvals = [], [], []
+    for qid, (orig, typo) in sorted(_typo_queries().items()):
+        qvals.append(f"({qid})")
+        for t in orig:
+            ovals.append(f"({qid}, '{t}')")
+        for t in typo:
+            tvals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+qo(query_id, term) AS (VALUES {', '.join(ovals)}),
+qt(query_id, term) AS (VALUES {', '.join(tvals)}),
+qs(query_id) AS (VALUES {', '.join(qvals)}),
+score_o AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {K1 + 1.0!r}
+                 / (p.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl))) ) AS sc
+  FROM qo q JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s GROUP BY q.query_id, p.doc_id
+),
+score_t AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {K1 + 1.0!r}
+                 / (p.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl))) ) AS sc
+  FROM qt q JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s GROUP BY q.query_id, p.doc_id
+),
+top_o AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sc, 4) DESC, doc_id) AS rn
+    FROM score_o) WHERE rn <= 10
+),
+top_t AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sc, 4) DESC, doc_id) AS rn
+    FROM score_t) WHERE rn <= 10
+),
+hits_t AS (SELECT query_id, count(DISTINCT doc_id)::BIGINT AS typo_hits
+           FROM score_t GROUP BY query_id),
+ov AS (
+  SELECT o.query_id, count(*)::BIGINT AS overlap10
+  FROM top_o o JOIN top_t t ON t.query_id = o.query_id
+                           AND t.doc_id = o.doc_id
+  GROUP BY o.query_id
+)
+SELECT qs.query_id::BIGINT AS query_id,
+       coalesce(ov.overlap10, 0)::BIGINT AS overlap10,
+       coalesce(h.typo_hits, 0)::BIGINT AS typo_hits
+FROM qs LEFT JOIN ov ON ov.query_id = qs.query_id
+LEFT JOIN hits_t h ON h.query_id = qs.query_id
+ORDER BY qs.query_id
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -16569,6 +16707,7 @@ QUERIES = {
     "link_communities": q_link_communities,
     "q5_local_volume": q_q5_local_volume,
     "events_decayed_counts": q_events_decayed_counts,
+    "fuzzy_robustness": q_fuzzy_robustness,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -16813,6 +16952,7 @@ ORACLE_SQL = {
     "link_communities": _link_communities_sql(),
     "q5_local_volume": _SQL_Q5_LOCAL_VOLUME,
     "events_decayed_counts": _SQL_EVENTS_DECAYED,
+    "fuzzy_robustness": _fuzzy_robustness_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -17068,6 +17208,7 @@ _R5_FRONT = [
     "link_communities",
     "q5_local_volume",
     "events_decayed_counts",
+    "fuzzy_robustness",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

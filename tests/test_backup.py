@@ -1,0 +1,63 @@
+"""backup_index / restore_index (Solr replication-handler parity)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+
+def _tree_hashes(root: str) -> dict[str, str]:
+    out = {}
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            rel = os.path.relpath(p, root)
+            with open(p, "rb") as f:
+                out[rel] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def test_backup_restore_byte_identity(ray_session, tiny_build, tmp_path):
+    from goobi_viewer_indexer_ray.pipelines.backup import (
+        backup_index, restore_index)
+    from goobi_viewer_indexer_ray.pipelines.check import check_index
+
+    live = str(tmp_path / "live")
+    shutil.copytree(tiny_build, live)
+    # scratch run cache must NOT ride along
+    before = _tree_hashes(live)
+    snap = str(tmp_path / "snap")
+    meta = backup_index(live, snap)
+    assert meta["bytes"] > 0
+    assert all(not f.startswith("runs/") for f in meta["files"])
+
+    # damage the live tree: delete a segment and corrupt stats
+    from goobi_viewer_indexer_ray.stages.index_merge import segment_paths
+
+    victim = segment_paths(os.path.join(live, "index"))[0]["path"]
+    os.remove(victim)
+    with open(os.path.join(live, "stats.json"), "w") as f:
+        f.write("{}")
+
+    restore_index(snap, live)
+    after = _tree_hashes(live)
+    pinned = set(meta["files"])
+    assert {k: v for k, v in before.items() if k in pinned} == \
+           {k: v for k, v in after.items() if k in pinned}
+    assert check_index(live)["failures"] == []
+
+
+def test_backup_refuses_overwrite_and_missing(ray_session, tiny_build,
+                                              tmp_path):
+    import pytest
+
+    from goobi_viewer_indexer_ray.pipelines.backup import (
+        backup_index, restore_index)
+
+    snap = str(tmp_path / "s2")
+    backup_index(tiny_build, snap)
+    with pytest.raises(ValueError, match="already holds a snapshot"):
+        backup_index(tiny_build, snap)
+    with pytest.raises(ValueError, match="no snapshot"):
+        restore_index(str(tmp_path / "nope"), tiny_build)

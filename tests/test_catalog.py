@@ -91,6 +91,7 @@ def _check(contract, con, name):
         "link_communities",
         "q5_local_volume",
         "events_decayed_counts",
+        "fuzzy_robustness",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
