@@ -13,6 +13,8 @@ Commands::
     optimize --out DIR
     delete-query --out DIR --must "terms" [--must-not "terms"]
     check-index --out DIR [--strict]
+    backup --out DIR --dest DIR
+    restore --snapshot DIR --out DIR
     watch --out DIR --pages DIR [--interval S] [--max-polls N] [--config F]
 """
 
@@ -74,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
     dq.add_argument("--out", required=True)
     dq.add_argument("--must", action="append", default=[], required=True)
     dq.add_argument("--must-not", action="append", default=[])
+
+    bk = sub.add_parser("backup", help="snapshot the manifest-pinned "
+                        "live file set (Solr replication-handler backup)")
+    bk.add_argument("--out", required=True)
+    bk.add_argument("--dest", required=True)
+
+    rs = sub.add_parser("restore", help="restore a snapshot into a live dir")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--out", required=True)
 
     ci = sub.add_parser("check-index", help="CheckIndex-style integrity "
                         "audit of every segment + manifest totals")
@@ -140,6 +151,17 @@ def main(argv: list[str] | None = None) -> int:
             m, n = delete_by_query(args.out, must=args.must,
                                    must_not=args.must_not)
             print(json.dumps({"n_deleted": n, "n_terms": m.get("n_terms")}))
+        elif args.cmd == "backup":
+            from .pipelines.backup import backup_index
+
+            m = backup_index(args.out, args.dest)
+            print(json.dumps({"files": len(m["files"]),
+                              "bytes": m["bytes"]}))
+        elif args.cmd == "restore":
+            from .pipelines.backup import restore_index
+
+            m = restore_index(args.snapshot, args.out)
+            print(json.dumps({"files": len(m["files"])}))
         elif args.cmd == "check-index":
             from .pipelines.check import check_index
 
