@@ -360,6 +360,8 @@ def run_bench() -> dict:
         "q5_local_volume",
         "events_decayed_counts",
         "fuzzy_robustness",
+        "table_profile",
+        "events_value_hist",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -32,7 +32,7 @@ import pyarrow as pa
 from ..state.manifest import load_manifest
 from ..stages.index_merge import segment_dir
 
-__all__ = ["backup_index", "restore_index", "live_files"]
+__all__ = ["backup_index", "gc_index", "restore_index", "live_files"]
 
 _TOP = ("stats.json", "docs_manifest.json", "index_manifest.json")
 
@@ -120,3 +120,32 @@ def restore_index(snapshot: str, out_dir: str) -> dict:
         shutil.copyfile(os.path.join(snapshot, rel),
                         os.path.join(out_dir, rel))
     return meta
+
+
+def gc_index(out_dir: str, *, dry_run: bool = False) -> dict:
+    """Garbage-collect files the live manifests no longer reference —
+    stale ``terms-<fp>.parquet`` left by optimize swaps, segments of
+    shrunk builds, parts dropped by updates.  (Lucene's
+    ``IndexFileDeleter`` role.)  Scratch caches (``runs/``) and the
+    manifests themselves are never touched; deletion is the only
+    mutation and each deleted path is returned, so a ``dry_run``
+    report is the exact plan."""
+    live = set(live_files(out_dir)) | {"_SNAPSHOT"}
+    doomed: list[str] = []
+    for sub in ("docs", "index"):
+        root = os.path.join(out_dir, sub)
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                rel = os.path.relpath(os.path.join(dirpath, n), out_dir)
+                if rel not in live:
+                    doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(out_dir, rel))
+        # prune now-empty segment/part directories
+        for sub in ("docs", "index"):
+            for dirpath, dirs, names in os.walk(
+                    os.path.join(out_dir, sub), topdown=False):
+                if not dirs and not names:
+                    os.rmdir(dirpath)
+    return {"deleted": sorted(doomed), "n_deleted": len(doomed)}

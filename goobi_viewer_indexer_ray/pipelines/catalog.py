@@ -16678,6 +16678,153 @@ ORDER BY qs.query_id
 """
 
 
+PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+
+
+def q_table_profile(sf_dir: str):
+    """ANALYZE-style column profiling of the documents table — the
+    catalog statistics every query planner (and every data-quality
+    gate) runs first: per column row count, null count, exact
+    distinct count, lexicographic/numeric min and max (stringified so
+    one schema fits all columns).  Scale shape: per-batch partials
+    (count/nulls/min/max fold associatively) + per-column DISTINCT
+    via one hash-partitioned dedup per column — the only shuffle, and
+    it carries distinct values, not rows."""
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=PROFILE_COLS)
+
+    def partials(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n_rows": [], "n_nulls": []}
+        for c in PROFILE_COLS:
+            rows["column"].append(c)
+            rows["n_rows"].append(t.num_rows)
+            rows["n_nulls"].append(t.column(c).null_count)
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    base = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_nulls", alias_name="n_nulls"))
+    )
+    # typed whole-column min/max in ONE aggregate pass (numeric min on
+    # numeric columns, lexicographic on strings — the SQL semantics),
+    # stringified only at attach time
+    mm_row = ds.aggregate(*[a for c in PROFILE_COLS
+                            for a in (Min(c, alias_name=f"mn_{c}"),
+                                      Max(c, alias_name=f"mx_{c}"))])
+    mm = {c: (str(mm_row[f"mn_{c}"]), str(mm_row[f"mx_{c}"]))
+          for c in PROFILE_COLS}
+
+    def col_values(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in PROFILE_COLS:
+            vals = pc.drop_null(t.column(c)).cast(pa.string())
+            vals = pc.unique(vals.combine_chunks())  # map-side dedup
+            outs.append(pa.table({
+                "column": pa.array([c] * len(vals), pa.string()),
+                "v": vals,
+            }))
+        return pa.concat_tables(outs)
+
+    # exact distinct per column: map-side unique → ONE hash dedup
+    # shuffle → per-column count.  The result is O(#columns) rows, so
+    # it rides the driver into the final attach (no join needed for a
+    # constant-size side)
+    nd = {
+        r["column"]: int(r["n_distinct"])
+        for r in ds.map_batches(col_values, batch_format="pyarrow")
+        .groupby(["column", "v"]).count()
+        .groupby("column").aggregate(Count(alias_name="n_distinct"))
+        .take_all()
+    }
+
+    def fin(t: pa.Table) -> pa.Table:
+        cols = t.column("column").to_pylist()
+        return pa.table({
+            "column": t.column("column"),
+            "n_rows": t.column("n_rows").cast(pa.int64()),
+            "n_nulls": t.column("n_nulls").cast(pa.int64()),
+            "n_distinct": pa.array([nd[c] for c in cols], pa.int64()),
+            "min_s": pa.array([mm[c][0] for c in cols], pa.string()),
+            "max_s": pa.array([mm[c][1] for c in cols], pa.string()),
+        })
+
+    return base.map_batches(fin, batch_format="pyarrow").sort("column")
+
+
+_SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       coalesce(min({c})::VARCHAR, '') AS min_s,
+       coalesce(max({c})::VARCHAR, '') AS max_s
+FROM documents"""
+    for c in PROFILE_COLS
+) + "\nORDER BY \"column\""
+
+
+def q_events_value_hist(sf_dir: str):
+    """Log2-bucketed value histogram per event type (the power-of-two
+    latency/value histogram every metrics pipeline keeps — HdrHistogram
+    coarsened to exponent buckets).  Values quantized to integer
+    cents first, bucket = floor(log2(cents)) computed EXACTLY via
+    ``np.frexp`` (no float-log boundary jitter) — matching DuckDB's
+    ``length(bin(x)) - 1`` on the same integers."""
+    ev = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        cents = np.maximum(cents, 1)  # bucket 0 holds zero/negative
+        bucket = (np.frexp(cents.astype(np.float64))[1] - 1).astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(et)
+        key = codes.astype(np.int64) * 64 + bucket
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(uniq[(ukey // 64)], pa.string()),
+            "bucket": pa.array(ukey % 64, pa.int64()),
+            "n_p": pa.array(cnt, pa.int64()),
+        })
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"]).sum("n_p")
+        .map_batches(
+            lambda t: pa.table({
+                "event_type": t.column("event_type"),
+                "bucket": t.column("bucket"),
+                "n": t.column("sum(n_p)").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort(["event_type", "bucket"])
+    )
+
+
+_SQL_EVENTS_VALUE_HIST = """
+WITH c AS (
+  SELECT event_type,
+         greatest(round(value * 100)::BIGINT, 1) AS cents
+  FROM events
+)
+SELECT event_type, (length(bin(cents)) - 1)::BIGINT AS bucket,
+       count(*)::BIGINT AS n
+FROM c GROUP BY event_type, bucket ORDER BY event_type, bucket
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -16708,6 +16855,8 @@ QUERIES = {
     "q5_local_volume": q_q5_local_volume,
     "events_decayed_counts": q_events_decayed_counts,
     "fuzzy_robustness": q_fuzzy_robustness,
+    "table_profile": q_table_profile,
+    "events_value_hist": q_events_value_hist,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -16953,6 +17102,8 @@ ORACLE_SQL = {
     "q5_local_volume": _SQL_Q5_LOCAL_VOLUME,
     "events_decayed_counts": _SQL_EVENTS_DECAYED,
     "fuzzy_robustness": _fuzzy_robustness_sql(),
+    "table_profile": _SQL_TABLE_PROFILE,
+    "events_value_hist": _SQL_EVENTS_VALUE_HIST,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -17209,6 +17360,8 @@ _R5_FRONT = [
     "q5_local_volume",
     "events_decayed_counts",
     "fuzzy_robustness",
+    "table_profile",
+    "events_value_hist",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

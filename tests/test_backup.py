@@ -61,3 +61,32 @@ def test_backup_refuses_overwrite_and_missing(ray_session, tiny_build,
         backup_index(tiny_build, snap)
     with pytest.raises(ValueError, match="no snapshot"):
         restore_index(str(tmp_path / "nope"), tiny_build)
+
+
+def test_gc_removes_only_orphans(ray_session, tiny_build, tmp_path):
+    from goobi_viewer_indexer_ray.pipelines.backup import gc_index
+    from goobi_viewer_indexer_ray.pipelines.check import check_index
+
+    live = str(tmp_path / "gc")
+    shutil.copytree(tiny_build, live)
+    orphan = os.path.join(live, "index", "shard=00000", "seg=00000",
+                          "terms-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"stale optimize leftover")
+    stale_dir = os.path.join(live, "index", "shard=00099", "seg=00000")
+    os.makedirs(stale_dir)
+    with open(os.path.join(stale_dir, "terms.parquet"), "wb") as f:
+        f.write(b"segment of a dead build")
+
+    before = _tree_hashes(live)
+    plan = gc_index(live, dry_run=True)
+    assert _tree_hashes(live) == before  # dry run mutates nothing
+    assert sorted(plan["deleted"]) == [
+        "index/shard=00000/seg=00000/terms-deadbeef.parquet",
+        "index/shard=00099/seg=00000/terms.parquet",
+    ]
+    res = gc_index(live)
+    assert res["n_deleted"] == 2
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(stale_dir)
+    assert check_index(live)["failures"] == []

@@ -92,6 +92,8 @@ def _check(contract, con, name):
         "q5_local_volume",
         "events_decayed_counts",
         "fuzzy_robustness",
+        "table_profile",
+        "events_value_hist",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
