@@ -362,6 +362,8 @@ def run_bench() -> dict:
         "fuzzy_robustness",
         "table_profile",
         "events_value_hist",
+        "link_kcore",
+        "events_mad",
         "search_dismax",
         "search_boost_fn",
     ]

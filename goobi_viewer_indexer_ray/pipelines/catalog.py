@@ -16825,6 +16825,110 @@ FROM c GROUP BY event_type, bucket ORDER BY event_type, bucket
 """
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def q_link_kcore(sf_dir: str):
+    """k-core membership (k=2) of the undirected link graph by
+    iterative peeling (Seidman 1983; the web-graph
+    nucleus/periphery split spam analysis uses next to TrustRank):
+    each round drops nodes whose degree within the surviving subgraph
+    is < k.  {KCORE_ROUNDS} synchronous rounds — enough to converge
+    on the fixture, and both sides replay the SAME truncated
+    recurrence, so parity holds regardless.  Output: (doc_id,
+    in_core).  See :func:`stages.linkgraph.kcore` (numpy ==
+    distributed join loop, pytest-pinned)."""
+    from ..stages.linkgraph import kcore
+
+    docs, edges = _link_edges(sf_dir)
+    out = kcore(docs, edges, node_col="doc_id", k=KCORE_K,
+                rounds=KCORE_ROUNDS)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "in_core": t.column("in_core")}),
+        batch_format="pyarrow",
+    )
+
+
+def _link_kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [
+        _EDGE_RULE_SQL.strip(),
+        """ue AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges
+)""",
+        "a0 AS MATERIALIZED (SELECT doc_id::BIGINT AS node FROM documents)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"a{r - 1}"
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT g.node FROM (
+    SELECT ue.a AS node, count(*) AS c
+    FROM ue
+    JOIN {p} x ON x.node = ue.a
+    JOIN {p} y ON y.node = ue.b
+    GROUP BY ue.a
+  ) g WHERE g.c >= {k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT d.doc_id::BIGINT AS doc_id,
+       (CASE WHEN a.node IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS in_core
+FROM documents d LEFT JOIN a{rounds} a ON a.node = d.doc_id
+ORDER BY doc_id"""
+    )
+
+
+def q_events_mad(sf_dir: str):
+    """Per-type robust dispersion: discrete median and median
+    absolute deviation over integer cents (the outlier-resistant
+    spread estimator beside ``events_outliers``'s z-scores).  Holistic
+    aggregate ⇒ ``groupby(type).map_groups`` (groups bounded by
+    event-type cardinality — the ``events_value_median`` contract);
+    ``quantile_disc`` semantics (element at ``floor(0.5·(n−1))``) so
+    every value is an exact integer."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "value"])
+
+    def mad(g: pa.Table) -> pa.Table:
+        et = g.column("event_type")[0].as_py()
+        cents = np.sort(np.rint(g.column("value").to_numpy() * 100)
+                        .astype(np.int64))
+        med = int(cents[(cents.size - 1) // 2])
+        dev = np.sort(np.abs(cents - med))
+        return pa.table({
+            "event_type": pa.array([et], pa.string()),
+            "n": pa.array([cents.size], pa.int64()),
+            "median_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([int(dev[(dev.size - 1) // 2])],
+                                  pa.int64()),
+        })
+
+    return (ds.groupby("event_type").map_groups(mad, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+_SQL_EVENTS_MAD = """
+WITH c AS (
+  SELECT event_type, round(value * 100)::BIGINT AS cents FROM events
+),
+med AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         quantile_disc(cents, 0.5)::BIGINT AS median_cents
+  FROM c GROUP BY event_type
+)
+SELECT m.event_type, m.n, m.median_cents,
+       quantile_disc(abs(c.cents - m.median_cents), 0.5)::BIGINT AS mad_cents
+FROM c JOIN med m ON m.event_type = c.event_type
+GROUP BY m.event_type, m.n, m.median_cents
+ORDER BY m.event_type
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -16857,6 +16961,8 @@ QUERIES = {
     "fuzzy_robustness": q_fuzzy_robustness,
     "table_profile": q_table_profile,
     "events_value_hist": q_events_value_hist,
+    "link_kcore": q_link_kcore,
+    "events_mad": q_events_mad,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -17104,6 +17210,8 @@ ORACLE_SQL = {
     "fuzzy_robustness": _fuzzy_robustness_sql(),
     "table_profile": _SQL_TABLE_PROFILE,
     "events_value_hist": _SQL_EVENTS_VALUE_HIST,
+    "link_kcore": _link_kcore_sql(),
+    "events_mad": _SQL_EVENTS_MAD,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -17362,6 +17470,8 @@ _R5_FRONT = [
     "fuzzy_robustness",
     "table_profile",
     "events_value_hist",
+    "link_kcore",
+    "events_mad",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

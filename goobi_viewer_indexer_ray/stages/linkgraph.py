@@ -57,8 +57,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["anchor_stats", "connected_components", "hits", "label_propagation",
-           "opic", "pagerank", "synth_edges", "triangles", "trustrank"]
+__all__ = ["anchor_stats", "connected_components", "hits", "kcore",
+           "label_propagation", "opic", "pagerank", "synth_edges",
+           "triangles", "trustrank"]
 
 
 # --------------------------------------------------------------- synth
@@ -1595,3 +1596,162 @@ def _lpa_distributed(nodes, edges, *, node_col, src_col, dst_col,
             .materialize()
         )
     return state
+
+
+# ----------------------------------------------------------- k-core
+
+def _kcore_numpy(nid, src, dst, *, k: int, rounds: int):
+    order = np.argsort(nid)
+    ns = nid[order]
+    n = ns.size
+    s_idx = np.searchsorted(ns, src)
+    d_idx = np.searchsorted(ns, dst)
+    for idx, ep, what in ((s_idx, src, "src"), (d_idx, dst, "dst")):
+        bad = (idx >= n) | (ns[np.minimum(idx, n - 1)] != ep)
+        if bad.any():
+            raise ValueError(f"kcore: edge {what} endpoint not in nodes")
+    a = np.concatenate([s_idx, d_idx])
+    b = np.concatenate([d_idx, s_idx])
+    alive = np.ones(n, bool)
+    for _ in range(rounds):
+        both = alive[a] & alive[b]
+        deg = np.bincount(a[both], minlength=n)
+        alive = alive & (deg >= k)
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    return alive[inv].astype(np.int64)
+
+
+def kcore(nodes, edges, *, node_col: str = "node", src_col: str = "src",
+          dst_col: str = "dst", k: int = 2, rounds: int = 8,
+          method: str = "auto", small_graph_threshold: int = 2_000_000,
+          num_partitions: int = 16):
+    """k-core membership by ``rounds`` synchronous peeling sweeps
+    (Seidman 1983): each round removes every node whose degree within
+    the surviving UNDIRECTED subgraph is below ``k``.  A truncated
+    recurrence — identical on both paths, convergent once a sweep
+    removes nothing.  Returns ``(node, in_core)``.
+
+    Distributed round: undirected edges ⋈ alive (src side) ⋈ alive
+    (dst side) → ``groupby.count`` → threshold filter — the same
+    join-loop shape as :func:`pagerank`, O(|E|) rows per round."""
+    import ray
+
+    n_edges = edges.count()
+    n_nodes = nodes.count()
+    if method not in ("auto", "numpy", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "numpy" or (
+        method == "auto" and n_edges + n_nodes <= small_graph_threshold
+    ):
+        nid = _collect_column(nodes, node_col)
+        src, dst = _collect_edges(edges, src_col, dst_col)
+        inc = _kcore_numpy(nid, src, dst, k=k, rounds=rounds)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nid, pa.int64()),
+            "in_core": pa.array(inc, pa.int64()),
+        }))
+    return _kcore_distributed(
+        nodes, edges, node_col=node_col, src_col=src_col, dst_col=dst_col,
+        k=k, rounds=rounds, num_partitions=num_partitions,
+    )
+
+
+def _kcore_distributed(nodes, edges, *, node_col, src_col, dst_col,
+                       k, rounds, num_partitions):
+    """Join-free twin of :func:`_kcore_numpy`.  Ray's hash-shuffle
+    ``Dataset.join`` builds SCHEMA-LESS empty tables for hash
+    partitions that receive no rows and then fails the Arrow join
+    (observed on 2.49); since the alive set SHRINKS every round,
+    empty partitions are the common case here — so the semi-joins are
+    expressed as tagged-union ``groupby(key).map_groups`` cogroups
+    (the classic MR reduce-side join), which tolerate empty
+    partitions.  Per-group rows = node degree + 1; the hot-page skew
+    caveat of ``anchor_stats`` applies."""
+    del num_partitions  # cogroup path shuffles by groupby, not join
+
+    ue = edges.map_batches(
+        lambda t, s=src_col, d=dst_col: pa.table({
+            "ea": pa.concat_arrays([
+                t.column(s).cast(pa.int64()).combine_chunks(),
+                t.column(d).cast(pa.int64()).combine_chunks()]),
+            "eb": pa.concat_arrays([
+                t.column(d).cast(pa.int64()).combine_chunks(),
+                t.column(s).cast(pa.int64()).combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    all_nodes = nodes.map_batches(
+        lambda t, c=node_col: pa.table(
+            {"node": t.column(c).cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ea": t.column("ea"), "eb": t.column("eb"),
+            "flag": pa.array(np.zeros(t.num_rows, np.int64)),
+        })
+
+    def _tag_keys(t: pa.Table, side: str) -> pa.Table:
+        n = t.num_rows
+        node = t.column("node")
+        minus = pa.array(np.full(n, -1, np.int64))
+        return pa.table({
+            "ea": node if side == "ea" else minus,
+            "eb": node if side == "eb" else minus,
+            "flag": pa.array(np.ones(n, np.int64)),
+        })
+
+    def _semi(es, alive, side: str):
+        """Edges of ``es`` whose ``side`` endpoint is in ``alive`` —
+        reduce-side semi-join on the tagged union."""
+        tagged = es.map_batches(_tag_edges, batch_format="pyarrow").union(
+            alive.map_batches(lambda t, s=side: _tag_keys(t, s),
+                              batch_format="pyarrow"))
+
+        def emit(g: pa.Table) -> pa.Table:
+            f = g.column("flag")
+            if pc.max(f).as_py() != 1:  # key absent -> drop the group
+                g = g.slice(0, 0)
+            g = g.filter(pc.equal(g.column("flag"),
+                                  pa.scalar(0, pa.int64())))
+            return pa.table({"ea": g.column("ea"), "eb": g.column("eb")})
+
+        return tagged.groupby(side).map_groups(emit, batch_format="pyarrow")
+
+    alive = all_nodes
+    for _ in range(rounds):
+        both = _semi(_semi(ue, alive, "ea"), alive, "eb")
+        deg = both.groupby("ea").count()
+        alive = deg.map_batches(
+            lambda t, kk=k: pa.table({"node": t.column("ea")})
+                .filter(pc.greater_equal(
+                    t.column("count()").cast(pa.int64()),
+                    pa.scalar(kk, pa.int64()))),
+            batch_format="pyarrow",
+        ).materialize()
+
+    # membership = union(all tagged 0, alive tagged 1) -> groupby.max
+    mark = all_nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "in_p": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow",
+    ).union(alive.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "in_p": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow",
+    ))
+    return (
+        mark.groupby("node").max("in_p")
+        .map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "in_core": t.column("max(in_p)").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("node")
+    )

@@ -94,6 +94,8 @@ def _check(contract, con, name):
         "fuzzy_robustness",
         "table_profile",
         "events_value_hist",
+        "link_kcore",
+        "events_mad",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",

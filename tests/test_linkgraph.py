@@ -458,3 +458,46 @@ def test_lpa_numpy_equals_distributed(ray_session):
     labs = a["label"].to_numpy()
     assert set(labs.tolist()) <= set(ids.tolist())
     assert (labs != ids).any()
+
+
+def test_kcore_numpy_equals_distributed(ray_session):
+    """2-core peeling: numpy == join loop, and membership matches a
+    brute-force peel-to-fixpoint."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import kcore, synth_edges
+
+    ids = np.arange(200, dtype=np.int64)
+    et = synth_edges(ids, 200)
+    src = et.column("src").to_numpy()
+    dst = et.column("dst").to_numpy()
+    keep = np.ones(src.size, bool)  # full graph: its 2-core is nontrivial
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    edges = rd.from_arrow(pa.table({"src": pa.array(src[keep], pa.int64()),
+                                    "dst": pa.array(dst[keep], pa.int64())}))
+    a = (kcore(docs, edges, node_col="doc_id", method="numpy")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (kcore(docs, edges, node_col="doc_id", method="distributed",
+               num_partitions=4)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
+
+    # brute-force fixpoint peel
+    import collections
+
+    adj = collections.defaultdict(set)
+    for s, d in zip(src[keep], dst[keep]):
+        adj[int(s)].add(int(d))
+        adj[int(d)].add(int(s))
+    alive = set(range(200))
+    while True:
+        drop = {v for v in alive
+                if len(adj[v] & alive) < 2}
+        if not drop:
+            break
+        alive -= drop
+    want = np.array([1 if i in alive else 0 for i in range(200)], np.int64)
+    assert np.array_equal(a["in_core"].to_numpy(), want)
+    assert 0 < int(want.sum()) < 200  # nontrivial split
