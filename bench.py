@@ -364,6 +364,8 @@ def run_bench() -> dict:
         "events_value_hist",
         "link_kcore",
         "events_mad",
+        "query_segmentation",
+        "orders_cohort_ltv",
         "search_dismax",
         "search_boost_fn",
     ]

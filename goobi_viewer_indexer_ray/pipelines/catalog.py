@@ -16929,6 +16929,186 @@ ORDER BY m.event_type
 """
 
 
+SEG_THETA = 2  # collocation threshold: PMI > ln 2
+
+
+def _seg_pairs() -> list[tuple[int, int, str, str]]:
+    """(query_id, pos, w1, w2) for every ADJACENT pair in original
+    query token order — segmentation looks at adjacency, not the
+    sorted term set."""
+    out = []
+    for q in DOC_QUERIES:
+        ts = tokenize(q["query"])
+        for i in range(len(ts) - 1):
+            out.append((q["query_id"], i, ts[i], ts[i + 1]))
+    return out
+
+
+def q_query_segmentation(sf_dir: str):
+    """Query segmentation by corpus collocation (Bergsma & Wang'07
+    family): an adjacent query-term pair stays in one segment iff its
+    corpus PMI clears ln θ — evaluated as the exact integer
+    cross-multiplication ``c_ab · TU² > θ · TB · c_a · c_b`` (Python
+    bigints on the ≤|q| driver pairs; no float log anywhere).  Counts
+    come from TWO distributed passes: per-term cf + total tokens (one
+    ``groupby``), needed-pair bigram counts (the ``bigram_counts``
+    map-side kernel filtered to the query pairs).  The phrase-query
+    planner's front half (a collocated pair routes to
+    ``search_phrase``; a split pair to bag-of-words)."""
+    from ray.data.aggregate import Sum
+
+    pairs = _seg_pairs()
+    need_terms = sorted({w for p in pairs for w in p[2:]})
+    need_pairs = {(a, b) for _, _, a, b in pairs}
+    ds = _documents(sf_dir)
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        _ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        rows_t, rows_c = ["\x00total\x00", "\x00docs\x00"], \
+                         [int(codes.size), int(counts.size)]
+        sel = np.isin(uniq, need_terms)
+        if sel.any():
+            cf = np.bincount(codes, minlength=uniq.size)
+            for ui in np.flatnonzero(sel):
+                rows_t.append(str(uniq[ui]))
+                rows_c.append(int(cf[ui]))
+        return pa.table({"t": pa.array(rows_t, pa.string()),
+                         "c": pa.array(rows_c, pa.int64())})
+
+    uni = {r["t"]: int(r["sum(c)"])
+           for r in ds.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("t").sum("c").take_all()}
+    tu = uni.pop("\x00total\x00")
+    nd = uni.pop("\x00docs\x00")
+    tb = tu - nd  # adjacent-bigram positions: Σ (dl − 1)
+
+    bg = ds.map_batches(text_ops.bigram_counts_batch,
+                        batch_format="pyarrow")
+    bg = bg.map_batches(
+        lambda t: t.filter(pa.array([
+            (a, b) in need_pairs
+            for a, b in zip(t.column("w1").to_pylist(),
+                            t.column("w2").to_pylist())])),
+        batch_format="pyarrow",
+    )
+    cab = {(r["w1"], r["w2"]): int(r["n"])
+           for r in bg.groupby(["w1", "w2"])
+           .aggregate(Sum("n", alias_name="n")).take_all()}
+
+    rows = {"query_id": [], "pos": [], "w1": [], "w2": [],
+            "c_ab": [], "collocated": []}
+    for qid, pos, a, b in pairs:
+        c_ab = cab.get((a, b), 0)
+        coll = int(c_ab * tu * tu > SEG_THETA * tb
+                   * uni.get(a, 0) * uni.get(b, 0) and c_ab > 0)
+        rows["query_id"].append(qid)
+        rows["pos"].append(pos)
+        rows["w1"].append(a)
+        rows["w2"].append(b)
+        rows["c_ab"].append(c_ab)
+        rows["collocated"].append(coll)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "pos": pa.array(rows["pos"], pa.int64()),
+        "w1": pa.array(rows["w1"], pa.string()),
+        "w2": pa.array(rows["w2"], pa.string()),
+        "c_ab": pa.array(rows["c_ab"], pa.int64()),
+        "collocated": pa.array(rows["collocated"], pa.int64()),
+    })
+
+
+def _query_segmentation_sql() -> str:
+    vals = ", ".join(f"({q}, {p}, '{a}', '{b}')"
+                     for q, p, a, b in _seg_pairs())
+    return f"""
+WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
+tot AS (
+  SELECT sum(len(ts))::BIGINT AS tu,
+         (sum(len(ts)) - count(*))::BIGINT AS tb
+  FROM toks
+),
+uni AS (
+  SELECT t AS w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+),
+bg AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*)::BIGINT AS c
+  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2)
+  GROUP BY 1, 2
+),
+p(query_id, pos, w1, w2) AS (VALUES {vals})
+SELECT p.query_id::BIGINT AS query_id, p.pos::BIGINT AS pos, p.w1, p.w2,
+       coalesce(bg.c, 0)::BIGINT AS c_ab,
+       (CASE WHEN coalesce(bg.c, 0) > 0
+              AND coalesce(bg.c, 0)::HUGEINT * t.tu::HUGEINT * t.tu
+                  > {SEG_THETA}::HUGEINT * t.tb
+                    * coalesce(u1.c, 0) * coalesce(u2.c, 0)
+             THEN 1 ELSE 0 END)::BIGINT AS collocated
+FROM p
+CROSS JOIN tot t
+LEFT JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+LEFT JOIN uni u1 ON u1.w = p.w1
+LEFT JOIN uni u2 ON u2.w = p.w2
+ORDER BY query_id, pos
+"""
+
+
+def q_orders_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    year (the cohort), revenue folded by order age in years — the
+    standard retention-revenue triangle next to ``events_retention``.
+    Honest shape: ``groupby(custkey).map_groups`` computes each
+    customer's cohort inside the group (per-customer order lists are
+    small — the bounded-group contract), then ONE tiny
+    ``groupby(cohort, age)`` fold."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_totalprice"])
+
+    def per_cust(g: pa.Table) -> pa.Table:
+        yr = pc.year(g.column("o_orderdate")).to_numpy(zero_copy_only=False)
+        cohort = int(yr.min())
+        return pa.table({
+            "cohort": pa.array(np.full(g.num_rows, cohort, np.int64)),
+            "age": pa.array((yr - cohort).astype(np.int64)),
+            "price": g.column("o_totalprice"),
+        })
+
+    agg = (ds.groupby("o_custkey")
+           .map_groups(per_cust, batch_format="pyarrow")
+           .groupby(["cohort", "age"])
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("price", alias_name="sum_total")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": t.column("cohort").cast(pa.int64()),
+            "age": t.column("age").cast(pa.int64()),
+            "n_orders": t.column("n_orders").cast(pa.int64()),
+            "sum_total": pa.array(
+                np.round(t.column("sum_total").to_numpy(), 2)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow") \
+              .sort(["cohort", "age"])
+
+
+_SQL_ORDERS_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) AS yr, o_totalprice,
+         min(year(o_orderdate)) OVER (PARTITION BY o_custkey) AS cohort
+  FROM orders
+)
+SELECT cohort::BIGINT AS cohort, (yr - cohort)::BIGINT AS age,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM o GROUP BY cohort, yr ORDER BY cohort, age
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -16963,6 +17143,8 @@ QUERIES = {
     "events_value_hist": q_events_value_hist,
     "link_kcore": q_link_kcore,
     "events_mad": q_events_mad,
+    "query_segmentation": q_query_segmentation,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -17212,6 +17394,8 @@ ORACLE_SQL = {
     "events_value_hist": _SQL_EVENTS_VALUE_HIST,
     "link_kcore": _link_kcore_sql(),
     "events_mad": _SQL_EVENTS_MAD,
+    "query_segmentation": _query_segmentation_sql(),
+    "orders_cohort_ltv": _SQL_ORDERS_COHORT_LTV,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -17472,6 +17656,8 @@ _R5_FRONT = [
     "events_value_hist",
     "link_kcore",
     "events_mad",
+    "query_segmentation",
+    "orders_cohort_ltv",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

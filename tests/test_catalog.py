@@ -96,6 +96,8 @@ def _check(contract, con, name):
         "events_value_hist",
         "link_kcore",
         "events_mad",
+        "query_segmentation",
+        "orders_cohort_ltv",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
