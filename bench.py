@@ -366,6 +366,8 @@ def run_bench() -> dict:
         "events_mad",
         "query_segmentation",
         "orders_cohort_ltv",
+        "doc_term_vectors",
+        "embedding_whiten",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -17109,6 +17109,169 @@ FROM o GROUP BY cohort, yr ORDER BY cohort, age
 """
 
 
+TV_TOPN = 3
+
+
+def q_doc_term_vectors(sf_dir: str):
+    """Per-document term vectors, top-{TV_TOPN} by (tf desc, term asc)
+    — Solr TermVectorComponent parity (`tv.tf=true`, the MLT/highlight
+    feed the viewer's snippet path reads).  Fully vectorized: one
+    factorize per batch, composite (doc, code) `np.unique` fold, then
+    a per-doc segmented head via ONE lexsort — never a per-doc Python
+    loop; no shuffle at all (term vectors are doc-local)."""
+    ds = _documents(sf_dir)
+
+    def tv(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+        })
+        if codes.size == 0:
+            return empty
+        doc_of = np.repeat(np.arange(ids.size), counts)
+        key = doc_of * np.int64(uniq.size) + codes
+        ukey, tf = np.unique(key, return_counts=True)
+        didx = (ukey // uniq.size).astype(np.int64)
+        tcode = (ukey % uniq.size).astype(np.int64)
+        # order within doc by (tf desc, term asc); factorize codes are
+        # first-occurrence order, so map them to lexicographic ranks
+        lex = np.argsort(np.argsort(uniq))
+        order = np.lexsort((lex[tcode], -tf, didx))
+        didx, tcode, tf = didx[order], tcode[order], tf[order]
+        starts = np.flatnonzero(np.diff(didx, prepend=-1))
+        pos = np.arange(didx.size) - np.repeat(starts, np.diff(
+            np.append(starts, didx.size)))
+        keep = pos < TV_TOPN
+        return pa.table({
+            "doc_id": pa.array(ids[didx[keep]], pa.int64()),
+            "rank": pa.array(pos[keep] + 1, pa.int64()),
+            "term": pa.array(uniq[tcode[keep]], pa.string()),
+            "tf": pa.array(tf[keep], pa.int64()),
+        })
+
+    return ds.map_batches(tv, batch_format="pyarrow") \
+             .sort(["doc_id", "rank"])
+
+
+_SQL_DOC_TERM_VECTORS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+ranked AS (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, term) AS rank
+  FROM posting
+)
+SELECT doc_id, rank::BIGINT AS rank, term, tf
+FROM ranked WHERE rank <= {TV_TOPN} ORDER BY doc_id, rank
+"""
+
+
+WHITEN_HEAD = 20
+
+
+def q_embedding_whiten(sf_dir: str):
+    """Per-dimension whitening of the embedding table (mean-center,
+    unit-ish variance) in EXACT integer arithmetic: milli-quantized
+    inputs, per-dim mean/std from one bounded ``groupby(dim)`` of
+    vector-sum partials (the ``embedding_drift`` shuffle shape), then
+    ``w = (x_milli − mean_milli) * 1000 // (std_milli + 1)`` with
+    ``std = isqrt(var)``.  Output: the first {WHITEN_HEAD} vectors'
+    whitened dims (audit head; the transform itself is corpus-wide).
+    The standardization every ANN/clustering stage wants in front of
+    cosine distance."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    n = ds.count()
+
+    def partials(t: pa.Table) -> pa.Table:
+        emb = np.stack([np.asarray(v, np.float64)
+                        for v in t.column("embedding").to_pylist()])
+        m = np.rint(emb * 1000).astype(np.int64)
+        dim = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(dim, dtype=np.int64)),
+            "s1": pa.array(m.sum(axis=0), pa.int64()),
+            "s2": pa.array((m * m).sum(axis=0), pa.int64()),
+        })
+
+    stats = {
+        int(r["dim"]): (int(r["sum(s1)"]), int(r["sum(s2)"]))
+        for r in ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("dim").sum(["s1", "s2"]).take_all()
+    }
+    dim = len(stats)
+
+    def tdiv(a: int, b: int) -> int:
+        # DuckDB's integer `//` TRUNCATES toward zero; Python floors —
+        # match the oracle on negative numerators
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    mean = np.array([tdiv(stats[d][0], n) for d in range(dim)], np.int64)
+    var = np.array([stats[d][1] // n - tdiv(stats[d][0], n) ** 2
+                    for d in range(dim)], np.int64)
+    std = np.array([math.isqrt(max(int(v), 0)) for v in var], np.int64)
+
+    def whiten(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").cast(pa.int64()).to_numpy()
+        keep = vid < WHITEN_HEAD
+        if not keep.any():
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+            })
+        emb = np.stack([np.asarray(v, np.float64) for v, k in
+                        zip(t.column("embedding").to_pylist(), keep) if k])
+        m = np.rint(emb * 1000).astype(np.int64)
+        num = (m - mean[None, :]) * 1000
+        den = std[None, :] + 1
+        w = np.sign(num) * (np.abs(num) // den)  # trunc division (SQL `//`)
+        nv = m.shape[0]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid[keep], dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), nv)),
+            "w": pa.array(w.ravel(), pa.int64()),
+        })
+
+    return ds.map_batches(whiten, batch_format="pyarrow") \
+             .sort(["vec_id", "dim"])
+
+
+_SQL_EMBEDDING_WHITEN = f"""
+WITH m AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         round(unnest(embedding) * 1000)::BIGINT AS v
+  FROM embeddings
+),
+n AS (SELECT count(DISTINCT vec_id)::BIGINT AS c FROM m),
+st AS (
+  SELECT dim, sum(v)::BIGINT AS s1, sum(v * v)::BIGINT AS s2
+  FROM m GROUP BY dim
+),
+ms AS (
+  SELECT st.dim, s1 // n.c AS mean_m,
+         cast(floor(sqrt(greatest(s2 // n.c - (s1 // n.c) * (s1 // n.c),
+                                  0))) AS BIGINT) AS std_m
+  FROM st, n
+)
+SELECT m.vec_id::BIGINT AS vec_id, m.dim::BIGINT AS dim,
+       ((m.v - ms.mean_m) * 1000) // (ms.std_m + 1) AS w
+FROM m JOIN ms ON ms.dim = m.dim
+WHERE m.vec_id < {WHITEN_HEAD}
+ORDER BY vec_id, dim
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -17145,6 +17308,8 @@ QUERIES = {
     "events_mad": q_events_mad,
     "query_segmentation": q_query_segmentation,
     "orders_cohort_ltv": q_orders_cohort_ltv,
+    "doc_term_vectors": q_doc_term_vectors,
+    "embedding_whiten": q_embedding_whiten,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -17396,6 +17561,8 @@ ORACLE_SQL = {
     "events_mad": _SQL_EVENTS_MAD,
     "query_segmentation": _query_segmentation_sql(),
     "orders_cohort_ltv": _SQL_ORDERS_COHORT_LTV,
+    "doc_term_vectors": _SQL_DOC_TERM_VECTORS,
+    "embedding_whiten": _SQL_EMBEDDING_WHITEN,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -17658,6 +17825,8 @@ _R5_FRONT = [
     "events_mad",
     "query_segmentation",
     "orders_cohort_ltv",
+    "doc_term_vectors",
+    "embedding_whiten",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

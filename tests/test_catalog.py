@@ -98,6 +98,8 @@ def _check(contract, con, name):
         "events_mad",
         "query_segmentation",
         "orders_cohort_ltv",
+        "doc_term_vectors",
+        "embedding_whiten",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
