@@ -368,6 +368,7 @@ def run_bench() -> dict:
         "orders_cohort_ltv",
         "doc_term_vectors",
         "embedding_whiten",
+        "alto_extract",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -17272,6 +17272,84 @@ ORDER BY vec_id, dim
 """
 
 
+def q_alto_extract(sf_dir: str):
+    """ALTO OCR ingest parity (`TextHelper.readAltoDoc`,
+    `helper/TextHelper.java:159-245`): per record the reconstructed
+    FULLTEXT (PrintSpace-gated block/line walk, nested ComposedBlock
+    recursion, hyphenation SubsType merge with the faithful
+    double-space quirk), page WIDTH/HEIGHT (int, float-truncate
+    fallback, absent → −1 here so the column stays integral), and the
+    `TYPE###LABEL###URI` named-entity strings.  The fixture ALTO is
+    regenerated from key arithmetic (:func:`functions.alto.gen_alto`),
+    so the oracle rebuilds every expected string without parsing —
+    the `media_dims` oracle pattern.  One stateless vectorized-enough
+    ``map_batches`` pass (parse is per-record; the XML never crosses
+    a shuffle)."""
+    from ..functions.alto import gen_alto, read_alto
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ks = t.column("doc_id").cast(pa.int64()).to_numpy()
+        ft, wd, ht, ne, nn = [], [], [], [], []
+        for k in ks.tolist():
+            r = read_alto(gen_alto(k))
+            ft.append(r["fulltext"])
+            wd.append(-1 if r["width"] is None else r["width"])
+            ht.append(-1 if r["height"] is None else r["height"])
+            ne.append("|".join(r["named_entities"]))
+            nn.append(len(r["named_entities"]))
+        return pa.table({
+            "doc_id": pa.array(ks, pa.int64()),
+            "fulltext": pa.array(ft, pa.string()),
+            "width": pa.array(wd, pa.int64()),
+            "height": pa.array(ht, pa.int64()),
+            "entities": pa.array(ne, pa.string()),
+            "n_entities": pa.array(nn, pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow").sort("doc_id")
+
+
+_SQL_ALTO_EXTRACT = """
+WITH k AS (SELECT doc_id::BIGINT AS k FROM documents),
+w AS (
+  SELECT k,
+         'w' || ((k * 7 + 0) % 50) AS w0, 'w' || ((k * 7 + 1) % 50) AS w1,
+         'w' || ((k * 7 + 2) % 50) AS w2, 'w' || ((k * 7 + 3) % 50) AS w3,
+         'w' || ((k * 7 + 4) % 50) AS w4, 'w' || ((k * 7 + 5) % 50) AS w5,
+         'w' || ((k * 7 + 6) % 50) AS w6, 'w' || ((k * 7 + 7) % 50) AS w7,
+         'w' || ((k * 7 + 8) % 50) AS w8, 'w' || ((k * 7 + 9) % 50) AS w9,
+         'w' || ((k * 7 + 10) % 50) AS w10
+  FROM k
+),
+ft AS (
+  SELECT k,
+         CASE WHEN k % 11 = 0 THEN ''
+              ELSE
+                (CASE WHEN k % 3 = 0
+                      THEN w0 || w1 || '  ' || w2   -- HypPart2 double-space quirk
+                      ELSE w0 || ' ' || w1 || ' ' || w2 END)
+                || chr(10) || w3 || ' ' || w4 || ' ' || w5 || chr(10)
+                || chr(10) || w6 || ' ' || w7 || chr(10)
+                || chr(10) || w8 || ' ' || w9 || chr(10)
+                || chr(10) || w10 || chr(10)
+         END AS fulltext
+  FROM w
+)
+SELECT k.k AS doc_id, ft.fulltext,
+       (CASE WHEN k.k % 7 = 0 THEN -1 ELSE 100 + k.k END)::BIGINT AS width,
+       (CASE WHEN k.k % 7 = 0 THEN -1 ELSE 200 + k.k END)::BIGINT AS height,
+       'PERSON###p' || (k.k % 10)
+         || (CASE WHEN k.k % 2 = 0 THEN '###http://ex/' || k.k ELSE '' END)
+         || '|PLACE###q' || (k.k % 4) AS entities,
+       2::BIGINT AS n_entities
+FROM k JOIN ft ON ft.k = k.k
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -17310,6 +17388,7 @@ QUERIES = {
     "orders_cohort_ltv": q_orders_cohort_ltv,
     "doc_term_vectors": q_doc_term_vectors,
     "embedding_whiten": q_embedding_whiten,
+    "alto_extract": q_alto_extract,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -17563,6 +17642,7 @@ ORACLE_SQL = {
     "orders_cohort_ltv": _SQL_ORDERS_COHORT_LTV,
     "doc_term_vectors": _SQL_DOC_TERM_VECTORS,
     "embedding_whiten": _SQL_EMBEDDING_WHITEN,
+    "alto_extract": _SQL_ALTO_EXTRACT,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -17827,6 +17907,7 @@ _R5_FRONT = [
     "orders_cohort_ltv",
     "doc_term_vectors",
     "embedding_whiten",
+    "alto_extract",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -100,6 +100,7 @@ def _check(contract, con, name):
         "orders_cohort_ltv",
         "doc_term_vectors",
         "embedding_whiten",
+        "alto_extract",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
