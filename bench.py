@@ -369,6 +369,7 @@ def run_bench() -> dict:
         "doc_term_vectors",
         "embedding_whiten",
         "alto_extract",
+        "date_normalize",
         "search_dismax",
         "search_boost_fn",
     ]

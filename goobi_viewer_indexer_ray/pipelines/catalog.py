@@ -17350,6 +17350,76 @@ ORDER BY doc_id
 """
 
 
+def _date_fixture(k: int) -> str:
+    """Key-derived date string exercising every normalizeDate branch."""
+    y, mo, d = 1900 + k % 100, 1 + k % 12, 1 + k % 28
+    return [
+        f"{y:04d}-{mo:02d}-{d:02d}T10:11:12",   # ISO local datetime
+        f"{y:04d}-{mo:02d}-{d:02d}",            # ISO date
+        f"{d:02d}.{mo:02d}.{y:04d}",            # DE
+        f"{mo:02d}/{d:02d}/{y:04d}",            # US
+        f"{y:04d}-{mo:02d}",                    # year-month (day -> 1)
+        f"ca. {1000 + k} bis {1100 + k}",       # loose numbers branch
+        f"{1000 + k}-{1100 + k}",               # year-range branch
+        f"vor -{1000 + k} oder 99",             # range branch sign quirk
+    ][k % 8]
+
+
+def q_date_normalize(sf_dir: str):
+    """`DateTools.normalizeDate` parity (`helper/DateTools.java:91-196`
+    — the normalizer behind every DATE/YEAR Solr field the reference
+    writes): the 8-format chain, the year-range branch with its
+    faithful ``[\\d+]\\d+`` sign-dropping quirk, and the loose-number
+    fallback, over a key-derived fixture string per doc (every branch
+    by residue).  Output: date count, years joined, first month/day
+    (−1 when year-only).  Oracle regenerates the expectations from
+    the same key arithmetic — no date parsing in SQL."""
+    from ..functions.dates import normalize_date
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ks = t.column("doc_id").cast(pa.int64()).to_numpy()
+        nd, ys, m1, d1 = [], [], [], []
+        for k in ks.tolist():
+            dates = normalize_date(_date_fixture(k))
+            nd.append(len(dates))
+            ys.append("|".join(str(y) for y, _, _ in dates))
+            m1.append(dates[0][1] if dates and dates[0][1] is not None
+                      else -1)
+            d1.append(dates[0][2] if dates and dates[0][2] is not None
+                      else -1)
+        return pa.table({
+            "doc_id": pa.array(ks, pa.int64()),
+            "n_dates": pa.array(nd, pa.int64()),
+            "years": pa.array(ys, pa.string()),
+            "month1": pa.array(m1, pa.int64()),
+            "day1": pa.array(d1, pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow").sort("doc_id")
+
+
+_SQL_DATE_NORMALIZE = """
+WITH k AS (
+  SELECT doc_id::BIGINT AS k, doc_id % 8 AS tpl,
+         1900 + doc_id % 100 AS y,
+         1 + doc_id % 12 AS mo, 1 + doc_id % 28 AS d
+  FROM documents
+)
+SELECT k AS doc_id,
+       (CASE WHEN tpl IN (5, 6) THEN 2 ELSE 1 END)::BIGINT AS n_dates,
+       CASE WHEN tpl <= 4 THEN y::VARCHAR
+            WHEN tpl IN (5, 6) THEN (1000 + k) || '|' || (1100 + k)
+            ELSE (1000 + k)::VARCHAR END AS years,
+       (CASE WHEN tpl <= 4 THEN mo ELSE -1 END)::BIGINT AS month1,
+       (CASE WHEN tpl <= 3 THEN d WHEN tpl = 4 THEN 1
+             ELSE -1 END)::BIGINT AS day1
+FROM k ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -17389,6 +17459,7 @@ QUERIES = {
     "doc_term_vectors": q_doc_term_vectors,
     "embedding_whiten": q_embedding_whiten,
     "alto_extract": q_alto_extract,
+    "date_normalize": q_date_normalize,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -17643,6 +17714,7 @@ ORACLE_SQL = {
     "doc_term_vectors": _SQL_DOC_TERM_VECTORS,
     "embedding_whiten": _SQL_EMBEDDING_WHITEN,
     "alto_extract": _SQL_ALTO_EXTRACT,
+    "date_normalize": _SQL_DATE_NORMALIZE,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -17908,6 +17980,7 @@ _R5_FRONT = [
     "doc_term_vectors",
     "embedding_whiten",
     "alto_extract",
+    "date_normalize",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

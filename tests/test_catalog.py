@@ -101,6 +101,7 @@ def _check(contract, con, name):
         "doc_term_vectors",
         "embedding_whiten",
         "alto_extract",
+        "date_normalize",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",

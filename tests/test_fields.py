@@ -193,3 +193,41 @@ def test_roman_numeral_roundtrip():
         int_to_roman(0)
     with pytest.raises(ValueError):
         int_to_roman(4000)
+
+
+# ------------------------------------- DateTools.normalizeDate parity
+
+def test_normalize_date_format_chain():
+    from goobi_viewer_indexer_ray.functions.dates import normalize_date
+
+    assert normalize_date("2020-05-03T10:11:12") == [(2020, 5, 3)]
+    assert normalize_date("2020-05-03T10:11:12Z") == [(2020, 5, 3)]
+    assert normalize_date("13.05.2020") == [(2020, 5, 13)]
+    assert normalize_date("2020-05-03") == [(2020, 5, 3)]
+    assert normalize_date("2020-05") == [(2020, 5, 1)]  # day defaults 1
+    assert normalize_date("05/13/2020") == [(2020, 5, 13)]  # US month first
+    assert normalize_date("2020.05.13") == [(2020, 5, 13)]
+    assert normalize_date("2020/05/13") == [(2020, 5, 13)]
+
+
+def test_normalize_date_range_and_fallback_branches():
+    import pytest
+
+    from goobi_viewer_indexer_ray.functions.dates import normalize_date
+
+    # range branch: '-' present, not leading
+    assert normalize_date("1870-1880") == [(1870, None, None),
+                                           (1880, None, None)]
+    # the faithful [\d+]\d+ quirk: a negative year inside a range
+    # string loses its sign
+    assert normalize_date("vor -1234 oder 99") == [(1234, None, None)]
+    # leading '-' -> NUMBER branch, sign kept
+    assert normalize_date("-1234") == [(-1234, None, None)]
+    # loose numbers, min-digit and max-digit bounds (5 max)
+    assert normalize_date("ca. 1870 bis 999 und 123456") == \
+        [(1870, None, None)]
+    # invalid calendar date falls through the chain into the range
+    # branch (Java's SMART resolver rejects month 13 the same way)
+    assert normalize_date("2020-13-01") == [(2020, None, None)]
+    with pytest.raises(ValueError):
+        normalize_date("1870", 0)
