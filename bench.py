@@ -370,6 +370,7 @@ def run_bench() -> dict:
         "embedding_whiten",
         "alto_extract",
         "date_normalize",
+        "search_phrase_gap",
         "search_dismax",
         "search_boost_fn",
     ]

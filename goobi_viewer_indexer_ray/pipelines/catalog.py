@@ -17420,6 +17420,45 @@ FROM k ORDER BY doc_id
 """
 
 
+GAP_QUERIES = [("hash", 1, "merge"), ("the", 1, "order"),
+               ("slow", 2, "join"), ("vector", 1, "zzznope")]
+
+
+def q_search_phrase_gap(sf_dir: str):
+    """Wildcard-slot phrase search (`"a * b"` — Solr ComplexPhrase /
+    SpanNear with exact gap): docs where the second term sits exactly
+    gap+1 positions after the first, slot-match counts exact; pure
+    positional posting algebra (see
+    :func:`search_ops.gap_phrase_docs`), absent-term leg pinned by
+    query 3."""
+    from .query import LocalIndex
+    from .search_ops import gap_phrase_docs
+
+    idx = LocalIndex(ensure_documents_index_pos(sf_dir))
+    return gap_phrase_docs(idx, GAP_QUERIES)
+
+
+def _search_phrase_gap_sql() -> str:
+    arms = []
+    for qid, (a, gap, b) in enumerate(GAP_QUERIES):
+        ta, tb = tokenize(a)[0], tokenize(b)[0]
+        arms.append(
+            f"SELECT {qid}::BIGINT AS query_id, pa.doc_id,"
+            f" count(*)::BIGINT AS n_matches\n"
+            f"FROM (SELECT doc_id, i FROM occ WHERE t = '{ta}') pa\n"
+            f"JOIN (SELECT doc_id, i FROM occ WHERE t = '{tb}') pb\n"
+            f"  ON pb.doc_id = pa.doc_id AND pb.i = pa.i + {gap + 1}\n"
+            f"GROUP BY pa.doc_id"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),\n"
+        f"pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks),\n"
+        f"occ AS (SELECT doc_id, ts[i] AS t, i FROM pos)\n"
+        f"{body}\nORDER BY query_id, doc_id"
+    )
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -17460,6 +17499,7 @@ QUERIES = {
     "embedding_whiten": q_embedding_whiten,
     "alto_extract": q_alto_extract,
     "date_normalize": q_date_normalize,
+    "search_phrase_gap": q_search_phrase_gap,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -17715,6 +17755,7 @@ ORACLE_SQL = {
     "embedding_whiten": _SQL_EMBEDDING_WHITEN,
     "alto_extract": _SQL_ALTO_EXTRACT,
     "date_normalize": _SQL_DATE_NORMALIZE,
+    "search_phrase_gap": _search_phrase_gap_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -17981,6 +18022,7 @@ _R5_FRONT = [
     "embedding_whiten",
     "alto_extract",
     "date_normalize",
+    "search_phrase_gap",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

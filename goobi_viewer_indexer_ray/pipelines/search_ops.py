@@ -48,6 +48,7 @@ import pyarrow as pa
 from ..functions.tokenize import tokenize
 
 __all__ = ["boolean_docs", "prefix_stats", "fuzzy_terms", "facet_counts",
+           "gap_phrase_docs",
            "phrase_docs", "phrase_docs_positional", "proximity_docs",
            "kwic_snippets", "parse_structured", "StructuredSearchEngine",
            "structured_search", "wildcard_regex", "wildcard_terms",
@@ -1362,3 +1363,51 @@ def regex_terms(index, pattern: str) -> list[tuple[str, int]]:
     rx = _re.compile(pattern)
     terms, df, _ = _vocab_arrays(index)
     return [(str(t), int(d)) for t, d in zip(terms, df) if rx.fullmatch(t)]
+
+
+def gap_phrase_docs(index, triples: list[tuple[str, int, str]]):
+    """Wildcard-slot phrase matching — Solr ComplexPhrase ``"a * b"``
+    / Lucene ``SpanNearQuery`` with an EXACT gap: for ``(a, gap, b)``
+    docs where ``b`` occurs exactly ``gap + 1`` positions after ``a``
+    (``gap`` arbitrary tokens between), with the exact slot-match
+    count.  One composite-key ``intersect1d`` per query — the fixed-d
+    special case of :func:`proximity_docs` (same positional algebra,
+    no corpus access).
+
+    Returns ``(query_id, doc_id, n_matches)``, sorted.
+    """
+    SHIFT = np.uint64(32)
+    out_q, out_d, out_n = [], [], []
+    for qid, (a, gap, b) in enumerate(triples):
+        ta, tb = (tokenize(a) or [""])[0], (tokenize(b) or [""])[0]
+        ra, rb = index.lookup(ta), index.lookup(tb)
+        if ra is None or rb is None or gap < 0:
+            continue
+        docs_a, tfs_a, pos_a, _ = ra.positions_all()
+        docs_b, tfs_b, pos_b, _ = rb.positions_all()
+        union = _rank_union([docs_a, docs_b])
+        rank_a = np.searchsorted(union, docs_a).astype(np.uint64)
+        rank_b = np.searchsorted(union, docs_b).astype(np.uint64)
+        keys_a = (np.repeat(rank_a, tfs_a) << SHIFT) | pos_a.astype(np.uint64)
+        keys_b = (np.repeat(rank_b, tfs_b) << SHIFT) | pos_b.astype(np.uint64)
+        m = np.intersect1d(keys_a + np.uint64(gap + 1), keys_b,
+                           assume_unique=True)
+        if not m.size:
+            continue
+        hits = union[(m >> SHIFT).astype(np.int64)]
+        uniq, cnt = np.unique(hits, return_counts=True)
+        out_q.append(np.full(uniq.size, qid, np.int64))
+        out_d.append(uniq)
+        out_n.append(cnt.astype(np.int64))
+    if not out_q:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        })
+    t = pa.table({
+        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+        "n_matches": pa.array(np.concatenate(out_n), pa.int64()),
+    })
+    return t.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])

@@ -102,6 +102,7 @@ def _check(contract, con, name):
         "embedding_whiten",
         "alto_extract",
         "date_normalize",
+        "search_phrase_gap",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
