@@ -371,6 +371,8 @@ def run_bench() -> dict:
         "alto_extract",
         "date_normalize",
         "search_phrase_gap",
+        "events_benford",
+        "supplier_returns",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -17459,6 +17459,153 @@ def _search_phrase_gap_sql() -> str:
     )
 
 
+# Benford first-digit milli-probabilities: round(1000·log10(1+1/d))
+BENFORD_MILLI = [301, 176, 125, 97, 79, 67, 58, 51, 46]
+
+
+def q_events_benford(sf_dir: str):
+    """Benford's-law first-digit audit of event values per type — the
+    classic fabricated-data / instrumentation-bug screen (Nigrini's
+    forensic-accounting test, applied to telemetry).  Integer cents →
+    leading digit via string on BOTH sides; expected counts and the
+    χ²-style deviation as exact scaled integers
+    (``(1000·obs − n·p_milli)² // (n·p_milli)``) — no float
+    probabilities cross the oracle.  Map-side digit partials, one
+    (type, digit) fold."""
+    ev = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        cents = np.maximum(cents, 1)
+        digit = np.array([int(str(c)[0]) for c in cents.tolist()], np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(et)
+        key = codes.astype(np.int64) * 10 + digit
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(uniq[(ukey // 10)], pa.string()),
+            "digit": pa.array(ukey % 10, pa.int64()),
+            "n_p": pa.array(cnt, pa.int64()),
+        })
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["event_type", "digit"]).sum("n_p")
+
+    rows = agg.take_all()  # ≤ 9 × |event types| — constant-size fold
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) \
+            + int(r["sum(n_p)"])
+    et_, dg_, ob_, ex_, chi_ = [], [], [], [], []
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["digit"])):
+        et, d, obs = r["event_type"], int(r["digit"]), int(r["sum(n_p)"])
+        exp_milli = totals[et] * BENFORD_MILLI[d - 1]
+        chi = (1000 * obs - exp_milli) ** 2 // exp_milli
+        et_.append(et)
+        dg_.append(d)
+        ob_.append(obs)
+        ex_.append(exp_milli)
+        chi_.append(chi)
+    return pa.table({
+        "event_type": pa.array(et_, pa.string()),
+        "digit": pa.array(dg_, pa.int64()),
+        "obs": pa.array(ob_, pa.int64()),
+        "exp_milli": pa.array(ex_, pa.int64()),
+        "chi_scaled": pa.array(chi_, pa.int64()),
+    })
+
+
+_SQL_EVENTS_BENFORD = f"""
+WITH c AS (
+  SELECT event_type,
+         substr(greatest(round(value * 100)::BIGINT, 1)::VARCHAR, 1, 1)::BIGINT
+           AS digit
+  FROM events
+),
+p(digit, pm) AS (VALUES {', '.join(f'({d + 1}, {m})' for d, m in enumerate(BENFORD_MILLI))}),
+obs AS (
+  SELECT event_type, digit, count(*)::BIGINT AS obs FROM c
+  GROUP BY event_type, digit
+),
+tot AS (SELECT event_type, sum(obs)::BIGINT AS n FROM obs GROUP BY event_type)
+SELECT o.event_type, o.digit, o.obs,
+       (t.n * p.pm)::BIGINT AS exp_milli,
+       ((1000 * o.obs - t.n * p.pm) * (1000 * o.obs - t.n * p.pm)
+        // (t.n * p.pm))::BIGINT AS chi_scaled
+FROM obs o
+JOIN tot t ON t.event_type = o.event_type
+JOIN p ON p.digit = o.digit
+ORDER BY o.event_type, o.digit
+"""
+
+
+def q_supplier_returns(sf_dir: str):
+    """Per-supplier return-rate screen (`l_returnflag = 'R'` share in
+    integer basis points) — the marketplace fraud/quality signal; the
+    supplier name attaches from the broadcast small side AFTER the
+    aggregate (the `customer_order_revenue` pattern: strings never
+    ride the shuffle)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    sup_t = pa.concat_tables(
+        _rd().read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                           columns=["s_suppkey", "s_name"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    side = ray.put((sup_t.column("s_suppkey").cast(pa.int64())
+                    .combine_chunks(),
+                    sup_t.column("s_name").combine_chunks()))
+
+    li = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_suppkey", "l_returnflag"])
+
+    agg = (
+        li.map_batches(
+            lambda t: pa.table({
+                "sk": t.column("l_suppkey").cast(pa.int64()),
+                "ret": pc.cast(pc.equal(t.column("l_returnflag"),
+                                        pa.scalar("R")), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("sk")
+        .aggregate(Count(alias_name="n_items"),
+                   Sum("ret", alias_name="n_returned"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(side)
+        sk = t.column("sk").cast(pa.int64())
+        idx = pc.index_in(sk, value_set=keys)
+        n = t.column("n_items").cast(pa.int64())
+        r = t.column("n_returned").cast(pa.int64())
+        bp = pc.divide(pc.multiply(r, pa.scalar(10000, pa.int64())), n)
+        return pa.table({
+            "s_suppkey": sk,
+            "s_name": pc.take(names, idx),
+            "n_items": n,
+            "n_returned": r,
+            "return_bp": bp,
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("s_suppkey")
+
+
+_SQL_SUPPLIER_RETURNS = """
+SELECT s.s_suppkey::BIGINT AS s_suppkey, s.s_name,
+       count(*)::BIGINT AS n_items,
+       sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+         AS n_returned,
+       (sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) * 10000
+        // count(*))::BIGINT AS return_bp
+FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY s.s_suppkey, s.s_name ORDER BY s_suppkey
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -17500,6 +17647,8 @@ QUERIES = {
     "alto_extract": q_alto_extract,
     "date_normalize": q_date_normalize,
     "search_phrase_gap": q_search_phrase_gap,
+    "events_benford": q_events_benford,
+    "supplier_returns": q_supplier_returns,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -17756,6 +17905,8 @@ ORACLE_SQL = {
     "alto_extract": _SQL_ALTO_EXTRACT,
     "date_normalize": _SQL_DATE_NORMALIZE,
     "search_phrase_gap": _search_phrase_gap_sql(),
+    "events_benford": _SQL_EVENTS_BENFORD,
+    "supplier_returns": _SQL_SUPPLIER_RETURNS,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -18023,6 +18174,8 @@ _R5_FRONT = [
     "alto_extract",
     "date_normalize",
     "search_phrase_gap",
+    "events_benford",
+    "supplier_returns",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -103,6 +103,8 @@ def _check(contract, con, name):
         "alto_extract",
         "date_normalize",
         "search_phrase_gap",
+        "events_benford",
+        "supplier_returns",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
