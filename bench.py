@@ -373,6 +373,7 @@ def run_bench() -> dict:
         "search_phrase_gap",
         "events_benford",
         "supplier_returns",
+        "events_window_distinct",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -17606,6 +17606,85 @@ GROUP BY s.s_suppkey, s.s_name ORDER BY s_suppkey
 """
 
 
+WD_WINDOW_H = 24
+
+
+def q_events_window_distinct(sf_dir: str):
+    """Sliding-window COUNT DISTINCT — daily-active-users per hourly
+    tick (24 h window ending at each hour that saw an event).  The
+    holistic twin of ``events_sliding_windows``'s additive counts:
+    distinct-over-window cannot sum per-hour partials, so the honest
+    distributed shape is (user, hour) dedup first (map-side set per
+    batch → ONE groupby), then a bounded 24-way tick fan-out of the
+    DEDUPED pairs and a second (tick, user) dedup — shuffle volume
+    24·|distinct pairs|, never 24·|events|."""
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+
+    def user_hours(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        uid = t.column("user_id").cast(pa.int64()).to_numpy()
+        hour = us // 3_600_000_000
+        # map-side dedup on one composite key (epoch-hours < 10^7)
+        comp = np.unique(uid * np.int64(10_000_000) + hour)
+        return pa.table({
+            "uid": pa.array(comp // 10_000_000, pa.int64()),
+            "hour": pa.array(comp % 10_000_000, pa.int64()),
+        })
+
+    pairs = (ds.map_batches(user_hours, batch_format="pyarrow")
+             .groupby(["uid", "hour"]).count())
+
+    def fan(t: pa.Table) -> pa.Table:
+        uid = t.column("uid").to_numpy()
+        hour = t.column("hour").to_numpy()
+        w = WD_WINDOW_H
+        ticks = (hour[:, None] + np.arange(w)[None, :]).ravel()
+        uids = np.repeat(uid, w)
+        comp = np.unique(uids * np.int64(10_000_000) + ticks)
+        return pa.table({
+            "tick": pa.array(comp % 10_000_000, pa.int64()),
+            "fuid": pa.array(comp // 10_000_000, pa.int64()),
+        })
+
+    counts = (pairs.map_batches(fan, batch_format="pyarrow")
+              .groupby(["tick", "fuid"]).count()
+              .groupby("tick").aggregate(Count(alias_name="dau")))
+
+    # keep only ticks that are REAL event hours (window "ending at an
+    # observed hour" — the fan-out also creates trailing empty ticks)
+    hours = pairs.groupby("hour").count()
+
+    live = {int(r["hour"]) for r in hours.take_all()}
+
+    def fin(t: pa.Table) -> pa.Table:
+        tick = t.column("tick").to_numpy()
+        keep = np.array([int(x) in live for x in tick], bool)
+        return pa.table({
+            "hour": pa.array(tick[keep], pa.int64()),
+            "dau": t.column("dau").cast(pa.int64()).filter(
+                pa.array(keep)),
+        })
+
+    return counts.map_batches(fin, batch_format="pyarrow").sort("hour")
+
+
+_SQL_EVENTS_WINDOW_DISTINCT = f"""
+WITH uh AS (
+  SELECT DISTINCT user_id::BIGINT AS uid,
+         epoch_us(ts) // 3600000000 AS hour
+  FROM events
+),
+hours AS (SELECT DISTINCT hour FROM uh)
+SELECT h.hour, count(DISTINCT u.uid)::BIGINT AS dau
+FROM hours h
+JOIN uh u ON u.hour > h.hour - {WD_WINDOW_H} AND u.hour <= h.hour
+GROUP BY h.hour ORDER BY h.hour
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -17649,6 +17728,7 @@ QUERIES = {
     "search_phrase_gap": q_search_phrase_gap,
     "events_benford": q_events_benford,
     "supplier_returns": q_supplier_returns,
+    "events_window_distinct": q_events_window_distinct,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -17907,6 +17987,7 @@ ORACLE_SQL = {
     "search_phrase_gap": _search_phrase_gap_sql(),
     "events_benford": _SQL_EVENTS_BENFORD,
     "supplier_returns": _SQL_SUPPLIER_RETURNS,
+    "events_window_distinct": _SQL_EVENTS_WINDOW_DISTINCT,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -18176,6 +18257,7 @@ _R5_FRONT = [
     "search_phrase_gap",
     "events_benford",
     "supplier_returns",
+    "events_window_distinct",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

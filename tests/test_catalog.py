@@ -105,6 +105,7 @@ def _check(contract, con, name):
         "search_phrase_gap",
         "events_benford",
         "supplier_returns",
+        "events_window_distinct",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
