@@ -555,13 +555,18 @@ def build_all(
         return build_index(out_dir, num_shards=num_shards,
                            num_range_buckets=num_range_buckets, resume=resume)
 
+    import time as _time
+
+    t0 = _time.monotonic()
     part_map = _fresh_part_map(paths, out_dir, partition_strategy)
     seg_fps = _segment_fps(num_parts, ppb, num_shards,
                            {p: docs_fp for p in range(num_parts)})
     runs_rows = _docs_pipeline(paths, out_dir, docs_fp, num_parts, num_shards, 256,
                                use_actors, concurrency, part_map=part_map)
+    t_docs = _time.monotonic()
     seg_rows = _merge_runs(runs_rows, os.path.join(out_dir, "index"), index_fp,
                            bucket_size_docs=bucket_size_docs, seg_fps=seg_fps)
+    t_merge = _time.monotonic()
     docs_man = _collect_docs_manifest(out_dir, docs_fp, num_parts, num_shards,
                                       strategy=partition_strategy)
     # reconcile: the fused path seeded segment fps assuming every part
@@ -587,6 +592,19 @@ def build_all(
     man = _write_index_manifest(out_dir, index_fp, num_shards, bucket_size_docs,
                                 seg_rows, docs_man)
     _clear_stale_ledger(out_dir, partition_strategy)
+    # per-stage metrics sidecar (NOT part of any fingerprint or the
+    # live snapshot file set — a resumed no-op build leaves it alone)
+    total_s = _time.monotonic() - t0
+    atomic_write_json(os.path.join(out_dir, "metrics.json"), {
+        "docs_stage_s": round(t_docs - t0, 3),
+        "merge_stage_s": round(t_merge - t_docs, 3),
+        "total_s": round(total_s, 3),
+        "n_docs": int(docs_man["n_docs"]),
+        "docs_per_sec": round(docs_man["n_docs"] / total_s, 1)
+        if total_s > 0 else None,
+        "n_parts": num_parts,
+        "num_shards": num_shards,
+    })
     return man
 
 

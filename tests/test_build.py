@@ -161,3 +161,15 @@ def test_auto_sizing_helpers():
     ppb, width = _bucketing(100, 8)
     assert ppb == 13  # ceil(100/8)
     assert PART_INPUT_BUDGET == 128 << 20
+
+
+def test_build_writes_metrics_sidecar(ray_session, tiny_build):
+    """A fresh build leaves per-stage metrics next to the manifests."""
+    import json
+    import os
+
+    with open(os.path.join(tiny_build, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["total_s"] >= m["docs_stage_s"] >= 0
+    assert m["n_docs"] > 0
+    assert m["docs_per_sec"] > 0
