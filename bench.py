@@ -374,6 +374,7 @@ def run_bench() -> dict:
         "events_benford",
         "supplier_returns",
         "events_window_distinct",
+        "interleave_teamdraft",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -17685,6 +17685,155 @@ GROUP BY h.hour ORDER BY h.hour
 """
 
 
+TD_K = 10
+TD_PARAMS_A = (1.2, 0.75)
+TD_PARAMS_B = (2.0, 0.3)
+
+
+def q_interleave_teamdraft(sf_dir: str):
+    """Team-draft interleaving (Radlinski et al. CIKM'08, the online
+    A/B ranking-eval primitive) made DETERMINISTIC: ranker A (BM25
+    defaults) always drafts on even steps, B (k1=2.0, b=0.3) on odd —
+    each step takes its team's highest-ranked doc not yet in the
+    merged list, falling back to the other team's when exhausted.
+    One postings decode serves both rankings (the ``bm25_param_sweep``
+    re-score trick); the draft walk is ≤ 2k driver steps per query.
+    Output: (query_id, pos, doc_id, team)."""
+    from ..functions.scoring import idf as _idf
+    from .query import LocalIndex
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    avgdl, n = idx.avgdl, idx.n_docs
+
+    def ranking(terms: list[str], k1: float, b: float) -> list[int]:
+        doc_parts, c_parts = [], []
+        for t in terms:
+            ref = idx.lookup(t)
+            if ref is None:
+                continue
+            docs, tfs, dls = ref.decode_all()
+            tfs = tfs.astype(np.float64)
+            dls = dls.astype(np.float64)
+            imp = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            doc_parts.append(docs)
+            c_parts.append(float(_idf(n, ref.df)) * imp)
+        if not doc_parts:
+            return []
+        all_docs = np.concatenate(doc_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        sc = np.zeros(uniq.size)
+        np.add.at(sc, inv, np.concatenate(c_parts))
+        s_r = np.round(sc, 4)
+        order = np.lexsort((uniq, -s_r))[:TD_K]
+        return uniq[order].tolist()
+
+    rows = {"query_id": [], "pos": [], "doc_id": [], "team": []}
+    for q in DOC_QUERIES:
+        terms = sorted(set(tokenize(q["query"])))
+        la = ranking(terms, *TD_PARAMS_A)
+        lb = ranking(terms, *TD_PARAMS_B)
+        merged: list[int] = []
+        teams: list[int] = []
+        for step in range(2 * TD_K):
+            if len(merged) >= TD_K:
+                break
+            team = step % 2
+            own, other = (la, lb) if team == 0 else (lb, la)
+            pick = next((d for d in own if d not in merged), None)
+            if pick is None:
+                pick = next((d for d in other if d not in merged), None)
+            if pick is None:
+                break
+            merged.append(pick)
+            teams.append(team)
+        for i, (d, t) in enumerate(zip(merged, teams)):
+            rows["query_id"].append(q["query_id"])
+            rows["pos"].append(i + 1)
+            rows["doc_id"].append(d)
+            rows["team"].append(t)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "pos": pa.array(rows["pos"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "team": pa.array(rows["team"], pa.int64()),
+    })
+
+
+def _interleave_teamdraft_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    (ka, ba), (kb, bb) = TD_PARAMS_A, TD_PARAMS_B
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+params(team, k1, b) AS (VALUES (0, {ka!r}, {ba!r}), (1, {kb!r}, {bb!r})),
+scored AS (
+  SELECT q.query_id, pr.team, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * (pr.k1 + 1.0)
+                 / (p.tf + pr.k1 * (1.0 - pr.b + pr.b * dl.dl / s.avgdl))) )
+           AS score
+  FROM q JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s CROSS JOIN params pr
+  GROUP BY q.query_id, pr.team, p.doc_id
+),
+lists AS (
+  SELECT query_id, team,
+         list(doc_id ORDER BY round(score, 4) DESC, doc_id)[:{TD_K}] AS l
+  FROM scored GROUP BY query_id, team
+),
+ql AS (
+  SELECT a.query_id, a.l AS la, coalesce(b.l, []) AS lb
+  FROM (SELECT * FROM lists WHERE team = 0) a
+  LEFT JOIN (SELECT * FROM lists WHERE team = 1) b
+    ON b.query_id = a.query_id
+),
+draft(query_id, step, merged, teams) AS (
+  SELECT query_id, 0, []::BIGINT[], []::BIGINT[] FROM ql
+  UNION ALL
+  SELECT d.query_id, d.step + 1,
+         CASE WHEN pick.p IS NULL THEN d.merged
+              ELSE list_append(d.merged, pick.p) END,
+         CASE WHEN pick.p IS NULL THEN d.teams
+              ELSE list_append(d.teams, (d.step % 2)::BIGINT) END
+  FROM draft d
+  JOIN ql ON ql.query_id = d.query_id,
+  LATERAL (
+    SELECT coalesce(
+      list_filter(CASE WHEN d.step % 2 = 0 THEN ql.la ELSE ql.lb END,
+                  x -> NOT list_contains(d.merged, x))[1],
+      list_filter(CASE WHEN d.step % 2 = 0 THEN ql.lb ELSE ql.la END,
+                  x -> NOT list_contains(d.merged, x))[1]) AS p
+  ) pick
+  WHERE d.step < {2 * TD_K} AND len(d.merged) < {TD_K}
+        AND pick.p IS NOT NULL
+),
+final AS (
+  SELECT query_id, merged, teams,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY len(merged) DESC, step DESC) AS rn
+  FROM draft
+)
+SELECT f.query_id::BIGINT AS query_id, u.i::BIGINT AS pos,
+       f.merged[u.i] AS doc_id, f.teams[u.i] AS team
+FROM final f, unnest(range(1, len(f.merged) + 1)) AS u(i)
+WHERE f.rn = 1
+ORDER BY query_id, pos
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -17729,6 +17878,7 @@ QUERIES = {
     "events_benford": q_events_benford,
     "supplier_returns": q_supplier_returns,
     "events_window_distinct": q_events_window_distinct,
+    "interleave_teamdraft": q_interleave_teamdraft,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -17988,6 +18138,7 @@ ORACLE_SQL = {
     "events_benford": _SQL_EVENTS_BENFORD,
     "supplier_returns": _SQL_SUPPLIER_RETURNS,
     "events_window_distinct": _SQL_EVENTS_WINDOW_DISTINCT,
+    "interleave_teamdraft": _interleave_teamdraft_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -18258,6 +18409,7 @@ _R5_FRONT = [
     "events_benford",
     "supplier_returns",
     "events_window_distinct",
+    "interleave_teamdraft",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

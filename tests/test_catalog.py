@@ -106,6 +106,7 @@ def _check(contract, con, name):
         "events_benford",
         "supplier_returns",
         "events_window_distinct",
+        "interleave_teamdraft",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
