@@ -375,6 +375,7 @@ def run_bench() -> dict:
         "supplier_returns",
         "events_window_distinct",
         "interleave_teamdraft",
+        "html_canonical",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-__all__ = ["normalize_urls"]
+__all__ = ["canonical_url", "normalize_urls"]
 
 _SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _SCHEME_NC = r"^[A-Za-z][A-Za-z0-9+.\-]*://"  # non-capturing variant
@@ -57,3 +57,62 @@ def normalize_urls(urls: pd.Series) -> pd.DataFrame:
     rest = rest.str.replace(r"[?&]+$", "", regex=True)
     canon = scheme + "://" + host + rest
     return pd.DataFrame({"scheme": scheme, "host": host, "url_canon": canon})
+
+
+class _HeadMetaParser:
+    """Minimal HTML-head scanner for the canonical/robots signals —
+    real parsing (stdlib HTMLParser: any attribute order, quoting,
+    case), not regex."""
+
+    def __init__(self):
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                a = {k.lower(): (v or "") for k, v in attrs}
+                if tag == "link" and a.get("rel", "").lower() == "canonical":
+                    if outer.canonical is None and a.get("href"):
+                        outer.canonical = a["href"]
+                elif tag == "meta":
+                    prop = (a.get("property") or a.get("name") or "").lower()
+                    if prop == "og:url" and a.get("content"):
+                        if outer.og_url is None:
+                            outer.og_url = a["content"]
+                    elif prop == "robots":
+                        outer.robots = a.get("content", "").lower()
+
+        self.canonical: str | None = None
+        self.og_url: str | None = None
+        self.robots: str = ""
+        self._p = P()
+
+    def feed(self, html: str):
+        self._p.feed(html)
+        return self
+
+
+def canonical_url(html: str, base_url: str) -> tuple[str, int, int]:
+    """Per-page canonicalization decision (the dedup-by-canonical
+    half of a crawler's URL pipeline; precedence per Google's
+    published canonicalization guidance):
+
+    1. first ``<link rel="canonical" href=...>`` wins (resolved
+       against ``base_url`` — relative canonicals are common);
+    2. else ``og:url``;
+    3. else the page's own URL.
+
+    Returns ``(canonical, rule, noindex)`` with ``rule`` 1/2/3 per
+    the branch taken and ``noindex`` from ``<meta name=robots>``
+    containing the ``noindex`` token.
+    """
+    from urllib.parse import urljoin
+
+    m = _HeadMetaParser().feed(html)
+    noindex = int("noindex" in {t.strip() for t in m.robots.split(",")})
+    if m.canonical:
+        return urljoin(base_url, m.canonical), 1, noindex
+    if m.og_url:
+        return urljoin(base_url, m.og_url), 2, noindex
+    return base_url, 3, noindex

@@ -17834,6 +17834,79 @@ ORDER BY query_id, pos
 """
 
 
+def _canon_fixture(k: int) -> tuple[str, str]:
+    """(html, base_url) per doc key — every canonical_url branch by
+    residue: k%4==0 absolute canonical link (attribute order varies
+    by k%2), 1 RELATIVE canonical (urljoin path), 2 og:url only,
+    3 neither (self-canonical); k%5==0 adds meta robots noindex."""
+    base = f"https://site-{k % 20}.example.com/dir/page-{k}.html"
+    robots = ('<META NAME="robots" CONTENT="NOINDEX, nofollow">'
+              if k % 5 == 0 else "")
+    r = k % 4
+    if r == 0:
+        href = f"https://canon.example.com/c/{k}"
+        link = (f'<link href="{href}" rel="canonical">' if k % 2 == 0
+                else f'<LINK REL="Canonical" HREF="{href}">')
+    elif r == 1:
+        link = f'<link rel="canonical" href="../canon/{k}">'
+    elif r == 2:
+        link = f'<meta property="og:url" content="https://og.example.com/{k}">'
+    else:
+        link = ""
+    html = f"<html><head>{robots}{link}</head><body>x</body></html>"
+    return html, base
+
+
+def q_html_canonical(sf_dir: str):
+    """Per-page canonical-URL + meta-robots extraction — the crawler
+    URL-pipeline half the reference's PI extraction (M1) is to a DAM:
+    ``<link rel=canonical>`` (absolute AND relative, resolved with
+    urljoin) → ``og:url`` → self, plus the ``noindex`` gate; REAL
+    stdlib-HTMLParser parsing (attribute order/case/quoting all vary
+    in the fixture), oracle regenerates expectations from the same
+    key arithmetic.  See :func:`functions.urls.canonical_url`."""
+    from ..functions.urls import canonical_url
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ks = t.column("doc_id").cast(pa.int64()).to_numpy()
+        cu, rl, ni = [], [], []
+        for k in ks.tolist():
+            html, base = _canon_fixture(k)
+            c, rule, noidx = canonical_url(html, base)
+            cu.append(c)
+            rl.append(rule)
+            ni.append(noidx)
+        return pa.table({
+            "doc_id": pa.array(ks, pa.int64()),
+            "canonical": pa.array(cu, pa.string()),
+            "rule": pa.array(rl, pa.int64()),
+            "noindex": pa.array(ni, pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow").sort("doc_id")
+
+
+_SQL_HTML_CANONICAL = """
+WITH k AS (SELECT doc_id::BIGINT AS k FROM documents)
+SELECT k AS doc_id,
+       CASE k % 4
+         WHEN 0 THEN 'https://canon.example.com/c/' || k
+         WHEN 1 THEN 'https://site-' || (k % 20)
+                     || '.example.com/canon/' || k
+         WHEN 2 THEN 'https://og.example.com/' || k
+         ELSE 'https://site-' || (k % 20)
+              || '.example.com/dir/page-' || k || '.html'
+       END AS canonical,
+       (CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2
+                   ELSE 3 END)::BIGINT AS rule,
+       (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS noindex
+FROM k ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -17879,6 +17952,7 @@ QUERIES = {
     "supplier_returns": q_supplier_returns,
     "events_window_distinct": q_events_window_distinct,
     "interleave_teamdraft": q_interleave_teamdraft,
+    "html_canonical": q_html_canonical,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -18139,6 +18213,7 @@ ORACLE_SQL = {
     "supplier_returns": _SQL_SUPPLIER_RETURNS,
     "events_window_distinct": _SQL_EVENTS_WINDOW_DISTINCT,
     "interleave_teamdraft": _interleave_teamdraft_sql(),
+    "html_canonical": _SQL_HTML_CANONICAL,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -18410,6 +18485,7 @@ _R5_FRONT = [
     "supplier_returns",
     "events_window_distinct",
     "interleave_teamdraft",
+    "html_canonical",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -107,6 +107,7 @@ def _check(contract, con, name):
         "supplier_returns",
         "events_window_distinct",
         "interleave_teamdraft",
+        "html_canonical",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",

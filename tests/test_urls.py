@@ -77,3 +77,29 @@ def test_unparseable_is_null():
 
 def test_www_only_stripped_at_start():
     assert _one("https://cdn.www.example.com/")["host"] == "cdn.www.example.com"
+
+
+def test_canonical_url_precedence_and_resolution():
+    from goobi_viewer_indexer_ray.functions.urls import canonical_url
+
+    base = "https://a.example.com/dir/page.html"
+    # link beats og:url; relative href resolves against the base
+    html = ('<head><meta property="og:url" content="https://og/x">'
+            '<link rel="canonical" href="../c/1"></head>')
+    assert canonical_url(html, base) == ("https://a.example.com/c/1", 1, 0)
+    # og:url fallback
+    assert canonical_url(
+        '<meta property="og:url" content="https://og/x">', base
+    ) == ("https://og/x", 2, 0)
+    # self fallback + noindex token parsing (case, spacing, list)
+    assert canonical_url(
+        '<META NAME="ROBOTS" CONTENT=" NOINDEX , nofollow ">', base
+    ) == (base, 3, 1)
+    # 'noindexx' is NOT the noindex token
+    assert canonical_url(
+        '<meta name="robots" content="noindexx">', base
+    )[2] == 0
+    # first canonical wins over later ones
+    html2 = ('<link rel="canonical" href="https://c1/">'
+             '<link rel="canonical" href="https://c2/">')
+    assert canonical_url(html2, base)[0] == "https://c1/"
