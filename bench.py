@@ -376,6 +376,7 @@ def run_bench() -> dict:
         "events_window_distinct",
         "interleave_teamdraft",
         "html_canonical",
+        "postings_gamma",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -51,7 +51,7 @@ __all__ = [
     "encode_roaring",
     "decode_roaring",
     "roaring_container_stats",
-]
+           "encode_gamma", "decode_gamma"]
 
 BLOCK_SIZE = 128
 
@@ -606,3 +606,48 @@ def roaring_container_stats(doc_ids: np.ndarray) -> tuple[int, int]:
     _, counts = np.unique(high, return_counts=True)
     n_bitmap = int((counts > ROARING_ARRAY_MAX).sum())
     return int(counts.size) - n_bitmap, n_bitmap
+
+
+# ------------------------------------------------------- Elias gamma
+
+def encode_gamma(values: np.ndarray) -> bytes:
+    """Elias-gamma code over uint64 values (Elias 1975 — the classic
+    parameter-free gap code; the third codec family next to LEB128
+    and FOR/PFOR).  Zero-able inputs map through ``m = v + 1``:
+    ``m``'s bit length L yields L−1 unary zeros then the L bits of
+    ``m`` MSB-first — 2·⌊log₂(v+1)⌋+1 bits per value, padded to a
+    byte boundary with zeros."""
+    vals = np.asarray(values, np.uint64)
+    bits: list[int] = []
+    for v in vals.tolist():
+        m = int(v) + 1
+        L = m.bit_length()
+        bits.extend([0] * (L - 1))
+        for i in range(L - 1, -1, -1):
+            bits.append((m >> i) & 1)
+    if len(bits) % 8:
+        bits.extend([0] * (8 - len(bits) % 8))
+    return np.packbits(np.array(bits, np.uint8)).tobytes()
+
+
+def decode_gamma(buf: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`encode_gamma` — decodes exactly ``n`` values;
+    raises ``ValueError`` on truncated input (the codec-family
+    fail-loud contract)."""
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8))
+    out = np.empty(n, np.uint64)
+    pos = 0
+    for i in range(n):
+        z = 0
+        while pos < bits.size and bits[pos] == 0:
+            z += 1
+            pos += 1
+        if pos + z + 1 > bits.size:
+            raise ValueError("gamma: truncated input")
+        m = 1
+        pos += 1  # the leading 1 bit
+        for _ in range(z):
+            m = (m << 1) | int(bits[pos])
+            pos += 1
+        out[i] = m - 1
+    return out

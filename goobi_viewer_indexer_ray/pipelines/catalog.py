@@ -17907,6 +17907,61 @@ FROM k ORDER BY doc_id
 """
 
 
+def q_postings_gamma(sf_dir: str):
+    """Elias-gamma postings accounting — the parameter-free third
+    codec family beside LEB128 (``postings_varint``) and FOR/PFOR:
+    per term the EXACT gamma-coded byte size of the doc-id stream
+    (first id absolute, then gaps; zero-able values via the v+1 map),
+    top 100 terms by (df desc, term).  Engine sizes from the REAL
+    bit-packer (:func:`functions.codec.encode_gamma`,
+    roundtrip-fuzzed); the oracle recomputes
+    ``ceil(Σ (2·(length(bin(v+1))−1)+1) / 8)`` — byte-for-byte."""
+    from ..functions.codec import encode_gamma
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def sizes(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("doc_id").to_numpy().astype(np.int64))
+        vals = np.concatenate(([d[0]], np.diff(d))).astype(np.uint64)
+        return pa.table({
+            "term": g.column("term").slice(0, 1),
+            "df": pa.array([d.size], pa.int64()),
+            "raw_bytes": pa.array([8 * d.size], pa.int64()),
+            "gamma_bytes": pa.array([len(encode_gamma(vals))], pa.int64()),
+        })
+
+    return (
+        postings.groupby("term")
+        .map_groups(sizes, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+_SQL_POSTINGS_GAMMA = f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+g AS (
+  SELECT term,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS v
+  FROM posting
+),
+sz AS (
+  SELECT term, count(*)::BIGINT AS df,
+         sum(2 * (length(bin(v + 1)) - 1) + 1)::BIGINT AS bits
+  FROM g GROUP BY term
+)
+SELECT term, df, (8 * df)::BIGINT AS raw_bytes,
+       ((bits + 7) // 8)::BIGINT AS gamma_bytes
+FROM sz ORDER BY df DESC, term LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -17953,6 +18008,7 @@ QUERIES = {
     "events_window_distinct": q_events_window_distinct,
     "interleave_teamdraft": q_interleave_teamdraft,
     "html_canonical": q_html_canonical,
+    "postings_gamma": q_postings_gamma,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -18214,6 +18270,7 @@ ORACLE_SQL = {
     "events_window_distinct": _SQL_EVENTS_WINDOW_DISTINCT,
     "interleave_teamdraft": _interleave_teamdraft_sql(),
     "html_canonical": _SQL_HTML_CANONICAL,
+    "postings_gamma": _SQL_POSTINGS_GAMMA,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -18486,6 +18543,7 @@ _R5_FRONT = [
     "events_window_distinct",
     "interleave_teamdraft",
     "html_canonical",
+    "postings_gamma",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

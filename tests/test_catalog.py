@@ -108,6 +108,7 @@ def _check(contract, con, name):
         "events_window_distinct",
         "interleave_teamdraft",
         "html_canonical",
+        "postings_gamma",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",

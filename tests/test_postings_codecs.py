@@ -452,3 +452,22 @@ def test_pfor_corrupt_raises():
         decode_pfor_block(buf[:6], 41)
     with pytest.raises(ValueError):
         decode_pfor_block(buf[:12], 41)
+
+
+def test_gamma_roundtrip_fuzz_and_truncation():
+    import numpy as np
+    import pytest
+
+    from goobi_viewer_indexer_ray.functions.codec import (
+        decode_gamma, encode_gamma)
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n = int(rng.integers(1, 200))
+        vals = rng.integers(0, 2**40, n).astype(np.uint64)
+        assert np.array_equal(decode_gamma(encode_gamma(vals), n), vals)
+    # zero and dense-gap extremes
+    z = np.zeros(64, np.uint64)
+    assert np.array_equal(decode_gamma(encode_gamma(z), 64), z)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gamma(encode_gamma(np.array([2**40], np.uint64))[:2], 1)
