@@ -377,6 +377,7 @@ def run_bench() -> dict:
         "interleave_teamdraft",
         "html_canonical",
         "postings_gamma",
+        "index_diff",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -17962,6 +17962,90 @@ FROM sz ORDER BY df DESC, term LIMIT 100
 """
 
 
+def q_index_diff(sf_dir: str):
+    """Term-level index diff between two crawl snapshots — the
+    incremental-indexing audit one level BELOW ``crawl_diff``'s
+    url classification: which dictionary terms change df when
+    snapshot B deletes ``doc_id % 11 == 3`` and appends a revision
+    marker token to ``doc_id % 7 == 2``?  One streamed pass emits
+    per-batch (term, df_a, df_b) partials for BOTH sides (no second
+    corpus read), ONE ``groupby(term)`` fold, ``delta ≠ 0`` filter.
+    What an update pipeline ships to its segment merge instead of a
+    full rebuild."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        if codes.size == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "a_p": pa.array([], pa.int64()),
+                             "b_p": pa.array([], pa.int64())})
+        doc_of = np.repeat(np.arange(ids.size), counts)
+        key = doc_of * np.int64(uniq.size) + codes
+        ukey = np.unique(key)           # distinct (doc, term) pairs
+        didx = (ukey // uniq.size).astype(np.int64)
+        tcode = (ukey % uniq.size).astype(np.int64)
+        removed = ids % 11 == 3
+        changed = (~removed) & (ids % 7 == 2)
+        a_cnt = np.bincount(tcode, minlength=uniq.size)
+        b_cnt = np.bincount(tcode[~removed[didx]], minlength=uniq.size)
+        terms = list(uniq) + ["vtwo"]
+        a_p = np.append(a_cnt, 0)
+        b_p = np.append(b_cnt, int(changed.sum()))
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "a_p": pa.array(a_p.astype(np.int64), pa.int64()),
+            "b_p": pa.array(b_p.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("a_p", alias_name="df_a"),
+                   Sum("b_p", alias_name="df_b"))
+        .map_batches(
+            lambda t: (lambda tt: pa.table({
+                "term": tt.column("term"),
+                "df_a": tt.column("df_a").cast(pa.int64()),
+                "df_b": tt.column("df_b").cast(pa.int64()),
+                "delta": pc.subtract(tt.column("df_b").cast(pa.int64()),
+                                     tt.column("df_a").cast(pa.int64())),
+            }))(t.filter(pc.not_equal(t.column("df_a"), t.column("df_b")))),
+            batch_format="pyarrow",
+        )
+        .sort("term")
+    )
+
+
+_SQL_INDEX_DIFF = f"""
+WITH a AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+b AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(
+             lower(text || CASE WHEN doc_id % 7 = 2 THEN ' vtwo'
+                                ELSE '' END), '[a-z0-9]+')) AS t
+    FROM documents WHERE doc_id % 11 <> 3
+  )
+),
+da AS (SELECT term, count(*)::BIGINT AS df_a FROM a GROUP BY term),
+db AS (SELECT term, count(*)::BIGINT AS df_b FROM b GROUP BY term)
+SELECT coalesce(da.term, db.term) AS term,
+       coalesce(da.df_a, 0)::BIGINT AS df_a,
+       coalesce(db.df_b, 0)::BIGINT AS df_b,
+       (coalesce(db.df_b, 0) - coalesce(da.df_a, 0))::BIGINT AS delta
+FROM da FULL OUTER JOIN db ON db.term = da.term
+WHERE coalesce(da.df_a, 0) <> coalesce(db.df_b, 0)
+ORDER BY term
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -18009,6 +18093,7 @@ QUERIES = {
     "interleave_teamdraft": q_interleave_teamdraft,
     "html_canonical": q_html_canonical,
     "postings_gamma": q_postings_gamma,
+    "index_diff": q_index_diff,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -18271,6 +18356,7 @@ ORACLE_SQL = {
     "interleave_teamdraft": _interleave_teamdraft_sql(),
     "html_canonical": _SQL_HTML_CANONICAL,
     "postings_gamma": _SQL_POSTINGS_GAMMA,
+    "index_diff": _SQL_INDEX_DIFF,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -18544,6 +18630,7 @@ _R5_FRONT = [
     "interleave_teamdraft",
     "html_canonical",
     "postings_gamma",
+    "index_diff",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

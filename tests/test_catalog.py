@@ -109,6 +109,7 @@ def _check(contract, con, name):
         "interleave_teamdraft",
         "html_canonical",
         "postings_gamma",
+        "index_diff",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
