@@ -378,6 +378,7 @@ def run_bench() -> dict:
         "html_canonical",
         "postings_gamma",
         "index_diff",
+        "events_attribution",
         "search_dismax",
         "search_boost_fn",
     ]

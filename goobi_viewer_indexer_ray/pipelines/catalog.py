@@ -18046,6 +18046,75 @@ ORDER BY term
 """
 
 
+ATTR_WINDOW_US = 86_400_000_000  # 1-day lookback
+
+
+def q_events_attribution(sf_dir: str):
+    """Marketing-style conversion attribution: for every ``purchase``,
+    the FIRST-touch and LAST-touch qualifying interaction
+    (``view``/``click``) by the same user within the 1-day lookback —
+    the credit-assignment twin of ``events_funnel``.  Keys are
+    ``(epoch_us, event_id)`` composites so same-microsecond ties are
+    deterministic on both sides.  Shape: ``groupby(user).map_groups``
+    with a vectorized two-``searchsorted`` window per purchase —
+    per-user groups, never a corpus-ordered scan."""
+    ev = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def attrib(g: pa.Table) -> pa.Table:
+        uid = int(g.column("user_id")[0].as_py())
+        eid = g.column("event_id").cast(pa.int64()).to_numpy()
+        tus = g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        touch = (et == "view") | (et == "click")
+        order = np.lexsort((eid[touch], tus[touch]))
+        t_t, t_e = tus[touch][order], eid[touch][order]
+        pm = et == "purchase"
+        out_p, out_f, out_l = [], [], []
+        for p_ts, p_id in zip(tus[pm].tolist(), eid[pm].tolist()):
+            lo = np.searchsorted(t_t, p_ts - ATTR_WINDOW_US, "left")
+            hi = np.searchsorted(t_t, p_ts, "left")
+            # same-timestamp touches qualify when their event_id is
+            # smaller (strictly-before semantics on the composite key)
+            while hi < t_t.size and t_t[hi] == p_ts and t_e[hi] < p_id:
+                hi += 1
+            out_p.append(p_id)
+            out_f.append(int(t_e[lo]) if hi > lo else -1)
+            out_l.append(int(t_e[hi - 1]) if hi > lo else -1)
+        return pa.table({
+            "user_id": pa.array([uid] * len(out_p), pa.int64()),
+            "purchase_id": pa.array(out_p, pa.int64()),
+            "first_touch": pa.array(out_f, pa.int64()),
+            "last_touch": pa.array(out_l, pa.int64()),
+        })
+
+    return (ev.groupby("user_id").map_groups(attrib, batch_format="pyarrow")
+            .sort(["user_id", "purchase_id"]))
+
+
+_SQL_EVENTS_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+         event_type,
+         epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events) AS tus
+  FROM events
+),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+t AS (SELECT *, tus * 1048576 + event_id AS ck FROM e
+      WHERE event_type IN ('view', 'click'))
+SELECT p.user_id, p.event_id AS purchase_id,
+       coalesce(arg_min(t.event_id, t.ck), -1)::BIGINT AS first_touch,
+       coalesce(arg_max(t.event_id, t.ck), -1)::BIGINT AS last_touch
+FROM p
+LEFT JOIN t ON t.user_id = p.user_id
+           AND t.tus >= p.tus - {ATTR_WINDOW_US}
+           AND t.ck < p.tus * 1048576 + p.event_id
+GROUP BY p.user_id, p.event_id
+ORDER BY p.user_id, purchase_id
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -18094,6 +18163,7 @@ QUERIES = {
     "html_canonical": q_html_canonical,
     "postings_gamma": q_postings_gamma,
     "index_diff": q_index_diff,
+    "events_attribution": q_events_attribution,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -18357,6 +18427,7 @@ ORACLE_SQL = {
     "html_canonical": _SQL_HTML_CANONICAL,
     "postings_gamma": _SQL_POSTINGS_GAMMA,
     "index_diff": _SQL_INDEX_DIFF,
+    "events_attribution": _SQL_EVENTS_ATTRIBUTION,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -18631,6 +18702,7 @@ _R5_FRONT = [
     "html_canonical",
     "postings_gamma",
     "index_diff",
+    "events_attribution",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -110,6 +110,7 @@ def _check(contract, con, name):
         "html_canonical",
         "postings_gamma",
         "index_diff",
+        "events_attribution",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
