@@ -379,6 +379,8 @@ def run_bench() -> dict:
         "postings_gamma",
         "index_diff",
         "events_attribution",
+        "idf_variants",
+        "revenue_concentration",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -18115,6 +18115,139 @@ ORDER BY p.user_id, purchase_id
 """
 
 
+def q_idf_variants(sf_dir: str):
+    """IDF formula audit across the three families the similarity
+    surface uses (top-50 df terms): Robertson/BM25
+    ``ln(1+(N−df+.5)/(df+.5))``, Lucene classic ``1+ln(N/(df+1))``,
+    and probabilistic ``ln((N−df)/df)`` (clamped at 0) — all at 4 dp
+    with identical float64 expression trees, the cross-ranker
+    diagnostic for why the same term weighs differently per scorer."""
+    from ray.data.aggregate import Count
+    from ..stages.postings import TokenizePostings
+
+    ds = _documents(sf_dir)
+    n = float(ds.count())
+    dfs = (ds.map_batches(TokenizePostings(num_shards=1),
+                          batch_format="pyarrow")
+           .groupby("term").aggregate(Count(alias_name="df")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        df = t.column("df").cast(pa.int64()).to_numpy().astype(np.float64)
+        rob = np.round(np.log(1.0 + (n - df + 0.5) / (df + 0.5)), 4)
+        luc = np.round(1.0 + np.log(n / (df + 1.0)), 4)
+        prob = np.round(np.maximum(np.log(np.maximum((n - df) / df, 1.0)),
+                                   0.0), 4)
+        return pa.table({
+            "term": t.column("term"),
+            "df": t.column("df").cast(pa.int64()),
+            "idf_bm25": pa.array(rob, pa.float64()),
+            "idf_classic": pa.array(luc, pa.float64()),
+            "idf_prob": pa.array(prob, pa.float64()),
+        })
+
+    return (dfs.map_batches(fin, batch_format="pyarrow")
+            .sort(["df", "term"], descending=[True, False]).limit(50))
+
+
+_SQL_IDF_VARIANTS = f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term)
+SELECT term, df,
+       round(ln(1 + (n.n - df + 0.5) / (df + 0.5)), 4) AS idf_bm25,
+       round(1 + ln(n.n / (df + 1)), 4) AS idf_classic,
+       round(greatest(ln(greatest((n.n - df) / df, 1.0)), 0), 4) AS idf_prob
+FROM dfs, n ORDER BY df DESC, term LIMIT 50
+"""
+
+
+def q_revenue_concentration(sf_dir: str):
+    """Revenue concentration per market segment: how much of the
+    segment's order revenue comes from its top-decile customers
+    (exact integer basis points; ordering by (revenue desc,
+    custkey)) — the whale-dependence audit next to ``orders_rfm``.
+    Customer revenue folds in ONE ``groupby(custkey)``; the per-
+    segment concentration is a bounded ``map_groups`` over customer
+    TOTALS (one row per customer, never per order)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust_t = pa.concat_tables(
+        _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    side = ray.put((cust_t.column("c_custkey").cast(pa.int64())
+                    .combine_chunks(),
+                    cust_t.column("c_mktsegment").combine_chunks()))
+
+    orders = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_custkey", "o_totalprice"])
+    per_cust = (
+        orders.map_batches(
+            lambda t: pa.table({
+                "ck": t.column("o_custkey").cast(pa.int64()),
+                "cents": pc.cast(pc.round(pc.multiply(
+                    t.column("o_totalprice"), pa.scalar(100.0))),
+                    pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("ck").aggregate(Sum("cents", alias_name="rev"))
+    )
+
+    def seg_attach(t: pa.Table) -> pa.Table:
+        keys, segs = ray.get(side)
+        idx = pc.index_in(t.column("ck").cast(pa.int64()), value_set=keys)
+        return pa.table({
+            "seg": pc.take(segs, idx),
+            "ck": t.column("ck").cast(pa.int64()),
+            "rev": t.column("rev").cast(pa.int64()),
+        })
+
+    def conc(g: pa.Table) -> pa.Table:
+        seg = g.column("seg")[0].as_py()
+        ck = g.column("ck").to_numpy()
+        rev = g.column("rev").to_numpy()
+        order = np.lexsort((ck, -rev))
+        n = ck.size
+        top = max(n // 10, 1)
+        total = int(rev.sum())
+        top_rev = int(rev[order][:top].sum())
+        return pa.table({
+            "seg": pa.array([seg], pa.string()),
+            "n_cust": pa.array([n], pa.int64()),
+            "top_cust": pa.array([top], pa.int64()),
+            "top_share_bp": pa.array([top_rev * 10000 // total], pa.int64()),
+        })
+
+    return (per_cust.map_batches(seg_attach, batch_format="pyarrow")
+            .groupby("seg").map_groups(conc, batch_format="pyarrow")
+            .sort("seg"))
+
+
+_SQL_REVENUE_CONCENTRATION = """
+WITH pc AS (
+  SELECT o_custkey AS ck, sum(round(o_totalprice * 100)::BIGINT) AS rev
+  FROM orders GROUP BY o_custkey
+),
+tagged AS (
+  SELECT c.c_mktsegment AS seg, pc.ck, pc.rev,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY pc.rev DESC, pc.ck) AS rn,
+         count(*) OVER (PARTITION BY c.c_mktsegment) AS n
+  FROM pc JOIN customer c ON c.c_custkey = pc.ck
+)
+SELECT seg, max(n)::BIGINT AS n_cust,
+       greatest(max(n) // 10, 1)::BIGINT AS top_cust,
+       (sum(CASE WHEN rn <= greatest(n // 10, 1) THEN rev ELSE 0 END)
+        * 10000 // sum(rev))::BIGINT AS top_share_bp
+FROM tagged GROUP BY seg ORDER BY seg
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -18164,6 +18297,8 @@ QUERIES = {
     "postings_gamma": q_postings_gamma,
     "index_diff": q_index_diff,
     "events_attribution": q_events_attribution,
+    "idf_variants": q_idf_variants,
+    "revenue_concentration": q_revenue_concentration,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -18428,6 +18563,8 @@ ORACLE_SQL = {
     "postings_gamma": _SQL_POSTINGS_GAMMA,
     "index_diff": _SQL_INDEX_DIFF,
     "events_attribution": _SQL_EVENTS_ATTRIBUTION,
+    "idf_variants": _SQL_IDF_VARIANTS,
+    "revenue_concentration": _SQL_REVENUE_CONCENTRATION,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -18703,6 +18840,8 @@ _R5_FRONT = [
     "postings_gamma",
     "index_diff",
     "events_attribution",
+    "idf_variants",
+    "revenue_concentration",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

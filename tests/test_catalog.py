@@ -111,6 +111,8 @@ def _check(contract, con, name):
         "postings_gamma",
         "index_diff",
         "events_attribution",
+        "idf_variants",
+        "revenue_concentration",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
