@@ -381,6 +381,8 @@ def run_bench() -> dict:
         "events_attribution",
         "idf_variants",
         "revenue_concentration",
+        "promo_revenue_share",
+        "shipmode_priority",
         "search_dismax",
         "search_boost_fn",
     ]

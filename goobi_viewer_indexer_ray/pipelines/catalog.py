@@ -18248,6 +18248,170 @@ FROM tagged GROUP BY seg ORDER BY seg
 """
 
 
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-shape promotion-effect metric per ship-month: the
+    basis-point share of revenue from PROMO-type parts.  The part
+    type map is the broadcast small side (`ray.put` once); revenue is
+    folded as exact integer cents so the share is hash-exact; ONE
+    tiny ``groupby(month)``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part_t = pa.concat_tables(
+        _rd().read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    side = ray.put((part_t.column("p_partkey").cast(pa.int64())
+                    .combine_chunks(),
+                    pc.equal(part_t.column("p_type"), pa.scalar("PROMO"))
+                    .combine_chunks()))
+
+    li = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        keys, promo = ray.get(side)
+        idx = pc.index_in(t.column("l_partkey").cast(pa.int64()),
+                          value_set=keys)
+        is_promo = pc.take(promo, idx)
+        # DuckDB round() is half-AWAY-from-zero; np.rint is half-to-
+        # even — floor(x+0.5) matches for the non-negative cents here
+        rev = np.floor(
+            (t.column("l_extendedprice").to_numpy()
+             * (1.0 - t.column("l_discount").to_numpy())) * 100 + 0.5
+        ).astype(np.int64)
+        ym = (pc.year(t.column("l_shipdate")).to_numpy(zero_copy_only=False)
+              .astype(np.int64) * 100
+              + pc.month(t.column("l_shipdate")).to_numpy(
+                  zero_copy_only=False).astype(np.int64))
+        pm = is_promo.to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table({
+            "ym": pa.array(ym, pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+            "promo_rev": pa.array(np.where(pm, rev, 0), pa.int64()),
+        })
+
+    agg = (li.map_batches(fold, batch_format="pyarrow")
+           .groupby("ym")
+           .aggregate(Sum("rev", alias_name="rev_cents"),
+                      Sum("promo_rev", alias_name="promo_cents")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        r = t.column("rev_cents").cast(pa.int64())
+        p = t.column("promo_cents").cast(pa.int64())
+        return pa.table({
+            "ym": t.column("ym").cast(pa.int64()),
+            "rev_cents": r,
+            "promo_cents": p,
+            "promo_bp": pc.divide(pc.multiply(p, pa.scalar(10000, pa.int64())),
+                                  r),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("ym")
+
+
+_SQL_PROMO_REVENUE_SHARE = """
+WITH f AS (
+  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+         round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS rev,
+         (p.p_type = 'PROMO') AS promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT ym::BIGINT AS ym, sum(rev)::BIGINT AS rev_cents,
+       sum(CASE WHEN promo THEN rev ELSE 0 END)::BIGINT AS promo_cents,
+       (sum(CASE WHEN promo THEN rev ELSE 0 END) * 10000
+        // sum(rev))::BIGINT AS promo_bp
+FROM f GROUP BY ym ORDER BY ym
+"""
+
+
+Q12_LATE_DAYS = 90
+
+
+def q_shipmode_priority(sf_dir: str):
+    """TPC-H Q12-shape shipping audit: per ship-year, how many
+    lineitems shipped LATE (more than {Q12_LATE_DAYS} days after the
+    order date) split by high (1-URGENT/2-HIGH) vs low order
+    priority.  lineitem ⋈ orders is the one hash-shuffle join; the
+    date arithmetic is integer epoch-days on both sides."""
+    from ray.data.aggregate import Sum
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    o = orders.map_batches(
+        lambda t: pa.table({
+            "okey": t.column("o_orderkey").cast(pa.int64()),
+            "odays": t.column("o_orderdate").cast(pa.date32())
+                      .cast(pa.int32()).cast(pa.int64()),
+            "high": pc.cast(pc.is_in(
+                t.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    li = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey", "l_shipdate"])
+    joined = li.map_batches(
+        lambda t: pa.table({
+            "lkey": t.column("l_orderkey").cast(pa.int64()),
+            "sdays": t.column("l_shipdate").cast(pa.date32())
+                      .cast(pa.int32()).cast(pa.int64()),
+            "syear": pc.year(t.column("l_shipdate")).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).join(o, join_type="inner", num_partitions=16,
+           on=("lkey",), right_on=("okey",))
+
+    agg = (
+        joined.map_batches(
+            lambda t: (lambda late: pa.table({
+                "syear": t.column("syear"),
+                "late_high": pc.cast(pc.and_(
+                    late, pc.equal(t.column("high"),
+                                   pa.scalar(1, pa.int64()))), pa.int64()),
+                "late_low": pc.cast(pc.and_(
+                    late, pc.equal(t.column("high"),
+                                   pa.scalar(0, pa.int64()))), pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }))(pc.greater(pc.subtract(t.column("sdays"), t.column("odays")),
+                           pa.scalar(Q12_LATE_DAYS, pa.int64()))),
+            batch_format="pyarrow",
+        )
+        .groupby("syear")
+        .aggregate(Sum("late_high", alias_name="late_high"),
+                   Sum("late_low", alias_name="late_low"),
+                   Sum("one", alias_name="n_items"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "syear": t.column("syear").cast(pa.int64()),
+            "n_items": t.column("n_items").cast(pa.int64()),
+            "late_high": t.column("late_high").cast(pa.int64()),
+            "late_low": t.column("late_low").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("syear")
+
+
+_SQL_SHIPMODE_PRIORITY = f"""
+SELECT year(l.l_shipdate)::BIGINT AS syear,
+       count(*)::BIGINT AS n_items,
+       sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                     > {Q12_LATE_DAYS}
+                 AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS late_high,
+       sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                     > {Q12_LATE_DAYS}
+                 AND o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS late_low
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY syear ORDER BY syear
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -18299,6 +18463,8 @@ QUERIES = {
     "events_attribution": q_events_attribution,
     "idf_variants": q_idf_variants,
     "revenue_concentration": q_revenue_concentration,
+    "promo_revenue_share": q_promo_revenue_share,
+    "shipmode_priority": q_shipmode_priority,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -18565,6 +18731,8 @@ ORACLE_SQL = {
     "events_attribution": _SQL_EVENTS_ATTRIBUTION,
     "idf_variants": _SQL_IDF_VARIANTS,
     "revenue_concentration": _SQL_REVENUE_CONCENTRATION,
+    "promo_revenue_share": _SQL_PROMO_REVENUE_SHARE,
+    "shipmode_priority": _SQL_SHIPMODE_PRIORITY,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -18842,6 +19010,8 @@ _R5_FRONT = [
     "events_attribution",
     "idf_variants",
     "revenue_concentration",
+    "promo_revenue_share",
+    "shipmode_priority",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -113,6 +113,8 @@ def _check(contract, con, name):
         "events_attribution",
         "idf_variants",
         "revenue_concentration",
+        "promo_revenue_share",
+        "shipmode_priority",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
