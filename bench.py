@@ -383,6 +383,8 @@ def run_bench() -> dict:
         "revenue_concentration",
         "promo_revenue_share",
         "shipmode_priority",
+        "events_top_users_ties",
+        "events_trigram_paths",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -18412,6 +18412,126 @@ GROUP BY syear ORDER BY syear
 """
 
 
+TIES_K = 3
+
+
+def q_events_top_users_ties(sf_dir: str):
+    """Tie-inclusive top-k: per event type every user whose activity
+    count reaches the {TIES_K}-th DISTINCT count level (dense-rank ≤
+    {TIES_K} — the "and everyone tied with them" leaderboard
+    semantics, deliberately different from ``search_group_topn``'s
+    row_number cut).  One (type, user) count fold; the rank cut runs
+    per type over user TOTALS."""
+    ev = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "user_id"])
+    counts = ev.groupby(["event_type", "user_id"]).count()
+
+    def cut(g: pa.Table) -> pa.Table:
+        et = g.column("event_type")[0].as_py()
+        uid = g.column("user_id").cast(pa.int64()).to_numpy()
+        n = g.column("count()").cast(pa.int64()).to_numpy()
+        levels = np.sort(np.unique(n))[::-1][:TIES_K]
+        keep = np.isin(n, levels)
+        # dense rank of each kept count
+        rank = np.searchsorted(-levels, -n[keep]) + 1
+        order = np.lexsort((uid[keep], -n[keep]))
+        return pa.table({
+            "event_type": pa.array([et] * int(keep.sum()), pa.string()),
+            "user_id": pa.array(uid[keep][order], pa.int64()),
+            "n_events": pa.array(n[keep][order], pa.int64()),
+            "rank": pa.array(rank[order], pa.int64()),
+        })
+
+    return (counts.groupby("event_type")
+            .map_groups(cut, batch_format="pyarrow")
+            .sort(["event_type", "rank", "user_id"]))
+
+
+_SQL_EVENTS_TOP_USERS_TIES = f"""
+WITH c AS (
+  SELECT event_type, user_id::BIGINT AS user_id,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT *, dense_rank() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC) AS rank
+  FROM c
+)
+SELECT event_type, user_id, n_events, rank::BIGINT AS rank
+FROM r WHERE rank <= {TIES_K}
+ORDER BY event_type, rank, user_id
+"""
+
+
+TRI_TOPN = 10
+
+
+def q_events_trigram_paths(sf_dir: str):
+    """Top user-journey trigrams: the {TRI_TOPN} most frequent
+    3-step event-type paths within per-user timelines (ordered by
+    (ts, event_id)) — the path-mining extension of
+    ``events_markov``'s pair transitions.  ``groupby(user)`` emits
+    each user's path trigrams vectorized (one lexsort + two shifts),
+    ONE small (t1,t2,t3) fold, top-{TRI_TOPN} by (count desc,
+    path)."""
+    from ray.data.aggregate import Sum
+
+    ev = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def tris(g: pa.Table) -> pa.Table:
+        eid = g.column("event_id").cast(pa.int64()).to_numpy()
+        tus = g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tus))
+        seq = et[order]
+        if seq.size < 3:
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "t3": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64())})
+        t1, t2, t3 = seq[:-2], seq[1:-1], seq[2:]
+        import pandas as pd
+
+        df = pd.DataFrame({"t1": t1, "t2": t2, "t3": t3})
+        gc = df.groupby(["t1", "t2", "t3"], sort=False).size().reset_index()
+        return pa.table({
+            "t1": pa.array(gc["t1"], pa.string()),
+            "t2": pa.array(gc["t2"], pa.string()),
+            "t3": pa.array(gc["t3"], pa.string()),
+            "n_p": pa.array(gc[0].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    agg = (ev.groupby("user_id").map_groups(tris, batch_format="pyarrow")
+           .groupby(["t1", "t2", "t3"])
+           .aggregate(Sum("n_p", alias_name="n")))
+    return (agg.map_batches(
+        lambda t: pa.table({
+            "t1": t.column("t1"), "t2": t.column("t2"),
+            "t3": t.column("t3"),
+            "n": t.column("n").cast(pa.int64()),
+        }), batch_format="pyarrow")
+        .sort(["n", "t1", "t2", "t3"], descending=[True, False, False, False])
+        .limit(TRI_TOPN))
+
+
+_SQL_EVENTS_TRIGRAM_PATHS = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT event_type AS t1, t2, t3, count(*)::BIGINT AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3 LIMIT {TRI_TOPN}
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -18465,6 +18585,8 @@ QUERIES = {
     "revenue_concentration": q_revenue_concentration,
     "promo_revenue_share": q_promo_revenue_share,
     "shipmode_priority": q_shipmode_priority,
+    "events_top_users_ties": q_events_top_users_ties,
+    "events_trigram_paths": q_events_trigram_paths,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -18733,6 +18855,8 @@ ORACLE_SQL = {
     "revenue_concentration": _SQL_REVENUE_CONCENTRATION,
     "promo_revenue_share": _SQL_PROMO_REVENUE_SHARE,
     "shipmode_priority": _SQL_SHIPMODE_PRIORITY,
+    "events_top_users_ties": _SQL_EVENTS_TOP_USERS_TIES,
+    "events_trigram_paths": _SQL_EVENTS_TRIGRAM_PATHS,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -19012,6 +19136,8 @@ _R5_FRONT = [
     "revenue_concentration",
     "promo_revenue_share",
     "shipmode_priority",
+    "events_top_users_ties",
+    "events_trigram_paths",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -115,6 +115,8 @@ def _check(contract, con, name):
         "revenue_concentration",
         "promo_revenue_share",
         "shipmode_priority",
+        "events_top_users_ties",
+        "events_trigram_paths",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
