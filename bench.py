@@ -385,6 +385,7 @@ def run_bench() -> dict:
         "shipmode_priority",
         "events_top_users_ties",
         "events_trigram_paths",
+        "embedding_mrl_overlap",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -18532,6 +18532,107 @@ ORDER BY n DESC, t1, t2, t3 LIMIT {TRI_TOPN}
 """
 
 
+MRL_DIMS = 16
+MRL_K = 5
+MRL_QUERY_VECS = [0, 1, 2, 3, 4]
+
+
+def q_embedding_mrl_overlap(sf_dir: str):
+    """Matryoshka-truncation retrieval audit (Kusupati et al. 2022):
+    how much of the top-{MRL_K} nearest-neighbor set survives when
+    similarity uses only the FIRST {MRL_DIMS} of 64 dims?  The
+    measurement behind serving embeddings at a cheaper prefix
+    dimension.  Integer milli-quantized dot products (exact on both
+    sides); corpus side is one int64 GEMM per batch against the
+    broadcast query block; overlap folds on ≤ k·|Q| driver rows."""
+    import ray
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    qt = pa.concat_tables(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(
+                t.column("vec_id").cast(pa.int64()),
+                value_set=pa.array(MRL_QUERY_VECS, pa.int64()))),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=None, batch_format="pyarrow"))
+    q_ids = qt.column("vec_id").cast(pa.int64()).to_numpy()
+    q_mat = np.rint(np.stack([np.asarray(v, np.float64)
+                              for v in qt.column("embedding").to_pylist()])
+                    * 1000).astype(np.int64)
+    side = ray.put((q_ids, q_mat))
+
+    def scores(t: pa.Table) -> pa.Table:
+        qi, qm = ray.get(side)
+        ids = t.column("vec_id").cast(pa.int64()).to_numpy()
+        m = np.rint(np.stack([np.asarray(v, np.float64)
+                              for v in t.column("embedding").to_pylist()])
+                    * 1000).astype(np.int64)
+        full = m @ qm.T                       # (batch, |Q|) int64 GEMM
+        trunc = m[:, :MRL_DIMS] @ qm[:, :MRL_DIMS].T
+        nq = qi.size
+        return pa.table({
+            "qid": pa.array(np.tile(qi, ids.size), pa.int64()),
+            "vid": pa.array(np.repeat(ids, nq), pa.int64()),
+            "s_full": pa.array(full.ravel(), pa.int64()),
+            "s_trunc": pa.array(trunc.ravel(), pa.int64()),
+        })
+
+    def topk(g: pa.Table) -> pa.Table:
+        qid = int(g.column("qid")[0].as_py())
+        vid = g.column("vid").to_numpy()
+        sf = g.column("s_full").to_numpy()
+        st = g.column("s_trunc").to_numpy()
+        mask = vid != qid  # the query vector itself is not a neighbor
+        vid, sf, st = vid[mask], sf[mask], st[mask]
+        top_f = set(vid[np.lexsort((vid, -sf))[:MRL_K]].tolist())
+        top_t = set(vid[np.lexsort((vid, -st))[:MRL_K]].tolist())
+        return pa.table({
+            "query_vec": pa.array([qid], pa.int64()),
+            "overlap": pa.array([len(top_f & top_t)], pa.int64()),
+            "k": pa.array([MRL_K], pa.int64()),
+        })
+
+    return (ds.map_batches(scores, batch_format="pyarrow")
+            .groupby("qid").map_groups(topk, batch_format="pyarrow")
+            .sort("query_vec"))
+
+
+_SQL_EMBEDDING_MRL_OVERLAP = f"""
+WITH m AS (
+  SELECT vec_id::BIGINT AS vid, generate_subscripts(embedding, 1) - 1 AS dim,
+         round(unnest(embedding) * 1000)::BIGINT AS v
+  FROM embeddings
+),
+q AS (SELECT * FROM m WHERE vid IN ({', '.join(map(str, MRL_QUERY_VECS))})),
+dots AS (
+  SELECT q.vid AS qid, m.vid,
+         sum(q.v * m.v)::BIGINT AS s_full,
+         sum(CASE WHEN m.dim < {MRL_DIMS} THEN q.v * m.v ELSE 0 END)::BIGINT
+           AS s_trunc
+  FROM q JOIN m ON m.dim = q.dim
+  WHERE m.vid <> q.vid
+  GROUP BY q.vid, m.vid
+),
+tf AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid, row_number() OVER (PARTITION BY qid
+                                        ORDER BY s_full DESC, vid) AS rn
+    FROM dots) WHERE rn <= {MRL_K}
+),
+tt AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid, row_number() OVER (PARTITION BY qid
+                                        ORDER BY s_trunc DESC, vid) AS rn
+    FROM dots) WHERE rn <= {MRL_K}
+)
+SELECT tf.qid AS query_vec,
+       count(tt.vid)::BIGINT AS overlap, {MRL_K}::BIGINT AS k
+FROM tf LEFT JOIN tt ON tt.qid = tf.qid AND tt.vid = tf.vid
+GROUP BY tf.qid ORDER BY query_vec
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -18587,6 +18688,7 @@ QUERIES = {
     "shipmode_priority": q_shipmode_priority,
     "events_top_users_ties": q_events_top_users_ties,
     "events_trigram_paths": q_events_trigram_paths,
+    "embedding_mrl_overlap": q_embedding_mrl_overlap,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -18857,6 +18959,7 @@ ORACLE_SQL = {
     "shipmode_priority": _SQL_SHIPMODE_PRIORITY,
     "events_top_users_ties": _SQL_EVENTS_TOP_USERS_TIES,
     "events_trigram_paths": _SQL_EVENTS_TRIGRAM_PATHS,
+    "embedding_mrl_overlap": _SQL_EMBEDDING_MRL_OVERLAP,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -19138,6 +19241,7 @@ _R5_FRONT = [
     "shipmode_priority",
     "events_top_users_ties",
     "events_trigram_paths",
+    "embedding_mrl_overlap",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

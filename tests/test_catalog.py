@@ -117,6 +117,7 @@ def _check(contract, con, name):
         "shipmode_priority",
         "events_top_users_ties",
         "events_trigram_paths",
+        "embedding_mrl_overlap",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
