@@ -386,6 +386,8 @@ def run_bench() -> dict:
         "events_top_users_ties",
         "events_trigram_paths",
         "embedding_mrl_overlap",
+        "events_ewma",
+        "csv_ingest",
         "search_dismax",
         "search_boost_fn",
     ]

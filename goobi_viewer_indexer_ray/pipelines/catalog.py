@@ -18633,6 +18633,145 @@ GROUP BY tf.qid ORDER BY query_vec
 """
 
 
+EWMA_DIV = 8       # λ = 1/8 smoothing, pure integer
+EWMA_THRESH = 6    # alarm when |x − ewma_prev| > threshold
+
+
+def q_events_ewma(sf_dir: str):
+    """EWMA control chart over hourly event counts (Roberts 1959;
+    the smoothed companion to ``events_cusum``'s cumulative drift):
+    integer recurrence ``ewma = ((DIV−1)·prev + x) // DIV`` seeded
+    with the first hour, alarm when the NEW hour deviates from the
+    running mean by more than {EWMA_THRESH}.  Sequential per type —
+    parallel ACROSS types (the ``host_ratelimit`` contract);
+    recursive-CTE oracle replays the same integers."""
+    ev = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tus = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        hour = tus // 3_600_000_000
+        codes, uniq = pd.factorize(et)
+        key = codes.astype(np.int64) * 10_000_000 + hour
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(uniq[(ukey // 10_000_000)], pa.string()),
+            "hour": pa.array(ukey % 10_000_000, pa.int64()),
+            "n_p": pa.array(cnt, pa.int64()),
+        })
+
+    counts = (ev.map_batches(hours, batch_format="pyarrow")
+              .groupby(["event_type", "hour"]).sum("n_p"))
+
+    def chart(g: pa.Table) -> pa.Table:
+        et = g.column("event_type")[0].as_py()
+        hour = g.column("hour").to_numpy()
+        n = g.column("sum(n_p)").cast(pa.int64()).to_numpy()
+        order = np.argsort(hour)
+        hour, n = hour[order], n[order]
+        ewma = int(n[0])
+        out_e, out_a = [ewma], [0]
+        for x in n[1:].tolist():
+            alarm = int(abs(x - ewma) > EWMA_THRESH)
+            ewma = ((EWMA_DIV - 1) * ewma + x) // EWMA_DIV
+            out_e.append(ewma)
+            out_a.append(alarm)
+        return pa.table({
+            "event_type": pa.array([et] * hour.size, pa.string()),
+            "hour": pa.array(hour, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "ewma": pa.array(out_e, pa.int64()),
+            "alarm": pa.array(out_a, pa.int64()),
+        })
+
+    return (counts.groupby("event_type")
+            .map_groups(chart, batch_format="pyarrow")
+            .sort(["event_type", "hour"]))
+
+
+_SQL_EVENTS_EWMA = f"""
+WITH RECURSIVE c AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, hour
+),
+o AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY hour) AS rn
+  FROM c
+),
+rec(event_type, rn, hour, n, ewma, alarm) AS (
+  SELECT event_type, rn, hour, n, n, 0::BIGINT FROM o WHERE rn = 1
+  UNION ALL
+  SELECT nxt.event_type, nxt.rn, nxt.hour, nxt.n,
+         (({EWMA_DIV - 1}) * r.ewma + nxt.n) // {EWMA_DIV},
+         (CASE WHEN abs(nxt.n - r.ewma) > {EWMA_THRESH}
+               THEN 1 ELSE 0 END)::BIGINT
+  FROM rec r JOIN o nxt ON nxt.event_type = r.event_type
+                        AND nxt.rn = r.rn + 1
+)
+SELECT event_type, hour, n, ewma::BIGINT AS ewma, alarm
+FROM rec ORDER BY event_type, hour
+"""
+
+
+def q_csv_ingest(sf_dir: str):
+    """CSV source-format round-trip (the reader surface next to
+    Parquet/JSONL/XML/WARC in ``sources/multiformat.py``): the
+    documents table is exported to CSV (quoted text fields with
+    embedded commas survive) and read BACK through
+    ``ray.data.read_csv``; per-(lang, source) doc counts + char sums
+    must match the direct table scan exactly — any quoting/escaping
+    loss shows up as a hash mismatch."""
+    import pyarrow.csv as pacsv
+    from ray.data.aggregate import Count, Sum
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    dst = f"/tmp/gvi_csv/{hashlib.md5(src.encode()).hexdigest()[:10]}.csv"
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if not os.path.exists(dst):
+        t = pa.concat_tables(
+            _rd().read_parquet(src).iter_batches(batch_size=None,
+                                                 batch_format="pyarrow"))
+        pacsv.write_csv(t, dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+
+    ds = _rd().read_csv(dst)
+    return (
+        ds.map_batches(
+            lambda t: pa.table({
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="sum_chars"))
+        .map_batches(
+            lambda t: pa.table({
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "sum_chars": t.column("sum_chars").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort(["lang", "source"])
+    )
+
+
+_SQL_CSV_INGEST = """
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -18689,6 +18828,8 @@ QUERIES = {
     "events_top_users_ties": q_events_top_users_ties,
     "events_trigram_paths": q_events_trigram_paths,
     "embedding_mrl_overlap": q_embedding_mrl_overlap,
+    "events_ewma": q_events_ewma,
+    "csv_ingest": q_csv_ingest,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -18960,6 +19101,8 @@ ORACLE_SQL = {
     "events_top_users_ties": _SQL_EVENTS_TOP_USERS_TIES,
     "events_trigram_paths": _SQL_EVENTS_TRIGRAM_PATHS,
     "embedding_mrl_overlap": _SQL_EMBEDDING_MRL_OVERLAP,
+    "events_ewma": _SQL_EVENTS_EWMA,
+    "csv_ingest": _SQL_CSV_INGEST,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -19242,6 +19385,8 @@ _R5_FRONT = [
     "events_top_users_ties",
     "events_trigram_paths",
     "embedding_mrl_overlap",
+    "events_ewma",
+    "csv_ingest",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -118,6 +118,8 @@ def _check(contract, con, name):
         "events_top_users_ties",
         "events_trigram_paths",
         "embedding_mrl_overlap",
+        "events_ewma",
+        "csv_ingest",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
