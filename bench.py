@@ -388,6 +388,7 @@ def run_bench() -> dict:
         "embedding_mrl_overlap",
         "events_ewma",
         "csv_ingest",
+        "text_grep",
         "search_dismax",
         "search_boost_fn",
     ]

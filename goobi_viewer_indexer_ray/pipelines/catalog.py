@@ -18772,6 +18772,99 @@ FROM documents GROUP BY lang, source ORDER BY lang, source
 """
 
 
+GREP_PATTERNS = ["hash jo", "slow", "vector w", "zzznope"]
+
+
+def q_text_grep(sf_dir: str):
+    """Corpus-scale substring search via a trigram filter + verify
+    (the pg_trgm / Google Code Search plan): per pattern, candidate
+    docs = docs containing EVERY trigram of the pattern (one
+    inverted 3-gram pass over the corpus, map-side dedup, df-bounded
+    intersection), then exact substring verification only on
+    candidates.  Output (pattern, n_candidates, n_matches) — the
+    filter's selectivity IS the audit (candidates ⊇ matches always;
+    equality means the trigram filter was exact for that pattern)."""
+    need = {p: [p[i:i + 3] for i in range(len(p) - 2)]
+            for p in GREP_PATTERNS}
+    all_tris = sorted({t for ts in need.values() for t in ts})
+    ds = _documents(sf_dir)
+
+    def tri_postings(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy()
+        texts = t.column("text").to_pylist()
+        out_d, out_t = [], []
+        for i, txt in enumerate(texts):
+            txt = txt or ""
+            # only the ≤ |patterns|·|pat| trigrams we need — the
+            # pruned-read analog: never materialize the full trigram set
+            for tri in all_tris:
+                if tri in txt:
+                    out_d.append(int(ids[i]))
+                    out_t.append(tri)
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "tri": pa.array(out_t, pa.string()),
+        })
+
+    posts: dict[str, set[int]] = {t: set() for t in all_tris}
+    for r in (ds.map_batches(tri_postings, batch_format="pyarrow")
+              .groupby(["tri", "doc_id"]).count().take_all()):
+        posts[r["tri"]].add(int(r["doc_id"]))
+
+    # verify pass restricted to candidates
+    cand: dict[str, set[int]] = {}
+    for p, tris in need.items():
+        sets = [posts[t] for t in tris]
+        cand[p] = set.intersection(*sets) if sets else set()
+    cand_union = set().union(*cand.values()) if cand else set()
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy()
+        keep = np.isin(ids, list(cand_union))
+        if not keep.any():
+            return pa.table({"pattern": pa.array([], pa.string()),
+                             "m_doc": pa.array([], pa.int64())})
+        texts = [x for x, k in zip(t.column("text").to_pylist(), keep) if k]
+        kids = ids[keep]
+        out_p, out_d = [], []
+        for did, txt in zip(kids.tolist(), texts):
+            for p in GREP_PATTERNS:
+                if did in cand[p] and p in (txt or ""):
+                    out_p.append(p)
+                    out_d.append(did)
+        return pa.table({"pattern": pa.array(out_p, pa.string()),
+                         "m_doc": pa.array(out_d, pa.int64())})
+
+    matches: dict[str, int] = {p: 0 for p in GREP_PATTERNS}
+    for r in (ds.map_batches(verify, batch_format="pyarrow")
+              .groupby("pattern").count().take_all()):
+        matches[r["pattern"]] = int(r["count()"])
+
+    return pa.table({
+        "pattern": pa.array(GREP_PATTERNS, pa.string()),
+        "n_candidates": pa.array([len(cand[p]) for p in GREP_PATTERNS],
+                                 pa.int64()),
+        "n_matches": pa.array([matches[p] for p in GREP_PATTERNS],
+                              pa.int64()),
+    })
+
+
+def _text_grep_sql() -> str:
+    arms = []
+    for p in GREP_PATTERNS:
+        tris = [p[i:i + 3] for i in range(len(p) - 2)]
+        cand_cond = " AND ".join(
+            f"position('{t}' IN text) > 0" for t in tris)
+        arms.append(
+            f"SELECT '{p}' AS pattern,\n"
+            f" (SELECT count(*) FROM documents WHERE {cand_cond})::BIGINT"
+            f" AS n_candidates,\n"
+            f" (SELECT count(*) FROM documents"
+            f" WHERE position('{p}' IN text) > 0)::BIGINT AS n_matches"
+        )
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY pattern"
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -18830,6 +18923,7 @@ QUERIES = {
     "embedding_mrl_overlap": q_embedding_mrl_overlap,
     "events_ewma": q_events_ewma,
     "csv_ingest": q_csv_ingest,
+    "text_grep": q_text_grep,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -19103,6 +19197,7 @@ ORACLE_SQL = {
     "embedding_mrl_overlap": _SQL_EMBEDDING_MRL_OVERLAP,
     "events_ewma": _SQL_EVENTS_EWMA,
     "csv_ingest": _SQL_CSV_INGEST,
+    "text_grep": _text_grep_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -19387,6 +19482,7 @@ _R5_FRONT = [
     "embedding_mrl_overlap",
     "events_ewma",
     "csv_ingest",
+    "text_grep",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -120,6 +120,7 @@ def _check(contract, con, name):
         "embedding_mrl_overlap",
         "events_ewma",
         "csv_ingest",
+        "text_grep",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
