@@ -389,6 +389,8 @@ def run_bench() -> dict:
         "events_ewma",
         "csv_ingest",
         "text_grep",
+        "user_bot_score",
+        "shard_balance",
         "search_dismax",
         "search_boost_fn",
     ]

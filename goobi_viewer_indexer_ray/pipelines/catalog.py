@@ -18865,6 +18865,145 @@ def _text_grep_sql() -> str:
     return "\nUNION ALL\n".join(arms) + "\nORDER BY pattern"
 
 
+def q_user_bot_score(sf_dir: str):
+    """Bot-likeness screen from inter-arrival regularity (crawler /
+    scripted-client detection: machines fire on a clock, humans
+    don't): per user the EXACT integer variance numerator of its
+    event gaps ``n·Σx² − (Σx)²`` (zero ⇔ perfectly regular cadence)
+    plus mean gap in µs — flag when the scaled dispersion
+    ``var_num // (Σx)²`` is 0 (cv² < 1/n).  One
+    ``groupby(user).map_groups`` with a vectorized diff — gaps are
+    per-user state, the honest shape."""
+    ev = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "ts", "user_id"])
+
+    def gaps(g: pa.Table) -> pa.Table:
+        uid = int(g.column("user_id")[0].as_py())
+        eid = g.column("event_id").cast(pa.int64()).to_numpy()
+        tus = g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, tus))
+        # second-granularity gaps: keeps n·Σx² − (Σx)² inside int64
+        x = np.diff(tus[order]) // 1_000_000
+        n = int(x.size)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([uid], pa.int64()),
+                "n_gaps": pa.array([0], pa.int64()),
+                "mean_gap_s": pa.array([-1], pa.int64()),
+                "var_num": pa.array([-1], pa.int64()),
+                "regular": pa.array([0], pa.int64()),
+            })
+        s1 = int(x.sum())
+        s2 = int((x * x).sum())
+        var_num = n * s2 - s1 * s1
+        regular = int(s1 > 0 and var_num // (s1 * s1) == 0)
+        return pa.table({
+            "user_id": pa.array([uid], pa.int64()),
+            "n_gaps": pa.array([n], pa.int64()),
+            "mean_gap_s": pa.array([s1 // n], pa.int64()),
+            "var_num": pa.array([var_num], pa.int64()),
+            "regular": pa.array([regular], pa.int64()),
+        })
+
+    return (ev.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+            .sort("user_id"))
+
+
+_SQL_USER_BOT_SCORE = """
+WITH o AS (
+  SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS p
+  FROM events
+),
+g AS (SELECT user_id, (tus - p) // 1000000 AS x FROM o WHERE p IS NOT NULL),
+s AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS s1, sum(x * x)::BIGINT AS s2
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n AS n_gaps,
+       (s1 // n)::BIGINT AS mean_gap_s,
+       (n * s2 - s1 * s1)::BIGINT AS var_num,
+       (CASE WHEN s1 > 0 AND (n * s2 - s1 * s1) // (s1 * s1) = 0
+             THEN 1 ELSE 0 END)::BIGINT AS regular
+FROM s ORDER BY user_id
+"""
+
+
+BAL_NODES = 4
+
+
+def q_shard_balance(sf_dir: str):
+    """Cluster placement planning: greedy LPT assignment (Graham 1969
+    — sort segments by bytes desc, place each on the least-loaded
+    node, ties to the lowest node id) of the corpus's (lang, source)
+    cells onto {BAL_NODES} nodes, cell weight = Σ n_chars — what a
+    fixed-size cluster does with a freshly partitioned corpus before
+    serving.  ONE tiny ``groupby(lang, source)`` builds the cell
+    table; the greedy walk is |cells| driver steps and the oracle
+    replays it as a recursive CTE carrying the node loads."""
+    from ray.data.aggregate import Sum
+
+    cells = (
+        _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "source", "n_chars"])
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_chars", alias_name="bytes"))
+        .take_all()
+    )
+    rows = sorted(((r["lang"], r["source"], int(r["bytes"]))
+                   for r in cells), key=lambda r: (-r[2], r[0], r[1]))
+    loads = [0] * BAL_NODES
+    out = []
+    for lang, src, by in rows:
+        node = min(range(BAL_NODES), key=lambda i: (loads[i], i))
+        loads[node] += by
+        out.append((lang, src, by, node))
+    out.sort()
+    return pa.table({
+        "lang": pa.array([r[0] for r in out], pa.string()),
+        "source": pa.array([r[1] for r in out], pa.string()),
+        "bytes": pa.array([r[2] for r in out], pa.int64()),
+        "node": pa.array([r[3] for r in out], pa.int64()),
+    })
+
+
+_SQL_SHARD_BALANCE = """
+WITH RECURSIVE cells AS MATERIALIZED (
+  SELECT lang, source, sum(n_chars)::BIGINT AS bytes,
+         row_number() OVER (ORDER BY sum(n_chars) DESC, lang, source) AS rn
+  FROM documents GROUP BY lang, source
+),
+walk(rn, node, l0, l1, l2, l3) AS (
+  SELECT 0, -1, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
+  UNION ALL
+  SELECT c.rn,
+         CASE WHEN w.l0 <= w.l1 AND w.l0 <= w.l2 AND w.l0 <= w.l3 THEN 0
+              WHEN w.l1 <= w.l2 AND w.l1 <= w.l3 THEN 1
+              WHEN w.l2 <= w.l3 THEN 2 ELSE 3 END,
+         w.l0 + CASE WHEN w.l0 <= w.l1 AND w.l0 <= w.l2 AND w.l0 <= w.l3
+                     THEN c.bytes ELSE 0 END,
+         w.l1 + CASE WHEN NOT (w.l0 <= w.l1 AND w.l0 <= w.l2 AND w.l0 <= w.l3)
+                      AND w.l1 <= w.l2 AND w.l1 <= w.l3
+                     THEN c.bytes ELSE 0 END,
+         w.l2 + CASE WHEN NOT (w.l0 <= w.l1 AND w.l0 <= w.l2 AND w.l0 <= w.l3)
+                      AND NOT (w.l1 <= w.l2 AND w.l1 <= w.l3)
+                      AND w.l2 <= w.l3
+                     THEN c.bytes ELSE 0 END,
+         w.l3 + CASE WHEN NOT (w.l0 <= w.l1 AND w.l0 <= w.l2 AND w.l0 <= w.l3)
+                      AND NOT (w.l1 <= w.l2 AND w.l1 <= w.l3)
+                      AND NOT (w.l2 <= w.l3)
+                     THEN c.bytes ELSE 0 END
+  FROM walk w JOIN cells c ON c.rn = w.rn + 1
+)
+SELECT c.lang, c.source, c.bytes, w.node::BIGINT AS node
+FROM walk w JOIN cells c ON c.rn = w.rn
+WHERE w.rn >= 1
+ORDER BY c.lang, c.source
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -18924,6 +19063,8 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "csv_ingest": q_csv_ingest,
     "text_grep": q_text_grep,
+    "user_bot_score": q_user_bot_score,
+    "shard_balance": q_shard_balance,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -19198,6 +19339,8 @@ ORACLE_SQL = {
     "events_ewma": _SQL_EVENTS_EWMA,
     "csv_ingest": _SQL_CSV_INGEST,
     "text_grep": _text_grep_sql(),
+    "user_bot_score": _SQL_USER_BOT_SCORE,
+    "shard_balance": _SQL_SHARD_BALANCE,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -19483,6 +19626,8 @@ _R5_FRONT = [
     "events_ewma",
     "csv_ingest",
     "text_grep",
+    "user_bot_score",
+    "shard_balance",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -121,6 +121,8 @@ def _check(contract, con, name):
         "events_ewma",
         "csv_ingest",
         "text_grep",
+        "user_bot_score",
+        "shard_balance",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
