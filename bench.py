@@ -391,6 +391,7 @@ def run_bench() -> dict:
         "text_grep",
         "user_bot_score",
         "shard_balance",
+        "source_vocab_jaccard",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -19004,6 +19004,107 @@ ORDER BY c.lang, c.source
 """
 
 
+JAC_TOPN = 20
+
+
+def q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise source-vocabulary similarity — exact Jaccard of the
+    distinct-term sets of every source pair, top-{JAC_TOPN} most
+    similar (basis points, ties by pair) — the corpus-mixing
+    diagnostic that says which sources are interchangeable vs
+    complementary.  Distributed shape: ONE (source, term) distinct
+    fold; the pair arithmetic runs on per-source vocab SETS via a
+    term-keyed cogroup (each term emits its source list once —
+    intersections accumulate from term-level partials, |A∪B| =
+    |A|+|B|−|A∩B|; no |S|² scan of the corpus)."""
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["source", "text"])
+
+    def pairs_(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        srcs = t.column("source").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        rows_s, rows_t = [], []
+        for s_, txt in zip(srcs, texts):
+            for tok in set(tokenize(txt or "")):
+                rows_s.append(s_)
+                rows_t.append(tok)
+        df = pd.DataFrame({"s": rows_s, "t": rows_t}).drop_duplicates()
+        return pa.table({"src": pa.array(df["s"], pa.string()),
+                         "term": pa.array(df["t"], pa.string())})
+
+    st = (ds.map_batches(pairs_, batch_format="pyarrow")
+          .groupby(["src", "term"]).count())
+
+    # vocab sizes (small: one row per source)
+    sizes = {r["src"]: int(r["n"])
+             for r in st.groupby("src").aggregate(Count(alias_name="n"))
+             .take_all()}
+
+    # term-keyed cogroup: each term contributes +1 to every source
+    # pair that shares it
+    def inter_partial(g: pa.Table) -> pa.Table:
+        ss = sorted(set(g.column("src").to_pylist()))
+        a_, b_ = [], []
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                a_.append(a)
+                b_.append(b)
+        return pa.table({"a": pa.array(a_, pa.string()),
+                         "b": pa.array(b_, pa.string()),
+                         "one": pa.array([1] * len(a_), pa.int64())})
+
+    inter = {(r["a"], r["b"]): int(r["sum(one)"])
+             for r in st.groupby("term")
+             .map_groups(inter_partial, batch_format="pyarrow")
+             .groupby(["a", "b"]).sum("one").take_all()}
+
+    srcs = sorted(sizes)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter_ab = inter.get((a, b), 0)
+            union = sizes[a] + sizes[b] - inter_ab
+            rows.append((a, b, inter_ab, union,
+                         inter_ab * 10000 // union if union else 0))
+    rows.sort(key=lambda r: (-r[4], r[0], r[1]))
+    rows = rows[:JAC_TOPN]
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_inter": pa.array([r[2] for r in rows], pa.int64()),
+        "n_union": pa.array([r[3] for r in rows], pa.int64()),
+        "jaccard_bp": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+_SQL_SOURCE_VOCAB_JACCARD = f"""
+WITH st AS (
+  SELECT DISTINCT source AS src, t AS term
+  FROM (SELECT source, unnest({_TOKS}) AS t FROM documents)
+),
+sz AS (SELECT src, count(*)::BIGINT AS n FROM st GROUP BY src),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_inter
+  FROM st a JOIN st b ON b.term = a.term AND b.src > a.src
+  GROUP BY a.src, b.src
+),
+pairs AS (
+  SELECT sa.src AS src_a, sb.src AS src_b,
+         coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+         (sa.n + sb.n - coalesce(i.n_inter, 0))::BIGINT AS n_union
+  FROM sz sa JOIN sz sb ON sb.src > sa.src
+  LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
+)
+SELECT src_a, src_b, n_inter, n_union,
+       (n_inter * 10000 // n_union)::BIGINT AS jaccard_bp
+FROM pairs ORDER BY jaccard_bp DESC, src_a, src_b LIMIT {JAC_TOPN}
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19065,6 +19166,7 @@ QUERIES = {
     "text_grep": q_text_grep,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
+    "source_vocab_jaccard": q_source_vocab_jaccard,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -19341,6 +19443,7 @@ ORACLE_SQL = {
     "text_grep": _text_grep_sql(),
     "user_bot_score": _SQL_USER_BOT_SCORE,
     "shard_balance": _SQL_SHARD_BALANCE,
+    "source_vocab_jaccard": _SQL_SOURCE_VOCAB_JACCARD,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -19628,6 +19731,7 @@ _R5_FRONT = [
     "text_grep",
     "user_bot_score",
     "shard_balance",
+    "source_vocab_jaccard",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

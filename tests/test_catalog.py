@@ -123,6 +123,7 @@ def _check(contract, con, name):
         "text_grep",
         "user_bot_score",
         "shard_balance",
+        "source_vocab_jaccard",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
