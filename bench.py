@@ -392,6 +392,7 @@ def run_bench() -> dict:
         "user_bot_score",
         "shard_balance",
         "source_vocab_jaccard",
+        "serp_redundancy",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -19105,6 +19105,138 @@ FROM pairs ORDER BY jaccard_bp DESC, src_a, src_b LIMIT {JAC_TOPN}
 """
 
 
+SERP_SHINGLE = 5
+
+
+def q_serp_redundancy(sf_dir: str):
+    """Result-set redundancy audit — how near-duplicate is the BM25
+    top-10 itself?  Mean pairwise {SERP_SHINGLE}-gram Jaccard (basis
+    points, floor) across the top-10 of every query: the signal that
+    says a SERP needs collapse/MMR (and the bridge between the
+    ranking and dedup arms).  Top-10 via the real index; shingle
+    sets only for the ≤ |Q|·10 result docs (ONE filtered corpus
+    pass); ≤ 45 integer set intersections per query."""
+    from .query import LocalIndex, topk_exact
+
+    idx = LocalIndex(ensure_documents_index(sf_dir))
+    tops: dict[int, list[int]] = {}
+    need: set[int] = set()
+    for q in DOC_QUERIES:
+        d, _ = topk_exact(idx, q["query"], 10)
+        tops[q["query_id"]] = d.tolist()
+        need.update(d.tolist())
+
+    ds = _documents(sf_dir)
+
+    def shingles(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy()
+        keep = np.isin(ids, list(need))
+        out_d, out_s = [], []
+        for did, txt in zip(ids[keep].tolist(),
+                            (x for x, k in zip(t.column("text").to_pylist(),
+                                               keep) if k)):
+            toks = tokenize(txt or "")
+            for i in range(len(toks) - SERP_SHINGLE + 1):
+                out_d.append(did)
+                out_s.append(" ".join(toks[i:i + SERP_SHINGLE]))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "sh": pa.array(out_s, pa.string())})
+
+    sets: dict[int, set[str]] = {d: set() for d in need}
+    for r in (ds.map_batches(shingles, batch_format="pyarrow")
+              .groupby(["doc_id", "sh"]).count().take_all()):
+        sets[int(r["doc_id"])].add(r["sh"])
+
+    rows_q, rows_n, rows_j = [], [], []
+    for qid in sorted(tops):
+        docs = tops[qid]
+        pair_bp = []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a, b = sets[docs[i]], sets[docs[j]]
+                u = len(a | b)
+                pair_bp.append(len(a & b) * 10000 // u if u else 0)
+        rows_q.append(qid)
+        rows_n.append(len(pair_bp))
+        rows_j.append(sum(pair_bp) // len(pair_bp) if pair_bp else 0)
+    return pa.table({
+        "query_id": pa.array(rows_q, pa.int64()),
+        "n_pairs": pa.array(rows_n, pa.int64()),
+        "mean_jaccard_bp": pa.array(rows_j, pa.int64()),
+    })
+
+
+def _serp_redundancy_sql() -> str:
+    values = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tokenize(q["query"]))):
+            values.append(f"({q['query_id']}, '{t}')")
+    vals = ", ".join(values)
+    qids = ", ".join(f"({q['query_id']})" for q in DOC_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (p.tf * {K1 + 1.0!r}
+                 / (p.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl))) ) AS sc
+  FROM q JOIN posting p ON p.term = q.term
+  JOIN dfs f ON f.term = q.term JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s GROUP BY q.query_id, p.doc_id
+),
+top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sc, 4) DESC, doc_id) AS rn
+    FROM scored) WHERE rn <= 10
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+               || ' ' || ts[i+4] AS s
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - {SERP_SHINGLE - 1})) AS i
+        FROM toks WHERE len(ts) >= {SERP_SHINGLE})
+  WHERE doc_id IN (SELECT doc_id FROM top)
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db
+  FROM top a JOIN top b ON b.query_id = a.query_id AND b.doc_id > a.doc_id
+),
+inter AS (
+  SELECT x.doc_id AS da, y.doc_id AS db, count(*)::BIGINT AS ni
+  FROM sh x JOIN sh y ON y.s = x.s AND y.doc_id > x.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pj AS (
+  SELECT p.query_id,
+         coalesce(i.ni, 0) * 10000
+           // (sa.n + sb.n - coalesce(i.ni, 0)) AS bp
+  FROM pairs p
+  LEFT JOIN inter i ON i.da = least(p.da, p.db)
+                   AND i.db = greatest(p.da, p.db)
+  JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db
+),
+qs(query_id) AS (VALUES {qids})
+SELECT qs.query_id::BIGINT AS query_id,
+       count(pj.bp)::BIGINT AS n_pairs,
+       coalesce(sum(pj.bp) // nullif(count(pj.bp), 0), 0)::BIGINT
+         AS mean_jaccard_bp
+FROM qs LEFT JOIN pj ON pj.query_id = qs.query_id
+GROUP BY qs.query_id ORDER BY query_id
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19167,6 +19299,7 @@ QUERIES = {
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
+    "serp_redundancy": q_serp_redundancy,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -19444,6 +19577,7 @@ ORACLE_SQL = {
     "user_bot_score": _SQL_USER_BOT_SCORE,
     "shard_balance": _SQL_SHARD_BALANCE,
     "source_vocab_jaccard": _SQL_SOURCE_VOCAB_JACCARD,
+    "serp_redundancy": _serp_redundancy_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -19732,6 +19866,7 @@ _R5_FRONT = [
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",
+    "serp_redundancy",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

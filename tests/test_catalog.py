@@ -124,6 +124,7 @@ def _check(contract, con, name):
         "user_bot_score",
         "shard_balance",
         "source_vocab_jaccard",
+        "serp_redundancy",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
