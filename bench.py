@@ -393,6 +393,7 @@ def run_bench() -> dict:
         "shard_balance",
         "source_vocab_jaccard",
         "serp_redundancy",
+        "term_position_profile",
         "search_dismax",
         "search_boost_fn",
     ]

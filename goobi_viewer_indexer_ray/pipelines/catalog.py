@@ -19237,6 +19237,104 @@ GROUP BY qs.query_id ORDER BY query_id
 """
 
 
+POSPROF_TOPN = 10
+
+
+def q_term_position_profile(sf_dir: str):
+    """Positional distribution of the head terms: for the
+    {POSPROF_TOPN} highest-df terms, occurrence counts in the first /
+    middle / last third of each document (integer tercile by
+    ``3·(pos−1) // dl``) — the lead-bias signal behind title/lead
+    field boosts (terms that front-load carry different weight than
+    uniformly-spread ones).  One vectorized pass (token positions are
+    batch-local), df ranking from the same pass's partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids, counts, codes, uniq = text_ops._flat_token_codes(t)
+        empty = pa.table({
+            "term": pa.array([], pa.string()),
+            "third": pa.array([], pa.int64()),
+            "n_p": pa.array([], pa.int64()),
+            "df_p": pa.array([], pa.int64()),
+        })
+        if codes.size == 0:
+            return empty
+        doc_of = np.repeat(np.arange(ids.size), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos_in_doc = np.arange(codes.size) - starts[doc_of]  # 0-based
+        dl = counts[doc_of]
+        third = (3 * pos_in_doc) // np.maximum(dl, 1)
+        key = codes.astype(np.int64) * 3 + third
+        ukey, cnt = np.unique(key, return_counts=True)
+        # df partials: distinct (doc, term)
+        dkey = np.unique(doc_of * np.int64(uniq.size) + codes)
+        dcode = (dkey % uniq.size).astype(np.int64)
+        dfc = np.bincount(dcode, minlength=uniq.size)
+        terms = np.concatenate([uniq[(ukey // 3)], uniq])
+        thirds = np.concatenate([ukey % 3,
+                                 np.full(uniq.size, -1, np.int64)])
+        n_p = np.concatenate([cnt, np.zeros(uniq.size, np.int64)])
+        df_p = np.concatenate([np.zeros(ukey.size, np.int64), dfc])
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "third": pa.array(thirds.astype(np.int64), pa.int64()),
+            "n_p": pa.array(n_p.astype(np.int64), pa.int64()),
+            "df_p": pa.array(df_p.astype(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["term", "third"])
+           .aggregate(Sum("n_p", alias_name="n"),
+                      Sum("df_p", alias_name="df")))
+    rows = agg.take_all()
+    dfs: dict[str, int] = {}
+    cells: dict[tuple[str, int], int] = {}
+    for r in rows:
+        if int(r["third"]) == -1:
+            dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+        else:
+            cells[(r["term"], int(r["third"]))] = int(r["n"])
+    top = sorted(dfs, key=lambda t: (-dfs[t], t))[:POSPROF_TOPN]
+    return pa.table({
+        "term": pa.array(top, pa.string()),
+        "df": pa.array([dfs[t] for t in top], pa.int64()),
+        "n_first": pa.array([cells.get((t, 0), 0) for t in top], pa.int64()),
+        "n_middle": pa.array([cells.get((t, 1), 0) for t in top], pa.int64()),
+        "n_last": pa.array([cells.get((t, 2), 0) for t in top], pa.int64()),
+    })
+
+
+_SQL_TERM_POSITION_PROFILE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+occ AS (
+  SELECT doc_id, ts[i] AS term, (3 * (i - 1)) // len(ts) AS third
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        FROM toks WHERE len(ts) >= 1)
+),
+dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM occ GROUP BY term),
+top AS (SELECT term, df FROM dfs ORDER BY df DESC, term
+        LIMIT {POSPROF_TOPN}),
+cells AS (
+  SELECT o.term, o.third, count(*)::BIGINT AS n
+  FROM occ o JOIN top ON top.term = o.term
+  GROUP BY o.term, o.third
+)
+SELECT t.term, t.df,
+       coalesce(max(CASE WHEN c.third = 0 THEN c.n END), 0)::BIGINT
+         AS n_first,
+       coalesce(max(CASE WHEN c.third = 1 THEN c.n END), 0)::BIGINT
+         AS n_middle,
+       coalesce(max(CASE WHEN c.third = 2 THEN c.n END), 0)::BIGINT
+         AS n_last
+FROM top t LEFT JOIN cells c ON c.term = t.term
+GROUP BY t.term, t.df ORDER BY t.df DESC, t.term
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19300,6 +19398,7 @@ QUERIES = {
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
     "serp_redundancy": q_serp_redundancy,
+    "term_position_profile": q_term_position_profile,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -19578,6 +19677,7 @@ ORACLE_SQL = {
     "shard_balance": _SQL_SHARD_BALANCE,
     "source_vocab_jaccard": _SQL_SOURCE_VOCAB_JACCARD,
     "serp_redundancy": _serp_redundancy_sql(),
+    "term_position_profile": _SQL_TERM_POSITION_PROFILE,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -19867,6 +19967,7 @@ _R5_FRONT = [
     "shard_balance",
     "source_vocab_jaccard",
     "serp_redundancy",
+    "term_position_profile",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

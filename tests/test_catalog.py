@@ -125,6 +125,7 @@ def _check(contract, con, name):
         "shard_balance",
         "source_vocab_jaccard",
         "serp_redundancy",
+        "term_position_profile",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
