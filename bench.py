@@ -394,6 +394,7 @@ def run_bench() -> dict:
         "source_vocab_jaccard",
         "serp_redundancy",
         "term_position_profile",
+        "stopword_gain",
         "search_dismax",
         "search_boost_fn",
     ]

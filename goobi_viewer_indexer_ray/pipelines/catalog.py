@@ -19335,6 +19335,90 @@ GROUP BY t.term, t.df ORDER BY t.df DESC, t.term
 """
 
 
+STOP_KS = [5, 10, 20]
+
+
+def q_stopword_gain(sf_dir: str):
+    """Stop-listing cost/benefit for the index: dropping the top-k
+    df terms removes what fraction of postings and of LEB128 posting
+    bytes (basis points)?  The sizing study behind Lucene's
+    CommonTermsQuery / index-time stopwording — head terms dominate
+    storage but carry the least idf.  One posting pass computes per-
+    term (df, varint bytes); the k-sweep folds over the ≤ vocab-sized
+    driver table."""
+    from ..functions.codec import encode_varints
+    from ..stages.postings import TokenizePostings
+
+    postings = _documents(sf_dir).map_batches(
+        TokenizePostings(num_shards=1), batch_format="pyarrow"
+    )
+
+    def sizes(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("doc_id").to_numpy().astype(np.int64))
+        vals = np.concatenate(([d[0]], np.diff(d))).astype(np.uint64)
+        return pa.table({
+            "term": g.column("term").slice(0, 1),
+            "df": pa.array([d.size], pa.int64()),
+            "vbytes": pa.array([len(encode_varints(vals))], pa.int64()),
+        })
+
+    rows = (postings.groupby("term")
+            .map_groups(sizes, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: (-int(r["df"]), r["term"]))
+    tot_post = sum(int(r["df"]) for r in rows)
+    tot_bytes = sum(int(r["vbytes"]) for r in rows)
+    out_k, out_p, out_b, out_pb, out_bb = [], [], [], [], []
+    for k in STOP_KS:
+        head = rows[:k]
+        p = sum(int(r["df"]) for r in head)
+        b = sum(int(r["vbytes"]) for r in head)
+        out_k.append(k)
+        out_p.append(p)
+        out_b.append(b)
+        out_pb.append(p * 10000 // tot_post)
+        out_bb.append(b * 10000 // tot_bytes)
+    return pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "postings_dropped": pa.array(out_p, pa.int64()),
+        "bytes_dropped": pa.array(out_b, pa.int64()),
+        "postings_bp": pa.array(out_pb, pa.int64()),
+        "bytes_bp": pa.array(out_bb, pa.int64()),
+    })
+
+
+def _stopword_gain_sql() -> str:
+    ks = ", ".join(f"({k})" for k in STOP_KS)
+    return f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+g AS (
+  SELECT term,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS v
+  FROM posting
+),
+sz AS (
+  SELECT term, count(*)::BIGINT AS df,
+         sum(1 + (v >= 128)::INT + (v >= 16384)::INT + (v >= 2097152)::INT
+               + (v >= 268435456)::INT + (v >= 34359738368)::INT)::BIGINT AS vbytes
+  FROM g GROUP BY term
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rn FROM sz
+),
+tot AS (SELECT sum(df)::BIGINT AS tp, sum(vbytes)::BIGINT AS tb FROM sz),
+ks(k) AS (VALUES {ks})
+SELECT ks.k::BIGINT AS k,
+       sum(r.df)::BIGINT AS postings_dropped,
+       sum(r.vbytes)::BIGINT AS bytes_dropped,
+       (sum(r.df) * 10000 // max(tot.tp))::BIGINT AS postings_bp,
+       (sum(r.vbytes) * 10000 // max(tot.tb))::BIGINT AS bytes_bp
+FROM ks JOIN r ON r.rn <= ks.k CROSS JOIN tot
+GROUP BY ks.k ORDER BY k
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19399,6 +19483,7 @@ QUERIES = {
     "source_vocab_jaccard": q_source_vocab_jaccard,
     "serp_redundancy": q_serp_redundancy,
     "term_position_profile": q_term_position_profile,
+    "stopword_gain": q_stopword_gain,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -19678,6 +19763,7 @@ ORACLE_SQL = {
     "source_vocab_jaccard": _SQL_SOURCE_VOCAB_JACCARD,
     "serp_redundancy": _serp_redundancy_sql(),
     "term_position_profile": _SQL_TERM_POSITION_PROFILE,
+    "stopword_gain": _stopword_gain_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -19968,6 +20054,7 @@ _R5_FRONT = [
     "source_vocab_jaccard",
     "serp_redundancy",
     "term_position_profile",
+    "stopword_gain",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",

@@ -126,6 +126,7 @@ def _check(contract, con, name):
         "source_vocab_jaccard",
         "serp_redundancy",
         "term_position_profile",
+        "stopword_gain",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
