@@ -19428,6 +19428,12 @@ GROUP BY ks.k ORDER BY k
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-5 additions ---
+    "user_bot_score": q_user_bot_score,
+    "shard_balance": q_shard_balance,
+    "source_vocab_jaccard": q_source_vocab_jaccard,
+    "serp_redundancy": q_serp_redundancy,
+    "term_position_profile": q_term_position_profile,
+    "stopword_gain": q_stopword_gain,
     "federated_topk": q_federated_topk,
     "dsir_select": q_dsir_select,
     "hll_estimate": q_hll_estimate,
@@ -19478,12 +19484,6 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "csv_ingest": q_csv_ingest,
     "text_grep": q_text_grep,
-    "user_bot_score": q_user_bot_score,
-    "shard_balance": q_shard_balance,
-    "source_vocab_jaccard": q_source_vocab_jaccard,
-    "serp_redundancy": q_serp_redundancy,
-    "term_position_profile": q_term_position_profile,
-    "stopword_gain": q_stopword_gain,
     "search_dismax": q_search_dismax,
     "search_boost_fn": q_search_boost_fn,
     "term_burstiness": q_term_burstiness,
@@ -19999,6 +19999,12 @@ ORACLE_SQL = {
 # Arrow-native term dictionary — come first; everything else keeps its
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
+    "user_bot_score",
+    "shard_balance",
+    "source_vocab_jaccard",
+    "serp_redundancy",
+    "term_position_profile",
+    "stopword_gain",
     "federated_topk",
     "dsir_select",
     "hll_estimate",
@@ -20049,12 +20055,6 @@ _R5_FRONT = [
     "events_ewma",
     "csv_ingest",
     "text_grep",
-    "user_bot_score",
-    "shard_balance",
-    "source_vocab_jaccard",
-    "serp_redundancy",
-    "term_position_profile",
-    "stopword_gain",
     "search_dismax",
     "search_boost_fn",
     "term_burstiness",
