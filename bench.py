@@ -395,6 +395,7 @@ def run_bench() -> dict:
         "serp_redundancy",
         "term_position_profile",
         "stopword_gain",
+        "customer_cube",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -19419,6 +19419,93 @@ GROUP BY ks.k ORDER BY k
 """
 
 
+def q_customer_cube(sf_dir: str):
+    """GROUPING SETS / CUBE semantics over the region→nation→customer
+    hierarchy: customer counts and account-balance cents at all four
+    aggregation levels — (region, nation), (region), (nation), and
+    the grand total — each row tagged with its grouping id (0=both,
+    1=region only, 2=nation only, 3=total; absent keys as '').  ONE
+    pass emits all four keys per row map-side (the classic cube
+    fan-out: ×|sets|, bounded), one ``groupby`` folds everything."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def _collect(name, cols):
+        return pa.concat_tables(
+            _rd().read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                               columns=cols)
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+
+    nation = _collect("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _collect("region", ["r_regionkey", "r_name"])
+    rmap = dict(zip(region.column("r_regionkey").to_pylist(),
+                    region.column("r_name").to_pylist()))
+    nk = nation.column("n_nationkey").cast(pa.int64()).combine_chunks()
+    nn = nation.column("n_name").combine_chunks()
+    nr = pa.array([rmap[k] for k in
+                   nation.column("n_regionkey").to_pylist()], pa.string())
+    side = ray.put((nk, nn, nr))
+
+    cust = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_nationkey", "c_acctbal"])
+
+    def fan(t: pa.Table) -> pa.Table:
+        keys, names, regs = ray.get(side)
+        idx = pc.index_in(t.column("c_nationkey").cast(pa.int64()),
+                          value_set=keys)
+        nat = pc.take(names, idx).to_numpy(zero_copy_only=False)
+        reg = pc.take(regs, idx).to_numpy(zero_copy_only=False)
+        cents = np.floor(t.column("c_acctbal").to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        n = t.num_rows
+        grp = np.repeat(np.array([0, 1, 2, 3], np.int64), n)
+        r_out = np.concatenate([reg, reg,
+                                np.full(n, "", object),
+                                np.full(n, "", object)])
+        n_out = np.concatenate([nat, np.full(n, "", object),
+                                nat, np.full(n, "", object)])
+        return pa.table({
+            "grp": pa.array(grp, pa.int64()),
+            "region": pa.array(r_out, pa.string()),
+            "nation": pa.array(n_out, pa.string()),
+            "cents": pa.array(np.tile(cents, 4), pa.int64()),
+        })
+
+    agg = (cust.map_batches(fan, batch_format="pyarrow")
+           .groupby(["grp", "region", "nation"])
+           .aggregate(Count(alias_name="n_cust"),
+                      Sum("cents", alias_name="acct_cents")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "grp": t.column("grp").cast(pa.int64()),
+            "region": t.column("region"),
+            "nation": t.column("nation"),
+            "n_cust": t.column("n_cust").cast(pa.int64()),
+            "acct_cents": t.column("acct_cents").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort(["grp", "region", "nation"])
+
+
+_SQL_CUSTOMER_CUBE = """
+WITH c AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         round(cu.c_acctbal * 100)::BIGINT AS cents
+  FROM customer cu
+  JOIN nation n ON n.n_nationkey = cu.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+)
+SELECT (CASE WHEN region IS NOT NULL AND nation IS NOT NULL THEN 0
+             WHEN region IS NOT NULL THEN 1
+             WHEN nation IS NOT NULL THEN 2 ELSE 3 END)::BIGINT AS grp,
+       coalesce(region, '') AS region, coalesce(nation, '') AS nation,
+       count(*)::BIGINT AS n_cust, sum(cents)::BIGINT AS acct_cents
+FROM c
+GROUP BY GROUPING SETS ((region, nation), (region), (nation), ())
+ORDER BY grp, region, nation
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19428,6 +19515,7 @@ GROUP BY ks.k ORDER BY k
 # tail.  Coverage-critical ordering, not importance ordering.
 QUERIES = {
     # --- round-5 additions ---
+    "customer_cube": q_customer_cube,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -19764,6 +19852,7 @@ ORACLE_SQL = {
     "serp_redundancy": _serp_redundancy_sql(),
     "term_position_profile": _SQL_TERM_POSITION_PROFILE,
     "stopword_gain": _stopword_gain_sql(),
+    "customer_cube": _SQL_CUSTOMER_CUBE,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -19999,6 +20088,7 @@ ORACLE_SQL = {
 # Arrow-native term dictionary — come first; everything else keeps its
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
+    "customer_cube",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

@@ -127,6 +127,7 @@ def _check(contract, con, name):
         "serp_redundancy",
         "term_position_profile",
         "stopword_gain",
+        "customer_cube",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
