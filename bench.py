@@ -396,6 +396,7 @@ def run_bench() -> dict:
         "term_position_profile",
         "stopword_gain",
         "customer_cube",
+        "order_size_hist",
         "search_dismax",
         "search_boost_fn",
     ]

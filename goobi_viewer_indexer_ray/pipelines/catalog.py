@@ -19506,6 +19506,41 @@ ORDER BY grp, region, nation
 """
 
 
+def q_order_size_hist(sf_dir: str):
+    """Distribution of order sizes — the classic DOUBLE aggregation
+    (group, then group the group sizes): lineitems per order →
+    #orders at each size.  Two shuffles by construction, the second
+    over ≤ max-order-size rows; the skew shape every
+    groupby-planning discussion starts from."""
+    from ray.data.aggregate import Count
+
+    li = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey"])
+    sizes = li.groupby("l_orderkey").count()
+    hist = (sizes.map_batches(
+        lambda t: pa.table({
+            "n_items": t.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("n_items").aggregate(Count(alias_name="n_orders")))
+    return hist.map_batches(
+        lambda t: pa.table({
+            "n_items": t.column("n_items").cast(pa.int64()),
+            "n_orders": t.column("n_orders").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("n_items")
+
+
+_SQL_ORDER_SIZE_HIST = """
+WITH s AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n_items
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_items, count(*)::BIGINT AS n_orders
+FROM s GROUP BY n_items ORDER BY n_items
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19516,6 +19551,7 @@ ORDER BY grp, region, nation
 QUERIES = {
     # --- round-5 additions ---
     "customer_cube": q_customer_cube,
+    "order_size_hist": q_order_size_hist,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -19853,6 +19889,7 @@ ORACLE_SQL = {
     "term_position_profile": _SQL_TERM_POSITION_PROFILE,
     "stopword_gain": _stopword_gain_sql(),
     "customer_cube": _SQL_CUSTOMER_CUBE,
+    "order_size_hist": _SQL_ORDER_SIZE_HIST,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20089,6 +20126,7 @@ ORACLE_SQL = {
 # prior relative order (all remain oracle-gated).
 _R5_FRONT = [
     "customer_cube",
+    "order_size_hist",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

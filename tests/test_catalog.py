@@ -128,6 +128,7 @@ def _check(contract, con, name):
         "term_position_profile",
         "stopword_gain",
         "customer_cube",
+        "order_size_hist",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
