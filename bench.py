@@ -397,6 +397,8 @@ def run_bench() -> dict:
         "stopword_gain",
         "customer_cube",
         "order_size_hist",
+        "idn_homograph",
+        "lsh_scurve",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -19541,6 +19541,130 @@ FROM s GROUP BY n_items ORDER BY n_items
 """
 
 
+def _host_fixture(k: int) -> str:
+    """Key-derived hostname: k%7==0 swaps every 'e' for Cyrillic 'е'
+    (U+0435), k%11==0 the '-' for Greek 'ο' (U+03BF); else ASCII."""
+    base = f"example-{k % 50}"
+    if k % 7 == 0:
+        return base.replace("e", "е") + ".com"   # every 'e' swapped
+    if k % 11 == 0:
+        return base.replace("-", "ο") + ".net"
+    return base + ".org"
+
+
+def q_idn_homograph(sf_dir: str):
+    """IDN homograph / mixed-script host screen (the phishing and
+    spoofed-mirror detector a web pipeline runs on every discovered
+    host; Unicode TR39 confusable-domain policy, reduced to its
+    script-mixing core): REAL codepoint-range classification
+    (Latin / Cyrillic / Greek) over key-derived hostnames, flag =
+    letters from >1 script.  The oracle regenerates the expected
+    flags from the same key arithmetic — the parser is the thing
+    under test (`html_canonical` contract)."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        ks = t.column("doc_id").cast(pa.int64()).to_numpy()
+        hosts, n_scripts, mixed = [], [], []
+        for k in ks.tolist():
+            h = _host_fixture(k)
+            scripts = set()
+            for ch in h:
+                o = ord(ch)
+                if (0x41 <= o <= 0x5A) or (0x61 <= o <= 0x7A):
+                    scripts.add("latin")
+                elif 0x400 <= o <= 0x4FF:
+                    scripts.add("cyrillic")
+                elif 0x370 <= o <= 0x3FF:
+                    scripts.add("greek")
+            hosts.append(h)
+            n_scripts.append(len(scripts))
+            mixed.append(int(len(scripts) > 1))
+        return pa.table({
+            "doc_id": pa.array(ks, pa.int64()),
+            "host": pa.array(hosts, pa.string()),
+            "n_scripts": pa.array(n_scripts, pa.int64()),
+            "mixed_script": pa.array(mixed, pa.int64()),
+        })
+
+    return ds.map_batches(classify, batch_format="pyarrow").sort("doc_id")
+
+
+_SQL_IDN_HOMOGRAPH = """
+WITH k AS (SELECT doc_id::BIGINT AS k FROM documents)
+SELECT k AS doc_id,
+       CASE WHEN k % 7 = 0
+            THEN replace('example-' || (k % 50), 'e', chr(1077))
+                 || '.com'
+            WHEN k % 11 = 0
+            THEN replace('example-' || (k % 50), '-', chr(959))
+                 || '.net'
+            ELSE 'example-' || (k % 50) || '.org' END AS host,
+       (CASE WHEN k % 7 = 0 OR k % 11 = 0 THEN 2 ELSE 1 END)::BIGINT
+         AS n_scripts,
+       (CASE WHEN k % 7 = 0 OR k % 11 = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS mixed_script
+FROM k ORDER BY doc_id
+"""
+
+
+LSH_CONFIGS = [(4, 8), (8, 4)]  # (rows per band, bands); D^b kept within HUGEINT
+
+
+def q_lsh_scurve(sf_dir: str):
+    """MinHash-LSH s-curve table — the tuning chart behind
+    ``dedup_minhash_lsh``'s (bands, rows) choice: candidate
+    probability ``1 − (1 − s^r)^b`` at Jaccard s = 0.1..0.9,
+    computed as EXACT big-integer rationals (milli-probability =
+    ``⌊1000·(D^b − N^b)/D^b⌋`` with ``D = 10^r``, ``N = 10^r − i^r``)
+    — no float powers anywhere, so the table is hash-exact.  Driver-
+    side arithmetic over a constants grid; the documents table
+    supplies nothing but the catalog seat (the theory table rides
+    next to the operator it tunes)."""
+    del sf_dir
+    rows_r, rows_b, rows_s, rows_p = [], [], [], []
+    for r, b in LSH_CONFIGS:
+        for i in range(1, 10):
+            d = 10 ** r
+            nnum = d - i ** r
+            p_milli = 1000 * (d ** b - nnum ** b) // (d ** b)
+            rows_r.append(r)
+            rows_b.append(b)
+            rows_s.append(i)
+            rows_p.append(p_milli)
+    return pa.table({
+        "rows_per_band": pa.array(rows_r, pa.int64()),
+        "bands": pa.array(rows_b, pa.int64()),
+        "s_deci": pa.array(rows_s, pa.int64()),
+        "p_milli": pa.array(rows_p, pa.int64()),
+    })
+
+
+def _lsh_scurve_sql() -> str:
+    arms = []
+    for r, b in LSH_CONFIGS:
+        d = 10 ** r
+        # i^r and the b-th powers via generated HUGEINT products (no
+        # float pow): x^b for power-of-two b by repeated squaring
+        sq = "x * x"
+        def pow_expr(base: str, e: int) -> str:
+            expr = base
+            while e > 1:
+                expr = f"(({expr}) * ({expr}))"
+                e //= 2
+            return expr
+        i_r = " * ".join(["i::HUGEINT"] * r)
+        arms.append(f"""
+SELECT {r}::BIGINT AS rows_per_band, {b}::BIGINT AS bands,
+       i::BIGINT AS s_deci,
+       (1000 * ({pow_expr(f'{d}::HUGEINT', b)}
+                - {pow_expr(f'({d}::HUGEINT - ({i_r}))', b)})
+        // {pow_expr(f'{d}::HUGEINT', b)})::BIGINT AS p_milli
+FROM (SELECT unnest(range(1, 10)) AS i)""")
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY rows_per_band, bands, s_deci"
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19552,6 +19676,8 @@ QUERIES = {
     # --- round-5 additions ---
     "customer_cube": q_customer_cube,
     "order_size_hist": q_order_size_hist,
+    "idn_homograph": q_idn_homograph,
+    "lsh_scurve": q_lsh_scurve,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -19890,6 +20016,8 @@ ORACLE_SQL = {
     "stopword_gain": _stopword_gain_sql(),
     "customer_cube": _SQL_CUSTOMER_CUBE,
     "order_size_hist": _SQL_ORDER_SIZE_HIST,
+    "idn_homograph": _SQL_IDN_HOMOGRAPH,
+    "lsh_scurve": _lsh_scurve_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20127,6 +20255,8 @@ ORACLE_SQL = {
 _R5_FRONT = [
     "customer_cube",
     "order_size_hist",
+    "idn_homograph",
+    "lsh_scurve",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

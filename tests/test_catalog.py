@@ -129,6 +129,8 @@ def _check(contract, con, name):
         "stopword_gain",
         "customer_cube",
         "order_size_hist",
+        "idn_homograph",
+        "lsh_scurve",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
