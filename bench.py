@@ -399,6 +399,7 @@ def run_bench() -> dict:
         "order_size_hist",
         "idn_homograph",
         "lsh_scurve",
+        "dict_encoding_gain",
         "search_dismax",
         "search_boost_fn",
     ]

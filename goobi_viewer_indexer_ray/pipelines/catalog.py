@@ -19665,6 +19665,111 @@ FROM (SELECT unnest(range(1, 10)) AS i)""")
     return "\nUNION ALL\n".join(arms) + "\nORDER BY rows_per_band, bands, s_deci"
 
 
+DICT_COLS = ["lang", "source", "text"]
+
+
+def q_dict_encoding_gain(sf_dir: str):
+    """Dictionary-encoding storage planning per string column (the
+    Arrow/Parquet dictionary-page decision): plain bytes = Σ len(v);
+    dict bytes = Σ len(distinct v) + n·⌈log₂(max(n_distinct,2))/8⌉
+    index bytes — exact integer formula on both sides, saving in
+    basis points.  Low-cardinality columns (lang, source) win big;
+    the near-unique text column shows the anti-pattern.  One
+    distinct-fold per column; totals are map-side partials."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=DICT_COLS)
+
+    def partials(t: pa.Table) -> pa.Table:
+        cols, ns, pb = [], [], []
+        for c in DICT_COLS:
+            col = t.column(c).cast(pa.string())
+            cols.append(c)
+            ns.append(t.num_rows)
+            pb.append(int(pc.sum(pc.binary_length(
+                pc.cast(col, pa.binary()))).as_py() or 0))
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "n_p": pa.array(ns, pa.int64()),
+            "plain_p": pa.array(pb, pa.int64()),
+        })
+
+    base = {r["col"]: (int(r["sum(n_p)"]), int(r["sum(plain_p)"]))
+            for r in ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("col").sum(["n_p", "plain_p"]).take_all()}
+
+    def distinct_vals(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in DICT_COLS:
+            vals = pc.unique(t.column(c).cast(pa.string())
+                             .combine_chunks())
+            outs.append(pa.table({
+                "col": pa.array([c] * len(vals), pa.string()),
+                "v": vals,
+            }))
+        return pa.concat_tables(outs)
+
+    dstats = {}
+    for r in (ds.map_batches(distinct_vals, batch_format="pyarrow")
+              .groupby(["col", "v"]).count()
+              .map_batches(
+                  lambda t: pa.table({
+                      "col": t.column("col"),
+                      "one": pa.array(np.ones(t.num_rows, np.int64)),
+                      "vb": pc.binary_length(
+                          pc.cast(t.column("v"), pa.binary()))
+                           .cast(pa.int64()),
+                  }),
+                  batch_format="pyarrow")
+              .groupby("col").sum(["one", "vb"]).take_all()):
+        dstats[r["col"]] = (int(r["sum(one)"]), int(r["sum(vb)"]))
+
+    cols, n_, nd_, pb_, db_, bp_ = [], [], [], [], [], []
+    for c in DICT_COLS:
+        n, plain = base[c]
+        nd, dict_payload = dstats[c]
+        idx_w = (max(nd, 2) - 1).bit_length()
+        idx_bytes = n * ((idx_w + 7) // 8)
+        dict_bytes = dict_payload + idx_bytes
+        cols.append(c)
+        n_.append(n)
+        nd_.append(nd)
+        pb_.append(plain)
+        db_.append(dict_bytes)
+        num = (plain - dict_bytes) * 10000
+        # DuckDB `//` truncates toward zero (negative savings possible)
+        bp_.append((abs(num) // plain) * (1 if num >= 0 else -1)
+                   if plain else 0)
+    return pa.table({
+        "col": pa.array(cols, pa.string()),
+        "n": pa.array(n_, pa.int64()),
+        "n_distinct": pa.array(nd_, pa.int64()),
+        "plain_bytes": pa.array(pb_, pa.int64()),
+        "dict_bytes": pa.array(db_, pa.int64()),
+        "saved_bp": pa.array(bp_, pa.int64()),
+    })
+
+
+def _dict_encoding_gain_sql() -> str:
+    arms = []
+    for c in DICT_COLS:
+        arms.append(f"""
+SELECT '{c}' AS col, count(*)::BIGINT AS n,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       sum(strlen({c}))::BIGINT AS plain_bytes,
+       ((SELECT sum(strlen(v)) FROM
+          (SELECT DISTINCT {c} AS v FROM documents))
+        + count(*) * ((length(bin(greatest(count(DISTINCT {c}), 2) - 1)) + 7) // 8)
+       )::BIGINT AS dict_bytes
+FROM documents""")
+    return ("WITH raw AS (" + "\nUNION ALL\n".join(arms) + ")\n"
+            "SELECT col, n, n_distinct, plain_bytes, dict_bytes,\n"
+            "       ((plain_bytes - dict_bytes) * 10000 // plain_bytes)"
+            "::BIGINT AS saved_bp\n"
+            "FROM raw ORDER BY col")
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19678,6 +19783,7 @@ QUERIES = {
     "order_size_hist": q_order_size_hist,
     "idn_homograph": q_idn_homograph,
     "lsh_scurve": q_lsh_scurve,
+    "dict_encoding_gain": q_dict_encoding_gain,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -20018,6 +20124,7 @@ ORACLE_SQL = {
     "order_size_hist": _SQL_ORDER_SIZE_HIST,
     "idn_homograph": _SQL_IDN_HOMOGRAPH,
     "lsh_scurve": _lsh_scurve_sql(),
+    "dict_encoding_gain": _dict_encoding_gain_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20257,6 +20364,7 @@ _R5_FRONT = [
     "order_size_hist",
     "idn_homograph",
     "lsh_scurve",
+    "dict_encoding_gain",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

@@ -131,6 +131,7 @@ def _check(contract, con, name):
         "order_size_hist",
         "idn_homograph",
         "lsh_scurve",
+        "dict_encoding_gain",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
