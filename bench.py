@@ -400,6 +400,7 @@ def run_bench() -> dict:
         "idn_homograph",
         "lsh_scurve",
         "dict_encoding_gain",
+        "sitemap_gen",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -19770,6 +19770,66 @@ FROM documents""")
             "FROM raw ORDER BY col")
 
 
+def q_sitemap_gen(sf_dir: str):
+    """Per-host sitemap.xml assembly (sitemaps.org protocol — the
+    publish half of the crawl loop; the goobi-viewer family ships a
+    sitemap module for exactly this): urls grouped by host
+    (``doc_id % 20`` fixture hosts, the ``url_bloom`` url rule),
+    ``<loc>`` entries in url-key order, byte length + md5 of the
+    document pinned on both sides — any ordering or whitespace drift
+    breaks the hash.  ``groupby(host).map_groups`` (host groups are
+    the natural sitemap unit and bounded by per-host page counts)."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])
+
+    def with_host(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").cast(pa.int64())
+        return pa.table({
+            "host": pa.array((k.to_numpy() % 20).astype(np.int64)),
+            "k": k,
+        })
+
+    def build(g: pa.Table) -> pa.Table:
+        h = int(g.column("host")[0].as_py())
+        ks = np.sort(g.column("k").to_numpy())
+        body = "".join(
+            f"<url><loc>https://example-{h}.com/page/{k}</loc></url>"
+            for k in ks.tolist())
+        xml = ('<?xml version="1.0" encoding="UTF-8"?>'
+               '<urlset>' + body + "</urlset>")
+        return pa.table({
+            "host": pa.array([h], pa.int64()),
+            "n_urls": pa.array([ks.size], pa.int64()),
+            "xml_bytes": pa.array([len(xml.encode())], pa.int64()),
+            "xml_md5": pa.array(
+                [hashlib.md5(xml.encode()).hexdigest()], pa.string()),
+        })
+
+    return (ds.map_batches(with_host, batch_format="pyarrow")
+            .groupby("host").map_groups(build, batch_format="pyarrow")
+            .sort("host"))
+
+
+_SQL_SITEMAP_GEN = """
+WITH u AS (
+  SELECT doc_id % 20 AS host, doc_id::BIGINT AS k FROM documents
+),
+x AS (
+  SELECT host,
+         count(*)::BIGINT AS n_urls,
+         '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+         || string_agg('<url><loc>https://example-' || host
+                       || '.com/page/' || k || '</loc></url>', ''
+                       ORDER BY k)
+         || '</urlset>' AS xml
+  FROM u GROUP BY host
+)
+SELECT host::BIGINT AS host, n_urls,
+       strlen(xml)::BIGINT AS xml_bytes, md5(xml) AS xml_md5
+FROM x ORDER BY host
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19784,6 +19844,7 @@ QUERIES = {
     "idn_homograph": q_idn_homograph,
     "lsh_scurve": q_lsh_scurve,
     "dict_encoding_gain": q_dict_encoding_gain,
+    "sitemap_gen": q_sitemap_gen,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -20125,6 +20186,7 @@ ORACLE_SQL = {
     "idn_homograph": _SQL_IDN_HOMOGRAPH,
     "lsh_scurve": _lsh_scurve_sql(),
     "dict_encoding_gain": _dict_encoding_gain_sql(),
+    "sitemap_gen": _SQL_SITEMAP_GEN,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20365,6 +20427,7 @@ _R5_FRONT = [
     "idn_homograph",
     "lsh_scurve",
     "dict_encoding_gain",
+    "sitemap_gen",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

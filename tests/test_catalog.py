@@ -132,6 +132,7 @@ def _check(contract, con, name):
         "idn_homograph",
         "lsh_scurve",
         "dict_encoding_gain",
+        "sitemap_gen",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
