@@ -501,3 +501,42 @@ def test_kcore_numpy_equals_distributed(ray_session):
     want = np.array([1 if i in alive else 0 for i in range(200)], np.int64)
     assert np.array_equal(a["in_core"].to_numpy(), want)
     assert 0 < int(want.sum()) < 200  # nontrivial split
+
+
+def test_cc_and_lpa_sparse_shuffled_ids(ray_session):
+    """Sparse, shuffled node ids (the searchsorted paths must not
+    assume density or order)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from goobi_viewer_indexer_ray.stages.linkgraph import (
+        connected_components, label_propagation)
+
+    rng = np.random.default_rng(11)
+    ids = np.sort(rng.choice(10**9, 120, replace=False)).astype(np.int64)
+    rng.shuffle(ids)
+    # ring edges inside blocks of 6 -> 20 components
+    src, dst = [], []
+    for b in range(0, 120, 6):
+        blk = ids[b:b + 6]
+        for i in range(5):
+            src.append(int(blk[i]))
+            dst.append(int(blk[i + 1]))
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    edges = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())}))
+    cc = (connected_components(docs, edges, node_col="doc_id",
+                               method="numpy")
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    assert len(set(cc["comp"])) == 20
+    # every component's label is its min member
+    for b in range(0, 120, 6):
+        blk = set(int(x) for x in ids[b:b + 6])
+        labs = set(int(cc[cc["node"].isin(blk)]["comp"].iloc[i])
+                   for i in range(6))
+        assert labs == {min(blk)}
+    lp = (label_propagation(docs, edges, node_col="doc_id",
+                            method="numpy")
+          .to_pandas())
+    assert set(lp["label"]) <= set(ids.tolist())

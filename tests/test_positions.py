@@ -170,3 +170,33 @@ def test_passage_topk_brute(pos_index):
             rows, columns=["query_id", "doc_id", "best_start", "n_hits", "rank"]
         ).astype("int64")
         assert got.reset_index(drop=True).equals(want), f"width={width}"
+
+
+def test_gap_phrase_exact_slots(pos_index):
+    """'a * b' exact-gap semantics on the hand-built corpus (see
+    TEXTS comments above): gap=1 means EXACTLY one token between."""
+    from goobi_viewer_indexer_ray.pipelines import search_ops as so
+
+    out = so.gap_phrase_docs(
+        pos_index,
+        [
+            ("alpha", 0, "beta"),    # adjacency: same as phrase
+            ("alpha", 1, "alpha"),   # one-slot self-gap
+            ("alpha", 1, "gamma"),   # a _ g: beta fills the slot in 100
+            ("alpha", 2, "beta"),    # a _ _ b
+            ("alpha", 0, "zzznope"),
+        ],
+    ).to_pandas()
+    got = {(int(r.query_id), int(r.doc_id)): int(r.n_matches)
+           for r in out.itertuples()}
+    # doc 100 "alpha beta gamma alpha beta": (a,0,b): (0,1),(3,4) -> 2
+    #   (a,1,g): 0 -> 2 is gamma -> 1 ; (a,1,a): 0+2 gamma, no -> none
+    #   (a,2,b): 0+3 alpha, 3+3 absent -> none
+    # doc 103 "alpha beta alpha beta alpha beta": a@[0,2,4] b@[1,3,5]
+    #   (a,0,b): 3 ; (a,1,a): 0->2, 2->4 -> 2 ; (a,2,b): 0->3, 2->5 -> 2
+    assert got == {
+        (0, 100): 2, (0, 103): 3,
+        (1, 103): 2,
+        (2, 100): 1,
+        (3, 103): 2,
+    }
