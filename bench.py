@@ -401,6 +401,7 @@ def run_bench() -> dict:
         "lsh_scurve",
         "dict_encoding_gain",
         "sitemap_gen",
+        "chunk_dedup",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -19830,6 +19830,81 @@ FROM x ORDER BY host
 """
 
 
+def q_chunk_dedup(sf_dir: str):
+    """Chunk-granularity duplication screen (RefinedWeb dedups LONG
+    documents at sub-document granularity — a doc with one copied
+    paragraph is partially, not wholly, duplicate): the corpus is cut
+    with the ``doc_chunks`` windows, chunks with identical text are
+    dup groups (``groupby(chunk_text)`` count > 1), per doc the chunk
+    count and how many of its chunks are corpus-duplicated (basis
+    points).  Two shuffles: chunk-text groups, then per-doc fold."""
+    from ray.data.aggregate import Sum
+
+    chunks = _documents(sf_dir).map_batches(
+        lambda t: text_ops.chunk_batch(t, chunk=CHUNK_TOKENS,
+                                       stride=CHUNK_STRIDE),
+        batch_format="pyarrow",
+    ).materialize()
+    dup_sizes = chunks.groupby("chunk_text").count()
+    dup_set = {r["chunk_text"] for r in dup_sizes.take_all()
+               if int(r["count()"]) > 1}
+
+    def tag(t: pa.Table) -> pa.Table:
+        texts = t.column("chunk_text").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "dup": pa.array(np.array(
+                [1 if x in dup_set else 0 for x in texts], np.int64)),
+        })
+
+    agg = (chunks.map_batches(tag, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("one", alias_name="n_chunks"),
+                      Sum("dup", alias_name="n_dup")))
+    return agg.map_batches(
+        lambda t: (lambda n, d: pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_chunks": n,
+            "n_dup_chunks": d,
+            "dup_bp": pc.divide(pc.multiply(d, pa.scalar(10000, pa.int64())),
+                                n),
+        }))(t.column("n_chunks").cast(pa.int64()),
+            t.column("n_dup").cast(pa.int64())),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
+def _chunk_dedup_sql() -> str:
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts, len({_TOKS}) AS n FROM documents
+),
+st AS (
+  SELECT doc_id, ts, n, unnest(generate_series(0, n - 1, {s})) AS start
+  FROM toks WHERE n > 0
+),
+ch AS (
+  SELECT doc_id,
+         array_to_string(ts[start + 1 : start + least({c}, n - start)], ' ')
+           AS chunk_text
+  FROM st
+),
+dups AS (
+  SELECT chunk_text FROM ch GROUP BY chunk_text HAVING count(*) > 1
+)
+SELECT ch.doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN d.chunk_text IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_chunks,
+       (sum(CASE WHEN d.chunk_text IS NOT NULL THEN 1 ELSE 0 END) * 10000
+        // count(*))::BIGINT AS dup_bp
+FROM ch LEFT JOIN dups d ON d.chunk_text = ch.chunk_text
+GROUP BY ch.doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19845,6 +19920,7 @@ QUERIES = {
     "lsh_scurve": q_lsh_scurve,
     "dict_encoding_gain": q_dict_encoding_gain,
     "sitemap_gen": q_sitemap_gen,
+    "chunk_dedup": q_chunk_dedup,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -20187,6 +20263,7 @@ ORACLE_SQL = {
     "lsh_scurve": _lsh_scurve_sql(),
     "dict_encoding_gain": _dict_encoding_gain_sql(),
     "sitemap_gen": _SQL_SITEMAP_GEN,
+    "chunk_dedup": _chunk_dedup_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20428,6 +20505,7 @@ _R5_FRONT = [
     "lsh_scurve",
     "dict_encoding_gain",
     "sitemap_gen",
+    "chunk_dedup",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

@@ -133,6 +133,7 @@ def _check(contract, con, name):
         "lsh_scurve",
         "dict_encoding_gain",
         "sitemap_gen",
+        "chunk_dedup",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
