@@ -402,6 +402,7 @@ def run_bench() -> dict:
         "dict_encoding_gain",
         "sitemap_gen",
         "chunk_dedup",
+        "discount_lift",
         "search_dismax",
         "search_boost_fn",
     ]

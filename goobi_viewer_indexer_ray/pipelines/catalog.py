@@ -19905,6 +19905,66 @@ GROUP BY ch.doc_id ORDER BY doc_id
 """
 
 
+def q_discount_lift(sf_dir: str):
+    """Discount-band demand response: per discount band (percent
+    points, ``round(l_discount·100)``) the item count, total quantity
+    (milli-precision mean via exact sums), and revenue cents — the
+    promo-effectiveness read every pricing team runs.  One vectorized
+    pass + one tiny ``groupby(band)``; all money exact integer
+    cents (half-away rounding matched to DuckDB)."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_discount", "l_quantity", "l_extendedprice"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        disc = np.floor(t.column("l_discount").to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        qty = np.floor(t.column("l_quantity").to_numpy() * 1000 + 0.5) \
+            .astype(np.int64)
+        rev = np.floor(
+            (t.column("l_extendedprice").to_numpy()
+             * (1.0 - t.column("l_discount").to_numpy())) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "band": pa.array(disc, pa.int64()),
+            "qty_milli": pa.array(qty, pa.int64()),
+            "rev_cents": pa.array(rev, pa.int64()),
+        })
+
+    agg = (li.map_batches(fold, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("qty_milli", alias_name="qty_milli"),
+                      Sum("rev_cents", alias_name="rev_cents")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "band": t.column("band").cast(pa.int64()),
+            "n_items": t.column("n_items").cast(pa.int64()),
+            "mean_qty_milli": pc.divide(
+                t.column("qty_milli").cast(pa.int64()),
+                t.column("n_items").cast(pa.int64())),
+            "rev_cents": t.column("rev_cents").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("band")
+
+
+_SQL_DISCOUNT_LIFT = """
+WITH f AS (
+  SELECT round(l_discount * 100)::BIGINT AS band,
+         round(l_quantity * 1000)::BIGINT AS qty_milli,
+         round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS rev
+  FROM lineitem
+)
+SELECT band, count(*)::BIGINT AS n_items,
+       (sum(qty_milli) // count(*))::BIGINT AS mean_qty_milli,
+       sum(rev)::BIGINT AS rev_cents
+FROM f GROUP BY band ORDER BY band
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19921,6 +19981,7 @@ QUERIES = {
     "dict_encoding_gain": q_dict_encoding_gain,
     "sitemap_gen": q_sitemap_gen,
     "chunk_dedup": q_chunk_dedup,
+    "discount_lift": q_discount_lift,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -20264,6 +20325,7 @@ ORACLE_SQL = {
     "dict_encoding_gain": _dict_encoding_gain_sql(),
     "sitemap_gen": _SQL_SITEMAP_GEN,
     "chunk_dedup": _chunk_dedup_sql(),
+    "discount_lift": _SQL_DISCOUNT_LIFT,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20506,6 +20568,7 @@ _R5_FRONT = [
     "dict_encoding_gain",
     "sitemap_gen",
     "chunk_dedup",
+    "discount_lift",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

@@ -134,6 +134,7 @@ def _check(contract, con, name):
         "dict_encoding_gain",
         "sitemap_gen",
         "chunk_dedup",
+        "discount_lift",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
