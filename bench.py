@@ -403,6 +403,7 @@ def run_bench() -> dict:
         "sitemap_gen",
         "chunk_dedup",
         "discount_lift",
+        "shipdelay_quantiles",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -19965,6 +19965,70 @@ FROM f GROUP BY band ORDER BY band
 """
 
 
+def q_shipdelay_quantiles(sf_dir: str):
+    """Ship-delay distribution per order priority: p50 / p90 of
+    (shipdate − orderdate) days, ``quantile_disc`` semantics (element
+    at ``ceil(q·n)−1``) — the fulfillment-SLA read extending
+    ``shipmode_priority``'s binary late flag.  lineitem ⋈ orders is
+    the one hash join; quantiles are per-priority ``map_groups`` over
+    integer day counts (priority groups are bounded — the
+    ``events_value_median`` holistic-aggregate contract)."""
+    o = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table({
+            "okey": t.column("o_orderkey").cast(pa.int64()),
+            "odays": t.column("o_orderdate").cast(pa.date32())
+                      .cast(pa.int32()).cast(pa.int64()),
+            "prio": t.column("o_orderpriority"),
+        }),
+        batch_format="pyarrow",
+    )
+    li = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey", "l_shipdate"])
+    joined = li.map_batches(
+        lambda t: pa.table({
+            "lkey": t.column("l_orderkey").cast(pa.int64()),
+            "sdays": t.column("l_shipdate").cast(pa.date32())
+                      .cast(pa.int32()).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).join(o, join_type="inner", num_partitions=16,
+           on=("lkey",), right_on=("okey",))
+
+    def quant(g: pa.Table) -> pa.Table:
+        prio = g.column("prio")[0].as_py()
+        d = np.sort(g.column("sdays").to_numpy()
+                    - g.column("odays").to_numpy())
+        n = d.size
+        # quantile_disc picks element ceil(q·n) − 1
+        i50 = (n + 1) // 2 - 1
+        i90 = (9 * n + 9) // 10 - 1
+        return pa.table({
+            "prio": pa.array([prio], pa.string()),
+            "n_items": pa.array([n], pa.int64()),
+            "p50_days": pa.array([int(d[i50])], pa.int64()),
+            "p90_days": pa.array([int(d[i90])], pa.int64()),
+        })
+
+    return (joined.groupby("prio").map_groups(quant, batch_format="pyarrow")
+            .sort("prio"))
+
+
+_SQL_SHIPDELAY_QUANTILES = """
+WITH d AS (
+  SELECT o.o_orderpriority AS prio,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT prio, count(*)::BIGINT AS n_items,
+       quantile_disc(days, 0.5)::BIGINT AS p50_days,
+       quantile_disc(days, 0.9)::BIGINT AS p90_days
+FROM d GROUP BY prio ORDER BY prio
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -19982,6 +20046,7 @@ QUERIES = {
     "sitemap_gen": q_sitemap_gen,
     "chunk_dedup": q_chunk_dedup,
     "discount_lift": q_discount_lift,
+    "shipdelay_quantiles": q_shipdelay_quantiles,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -20326,6 +20391,7 @@ ORACLE_SQL = {
     "sitemap_gen": _SQL_SITEMAP_GEN,
     "chunk_dedup": _chunk_dedup_sql(),
     "discount_lift": _SQL_DISCOUNT_LIFT,
+    "shipdelay_quantiles": _SQL_SHIPDELAY_QUANTILES,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20569,6 +20635,7 @@ _R5_FRONT = [
     "sitemap_gen",
     "chunk_dedup",
     "discount_lift",
+    "shipdelay_quantiles",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

@@ -135,6 +135,7 @@ def _check(contract, con, name):
         "sitemap_gen",
         "chunk_dedup",
         "discount_lift",
+        "shipdelay_quantiles",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
