@@ -404,6 +404,7 @@ def run_bench() -> dict:
         "chunk_dedup",
         "discount_lift",
         "shipdelay_quantiles",
+        "customer_churn",
         "search_dismax",
         "search_boost_fn",
     ]

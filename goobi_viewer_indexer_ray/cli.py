@@ -13,6 +13,7 @@ Commands::
     optimize --out DIR
     delete-query --out DIR --must "terms" [--must-not "terms"]
     check-index --out DIR [--strict]
+    stats --out DIR
     backup --out DIR --dest DIR
     restore --snapshot DIR --out DIR
     watch --out DIR --pages DIR [--interval S] [--max-polls N] [--config F]
@@ -76,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
     dq.add_argument("--out", required=True)
     dq.add_argument("--must", action="append", default=[], required=True)
     dq.add_argument("--must-not", action="append", default=[])
+
+    st = sub.add_parser("stats", help="index stats JSON (docs, terms, "
+                        "postings, per-shard segment sizes)")
+    st.add_argument("--out", required=True)
 
     bk = sub.add_parser("backup", help="snapshot the manifest-pinned "
                         "live file set (Solr replication-handler backup)")
@@ -151,6 +156,28 @@ def main(argv: list[str] | None = None) -> int:
             m, n = delete_by_query(args.out, must=args.must,
                                    must_not=args.must_not)
             print(json.dumps({"n_deleted": n, "n_terms": m.get("n_terms")}))
+        elif args.cmd == "stats":
+            import os as _os
+
+            from .state.manifest import load_manifest
+
+            with open(_os.path.join(args.out, "stats.json")) as f:
+                stats = json.load(f)
+            iman = load_manifest(
+                _os.path.join(args.out, "index_manifest.json")) or {}
+            shards = {}
+            for s_ in iman.get("segments", []):
+                k = int(s_["shard"])
+                shards[k] = shards.get(k, 0) + int(s_.get("bytes", 0))
+            print(json.dumps({
+                "n_docs": stats.get("n_docs"),
+                "avgdl": stats.get("avgdl"),
+                "n_terms": iman.get("n_terms"),
+                "n_postings": iman.get("n_postings"),
+                "index_bytes": iman.get("index_bytes"),
+                "segments": len(iman.get("segments", [])),
+                "shard_bytes": shards,
+            }))
         elif args.cmd == "backup":
             from .pipelines.backup import backup_index
 

@@ -20029,6 +20029,89 @@ FROM d GROUP BY prio ORDER BY prio
 """
 
 
+CHURN_DAYS = 180
+
+
+def q_customer_churn(sf_dir: str):
+    """Churn screen per market segment: customers whose LAST order
+    predates the corpus horizon by more than {CHURN_DAYS} days
+    (integer epoch-day arithmetic) — the retention complement of
+    ``orders_cohort_ltv``.  Per-customer last-order fold (ONE
+    groupby.max), segment attach from the broadcast small side, tiny
+    segment fold."""
+    import ray
+    from ray.data.aggregate import Max
+
+    cust_t = pa.concat_tables(
+        _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    side = ray.put((cust_t.column("c_custkey").cast(pa.int64())
+                    .combine_chunks(),
+                    cust_t.column("c_mktsegment").combine_chunks()))
+
+    orders = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_custkey", "o_orderdate"])
+    od = orders.map_batches(
+        lambda t: pa.table({
+            "ck": t.column("o_custkey").cast(pa.int64()),
+            "days": t.column("o_orderdate").cast(pa.date32())
+                     .cast(pa.int32()).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    horizon = int(od.max("days"))
+    last = od.groupby("ck").aggregate(Max("days", alias_name="last_days"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys, segs = ray.get(side)
+        idx = pc.index_in(t.column("ck").cast(pa.int64()), value_set=keys)
+        seg = pc.take(segs, idx).to_numpy(zero_copy_only=False)
+        churned = (horizon - t.column("last_days").cast(pa.int64())
+                   .to_numpy()) > CHURN_DAYS
+        codes, uniq = pd.factorize(seg)
+        n = np.bincount(codes, minlength=len(uniq))
+        ch = np.bincount(codes, weights=churned.astype(np.int64),
+                         minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "seg": pa.array(uniq, pa.string()),
+            "n_p": pa.array(n.astype(np.int64), pa.int64()),
+            "ch_p": pa.array(ch, pa.int64()),
+        })
+
+    agg = (last.map_batches(fold, batch_format="pyarrow")
+           .groupby("seg").sum(["n_p", "ch_p"]))
+    return agg.map_batches(
+        lambda t: (lambda n, c: pa.table({
+            "seg": t.column("seg"),
+            "n_cust": n,
+            "n_churned": c,
+            "churn_bp": pc.divide(pc.multiply(c, pa.scalar(10000, pa.int64())),
+                                  n),
+        }))(t.column("sum(n_p)").cast(pa.int64()),
+            t.column("sum(ch_p)").cast(pa.int64())),
+        batch_format="pyarrow",
+    ).sort("seg")
+
+
+_SQL_CUSTOMER_CHURN = f"""
+WITH l AS (
+  SELECT o_custkey AS ck, max(o_orderdate) AS last_d FROM orders
+  GROUP BY o_custkey
+),
+h AS (SELECT max(o_orderdate) AS horizon FROM orders)
+SELECT c.c_mktsegment AS seg, count(*)::BIGINT AS n_cust,
+       sum(CASE WHEN date_diff('day', l.last_d, h.horizon) > {CHURN_DAYS}
+                THEN 1 ELSE 0 END)::BIGINT AS n_churned,
+       (sum(CASE WHEN date_diff('day', l.last_d, h.horizon) > {CHURN_DAYS}
+                 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT AS churn_bp
+FROM l JOIN customer c ON c.c_custkey = l.ck CROSS JOIN h
+GROUP BY seg ORDER BY seg
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -20047,6 +20130,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "discount_lift": q_discount_lift,
     "shipdelay_quantiles": q_shipdelay_quantiles,
+    "customer_churn": q_customer_churn,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -20392,6 +20476,7 @@ ORACLE_SQL = {
     "chunk_dedup": _chunk_dedup_sql(),
     "discount_lift": _SQL_DISCOUNT_LIFT,
     "shipdelay_quantiles": _SQL_SHIPDELAY_QUANTILES,
+    "customer_churn": _SQL_CUSTOMER_CHURN,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20636,6 +20721,7 @@ _R5_FRONT = [
     "chunk_dedup",
     "discount_lift",
     "shipdelay_quantiles",
+    "customer_churn",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

@@ -136,6 +136,7 @@ def _check(contract, con, name):
         "chunk_dedup",
         "discount_lift",
         "shipdelay_quantiles",
+        "customer_churn",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
