@@ -405,6 +405,7 @@ def run_bench() -> dict:
         "discount_lift",
         "shipdelay_quantiles",
         "customer_churn",
+        "tax_discount_cov",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -20112,6 +20112,62 @@ GROUP BY seg ORDER BY seg
 """
 
 
+def q_tax_discount_cov(sf_dir: str):
+    """Exact integer covariance audit between tax and discount rates
+    per return flag (do discounted lines get taxed differently?):
+    the numerator ``n·Σxy − Σx·Σy`` over percent-point integers —
+    associative partials, no float moments anywhere (the
+    ``term_dispersion`` variance trick, bivariate).  One vectorized
+    pass + one 3-row fold."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_tax", "l_discount"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        x = np.floor(t.column("l_tax").to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        y = np.floor(t.column("l_discount").to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        return pa.table({
+            "flag": t.column("l_returnflag"),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "xy": pa.array(x * y, pa.int64()),
+        })
+
+    agg = (li.map_batches(fold, batch_format="pyarrow")
+           .groupby("flag")
+           .aggregate(Count(alias_name="n"),
+                      Sum("x", alias_name="sx"),
+                      Sum("y", alias_name="sy"),
+                      Sum("xy", alias_name="sxy")))
+    return agg.map_batches(
+        lambda t: (lambda n, sx, sy, sxy: pa.table({
+            "flag": t.column("flag"),
+            "n": n,
+            "cov_num": pc.subtract(pc.multiply(n, sxy),
+                                   pc.multiply(sx, sy)),
+        }))(t.column("n").cast(pa.int64()), t.column("sx").cast(pa.int64()),
+            t.column("sy").cast(pa.int64()), t.column("sxy").cast(pa.int64())),
+        batch_format="pyarrow",
+    ).sort("flag")
+
+
+_SQL_TAX_DISCOUNT_COV = """
+WITH f AS (
+  SELECT l_returnflag AS flag,
+         round(l_tax * 100)::BIGINT AS x,
+         round(l_discount * 100)::BIGINT AS y
+  FROM lineitem
+)
+SELECT flag, count(*)::BIGINT AS n,
+       (count(*) * sum(x * y) - sum(x) * sum(y))::BIGINT AS cov_num
+FROM f GROUP BY flag ORDER BY flag
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -20131,6 +20187,7 @@ QUERIES = {
     "discount_lift": q_discount_lift,
     "shipdelay_quantiles": q_shipdelay_quantiles,
     "customer_churn": q_customer_churn,
+    "tax_discount_cov": q_tax_discount_cov,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -20477,6 +20534,7 @@ ORACLE_SQL = {
     "discount_lift": _SQL_DISCOUNT_LIFT,
     "shipdelay_quantiles": _SQL_SHIPDELAY_QUANTILES,
     "customer_churn": _SQL_CUSTOMER_CHURN,
+    "tax_discount_cov": _SQL_TAX_DISCOUNT_COV,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20722,6 +20780,7 @@ _R5_FRONT = [
     "discount_lift",
     "shipdelay_quantiles",
     "customer_churn",
+    "tax_discount_cov",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

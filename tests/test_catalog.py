@@ -137,6 +137,7 @@ def _check(contract, con, name):
         "discount_lift",
         "shipdelay_quantiles",
         "customer_churn",
+        "tax_discount_cov",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
