@@ -406,6 +406,7 @@ def run_bench() -> dict:
         "shipdelay_quantiles",
         "customer_churn",
         "tax_discount_cov",
+        "nation_trade_balance",
         "search_dismax",
         "search_boost_fn",
     ]

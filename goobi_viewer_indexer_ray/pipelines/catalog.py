@@ -20168,6 +20168,64 @@ FROM f GROUP BY flag ORDER BY flag
 """
 
 
+def q_nation_trade_balance(sf_dir: str):
+    """Customer-vs-supplier presence per nation (the marketplace
+    supply/demand balance): counts from two independent small-table
+    folds joined on the broadcast nation map, ratio in basis points
+    (suppliers per 10 000 customers; −1 when a nation has no
+    customers).  Pure broadcast arithmetic — nothing shuffles."""
+    def _counts(name, key_col):
+        t = pa.concat_tables(
+            _rd().read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                               columns=[key_col])
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        vals, cnt = np.unique(
+            t.column(key_col).cast(pa.int64()).to_numpy(),
+            return_counts=True)
+        return dict(zip(vals.tolist(), cnt.tolist()))
+
+    cust = _counts("customer", "c_nationkey")
+    supp = _counts("supplier", "s_nationkey")
+    nat = pa.concat_tables(
+        _rd().read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    rows = sorted(zip(nat.column("n_name").to_pylist(),
+                      nat.column("n_nationkey").cast(pa.int64())
+                      .to_pylist()))
+    names, nc, ns, bp = [], [], [], []
+    for name, k in rows:
+        c = cust.get(k, 0)
+        s = supp.get(k, 0)
+        names.append(name)
+        nc.append(c)
+        ns.append(s)
+        bp.append(s * 10000 // c if c else -1)
+    return pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "n_customers": pa.array(nc, pa.int64()),
+        "n_suppliers": pa.array(ns, pa.int64()),
+        "supp_per_10k_cust": pa.array(bp, pa.int64()),
+    })
+
+
+_SQL_NATION_TRADE_BALANCE = """
+WITH c AS (SELECT c_nationkey AS k, count(*)::BIGINT AS n FROM customer
+           GROUP BY c_nationkey),
+s AS (SELECT s_nationkey AS k, count(*)::BIGINT AS n FROM supplier
+      GROUP BY s_nationkey)
+SELECT n.n_name, coalesce(c.n, 0)::BIGINT AS n_customers,
+       coalesce(s.n, 0)::BIGINT AS n_suppliers,
+       (CASE WHEN coalesce(c.n, 0) = 0 THEN -1
+             ELSE coalesce(s.n, 0) * 10000 // c.n END)::BIGINT
+         AS supp_per_10k_cust
+FROM nation n
+LEFT JOIN c ON c.k = n.n_nationkey
+LEFT JOIN s ON s.k = n.n_nationkey
+ORDER BY n.n_name
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -20188,6 +20246,7 @@ QUERIES = {
     "shipdelay_quantiles": q_shipdelay_quantiles,
     "customer_churn": q_customer_churn,
     "tax_discount_cov": q_tax_discount_cov,
+    "nation_trade_balance": q_nation_trade_balance,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -20535,6 +20594,7 @@ ORACLE_SQL = {
     "shipdelay_quantiles": _SQL_SHIPDELAY_QUANTILES,
     "customer_churn": _SQL_CUSTOMER_CHURN,
     "tax_discount_cov": _SQL_TAX_DISCOUNT_COV,
+    "nation_trade_balance": _SQL_NATION_TRADE_BALANCE,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20781,6 +20841,7 @@ _R5_FRONT = [
     "shipdelay_quantiles",
     "customer_churn",
     "tax_discount_cov",
+    "nation_trade_balance",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

@@ -138,6 +138,7 @@ def _check(contract, con, name):
         "shipdelay_quantiles",
         "customer_churn",
         "tax_discount_cov",
+        "nation_trade_balance",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
