@@ -17612,15 +17612,15 @@ WD_WINDOW_H = 24
 def q_events_window_distinct(sf_dir: str):
     """Sliding-window COUNT DISTINCT — daily-active-users per hourly
     tick (24 h window ending at each hour that saw an event).  The
-    holistic twin of ``events_sliding_windows``'s additive counts:
-    distinct-over-window cannot sum per-hour partials, so the honest
-    distributed shape is (user, hour) dedup first (map-side set per
-    batch → ONE groupby), then a bounded 24-way tick fan-out of the
-    DEDUPED pairs and a second (tick, user) dedup — shuffle volume
-    24·|distinct pairs|, never 24·|events|."""
-    from ray.data.aggregate import Count
-
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+    holistic twin of ``events_sliding_windows``'s additive counts.
+    Scale shape: (user, hour) dedup first (map-side set per batch →
+    ONE groupby), then per-user MERGED COVERAGE INTERVALS emit ±1
+    boundary deltas (a user active at hour h covers ticks
+    [h, h+23]; overlapping intervals merge, so a user contributes
+    ≤ 2 rows per activity burst, never 24 per hour) — ONE tiny
+    ``groupby(tick).sum`` and a time-bounded driver prefix scan
+    replace the naive 24× fan-out shuffle."""
+    ev = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
                             columns=["user_id", "ts"])
 
     def user_hours(t: pa.Table) -> pa.Table:
@@ -17634,41 +17634,47 @@ def q_events_window_distinct(sf_dir: str):
             "hour": pa.array(comp % 10_000_000, pa.int64()),
         })
 
-    pairs = (ds.map_batches(user_hours, batch_format="pyarrow")
-             .groupby(["uid", "hour"]).count())
+    pairs = (ev.map_batches(user_hours, batch_format="pyarrow")
+             .groupby(["uid", "hour"]).count().materialize())
 
-    def fan(t: pa.Table) -> pa.Table:
-        uid = t.column("uid").to_numpy()
-        hour = t.column("hour").to_numpy()
-        w = WD_WINDOW_H
-        ticks = (hour[:, None] + np.arange(w)[None, :]).ravel()
-        uids = np.repeat(uid, w)
-        comp = np.unique(uids * np.int64(10_000_000) + ticks)
-        return pa.table({
-            "tick": pa.array(comp % 10_000_000, pa.int64()),
-            "fuid": pa.array(comp // 10_000_000, pa.int64()),
-        })
+    W = WD_WINDOW_H
 
-    counts = (pairs.map_batches(fan, batch_format="pyarrow")
-              .groupby(["tick", "fuid"]).count()
-              .groupby("tick").aggregate(Count(alias_name="dau")))
+    def deltas(g: pa.Table) -> pa.Table:
+        h = np.sort(g.column("hour").to_numpy())
+        # merge [h, h+W-1] coverage intervals
+        ticks, dd = [], []
+        start = int(h[0])
+        end = int(h[0]) + W - 1
+        for x in h[1:].tolist():
+            if x <= end:
+                end = x + W - 1
+            else:
+                ticks.extend((start, end + 1))
+                dd.extend((1, -1))
+                start, end = x, x + W - 1
+        ticks.extend((start, end + 1))
+        dd.extend((1, -1))
+        return pa.table({"tick": pa.array(ticks, pa.int64()),
+                         "d": pa.array(dd, pa.int64())})
 
-    # keep only ticks that are REAL event hours (window "ending at an
-    # observed hour" — the fan-out also creates trailing empty ticks)
-    hours = pairs.groupby("hour").count()
-
-    live = {int(r["hour"]) for r in hours.take_all()}
-
-    def fin(t: pa.Table) -> pa.Table:
-        tick = t.column("tick").to_numpy()
-        keep = np.array([int(x) in live for x in tick], bool)
-        return pa.table({
-            "hour": pa.array(tick[keep], pa.int64()),
-            "dau": t.column("dau").cast(pa.int64()).filter(
-                pa.array(keep)),
-        })
-
-    return counts.map_batches(fin, batch_format="pyarrow").sort("hour")
+    bounds = (pairs.groupby("uid").map_groups(deltas, batch_format="pyarrow")
+              .groupby("tick").sum("d").take_all())
+    bounds.sort(key=lambda r: int(r["tick"]))
+    live = sorted({int(r["hour"]) for r in pairs.groupby("hour").count()
+                   .take_all()})
+    out_h, out_d = [], []
+    run = 0
+    bi = 0
+    for h in live:
+        while bi < len(bounds) and int(bounds[bi]["tick"]) <= h:
+            run += int(bounds[bi]["sum(d)"])
+            bi += 1
+        out_h.append(h)
+        out_d.append(run)
+    return pa.table({
+        "hour": pa.array(out_h, pa.int64()),
+        "dau": pa.array(out_d, pa.int64()),
+    })
 
 
 _SQL_EVENTS_WINDOW_DISTINCT = f"""
