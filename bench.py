@@ -407,6 +407,7 @@ def run_bench() -> dict:
         "customer_churn",
         "tax_discount_cov",
         "nation_trade_balance",
+        "fusion_combmnz",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -20232,6 +20232,94 @@ ORDER BY n.n_name
 """
 
 
+def q_fusion_combmnz(sf_dir: str):
+    """CombMNZ score fusion (Fox & Shaw 1994 — the other classic
+    beside ``rrf_fusion``'s rank-based combine): BM25 and
+    LMDirichlet top-10 lists min-max-normalized to EXACT milli
+    integers per (query, list), fused as
+    ``#lists-hit × Σ norm_milli``, top-10 by (mnz desc, doc_id).
+    Both input lists are the oracle-proven catalog rankers reused
+    verbatim; the fusion itself is ≤ 2k driver rows of integer
+    arithmetic."""
+    a = documents_bm25_topk(sf_dir).to_pandas()
+    b = q_search_lmdirichlet(sf_dir).to_pandas()
+
+    def norm(df):
+        out = {}
+        for qid, g in df.groupby("query_id"):
+            s = np.rint(g["score_r"].to_numpy() * 10000).astype(np.int64)
+            lo, hi = int(s.min()), int(s.max())
+            nm = (np.full(s.size, 1000, np.int64) if hi == lo
+                  else 1000 * (s - lo) // (hi - lo))
+            for d, v in zip(g["doc_id"].to_numpy(), nm):
+                out[(int(qid), int(d))] = out.get((int(qid), int(d)), 0) \
+                    + int(v)
+        return out
+
+    na, nb = norm(a), norm(b)
+    fused: dict[tuple[int, int], tuple[int, int]] = {}
+    for key in set(na) | set(nb):
+        hits = (key in na) + (key in nb)
+        fused[key] = (hits, hits * (na.get(key, 0) + nb.get(key, 0)))
+    rows = []
+    for qid in sorted({k[0] for k in fused}):
+        items = sorted(((d, h, m) for (q, d), (h, m) in fused.items()
+                        if q == qid), key=lambda x: (-x[2], x[0]))[:10]
+        for r, (d, h, m) in enumerate(items, 1):
+            rows.append((qid, r, d, h, m))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+        "n_lists": pa.array([r[3] for r in rows], pa.int64()),
+        "mnz": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def _fusion_combmnz_sql() -> str:
+    return f"""
+WITH a0 AS (
+  SELECT query_id, doc_id, round(score_r * 10000)::BIGINT AS s
+  FROM ({_bm25_sql().strip()})
+),
+b0 AS (
+  SELECT query_id, doc_id, round(score_r * 10000)::BIGINT AS s
+  FROM ({_lmdirichlet_sql().strip()})
+),
+an AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(s) OVER w = min(s) OVER w THEN 1000
+              ELSE 1000 * (s - min(s) OVER w)
+                   // (max(s) OVER w - min(s) OVER w) END AS nm
+  FROM a0 WINDOW w AS (PARTITION BY query_id)
+),
+bn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(s) OVER w = min(s) OVER w THEN 1000
+              ELSE 1000 * (s - min(s) OVER w)
+                   // (max(s) OVER w - min(s) OVER w) END AS nm
+  FROM b0 WINDOW w AS (PARTITION BY query_id)
+),
+u AS (
+  SELECT query_id, doc_id, nm FROM an
+  UNION ALL SELECT query_id, doc_id, nm FROM bn
+),
+f AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_lists,
+         (count(*) * sum(nm))::BIGINT AS mnz
+  FROM u GROUP BY query_id, doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY mnz DESC, doc_id) AS rank
+  FROM f
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       n_lists, mnz
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -20253,6 +20341,7 @@ QUERIES = {
     "customer_churn": q_customer_churn,
     "tax_discount_cov": q_tax_discount_cov,
     "nation_trade_balance": q_nation_trade_balance,
+    "fusion_combmnz": q_fusion_combmnz,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -20601,6 +20690,7 @@ ORACLE_SQL = {
     "customer_churn": _SQL_CUSTOMER_CHURN,
     "tax_discount_cov": _SQL_TAX_DISCOUNT_COV,
     "nation_trade_balance": _SQL_NATION_TRADE_BALANCE,
+    "fusion_combmnz": _fusion_combmnz_sql(),
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20848,6 +20938,7 @@ _R5_FRONT = [
     "customer_churn",
     "tax_discount_cov",
     "nation_trade_balance",
+    "fusion_combmnz",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

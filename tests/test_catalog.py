@@ -139,6 +139,7 @@ def _check(contract, con, name):
         "customer_churn",
         "tax_discount_cov",
         "nation_trade_balance",
+        "fusion_combmnz",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
