@@ -408,6 +408,7 @@ def run_bench() -> dict:
         "tax_discount_cov",
         "nation_trade_balance",
         "fusion_combmnz",
+        "events_error_ratio",
         "search_dismax",
         "search_boost_fn",
     ]

@@ -20320,6 +20320,56 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def q_events_error_ratio(sf_dir: str):
+    """Hourly error-share series (the SLO burn-rate input next to
+    ``events_ewma``'s level chart): per hour, total events, errors,
+    and the share in basis points — map-side (hour, is_error)
+    partials, ONE fold, exact integers."""
+    from ray.data.aggregate import Sum
+
+    ev = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tus = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        hour = tus // 3_600_000_000
+        err = (t.column("event_type").to_numpy(zero_copy_only=False)
+               == "error").astype(np.int64)
+        uh, inv = np.unique(hour, return_inverse=True)
+        n = np.bincount(inv)
+        e = np.bincount(inv, weights=err).astype(np.int64)
+        return pa.table({
+            "hour": pa.array(uh, pa.int64()),
+            "n_p": pa.array(n.astype(np.int64), pa.int64()),
+            "e_p": pa.array(e, pa.int64()),
+        })
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("hour").sum(["n_p", "e_p"]))
+    return agg.map_batches(
+        lambda t: (lambda n, e: pa.table({
+            "hour": t.column("hour").cast(pa.int64()),
+            "n_events": n,
+            "n_errors": e,
+            "error_bp": pc.divide(pc.multiply(e, pa.scalar(10000, pa.int64())),
+                                  n),
+        }))(t.column("sum(n_p)").cast(pa.int64()),
+            t.column("sum(e_p)").cast(pa.int64())),
+        batch_format="pyarrow",
+    ).sort("hour")
+
+
+_SQL_EVENTS_ERROR_RATIO = """
+SELECT epoch_us(ts) // 3600000000 AS hour,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         AS n_errors,
+       (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 10000
+        // count(*))::BIGINT AS error_bp
+FROM events GROUP BY hour ORDER BY hour
+"""
+
+
 # ---------------------------------------------------------------- export
 
 # Ordered for the driver's correctness window (it verifies entries in
@@ -20342,6 +20392,7 @@ QUERIES = {
     "tax_discount_cov": q_tax_discount_cov,
     "nation_trade_balance": q_nation_trade_balance,
     "fusion_combmnz": q_fusion_combmnz,
+    "events_error_ratio": q_events_error_ratio,
     "user_bot_score": q_user_bot_score,
     "shard_balance": q_shard_balance,
     "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -20691,6 +20742,7 @@ ORACLE_SQL = {
     "tax_discount_cov": _SQL_TAX_DISCOUNT_COV,
     "nation_trade_balance": _SQL_NATION_TRADE_BALANCE,
     "fusion_combmnz": _fusion_combmnz_sql(),
+    "events_error_ratio": _SQL_EVENTS_ERROR_RATIO,
     "search_dismax": _search_dismax_sql(),
     "search_boost_fn": _search_boost_fn_sql(),
     "term_burstiness": _SQL_TERM_BURSTINESS,
@@ -20939,6 +20991,7 @@ _R5_FRONT = [
     "tax_discount_cov",
     "nation_trade_balance",
     "fusion_combmnz",
+    "events_error_ratio",
     "user_bot_score",
     "shard_balance",
     "source_vocab_jaccard",

@@ -140,6 +140,7 @@ def _check(contract, con, name):
         "tax_discount_cov",
         "nation_trade_balance",
         "fusion_combmnz",
+        "events_error_ratio",
         "search_dismax",
         "search_boost_fn",
         "term_df_top100",
